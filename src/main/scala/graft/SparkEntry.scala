@@ -1,13 +1,29 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.queries.{Relational, S4Dataflow, TextPipeline, Vectors}
+
+/** Driver contract (SURVEY.md §7).
+  *
+  * `queries` is the full operator surface, one named entry per implemented
+  * operator from SURVEY.md §2; `oracleSql` carries the DuckDB-equivalent
+  * ANSI SQL for every oracle-comparable entry (engine-only operators —
+  * LSH, SimHash, approx sketches — are verified by ScalaTest instead and
+  * get a rows-only check from the driver).
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001 (driver smoke-checks rows>0):
+    * the S4 flush-window semantics — R7/R8 timed flush re-expressed as a
+    * tumbling event-time window (SURVEY.md §7 "minimum slice"). */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    S4Dataflow.flushWindow(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Relational.queries ++ S4Dataflow.queries ++ TextPipeline.queries ++
+      Vectors.queries
+
+  def oracleSql: Map[String, String] =
+    Relational.oracles ++ S4Dataflow.oracles ++ TextPipeline.oracles ++
+      Vectors.oracles
 }

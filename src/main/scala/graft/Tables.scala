@@ -1,0 +1,31 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the driver-generated fixture tables (TESTDATA.md / FIXTURES.md §B).
+  *
+  * The reference (findcoo/S4) has no tables at all — its data model is an
+  * unbounded byte-record stream (SURVEY.md §1). The query layer of this
+  * engine operates on the driver's TPC-H-ish star schema plus
+  * events/documents/embeddings.
+  *
+  * Scale posture: plain parquet scans so Catalyst column pruning and
+  * filter pushdown reach the reader (verify via `.explain`: ReadSchema /
+  * PushedFilters). Never cache here — at 100 TB the tables don't fit, and
+  * every query should prune to the columns/partitions it needs.
+  */
+object Tables {
+  def table(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame     = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame   = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame   = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame       = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame     = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame   = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame     = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame  = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

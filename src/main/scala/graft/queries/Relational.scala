@@ -1,0 +1,407 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Core relational operator surface (SURVEY.md §2b: scans, filter/project,
+  * joins of every type, hash aggregates, count-distinct, rollup/cube/
+  * grouping sets, window functions, sort/limit/top-k, set ops).
+  *
+  * The reference has no relational layer (S4 is a stream shipper,
+  * SURVEY.md §1); these queries exist because the driver's correctness
+  * gate verifies a relational surface against DuckDB over the fixture
+  * star schema.
+  *
+  * Determinism rules (oracle hash-compares): every query ends in a total
+  * ORDER BY; every double aggregate is `round(...)`-ed identically in the
+  * Spark form and the SQL form; timestamps are projected to epoch
+  * microseconds (`unix_micros` ≡ DuckDB `epoch_us`) to dodge ns-vs-µs
+  * parquet type drift.
+  *
+  * Scale notes: dimension tables (region/nation/supplier/customer/part)
+  * are explicitly `broadcast()`-hinted in star joins — at 100 TB the fact
+  * tables shuffle only when the grouping key demands it; filters are plain
+  * column predicates so parquet pushdown applies.
+  */
+object Relational {
+
+  private def ts(s: String) = to_timestamp(lit(s))
+
+  /** TPC-H Q1-style pricing summary: scan → filter → hash agg (partial+final). */
+  def q01PricingSummary(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") <= ts("1998-09-01"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 2).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 2).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** Filter + project: predicates push to parquet, per-row computed column. */
+  def q02FilterProject(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1996-12-31"))
+        && col("l_discount").between(0.02, 0.06)
+        && col("l_quantity") < 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  /** TPC-H Q3-style shipping priority: 3-way join, agg, top-k on revenue. */
+  def q03ShippingPriority(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir).filter(col("c_mktsegment") === "BUILDING")
+    val o = Tables.orders(s, dir).filter(col("o_orderdate") < ts("1997-01-01"))
+    val l = Tables.lineitem(s, dir).filter(col("l_shipdate") > ts("1997-01-01"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(col("l_orderkey"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+        col("o_orderpriority"), col("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Semi join (EXISTS): orders with at least one returned lineitem. */
+  def q04SemiJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .join(Tables.lineitem(s, dir).filter(col("l_returnflag") === "R"),
+        col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+
+  /** TPC-H Q5-style star join: fact tables shuffle-join on their keys,
+    * all dims broadcast (no shuffle for the dimension side at any scale). */
+  def q05LocalSupplier(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, dir)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(s, dir)),
+        col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** TPC-H Q6-style single-row agg; all predicates pushed to the scan. */
+  def q06RevenueForecast(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .filter(col("l_shipdate").between(ts("1996-01-01"), ts("1996-12-31"))
+        && col("l_discount").between(0.02, 0.09)
+        && col("l_quantity") < 25)
+      .agg(
+        round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        count(lit(1)).as("n_rows"))
+
+  /** Anti join (NOT EXISTS): customers that never ordered. */
+  def q07CustNoOrders(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"), round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy(col("c_mktsegment"))
+
+  /** Exact count-distinct (expand+two-phase agg under the hood). */
+  def q08DistinctParts(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        count(lit(1)).as("n_rows"))
+      .orderBy(col("l_returnflag"))
+
+  /** Window ranking: top-3 orders per market segment (TakeOrdered per group). */
+  def q09TopkPerGroup(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("c_mktsegment"), col("rn"))
+  }
+
+  /** ROLLUP over two grouping columns; nulls replaced by a sentinel so the
+    * oracle compare never depends on engine null-ordering. */
+  def q10Rollup(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("returnflag"), col("linestatus"))
+
+  /** CUBE over order status/priority. */
+  def q11Cube(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("total"), col("n"))
+      .orderBy(col("orderstatus"), col("orderpriority"))
+
+  /** GROUPING SETS via SQL (DataFrame API has no direct form). */
+  def q12GroupingSets(s: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(s, dir).createOrReplaceTempView("lineitem_gs")
+    s.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       count(*) AS n, round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem_gs
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin)
+  }
+
+  /** Running sum over an ordered per-key frame (sequential adds — bitwise
+    * reproducible across engines, unlike unordered sums). */
+  def q13RunningSum(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("running_value", round(sum(col("value")).over(w), 2))
+      .select(col("event_id"), col("user_id"), col("running_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** lag/lead analytics: inter-event gap per user in microseconds. */
+  def q14LagLead(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .select(col("event_id"), col("user_id"),
+        (unix_micros(col("ts")) - unix_micros(col("prev_ts"))).as("gap_us"),
+        col("next_type"))
+      .orderBy(col("event_id"))
+  }
+
+  /** INTERSECT: customers with >2500 balance that actually ordered. */
+  def q15Intersect(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir).select(col("o_custkey").as("custkey"))
+      .intersect(Tables.customer(s, dir).filter(col("c_acctbal") > 2500)
+        .select(col("c_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  /** EXCEPT: customer keys that never appear in orders. */
+  def q16Except(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).select(col("c_custkey").as("custkey"))
+      .except(Tables.orders(s, dir).select(col("o_custkey").as("custkey")))
+      .orderBy(col("custkey"))
+
+  /** Equi + range (theta) join: lineitem quantity within ±2 of part size. */
+  def q17RangeJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir)),
+        col("l_partkey") === col("p_partkey")
+          && col("l_quantity").between(col("p_size") - 2, col("p_size") + 2))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_matches"), round(sum(col("l_extendedprice")), 2).as("total_price"))
+      .orderBy(col("p_brand"))
+
+  /** Cross join (small×small → BroadcastNestedLoop). */
+  def q18CrossJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.region(s, dir).crossJoin(broadcast(Tables.nation(s, dir)))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** Global sort + limit (planner emits TakeOrderedAndProject — no full
+    * sort of the table even at scale). */
+  def q19SortLimit(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+
+  /** Approximate count-distinct (HLL++). Not oracle-comparable with DuckDB
+    * (different sketch) — driver records a rows-only check. */
+  def q20ApproxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .groupBy(col("l_returnflag"))
+      .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"))
+      .orderBy(col("l_returnflag"))
+
+  /** Correlated scalar subquery (decorrelated by Catalyst into a join):
+    * orders above their customer's average order value. */
+  def q21AboveAvg(s: SparkSession, dir: String): DataFrame = {
+    val perCust = Tables.orders(s, dir).groupBy(col("o_custkey").as("ck"))
+      .agg(avg(col("o_totalprice")).as("avg_price"))
+    Tables.orders(s, dir)
+      .join(perCust, col("o_custkey") === col("ck"))
+      .filter(col("o_totalprice") > col("avg_price") * 1.5)
+      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q01_pricing_summary" -> (q01PricingSummary _),
+    "q02_filter_project" -> (q02FilterProject _),
+    "q03_shipping_priority" -> (q03ShippingPriority _),
+    "q04_semi_join" -> (q04SemiJoin _),
+    "q05_local_supplier" -> (q05LocalSupplier _),
+    "q06_revenue_forecast" -> (q06RevenueForecast _),
+    "q07_cust_no_orders" -> (q07CustNoOrders _),
+    "q08_distinct_parts" -> (q08DistinctParts _),
+    "q09_topk_per_group" -> (q09TopkPerGroup _),
+    "q10_rollup" -> (q10Rollup _),
+    "q11_cube" -> (q11Cube _),
+    "q12_grouping_sets" -> (q12GroupingSets _),
+    "q13_running_sum" -> (q13RunningSum _),
+    "q14_lag_lead" -> (q14LagLead _),
+    "q15_intersect" -> (q15Intersect _),
+    "q16_except" -> (q16Except _),
+    "q17_range_join" -> (q17RangeJoin _),
+    "q18_cross_join" -> (q18CrossJoin _),
+    "q19_sort_limit" -> (q19SortLimit _),
+    "q20_approx_distinct" -> (q20ApproxDistinct _),
+    "q21_above_avg" -> (q21AboveAvg _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q01_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty,
+        | round(sum(l_extendedprice), 2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+        | round(avg(l_quantity), 2) AS avg_qty,
+        | round(avg(l_extendedprice), 2) AS avg_price,
+        | round(avg(l_discount), 4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1 - l_discount), 2) AS revenue, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "q03_shipping_priority" ->
+      """SELECT l_orderkey, epoch_us(o_orderdate) AS o_orderdate_us, o_orderpriority,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |  AND l_shipdate > TIMESTAMP '1997-01-01'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "q05_local_supplier" ->
+      """SELECT r_name, n_name,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem
+        | JOIN orders ON l_orderkey = o_orderkey
+        | JOIN customer ON o_custkey = c_custkey
+        | JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        | JOIN nation ON s_nationkey = n_nationkey
+        | JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin,
+    "q06_revenue_forecast" ->
+      """SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue, count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
+        |  AND l_discount BETWEEN 0.02 AND 0.09 AND l_quantity < 25""".stripMargin,
+    "q07_cust_no_orders" ->
+      """SELECT c_mktsegment, count(*) AS n_customers, round(sum(c_acctbal), 2) AS total_bal
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+    "q08_distinct_parts" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q09_topk_per_group" ->
+      """SELECT c_mktsegment, rn, o_orderkey, totalprice FROM (
+        | SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        |  row_number() OVER (PARTITION BY c_mktsegment
+        |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        | FROM customer JOIN orders ON c_custkey = o_custkey) t
+        |WHERE rn <= 3 ORDER BY c_mktsegment, rn""".stripMargin,
+    "q10_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q11_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS orderstatus,
+        | coalesce(o_orderpriority, 'ALL') AS orderpriority,
+        | round(sum(o_totalprice), 2) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY orderstatus, orderpriority""".stripMargin,
+    "q12_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        | coalesce(l_linestatus, 'ALL') AS linestatus,
+        | count(*) AS n, round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY returnflag, linestatus""".stripMargin,
+    "q13_running_sum" ->
+      """SELECT event_id, user_id,
+        | round(sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS running_value
+        |FROM events ORDER BY event_id""".stripMargin,
+    "q14_lag_lead" ->
+      """SELECT event_id, user_id,
+        | epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us,
+        | lead(event_type, 1) OVER w AS next_type
+        |FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |ORDER BY event_id""".stripMargin,
+    "q15_intersect" ->
+      """SELECT o_custkey AS custkey FROM orders
+        |INTERSECT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal > 2500
+        |ORDER BY custkey""".stripMargin,
+    "q16_except" ->
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT
+        |SELECT o_custkey AS custkey FROM orders
+        |ORDER BY custkey""".stripMargin,
+    "q17_range_join" ->
+      """SELECT p_brand, count(*) AS n_matches, round(sum(l_extendedprice), 2) AS total_price
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  AND l_quantity BETWEEN p_size - 2 AND p_size + 2
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q18_cross_join" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "q19_sort_limit" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
+    "q21_above_avg" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+        |FROM orders o
+        |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
+        |                            WHERE i.o_custkey = o.o_custkey)
+        |ORDER BY o_orderkey""".stripMargin,
+  )
+}

@@ -1,0 +1,178 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.TextOps
+import graft.operators.{AsofJoin, Dedup}
+
+/** LLM-data-pipeline text layer over `documents` (SURVEY.md §2b): dedup
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard), text analysis
+  * (token stats, quality, language-ID, fingerprints), plus the as-of join
+  * operator exercised on `events`.
+  *
+  * Oracle-comparable queries carry DuckDB SQL; the LSH/SimHash/fingerprint
+  * paths are engine-only (non-SQL-expressible) and are instead verified by
+  * ScalaTest against brute force on sf0.001 (SURVEY.md §5).
+  */
+object TextPipeline {
+
+  /** Exact dedup: keep-first per identical text (hash group). */
+  def exactDedup(s: SparkSession, dir: String): DataFrame =
+    Dedup.exactKeepFirst(Tables.documents(s, dir), "doc_id", "text")
+      .select(col("text_hash"), col("keep_id"), col("n_copies"))
+      .orderBy(col("text_hash"))
+
+  /** Token statistics per language. */
+  def tokenStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_tokens", size(TextOps.tokens(col("text"))))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast("long").as("total_tokens"),
+        round(avg(col("n_chars")), 2).as("avg_chars"))
+      .orderBy(col("lang"))
+
+  /** Per-document quality stats: token counts, distinct ratio, stopword
+    * ratio — the standard text-quality scoring features. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"),
+        size(toks).as("n_tokens"),
+        size(array_distinct(toks)).as("n_uniq_tokens"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 3).as("uniq_ratio"),
+        round(TextOps.stopRatio(toks), 3).as("stop_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Regex (BPE-ish) token counting per source. */
+  def regexTokenCount(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .withColumn("n_rtokens", size(TextOps.regexTokens(col("text"))))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_rtokens")).cast("long").as("total_rtokens"))
+      .orderBy(col("source"))
+
+  /** Brute-force n-gram (token-set) Jaccard near-dup pairs — exact,
+    * oracle-comparable; the LSH paths below approximate this at scale. */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+    val a = toks.select(col("doc_id").as("id1"), col("toks").as("t1"))
+    val b = toks.select(col("doc_id").as("id2"), col("toks").as("t2"))
+    a.crossJoin(b).filter(col("id1") < col("id2"))
+      .withColumn("jaccard",
+        size(array_intersect(col("t1"), col("t2"))).cast("double") /
+          size(array_union(col("t1"), col("t2"))))
+      .filter(col("jaccard") >= 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** MinHash-LSH near-dup pairs (engine-only; ScalaTest checks recall
+    * against jaccardPairs on sf0.001). */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+        shingleLen = 3, numHashes = 16, bands = 8, threshold = 0.8)
+      .orderBy(col("id1"), col("id2"))
+
+  /** SimHash near-dup pairs (engine-only). */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+      .orderBy(col("id1"), col("id2"))
+
+  /** Language-ID heuristic + rolling-hash fingerprint (engine-only). */
+  def langIdFingerprint(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang").as("labeled_lang"),
+        TextOps.langId(toks).as("pred_lang"),
+        TextOps.fingerprint(toks, 3).as("fingerprint"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multimodal plumbing: documents as opaque binary payloads with typed
+    * metadata — byte length and content digest (the decode step proper is
+    * stubbed in graft.multimodal, per the brief: codec libs absent). */
+  def binaryStats(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      .select(col("doc_id"),
+        length(col("payload")).cast("long").as("n_bytes"),
+        sha2(col("payload"), 256).as("digest"))
+      .orderBy(col("doc_id"))
+
+  /** As-of join on events: each purchase matched to the user's latest
+    * prior-or-simultaneous signup (left outer). */
+  def asofPurchaseSignup(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+    AsofJoin.asofTs(purchases, signups, "user_id", "ts", "ts")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("asof_ts")).as("signup_us"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_exact_dedup" -> (exactDedup _),
+    "doc_token_stats" -> (tokenStats _),
+    "doc_quality_score" -> (qualityScore _),
+    "doc_regex_tokens" -> (regexTokenCount _),
+    "doc_jaccard_pairs" -> (jaccardPairs _),
+    "doc_minhash_pairs" -> (minhashPairs _),
+    "doc_simhash_pairs" -> (simhashPairs _),
+    "doc_langid_fingerprint" -> (langIdFingerprint _),
+    "mm_binary_stats" -> (binaryStats _),
+    "ev_asof_join" -> (asofPurchaseSignup _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "doc_exact_dedup" ->
+      """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY sha256(text) ORDER BY text_hash""".stripMargin,
+    "doc_token_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+        | round(avg(n_chars), 2) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "doc_quality_score" ->
+      """SELECT doc_id,
+        | len(string_split(text, ' ')) AS n_tokens,
+        | len(list_distinct(string_split(text, ' '))) AS n_uniq_tokens,
+        | round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 3) AS uniq_ratio,
+        | round(CAST(len(list_filter(string_split(text, ' '),
+        |   t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+        |       / len(string_split(text, ' ')), 3) AS stop_ratio
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "doc_regex_tokens" ->
+      """SELECT source, count(*) AS n_docs,
+        | CAST(sum(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS BIGINT)
+        |   AS total_rtokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "doc_jaccard_pairs" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2,
+        | round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |       / len(list_distinct(list_concat(a.toks, b.toks))), 3) AS jaccard
+        |FROM (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) a
+        |JOIN (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents) b
+        |  ON a.doc_id < b.doc_id
+        |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    "mm_binary_stats" ->
+      """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+        | sha256(text) AS digest
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "ev_asof_join" ->
+      """SELECT p.event_id, p.user_id, epoch_us(s.ts) AS signup_us
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'signup') s
+        |  ON p.user_id = s.user_id AND p.ts >= s.ts
+        |ORDER BY p.event_id""".stripMargin,
+  )
+}

@@ -1,0 +1,144 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.VectorOps
+import graft.operators.Similarity
+
+/** Similarity-search layer over `embeddings` (SURVEY.md §2b: cosine/dot
+  * similarity, brute-force top-k baseline, LSH-bucketed ANN scale path,
+  * embedding-cosine near-dup).
+  *
+  * Probe sets are tiny, fixed id lists — broadcast side of every join; the
+  * corpus side never collects and shuffles at most once (on the LSH bucket).
+  * Oracle-comparable queries round cosine to 4 decimals in BOTH engines so
+  * FP accumulation-order drift can't flip hash compares; ranking ties break
+  * on vec_id deterministically.
+  */
+object Vectors {
+
+  /** The fixed probe ids used by the top-k queries (deterministic, spread
+    * across the fixture's label clusters). */
+  val probeIds: Seq[Long] = Seq(1L, 7L, 42L, 99L, 123L)
+
+  private def probes(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .filter(col("vec_id").isInCollection(probeIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+  /** Per-vector norms — the simplest whole-corpus vector projection. */
+  def norms(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("vec_id"), col("label"),
+        round(VectorOps.norm(col("embedding")), 4).as("l2_norm"),
+        size(col("embedding")).as("dim"))
+      .orderBy(col("vec_id"))
+
+  /** Exact brute-force cosine top-k for the fixed probe set. */
+  def bruteTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.bruteForceTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
+      .orderBy(col("q_id"), col("rn"))
+
+  /** ANN top-k via hyperplane LSH + multiprobe (engine-only; ScalaTest
+    * checks recall against bruteTopK). */
+  def lshTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5,
+        bits = 8, dim = 64)
+      .orderBy(col("q_id"), col("rn"))
+
+  /** Embedding-cosine near-duplicate pairs above a high threshold,
+    * restricted per-label (label = coarse cluster — the blocking key).
+    * At 100 TB the blocking key bounds the pair space; within-block the
+    * join is a shuffle hash join on label. */
+  def cosineNearDups(s: SparkSession, dir: String): DataFrame = {
+    val e = Tables.embeddings(s, dir)
+    val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("e1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("e2"))
+    a.join(b, Seq("label"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("cosine", round(VectorOps.cosine(col("e1"), col("e2")), 4))
+      .filter(col("cosine") >= 0.99)
+      .select(col("id1"), col("id2"), col("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Mean embedding (centroid) per label cluster: element-wise array agg
+    * via posexplode + re-assemble — partial aggregation applies, no UDAF. */
+  def labelCentroids(s: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(s, dir)
+      .select(col("label"), posexplode(col("embedding").cast("array<double>"))
+        .as(Seq("pos", "v")))
+      .groupBy(col("label"), col("pos"))
+      .agg(avg(col("v")).as("mean_v"), count(lit(1)).as("n"))
+      .groupBy(col("label"))
+      .agg(
+        round(sqrt(sum(col("mean_v") * col("mean_v"))), 4).as("centroid_norm"),
+        max(col("n")).as("n_vectors"))
+      .orderBy(col("label"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_norms" -> (norms _),
+    "vec_brute_topk" -> (bruteTopK _),
+    "vec_lsh_topk" -> (lshTopK _),
+    "vec_cosine_near_dups" -> (cosineNearDups _),
+    "vec_label_centroids" -> (labelCentroids _),
+  )
+
+  private val probeList = probeIds.mkString("(", ", ", ")")
+
+  val oracles: Map[String, String] = Map(
+    "vec_norms" ->
+      """SELECT vec_id, label,
+        | round(sqrt(list_aggregate(list_transform(embedding,
+        |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
+        | CAST(len(embedding) AS INTEGER) AS dim
+        |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_brute_topk" ->
+      s"""SELECT q_id, rn, vec_id, cosine FROM (
+         | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |  round(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+         |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+         |   / (sqrt(list_aggregate(list_transform(q.embedding,
+         |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |      * sqrt(list_aggregate(list_transform(c.embedding,
+         |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cosine,
+         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |   round(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+         |    / (sqrt(list_aggregate(list_transform(q.embedding,
+         |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+         |       * sqrt(list_aggregate(list_transform(c.embedding,
+         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) DESC,
+         |   c.vec_id) AS rn
+         | FROM embeddings q CROSS JOIN embeddings c
+         | WHERE q.vec_id IN $probeList) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "vec_cosine_near_dups" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        | round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+        |  / (sqrt(list_aggregate(list_transform(a.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) AS cosine
+        |FROM embeddings a JOIN embeddings b
+        |  ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |    i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+        |  / (sqrt(list_aggregate(list_transform(a.embedding,
+        |       x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |     * sqrt(list_aggregate(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) >= 0.99
+        |ORDER BY id1, id2""".stripMargin,
+    "vec_label_centroids" ->
+      """SELECT label, round(sqrt(sum(mean_v * mean_v)), 4) AS centroid_norm,
+        | max(n) AS n_vectors
+        |FROM (SELECT label, pos, avg(v) AS mean_v, count(*) AS n
+        |      FROM (SELECT label, generate_subscripts(embedding, 1) - 1 AS pos,
+        |              CAST(unnest(embedding) AS DOUBLE) AS v
+        |            FROM embeddings) x
+        |      GROUP BY label, pos) t
+        |GROUP BY label ORDER BY label""".stripMargin,
+  )
+}
