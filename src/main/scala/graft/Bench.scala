@@ -1,24 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Driver-run benchmark: times every SparkEntry query at the requested SF.
+  *
+  * Reporting contract (VERDICT r1 item 5): failures are loud — a failed
+  * query is recorded with `"ok":false` and excluded from the headline
+  * total, never silently timed as if it succeeded. The one-line JSON is
+  * printed to stdout (build.sbt routes forked stdout through unprefixed)
+  * and also written to `bench_result.json` so the driver can always parse
+  * it.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { fn(spark, sfDir).count(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
+          false
+        }
+      (name, ok, (System.nanoTime() - t0) / 1e9)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results
+      .map { case (k, ok, v) => s""""$k":{"ok":$ok,"sec":${f"$v%.3f"}}""" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val okTotal = results.collect { case (_, true, v) => v }.sum
+    val failed = results.collect { case (k, false, _) => s""""$k"""" }.mkString("[", ",", "]")
+    val line =
+      s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    Files.writeString(Paths.get("bench_result.json"), line)
+    println(line)
     spark.stop()
   }
 }

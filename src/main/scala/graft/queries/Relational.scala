@@ -66,7 +66,10 @@ object Relational {
       .join(broadcast(c), col("o_custkey") === col("c_custkey"))
       .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
-      .select(col("l_orderkey"), unix_micros(col("o_orderdate")).as("o_orderdate_us"),
+      .select(col("l_orderkey"),
+        // o_orderdate loads as TIMESTAMP_NTZ; unix_micros needs TIMESTAMP.
+        // Session tz is UTC so the cast is lossless.
+        unix_micros(col("o_orderdate").cast("timestamp")).as("o_orderdate_us"),
         col("o_orderpriority"), col("revenue"))
       .orderBy(col("revenue").desc, col("l_orderkey"))
       .limit(10)
