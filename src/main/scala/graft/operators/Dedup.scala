@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.TextOps
+import graft.functions.{SortedIntersectSize, TextOps}
 
 /** Deduplication operators for the LLM-data-pipeline layer (SURVEY.md §2b):
   * exact (hash-groupBy), MinHash+LSH near-dup, SimHash near-dup, and
@@ -36,16 +36,14 @@ object Dedup {
       .groupBy(col("text_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** MinHash signature over an element-array column: `numHashes`
-    * independent min-hashes as one HOF expression (codegen, no UDF).
-    * Hash i of element x is xxhash64(x, i, seed). Empty arrays get
-    * Long.MaxValue mins (never collide into a band bucket with real
-    * signatures only if other docs are also empty — acceptable: empty
-    * docs are exact dupes of each other anyway). */
+  /** MinHash signature over an array<long> element-set column:
+    * `numHashes` independent min-hashes via the fused codegen'd
+    * MinHashSig expression (the HOF formulation is CodegenFallback and
+    * ~25x slower — see MinHashSig scaladoc). Empty arrays get
+    * Long.MaxValue mins (only collide with other empty docs, which are
+    * exact dupes of each other anyway). */
   def minhashSignature(elems: Column, numHashes: Int, seed: Int): Column =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => aggregate(elems, lit(Long.MaxValue),
-        (m, x) => least(m, xxhash64(x, i, lit(seed)))))
+    graft.functions.MinHashSig(elems, numHashes, seed.toLong)
 
   /** LSH banding: signature of b bands × r rows; a pair is a candidate if
     * any band of r consecutive min-hashes matches exactly.
@@ -88,11 +86,35 @@ object Dedup {
     pairs
       .join(t.withColumnRenamed("_jid", "id1").withColumnRenamed("_toks", "_t1"), "id1")
       .join(t.withColumnRenamed("_jid", "id2").withColumnRenamed("_toks", "_t2"), "id2")
-      .withColumn("jaccard",
-        size(array_intersect(col("_t1"), col("_t2"))).cast("double") /
-          size(array_union(col("_t1"), col("_t2"))))
-      .drop("_t1", "_t2")
+      // one intersect + the size identity |x∪y| = |x|+|y|-|x∩y| — halves
+      // the per-pair array work vs computing array_union too
+      .withColumn("_inter", size(array_intersect(col("_t1"), col("_t2"))))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_t1")) + size(col("_t2")) - col("_inter")))
+      .drop("_t1", "_t2", "_inter")
   }
+
+  /** jaccardVerifyToks for SORTED array<long> token sets: the intersect
+    * is the codegen'd two-pointer SortedIntersectSize instead of
+    * array_intersect's per-pair hash set — the fast path for verifying
+    * millions of candidate pairs. */
+  def jaccardVerifySorted(pairs: DataFrame, toks: DataFrame,
+                          idCol: String, toksCol: String): DataFrame = {
+    val t = toks.select(col(idCol).as("_jid"), col(toksCol).as("_toks"))
+    pairs
+      .join(t.withColumnRenamed("_jid", "id1").withColumnRenamed("_toks", "_t1"), "id1")
+      .join(t.withColumnRenamed("_jid", "id2").withColumnRenamed("_toks", "_t2"), "id2")
+      .withColumn("_inter", SortedIntersectSize(col("_t1"), col("_t2")))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_t1")) + size(col("_t2")) - col("_inter")))
+      .drop("_t1", "_t2", "_inter")
+  }
+
+  /** Distinct tokens of a text column as a sorted array of 64-bit hashes:
+    * the canonical token-set representation for the near-dup family —
+    * set ops over sorted longs, sorted ONCE per doc at tokenization. */
+  def hashedTokenSet(text: Column): Column =
+    array_sort(transform(array_distinct(TextOps.tokens(text)), t => xxhash64(t)))
 
   /** Exact token-set Jaccard for a pair table, tokenizing from the docs
     * table (convenience wrapper over jaccardVerifyToks). */
@@ -110,14 +132,15 @@ object Dedup {
                       seed: Int = 42): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    // Tokens computed once; reused for the signature AND the verification.
-    val toks = docs.select(col(idCol),
-      array_distinct(TextOps.tokens(col(textCol))).as("_toks"))
+    // Hashed sorted token sets computed once; reused for the signature
+    // AND the fast-path verification (Jaccard over the hashed sets ==
+    // Jaccard over the tokens barring a 64-bit collision).
+    val toks = docs.select(col(idCol), hashedTokenSet(col(textCol)).as("_toks"))
     val sigs = toks.select(col(idCol),
       minhashSignature(col("_toks"), numHashes, seed).as("sig"))
     val banded = lshBands(sigs, idCol, col("sig"), bands, rows)
     val cands = candidatePairs(banded, idCol, maxBucket)
-    jaccardVerifyToks(cands, toks, idCol, "_toks")
+    jaccardVerifySorted(cands, toks, idCol, "_toks")
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
   }

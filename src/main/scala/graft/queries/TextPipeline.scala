@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps
-import graft.operators.{AsofJoin, Dedup}
+import graft.operators.{AsofJoin, Dedup, SetSimJoin}
 
 /** LLM-data-pipeline text layer over `documents` (SURVEY.md §2b): dedup
   * (exact / MinHash-LSH / SimHash / n-gram Jaccard), text analysis
@@ -54,11 +54,28 @@ object TextPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_rtokens")).cast("long").as("total_rtokens"))
       .orderBy(col("source"))
 
-  /** Brute-force n-gram (token-set) Jaccard near-dup pairs — exact,
-    * oracle-comparable; the LSH paths below approximate this at scale. */
-  def jaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val toks = Tables.documents(s, dir)
-      .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("toks"))
+  /** Distinct tokens hashed to 64-bit longs: set operations over longs
+    * are several times cheaper than over strings, and Jaccard over the
+    * hashed sets equals Jaccard over the tokens barring a 64-bit
+    * collision (P ~ 1e-14 for this vocabulary; the brute-force
+    * equivalence spec would catch one). */
+  private def docToks(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), Dedup.hashedTokenSet(col("text")).as("toks"))
+
+  /** Exact token-set Jaccard near-dup pairs via prefix-filtered set-
+    * similarity join (SetSimJoin) — bit-identical to the brute-force
+    * cross join (SetSimJoinSpec holds the equivalence) but with no
+    * O(n^2) stage, so it is safe to run at bench/production scale. */
+  def jaccardPairs(s: SparkSession, dir: String): DataFrame =
+    SetSimJoin.jaccardSelfJoin(docToks(s, dir), "doc_id", "toks", 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+
+  /** The cross-join brute force — O(n^2); exists ONLY as ground truth for
+    * SetSimJoinSpec/DedupSpec on the small SFs, never in the bench path. */
+  def jaccardPairsBrute(s: SparkSession, dir: String): DataFrame = {
+    val toks = docToks(s, dir)
     val a = toks.select(col("doc_id").as("id1"), col("toks").as("t1"))
     val b = toks.select(col("doc_id").as("id2"), col("toks").as("t2"))
     a.crossJoin(b).filter(col("id1") < col("id2"))
