@@ -1,0 +1,152 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.{MapType, StringType}
+
+/** The S4 replacement proper: a Structured Streaming pipeline with the
+  * reference's observable semantics (SURVEY.md §1/§3), upgraded from
+  * at-most-once to Spark's checkpointed exactly-once.
+  *
+  * Reference mapping (all paths cited into /root/reference):
+  *  - R1/R2 socket/fan-in source (`input/unix.go:19-82`) → file-stream
+  *    source over a directory; many concurrent writers multiplex into one
+  *    stream exactly like the unix-socket accept loop.
+  *  - R3 line framing (`input/unix.go:89-119`) → `readStream.text` is
+  *    line-framed by construction.
+  *  - R6 JSON validate-then-drop (`river/jsonr.go:99-116`): invalid
+  *    records are dropped and the stream continues → `from_json` null
+  *    filter.
+  *  - R7/R8 timed flush (`river/river.go:52-58`, 5-minute default
+  *    `main.go:44-48`) → `Trigger.ProcessingTime`; each micro-batch is
+  *    one "flush".
+  *  - R4 drain-and-stop (`input/unix.go:84-86`) → `Trigger.AvailableNow`
+  *    + `awaitTermination`.
+  *  - R9/R10 corpus concat + non-empty guard (`river/jsonr.go:72-84`) →
+  *    the sink writes whole batches; empty batches produce no objects.
+  *  - R11/R12 gzip'd `year=/month=/day=` S3 objects (`lake/lake.go:65-90`)
+  *    → `partitionBy("year","month","day")` gzip text append. Task-UUID
+  *    filenames fix the reference's same-minute overwrite
+  *    (`lake/lake.go:81-88`) by design.
+  *  - R13 console sink (`lake/lake.go:42-45`) → `format("console")`.
+  *  - R15 CLI config (`main.go:20-86`) → [[S4Config]].
+  *  - R17 mock generator (`test/tool.go:109-147`) → rate source emitting
+  *    `{"index":"N"}` records.
+  *
+  * Scale posture: the pipeline is stateless (source → filter → project →
+  * partitioned append), so it parallelizes per-file/per-partition with no
+  * shuffle at all; the only state is the source offset log + optional
+  * dedup/window state bounded by watermark TTL.
+  */
+object S4Stream {
+
+  /** R15: the CLI surface of `main.go:20-57`, Spark-shaped. */
+  case class S4Config(
+      inputDir: String,
+      mode: String = "line",                 // --type line|json  (main.go:50-56)
+      sink: String = "lake",                 // lake | console    (main.go:32-38 vs mock)
+      lakeDir: String = "",                  // --s3Path analog   (main.go:26-31)
+      checkpointDir: String = "",
+      flushInterval: String = "5 minutes",   // --flushInterval   (main.go:44-48)
+      availableNow: Boolean = false,         // drain-and-stop    (R4)
+      maxFilesPerTrigger: Option[Int] = None // backpressure S4 never had
+  )
+
+  /** Line-framed source (R1/R2/R3): one row per newline-terminated
+    * record, `value: string`. */
+  def source(spark: SparkSession, cfg: S4Config): DataFrame = {
+    val r = spark.readStream
+    cfg.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+    r.text(cfg.inputDir)
+  }
+
+  /** R6: json mode validates each record parses as a JSON object and
+    * DROPS invalid ones (the reference panics-and-recovers per record,
+    * `river/jsonr.go:100-108`); line mode passes bytes through. */
+  def validated(records: DataFrame, mode: String): DataFrame = mode match {
+    case "json" =>
+      records.filter(
+        from_json(col("value"), MapType(StringType, StringType)).isNotNull)
+    case _ => records
+  }
+
+  /** R12 partition keys: Hive-style year/month/day from the flush-time
+    * clock — S4 stamps objects with `time.Now()` at push
+    * (`lake/lake.go:76-81`); the batch-time `current_timestamp` is the
+    * same processing-time semantics. */
+  def withPartitionKeys(records: DataFrame): DataFrame =
+    records
+      .withColumn("_now", current_timestamp())
+      .withColumn("year", year(col("_now")))
+      .withColumn("month", month(col("_now")))
+      .withColumn("day", dayofmonth(col("_now")))
+      .drop("_now")
+
+  /** R11+R12 lake sink body: one gzip'd text object set per non-empty
+    * flush, partitioned `year=/month=/day=` (unpadded ints, matching
+    * `lake/lake.go:79-81`). The R10 non-empty guard is the isEmpty
+    * check. */
+  def pushBatch(batch: DataFrame, lakeDir: String): Unit =
+    if (!batch.isEmpty) {
+      withPartitionKeys(batch)
+        .write
+        .partitionBy("year", "month", "day")
+        .option("compression", "gzip")
+        .mode("append")
+        .text(lakeDir)
+    }
+
+  /** Wire source → validate → sink and start the query (EP1/EP2 of
+    * SURVEY.md §3). */
+  def run(spark: SparkSession, cfg: S4Config): StreamingQuery = {
+    val validatedDf = validated(source(spark, cfg), cfg.mode)
+    val writer = cfg.sink match {
+      case "console" => // R13
+        validatedDf.writeStream.format("console").option("truncate", false)
+      case _ => // R14 sink abstraction -> foreachBatch
+        validatedDf.writeStream.foreachBatch {
+          (batch: DataFrame, _: Long) => pushBatch(batch, cfg.lakeDir)
+        }
+    }
+    if (cfg.checkpointDir.nonEmpty)
+      writer.option("checkpointLocation", cfg.checkpointDir)
+    writer
+      .trigger(
+        if (cfg.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(cfg.flushInterval))
+      .start()
+  }
+
+  /** R17: the mock generator — `{"index":"N"}` records at a fixed rate
+    * (`test/tool.go:136-142` emits every 200ms = 5 rows/sec; index is a
+    * STRING in the reference, FIXTURES.md A). */
+  def mockSource(spark: SparkSession, rowsPerSecond: Int = 5): DataFrame =
+    spark.readStream
+      .format("rate")
+      .option("rowsPerSecond", rowsPerSecond)
+      .load()
+      .select(to_json(struct(col("value").cast("string").as("index"))).as("value"))
+
+  /** Event-time flush window (the R7/R8 semantics as an event-time
+    * query): tumbling window with per-window record count and payload
+    * bytes, watermarked so state is bounded. */
+  def flushWindowStream(records: DataFrame, tsCol: String,
+                        windowLen: String = "5 minutes",
+                        watermark: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_records"),
+        sum(length(col("value"))).as("batch_bytes"))
+
+  /** Stateful streaming dedup bounded by watermark (§2b streaming ops):
+    * drops records whose key was already seen within the watermark
+    * horizon — state is evicted past it, so memory is bounded at any
+    * scale. */
+  def dedupStream(records: DataFrame, tsCol: String, keyCols: Seq[String],
+                  watermark: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(keyCols)
+}

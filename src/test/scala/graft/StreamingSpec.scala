@@ -1,0 +1,135 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import scala.jdk.CollectionConverters._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.S4Stream
+import graft.streaming.S4Stream.S4Config
+
+/** Streaming-runtime smoke tests: the AvailableNow round trip the
+  * reference covers with `river/liner_test.go:54-63` and the `mock`
+  * subcommand (`main.go:142-166`), plus the watermarked stateful ops. */
+class StreamingSpec extends SparkSpec {
+
+  private def tmp(prefix: String): Path = {
+    val p = Files.createTempDirectory(prefix)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  private def writeLines(dir: Path, name: String, lines: Seq[String]): Unit =
+    Files.write(dir.resolve(name), lines.asJava)
+
+  private def lakeFiles(lake: Path): Seq[Path] =
+    Files.walk(lake).iterator().asScala.filter(Files.isRegularFile(_))
+      .filterNot(f => f.getFileName.toString.startsWith("_")
+        || f.getFileName.toString.startsWith(".")).toSeq
+
+  test("line mode: AvailableNow round trip to gzip'd date-partitioned lake") {
+    val in = tmp("s4in"); val lake = tmp("s4lake"); val ck = tmp("s4ck")
+    val lines = (1 to 100).map(i => s"benchmaking: $i") // test/tool.go:87 shape
+    writeLines(in, "a.txt", lines.take(60))
+    writeLines(in, "b.txt", lines.drop(60))
+
+    val q = S4Stream.run(spark, S4Config(
+      inputDir = in.toString, mode = "line", sink = "lake",
+      lakeDir = lake.toString, checkpointDir = ck.toString,
+      availableNow = true))
+    q.awaitTermination()
+
+    val files = lakeFiles(lake)
+    assert(files.nonEmpty)
+    assert(files.forall(_.toString.contains("year=")), s"not date-partitioned: $files")
+    assert(files.forall(f => f.toString.matches(".*year=\\d{4}/month=\\d{1,2}/day=\\d{1,2}/.*")))
+    assert(files.forall(_.getFileName.toString.endsWith(".txt.gz")), "objects must be gzip'd")
+    val back = spark.read.text(lake.toString).collect().map(_.getString(0)).toSeq
+    assert(back.sorted === lines.sorted) // per-batch set semantics (SURVEY §1)
+  }
+
+  test("json mode: invalid records dropped, stream continues (R6)") {
+    val in = tmp("s4jin"); val lake = tmp("s4jlake"); val ck = tmp("s4jck")
+    val valid = Seq("""{"message": "hello"}""", """{"message": "world"}""", """{"k": 1}""")
+    val invalid = Seq("not json at all", """{"unclosed": """)
+    writeLines(in, "mixed.json", scala.util.Random.shuffle(valid ++ invalid))
+
+    val q = S4Stream.run(spark, S4Config(
+      inputDir = in.toString, mode = "json", sink = "lake",
+      lakeDir = lake.toString, checkpointDir = ck.toString,
+      availableNow = true))
+    q.awaitTermination()
+
+    val back = spark.read.text(lake.toString).collect().map(_.getString(0)).toSeq
+    assert(back.sorted === valid.sorted)
+  }
+
+  test("console sink mode runs (R13)") {
+    val in = tmp("s4cin"); val ck = tmp("s4cck")
+    writeLines(in, "c.txt", Seq("hello", "world"))
+    val q = S4Stream.run(spark, S4Config(
+      inputDir = in.toString, mode = "line", sink = "console",
+      checkpointDir = ck.toString, availableNow = true))
+    q.awaitTermination()
+    assert(!q.isActive)
+  }
+
+  test("mock rate source emits {\"index\":\"N\"} records (R17)") {
+    val q = S4Stream.mockSource(spark, rowsPerSecond = 50)
+      .writeStream.format("memory").queryName("mock_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var n = 0L
+      while (n == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        n = spark.table("mock_out").count()
+      }
+      assert(n > 0, "rate source produced nothing in 20s")
+      val rows = spark.table("mock_out")
+        .select(get_json_object(col("value"), "$.index").cast("long").isNotNull)
+        .collect()
+      assert(rows.forall(_.getBoolean(0)), "every record must be {\"index\":\"N\"}")
+    } finally q.stop()
+  }
+
+  test("stateful dedup within watermark drops in-horizon duplicates") {
+    val in = tmp("s4din"); val ck = tmp("s4dck")
+    val lines = Seq(
+      """{"id": 1, "ts": "2024-01-01 00:00:01"}""",
+      """{"id": 2, "ts": "2024-01-01 00:00:02"}""",
+      """{"id": 1, "ts": "2024-01-01 00:00:03"}""",
+      """{"id": 3, "ts": "2024-01-01 00:00:04"}""",
+      """{"id": 2, "ts": "2024-01-01 00:00:05"}""")
+    writeLines(in, "d.json", lines)
+    val src = spark.readStream.schema("id LONG, ts TIMESTAMP").json(in.toString)
+    val q = S4Stream.dedupStream(src, "ts", Seq("id"), watermark = "1 hour")
+      .writeStream.format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+      .start()
+    q.awaitTermination()
+    val ids = spark.table("dedup_out").select("id").collect().map(_.getLong(0)).sorted
+    assert(ids === Array(1L, 2L, 3L))
+  }
+
+  test("event-time flush window aggregates with bounded state") {
+    val in = tmp("s4win"); val ck = tmp("s4wck")
+    val lines = (0 until 12).map { i =>
+      val mm = f"${i * 2}%02d" // 0..22 min -> five 5-minute windows
+      s"""{"value": "rec$i", "ts": "2024-01-01 00:$mm:30"}"""
+    }
+    writeLines(in, "w.json", lines)
+    val src = spark.readStream.schema("value STRING, ts TIMESTAMP").json(in.toString)
+    val q = S4Stream.flushWindowStream(src, "ts")
+      .writeStream.format("memory").queryName("flush_out").outputMode("complete")
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+      .start()
+    q.awaitTermination()
+    val out = spark.table("flush_out")
+      .select(col("window.start").cast("string"), col("n_records"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(out.size === 5) // 24 minutes of data / 5-minute tumbling
+    assert(out.values.sum === 12L)
+    assert(out("2024-01-01 00:00:00") === 3L) // :00:30, :02:30, :04:30
+  }
+}
