@@ -257,6 +257,66 @@ object Relational {
       .orderBy(col("o_orderkey"))
   }
 
+  /** LEFT OUTER join with null-producing aggregation: every customer,
+    * including the never-ordered (their agg inputs are all-null and
+    * coalesced to 0 so the oracle compare is null-free). */
+  def q22LeftJoin(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir)
+      .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+      .groupBy(col("c_custkey"), col("c_mktsegment"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total_spent"))
+      .orderBy(col("c_custkey"))
+
+  /** FULL OUTER join: per-nation high-balance supplier counts vs
+    * high-balance customer counts — thresholds chosen so each side has
+    * nations the other lacks (real null-producing rows both ways). */
+  def q23FullOuter(s: SparkSession, dir: String): DataFrame = {
+    val sup = Tables.supplier(s, dir).filter(col("s_acctbal") > 8000)
+      .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
+    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9500)
+      .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
+    sup.join(cust, col("s_nationkey") === col("c_nationkey"), "full_outer")
+      .select(
+        coalesce(col("s_nationkey"), col("c_nationkey")).as("nationkey"),
+        coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+        coalesce(col("n_cust"), lit(0L)).as("n_cust"))
+      .orderBy(col("nationkey"))
+  }
+
+  /** UNION ALL (R2 fan-in semantics): two filtered entity streams merged
+    * with a side tag. */
+  def q24Union(s: SparkSession, dir: String): DataFrame =
+    Tables.customer(s, dir).filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey").as("entity_key"), lit("customer").as("side"))
+      .unionByName(
+        Tables.supplier(s, dir).filter(col("s_acctbal") > 9000)
+          .select(col("s_suppkey").as("entity_key"), lit("supplier").as("side")))
+      .orderBy(col("side"), col("entity_key"))
+
+  /** Sliding event-time window (10 min length, 5 min slide): each event
+    * lands in exactly two windows — the streaming-§2b op in its
+    * batch-verifiable form. */
+  def q25SlidingWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes"))
+      .agg(count(lit(1)).as("n_records"), countDistinct(col("user_id")).as("n_users"))
+      .select(unix_micros(col("window.start")).as("window_start_us"),
+        col("n_records"), col("n_users"))
+      .orderBy(col("window_start_us"))
+
+  /** Session window per user (30-minute gap): sessionization, the
+    * other streaming-§2b window op, batch-verified via the SQL
+    * gaps-and-islands equivalent. */
+  def q26SessionWindow(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("session_start_us"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("session_start_us"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -279,6 +339,11 @@ object Relational {
     "q19_sort_limit" -> (q19SortLimit _),
     "q20_approx_distinct" -> (q20ApproxDistinct _),
     "q21_above_avg" -> (q21AboveAvg _),
+    "q22_left_join" -> (q22LeftJoin _),
+    "q23_full_outer" -> (q23FullOuter _),
+    "q24_union" -> (q24Union _),
+    "q25_sliding_window" -> (q25SlidingWindow _),
+    "q26_session_window" -> (q26SessionWindow _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -406,5 +471,46 @@ object Relational {
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
         |                            WHERE i.o_custkey = o.o_custkey)
         |ORDER BY o_orderkey""".stripMargin,
+    "q22_left_join" ->
+      """SELECT c_custkey, c_mktsegment, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice), 0), 2) AS total_spent
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin,
+    "q23_full_outer" ->
+      """SELECT coalesce(s_nationkey, c_nationkey) AS nationkey,
+        | coalesce(n_supp, 0) AS n_supp, coalesce(n_cust, 0) AS n_cust
+        |FROM (SELECT s_nationkey, count(*) AS n_supp FROM supplier
+        |      WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
+        |FULL OUTER JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer
+        |      WHERE c_acctbal > 9500 GROUP BY c_nationkey) c
+        |  ON s_nationkey = c_nationkey
+        |ORDER BY nationkey""".stripMargin,
+    "q24_union" ->
+      """SELECT c_custkey AS entity_key, 'customer' AS side FROM customer
+        |WHERE c_acctbal > 9000
+        |UNION ALL
+        |SELECT s_suppkey AS entity_key, 'supplier' AS side FROM supplier
+        |WHERE s_acctbal > 9000
+        |ORDER BY side, entity_key""".stripMargin,
+    "q25_sliding_window" ->
+      """SELECT epoch_us(time_bucket(INTERVAL 5 minutes, ts) - k * INTERVAL 5 minutes)
+        |   AS window_start_us,
+        | count(*) AS n_records, count(DISTINCT user_id) AS n_users
+        |FROM events CROSS JOIN (SELECT unnest([0, 1]) AS k) offs
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q26_session_window" ->
+      """WITH marked AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR ts - lag(ts) OVER w >= INTERVAL 30 minutes
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |sess AS (
+        |  SELECT user_id, ts,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
   )
 }
