@@ -274,7 +274,7 @@ object Relational {
   def q23FullOuter(s: SparkSession, dir: String): DataFrame = {
     val sup = Tables.supplier(s, dir).filter(col("s_acctbal") > 8000)
       .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n_supp"))
-    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9500)
+    val cust = Tables.customer(s, dir).filter(col("c_acctbal") > 9900)
       .groupBy(col("c_nationkey")).agg(count(lit(1)).as("n_cust"))
     sup.join(cust, col("s_nationkey") === col("c_nationkey"), "full_outer")
       .select(
@@ -482,7 +482,7 @@ object Relational {
         |FROM (SELECT s_nationkey, count(*) AS n_supp FROM supplier
         |      WHERE s_acctbal > 8000 GROUP BY s_nationkey) s
         |FULL OUTER JOIN (SELECT c_nationkey, count(*) AS n_cust FROM customer
-        |      WHERE c_acctbal > 9500 GROUP BY c_nationkey) c
+        |      WHERE c_acctbal > 9900 GROUP BY c_nationkey) c
         |  ON s_nationkey = c_nationkey
         |ORDER BY nationkey""".stripMargin,
     "q24_union" ->
