@@ -2,6 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.queries.{Relational, S4Dataflow, TextPipeline, Vectors}
+import graft.multimodal.Multimodal
 
 /** Driver contract (SURVEY.md §7).
   *
@@ -21,9 +22,9 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ S4Dataflow.queries ++ TextPipeline.queries ++
-      Vectors.queries
+      Vectors.queries ++ Multimodal.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ S4Dataflow.oracles ++ TextPipeline.oracles ++
-      Vectors.oracles
+      Vectors.oracles ++ Multimodal.oracles
 }

@@ -40,12 +40,19 @@ object Vectors {
     Similarity.bruteForceTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
       .orderBy(col("q_id"), col("rn"))
 
-  /** ANN top-k via hyperplane LSH + multiprobe (engine-only; ScalaTest
-    * checks recall against bruteTopK). */
+  /** ANN top-k via hyperplane LSH + multiprobe (engine-only;
+    * SimilaritySpec gates recall@5 against bruteTopK). Dim is derived
+    * from the data, never hardcoded. */
   def lshTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.lshTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5,
-        bits = 8, dim = 64)
+    Similarity.lshTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
       .orderBy(col("q_id"), col("rn"))
+
+  /** Global LSH-blocked embedding near-dup pairs (engine-only; the scale
+    * path — cosineNearDups below is the exact form for a user-supplied
+    * blocking key). SimilaritySpec gates recall on planted near-dups. */
+  def lshNearDups(s: SparkSession, dir: String): DataFrame =
+    Similarity.lshNearDups(Tables.embeddings(s, dir), threshold = 0.99)
+      .orderBy(col("id1"), col("id2"))
 
   /** Embedding-cosine near-duplicate pairs above a high threshold,
     * restricted per-label (label = coarse cluster — the blocking key).
@@ -81,6 +88,7 @@ object Vectors {
     "vec_norms" -> (norms _),
     "vec_brute_topk" -> (bruteTopK _),
     "vec_lsh_topk" -> (lshTopK _),
+    "vec_lsh_near_dups" -> (lshNearDups _),
     "vec_cosine_near_dups" -> (cosineNearDups _),
     "vec_label_centroids" -> (labelCentroids _),
   )

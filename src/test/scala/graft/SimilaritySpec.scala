@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+import graft.functions.VectorOps
+
+/** Recall gates for the approximate similarity paths (VERDICT r1 item 7):
+  * ANN top-k vs brute force, and LSH near-dup on planted near-duplicates
+  * (the fixture's max pairwise cosine is 0.479 — no natural near-dups —
+  * so the near-dup gate plants its own). */
+class SimilaritySpec extends SparkSpec {
+
+  test("lsh top-k recall@5 >= 0.8 vs brute force") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id").isInCollection(Seq(1L, 7L, 42L, 99L, 123L)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.bruteForceTopK(e, probes, k = 5))
+    val found = hits(Similarity.lshTopK(e, probes, k = 5))
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.8, s"ANN recall@5 $recall < 0.8")
+  }
+
+  test("derived dim matches the fixture") {
+    assert(Similarity.dimOf(Tables.embeddings(spark, sf0001), "embedding") === 64)
+  }
+
+  test("lsh near-dups recovers >= 0.7 of planted near-duplicate pairs") {
+    val e = Tables.embeddings(spark, sf0001).select(col("vec_id"), col("embedding"))
+    // Plant: for every 5th vector, a jittered copy at id+100000 whose
+    // cosine to the original is ~0.999 (deterministic per-position jitter).
+    val planted = e.filter(col("vec_id") % 5 === 0)
+      .select((col("vec_id") + 100000).as("vec_id"),
+        transform(col("embedding"),
+          (x, i) => x + (pmod(i, lit(7)) - lit(3)).cast("float") * lit(0.001f))
+          .as("embedding"))
+    val corpus = e.unionByName(planted)
+    val truthDf = corpus.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+      .crossJoin(corpus.select(col("vec_id").as("id2"), col("embedding").as("e2")))
+      .filter(col("id1") < col("id2"))
+      .filter(VectorOps.cosine(col("e1"), col("e2")) >= 0.99)
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id1").cast("long"), col("id2").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = pairs(truthDf)
+    assert(truth.size >= 50, s"expected >=50 planted pairs, got ${truth.size}")
+    val found = pairs(Similarity.lshNearDups(corpus, threshold = 0.99))
+    assert(found.subsetOf(truth), "every reported pair must verify")
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.7, s"LSH near-dup recall $recall < 0.7 (${found.size}/${truth.size})")
+  }
+}
