@@ -66,15 +66,21 @@ object S4Dataflow {
       .agg(count(lit(1)).as("n_records"))
       .orderBy(col("year"), col("month"), col("day"))
 
-  /** R9: corpus concatenation per key, order-normalized (sorted) because the
-    * reference guarantees only per-batch set semantics (SURVEY.md §1). */
+  /** R9: corpus concatenation per key AND flush window, order-normalized
+    * (sorted) because the reference guarantees only per-batch set
+    * semantics (SURVEY.md §1). Grouping by (type, day) bounds a single
+    * group's collect_list state to one flush window's worth of records —
+    * the real S4 never concatenates beyond one flush either
+    * (`river/jsonr.go:72-84`); an unwindowed corpus per type would be
+    * unbounded state at 100 TB. */
   def concatAgg(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
-      .groupBy(col("event_type"))
+      .groupBy(col("event_type"), date_trunc("day", col("ts")).as("_day"))
       .agg(array_join(sort_array(collect_list(col("props"))), "").as("corpus"))
-      .select(col("event_type"), length(col("corpus")).cast("long").as("corpus_len"),
+      .select(col("event_type"), unix_micros(col("_day")).as("day_us"),
+        length(col("corpus")).cast("long").as("corpus_len"),
         substring(col("corpus"), 1, 64).as("corpus_head"))
-      .orderBy(col("event_type"))
+      .orderBy(col("event_type"), col("day_us"))
 
   /** R10: non-empty flush guard — 1-hour windows emitting only when the
     * batch holds at least 3 records (HAVING). */
@@ -125,12 +131,13 @@ object S4Dataflow {
         | CAST(day(ts) AS INTEGER) AS day, count(*) AS n_records
         |FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "s4_concat_agg" ->
-      """SELECT event_type,
+      """SELECT event_type, epoch_us(day) AS day_us,
         | CAST(length(corpus) AS BIGINT) AS corpus_len,
         | substring(corpus, 1, 64) AS corpus_head
-        |FROM (SELECT event_type, string_agg(props, '' ORDER BY props) AS corpus
-        |      FROM events GROUP BY event_type) t
-        |ORDER BY event_type""".stripMargin,
+        |FROM (SELECT event_type, date_trunc('day', ts) AS day,
+        |             string_agg(props, '' ORDER BY props) AS corpus
+        |      FROM events GROUP BY event_type, date_trunc('day', ts)) t
+        |ORDER BY event_type, day_us""".stripMargin,
     "s4_nonempty_guard" ->
       """SELECT epoch_us(time_bucket(INTERVAL 1 hour, ts)) AS window_start_us,
         | count(*) AS n_records

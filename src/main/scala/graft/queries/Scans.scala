@@ -1,0 +1,81 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Batch text/JSON/CSV scan coverage (SURVEY.md §2b "Text/JSON/CSV scan"
+  * — S4's own ingest formats, `river/jsonr.go:106` reads JSON lines).
+  *
+  * Each query round-trips fixture data through the format under test —
+  * write to a deterministic local staging dir, read back through the
+  * REAL reader path (schema inference / explicit schema / compression),
+  * aggregate — and the oracle computes the same aggregate straight from
+  * the parquet fixture, so a reader bug (framing, quoting, type
+  * coercion) breaks the hash match. Staging is per-SF and overwritten
+  * every run; the round trip IS the operator under test.
+  */
+object Scans {
+
+  private def stage(dir: String, name: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_scan/${dir.replaceAll("[^a-zA-Z0-9]", "_")}/$name"
+
+  /** Line-framed text scan (R3 semantics): one row per line. */
+  def scanText(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(dir, "docs_text")
+    Tables.documents(s, dir).select(col("text"))
+      .write.mode("overwrite").text(path)
+    s.read.text(path)
+      .agg(count(lit(1)).as("n_lines"),
+        sum(length(col("value"))).cast("long").as("total_chars"))
+  }
+
+  /** JSON-lines scan with explicit schema (the S4 json mode shape). */
+  def scanJson(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(dir, "events_json")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .write.mode("overwrite").json(path)
+    s.read.schema("event_id LONG, event_type STRING, value DOUBLE").json(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"),
+        min(col("event_id")).as("min_id"), max(col("event_id")).as("max_id"))
+      .orderBy(col("event_type"))
+  }
+
+  /** CSV scan with header + gzip compression (reader handles quoting and
+    * codec; writer exercises the matching sink). */
+  def scanCsv(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(dir, "lineitem_csv")
+    Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        col("l_returnflag"))
+      .write.mode("overwrite").option("header", true)
+      .option("compression", "gzip").csv(path)
+    s.read.option("header", true)
+      .schema("l_orderkey LONG, l_linenumber INT, l_quantity DOUBLE, l_returnflag STRING")
+      .csv(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 2).as("sum_qty"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_text_roundtrip" -> (scanText _),
+    "scan_json_roundtrip" -> (scanJson _),
+    "scan_csv_roundtrip" -> (scanCsv _),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "scan_text_roundtrip" ->
+      """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars
+        |FROM documents""".stripMargin,
+    "scan_json_roundtrip" ->
+      """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
+        | min(event_id) AS min_id, max(event_id) AS max_id
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "scan_csv_roundtrip" ->
+      """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+  )
+}

@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.AsofJoin
+
+/** Per-operator invariants from SURVEY.md §5: as-of join vs the brute
+  * range-join definition, line-framing round trip (split∘join = id, the
+  * `input/unix.go:91-104` semantics), and partition-local sort. */
+class OperatorSpec extends SparkSpec {
+
+  test("as-of join == brute-force range join + argmax on sf0.001 events") {
+    val ev = Tables.events(spark, sf0001)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"))
+
+    val fast = AsofJoin.asofTs(purchases, signups, "user_id", "ts", "ts")
+      .select(col("event_id"), col("asof_ts"))
+    // Brute force: the definitional O(|L|*|R|) form — latest right ts <= left ts.
+    val brute = purchases
+      .join(signups.select(col("user_id").as("s_uid"), col("ts").as("s_ts")),
+        col("user_id") === col("s_uid") && col("s_ts") <= col("ts"), "left")
+      .groupBy(col("event_id"))
+      .agg(max(col("s_ts")).as("asof_ts"))
+
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Option[Long])] =
+      df.select(col("event_id"), unix_micros(col("asof_ts")))
+        .collect()
+        .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+        .toSet
+    val f = rows(fast)
+    assert(f.nonEmpty)
+    assert(f === rows(brute))
+    assert(f.exists(_._2.isEmpty), "fixture should have unmatched purchases")
+  }
+
+  test("line framing round trip: split(join(lines)) == lines") {
+    val lines = Tables.documents(spark, sf0001).select(col("text"))
+      .limit(50).collect().map(_.getString(0)).toSeq ++
+      Seq("", "trailing space ", " leading", "tab\tinside")
+    val joined = lines.mkString("\n")
+    val back = spark.range(1).select(split(lit(joined), "\n").as("v"))
+      .collect()(0).getSeq[String](0)
+    assert(back === lines)
+  }
+
+  test("sortWithinPartitions orders every partition without a shuffle") {
+    val df = Tables.orders(spark, sf0001)
+      .repartition(4, col("o_orderstatus"))
+      .sortWithinPartitions(col("o_totalprice"))
+    // no Exchange may appear above the Sort (partition-local)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("Sort") && !plan.matches("(?s).*Sort.*Exchange.*Sort.*"))
+    val ok = df.select(col("o_totalprice")).rdd
+      .mapPartitions { it =>
+        val v = it.map(_.getDouble(0)).toSeq
+        Iterator(v == v.sorted)
+      }.collect()
+    assert(ok.forall(identity))
+  }
+}
