@@ -1,0 +1,57 @@
+package graft
+
+import graft.queries.Relational
+
+/** Physical-plan audits: the 100 TB posture is only real if the plans
+  * keep it — filters reach the parquet scan, dimensions broadcast, global
+  * sort+limit never materializes a full sort, and the hot path stays in
+  * whole-stage codegen. A regression here is a scale bug even when the
+  * sf0.01 answers stay right. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf0001).queryExecution.executedPlan.toString
+
+  test("q02: predicates and projection push down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    // the toString truncates the PushedFilters list; match its head
+    assert(p.contains("PushedFilters: [IsNotNull"), "no filter pushdown in scan")
+    assert(p.contains("GreaterThanOrEqual(l_shipda"),
+      s"expected shipdate range filter pushed, got:\n$p")
+    assert(!p.contains("l_tax"), "scan must prune unused columns (l_tax unused)")
+  }
+
+  test("q05: star-join dimensions broadcast, fact join shuffles") {
+    val p = plan("q05_local_supplier")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin")
+      || p.contains("BroadcastHashJoin"), "fact join missing")
+  }
+
+  test("q19: sort+limit plans as TakeOrderedAndProject, not a global sort") {
+    val p = plan("q19_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), s"expected TakeOrderedAndProject:\n$p")
+  }
+
+  test("q01: aggregation is partial+final (map-side combine)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"expected partial aggregation before the shuffle:\n$p")
+  }
+
+  test("hot paths run inside whole-stage codegen") {
+    Seq("q01_pricing_summary", "q02_filter_project", "doc_quality_score")
+      .foreach { q =>
+        val df = SparkEntry.queries(q)(spark, sf0001)
+        df.collect() // finalize the adaptive plan
+        val p = df.queryExecution.executedPlan.toString
+        // codegen'd stages print as "*(n) Operator" in the final plan
+        assert(p.contains("WholeStageCodegen") || p.contains("*("),
+          s"$q fell out of codegen:\n$p")
+      }
+  }
+
+  test("flagship entry returns rows (driver smoke contract)") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}
