@@ -329,6 +329,22 @@ object Relational {
         col("n_events"))
       .orderBy(col("user_id"), col("session_start_us"))
 
+  /** The full ranking-function family (rank / dense_rank / ntile /
+    * percent_rank beside q09's row_number) over a deterministic total
+    * order. */
+  def q27RankFuncs(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("c_mktsegment"))
+      .orderBy(col("c_acctbal").desc, col("c_custkey"))
+    Tables.customer(s, dir)
+      .select(col("c_mktsegment"), col("c_custkey"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"),
+        ntile(4).over(w).as("quartile"),
+        round(percent_rank().over(w), 4).as("prank"))
+      .filter(col("rnk") <= 8)
+      .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -356,6 +372,7 @@ object Relational {
     "q24_union" -> (q24Union _),
     "q25_sliding_window" -> (q25SlidingWindow _),
     "q26_session_window" -> (q26SessionWindow _),
+    "q27_rank_funcs" -> (q27RankFuncs _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -524,5 +541,14 @@ object Relational {
         |  FROM marked)
         |SELECT user_id, epoch_us(min(ts)) AS session_start_us, count(*) AS n_events
         |FROM sess GROUP BY user_id, sid ORDER BY user_id, session_start_us""".stripMargin,
+    "q27_rank_funcs" ->
+      """SELECT c_mktsegment, c_custkey, rnk, drnk, quartile, prank FROM (
+        | SELECT c_mktsegment, c_custkey,
+        |  rank() OVER w AS rnk, dense_rank() OVER w AS drnk,
+        |  ntile(4) OVER w AS quartile,
+        |  round(percent_rank() OVER w, 4) AS prank
+        | FROM customer
+        | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t
+        |WHERE rnk <= 8 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
   )
 }

@@ -100,6 +100,18 @@ object S4Dataflow {
       .agg(count(lit(1)).as("n"), round(avg(col("value")), 2).as("avg_value"))
       .orderBy(col("event_type"), col("hour"))
 
+  /** Map/JSON function family over the props payload: parse to a map,
+    * explode its keys, per-type key stats (map_keys/element_at on the
+    * Spark side ≡ json_keys/json_extract in the oracle). */
+  def jsonMapOps(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_type"),
+        explode(map_keys(from_json(col("props"), MapType(StringType, StringType))))
+          .as("key"))
+      .groupBy(col("event_type"))
+      .agg(countDistinct(col("key")).as("n_keys"), count(lit(1)).as("n_pairs"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_flush_window" -> (flushWindow _),
     "s4_json_validity" -> (jsonValidity _),
@@ -108,6 +120,7 @@ object S4Dataflow {
     "s4_concat_agg" -> (concatAgg _),
     "s4_nonempty_guard" -> (nonEmptyGuard _),
     "s4_rate_per_hour" -> (ratePerHour _),
+    "s4_json_map_ops" -> (jsonMapOps _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -146,5 +159,9 @@ object S4Dataflow {
       """SELECT event_type, CAST(hour(ts) AS INTEGER) AS hour, count(*) AS n,
         | round(avg(value), 2) AS avg_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "s4_json_map_ops" ->
+      """SELECT event_type, count(DISTINCT key) AS n_keys, count(*) AS n_pairs
+        |FROM (SELECT event_type, unnest(json_keys(props)) AS key FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }
