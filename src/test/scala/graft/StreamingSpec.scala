@@ -112,6 +112,37 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L))
   }
 
+  test("streaming session windows finalize when the watermark passes") {
+    val in = tmp("s4sin"); val ck = tmp("s4sck")
+    // batch 1: user 1 has two sessions (gap > 30 min); batch 2 is 6 hours
+    // later, pushing the watermark far past batch 1 so its sessions emit
+    // in append mode.
+    writeLines(in, "a_batch1.json", Seq(
+      """{"user_id": 1, "ts": "2024-01-01 00:00:00"}""",
+      """{"user_id": 1, "ts": "2024-01-01 00:10:00"}""",
+      """{"user_id": 1, "ts": "2024-01-01 01:00:00"}""",
+      """{"user_id": 2, "ts": "2024-01-01 00:05:00"}"""))
+    writeLines(in, "b_batch2.json", Seq(
+      """{"user_id": 9, "ts": "2024-01-01 06:00:00"}"""))
+    val src = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).json(in.toString)
+    val sessions = src
+      .withWatermark("ts", "10 minutes")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+    val q = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sess_out")
+      .select(col("user_id"), col("session_window.start").cast("string"), col("n_events"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(out.contains((1L, "2024-01-01 00:00:00", 2L)), s"merged session missing: $out")
+    assert(out.contains((1L, "2024-01-01 01:00:00", 1L)), s"second session missing: $out")
+    assert(out.contains((2L, "2024-01-01 00:05:00", 1L)), s"user 2 session missing: $out")
+  }
+
   test("event-time flush window aggregates with bounded state") {
     val in = tmp("s4win"); val ck = tmp("s4wck")
     val lines = (0 until 12).map { i =>
