@@ -45,6 +45,34 @@ class OperatorSpec extends SparkSpec {
     assert(back === lines)
   }
 
+  test("language-ID picks the language whose stopwords dominate") {
+    import graft.functions.TextOps
+    val samples = Seq(
+      ("the cat sat on the mat and it is a cat", "en"),
+      ("el perro y la casa de los gatos en un dia", "es"),
+      ("le chat et la maison de les chats pour une nuit", "fr"),
+      ("der hund und die katze ist ein tier von hier", "de"),
+      ("zzz qqq xxx", "und"))
+    import spark.implicits._
+    val got = samples.map(_._1).toDF("text")
+      .select(TextOps.langId(TextOps.tokens(col("text"))).as("pred"))
+      .collect().map(_.getString(0)).toSeq
+    assert(got === samples.map(_._2))
+  }
+
+  test("fingerprint is edit-robust where a whole-text hash is not") {
+    import graft.functions.TextOps
+    import spark.implicits._
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val edited = base + " omega" // one appended token
+    val df = Seq(base, edited).toDF("text")
+      .select(TextOps.fingerprint(TextOps.tokens(col("text")), 3).as("fp"),
+        sha2(col("text"), 256).as("h"))
+      .collect()
+    assert(df(0).getLong(0) === df(1).getLong(0), "min-shingle fingerprint should survive a 1-token append")
+    assert(df(0).getString(1) !== df(1).getString(1))
+  }
+
   test("sortWithinPartitions orders every partition without a shuffle") {
     val df = Tables.orders(spark, sf0001)
       .repartition(4, col("o_orderstatus"))
