@@ -25,6 +25,10 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
+    // untimed warmup: JVM/codegen/scan startup otherwise lands entirely
+    // on whichever query sorts first, skewing its number
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
