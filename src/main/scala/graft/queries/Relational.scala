@@ -15,10 +15,16 @@ import graft.Tables
   * star schema.
   *
   * Determinism rules (oracle hash-compares): every query ends in a total
-  * ORDER BY; every double aggregate is `round(...)`-ed identically in the
-  * Spark form and the SQL form; timestamps are projected to epoch
-  * microseconds (`unix_micros` ≡ DuckDB `epoch_us`) to dodge ns-vs-µs
-  * parquet type drift.
+  * ORDER BY; timestamps are projected to epoch microseconds
+  * (`unix_micros` ≡ DuckDB `epoch_us`) to dodge ns-vs-µs parquet type
+  * drift. Doubles follow one rule: AGGREGATES are `round(...)`-ed
+  * identically on both sides (accumulation order drifts between
+  * engines), but PER-ROW arithmetic and direct column projections are
+  * emitted RAW — identical operands through identical IEEE ops are
+  * bit-identical across engines, while rounding them is what INTRODUCES
+  * divergence (Spark rounds the shortest decimal repr HALF_UP, DuckDB
+  * rounds binary*10^k — they disagree on decimal-halfway products like
+  * 98985.725, observed at sf0.1).
   *
   * Scale notes: dimension tables (region/nation/supplier/customer/part)
   * are explicitly `broadcast()`-hinted in star joins — at 100 TB the fact
@@ -53,7 +59,7 @@ object Relational {
         && col("l_quantity") < 10)
       .select(
         col("l_orderkey"), col("l_linenumber"),
-        round(col("l_extendedprice") * (lit(1) - col("l_discount")), 2).as("revenue"),
+        (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
         col("l_returnflag"))
       .orderBy(col("l_orderkey"), col("l_linenumber"))
 
@@ -149,7 +155,7 @@ object Relational {
       .withColumn("rn", row_number().over(global))
       .filter(col("rn") <= k)
       .select(col("c_mktsegment"), col("rn"), col("o_orderkey"),
-        round(col("o_totalprice"), 2).as("totalprice"))
+        col("o_totalprice").as("totalprice"))
       .orderBy(col("c_mktsegment"), col("rn"))
   }
 
@@ -247,7 +253,7 @@ object Relational {
     Tables.orders(s, dir)
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
       .limit(20)
-      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .select(col("o_orderkey"), col("o_totalprice").as("totalprice"))
 
   /** Approximate count-distinct (HLL++). Not oracle-comparable with DuckDB
     * (different sketch) — driver records a rows-only check. */
@@ -265,7 +271,7 @@ object Relational {
     Tables.orders(s, dir)
       .join(perCust, col("o_custkey") === col("ck"))
       .filter(col("o_totalprice") > col("avg_price") * 1.5)
-      .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("totalprice"))
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice").as("totalprice"))
       .orderBy(col("o_orderkey"))
   }
 
@@ -390,7 +396,7 @@ object Relational {
         |GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""".stripMargin,
     "q02_filter_project" ->
       """SELECT l_orderkey, l_linenumber,
-        | round(l_extendedprice * (1 - l_discount), 2) AS revenue, l_returnflag
+        | l_extendedprice * (1 - l_discount) AS revenue, l_returnflag
         |FROM lineitem
         |WHERE l_shipdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1996-12-31'
         |  AND l_discount BETWEEN 0.02 AND 0.06 AND l_quantity < 10
@@ -438,7 +444,7 @@ object Relational {
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "q09_topk_per_group" ->
       """SELECT c_mktsegment, rn, o_orderkey, totalprice FROM (
-        | SELECT c_mktsegment, o_orderkey, round(o_totalprice, 2) AS totalprice,
+        | SELECT c_mktsegment, o_orderkey, o_totalprice AS totalprice,
         |  row_number() OVER (PARTITION BY c_mktsegment
         |                     ORDER BY o_totalprice DESC, o_orderkey) AS rn
         | FROM customer JOIN orders ON c_custkey = o_custkey) t
@@ -492,10 +498,10 @@ object Relational {
       """SELECT r_name, n_name FROM region CROSS JOIN nation
         |ORDER BY r_name, n_name""".stripMargin,
     "q19_sort_limit" ->
-      """SELECT o_orderkey, round(o_totalprice, 2) AS totalprice
+      """SELECT o_orderkey, o_totalprice AS totalprice
         |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 20""".stripMargin,
     "q21_above_avg" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS totalprice
+      """SELECT o_orderkey, o_custkey, o_totalprice AS totalprice
         |FROM orders o
         |WHERE o_totalprice > 1.5 * (SELECT avg(o_totalprice) FROM orders i
         |                            WHERE i.o_custkey = o.o_custkey)
