@@ -50,7 +50,8 @@ object S4Stream {
       checkpointDir: String = "",
       flushInterval: String = "5 minutes",   // --flushInterval   (main.go:44-48)
       availableNow: Boolean = false,         // drain-and-stop    (R4)
-      maxFilesPerTrigger: Option[Int] = None // backpressure S4 never had
+      maxFilesPerTrigger: Option[Int] = None,// backpressure S4 never had
+      maxRecordBytes: Int = 64 * 1024        // R3 record cap (input/unix.go:91-93)
   )
 
   /** Line-framed source (R1/R2/R3): one row per newline-terminated
@@ -63,12 +64,23 @@ object S4Stream {
 
   /** R6: json mode validates each record parses as a JSON object and
     * DROPS invalid ones (the reference panics-and-recovers per record,
-    * `river/jsonr.go:100-108`); line mode passes bytes through. */
-  def validated(records: DataFrame, mode: String): DataFrame = mode match {
-    case "json" =>
-      records.filter(
-        from_json(col("value"), MapType(StringType, StringType)).isNotNull)
-    case _ => records
+    * `river/jsonr.go:100-108`); line mode passes bytes through.
+    *
+    * Both modes enforce the reference's implicit 64 KiB record cap —
+    * Go's `bufio.Scanner` default max token, where an oversized line
+    * kills the whole process (`input/unix.go:107-112`). We deliberately
+    * soften crash-the-pipeline into drop-the-record: the record limit is
+    * part of the data model, the process suicide is a failure mode, not
+    * a spec (SURVEY.md §1). */
+  def validated(records: DataFrame, mode: String,
+                maxRecordBytes: Int = 64 * 1024): DataFrame = {
+    val capped = records.filter(octet_length(col("value")) <= maxRecordBytes)
+    mode match {
+      case "json" =>
+        capped.filter(
+          from_json(col("value"), MapType(StringType, StringType)).isNotNull)
+      case _ => capped
+    }
   }
 
   /** R12 partition keys: Hive-style year/month/day from the flush-time
@@ -100,7 +112,7 @@ object S4Stream {
   /** Wire source → validate → sink and start the query (EP1/EP2 of
     * SURVEY.md §3). */
   def run(spark: SparkSession, cfg: S4Config): StreamingQuery = {
-    val validatedDf = validated(source(spark, cfg), cfg.mode)
+    val validatedDf = validated(source(spark, cfg), cfg.mode, cfg.maxRecordBytes)
     val writer = cfg.sink match {
       case "console" => // R13
         validatedDf.writeStream.format("console").option("truncate", false)

@@ -63,6 +63,20 @@ class StreamingSpec extends SparkSpec {
     assert(back.sorted === valid.sorted)
   }
 
+  test("oversized records are dropped at the 64 KiB cap (R3 record model)") {
+    val in = tmp("s4xin"); val lake = tmp("s4xlake"); val ck = tmp("s4xck")
+    val big = "x" * (64 * 1024 + 1)
+    val edge = "y" * (64 * 1024) // exactly at the cap: kept
+    writeLines(in, "x.txt", Seq("small", big, edge))
+    val q = S4Stream.run(spark, S4Config(
+      inputDir = in.toString, mode = "line", sink = "lake",
+      lakeDir = lake.toString, checkpointDir = ck.toString,
+      availableNow = true))
+    q.awaitTermination()
+    val back = spark.read.text(lake.toString).collect().map(_.getString(0))
+    assert(back.map(_.length).sorted.toSeq === Seq(5, 64 * 1024))
+  }
+
   test("console sink mode runs (R13)") {
     val in = tmp("s4cin"); val ck = tmp("s4cck")
     writeLines(in, "c.txt", Seq("hello", "world"))
