@@ -134,8 +134,13 @@ object Dedup {
     val rows = numHashes / bands
     // Hashed sorted token sets computed once; reused for the signature
     // AND the fast-path verification (Jaccard over the hashed sets ==
-    // Jaccard over the tokens barring a 64-bit collision).
+    // Jaccard over the tokens barring a 64-bit collision). Persisted
+    // because the plan references it from three operators and Spark
+    // re-evaluates repeated DataFrame subtrees; the token table is tiny
+    // relative to the corpus (ids + hashes, no text) and spills to disk
+    // if it is not.
     val toks = docs.select(col(idCol), hashedTokenSet(col(textCol)).as("_toks"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sigs = toks.select(col(idCol),
       minhashSignature(col("_toks"), numHashes, seed).as("sig"))
     val banded = lshBands(sigs, idCol, col("sig"), bands, rows)

@@ -68,8 +68,13 @@ object SetSimJoin {
     * toksCol must be a SORTED array<long> set (Dedup.hashedTokenSet) —
     * verification uses the codegen'd merge-intersect fast path. */
   def jaccardSelfJoin(toks: DataFrame, idCol: String, toksCol: String,
-                      t: Double): DataFrame =
+                      t: Double): DataFrame = {
+    // the token table feeds the df-count, the ranking, and both verify
+    // joins; persist so the (potentially expensive) tokenization upstream
+    // runs once instead of once per reference
+    val cached = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     Dedup.jaccardVerifySorted(
-        prefixCandidates(toks, idCol, toksCol, t), toks, idCol, toksCol)
+        prefixCandidates(cached, idCol, toksCol, t), cached, idCol, toksCol)
       .filter(col("jaccard") >= t)
+  }
 }
