@@ -351,6 +351,31 @@ object Relational {
       .orderBy(col("c_mktsegment"), col("rnk"), col("c_custkey"))
   }
 
+  /** Exact percentiles (sort-based `percentile`, linear interpolation —
+    * same definition as the oracle's quantile_cont). */
+  def q28Percentiles(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("percentile(o_totalprice, 0.5)"), 2).as("p50"),
+        round(expr("percentile(o_totalprice, 0.9)"), 2).as("p90"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** first_value / last_value analytics over an unbounded frame: each
+    * user's first and most recent event type. */
+  def q29FirstLast(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.events(s, dir)
+      .select(col("user_id"),
+        first(col("event_type")).over(w).as("first_type"),
+        last(col("event_type")).over(w).as("last_type"))
+      .distinct()
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -379,6 +404,8 @@ object Relational {
     "q25_sliding_window" -> (q25SlidingWindow _),
     "q26_session_window" -> (q26SessionWindow _),
     "q27_rank_funcs" -> (q27RankFuncs _),
+    "q28_percentiles" -> (q28Percentiles _),
+    "q29_first_last" -> (q29FirstLast _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -556,5 +583,19 @@ object Relational {
         | FROM customer
         | WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC, c_custkey)) t
         |WHERE rnk <= 8 ORDER BY c_mktsegment, rnk, c_custkey""".stripMargin,
+    "q28_percentiles" ->
+      """SELECT o_orderstatus,
+        | round(quantile_cont(o_totalprice, 0.5), 2) AS p50,
+        | round(quantile_cont(o_totalprice, 0.9), 2) AS p90,
+        | count(*) AS n
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "q29_first_last" ->
+      """SELECT DISTINCT user_id,
+        | first_value(event_type) OVER w AS first_type,
+        | last_value(event_type) OVER w AS last_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id""".stripMargin,
   )
 }

@@ -60,10 +60,25 @@ object Scans {
       .orderBy(col("l_returnflag"))
   }
 
+  /** ORC scan (the other columnar format Spark ships a native reader
+    * for): predicate-pushdown-capable round trip. */
+  def scanOrc(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(dir, "orders_orc")
+    Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      .write.mode("overwrite").orc(path)
+    s.read.orc(path)
+      .filter(col("o_totalprice") > 1000)
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("total"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_text_roundtrip" -> (scanText _),
     "scan_json_roundtrip" -> (scanJson _),
     "scan_csv_roundtrip" -> (scanCsv _),
+    "scan_orc_roundtrip" -> (scanOrc _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -77,5 +92,9 @@ object Scans {
     "scan_csv_roundtrip" ->
       """SELECT l_returnflag, count(*) AS n, round(sum(l_quantity), 2) AS sum_qty
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "scan_orc_roundtrip" ->
+      """SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        |FROM orders WHERE o_totalprice > 1000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

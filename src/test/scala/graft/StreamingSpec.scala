@@ -107,6 +107,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("socket source streams line-framed records (R1 client analog)") {
+    val server = new java.net.ServerSocket(0)
+    val port = server.getLocalPort
+    val writer = new Thread(() => {
+      try {
+        val conn = server.accept()
+        val out = new java.io.PrintWriter(conn.getOutputStream, true)
+        // the reference echo fixture: 5x hello then world (test/tool.go:16-27)
+        for (_ <- 1 to 20) {
+          (1 to 5).foreach(_ => out.println("""{"message": "hello"}"""))
+          out.println("""{"message": "world"}""")
+          Thread.sleep(200)
+        }
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true); writer.start()
+
+    val src = S4Stream.source(spark, S4Config(
+      inputDir = "", inputKind = "socket", port = port))
+    val q = S4Stream.validated(src, "json")
+      .writeStream.format("memory").queryName("sock_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var n = 0L
+      while (n < 6 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        n = spark.table("sock_out").count()
+      }
+      assert(n >= 6, s"expected >=6 socket records, got $n")
+      val msgs = spark.table("sock_out")
+        .select(get_json_object(col("value"), "$.message"))
+        .collect().map(_.getString(0)).toSet
+      assert(msgs === Set("hello", "world"))
+    } finally { q.stop(); server.close() }
+  }
+
   test("stateful dedup within watermark drops in-horizon duplicates") {
     val in = tmp("s4din"); val ck = tmp("s4dck")
     val lines = Seq(
