@@ -40,8 +40,11 @@ object Bench {
       (name, ok, (System.nanoTime() - t0) / 1e9)
     }
 
+    // driver contract: queries maps name -> seconds (plain numbers);
+    // failures are excluded from the total and listed in "failed" so a
+    // broken query can never masquerade as a fast one
     val qs = results
-      .map { case (k, ok, v) => s""""$k":{"ok":$ok,"sec":${f"$v%.3f"}}""" }
+      .map { case (k, _, v) => s""""$k":${f"$v%.3f"}""" }
       .mkString("{", ",", "}")
     val okTotal = results.collect { case (_, true, v) => v }.sum
     val failed = results.collect { case (k, false, _) => s""""$k"""" }.mkString("[", ",", "]")
