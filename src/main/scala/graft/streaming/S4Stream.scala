@@ -166,6 +166,15 @@ object S4Stream {
       .agg(count(lit(1)).as("n_records"),
         sum(length(col("value"))).as("batch_bytes"))
 
+  /** Stream-static enrichment join: the streaming side joins a static
+    * dimension table per micro-batch — no state, no watermark needed;
+    * at scale the static side is broadcast so the stream never
+    * shuffles. (The reference has no lookup capability at all; this is
+    * the first thing a user adds once records carry keys.) */
+  def enrichStream(records: DataFrame, dim: DataFrame,
+                   keyCol: String): DataFrame =
+    records.join(broadcast(dim), Seq(keyCol), "left")
+
   /** Stateful streaming dedup bounded by watermark (§2b streaming ops):
     * drops records whose key was already seen within the watermark
     * horizon — state is evicted past it, so memory is bounded at any

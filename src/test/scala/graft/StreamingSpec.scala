@@ -195,6 +195,25 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((2L, "2024-01-01 00:05:00", 1L)), s"user 2 session missing: $out")
   }
 
+  test("stream-static enrichment joins the dimension without stream state") {
+    val in = tmp("s4ein"); val ck = tmp("s4eck")
+    writeLines(in, "e.json", Seq(
+      """{"user_id": 1, "v": 10}""",
+      """{"user_id": 2, "v": 20}""",
+      """{"user_id": 99, "v": 30}"""))
+    val src = spark.readStream.schema("user_id LONG, v LONG").json(in.toString)
+    import spark.implicits._
+    val dim = Seq((1L, "alice"), (2L, "bo")).toDF("user_id", "name")
+    val q = S4Stream.enrichStream(src, dim, "user_id")
+      .writeStream.format("memory").queryName("enrich_out")
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+      .start()
+    q.awaitTermination()
+    val out = spark.table("enrich_out")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(out === Set((1L, Some("alice")), (2L, Some("bo")), (99L, None)))
+  }
+
   test("event-time flush window aggregates with bounded state") {
     val in = tmp("s4win"); val ck = tmp("s4wck")
     val lines = (0 until 12).map { i =>
