@@ -39,6 +39,20 @@ class DedupSpec extends SparkSpec {
     assert(bad.count() === 0)
   }
 
+  test("maxBucket valve drops degenerate buckets; exact-dedup pre-pass restores them") {
+    import spark.implicits._
+    // 40 identical docs -> every band bucket holds all 40
+    val clones = (1L to 40L).map(i => (i, "all the same words here")).toDF("doc_id", "text")
+    val capped = Dedup.minhashNearDups(clones, "doc_id", "text", maxBucket = 10)
+    assert(capped.count() === 0, "oversize bucket must not explode into pairs")
+    val uncapped = Dedup.minhashNearDups(clones, "doc_id", "text")
+    assert(uncapped.count() === 40L * 39 / 2, "default cap must not fire here")
+    // the production recipe: exact dedup first — the identical mass
+    // collapses to one representative, no degenerate buckets remain
+    val reps = Dedup.exactKeepFirst(clones, "doc_id", "text")
+    assert(reps.count() === 1)
+  }
+
   test("simhash pairs respect the hamming bound and recover banded mass") {
     val docs = Tables.documents(spark, sf0001)
     val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)
