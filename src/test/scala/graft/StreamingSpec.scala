@@ -47,6 +47,26 @@ class StreamingSpec extends SparkSpec {
     assert(back.sorted === lines.sorted) // per-batch set semantics (SURVEY §1)
   }
 
+  test("checkpoint gives exactly-once across restarts (S4 was at-most-once)") {
+    val in = tmp("s4rin"); val lake = tmp("s4rlake"); val ck = tmp("s4rck")
+    val cfg = S4Config(
+      inputDir = in.toString, mode = "line", sink = "lake",
+      lakeDir = lake.toString, checkpointDir = ck.toString,
+      availableNow = true)
+
+    writeLines(in, "a.txt", Seq("r1", "r2", "r3"))
+    S4Stream.run(spark, cfg).awaitTermination()
+
+    // restart from the same checkpoint with one new file: the first
+    // batch's offsets are committed, so its records must NOT reappear
+    writeLines(in, "b.txt", Seq("r4"))
+    S4Stream.run(spark, cfg).awaitTermination()
+
+    val back = spark.read.text(lake.toString).collect().map(_.getString(0)).toSeq
+    assert(back.sorted === Seq("r1", "r2", "r3", "r4"),
+      s"expected each record exactly once, got $back")
+  }
+
   test("json mode: invalid records dropped, stream continues (R6)") {
     val in = tmp("s4jin"); val lake = tmp("s4jlake"); val ck = tmp("s4jck")
     val valid = Seq("""{"message": "hello"}""", """{"message": "world"}""", """{"k": 1}""")
