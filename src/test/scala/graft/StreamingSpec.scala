@@ -97,6 +97,23 @@ class StreamingSpec extends SparkSpec {
     assert(back.map(_.length).sorted.toSeq === Seq(5, 64 * 1024))
   }
 
+  test("lake partition layout prunes downstream reads (R12's purpose)") {
+    val lake = tmp("s4plake")
+    // simulate two days of flushes in the lake layout
+    import spark.implicits._
+    Seq(("d1a", 2024, 1, 1), ("d1b", 2024, 1, 1), ("d2a", 2024, 1, 2))
+      .toDF("value", "year", "month", "day")
+      .write.partitionBy("year", "month", "day")
+      .option("compression", "gzip").mode("append").text(lake.toString)
+    val read = spark.read.text(lake.toString) // partition cols inferred
+    val pruned = read.filter(col("day") === 1)
+    pruned.collect()
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [") && plan.contains("(day"),
+      s"day filter must prune partitions, not scan them:\n$plan")
+    assert(pruned.count() === 2)
+  }
+
   test("console sink mode runs (R13)") {
     val in = tmp("s4cin"); val ck = tmp("s4cck")
     writeLines(in, "c.txt", Seq("hello", "world"))
