@@ -112,6 +112,18 @@ object S4Dataflow {
       .agg(countDistinct(col("key")).as("n_keys"), count(lit(1)).as("n_pairs"))
       .orderBy(col("event_type"))
 
+  /** Spark 4 VariantType path for dynamic JSON (SURVEY §1 data-model
+    * mapping): parse_json → typed variant_get, the engine-native way to
+    * keep S4's "schema-free object" semantics queryable without a
+    * declared schema. Same answer as the get_json_object form. */
+  def variantExtract(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .withColumn("k", expr("variant_get(parse_json(props), '$.k', 'long')"))
+      .filter(col("k").isNotNull)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_flush_window" -> (flushWindow _),
     "s4_json_validity" -> (jsonValidity _),
@@ -121,6 +133,7 @@ object S4Dataflow {
     "s4_nonempty_guard" -> (nonEmptyGuard _),
     "s4_rate_per_hour" -> (ratePerHour _),
     "s4_json_map_ops" -> (jsonMapOps _),
+    "s4_variant_extract" -> (variantExtract _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +175,11 @@ object S4Dataflow {
     "s4_json_map_ops" ->
       """SELECT event_type, count(DISTINCT key) AS n_keys, count(*) AS n_pairs
         |FROM (SELECT event_type, unnest(json_keys(props)) AS key FROM events) t
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s4_variant_extract" ->
+      """SELECT event_type, count(*) AS n,
+        | CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
+        |FROM events WHERE json_extract_string(props, '$.k') IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.SparkSession
+import graft.streaming.S4Stream.S4Config
+
+/** Runnable CLI mirroring the reference's command surface
+  * (`main.go:20-57`: `s4 client|server|mock` with --unix/--s3Path/
+  * --type/--flushInterval). The reference's client and server modes
+  * differ only in who owns the socket; with a directory source both
+  * collapse into `run` (many writers, one stream — `input/unix.go:49-82`
+  * fan-in is the file source's native behavior).
+  *
+  *   run  --input DIR --lake DIR [--mode line|json] [--sink lake|console]
+  *        [--flush "5 minutes"] [--checkpoint DIR] [--available-now]
+  *   mock [--rate N]   — the `s4 mock` generator to console (main.go:142-166)
+  */
+object S4Main {
+
+  def parse(args: Array[String]): (String, Map[String, String]) = {
+    require(args.nonEmpty, "usage: S4Main run|mock [--flag value ...]")
+    val flags = scala.collection.mutable.Map[String, String]()
+    var i = 1
+    while (i < args.length) {
+      val k = args(i)
+      require(k.startsWith("--"), s"expected --flag, got: $k")
+      if (i + 1 < args.length && !args(i + 1).startsWith("--")) {
+        flags += k.stripPrefix("--") -> args(i + 1); i += 2
+      } else {
+        flags += k.stripPrefix("--") -> "true"; i += 1 // boolean flag
+      }
+    }
+    (args.head, flags.toMap)
+  }
+
+  def configFrom(flags: Map[String, String]): S4Config = S4Config(
+    inputDir = flags.getOrElse("input",
+      sys.error("--input required (the watched record directory)")),
+    inputKind = flags.getOrElse("input-kind", "files"),
+    host = flags.getOrElse("host", "localhost"),
+    port = flags.getOrElse("port", "9999").toInt,
+    mode = flags.getOrElse("mode", "line"),
+    sink = flags.getOrElse("sink", "lake"),
+    lakeDir = flags.getOrElse("lake", ""),
+    checkpointDir = flags.getOrElse("checkpoint", ""),
+    flushInterval = flags.getOrElse("flush", "5 minutes"),
+    availableNow = flags.contains("available-now"))
+
+  def main(args: Array[String]): Unit = {
+    val (cmd, flags) = parse(args)
+    val spark = SparkSession.builder()
+      .appName("s4spark")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    cmd match {
+      case "run" =>
+        val q = S4Stream.run(spark, configFrom(flags))
+        q.awaitTermination()
+      case "mock" =>
+        val q = S4Stream.mockSource(spark, flags.getOrElse("rate", "5").toInt)
+          .writeStream.format("console").start()
+        // the reference's mock runs on a 10 s deadline (main.go:154-163)
+        q.awaitTermination(flags.getOrElse("deadline-ms", "10000").toLong)
+        q.stop()
+      case other => sys.error(s"unknown command: $other (expected run|mock)")
+    }
+    spark.stop()
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.streaming.S4Main
+
+/** CLI parse coverage (R15 — `optionParser`, `main.go:59-86`): flags to
+  * config, boolean flags, required-argument errors. No Spark needed. */
+class S4MainSpec extends AnyFunSuite {
+
+  test("run flags map onto S4Config like the reference CLI") {
+    val (cmd, flags) = S4Main.parse(Array(
+      "run", "--input", "/in", "--lake", "/lake", "--mode", "json",
+      "--flush", "1 minute", "--checkpoint", "/ck", "--available-now"))
+    assert(cmd === "run")
+    val cfg = S4Main.configFrom(flags)
+    assert(cfg.inputDir === "/in")
+    assert(cfg.lakeDir === "/lake")
+    assert(cfg.mode === "json")
+    assert(cfg.flushInterval === "1 minute")
+    assert(cfg.checkpointDir === "/ck")
+    assert(cfg.availableNow)
+  }
+
+  test("defaults mirror the reference: line mode, 5 minute flush, lake sink") {
+    val (_, flags) = S4Main.parse(Array("run", "--input", "/in"))
+    val cfg = S4Main.configFrom(flags)
+    assert(cfg.mode === "line")
+    assert(cfg.flushInterval === "5 minutes")
+    assert(cfg.sink === "lake")
+    assert(!cfg.availableNow)
+  }
+
+  test("missing --input is an error (required, as in optionParser)") {
+    val (_, flags) = S4Main.parse(Array("run", "--lake", "/lake"))
+    intercept[RuntimeException](S4Main.configFrom(flags))
+  }
+
+  test("malformed flag is rejected") {
+    intercept[IllegalArgumentException](S4Main.parse(Array("run", "input", "/in")))
+  }
+}
