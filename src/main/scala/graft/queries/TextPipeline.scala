@@ -109,6 +109,18 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Corpus vocabulary: exact top-20 terms by document frequency — the
+    * "what is this corpus made of" stat every pipeline starts with.
+    * explode → two-level agg; the explode never collects, the term
+    * space aggregates map-side first. */
+  def topTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("doc_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"))
+      .orderBy(col("doc_freq").desc, col("term"))
+      .limit(20)
+
   /** Multimodal plumbing: documents as opaque binary payloads with typed
     * metadata — byte length and content digest (the decode step proper is
     * stubbed in graft.multimodal, per the brief: codec libs absent). */
@@ -143,6 +155,7 @@ object TextPipeline {
     "doc_minhash_pairs" -> (minhashPairs _),
     "doc_simhash_pairs" -> (simhashPairs _),
     "doc_langid_fingerprint" -> (langIdFingerprint _),
+    "doc_top_terms" -> (topTerms _),
     "mm_binary_stats" -> (binaryStats _),
     "ev_asof_join" -> (asofPurchaseSignup _),
   )
@@ -181,6 +194,11 @@ object TextPipeline {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    "doc_top_terms" ->
+      """SELECT term, count(DISTINCT doc_id) AS doc_freq
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |      FROM documents) t
+        |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | sha256(text) AS digest
