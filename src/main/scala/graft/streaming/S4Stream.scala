@@ -54,7 +54,8 @@ object S4Stream {
       flushInterval: String = "5 minutes",   // --flushInterval   (main.go:44-48)
       availableNow: Boolean = false,         // drain-and-stop    (R4)
       maxFilesPerTrigger: Option[Int] = None,// backpressure S4 never had
-      maxRecordBytes: Int = 64 * 1024        // R3 record cap (input/unix.go:91-93)
+      maxRecordBytes: Int = 64 * 1024,       // R3 record cap (input/unix.go:91-93)
+      lakeFormat: String = "text"            // text (gzip, = S4 objects) | parquet
   )
 
   /** Line-framed source (R1/R2/R3): one row per newline-terminated
@@ -109,30 +110,45 @@ object S4Stream {
       .withColumn("day", dayofmonth(col("_now")))
       .drop("_now")
 
-  /** R11+R12 lake sink body: one gzip'd text object set per non-empty
-    * flush, partitioned `year=/month=/day=` (unpadded ints, matching
+  /** R11+R12 lake sink body: one object set per non-empty flush,
+    * partitioned `year=/month=/day=` (unpadded ints, matching
     * `lake/lake.go:79-81`). The R10 non-empty guard is the isEmpty
-    * check. */
-  def pushBatch(batch: DataFrame, lakeDir: String): Unit =
-    if (!batch.isEmpty) {
-      withPartitionKeys(batch)
-        .write
-        .partitionBy("year", "month", "day")
-        .option("compression", "gzip")
-        .mode("append")
-        .text(lakeDir)
+    * check. Format "text" writes gzip'd line objects byte-compatible
+    * with S4's; "parquet" writes the same records columnar for
+    * downstream analytics (what a platform actually wants in the lake —
+    * pruning + pushdown on read).
+    *
+    * The R10 guard is structural, not an explicit isEmpty: a partitioned
+    * write of zero rows emits zero data objects, and probing
+    * `batch.isEmpty` first would be a SECOND action through the
+    * `observe` node, double-counting the per-batch metrics. */
+  def pushBatch(batch: DataFrame, lakeDir: String,
+                format: String = "text"): Unit = {
+    val w = withPartitionKeys(batch)
+      .write
+      .partitionBy("year", "month", "day")
+      .mode("append")
+    format match {
+      case "parquet" => w.parquet(lakeDir)
+      case _ => w.option("compression", "gzip").text(lakeDir)
     }
+  }
 
   /** Wire source → validate → sink and start the query (EP1/EP2 of
     * SURVEY.md §3). */
   def run(spark: SparkSession, cfg: S4Config): StreamingQuery = {
+    // R16's per-push logging becomes observed metrics: every micro-batch
+    // reports record count + bytes in its StreamingQueryProgress
+    // (observedMetrics."s4"), queryable by any listener.
     val validatedDf = validated(source(spark, cfg), cfg.mode, cfg.maxRecordBytes)
+      .observe("s4", count(lit(1)).as("n_records"),
+        sum(octet_length(col("value"))).as("n_bytes"))
     val writer = cfg.sink match {
       case "console" => // R13
         validatedDf.writeStream.format("console").option("truncate", false)
       case _ => // R14 sink abstraction -> foreachBatch
         validatedDf.writeStream.foreachBatch {
-          (batch: DataFrame, _: Long) => pushBatch(batch, cfg.lakeDir)
+          (batch: DataFrame, _: Long) => pushBatch(batch, cfg.lakeDir, cfg.lakeFormat)
         }
     }
     if (cfg.checkpointDir.nonEmpty)

@@ -47,6 +47,24 @@ class StreamingSpec extends SparkSpec {
     assert(back.sorted === lines.sorted) // per-batch set semantics (SURVEY §1)
   }
 
+  test("parquet lake format writes the same records columnar") {
+    val in = tmp("s4qin"); val lake = tmp("s4qlake"); val ck = tmp("s4qck")
+    writeLines(in, "p.txt", Seq("rec-a", "rec-b", "rec-c"))
+    val q = S4Stream.run(spark, S4Config(
+      inputDir = in.toString, mode = "line", sink = "lake",
+      lakeDir = lake.toString, checkpointDir = ck.toString,
+      availableNow = true, lakeFormat = "parquet"))
+    q.awaitTermination()
+    val back = spark.read.parquet(lake.toString)
+    assert(back.columns.toSet === Set("value", "year", "month", "day"))
+    assert(back.select("value").collect().map(_.getString(0)).sorted
+      === Array("rec-a", "rec-b", "rec-c"))
+    // observed metrics reported per batch (R16's push logging analog)
+    val obs = q.lastProgress.observedMetrics.get("s4")
+    assert(obs.getAs[Long]("n_records") === 3L)
+    assert(obs.getAs[Long]("n_bytes") === 15L)
+  }
+
   test("checkpoint gives exactly-once across restarts (S4 was at-most-once)") {
     val in = tmp("s4rin"); val lake = tmp("s4rlake"); val ck = tmp("s4rck")
     val cfg = S4Config(
