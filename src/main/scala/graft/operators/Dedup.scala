@@ -59,10 +59,10 @@ object Dedup {
     * id1 < id2, distinct. `maxBucket` is a safety valve against a
     * quadratic blowup from one degenerate bucket, NOT a tuning knob: at
     * the default it never fires on deduplicated input (run exactKeepFirst
-    * first). When it does fire the drop is loud — emitted to stderr via
-    * an accumulator-free count on the driver is not scale-safe, so we
-    * instead keep the dropped bucket keys in `_dropped_buckets` for the
-    * caller to inspect. */
+    * first). When it does fire the drop is SILENT here (a driver-side
+    * count inside the operator would force an extra action); callers who
+    * need to audit it run [[droppedBuckets]] with the same inputs — the
+    * exact (band, band_hash, n) keys this filter removed. */
   def candidatePairs(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     val sized = banded
       .withColumn("_bucket_n",
@@ -76,6 +76,16 @@ object Dedup {
       .select(col("id1"), col("id2"))
       .distinct()
   }
+
+  /** The audit twin of [[candidatePairs]]: the band buckets its
+    * maxBucket valve filtered out, as (band, band_hash, n). Empty on
+    * healthy (exact-deduplicated) input; rows here mean near-dup pairs
+    * were skipped and the input needs an exact-dedup pre-pass or
+    * within-bucket clustering. */
+  def droppedBuckets(banded: DataFrame, maxBucket: Int): DataFrame =
+    banded.groupBy(col("band"), col("band_hash"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") > maxBucket)
 
   /** Exact token-set Jaccard for a pair table against a precomputed
     * (id, tokens) table — tokens are computed ONCE upstream and shuffled

@@ -20,13 +20,26 @@ import org.apache.spark.sql.functions._
   */
 object SkewJoin {
 
+  /** Join types for which salting is semantics-preserving. Right/full
+    * outer are NOT: the right side is replicated `salts` times before
+    * the join, so every unmatched right row would surface `salts` times
+    * instead of once — silently wrong results (ADVICE r2). */
+  private val saltableJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti")
+
   /** Equi-join `left.key == right.key` with the hot-key fan-out above.
     * `saltSource` must name a left column with per-row variation (any
     * id/payload column) — the salt is `pmod(hash(saltSource), salts)`,
-    * deterministic so retries and the oracle see identical output. */
+    * deterministic so retries and the oracle see identical output.
+    * joinType is restricted to [[saltableJoinTypes]]; for right/full
+    * outer, swap the sides (salt the right) or fall back to AQE. */
   def saltedEquiJoin(left: DataFrame, right: DataFrame, key: String,
                      saltSource: String, salts: Int = 16,
                      joinType: String = "inner"): DataFrame = {
+    require(saltableJoinTypes(joinType.toLowerCase),
+      s"saltedEquiJoin: joinType '$joinType' would duplicate unmatched " +
+        s"right rows $salts times; allowed: $saltableJoinTypes")
     val saltedLeft = left
       .withColumn("_salt", pmod(hash(col(saltSource)), lit(salts)))
     val saltedRight = right
