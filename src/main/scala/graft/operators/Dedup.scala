@@ -144,13 +144,16 @@ object Dedup {
     val rows = numHashes / bands
     // Hashed sorted token sets computed once; reused for the signature
     // AND the fast-path verification (Jaccard over the hashed sets ==
-    // Jaccard over the tokens barring a 64-bit collision). Persisted
-    // because the plan references it from three operators and Spark
-    // re-evaluates repeated DataFrame subtrees; the token table is tiny
-    // relative to the corpus (ids + hashes, no text) and spills to disk
-    // if it is not.
+    // Jaccard over the tokens barring a 64-bit collision). Eager
+    // localCheckpoint, not persist: persist registers in the
+    // CacheManager and — because the returned DataFrame is lazy — has no
+    // natural unpersist point, so repeated calls leak cached blocks
+    // (ADVICE r2). Checkpoint blocks are owned by the returned plan and
+    // freed by the ContextCleaner when the caller drops it. Trade-off:
+    // no lineage to recompute on executor loss — fine for an ephemeral
+    // intermediate (ids + hashes, no text; spills to executor disk).
     val toks = docs.select(col(idCol), hashedTokenSet(col(textCol)).as("_toks"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .localCheckpoint()
     val sigs = toks.select(col(idCol),
       minhashSignature(col("_toks"), numHashes, seed).as("sig"))
     val banded = lshBands(sigs, idCol, col("sig"), bands, rows)

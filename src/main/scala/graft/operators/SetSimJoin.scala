@@ -70,9 +70,11 @@ object SetSimJoin {
   def jaccardSelfJoin(toks: DataFrame, idCol: String, toksCol: String,
                       t: Double): DataFrame = {
     // the token table feeds the df-count, the ranking, and both verify
-    // joins; persist so the (potentially expensive) tokenization upstream
-    // runs once instead of once per reference
-    val cached = toks.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // joins; eager localCheckpoint so the (potentially expensive)
+    // tokenization runs once instead of once per reference, WITHOUT the
+    // CacheManager leak a persist-with-no-unpersist-point has (ADVICE
+    // r2): checkpoint blocks free when the returned plan is dropped
+    val cached = toks.localCheckpoint()
     Dedup.jaccardVerifySorted(
         prefixCandidates(cached, idCol, toksCol, t), cached, idCol, toksCol)
       .filter(col("jaccard") >= t)

@@ -26,9 +26,14 @@ import org.apache.spark.sql.types.{MapType, StringType}
   *  - R9/R10 corpus concat + non-empty guard (`river/jsonr.go:72-84`) →
   *    the sink writes whole batches; empty batches produce no objects.
   *  - R11/R12 gzip'd `year=/month=/day=` S3 objects (`lake/lake.go:65-90`)
-  *    → `partitionBy("year","month","day")` gzip text append. Task-UUID
-  *    filenames fix the reference's same-minute overwrite
-  *    (`lake/lake.go:81-88`) by design.
+  *    → the built-in streaming file sink with
+  *    `partitionBy("year","month","day")` + gzip text: exactly-once via
+  *    the sink's `_spark_metadata` manifest (the reference was
+  *    at-most-once AND overwrote same-minute objects,
+  *    `lake/lake.go:81-88`; both fixed by construction). The pluggable
+  *    `sink = "foreach"` path (R14) is foreachBatch — at-least-once
+  *    execution made idempotent by batchId-keyed overwrite, see
+  *    [[pushBatch]].
   *  - R13 console sink (`lake/lake.go:42-45`) → `format("console")`.
   *  - R15 CLI config (`main.go:20-86`) → [[S4Config]].
   *  - R17 mock generator (`test/tool.go:109-147`) → rate source emitting
@@ -110,27 +115,36 @@ object S4Stream {
       .withColumn("day", dayofmonth(col("_now")))
       .drop("_now")
 
-  /** R11+R12 lake sink body: one object set per non-empty flush,
-    * partitioned `year=/month=/day=` (unpadded ints, matching
-    * `lake/lake.go:79-81`). The R10 non-empty guard is the isEmpty
-    * check. Format "text" writes gzip'd line objects byte-compatible
-    * with S4's; "parquet" writes the same records columnar for
-    * downstream analytics (what a platform actually wants in the lake —
-    * pruning + pushdown on read).
+  /** R11+R12+R14 sink-abstraction body (the `sink = "foreach"` path):
+    * one object set per non-empty flush, partitioned `year=/month=/day=`
+    * under a `batch=<id>` root (unpadded ints, matching
+    * `lake/lake.go:79-81`).
     *
-    * The R10 guard is structural, not an explicit isEmpty: a partitioned
-    * write of zero rows emits zero data objects, and probing
+    * Delivery: foreachBatch execution is AT-LEAST-ONCE — a batch that
+    * fails (or a query that restarts) after the write but before the
+    * offset commit re-executes. The write is therefore keyed on the
+    * batchId and OVERWRITES its own `batch=<id>` subtree, so a re-run
+    * replaces rather than duplicates: at-least-once execution, effectively
+    * exactly-once lake CONTENT. (The round-2 version appended task-UUID
+    * files — which fixed the reference's same-minute overwrite,
+    * `lake/lake.go:81-88`, but removed idempotency; ADVICE r2.) The
+    * default `sink = "lake"` path doesn't need any of this: it is the
+    * built-in file sink, exactly-once via its own `_spark_metadata` log.
+    *
+    * The R10 non-empty guard is structural, not an explicit isEmpty: a
+    * partitioned write of zero rows emits zero data objects, and probing
     * `batch.isEmpty` first would be a SECOND action through the
     * `observe` node, double-counting the per-batch metrics. */
   def pushBatch(batch: DataFrame, lakeDir: String,
-                format: String = "text"): Unit = {
+                format: String = "text", batchId: Long = 0L): Unit = {
     val w = withPartitionKeys(batch)
       .write
       .partitionBy("year", "month", "day")
-      .mode("append")
+      .mode("overwrite")
+    val dir = s"$lakeDir/batch=$batchId"
     format match {
-      case "parquet" => w.parquet(lakeDir)
-      case _ => w.option("compression", "gzip").text(lakeDir)
+      case "parquet" => w.parquet(dir)
+      case _ => w.option("compression", "gzip").text(dir)
     }
   }
 
@@ -146,13 +160,27 @@ object S4Stream {
     val writer = cfg.sink match {
       case "console" => // R13
         validatedDf.writeStream.format("console").option("truncate", false)
-      case _ => // R14 sink abstraction -> foreachBatch
+      case "foreach" => // R14 sink abstraction — custom Push(), idempotent per batchId
         validatedDf.writeStream.foreachBatch {
-          (batch: DataFrame, _: Long) => pushBatch(batch, cfg.lakeDir, cfg.lakeFormat)
+          (batch: DataFrame, id: Long) => pushBatch(batch, cfg.lakeDir, cfg.lakeFormat, id)
+        }
+      case _ => // lake (default): built-in file sink — exactly-once via its
+        // _spark_metadata manifest, the strongest delivery contract here
+        val w = withPartitionKeys(validatedDf).writeStream
+          .partitionBy("year", "month", "day")
+          .option("path", cfg.lakeDir)
+        cfg.lakeFormat match {
+          case "parquet" => w.format("parquet")
+          case _ => w.format("text").option("compression", "gzip")
         }
     }
-    if (cfg.checkpointDir.nonEmpty)
-      writer.option("checkpointLocation", cfg.checkpointDir)
+    // the file sink requires a checkpoint; default it next to the lake
+    // (underscore prefix keeps readers from listing it as data)
+    val ckpt =
+      if (cfg.checkpointDir.nonEmpty) cfg.checkpointDir
+      else if (cfg.sink != "console" && cfg.lakeDir.nonEmpty) s"${cfg.lakeDir}/_checkpoint"
+      else ""
+    if (ckpt.nonEmpty) writer.option("checkpointLocation", ckpt)
     writer
       .trigger(
         if (cfg.availableNow) Trigger.AvailableNow()

@@ -23,8 +23,9 @@ class StreamingSpec extends SparkSpec {
 
   private def lakeFiles(lake: Path): Seq[Path] =
     Files.walk(lake).iterator().asScala.filter(Files.isRegularFile(_))
-      .filterNot(f => f.getFileName.toString.startsWith("_")
-        || f.getFileName.toString.startsWith(".")).toSeq
+      .filterNot(f => lake.relativize(f).iterator().asScala.exists { seg =>
+        val s = seg.toString; s.startsWith("_") || s.startsWith(".")
+      }).toSeq
 
   test("line mode: AvailableNow round trip to gzip'd date-partitioned lake") {
     val in = tmp("s4in"); val lake = tmp("s4lake"); val ck = tmp("s4ck")
@@ -83,6 +84,26 @@ class StreamingSpec extends SparkSpec {
     val back = spark.read.text(lake.toString).collect().map(_.getString(0)).toSeq
     assert(back.sorted === Seq("r1", "r2", "r3", "r4"),
       s"expected each record exactly once, got $back")
+  }
+
+  test("foreach sink (R14): batchId-keyed output, re-push is idempotent") {
+    val in = tmp("s4fin"); val lake = tmp("s4flake"); val ck = tmp("s4fck")
+    writeLines(in, "f.txt", Seq("f1", "f2"))
+    val q = S4Stream.run(spark, S4Config(
+      inputDir = in.toString, mode = "line", sink = "foreach",
+      lakeDir = lake.toString, checkpointDir = ck.toString,
+      availableNow = true))
+    q.awaitTermination()
+    val back = spark.read.text(lake.toString)
+    assert(back.select("value").collect().map(_.getString(0)).sorted
+      === Array("f1", "f2"))
+    // at-least-once execution: simulate the batch re-running after a
+    // failure between write and offset commit — same batchId, so the
+    // overwrite must leave the lake content unchanged, not doubled
+    S4Stream.pushBatch(spark.read.text(in.toString), lake.toString,
+      format = "text", batchId = 0L)
+    assert(spark.read.text(lake.toString).count() === 2L,
+      "re-pushed batch must overwrite its own batch=0 subtree")
   }
 
   test("json mode: invalid records dropped, stream continues (R6)") {
