@@ -77,6 +77,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Band-hash ARRAY per doc (length `bands`): element b =
+    * xxhash64(rows consecutive min-hashes, band index). The same hashes
+    * [[lshBands]] explodes to rows, kept assembled so a candidate join
+    * can compare whole signatures per pair ([[candidatePairsFirstBand]]). */
+  def bandHashes(sigCol: Column, bands: Int, rows: Int): Column =
+    transform(sequence(lit(0), lit(bands - 1)),
+      b => xxhash64(slice(sigCol, b * rows + 1, lit(rows)), b))
+
+  /** Distinct-free candidate pairs: input (idCol, bhCol: array<long> of
+    * band hashes). A pair colliding in k bands would surface k times
+    * from the band-bucket self-join; instead of collapsing duplicates
+    * with a global distinct (the dominant cost of the round-2 pipeline —
+    * 21.2M pre-distinct rows for 5.7M pairs at sf0.1), each pair is
+    * emitted ONLY from the first band where its hashes agree
+    * (`FirstBandMatch(bh1, bh2) === band`): exactly-once by
+    * construction, dedup work moves from a shuffle to a codegen'd
+    * per-row loop over `bands` longs.
+    *
+    * maxBucket valve semantics (vs [[candidatePairs]]): a pair whose
+    * FIRST matching band sits in an over-cap bucket is dropped even if a
+    * later matching band's bucket is healthy. Oversize buckets are
+    * degenerate near-identical clusters whose members collide in ALL
+    * bands, so in practice the valve drops the same pairs either way;
+    * audit with [[droppedBuckets]]. */
+  def candidatePairsFirstBand(withBh: DataFrame, idCol: String,
+                              maxBucket: Int): DataFrame = {
+    val banded = withBh.select(col(idCol), col("_bh"),
+      posexplode(col("_bh")).as(Seq("band", "band_hash")))
+    val sized = banded
+      .withColumn("_bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("_bucket_n") <= maxBucket)
+    val a = sized.select(col("band"), col("band_hash"),
+      col(idCol).as("id1"), col("_bh").as("_bh1"))
+    val b = sized.select(col("band"), col("band_hash"),
+      col(idCol).as("id2"), col("_bh").as("_bh2"))
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2"))
+      .filter(graft.functions.FirstBandMatch(col("_bh1"), col("_bh2")) === col("band"))
+      .select(col("id1"), col("id2"))
+  }
+
   /** The audit twin of [[candidatePairs]]: the band buckets its
     * maxBucket valve filtered out, as (band, band_hash, n). Empty on
     * healthy (exact-deduplicated) input; rows here mean near-dup pairs
@@ -154,10 +197,9 @@ object Dedup {
     // intermediate (ids + hashes, no text; spills to executor disk).
     val toks = docs.select(col(idCol), hashedTokenSet(col(textCol)).as("_toks"))
       .localCheckpoint()
-    val sigs = toks.select(col(idCol),
-      minhashSignature(col("_toks"), numHashes, seed).as("sig"))
-    val banded = lshBands(sigs, idCol, col("sig"), bands, rows)
-    val cands = candidatePairs(banded, idCol, maxBucket)
+    val withBh = toks.select(col(idCol),
+      bandHashes(minhashSignature(col("_toks"), numHashes, seed), bands, rows).as("_bh"))
+    val cands = candidatePairsFirstBand(withBh, idCol, maxBucket)
     jaccardVerifySorted(cands, toks, idCol, "_toks")
       .filter(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))

@@ -1,0 +1,39 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, SetSimJoin}
+
+/** Dev-only stage profiler for the document near-dup pipelines (not part
+  * of the shipped library or the driver contract; run with
+  * `sbt "Test/runMain graft.ProfileMain [sfDir]"`). Reps matter: rep 1
+  * carries JVM/codegen warmup. */
+object ProfileMain {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def t(name: String)(df: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[profile] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2fs  rows=$n")
+    }
+
+    val docs = Tables.documents(spark, dir)
+    docs.count()
+    for (rep <- 1 to 3) {
+      t(s"rep$rep minhashNearDups")(Dedup.minhashNearDups(docs, "doc_id", "text"))
+      t(s"rep$rep jaccardSelfJoin") {
+        val toks = docs.select(col("doc_id"), Dedup.hashedTokenSet(col("text")).as("toks"))
+        SetSimJoin.jaccardSelfJoin(toks, "doc_id", "toks", 0.8)
+      }
+      t(s"rep$rep simhashNearDups")(Dedup.simhashNearDups(docs, "doc_id", "text"))
+    }
+    spark.stop()
+  }
+}
