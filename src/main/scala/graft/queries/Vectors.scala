@@ -47,6 +47,13 @@ object Vectors {
     Similarity.lshTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
       .orderBy(col("q_id"), col("rn"))
 
+  /** ANN top-k via an IVF coarse quantizer (engine-only; SimilaritySpec
+    * gates recall@5 against bruteTopK). The cluster-structure
+    * counterpart of lshTopK — see Similarity.ivfTopK. */
+  def ivfTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.ivfTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
+      .orderBy(col("q_id"), col("rn"))
+
   /** Global LSH-blocked embedding near-dup pairs (engine-only; the scale
     * path — cosineNearDups below is the exact form for a user-supplied
     * blocking key). SimilaritySpec gates recall on planted near-dups. */
@@ -88,6 +95,7 @@ object Vectors {
     "vec_norms" -> (norms _),
     "vec_brute_topk" -> (bruteTopK _),
     "vec_lsh_topk" -> (lshTopK _),
+    "vec_ivf_topk" -> (ivfTopK _),
     "vec_lsh_near_dups" -> (lshNearDups _),
     "vec_cosine_near_dups" -> (cosineNearDups _),
     "vec_label_centroids" -> (labelCentroids _),

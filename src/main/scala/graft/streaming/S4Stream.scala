@@ -219,6 +219,45 @@ object S4Stream {
                    keyCol: String): DataFrame =
     records.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** One flush decision emitted by [[sizeFlushStream]]. */
+  case class SizeFlush(key: String, n_records: Long, n_bytes: Long)
+
+  /** Arbitrary-state streaming (§2b "(flat)MapGroupsWithState"): a
+    * SIZE-based flush — emit a flush marker for a key whenever its
+    * buffered byte count crosses `thresholdBytes`, then reset that
+    * key's counter. The reference can only flush on a timer
+    * (`river/river.go:52-58`); size-triggered flushing needs per-key
+    * running state that no built-in windowed aggregate expresses, which
+    * is exactly the `flatMapGroupsWithState` niche.
+    *
+    * State per key is two longs — bounded regardless of throughput; at
+    * scale the operator shuffles once on the key like any stateful agg.
+    * Input must have a `value: string` column and the key column. */
+  def sizeFlushStream(records: DataFrame, keyCol: String,
+                      thresholdBytes: Long): org.apache.spark.sql.Dataset[SizeFlush] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import records.sparkSession.implicits._
+    records
+      .select(col(keyCol).cast("string").as("key"),
+        octet_length(col("value")).cast("long").as("bytes"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: String, rows: Iterator[(String, Long)], state: GroupState[(Long, Long)]) =>
+          var (n, bytes) = state.getOption.getOrElse((0L, 0L))
+          val flushes = scala.collection.mutable.ArrayBuffer.empty[SizeFlush]
+          rows.foreach { case (_, b) =>
+            n += 1; bytes += b
+            if (bytes >= thresholdBytes) {
+              flushes += SizeFlush(key, n, bytes)
+              n = 0; bytes = 0
+            }
+          }
+          state.update((n, bytes))
+          flushes.iterator
+      }
+  }
+
   /** Stateful streaming dedup bounded by watermark (§2b streaming ops):
     * drops records whose key was already seen within the watermark
     * horizon — state is evicted past it, so memory is bounded at any

@@ -23,6 +23,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"ANN recall@5 $recall < 0.8")
   }
 
+  test("ivf top-k recall@5 >= 0.8 vs brute force") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id").isInCollection(Seq(1L, 7L, 42L, 99L, 123L)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.bruteForceTopK(e, probes, k = 5))
+    val found = hits(Similarity.ivfTopK(e, probes, k = 5))
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.8, s"IVF recall@5 $recall < 0.8")
+  }
+
+  test("ivf centroids are deterministic and cover all cells") {
+    val e = Tables.embeddings(spark, sf0001)
+    val c1 = Similarity.trainCentroids(e, nlist = 8, iters = 1)
+    val c2 = Similarity.trainCentroids(e, nlist = 8, iters = 1)
+    assert(c1 === c2, "same seed must give identical centroids")
+    assert(c1.size === 8)
+    assert(c1.forall(_.size === 64))
+  }
+
   test("derived dim matches the fixture") {
     assert(Similarity.dimOf(Tables.embeddings(spark, sf0001), "embedding") === 64)
   }

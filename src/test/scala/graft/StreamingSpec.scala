@@ -271,6 +271,40 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((2L, "2024-01-01 00:05:00", 1L)), s"user 2 session missing: $out")
   }
 
+  test("size-based flush emits on threshold and keeps sub-threshold state (arbitrary state)") {
+    val in = tmp("s4zin"); val ck = tmp("s4zck")
+    // key a: 3 records x 10 bytes with threshold 25 -> one flush at 30,
+    // counter resets; key b: 10 bytes, stays buffered (no output)
+    writeLines(in, "z1.json", Seq(
+      """{"k": "a", "value": "0123456789"}""",
+      """{"k": "a", "value": "0123456789"}""",
+      """{"k": "a", "value": "0123456789"}""",
+      """{"k": "b", "value": "0123456789"}"""))
+    val outDir = tmp("s4zout")
+    val src = spark.readStream.schema("k STRING, value STRING").json(in.toString)
+    def run(): Unit = {
+      val q = S4Stream.sizeFlushStream(src, "k", thresholdBytes = 25L)
+        .writeStream.format("parquet").option("path", outDir.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    val out = spark.read.parquet(outDir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out === Seq(("a", 3L, 30L)), s"exactly one flush for key a: $out")
+
+    // next batch: key b tops past the threshold using its CARRIED state
+    writeLines(in, "z2.json", Seq(
+      """{"k": "b", "value": "01234567890123456789"}"""))
+    run()
+    val out2 = spark.read.parquet(outDir.toString)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out2 === Set(("a", 3L, 30L), ("b", 2L, 30L)),
+      s"key b must flush with state carried across batches: $out2")
+  }
+
   test("stream-static enrichment joins the dimension without stream state") {
     val in = tmp("s4ein"); val ck = tmp("s4eck")
     writeLines(in, "e.json", Seq(
