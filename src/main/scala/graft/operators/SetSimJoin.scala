@@ -28,7 +28,15 @@ import org.apache.spark.sql.expressions.Window
 object SetSimJoin {
 
   /** Candidate pairs (id1 < id2) that can possibly reach Jaccard >= t.
-    * Input: (idCol, toksCol) with toksCol an array of DISTINCT tokens. */
+    * Input: (idCol, toksCol) with toksCol an array of DISTINCT tokens.
+    *
+    * Asymmetric prefixes (PPJoin proper): pairs are oriented so the
+    * LARGER set (by (size, id)) probes and the smaller set indexes.
+    * The probing side needs the standard prefix |x| - ceil(t|x|) + 1;
+    * the indexed side only |y| - ceil(2t/(1+t)|y|) + 1, because all its
+    * eligible partners are at least its size, forcing minimum overlap
+    * 2t/(1+t)*|y| (at t=0.8: a ~0.11|y| prefix vs ~0.2|y| — the
+    * candidate join roughly halves). */
   def prefixCandidates(toks: DataFrame, idCol: String, toksCol: String,
                        t: Double): DataFrame = {
     val sized = toks.select(col(idCol), col(toksCol).as("_tk"),
@@ -39,49 +47,59 @@ object SetSimJoin {
       .join(tokenDf, "_tok")
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col(idCol)).orderBy(col("_df"), col("_tok"))))
-    // each prefix row carries the doc's WHOLE prefix as a (df, tok) array
-    // sorted in the global token order, so the join below can decide
-    // per-row whether it is the pair's earliest shared witness. The
-    // pairs are flattened (df0, tok0, df1, tok1, ...) into one long
-    // array — see IsEarliestWitness's layout note.
-    val prefix = ranked
+    // Checkpoint only the PROBE-prefix rows (the longer of the two
+    // prefixes, ~0.2|x| of the exploded occurrences at t=0.8) — never
+    // the full occurrence table, which at corpus scale is every token of
+    // every doc. Both role tables derive from this subset; leak-free
+    // lifecycle as with the token table (blocks freed with the plan).
+    val prefRows = ranked
       .filter(col("_rk") <= col("_sz") - ceil(lit(t) * col("_sz") - lit(1e-9)) + 1)
+      .localCheckpoint()
+    // each prefix row carries the doc's WHOLE prefix (of its own role)
+    // as a (df, tok) array sorted in the global token order, so the join
+    // below can decide per-row whether it is the pair's earliest shared
+    // witness. The pairs are flattened (df0, tok0, df1, tok1, ...) into
+    // one long array — see IsEarliestWitness's layout note.
+    def withPrefixArr(rows: DataFrame): DataFrame = rows
       .withColumn("_parr", flatten(transform(
         array_sort(collect_list(struct(col("_df"), col("_tok")))
           .over(Window.partitionBy(col(idCol)))),
         s => array(s.getField("_df"), s.getField("_tok")))))
       .select(col("_tok"), col("_df"), col(idCol), col("_sz"), col("_rk"), col("_parr"))
-      // both join sides reference this subtree (explode -> df join -> two
-      // windows); checkpoint so it computes once, not once per side —
-      // same leak-free lifecycle as the token table (blocks freed with
-      // the returned plan)
-      .localCheckpoint()
-    val a = prefix.select(col("_tok"), col("_df"), col(idCol).as("id1"),
-      col("_sz").as("_sz1"), col("_rk").as("_rk1"), col("_parr").as("_parr1"))
-    val b = prefix.select(col("_tok"), col(idCol).as("id2"),
-      col("_sz").as("_sz2"), col("_rk").as("_rk2"), col("_parr").as("_parr2"))
+    val probe = withPrefixArr(prefRows)
+    val index = withPrefixArr(prefRows.filter(
+      col("_rk") <= col("_sz") - ceil(lit(2 * t / (1 + t)) * col("_sz") - lit(1e-9)) + 1))
+    val a = probe.select(col("_tok"), col("_df"), col(idCol).as("_ida"),
+      col("_sz").as("_sza"), col("_rk").as("_rka"), col("_parr").as("_parra"))
+    val b = index.select(col("_tok"), col(idCol).as("_idb"),
+      col("_sz").as("_szb"), col("_rk").as("_rkb"), col("_parr").as("_parrb"))
     a.join(b, "_tok")
-      .filter(col("id1") < col("id2"))
-      // size filter: J >= t forces t*|x| <= |y| <= |x|/t (both directions)
-      .filter(col("_sz2") >= lit(t) * col("_sz1") - lit(1e-9)
-        && col("_sz1") >= lit(t) * col("_sz2") - lit(1e-9))
+      // canonical orientation: the probe side is strictly larger by
+      // (size, id), so every unordered pair is examined exactly once
+      // with the roles the prefix lengths assume
+      .filter(col("_szb") < col("_sza")
+        || (col("_szb") === col("_sza") && col("_idb") < col("_ida")))
+      // size filter: J >= t and |y| <= |x| force |y| >= t*|x|
+      .filter(col("_szb") >= lit(t) * col("_sza") - lit(1e-9))
       // positional filter (PPJoin): tokens are globally ordered, so the
-      // overlap witnessed through a shared token at ranks (rk1, rk2) is at
-      // most 1 + min(sz1-rk1, sz2-rk2); if that upper bound can't reach
-      // the minimum overlap t/(1+t)*(sz1+sz2), this occurrence can't
-      // certify the pair. A pair survives if ANY shared prefix token
-      // passes; the earliest-witness filter below implements the ANY —
-      // the bound is maximal at the earliest shared token (both ranks
-      // minimal), so it passes whenever any witness does.
-      .filter(lit(1) + least(col("_sz1") - col("_rk1"), col("_sz2") - col("_rk2"))
-        >= ceil(lit(t / (1 + t)) * (col("_sz1") + col("_sz2")) - lit(1e-9)))
-      // emit the pair ONLY at its earliest shared witness: exactly-once
-      // by construction — replaces a global distinct() over the join
-      // output (9.7s of the 13s candidate stage at sf0.1) with a
-      // codegen'd two-pointer merge per row
+      // overlap witnessed through a shared token at ranks (rka, rkb) is at
+      // most 1 + min(sza-rka, szb-rkb); if that upper bound can't reach
+      // the minimum overlap t/(1+t)*(sza+szb), this occurrence can't
+      // certify the pair. A pair survives if ANY shared witness passes;
+      // the earliest-witness filter below implements the ANY — the bound
+      // is maximal at the earliest shared token (both ranks minimal), so
+      // it passes whenever any witness does.
+      .filter(lit(1) + least(col("_sza") - col("_rka"), col("_szb") - col("_rkb"))
+        >= ceil(lit(t / (1 + t)) * (col("_sza") + col("_szb")) - lit(1e-9)))
+      // emit the pair ONLY at its earliest shared witness (first common
+      // element of probe-prefix x index-prefix): exactly-once by
+      // construction — replaces a global distinct() over the join output
+      // (9.7s of the 13s candidate stage at sf0.1) with a codegen'd
+      // two-pointer merge per row
       .filter(graft.functions.IsEarliestWitness(
-        col("_parr1"), col("_parr2"), col("_df"), col("_tok")))
-      .select(col("id1"), col("id2"))
+        col("_parra"), col("_parrb"), col("_df"), col("_tok")))
+      .select(least(col("_ida"), col("_idb")).as("id1"),
+        greatest(col("_ida"), col("_idb")).as("id2"))
   }
 
   /** Exact Jaccard self-join: (id1, id2, jaccard) for all pairs with
