@@ -72,6 +72,25 @@ object TextPipeline {
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
 
+  /** Order-SENSITIVE near-dup pairs: exact Jaccard over word-3-gram
+    * shingle sets (the brief's "n-gram Jaccard" — distinguishes docs
+    * that share vocabulary from docs that share phrasing; a shuffled
+    * bag-of-words dup scores ~1.0 on token Jaccard but ~0 here). Same
+    * prefix-filtered exact join as jaccardPairs, over hashed shingles;
+    * docs with fewer than 3 tokens have no shingles and are excluded,
+    * matching the oracle's len(toks) >= 3 guard. */
+  def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
+    val grams = array_sort(transform(
+      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
+      g => xxhash64(g)))
+    val toks = Tables.documents(s, dir)
+      .select(col("doc_id"), grams.as("toks"))
+      .filter(size(col("toks")) > 0)
+    SetSimJoin.jaccardSelfJoin(toks, "doc_id", "toks", 0.8)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** The cross-join brute force — O(n^2); exists ONLY as ground truth for
     * SetSimJoinSpec/DedupSpec on the small SFs, never in the bench path. */
   def jaccardPairsBrute(s: SparkSession, dir: String): DataFrame = {
@@ -153,6 +172,7 @@ object TextPipeline {
     "doc_regex_tokens" -> (regexTokenCount _),
     "doc_jaccard_pairs" -> (jaccardPairs _),
     "doc_minhash_pairs" -> (minhashPairs _),
+    "doc_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash_pairs" -> (simhashPairs _),
     "doc_langid_fingerprint" -> (langIdFingerprint _),
     "doc_top_terms" -> (topTerms _),
@@ -161,6 +181,21 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_ngram_jaccard_pairs" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(toks) - 1),
+        |           i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))) AS grams
+        |  FROM tok WHERE len(toks) >= 3
+        |)
+        |SELECT id1, id2, round(jaccard, 3) AS jaccard FROM (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+        |      (len(a.grams) + len(b.grams) - len(list_intersect(a.grams, b.grams)))
+        |      AS jaccard
+        |  FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |) p WHERE jaccard >= 0.8 ORDER BY id1, id2""".stripMargin,
     "doc_exact_dedup" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY text_hash""".stripMargin,
