@@ -42,7 +42,9 @@ object TextPipeline {
         size(toks).as("n_tokens"),
         size(array_distinct(toks)).as("n_uniq_tokens"),
         round(size(array_distinct(toks)).cast("double") / size(toks), 3).as("uniq_ratio"),
-        round(TextOps.stopRatio(toks), 3).as("stop_ratio"))
+        round(TextOps.stopRatio(toks), 3).as("stop_ratio"),
+        round(length(regexp_replace(col("text"), "[a-z0-9 ]", "")).cast("double")
+          / length(col("text")), 3).as("punct_ratio"))
       .orderBy(col("doc_id"))
   }
 
@@ -212,7 +214,9 @@ object TextPipeline {
         |       / len(string_split(text, ' ')), 3) AS uniq_ratio,
         | round(CAST(len(list_filter(string_split(text, ' '),
         |   t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
-        |       / len(string_split(text, ' ')), 3) AS stop_ratio
+        |       / len(string_split(text, ' ')), 3) AS stop_ratio,
+        | round(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+        |       / length(text), 3) AS punct_ratio
         |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_regex_tokens" ->
       """SELECT source, count(*) AS n_docs,
