@@ -25,9 +25,18 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    // untimed warmup: JVM/codegen/scan startup otherwise lands entirely
-    // on whichever query sorts first, skewing its number
-    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+    // untimed warmup: run the WHOLE query set once at the smallest SF so
+    // JIT + whole-stage-codegen compilation of every pipeline happens
+    // before the clock starts — otherwise it all lands on whichever
+    // query sorts first (measured: doc_jaccard_pairs 11.6s cold vs 5.7s
+    // steady-state at sf0.1). Falls back to a scan warmup if the tiny
+    // fixture is absent.
+    val warmDir = "/root/testdata/sf0.001"
+    if (new java.io.File(warmDir).isDirectory)
+      SparkEntry.queries.values.foreach { fn =>
+        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+      }
+    else spark.read.parquet(s"$sfDir/lineitem.parquet").count()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
