@@ -3,15 +3,16 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.VectorOps
+import graft.functions.{CosineScores, LshBuckets, NearestCentroid, VectorOps}
 
 /** Similarity search over embedding columns (SURVEY.md §2b).
   *
   * Two paths:
   *  - brute-force top-k: broadcast the (small) probe set against the
   *    corpus — a BroadcastNestedLoopJoin scoring every (probe, vector)
-  *    pair with a codegen'd HOF cosine. Exact; linear in corpus size per
-  *    probe; the right baseline and the recall oracle for the ANN path.
+  *    pair with a codegen'd fused-loop cosine. Exact; linear in corpus
+  *    size per probe; the right baseline and the recall oracle for the
+  *    ANN path.
   *  - LSH-bucketed top-k: sign-random-projection (hyperplane) LSH — each
   *    vector maps to a small int bucket; probes only score vectors in the
   *    same bucket (plus optional 1-bit multiprobe neighbors). Candidate
@@ -20,17 +21,29 @@ import graft.functions.VectorOps
   *    O(corpus) to O(corpus / 2^bits × probes).
   *
   * Hyperplanes are generated driver-side from a seeded RNG (tiny constant:
-  * bits × dim doubles) and embedded as literal arrays — deterministic,
-  * no data-dependent driver work.
+  * bits × dim doubles) and embedded as a single matrix reference object —
+  * deterministic, no data-dependent driver work.
+  *
+  * Codegen posture (VERDICT r3 item 1): bucket/cell assignment uses the
+  * fused LshBuckets / NearestCentroid / CosineScores expressions — one
+  * constant-size generated loop per row — instead of folding one
+  * VecDot(typedLit(row)) tree per hyperplane/centroid, which exceeded the
+  * JVM's 64 KB method cap and silently dropped the scan-side hot stage to
+  * interpreted evaluation. Norms are hoisted to per-row columns before
+  * every candidate join so no norm is ever recomputed per PAIR (item 5).
   */
 object Similarity {
 
-  /** Exact brute-force cosine top-k. Probes must be small (broadcast). */
+  /** Exact brute-force cosine top-k. Probes must be small (broadcast).
+    * Norms are per-row columns; each pair costs one fused dot product. */
   def bruteForceTopK(corpus: DataFrame, probes: DataFrame, k: Int,
                      corpusId: String = "vec_id", corpusVec: String = "embedding",
                      probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
-    val scored = corpus.crossJoin(broadcast(probes))
-      .withColumn("cosine", VectorOps.cosine(col(probeVec), col(corpusVec)))
+    val c = corpus.withColumn("_nc", VectorOps.norm(col(corpusVec)))
+    val p = probes.withColumn("_np", VectorOps.norm(col(probeVec)))
+    val scored = c.crossJoin(broadcast(p))
+      .withColumn("cosine",
+        VectorOps.dot(col(probeVec), col(corpusVec)) / (col("_np") * col("_nc")))
     val w = Window.partitionBy(col(probeId))
       .orderBy(round(col("cosine"), 4).desc, col(corpusId))
     scored
@@ -46,18 +59,16 @@ object Similarity {
   }
 
   /** Embedding dimensionality read from the data (one-row action — NOT a
-    * collect of the corpus). A wrong hardcoded dim makes `zip_with`
+    * collect of the corpus). A wrong hardcoded dim makes the fused loops
     * silently truncate dot products (VERDICT r1); deriving it removes the
     * failure mode. */
   def dimOf(df: DataFrame, vecCol: String): Int =
     df.select(size(col(vecCol))).head().getInt(0)
 
-  /** Sign-random-projection bucket id: bit i = sign(dot(v, plane_i)). */
+  /** Sign-random-projection bucket id: bit i = sign(dot(v, plane_i)).
+    * Single-table form of [[LshBuckets]] (element_at is 1-based). */
   def lshBucket(vec: Column, planes: Seq[Seq[Double]]): Column =
-    planes.zipWithIndex.foldLeft(lit(0)) { case (acc, (p, i)) =>
-      acc.bitwiseOR(
-        when(VectorOps.dot(vec, typedLit(p)) >= 0, lit(1 << i)).otherwise(lit(0)))
-    }
+    element_at(LshBuckets(vec, planes, planes.size), 1)
 
   /** Bucket ids to probe: the probe's own bucket plus all 1-bit flips
     * (multiprobe — recovers most near neighbors lost at the boundary). */
@@ -71,7 +82,8 @@ object Similarity {
     * table's p_table). Returns the same shape as bruteForceTopK
     * (approximate contents; SimilaritySpec gates recall@k >= 0.8).
     *
-    * Cost at scale: the corpus emits `tables` rows per vector and
+    * Cost at scale: the corpus computes all `tables` buckets in ONE fused
+    * codegen pass (LshBuckets), emits `tables` rows per vector and
     * shuffles once on (table, bucket); probes broadcast with their
     * multiprobe expansion (|probes| x tables x (bits+1) rows — tiny).
     * Candidates are deduped on (probe, vector) before ranking so a pair
@@ -84,21 +96,20 @@ object Similarity {
               probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
     val d = if (dim > 0) dim else dimOf(corpus, corpusVec)
     val planes = hyperplanes(bits * tables, d, seed)
-    def tableBucket(vec: Column, t: Int): Column =
-      lshBucket(vec, planes.slice(t * bits, (t + 1) * bits))
-    val bucketed = corpus.select(col(corpusId), col(corpusVec),
-      posexplode(array((0 until tables).map(t => tableBucket(col(corpusVec), t)): _*))
-        .as(Seq("_tbl", "_bkt")))
-    val probed = probes.select(col(probeId), col(probeVec),
-        posexplode(array((0 until tables).map(t =>
-          multiprobeBuckets(tableBucket(col(probeVec), t), bits)): _*))
-          .as(Seq("_tbl", "_bkts")))
-      .withColumn("_bkt", explode(col("_bkts")))
-      .drop("_bkts")
+    val bucketed = corpus
+      .withColumn("_nc", VectorOps.norm(col(corpusVec)))
+      .select(col(corpusId), col(corpusVec), col("_nc"),
+        posexplode(LshBuckets(col(corpusVec), planes, bits)).as(Seq("_tbl", "_bkt")))
+    val probed = probes
+      .withColumn("_np", VectorOps.norm(col(probeVec)))
+      .select(col(probeId), col(probeVec), col("_np"),
+        posexplode(LshBuckets(col(probeVec), planes, bits)).as(Seq("_tbl", "_bkt0")))
+      .withColumn("_bkt", explode(multiprobeBuckets(col("_bkt0"), bits)))
+      .drop("_bkt0")
     val cands = bucketed
       .join(broadcast(probed), Seq("_tbl", "_bkt"))
-      .withColumn("cosine",
-        round(VectorOps.cosine(col(probeVec), col(corpusVec)), 4))
+      .withColumn("cosine", round(
+        VectorOps.dot(col(probeVec), col(corpusVec)) / (col("_np") * col("_nc")), 4))
       .select(col(probeId), col(corpusId), col("cosine"))
       .distinct()
     val w = Window.partitionBy(col(probeId))
@@ -140,13 +151,11 @@ object Similarity {
     centroids
   }
 
-  /** Index of the max-cosine centroid for a vector (centroids are a tiny
-    * driver-side literal matrix — nlist codegen'd VecDot calls per row). */
-  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column = {
-    val scores = array(centroids.map(c => VectorOps.cosine(vec, typedLit(c))): _*)
-    // array_position is 1-based; 0-based cid
-    (array_position(scores, array_max(scores)) - 1).cast("int")
-  }
+  /** Index of the max-cosine centroid for a vector — ONE fused codegen
+    * loop over the whole centroid matrix with |v| computed once
+    * (first-max tie-break, same as the array_position form it replaces). */
+  def nearestCentroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    NearestCentroid(vec, centroids)
 
   /** ANN top-k via an IVF (inverted-file) index — the second scale path
     * next to [[lshTopK]], and the better one when the corpus has cluster
@@ -154,13 +163,13 @@ object Similarity {
     * partitions the corpus; each probe scores only the cells of its
     * nprobe nearest centroids.
     *
-    * Cost at scale: corpus assigns once (nlist fused dot products per
-    * row, all codegen) and shuffles once on cell id; probes broadcast
-    * with an nprobe-row expansion. Per-probe work drops from O(corpus)
-    * to O(corpus × nprobe / nlist) on balanced cells. Recall is gated by
-    * SimilaritySpec against bruteForceTopK (approximate by design: a
-    * neighbor whose cell the probe does not visit is missed; raise
-    * nprobe to trade cost for recall).
+    * Cost at scale: corpus assigns once (one fused loop over the whole
+    * centroid matrix per row, all codegen) and shuffles once on cell id;
+    * probes broadcast with an nprobe-row expansion. Per-probe work drops
+    * from O(corpus) to O(corpus × nprobe / nlist) on balanced cells.
+    * Recall is gated by SimilaritySpec against bruteForceTopK
+    * (approximate by design: a neighbor whose cell the probe does not
+    * visit is missed; raise nprobe to trade cost for recall).
     *
     * Default honesty note: the fixture's embeddings have essentially no
     * cosine structure (max pairwise similarity 0.479), so measured
@@ -174,19 +183,23 @@ object Similarity {
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
     val centroids = trainCentroids(corpus, nlist, iters, seed, corpusId, corpusVec)
-    val cells = corpus.withColumn("_cid", nearestCentroid(col(corpusVec), centroids))
-    val probeScores = array(centroids.map(c => VectorOps.cosine(col(probeVec), typedLit(c))): _*)
+    val cells = corpus
+      .withColumn("_cid", nearestCentroid(col(corpusVec), centroids))
+      .withColumn("_nc", VectorOps.norm(col(corpusVec)))
     val probed = probes
-      .select(col(probeId), col(probeVec), posexplode(probeScores).as(Seq("_cid", "_score")))
+      .select(col(probeId), col(probeVec),
+        posexplode(CosineScores(col(probeVec), centroids)).as(Seq("_cid", "_score")))
       .withColumn("_rk", row_number().over(
         Window.partitionBy(col(probeId)).orderBy(col("_score").desc, col("_cid"))))
       .filter(col("_rk") <= nprobe)
-      .select(col(probeId), col(probeVec), col("_cid"))
+      .withColumn("_np", VectorOps.norm(col(probeVec)))
+      .select(col(probeId), col(probeVec), col("_np"), col("_cid"))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("cosine").desc, col(corpusId))
     cells
       .join(broadcast(probed), Seq("_cid"))
-      .withColumn("cosine", round(VectorOps.cosine(col(probeVec), col(corpusVec)), 4))
+      .withColumn("cosine", round(
+        VectorOps.dot(col(probeVec), col(corpusVec)) / (col("_np") * col("_nc")), 4))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(probeId), col("rn"), col(corpusId), col("cosine"))
@@ -207,16 +220,18 @@ object Similarity {
                   seed: Long = 42L, corpusId: String = "vec_id",
                   corpusVec: String = "embedding"): DataFrame = {
     val planes = hyperplanes(bits, dimOf(corpus, corpusVec), seed)
-    val a = corpus
-      .withColumn("_bucket", lshBucket(col(corpusVec), planes))
-      .select(col("_bucket"), col(corpusId).as("id1"), col(corpusVec).as("_e1"))
-    val b = corpus
-      .withColumn("_bucket",
-        explode(multiprobeBuckets(lshBucket(col(corpusVec), planes), bits)))
-      .select(col("_bucket"), col(corpusId).as("id2"), col(corpusVec).as("_e2"))
+    val withB = corpus
+      .withColumn("_nrm", VectorOps.norm(col(corpusVec)))
+      .withColumn("_b0", lshBucket(col(corpusVec), planes))
+    val a = withB.select(col("_b0").as("_bucket"),
+      col(corpusId).as("id1"), col(corpusVec).as("_e1"), col("_nrm").as("_n1"))
+    val b = withB.select(
+      explode(multiprobeBuckets(col("_b0"), bits)).as("_bucket"),
+      col(corpusId).as("id2"), col(corpusVec).as("_e2"), col("_nrm").as("_n2"))
     a.join(b, "_bucket")
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", round(VectorOps.cosine(col("_e1"), col("_e2")), 4))
+      .withColumn("cosine", round(
+        VectorOps.dot(col("_e1"), col("_e2")) / (col("_n1") * col("_n2")), 4))
       .filter(col("cosine") >= threshold)
       .select(col("id1"), col("id2"), col("cosine"))
       .distinct()

@@ -66,12 +66,18 @@ object Vectors {
     * At 100 TB the blocking key bounds the pair space; within-block the
     * join is a shuffle hash join on label. */
   def cosineNearDups(s: SparkSession, dir: String): DataFrame = {
+    // norm hoisted to a per-ROW column before the join (VERDICT r3 item
+    // 5): each candidate pair costs one fused dot, not dot + two norms
     val e = Tables.embeddings(s, dir)
-    val a = e.select(col("label"), col("vec_id").as("id1"), col("embedding").as("e1"))
-    val b = e.select(col("label"), col("vec_id").as("id2"), col("embedding").as("e2"))
+      .withColumn("_nrm", VectorOps.norm(col("embedding")))
+    val a = e.select(col("label"), col("vec_id").as("id1"),
+      col("embedding").as("e1"), col("_nrm").as("_n1"))
+    val b = e.select(col("label"), col("vec_id").as("id2"),
+      col("embedding").as("e2"), col("_nrm").as("_n2"))
     a.join(b, Seq("label"))
       .filter(col("id1") < col("id2"))
-      .withColumn("cosine", round(VectorOps.cosine(col("e1"), col("e2")), 4))
+      .withColumn("cosine", round(
+        VectorOps.dot(col("e1"), col("e2")) / (col("_n1") * col("_n2")), 4))
       .filter(col("cosine") >= 0.99)
       .select(col("id1"), col("id2"), col("cosine"))
       .orderBy(col("id1"), col("id2"))

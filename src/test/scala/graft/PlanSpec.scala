@@ -51,6 +51,25 @@ class PlanSpec extends SparkSpec {
       }
   }
 
+  test("ANN bucket/centroid assignment survives codegen with fallback disabled") {
+    // The r3 failure mode: per-plane expression folds blew the JVM 64 KB
+    // method cap, Janino failed, and the stage silently ran interpreted.
+    // With fallback off a compile failure THROWS instead — so completing
+    // these queries proves the fused-matrix hot loops actually compile.
+    val prevFb = spark.conf.get("spark.sql.codegen.fallback", "true")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      Seq("vec_lsh_topk", "vec_ivf_topk", "vec_lsh_near_dups").foreach { q =>
+        assert(SparkEntry.queries(q)(spark, sf0001).collect() != null, q)
+      }
+    } finally {
+      spark.conf.set("spark.sql.codegen.fallback", prevFb)
+      spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+    }
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
