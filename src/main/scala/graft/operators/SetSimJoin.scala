@@ -103,19 +103,57 @@ object SetSimJoin {
   }
 
   /** Exact Jaccard self-join: (id1, id2, jaccard) for all pairs with
-    * token-set Jaccard >= t. Same output as the cross-join brute force.
+    * token-set Jaccard >= t. Same output as the cross-join brute force
+    * (SetSimJoinSpec holds the equivalence bit-for-bit).
     * toksCol must be a SORTED array<long> set (Dedup.hashedTokenSet) —
-    * verification uses the codegen'd merge-intersect fast path. */
+    * verification uses the codegen'd merge-intersect fast path.
+    *
+    * Dedup-first (Dedup.scala's own prescription, VERDICT r3 item 2):
+    * docs with IDENTICAL token sets are grouped before the prefix join —
+    * the PPJoin machinery runs over one representative per distinct set,
+    * so an exact-duplicate clique of size c costs the candidate stage one
+    * row instead of c probes × c index entries (the quadratic blowup
+    * degenerate corpora hit at scale). Clique pairs are re-emitted
+    * directly at jaccard exactly 1.0 (what brute force computes for
+    * identical sets: |x∩x|/|x∪x|), and representative pairs fan back out
+    * to all member combinations — two broadcast-size joins on group key.
+    * Identical sets group EXACTLY (the full sorted array is the key, not
+    * a hash of it), so no collision can merge different sets. */
   def jaccardSelfJoin(toks: DataFrame, idCol: String, toksCol: String,
                       t: Double): DataFrame = {
-    // the token table feeds the df-count, the ranking, and both verify
-    // joins; eager localCheckpoint so the (potentially expensive)
-    // tokenization runs once instead of once per reference, WITHOUT the
-    // CacheManager leak a persist-with-no-unpersist-point has (ADVICE
-    // r2): checkpoint blocks free when the returned plan is dropped
+    // the token table feeds the grouping, the df-count, the ranking, and
+    // the verify joins; eager localCheckpoint so the (potentially
+    // expensive) tokenization runs once instead of once per reference,
+    // WITHOUT the CacheManager leak a persist-with-no-unpersist-point has
+    // (ADVICE r2): checkpoint blocks free when the returned plan is dropped
     val cached = toks.localCheckpoint()
-    Dedup.jaccardVerifySorted(
-        prefixCandidates(cached, idCol, toksCol, t), cached, idCol, toksCol)
+    // one row per distinct NON-EMPTY token set; keep-first representative.
+    // Empty sets are dropped up front: brute force scores an
+    // identical-empty pair 0/0 = NaN (excluded by >= t), and an empty set
+    // can never reach t > 0 against anything else.
+    val groups = cached.filter(size(col(toksCol)) > 0)
+      .groupBy(col(toksCol))
+      .agg(min(col(idCol)).as("_rep"), collect_list(col(idCol)).as("_ids"))
+      .localCheckpoint()
+    val members = groups.select(col("_rep"), explode(col("_ids")).as("_mid"))
+    val reps = groups.select(col("_rep").as(idCol), col(toksCol))
+    // within-clique pairs: identical sets, jaccard exactly 1.0
+    val cliquePairs = members.alias("x")
+      .join(members.alias("y"), col("x._rep") === col("y._rep"))
+      .filter(col("x._mid") < col("y._mid"))
+      .select(col("x._mid").as("id1"), col("y._mid").as("id2"),
+        lit(1.0).as("jaccard"))
+    // cross-set pairs: PPJoin over representatives only, then fan each
+    // rep pair out to every member combination (jaccard depends only on
+    // the sets, so members inherit the representatives' score verbatim)
+    val repPairs = Dedup.jaccardVerifySorted(
+        prefixCandidates(reps, idCol, toksCol, t), reps, idCol, toksCol)
       .filter(col("jaccard") >= t)
+    val crossPairs = repPairs
+      .join(members.select(col("_rep").as("id1"), col("_mid").as("_m1")), "id1")
+      .join(members.select(col("_rep").as("id2"), col("_mid").as("_m2")), "id2")
+      .select(least(col("_m1"), col("_m2")).as("id1"),
+        greatest(col("_m1"), col("_m2")).as("id2"), col("jaccard"))
+    crossPairs.unionByName(cliquePairs)
   }
 }

@@ -26,13 +26,37 @@ object ProfileMain {
 
     val docs = Tables.documents(spark, dir)
     docs.count()
-    for (rep <- 1 to 3) {
-      t(s"rep$rep minhashNearDups")(Dedup.minhashNearDups(docs, "doc_id", "text"))
-      t(s"rep$rep jaccardSelfJoin") {
-        val toks = docs.select(col("doc_id"), Dedup.hashedTokenSet(col("text")).as("toks"))
-        SetSimJoin.jaccardSelfJoin(toks, "doc_id", "toks", 0.8)
+
+    if (args.contains("ngram")) {
+      // stage-by-stage decomposition of the ngram pipeline (the r3 bench
+      // hotspot): where do the seconds go?
+      import graft.functions.TextOps
+      val grams = array_sort(transform(
+        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
+        g => xxhash64(g)))
+      for (rep <- 1 to 2) {
+        val toks = docs.select(col("doc_id"), grams.as("toks"))
+          .filter(size(col("toks")) > 0)
+        t(s"rep$rep ngram tokenize")(toks)
+        val cached = toks.localCheckpoint()
+        val t0 = 0.8
+        val sized = cached.select(col("doc_id"), col("toks").as("_tk"),
+          size(col("toks")).as("_sz"))
+        t(s"rep$rep ngram df-count")(sized.select(explode(col("_tk")).as("_tok"))
+          .groupBy(col("_tok")).agg(count(lit(1)).as("_df")))
+        t(s"rep$rep ngram candidates")(
+          SetSimJoin.prefixCandidates(cached, "doc_id", "toks", t0))
+        t(s"rep$rep ngram full")(SetSimJoin.jaccardSelfJoin(cached, "doc_id", "toks", t0))
       }
-      t(s"rep$rep simhashNearDups")(Dedup.simhashNearDups(docs, "doc_id", "text"))
+    } else {
+      for (rep <- 1 to 3) {
+        t(s"rep$rep minhashNearDups")(Dedup.minhashNearDups(docs, "doc_id", "text"))
+        t(s"rep$rep jaccardSelfJoin") {
+          val toks = docs.select(col("doc_id"), Dedup.hashedTokenSet(col("text")).as("toks"))
+          SetSimJoin.jaccardSelfJoin(toks, "doc_id", "toks", 0.8)
+        }
+        t(s"rep$rep simhashNearDups")(Dedup.simhashNearDups(docs, "doc_id", "text"))
+      }
     }
     spark.stop()
   }
