@@ -3,27 +3,57 @@ package graft
 import org.apache.spark.sql.functions._
 import graft.multimodal.Multimodal
 
-/** The multimodal plumbing is real even though the codec is stubbed:
-  * schema, encoders, partition-batched decode, and frame sampling must
-  * behave deterministically end to end. */
+/** The multimodal layer: container synthesis, the pure-JVM header parse,
+  * partition-batched decode, and frame sampling must behave
+  * deterministically end to end. */
 class MultimodalSpec extends SparkSpec {
 
-  test("decode stub is deterministic and total over the corpus") {
+  test("decoder parses hand-built BMP and WAV headers exactly") {
+    import spark.implicits._
+    // BMP 640x480, built byte-by-byte independently of synthMedia
+    def le(v: Long, n: Int): Array[Byte] =
+      (0 until n).map(i => ((v >> (8 * i)) & 0xFF).toByte).toArray
+    val bmp = ("BM".getBytes("ASCII") ++ le(58, 4) ++ le(0, 4) ++ le(54, 4) ++
+      le(40, 4) ++ le(640, 4) ++ le(480, 4) ++ le(1, 2) ++ le(24, 2) ++
+      le(0, 4) ++ le(4, 4) ++ le(2835, 4) ++ le(2835, 4) ++ le(0, 4) ++ le(0, 4) ++
+      Array[Byte](1, 2, 3, 4))
+    // WAV 44100 Hz stereo
+    val wav = ("RIFF".getBytes("ASCII") ++ le(40, 4) ++ "WAVE".getBytes("ASCII") ++
+      "fmt ".getBytes("ASCII") ++ le(16, 4) ++ le(1, 2) ++ le(2, 2) ++
+      le(44100, 4) ++ le(44100L * 2 * 2, 4) ++ le(4, 2) ++ le(16, 2) ++
+      "data".getBytes("ASCII") ++ le(4, 4) ++ Array[Byte](9, 9, 9, 9))
+    val junk = Array.fill[Byte](60)(7)
+    val out = Multimodal.decode(Seq(
+        Multimodal.MediaRecord(1L, bmp),
+        Multimodal.MediaRecord(2L, wav),
+        Multimodal.MediaRecord(3L, junk)).toDS())
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out(1L) === Multimodal.DecodedMedia(1L, "bmp",
+      Some(640), Some(480), None, None, bmp.length.toLong))
+    assert(out(2L) === Multimodal.DecodedMedia(2L, "wav",
+      None, None, Some(44100), Some(2), wav.length.toLong))
+    assert(out(3L).format === "unknown")
+  }
+
+  test("synthesized containers round-trip through the decoder") {
     val a = Multimodal.decodeQuery(spark, sf0001).collect()
     val b = Multimodal.decodeQuery(spark, sf0001).collect()
     assert(a.length === 500)
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
     val df = Multimodal.decodeQuery(spark, sf0001)
-    assert(df.filter(col("width") < 16 || col("height") < 16 || col("n_frames") < 1)
-      .count() === 0)
-    assert(df.filter(!col("format").isin("img", "audio", "video")).count() === 0)
+    assert(df.filter(!col("format").isin("bmp", "wav")).count() === 0,
+      "every synthesized payload must parse as its container format")
+    assert(df.filter(col("format") === "bmp" &&
+      (col("width") < 16 || col("height") < 16)).count() === 0)
+    assert(df.filter(col("format") === "wav" &&
+      (col("sample_rate") < 8000 || !col("channels").isin(1, 2))).count() === 0)
   }
 
   test("decode runs partition-batched regardless of partitioning") {
     import spark.implicits._
-    val media = Multimodal.asMedia(spark, sf0001)
+    val media = Multimodal.synthMedia(spark, sf0001)
       .as[Multimodal.MediaRecord].repartition(7)
-    val out = Multimodal.decodeStub(media)
+    val out = Multimodal.decode(media)
     assert(out.count() === 500)
     assert(out.select("doc_id").distinct().count() === 500)
   }
