@@ -24,9 +24,18 @@ object Tables {
     * (legacy conf) and truncate to microseconds with integer division —
     * exactly what DuckDB does when it loads the same file as its µs
     * TIMESTAMP, so oracle comparisons see identical values. (`div` is
-    * integral division; values are post-1970 so truncation == floor.) */
+    * integral division; values are post-1970 so truncation == floor.)
+    *
+    * The `nanosAsLong` conf must be set by the SESSION BUILDER (Verify,
+    * Bench, SparkSpec all do) — a loader silently flipping a session-wide
+    * legacy flag as a read side effect is a trap in shared sessions
+    * (VERDICT r3 item 4), so this one fails loudly instead: the require
+    * below names the missing conf rather than letting the opaque parquet
+    * error surface. */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events.parquet is TIMESTAMP(NANOS): the session must be built with " +
+        "spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
     table(s, d, "events")
       .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
   }
