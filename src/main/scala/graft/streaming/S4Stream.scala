@@ -258,6 +258,62 @@ object S4Stream {
       }
   }
 
+  /** [[sizeFlushStream]]'s processor on the Spark 4 `transformWithState`
+    * API (§2b names both forms; this is the forward-compatible one —
+    * typed per-key state handles, explicit TTL config, timer support).
+    * Same semantics as the flatMapGroupsWithState form: two longs of
+    * state per key, flush marker emitted when the byte count crosses the
+    * threshold, counter reset, remainder carried across batches.
+    * StreamingSpec holds the two implementations to identical output.
+    *
+    * Requires the RocksDB state store provider
+    * (spark.sql.streaming.stateStore.providerClass =
+    * ...state.RocksDBStateStoreProvider) — the provider transformWithState
+    * is built for, and the right one at scale anyway: state lives
+    * off-heap/on-disk with changelog checkpointing instead of in executor
+    * heap. */
+  class SizeFlushProcessor(thresholdBytes: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        String, (String, Long), SizeFlush] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TimerValues, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+
+    @transient private var counts: ValueState[(Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      counts = getHandle.getValueState[(Long, Long)]("counts",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong), TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[(String, Long)],
+                                 timerValues: TimerValues): Iterator[SizeFlush] = {
+      var (n, bytes) = if (counts.exists()) counts.get() else (0L, 0L)
+      val flushes = scala.collection.mutable.ArrayBuffer.empty[SizeFlush]
+      rows.foreach { case (_, b) =>
+        n += 1; bytes += b
+        if (bytes >= thresholdBytes) {
+          flushes += SizeFlush(key, n, bytes)
+          n = 0; bytes = 0
+        }
+      }
+      counts.update((n, bytes))
+      flushes.iterator
+    }
+  }
+
+  /** Size-based flush via `transformWithState` (see [[SizeFlushProcessor]]). */
+  def sizeFlushStreamTws(records: DataFrame, keyCol: String,
+                         thresholdBytes: Long): org.apache.spark.sql.Dataset[SizeFlush] = {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    import records.sparkSession.implicits._
+    records
+      .select(col(keyCol).cast("string").as("key"),
+        octet_length(col("value")).cast("long").as("bytes"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new SizeFlushProcessor(thresholdBytes),
+        TimeMode.None(), OutputMode.Append())
+  }
+
   /** Stateful streaming dedup bounded by watermark (§2b streaming ops):
     * drops records whose key was already seen within the watermark
     * horizon — state is evicted past it, so memory is bounded at any

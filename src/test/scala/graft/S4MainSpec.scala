@@ -30,6 +30,28 @@ class S4MainSpec extends AnyFunSuite {
     assert(!cfg.availableNow)
   }
 
+  test("every S4Config field is reachable from a flag (no dead surface)") {
+    val (_, flags) = S4Main.parse(Array(
+      "run", "--input-kind", "socket", "--host", "h1", "--port", "1234",
+      "--max-files-per-trigger", "7", "--max-record-bytes", "1024",
+      "--lake-format", "parquet", "--sink", "foreach", "--lake", "/lake"))
+    val cfg = S4Main.configFrom(flags)
+    assert(cfg.inputKind === "socket")
+    assert(cfg.host === "h1")
+    assert(cfg.port === 1234)
+    assert(cfg.maxFilesPerTrigger === Some(7))
+    assert(cfg.maxRecordBytes === 1024)
+    assert(cfg.lakeFormat === "parquet")
+    assert(cfg.sink === "foreach")
+  }
+
+  test("socket kind needs no --input; files kind still requires it") {
+    val (_, flags) = S4Main.parse(Array("run", "--input-kind", "socket"))
+    assert(S4Main.configFrom(flags).inputDir === "")
+    val (_, flags2) = S4Main.parse(Array("run", "--input-kind", "files"))
+    intercept[RuntimeException](S4Main.configFrom(flags2))
+  }
+
   test("missing --input is an error (required, as in optionParser)") {
     val (_, flags) = S4Main.parse(Array("run", "--lake", "/lake"))
     intercept[RuntimeException](S4Main.configFrom(flags))
