@@ -391,6 +391,36 @@ object Relational {
         round(coalesce(max(col("o_totalprice")), lit(0.0)), 2).as("max_urgent_price"))
       .orderBy(col("c_custkey"))
 
+  /** Approximate percentile sketch (Greenwald-Khanna) beside q28's exact
+    * percentiles — the §2b sketch family's quantile member. Engine-only:
+    * DuckDB's approx_quantile is a different sketch (t-digest), so the
+    * driver records rows-only and SketchSpec gates the error against the
+    * exact answer instead. */
+  def q31ApproxPercentile(s: SparkSession, dir: String): DataFrame =
+    Tables.orders(s, dir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        round(expr("approx_percentile(o_totalprice, 0.5, 1000)"), 2).as("p50_approx"),
+        round(expr("approx_percentile(o_totalprice, 0.9, 1000)"), 2).as("p90_approx"),
+        count(lit(1)).as("n"))
+      .orderBy(col("o_orderstatus"))
+
+  /** The salted skew join as an ORACLE-VERIFIED query (SkewJoinSpec
+    * already proves plan-level equality; this holds the full operator to
+    * a DuckDB plain-join oracle on real data): purchases enriched with a
+    * per-user event-count dimension through SkewJoin.saltedEquiJoin —
+    * the (key, salt) fan-out must be invisible in the result. */
+  def q32SaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val dim = ev.groupBy(col("user_id")).agg(count(lit(1)).as("n_user_events"))
+    graft.operators.SkewJoin.saltedEquiJoin(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id"), col("user_id")),
+        dim, "user_id", saltSource = "event_id", salts = 8)
+      .select(col("event_id"), col("user_id"), col("n_user_events"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -422,6 +452,8 @@ object Relational {
     "q28_percentiles" -> (q28Percentiles _),
     "q29_first_last" -> (q29FirstLast _),
     "q30_right_outer" -> (q30RightOuter _),
+    "q31_approx_percentile" -> (q31ApproxPercentile _),
+    "q32_salted_join" -> (q32SaltedJoin _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -619,5 +651,11 @@ object Relational {
         |FROM (SELECT * FROM orders WHERE o_orderpriority = '1-URGENT') o
         |RIGHT JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_custkey, c_nationkey ORDER BY c_custkey""".stripMargin,
+    "q32_salted_join" ->
+      """SELECT event_id, user_id, n_user_events
+        |FROM (SELECT event_id, user_id FROM events WHERE event_type = 'purchase') e
+        |JOIN (SELECT user_id, count(*) AS n_user_events FROM events
+        |      GROUP BY user_id) d USING (user_id)
+        |ORDER BY event_id""".stripMargin,
   )
 }
