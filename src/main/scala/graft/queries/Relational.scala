@@ -421,6 +421,42 @@ object Relational {
       .orderBy(col("event_id"))
   }
 
+  /** PIVOT: long-to-wide conditional aggregation (`groupBy.pivot.agg`).
+    * Explicit value list (`Seq("f","o")`) keeps the plan a single pass —
+    * with no list Spark first collects distinct pivot values to the
+    * driver, an extra job that at 100 TB scans the fact table twice.
+    * Absent cells surface as null from PivotFirst; both sides coalesce
+    * them to 0 so the oracle compare is well-defined. Pivot values are
+    * lowercased because the generated column NAMES embed them and the
+    * oracle compare is name-sensitive. */
+  def q33Pivot(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("_ls", lower(col("l_linestatus")))
+      .groupBy(col("l_returnflag"))
+      .pivot("_ls", Seq("f", "o"))
+      .agg(round(sum(col("l_quantity")), 2).as("qty"),
+        count(lit(1)).as("n"))
+      .select(col("l_returnflag"),
+        coalesce(col("f_qty"), lit(0.0)).as("f_qty"),
+        coalesce(col("f_n"), lit(0L)).as("f_n"),
+        coalesce(col("o_qty"), lit(0.0)).as("o_qty"),
+        coalesce(col("o_n"), lit(0L)).as("o_n"))
+      .orderBy(col("l_returnflag"))
+
+  /** UNPIVOT (melt): wide-to-long without a shuffle — `unpivot` is a
+    * per-row Expand, so it pipelines inside the scan stage; only the
+    * final presentation sort exchanges. Value columns must share a type,
+    * hence the int→double cast on p_size. */
+  def q34Unpivot(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .select(col("p_partkey"), col("p_retailprice"),
+        col("p_size").cast("double").as("p_size"))
+      .unpivot(
+        Array(col("p_partkey")),
+        Array(col("p_retailprice"), col("p_size")),
+        "metric", "val")
+      .orderBy(col("p_partkey"), col("metric"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -454,6 +490,8 @@ object Relational {
     "q30_right_outer" -> (q30RightOuter _),
     "q31_approx_percentile" -> (q31ApproxPercentile _),
     "q32_salted_join" -> (q32SaltedJoin _),
+    "q33_pivot" -> (q33Pivot _),
+    "q34_unpivot" -> (q34Unpivot _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -657,5 +695,17 @@ object Relational {
         |JOIN (SELECT user_id, count(*) AS n_user_events FROM events
         |      GROUP BY user_id) d USING (user_id)
         |ORDER BY event_id""".stripMargin,
+    "q33_pivot" ->
+      """SELECT l_returnflag,
+        | coalesce(round(sum(CASE WHEN lower(l_linestatus) = 'f' THEN l_quantity END), 2), 0) AS f_qty,
+        | count(CASE WHEN lower(l_linestatus) = 'f' THEN 1 END) AS f_n,
+        | coalesce(round(sum(CASE WHEN lower(l_linestatus) = 'o' THEN l_quantity END), 2), 0) AS o_qty,
+        | count(CASE WHEN lower(l_linestatus) = 'o' THEN 1 END) AS o_n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "q34_unpivot" ->
+      """SELECT p_partkey, 'p_retailprice' AS metric, p_retailprice AS val FROM part
+        |UNION ALL
+        |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
+        |ORDER BY p_partkey, metric""".stripMargin,
   )
 }

@@ -219,6 +219,29 @@ object S4Stream {
                    keyCol: String): DataFrame =
     records.join(broadcast(dim), Seq(keyCol), "left")
 
+  /** Stream-stream interval join (the §2b streaming join family beyond
+    * [[enrichStream]]'s stream-static case): inner-joins two LIVE streams
+    * on a key, keeping right-side events that land within
+    * `[left.ts, left.ts + joinWindow]`. Both sides are watermarked and
+    * the join condition bounds event time in both directions — that pair
+    * is what lets Spark evict buffered join state; without the time bound
+    * every row waits forever for future matches and state grows without
+    * limit. At scale, state ≈ input rate × (watermark + joinWindow) per
+    * side, independent of stream age; both sides shuffle once on the key. */
+  def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
+                          leftTs: String, rightTs: String,
+                          watermark: String = "10 minutes",
+                          joinWindow: String = "5 minutes"): DataFrame = {
+    val rk = s"_r_$keyCol"
+    val r = right.withColumnRenamed(keyCol, rk)
+    left.withWatermark(leftTs, watermark)
+      .join(r.withWatermark(rightTs, watermark),
+        col(keyCol) === col(rk) &&
+          col(rightTs) >= col(leftTs) &&
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"))
+      .drop(rk)
+  }
+
   /** One flush decision emitted by [[sizeFlushStream]]. */
   case class SizeFlush(key: String, n_records: Long, n_bytes: Long)
 

@@ -278,6 +278,35 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L))
   }
 
+  test("stream-stream interval join matches in-window pairs and only those") {
+    val inL = tmp("s4jl"); val inR = tmp("s4jr"); val ck = tmp("s4jck")
+    // impressions (left) and clicks (right); window = 5 minutes.
+    // ad 1: click 2 min after impression -> match
+    // ad 2: click 20 min after impression -> outside window, no match
+    // ad 3: click 1 min BEFORE impression -> no match (right >= left)
+    writeLines(inL, "imp.json", Seq(
+      """{"ad": 1, "its": "2024-01-01 00:00:00"}""",
+      """{"ad": 2, "its": "2024-01-01 00:00:00"}""",
+      """{"ad": 3, "its": "2024-01-01 00:10:00"}"""))
+    writeLines(inR, "clk.json", Seq(
+      """{"ad": 1, "cts": "2024-01-01 00:02:00"}""",
+      """{"ad": 2, "cts": "2024-01-01 00:20:00"}""",
+      """{"ad": 3, "cts": "2024-01-01 00:09:00"}"""))
+    val l = spark.readStream.schema("ad LONG, its TIMESTAMP").json(inL.toString)
+    val r = spark.readStream.schema("ad LONG, cts TIMESTAMP").json(inR.toString)
+    val q = S4Stream.intervalJoinStreams(l, r, "ad", "its", "cts",
+        watermark = "10 minutes", joinWindow = "5 minutes")
+      .writeStream.format("memory").queryName("sj_out")
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+      .start()
+    q.awaitTermination()
+    val out = spark.table("sj_out")
+      .select(col("ad"), col("cts").cast("string"))
+      .collect().map(x => (x.getLong(0), x.getString(1))).toSet
+    assert(out === Set((1L, "2024-01-01 00:02:00")),
+      s"only the in-window click may join: $out")
+  }
+
   test("streaming session windows finalize when the watermark passes") {
     val in = tmp("s4sin"); val ck = tmp("s4sck")
     // batch 1: user 1 has two sessions (gap > 30 min); batch 2 is 6 hours
