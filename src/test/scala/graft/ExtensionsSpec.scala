@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import graft.plans.GraftExtensions
+
+/** The SQL registration surface: every custom expression reachable from
+  * `spark.sql(...)` must evaluate to the same result the DataFrame path
+  * produces, and the `spark.sql.extensions` class form must inject
+  * without error. */
+class ExtensionsSpec extends SparkSpec {
+
+  test("custom expressions are callable from SQL after register()") {
+    GraftExtensions.register(spark)
+
+    val dot = spark.sql(
+      "SELECT vec_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
+      .head.getDouble(0)
+    assert(dot === 32.0)
+
+    val isect = spark.sql(
+      "SELECT sorted_intersect_size(array(1L, 2L, 5L, 9L), array(2L, 3L, 5L)) AS n")
+      .head.getInt(0)
+    assert(isect === 2)
+
+    val sig = spark.sql(
+      "SELECT minhash_sig(array(1L, 2L, 3L), 4, 42L) AS s")
+      .head.getSeq[Long](0)
+    assert(sig.length === 4)
+    // same seeded family as the DataFrame path
+    val viaDf = {
+      import org.apache.spark.sql.graftshim.GraftShim
+      import org.apache.spark.sql.functions._
+      spark.range(1).select(GraftShim.column(
+        graft.functions.MinHashSig(GraftShim.expression(
+          array(lit(1L), lit(2L), lit(3L))), 4, 42L)).as("s"))
+        .head.getSeq[Long](0)
+    }
+    assert(sig === viaDf, "SQL and DataFrame paths must agree")
+  }
+
+  test("minhash_sig rejects non-literal sketch parameters") {
+    GraftExtensions.register(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT minhash_sig(array(1L), id, 42L) FROM range(1)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"),
+      s"expected a loud literal-arg error, got: ${e.getMessage}")
+  }
+
+  test("the spark.sql.extensions class form injects all functions") {
+    // The config path applies this at session build; here we hold the
+    // class to "injects without throwing" against a fresh extensions
+    // container (building a second SparkSession in-JVM would just
+    // return the shared one).
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+  }
+}
