@@ -122,6 +122,50 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** One nearest-neighbor-resized raster, reduced to oracle-checkable
+    * features (dims + byte checksum — emitting the resized bytes
+    * themselves would leave nothing DuckDB-comparable to hash). */
+  case class ResizedMedia(doc_id: Long, out_w: Int, out_h: Int, checksum: Long)
+
+  /** Nearest-neighbor downsample (the brief's multimodal "resize" step):
+    * the payload is interpreted as a fixed-stride byte raster (stride
+    * bytes per row) and shrunk `factor`× per axis by sampling every
+    * `factor`-th row and column — the textbook NN resize, on real bytes.
+    * Runs in the same partition-batched iterator shape as [[decode]]
+    * (resampler state per task, tight JVM loop per row, no per-row UDF);
+    * payloads shorter than one output row are dropped, like a decoder
+    * rejecting a truncated image. */
+  def resize(media: Dataset[MediaRecord], stride: Int = 64,
+             factor: Int = 2): Dataset[ResizedMedia] = {
+    import media.sparkSession.implicits._
+    val outW = stride / factor
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val outH = (b.length / stride) / factor
+        if (outH < 1) Iterator.empty
+        else {
+          var sum = 0L
+          var j = 0
+          while (j < outH) {
+            val base = factor * j * stride
+            var i = 0
+            while (i < outW) { sum += (b(base + factor * i) & 0xFF); i += 1 }
+            j += 1
+          }
+          Iterator.single(ResizedMedia(r.doc_id, outW, outH, sum))
+        }
+      }
+    }
+  }
+
+  /** Resize query: raw payload rasters → 2× NN downsample → dims +
+    * checksum; the oracle re-samples the same byte positions in SQL. */
+  def resizeQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    resize(asMedia(s, dir).as[MediaRecord]).toDF().orderBy(col("doc_id"))
+  }
+
   /** Frame sampling: fixed-stride byte slices of the payload — the same
     * explode/slice plumbing a video frame sampler produces, with
     * oracle-checkable digests (substring over binary is exact). */
@@ -140,6 +184,7 @@ object Multimodal {
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> ((s, d) => decodeQuery(s, d)),
+    "mm_resize" -> ((s, d) => resizeQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
   )
 
@@ -154,6 +199,18 @@ object Multimodal {
         | CAST(CASE WHEN doc_id % 2 = 0 THEN 54 ELSE 44 END
         |      + octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "mm_resize" ->
+      """SELECT d.doc_id, 32 AS out_w, CAST(d.oh AS INTEGER) AS out_h,
+        | CAST(sum(ascii(substring(d.text, 2 * j.jx * 64 + 2 * i.ix + 1, 1))) AS BIGINT)
+        |   AS checksum
+        |FROM (SELECT doc_id, text,
+        |        (octet_length(CAST(text AS BLOB)) // 64) // 2 AS oh
+        |      FROM documents) d
+        |CROSS JOIN (SELECT unnest(range(0, 16)) AS jx) j
+        |CROSS JOIN (SELECT unnest(range(0, 32)) AS ix) i
+        |WHERE j.jx < d.oh
+        |GROUP BY d.doc_id, d.oh
+        |ORDER BY d.doc_id""".stripMargin,
     "mm_frame_sample" ->
       """SELECT doc_id, k - 1 AS frame_idx,
         | CAST(octet_length(CAST(substring(text, (k-1)*64 + 1, 64) AS BLOB)) AS BIGINT)

@@ -35,6 +35,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).format === "unknown")
   }
 
+  test("nearest-neighbor resize samples exactly every other row/column") {
+    import spark.implicits._
+    // 256 bytes, b[k] = k: stride 64 -> 4 rows, 2x down -> 2x32 output
+    // sampling rows {0,2} cols {0,2,...,62}:
+    //   row 0: sum 0+2+...+62 = 992; row 2: sum (128+0)+(128+2)+... = 32*128+992
+    val ramp = Array.tabulate[Byte](256)(k => k.toByte)
+    val short = Array.fill[Byte](100)(1) // < 128 bytes -> dropped
+    val out = Multimodal.resize(Seq(
+        Multimodal.MediaRecord(1L, ramp),
+        Multimodal.MediaRecord(2L, short)).toDS())
+      .collect().map(r => r.doc_id -> r).toMap
+    assert(out.keySet === Set(1L), "truncated payloads must be dropped")
+    assert(out(1L) === Multimodal.ResizedMedia(1L, 32, 2, 992L + 32 * 128 + 992))
+  }
+
   test("synthesized containers round-trip through the decoder") {
     val a = Multimodal.decodeQuery(spark, sf0001).collect()
     val b = Multimodal.decodeQuery(spark, sf0001).collect()

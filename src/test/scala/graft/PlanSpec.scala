@@ -70,6 +70,26 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q33: explicit pivot values keep the plan single-pass (no distinct-collect job)") {
+    // pivot WITHOUT a value list first runs a separate job collecting
+    // distinct pivot values to the driver — two scans of the fact table.
+    // With the explicit list the plan is one scan + one aggregate, and
+    // pivot cells evaluate inside the aggregate (no extra exchange).
+    val df = SparkEntry.queries("q33_pivot")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val scans = "FileScan parquet".r.findAllIn(p).length
+    assert(scans == 1, s"pivot must scan lineitem exactly once, found $scans:\n$p")
+  }
+
+  test("q34: unpivot is a shuffle-free Expand; only the presentation sort exchanges") {
+    val df = SparkEntry.queries("q34_unpivot")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"unpivot should plan as Expand:\n$p")
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 1,
+      s"unpivot itself must not shuffle (only the final orderBy may), found $exchanges:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
