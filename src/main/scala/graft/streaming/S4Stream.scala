@@ -227,18 +227,25 @@ object S4Stream {
     * is what lets Spark evict buffered join state; without the time bound
     * every row waits forever for future matches and state grows without
     * limit. At scale, state ≈ input rate × (watermark + joinWindow) per
-    * side, independent of stream age; both sides shuffle once on the key. */
+    * side, independent of stream age; both sides shuffle once on the key.
+    *
+    * `joinType` "left_outer": an unmatched left row is emitted with null
+    * right columns — but only once the watermark has passed its whole
+    * match window (before that a future in-window right row could still
+    * arrive), so outer results trail the watermark by design. */
   def intervalJoinStreams(left: DataFrame, right: DataFrame, keyCol: String,
                           leftTs: String, rightTs: String,
                           watermark: String = "10 minutes",
-                          joinWindow: String = "5 minutes"): DataFrame = {
+                          joinWindow: String = "5 minutes",
+                          joinType: String = "inner"): DataFrame = {
     val rk = s"_r_$keyCol"
     val r = right.withColumnRenamed(keyCol, rk)
     left.withWatermark(leftTs, watermark)
       .join(r.withWatermark(rightTs, watermark),
         col(keyCol) === col(rk) &&
           col(rightTs) >= col(leftTs) &&
-          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"))
+          col(rightTs) <= col(leftTs) + expr(s"INTERVAL $joinWindow"),
+        joinType)
       .drop(rk)
   }
 

@@ -307,6 +307,42 @@ class StreamingSpec extends SparkSpec {
       s"only the in-window click may join: $out")
   }
 
+  test("left-outer interval join emits unmatched rows with nulls once the watermark passes") {
+    val inL = tmp("s4ol"); val inR = tmp("s4or"); val ck = tmp("s4ock")
+    // ad 1 gets an in-window click; ad 2 never does. The b_* sentinel
+    // files (non-matching ad ids, 6h later) push BOTH watermarks far
+    // past ad 2's match window so its outer row can emit; the sentinel
+    // impression itself (ad 98) stays in state — its window is still
+    // open — proving outer emission waits for the watermark.
+    writeLines(inL, "a_imp.json", Seq(
+      """{"ad": 1, "its": "2024-01-01 00:00:00"}""",
+      """{"ad": 2, "its": "2024-01-01 00:00:00"}"""))
+    writeLines(inR, "a_clk.json", Seq(
+      """{"ad": 1, "cts": "2024-01-01 00:02:00"}"""))
+    writeLines(inL, "b_imp.json", Seq(
+      """{"ad": 98, "its": "2024-01-01 06:00:00"}"""))
+    writeLines(inR, "b_clk.json", Seq(
+      """{"ad": 99, "cts": "2024-01-01 06:00:00"}"""))
+    val l = spark.readStream.schema("ad LONG, its TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).json(inL.toString)
+    val r = spark.readStream.schema("ad LONG, cts TIMESTAMP")
+      .option("maxFilesPerTrigger", 1).json(inR.toString)
+    val q = S4Stream.intervalJoinStreams(l, r, "ad", "its", "cts",
+        watermark = "10 minutes", joinWindow = "5 minutes",
+        joinType = "left_outer")
+      .writeStream.format("memory").queryName("soj_out")
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+      .start()
+    q.awaitTermination()
+    val out = spark.table("soj_out")
+      .select(col("ad"), col("cts").cast("string"))
+      .collect().map(x => (x.getLong(0), Option(x.getString(1)))).toSet
+    assert(out === Set(
+      (1L, Some("2024-01-01 00:02:00")),
+      (2L, None)),
+      s"matched ad 1, null-padded ad 2, sentinel withheld: $out")
+  }
+
   test("streaming session windows finalize when the watermark passes") {
     val in = tmp("s4sin"); val ck = tmp("s4sck")
     // batch 1: user 1 has two sessions (gap > 30 min); batch 2 is 6 hours
