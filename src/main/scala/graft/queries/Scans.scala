@@ -74,7 +74,23 @@ object Scans {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** `binaryFile` scan — the ingestion datasource for media/multimodal
+    * payloads (whole file → one row with `content: binary`). Stages the
+    * documents as a single text object (coalesce(1) makes the file count
+    * and total byte size deterministic), then reads it back whole
+    * through the real binaryFile reader with a path-glob filter. */
+  def scanBinaryFile(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(dir, "docs_bin")
+    Tables.documents(s, dir).select(col("text"))
+      .coalesce(1)
+      .write.mode("overwrite").text(path)
+    s.read.format("binaryFile").option("pathGlobFilter", "part-*").load(path)
+      .agg(count(lit(1)).as("n_files"),
+        sum(length(col("content"))).cast("long").as("total_bytes"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "scan_binaryfile" -> (scanBinaryFile _),
     "scan_text_roundtrip" -> (scanText _),
     "scan_json_roundtrip" -> (scanJson _),
     "scan_csv_roundtrip" -> (scanCsv _),
@@ -82,6 +98,10 @@ object Scans {
   )
 
   val oracles: Map[String, String] = Map(
+    "scan_binaryfile" ->
+      """SELECT CAST(1 AS BIGINT) AS n_files,
+        | CAST(sum(length(text) + 1) AS BIGINT) AS total_bytes
+        |FROM documents""".stripMargin,
     "scan_text_roundtrip" ->
       """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
