@@ -457,6 +457,24 @@ object Relational {
         "metric", "val")
       .orderBy(col("p_partkey"), col("metric"))
 
+  /** LATERAL correlated subquery (per-row dependent subquery — the
+    * third member of the correlation family beside q21's scalar
+    * subquery and q04/q07's semi/anti): top supplier per nation via a
+    * correlated ordered-limit subquery. Catalyst decorrelates this into
+    * a ranked join — same physical shape as q09's window top-k — so
+    * "lateral" costs nothing extra at scale. Tables are referenced as
+    * `parquet.`path`` inline so no session-global temp view is
+    * registered (r3 hygiene rule). */
+  def q35Lateral(s: SparkSession, dir: String): DataFrame =
+    s.sql(
+      s"""SELECT n.n_name, t.s_name, t.s_acctbal
+         |FROM parquet.`$dir/nation.parquet` n,
+         |LATERAL (SELECT s_name, s_acctbal
+         |         FROM parquet.`$dir/supplier.parquet` s
+         |         WHERE s.s_nationkey = n.n_nationkey
+         |         ORDER BY s_acctbal DESC, s_name LIMIT 1) t
+         |ORDER BY n.n_name""".stripMargin)
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -492,6 +510,7 @@ object Relational {
     "q32_salted_join" -> (q32SaltedJoin _),
     "q33_pivot" -> (q33Pivot _),
     "q34_unpivot" -> (q34Unpivot _),
+    "q35_lateral" -> (q35Lateral _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -707,5 +726,12 @@ object Relational {
         |UNION ALL
         |SELECT p_partkey, 'p_size' AS metric, CAST(p_size AS DOUBLE) AS val FROM part
         |ORDER BY p_partkey, metric""".stripMargin,
+    "q35_lateral" ->
+      """SELECT n.n_name, t.s_name, t.s_acctbal
+        |FROM nation n,
+        |LATERAL (SELECT s_name, s_acctbal FROM supplier s
+        |         WHERE s.s_nationkey = n.n_nationkey
+        |         ORDER BY s_acctbal DESC, s_name LIMIT 1) t
+        |ORDER BY n.n_name""".stripMargin,
   )
 }
