@@ -142,6 +142,25 @@ object TextPipeline {
       .orderBy(col("doc_freq").desc, col("term"))
       .limit(20)
 
+  /** Deterministic train/val/test split assignment — the step every
+    * training-data pipeline ends with. The split is a pure function of
+    * the stable id (Knuth multiplicative hash, mod 100 → 80/10/10), so
+    * it is reproducible run-to-run, engine-to-engine, and at any
+    * parallelism — unlike `randomSplit`, whose assignment depends on
+    * partitioning. Per-row work only; aggregates per split×source for a
+    * bounded, oracle-hashable result. (doc_id ≤ ~1e7 keeps the product
+    * < 2^63, so no overflow-semantics divergence between engines.) */
+  def splitAssign(s: SparkSession, dir: String): DataFrame = {
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100))
+    Tables.documents(s, dir)
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"))
+      .orderBy(col("split"), col("source"))
+  }
+
   /** Multimodal plumbing: documents as opaque binary payloads with typed
     * metadata — byte length and content digest (the decode step proper is
     * stubbed in graft.multimodal, per the brief: codec libs absent). */
@@ -178,11 +197,18 @@ object TextPipeline {
     "doc_simhash_pairs" -> (simhashPairs _),
     "doc_langid_fingerprint" -> (langIdFingerprint _),
     "doc_top_terms" -> (topTerms _),
+    "doc_split_assign" -> (splitAssign _),
     "mm_binary_stats" -> (binaryStats _),
     "ev_asof_join" -> (asofPurchaseSignup _),
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_split_assign" ->
+      """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        | source, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars
+        |FROM documents GROUP BY split, source ORDER BY split, source""".stripMargin,
     "doc_ngram_jaccard_pairs" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
