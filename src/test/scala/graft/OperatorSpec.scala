@@ -73,6 +73,28 @@ class OperatorSpec extends SparkSpec {
     assert(df(0).getString(1) !== df(1).getString(1))
   }
 
+  test("batch partitioned parquet write prunes partitions on filtered read") {
+    // The batch-side twin of StreamingSpec's lake-layout pruning test:
+    // a Hive-layout partitioned write must let a partition-key filter
+    // skip whole directories at planning time (PartitionFilters), not
+    // scan-and-discard — at 100 TB this is the difference between
+    // reading one partition and reading the lake.
+    val out = java.nio.file.Files.createTempDirectory("graft_part").toString
+    Tables.events(spark, sf0001)
+      .select(col("event_id"), col("user_id"), col("event_type"))
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+    val reads = spark.read.parquet(out).filter(col("event_type") === "purchase")
+    val p = reads.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(event_type")
+      || p.contains("PartitionFilters: [(event_type"),
+      s"partition filter must reach the scan:\n$p")
+    assert(!p.contains("PushedFilters: [IsNotNull(event_type"),
+      "partition key must prune directories, not run as a data filter")
+    val expected = Tables.events(spark, sf0001)
+      .filter(col("event_type") === "purchase").count()
+    assert(reads.count() === expected)
+  }
+
   test("sortWithinPartitions orders every partition without a shuffle") {
     val df = Tables.orders(spark, sf0001)
       .repartition(4, col("o_orderstatus"))
