@@ -165,9 +165,12 @@ object Dedup {
 
   /** Distinct tokens of a text column as a sorted array of 64-bit hashes:
     * the canonical token-set representation for the near-dup family —
-    * set ops over sorted longs, sorted ONCE per doc at tokenization. */
+    * set ops over sorted longs, sorted ONCE per doc at tokenization.
+    * Fused codegen expression (bit-identical to the HOF chain it
+    * replaced — ShingleHashSetSpec holds the equivalence; the HOF form
+    * was CodegenFallback and cost ~1.5s/5000 docs at sf0.1). */
   def hashedTokenSet(text: Column): Column =
-    array_sort(transform(array_distinct(TextOps.tokens(text)), t => xxhash64(t)))
+    graft.functions.ShingleHashSet(text, 1)
 
   /** Exact token-set Jaccard for a pair table, tokenizing from the docs
     * table (convenience wrapper over jaccardVerifyToks). */

@@ -65,6 +65,11 @@ object GraftExtensions {
       arity("is_earliest_witness", 4, args)
       IsEarliestWitness(args(0), args(1), args(2), args(3))
     },
+    entry("shingle_hash_set") { args =>
+      arity("shingle_hash_set", 2, args)
+      ShingleHashSet(args(0),
+        litLong(args(1), "shingle_hash_set", "n").toInt)
+    },
     entry("minhash_sig") { args =>
       arity("minhash_sig", 3, args)
       MinHashSig(args(0),

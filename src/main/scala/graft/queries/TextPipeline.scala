@@ -82,9 +82,9 @@ object TextPipeline {
     * docs with fewer than 3 tokens have no shingles and are excluded,
     * matching the oracle's len(toks) >= 3 guard. */
   def ngramJaccardPairs(s: SparkSession, dir: String): DataFrame = {
-    val grams = array_sort(transform(
-      array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
-      g => xxhash64(g)))
+    // fused codegen shingle hasher (≡ the HOF chain bit-for-bit,
+    // ShingleHashSetSpec) — the HOF form was the query's hottest stage
+    val grams = graft.functions.ShingleHashSet(col("text"), 3)
     val toks = Tables.documents(s, dir)
       .select(col("doc_id"), grams.as("toks"))
       .filter(size(col("toks")) > 0)

@@ -26,6 +26,10 @@ class ExtensionsSpec extends SparkSpec {
       "SELECT minhash_sig(array(1L, 2L, 3L), 4, 42L) AS s")
       .head.getSeq[Long](0)
     assert(sig.length === 4)
+
+    val sh = spark.sql(
+      "SELECT shingle_hash_set('a b c d', 3) AS g").head.getSeq[Long](0)
+    assert(sh.length === 2, "two distinct 3-grams in a 4-token text")
     // same seeded family as the DataFrame path
     val viaDf = {
       import org.apache.spark.sql.graftshim.GraftShim

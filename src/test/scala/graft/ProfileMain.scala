@@ -30,10 +30,7 @@ object ProfileMain {
     if (args.contains("ngram")) {
       // stage-by-stage decomposition of the ngram pipeline (the r3 bench
       // hotspot): where do the seconds go?
-      import graft.functions.TextOps
-      val grams = array_sort(transform(
-        array_distinct(TextOps.shingles(TextOps.tokens(col("text")), 3)),
-        g => xxhash64(g)))
+      val grams = graft.functions.ShingleHashSet(col("text"), 3)
       for (rep <- 1 to 2) {
         val toks = docs.select(col("doc_id"), grams.as("toks"))
           .filter(size(col("toks")) > 0)
