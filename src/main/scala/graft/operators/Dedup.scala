@@ -211,10 +211,19 @@ object Dedup {
   /** SimHash near-dup: docs whose 64-bit simhash differs by <= maxHamming
     * bits. Candidate generation buckets on 4 × 16-bit simhash bands
     * (guarantees recall for hamming <= 3); verification checks the true
-    * hamming distance. */
+    * hamming distance.
+    *
+    * Scale shape: the signature table (id, long) is localCheckpointed so
+    * the exploded 64-vote aggregation runs ONCE, not once per self-join
+    * side; duplicate candidate pairs (a pair collides in every band whose
+    * 16-bit slice of sh1^sh2 is zero) are suppressed emit-once-by-
+    * construction — a pair is kept only in its FIRST matching band,
+    * decided from pure bit ops on the two signatures already in the row —
+    * instead of a global distinct() over all collision rows. */
   def simhashNearDups(docs: DataFrame, idCol: String, textCol: String,
                       maxHamming: Int = 3): DataFrame = {
     val sigs = TextOps.simhash(docs, idCol, TextOps.tokens(col(textCol)))
+      .localCheckpoint()
     val banded = sigs.select(col(idCol), col("simhash"),
       posexplode(array((0 until 4).map(b =>
         shiftrightunsigned(col("simhash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
@@ -223,11 +232,17 @@ object Dedup {
       col(idCol).as("id1"), col("simhash").as("sh1"))
     val b = banded.select(col("band"), col("band_hash"),
       col(idCol).as("id2"), col("simhash").as("sh2"))
+    val diff = col("sh1").bitwiseXOR(col("sh2"))
+    // this row's band is the pair's first matching band <=> every earlier
+    // band's slice of the xor is nonzero
+    val firstMatchingBand = (0 until 3).foldLeft(lit(true)) { (acc, bp) =>
+      acc && (col("band") <= bp ||
+        shiftrightunsigned(diff, bp * 16).bitwiseAND(lit(0xFFFFL)) =!= 0L)
+    }
     a.join(b, Seq("band", "band_hash"))
-      .filter(col("id1") < col("id2"))
+      .filter(col("id1") < col("id2") && firstMatchingBand)
       .select(col("id1"), col("id2"),
         TextOps.hamming(col("sh1"), col("sh2")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
   }
 }
