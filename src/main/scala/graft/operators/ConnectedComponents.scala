@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list via the alternating
+  * large-star / small-star algorithm (Kiveris, Lattanzi, Mirrokni,
+  * Rastogi, Vassilvitskii — "Connected Components in MapReduce and
+  * Beyond", SoCC'14; public literature).
+  *
+  * This is the dedup-clustering primitive: near-dup PAIRS (MinHash / LSH /
+  * set-similarity output) only say "these two match"; choosing which
+  * documents to keep requires grouping the pairs into components first
+  * (S4's reference surface has no analogue — this is part of the
+  * LLM-pipeline layer the brief mandates).
+  *
+  * Why this shape at 100 TB:
+  *   - Each round is two map-reduce passes over the edge set (a groupBy
+  *     for the per-node minimum + a join to rewrite edges) — no
+  *     driver-side graph state; the only data on the driver is one
+  *     (count, checksum) row per round for the convergence test.
+  *   - The round count is O(log n) on ANY graph shape — naive min-label
+  *     propagation needs O(diameter) rounds, and a chain of borderline
+  *     near-dups (a1~a2~...~ak with no shortcut edges) has diameter k.
+  *   - Each round's output is localCheckpointed: iterative DataFrame
+  *     plans MUST truncate lineage, otherwise the logical plan gains two
+  *     joins per round and both planning time and recovery cost grow
+  *     without bound.
+  */
+object ConnectedComponents {
+
+  /** Large-star: every node connects its larger neighbors to the minimum
+    * of its neighborhood (including itself). Leaves component minima
+    * fixed, strictly contracts long chains. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    // distinct names on each side: m derives FROM und, so this is a
+    // self-join — name-based resolution survives Spark's relation
+    // deduplication where stale df("col") references don't
+    val und = edges.select(col("src").as("u"), col("dst").as("v"))
+      .union(edges.select(col("dst").as("u"), col("src").as("v")))
+    val m = und.groupBy(col("u")).agg(min(col("v")).as("_mn"))
+      .select(col("u").as("_u"), least(col("u"), col("_mn")).as("_m"))
+    und.join(m, col("u") === col("_u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("src"), col("_m").as("dst"))
+      .distinct()
+  }
+
+  /** Small-star: orient every edge large→small; every node connects its
+    * smaller neighbors (and itself) to the minimum among them. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val dir = edges.select(
+      greatest(col("src"), col("dst")).as("u"),
+      least(col("src"), col("dst")).as("v"))
+    val m = dir.groupBy(col("u")).agg(min(col("v")).as("_m"))
+      .select(col("u").as("_u"), col("_m"))
+    val rewired = dir.join(m, col("u") === col("_u"))
+      .select(col("v").as("src"), col("_m").as("dst"))
+    val selfToMin = m.select(col("_u").as("src"), col("_m").as("dst"))
+    rewired.union(selfToMin)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+  }
+
+  /** Component assignment for every node appearing in `edges`
+    * (undirected; self-loops ignored). Returns (id, component) with
+    * component = the minimum node id in the component. Nodes with no
+    * edges don't appear — callers attach singletons with a left join +
+    * coalesce(component, id).
+    *
+    * Convergence is detected from a (count, order-independent checksum)
+    * pair per round; `maxIter` (default 25 ≈ log2 of any realistic node
+    * count, the paper's bound) only guards against a pathological
+    * non-termination bug — reaching it raises rather than returning a
+    * partially contracted (wrong) clustering. */
+  def components(edges: DataFrame, srcCol: String, dstCol: String,
+                 maxIter: Int = 25): DataFrame = {
+    // canonical large→small orientation (both star steps emit src > dst,
+    // so a fixpoint input is recognized after a single round)
+    var cur = edges
+      .select(
+        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("src"),
+        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("dst"))
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+      .localCheckpoint()
+    // order-independent set checksum: xor of per-edge hashes (sum would
+    // overflow under ANSI arithmetic; xor can't, and the edge set is
+    // distinct so multiplicity never cancels)
+    def signature(df: DataFrame): (Long, Long) = {
+      val r = df.agg(
+        count(lit(1)),
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    var sig = signature(cur)
+    var it = 0
+    var converged = false
+    while (!converged && it < maxIter) {
+      val next = smallStar(largeStar(cur)).localCheckpoint()
+      val nextSig = signature(next)
+      converged = nextSig == sig
+      sig = nextSig
+      cur = next
+      it += 1
+    }
+    if (!converged)
+      throw new IllegalStateException(
+        s"connected components did not converge in $maxIter rounds")
+    // at the fixpoint the edge set is a star per component: (member, root)
+    // with root = component minimum; roots appear only on the dst side
+    cur.select(col("src").as("id"), col("dst").as("component"))
+      .union(cur.select(col("dst").as("id"), col("dst").as("component")))
+      .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps
-import graft.operators.{AsofJoin, Dedup, SetSimJoin}
+import graft.operators.{AsofJoin, ConnectedComponents, Dedup, SetSimJoin}
 
 /** LLM-data-pipeline text layer over `documents` (SURVEY.md §2b): dedup
   * (exact / MinHash-LSH / SimHash / n-gram Jaccard), text analysis
@@ -91,6 +91,43 @@ object TextPipeline {
     SetSimJoin.jaccardSelfJoin(toks, "doc_id", "toks", 0.8)
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
       .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Near-dup CLUSTER assignment — pairs are not a dedup decision; this
+    * is: every document mapped to its connected component of the
+    * jaccard >= 0.8 graph (component id = min doc_id — the canonical
+    * "keep" representative) plus the cluster size. Edges come from the
+    * sparse connectivity-equivalent form (member→rep stars + rep pairs,
+    * SetSimJoin.jaccardEdges), components from the O(log n)-round
+    * alternating-star algorithm; docs in no pair are singletons. */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val edges = SetSimJoin.jaccardEdges(docToks(s, dir), "doc_id", "toks", 0.8)
+    val cc = ConnectedComponents.components(edges, "id1", "id2")
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("cluster_size",
+        count(lit(1)).over(Window.partitionBy(col("component"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document repetition (Gopher/MassiveText-style quality
+    * filter): fraction of duplicate word bigrams. High values flag
+    * boilerplate/spam; docs with fewer than 2 tokens have no bigrams and
+    * are excluded (matching the oracle's guard). */
+  def repetitionScore(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val grams = TextOps.shingles(toks, 2)
+    Tables.documents(s, dir)
+      .filter(size(toks) >= 2)
+      .select(col("doc_id"),
+        size(grams).as("n_bigrams"),
+        size(array_distinct(grams)).as("n_uniq_bigrams"),
+        round(lit(1.0) - size(array_distinct(grams)).cast("double") / size(grams), 3)
+          .as("rep_ratio"))
+      .orderBy(col("doc_id"))
   }
 
   /** The cross-join brute force — O(n^2); exists ONLY as ground truth for
@@ -192,6 +229,8 @@ object TextPipeline {
     "doc_quality_score" -> (qualityScore _),
     "doc_regex_tokens" -> (regexTokenCount _),
     "doc_jaccard_pairs" -> (jaccardPairs _),
+    "doc_dedup_clusters" -> (dedupClusters _),
+    "doc_repetition_score" -> (repetitionScore _),
     "doc_minhash_pairs" -> (minhashPairs _),
     "doc_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash_pairs" -> (simhashPairs _),
@@ -259,6 +298,39 @@ object TextPipeline {
         |WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
         |      / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    "doc_dedup_clusters" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+        |), e AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |), und AS (
+        |  SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e
+        |), cc(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT und.v, cc.r FROM cc JOIN und ON und.u = cc.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM cc GROUP BY id
+        |)
+        |SELECT doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size
+        |FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_repetition_score" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, list_transform(range(1, len(toks)),
+        |           i -> concat_ws(' ', toks[i], toks[i+1])) AS grams
+        |  FROM tok WHERE len(toks) >= 2
+        |)
+        |SELECT doc_id, len(grams) AS n_bigrams,
+        |  len(list_distinct(grams)) AS n_uniq_bigrams,
+        |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / len(grams), 3)
+        |    AS rep_ratio
+        |FROM g ORDER BY doc_id""".stripMargin,
     "doc_top_terms" ->
       """SELECT term, count(DISTINCT doc_id) AS doc_freq
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.ConnectedComponents
+
+/** Gates for the alternating-star connected-components operator: exact
+  * component assignment on shapes that stress different failure modes —
+  * a long chain (what breaks O(diameter) label propagation), disjoint
+  * components, a dense clique, and a pre-starred fixpoint input. */
+class ConnectedComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
+    ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+      .as[(Long, Long)].collect().toMap
+
+  test("chain contracts to its minimum (the O(diameter) killer)") {
+    val chain = (1L until 40L).map(i => (i, i + 1))
+    val got = cc(chain)
+    assert(got == (1L to 40L).map(_ -> 1L).toMap)
+  }
+
+  test("disjoint components, cliques, reversed and duplicate edges") {
+    // component {1,2,3} as a clique with duplicate + reversed edges,
+    // component {10,11} as a single edge, {20,21,22} as a path
+    val edges = Seq((2L, 1L), (1L, 2L), (2L, 3L), (3L, 1L), (3L, 1L),
+      (11L, 10L), (20L, 21L), (21L, 22L))
+    val got = cc(edges)
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 20L, 22L -> 20L))
+  }
+
+  test("already-starred input is a fixpoint (converges immediately)") {
+    val star = Seq((2L, 1L), (3L, 1L), (4L, 1L))
+    assert(cc(star) == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+  }
+
+  test("self-loops are ignored; singleton callers attach via left join") {
+    val got = cc(Seq((5L, 5L), (7L, 6L)))
+    // 5 has only a self-loop -> no edges -> absent from the output
+    assert(got == Map(6L -> 6L, 7L -> 6L))
+  }
+
+  test("component ids equal the component minimum on a random graph") {
+    // pseudo-random graph, fixed seed; compare against a driver-side
+    // union-find ground truth (test-only; the operator never collects)
+    val rnd = new scala.util.Random(42)
+    val n = 200
+    val edges = Seq.fill(260)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+      .filter { case (a, b) => a != b }
+    val parent = Array.tabulate(n)(identity)
+    def find(x: Int): Int = { var r = x; while (parent(r) != r) r = parent(r); r }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a.toInt), find(b.toInt))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expect = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      .map(v => v -> {
+        // min of the union-find component
+        val root = find(v.toInt)
+        (0 until n).filter(u => find(u) == root).min.toLong
+      }).toMap
+    assert(cc(edges) == expect)
+  }
+}
