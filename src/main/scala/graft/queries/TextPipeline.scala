@@ -130,6 +130,43 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary build: terms above a document-frequency floor, assigned
+    * dense ids by (doc_freq desc, term). The id-assignment window is a
+    * global order — fine here because it runs over the POST-cutoff
+    * vocabulary (bounded: vocab grows ~log corpus, and the cutoff caps
+    * it), never over the corpus; the heavy lifting is the two-level
+    * map-side-combined doc-freq aggregation before it. */
+  def vocabBuild(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
+      .filter(col("doc_freq") >= 5)
+      .withColumn("vocab_id",
+        row_number().over(Window.orderBy(col("doc_freq").desc, col("term"))))
+      .select(col("vocab_id"), col("term"), col("doc_freq"))
+      .orderBy(col("vocab_id"))
+  }
+
+  /** Bigram language-model counts: the 3 most frequent successors of
+    * every term (count desc, successor asc) — the n-gram statistics pass
+    * of a corpus pipeline. Two-phase: map-side-combined (w1, w2) counts,
+    * then a per-w1 window over the already-aggregated (small) table. */
+  def bigramLm(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val grams = Tables.documents(s, dir)
+      .select(explode(TextOps.shingles(toks, 2)).as("gram"))
+      .select(split(col("gram"), " ").getItem(0).as("w1"),
+        split(col("gram"), " ").getItem(1).as("w2"))
+    grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))))
+      .filter(col("rk") <= 3)
+      .select(col("w1"), col("w2"), col("n"), col("rk"))
+      .orderBy(col("w1"), col("rk"))
+  }
+
   /** The cross-join brute force — O(n^2); exists ONLY as ground truth for
     * SetSimJoinSpec/DedupSpec on the small SFs, never in the bench path. */
   def jaccardPairsBrute(s: SparkSession, dir: String): DataFrame = {
@@ -231,6 +268,8 @@ object TextPipeline {
     "doc_jaccard_pairs" -> (jaccardPairs _),
     "doc_dedup_clusters" -> (dedupClusters _),
     "doc_repetition_score" -> (repetitionScore _),
+    "doc_vocab_build" -> (vocabBuild _),
+    "doc_bigram_lm" -> (bigramLm _),
     "doc_minhash_pairs" -> (minhashPairs _),
     "doc_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash_pairs" -> (simhashPairs _),
@@ -318,6 +357,31 @@ object TextPipeline {
         |SELECT doc_id, component,
         |  count(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_vocab_build" ->
+      """WITH df AS (
+        |  SELECT term, count(*) AS doc_freq
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |        FROM documents) t
+        |  GROUP BY term HAVING count(*) >= 5
+        |)
+        |SELECT CAST(row_number() OVER (ORDER BY doc_freq DESC, term) AS INT) AS vocab_id,
+        |  term, doc_freq
+        |FROM df ORDER BY vocab_id""".stripMargin,
+    "doc_bigram_lm" ->
+      """WITH tok AS (
+        |  SELECT string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT unnest(list_transform(range(1, len(toks)),
+        |           i -> [toks[i], toks[i+1]])) AS bg
+        |  FROM tok WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n FROM g GROUP BY 1, 2
+        |)
+        |SELECT w1, w2, n, rk FROM (
+        |  SELECT w1, w2, n,
+        |    CAST(row_number() OVER (PARTITION BY w1 ORDER BY n DESC, w2) AS INT) AS rk
+        |  FROM c) r
+        |WHERE rk <= 3 ORDER BY w1, rk""".stripMargin,
     "doc_repetition_score" ->
       """WITH tok AS (
         |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
