@@ -26,4 +26,35 @@ object VectorOps {
 
   /** Cosine similarity dot(a,b) / (|a|*|b|). */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Symmetric int8 quantization: q_i = round(x_i / s), s = max|x_i|/127.
+    * 1/4 the bytes of float32 — at 100 TB that factor is scan time,
+    * shuffle volume, and executor-memory headroom for the ANN candidate
+    * stage. HOF evaluation is fine HERE because quantization runs once
+    * per vector at ingest/prep, never inside the pairwise hot loop — the
+    * hot loop is [[quantizedCosine]]'s fused integer [[VecDotI8]].
+    * All-zero vectors quantize to all zeros (scale clamps to 1 to avoid
+    * 0/0 under ANSI arithmetic). */
+  def quantizeInt8(v: Column): Column = {
+    val scale = quantScale(v)
+    transform(v, x => round(x.cast("double") / scale).cast("tinyint"))
+  }
+
+  /** The quantization scale max|x_i|/127 (store alongside the quantized
+    * vector to dequantize; cancels out of cosine). */
+  def quantScale(v: Column): Column = {
+    val maxAbs = array_max(transform(v, x => abs(x.cast("double"))))
+    when(maxAbs === 0.0, lit(1.0)).otherwise(maxAbs / 127.0)
+  }
+
+  /** Dequantize: x_i ~ q_i * s (max error s/2 per element). */
+  def dequantizeInt8(q: Column, scale: Column): Column =
+    transform(q, x => x.cast("double") * scale)
+
+  /** Cosine over int8-quantized vectors: the per-vector scales cancel,
+    * so this is qdot(a,b) / sqrt(qdot(a,a)*qdot(b,b)) in exact integer
+    * dot products — deterministic at any parallelism. */
+  def quantizedCosine(qa: Column, qb: Column): Column =
+    VecDotI8(qa, qb).cast("double") /
+      sqrt(VecDotI8(qa, qa).cast("double") * VecDotI8(qb, qb).cast("double"))
 }

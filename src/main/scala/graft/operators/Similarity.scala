@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{CosineScores, LshBuckets, NearestCentroid, VectorOps}
+import graft.functions.{CosineScores, LshBuckets, NearestCentroid, VecDotI8, VectorOps}
 
 /** Similarity search over embedding columns (SURVEY.md §2b).
   *
@@ -50,6 +50,37 @@ object Similarity {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
       .select(col(probeId), col("rn"), col(corpusId), round(col("cosine"), 4).as("cosine"))
+  }
+
+  /** Brute-force top-k over int8-QUANTIZED vectors: same plan shape as
+    * [[bruteForceTopK]] but the pairwise hot loop is pure integer math
+    * ([[graft.functions.VecDotI8]]) over arrays 1/4 the size of float32 —
+    * the memory-bandwidth form of the scan at 100 TB. Per-vector scale
+    * factors cancel out of the cosine, so no dequantization happens in
+    * the loop; ranking is deterministic (integer dots, tie-break on id).
+    * SimilaritySpec gates recall and score error against the
+    * full-precision baseline. */
+  def quantizedTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+                    corpusId: String = "vec_id", corpusVec: String = "embedding",
+                    probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
+    // quantize once per vector (ingest-shaped projection), hoist the
+    // self-dot so each pair costs ONE fused integer loop
+    val c = corpus
+      .withColumn("_qc", VectorOps.quantizeInt8(col(corpusVec)))
+      .withColumn("_nc", sqrt(VecDotI8(col("_qc"), col("_qc")).cast("double")))
+    val p = probes
+      .withColumn("_qp", VectorOps.quantizeInt8(col(probeVec)))
+      .withColumn("_np", sqrt(VecDotI8(col("_qp"), col("_qp")).cast("double")))
+    val scored = c.crossJoin(broadcast(p))
+      .withColumn("qcosine",
+        VecDotI8(col("_qp"), col("_qc")).cast("double") / (col("_np") * col("_nc")))
+    val w = Window.partitionBy(col(probeId))
+      .orderBy(round(col("qcosine"), 4).desc, col(corpusId))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col(probeId), col("rn"), col(corpusId),
+        round(col("qcosine"), 4).as("qcosine"))
   }
 
   /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */

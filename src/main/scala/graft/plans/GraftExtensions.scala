@@ -54,6 +54,9 @@ object GraftExtensions {
     entry("vec_dot") { args =>
       arity("vec_dot", 2, args); VecDot(args(0), args(1))
     },
+    entry("vec_dot_i8") { args =>
+      arity("vec_dot_i8", 2, args); VecDotI8(args(0), args(1))
+    },
     entry("sorted_intersect_size") { args =>
       arity("sorted_intersect_size", 2, args)
       SortedIntersectSize(args(0), args(1))

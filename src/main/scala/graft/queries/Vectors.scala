@@ -54,6 +54,14 @@ object Vectors {
     Similarity.ivfTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
       .orderBy(col("q_id"), col("rn"))
 
+  /** Top-k over int8-QUANTIZED embeddings (engine-only; SimilaritySpec
+    * gates recall@5 against bruteTopK and bounds the score error).
+    * The 100 TB memory-bandwidth form: vectors 1/4 the float32 bytes,
+    * pairwise scoring in pure integer math (scales cancel). */
+  def quantizedTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.quantizedTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
+      .orderBy(col("q_id"), col("rn"))
+
   /** Global LSH-blocked embedding near-dup pairs (engine-only; the scale
     * path — cosineNearDups below is the exact form for a user-supplied
     * blocking key). SimilaritySpec gates recall on planted near-dups. */
@@ -102,6 +110,7 @@ object Vectors {
     "vec_brute_topk" -> (bruteTopK _),
     "vec_lsh_topk" -> (lshTopK _),
     "vec_ivf_topk" -> (ivfTopK _),
+    "vec_quantized_topk" -> (quantizedTopK _),
     "vec_lsh_near_dups" -> (lshNearDups _),
     "vec_cosine_near_dups" -> (cosineNearDups _),
     "vec_label_centroids" -> (labelCentroids _),

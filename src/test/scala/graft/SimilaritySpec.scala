@@ -73,4 +73,37 @@ class SimilaritySpec extends SparkSpec {
     val recall = (truth & found).size.toDouble / truth.size
     assert(recall >= 0.7, s"LSH near-dup recall $recall < 0.7 (${found.size}/${truth.size})")
   }
+
+  test("int8-quantized top-k recall@5 >= 0.8 and scores within 0.02 of exact") {
+    val e = Tables.embeddings(spark, sf0001)
+    val probes = e.filter(col("vec_id").isInCollection(Seq(1L, 7L, 42L, 99L, 123L)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val truth = Similarity.bruteForceTopK(e, probes, k = 5)
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"), col("cosine"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val got = Similarity.quantizedTopK(e, probes, k = 5)
+      .select(col("q_id").cast("long"), col("vec_id").cast("long"), col("qcosine"))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toMap
+    val recall = (truth.keySet & got.keySet).size.toDouble / truth.size
+    assert(recall >= 0.8, s"quantized recall@5 $recall < 0.8")
+    // on the overlap, int8 cosine must track full precision closely
+    (truth.keySet & got.keySet).foreach { k =>
+      assert(math.abs(truth(k) - got(k)) <= 0.02,
+        s"pair $k: quantized ${got(k)} vs exact ${truth(k)}")
+    }
+  }
+
+  test("int8 quantization round-trip error bounded by scale/2 per element") {
+    import graft.functions.VectorOps
+    val e = Tables.embeddings(spark, sf0001).limit(100)
+      .withColumn("_s", VectorOps.quantScale(col("embedding")))
+      .withColumn("_deq",
+        VectorOps.dequantizeInt8(VectorOps.quantizeInt8(col("embedding")), col("_s")))
+    val bad = e.select(
+        exists(zip_with(col("embedding"), col("_deq"),
+          (x, d) => abs(x.cast("double") - d) > col("_s") * 0.5 + 1e-12), identity)
+          .as("viol"))
+      .filter(col("viol")).count()
+    assert(bad === 0, s"$bad vectors violate the |x - q*s| <= s/2 bound")
+  }
 }

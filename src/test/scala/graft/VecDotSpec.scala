@@ -79,4 +79,27 @@ class VecDotSpec extends SparkSpec {
     }
     assert(inSpan.nonEmpty, s"no codegen span in:\n$plan")
   }
+
+  test("VecDotI8: integer dot exact in both eval modes; nulls/truncation") {
+    import spark.implicits._
+    import graft.functions.VecDotI8
+    val df = Seq(
+      (Some(Seq(1.toByte, -2.toByte, 127.toByte)), Some(Seq(3.toByte, 4.toByte, -128.toByte))),
+      (None, Some(Seq(1.toByte))),
+      (Some(Seq.empty[Byte]), Some(Seq.empty[Byte])),
+      (Some(Seq(100.toByte, 100.toByte)), Some(Seq(100.toByte)))   // truncates
+    ).toDF("a", "b")
+    val got = df.select(VecDotI8(col("a"), col("b"))).collect().map(r =>
+      if (r.isNullAt(0)) null else r.getLong(0))
+    // 1*3 + (-2)*4 + 127*(-128) = 3 - 8 - 16256 = -16261
+    assert(got.toSeq === Seq(-16261L, null, 0L, 10000L))
+    // interpreted == codegen on fixture-sized quantized vectors
+    val e = Tables.embeddings(spark, sf0001).limit(200)
+      .withColumn("q", VectorOps.quantizeInt8(col("embedding")))
+    val fused = e.select(VecDotI8(col("q"), col("q")).as("d")).collect().map(_.getLong(0))
+    val hof = e.select(aggregate(zip_with(col("q").cast("array<long>"),
+        col("q").cast("array<long>"), (x, y) => x * y), lit(0L), (s, v) => s + v).as("d"))
+      .collect().map(_.getLong(0))
+    assert(fused.toSeq === hof.toSeq)
+  }
 }
