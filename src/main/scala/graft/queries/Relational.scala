@@ -475,6 +475,47 @@ object Relational {
          |         ORDER BY s_acctbal DESC, s_name LIMIT 1) t
          |ORDER BY n.n_name""".stripMargin)
 
+  /** RANGE-frame window (value-based frame, vs q13's ROWS frame): per
+    * user, events and cents-sum in the TRAILING HOUR of each event —
+    * peers at the same timestamp share a frame, which ROWS can't
+    * express. The summed quantity is an integer (floor(value*100)) so
+    * the frame aggregation is immune to FP accumulation order, which a
+    * RANGE frame does not fix (unlike a running ROWS sum, its adds are
+    * not sequential-prefix). */
+  def q36RangeFrame(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts_us"))
+      .rangeBetween(-3600L * 1000000L, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("ts_us", unix_micros(col("ts")))
+      .withColumn("cents", floor(col("value") * 100).cast("long"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("cents_1h", sum(col("cents")).over(w))
+      .select(col("event_id"), col("user_id"), col("n_1h"), col("cents_1h"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gap-fill / resample: hourly event counts per type over the full
+    * span, missing hours zero-filled — the densification step every
+    * time-series pipeline needs. The hour grid comes from one global
+    * min/max row expanded with `sequence` (grid size = span, bounded,
+    * broadcast), cross-joined with the distinct types, then the sparse
+    * counts LEFT-join onto it. */
+  def q37GapFill(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .withColumn("hour_ts", date_trunc("hour", col("ts")))
+    val counts = ev.groupBy(col("event_type"), col("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    val hours = ev.agg(min(col("hour_ts")).as("h0"), max(col("hour_ts")).as("h1"))
+      .select(explode(sequence(col("h0"), col("h1"), expr("interval 1 hour")))
+        .as("hour_ts"))
+    val grid = ev.select(col("event_type")).distinct().crossJoin(hours)
+    grid.join(counts, Seq("event_type", "hour_ts"), "left")
+      .select(col("event_type"), unix_micros(col("hour_ts")).as("hour_us"),
+        coalesce(col("n"), lit(0L)).as("n"))
+      .orderBy(col("event_type"), col("hour_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -511,6 +552,8 @@ object Relational {
     "q33_pivot" -> (q33Pivot _),
     "q34_unpivot" -> (q34Unpivot _),
     "q35_lateral" -> (q35Lateral _),
+    "q36_range_frame" -> (q36RangeFrame _),
+    "q37_gap_fill" -> (q37GapFill _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -733,5 +776,28 @@ object Relational {
         |         WHERE s.s_nationkey = n.n_nationkey
         |         ORDER BY s_acctbal DESC, s_name LIMIT 1) t
         |ORDER BY n.n_name""".stripMargin,
+    "q36_range_frame" ->
+      """SELECT event_id, user_id, n_1h, CAST(cents_1h AS BIGINT) AS cents_1h FROM (
+        |  SELECT event_id, user_id,
+        |    count(*) OVER w AS n_1h,
+        |    sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS cents_1h
+        |  FROM (SELECT event_id, user_id, epoch_us(ts) AS ts_us, value FROM events) e
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_us
+        |               RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+        |) t ORDER BY event_id""".stripMargin,
+    "q37_gap_fill" ->
+      """WITH ev AS (
+        |  SELECT event_type, date_trunc('hour', ts) AS hour_ts FROM events
+        |), c AS (
+        |  SELECT event_type, hour_ts, count(*) AS n FROM ev GROUP BY 1, 2
+        |), hours AS (
+        |  SELECT unnest(generate_series(min(hour_ts), max(hour_ts),
+        |           INTERVAL 1 HOUR)) AS hour_ts FROM ev
+        |), types AS (SELECT DISTINCT event_type FROM ev)
+        |SELECT t.event_type, epoch_us(h.hour_ts) AS hour_us,
+        |  coalesce(c.n, 0) AS n
+        |FROM types t CROSS JOIN hours h
+        |LEFT JOIN c ON c.event_type = t.event_type AND c.hour_ts = h.hour_ts
+        |ORDER BY t.event_type, hour_us""".stripMargin,
   )
 }
