@@ -488,4 +488,45 @@ class StreamingSpec extends SparkSpec {
     assert(out.values.sum === 12L)
     assert(out("2024-01-01 00:00:00") === 3L) // :00:30, :02:30, :04:30
   }
+
+  test("streaming minhash near-dup dedup: cross-batch duplicate flagged, novel kept") {
+    import graft.streaming.NearDupStream
+    val in = tmp("ndin"); val ck = tmp("ndck"); val outDir = tmp("ndout")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING, ts TIMESTAMP").json(in.toString)
+      val flags = NearDupStream.bandFlags(src, "ts",
+        watermark = "1 hour", horizonMs = 24L * 3600 * 1000)
+      val q = flags.toDF().writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty)
+            NearDupStream.keepDecisions(b)
+              .write.mode("append").parquet(outDir.toString)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    val textA = "alpha beta gamma delta epsilon zeta eta theta"
+    val textB = "one two three four five six seven eight nine"
+    writeLines(in, "b1.json", Seq(
+      s"""{"doc_id": 1, "text": "$textA", "ts": "2024-01-01 00:00:01"}""",
+      s"""{"doc_id": 2, "text": "$textA", "ts": "2024-01-01 00:00:02"}""",
+      s"""{"doc_id": 3, "text": "$textB", "ts": "2024-01-01 00:00:03"}"""))
+    run()
+    // second run restarts from the checkpoint: bucket state must carry,
+    // so doc 4 (identical to doc 1 from the PREVIOUS batch) is a dup
+    writeLines(in, "b2.json", Seq(
+      s"""{"doc_id": 4, "text": "$textA", "ts": "2024-01-01 00:10:00"}""",
+      s"""{"doc_id": 5, "text": "totally different words here now ok", "ts": "2024-01-01 00:10:01"}"""))
+    run()
+    val dec = spark.read.parquet(outDir.toString)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(dec(1) === ((false, -1L)), s"doc 1 is the keeper: $dec")
+    assert(dec(2) === ((true, 1L)), s"doc 2 duplicates doc 1 in-batch: $dec")
+    assert(dec(3) === ((false, -1L)), s"doc 3 is novel: $dec")
+    assert(dec(4) === ((true, 1L)), s"doc 4 duplicates doc 1 across batches: $dec")
+    assert(dec(5) === ((false, -1L)), s"doc 5 is novel: $dec")
+  }
 }
