@@ -90,6 +90,36 @@ class PlanSpec extends SparkSpec {
       s"unpivot itself must not shuffle (only the final orderBy may), found $exchanges:\n$p")
   }
 
+  test("top-k windows plan as WindowGroupLimit (rank pushdown, no full rank)") {
+    // Spark 3.5+ pushes row_number()<=k below the shuffle as a partial
+    // WindowGroupLimit — per-group top-k without materializing the full
+    // ranking. Losing this silently turns q09/doc_bigram_lm/the ANN
+    // rerank stages into full sorts per group at corpus scale.
+    Seq("doc_bigram_lm", "q09_topk_per_group", "vec_quantized_topk").foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf0001)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("WindowGroupLimit"), s"$q lost rank pushdown:\n$p")
+      assert(p.contains("Partial"), s"$q WindowGroupLimit not map-side:\n$p")
+    }
+  }
+
+  test("doc_repetition_score: token-count filter reaches the scan; 2-col read") {
+    val df = SparkEntry.queries("doc_repetition_score")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("DataFilters: [(size(split("),
+      s"length guard must evaluate scan-side:\n$p")
+    assert(!p.contains("lang#"), s"scan must prune unused columns:\n$p")
+  }
+
+  test("quantized top-k probes broadcast; corpus never shuffles pre-rank") {
+    val df = SparkEntry.queries("vec_quantized_topk")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"probe side must broadcast:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
