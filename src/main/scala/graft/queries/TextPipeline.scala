@@ -155,10 +155,16 @@ object TextPipeline {
   def bigramLm(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
+    // bigrams as (w1, w2) structs via arrays_zip over two slices — all
+    // codegen'd built-ins (the shingles HOF is CodegenFallback, and the
+    // string concat + re-split round-trip it would need is pure waste)
     val grams = Tables.documents(s, dir)
-      .select(explode(TextOps.shingles(toks, 2)).as("gram"))
-      .select(split(col("gram"), " ").getItem(0).as("w1"),
-        split(col("gram"), " ").getItem(1).as("w2"))
+      .select(col("text"), size(toks).as("_n"))
+      .filter(col("_n") >= 2)
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), col("_n") - 1),
+        slice(toks, lit(2), col("_n") - 1))).as("bg"))
+      .select(col("bg.0").as("w1"), col("bg.1").as("w2"))
     grams.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n"))
       .withColumn("rk", row_number().over(
         Window.partitionBy(col("w1")).orderBy(col("n").desc, col("w2"))))
