@@ -120,6 +120,37 @@ class PlanSpec extends SparkSpec {
       s"probe side must broadcast:\n$p")
   }
 
+  test("runtime bloom-filter join pruning engages on a selective join") {
+    // At 100 TB the cheapest row is the one the probe side never reads:
+    // Spark's runtime row-level filtering injects a bloom filter built
+    // from the (filtered) creation side into the probe side's scan.
+    // Local fixtures are below the default size thresholds, so the
+    // thresholds are lowered to prove the rewrite itself engages —
+    // production keeps the defaults.
+    import org.apache.spark.sql.functions._
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "10GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sf001/orders.parquet")
+        .filter(col("o_orderpriority") === "1-URGENT")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority")).agg(sum(col("l_quantity")))
+      val p = j.queryExecution.optimizedPlan.toString
+      assert(p.contains("bloom_filter") || p.contains("BloomFilter"),
+        s"runtime bloom filter not injected:\n$p")
+      assert(j.collect().nonEmpty)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

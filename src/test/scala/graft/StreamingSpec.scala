@@ -489,6 +489,45 @@ class StreamingSpec extends SparkSpec {
     assert(out("2024-01-01 00:00:00") === 3L) // :00:30, :02:30, :04:30
   }
 
+  test("windowed approx_count_distinct in a stream tracks exact distinct per window") {
+    // sketches compose with streaming aggregation: HLL partials merge
+    // per window across micro-batches, state stays O(sketch) per window
+    // instead of O(distinct keys) — the only viable distinct-count form
+    // on an unbounded high-cardinality stream.
+    val in = tmp("hllin"); val ck = tmp("hllck")
+    val lines = (0 until 120).map { i =>
+      val min = i % 10          // two 5-minute windows
+      val user = i % 37         // 37 distinct users overall
+      s"""{"user": $user, "ts": "2024-01-01 00:0$min:${if (i % 2 == 0) "10" else "40"}"}"""
+    }
+    writeLines(in, "h.json", lines)
+    val src = spark.readStream.schema("user LONG, ts TIMESTAMP").json(in.toString)
+    // complete mode so both windows surface under AvailableNow (append
+    // would hold the last window open; watermarked append is already
+    // covered by the flush-window test — the subject here is the sketch)
+    val q = src
+      .groupBy(window(col("ts"), "5 minutes"))
+      .agg(approx_count_distinct(col("user")).as("approx_users"),
+        count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("hll_out")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("hll_out")
+      .select(col("window.start").cast("string"), col("approx_users"), col("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.map(_._1).toSet ===
+      Set("2024-01-01 00:00:00", "2024-01-01 00:05:00"))
+    assert(rows.map(_._3).sum === 120L)
+    // every window saw all 37 users (120 rows round-robin over 37);
+    // HLL++ at default rsd 5% must land within 15%
+    rows.foreach { case (w, approx, _) =>
+      assert(math.abs(approx - 37.0) / 37.0 <= 0.15,
+        s"window $w: approx $approx vs exact 37")
+    }
+  }
+
   test("streaming minhash near-dup dedup: cross-batch duplicate flagged, novel kept") {
     import graft.streaming.NearDupStream
     val in = tmp("ndin"); val ck = tmp("ndck"); val outDir = tmp("ndout")
