@@ -89,8 +89,26 @@ object Scans {
         sum(length(col("content"))).cast("long").as("total_bytes"))
   }
 
+  /** XML scan (native in Spark 4 — `rowTag` mode): nested-document
+    * format round trip with explicit schema. Values round-trip as
+    * text nodes; the aggregate matches the parquet oracle so an
+    * escaping/framing bug breaks the hash. */
+  def scanXml(s: SparkSession, dir: String): DataFrame = {
+    val path = stage(dir, "nation_xml")
+    Tables.nation(s, dir)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.mode("overwrite").option("rowTag", "nation").xml(path)
+    s.read.option("rowTag", "nation")
+      .schema("n_nationkey LONG, n_name STRING, n_regionkey LONG")
+      .xml(path)
+      .groupBy(col("n_regionkey"))
+      .agg(count(lit(1)).as("n"), min(col("n_name")).as("first_name"))
+      .orderBy(col("n_regionkey"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "scan_binaryfile" -> (scanBinaryFile _),
+    "scan_xml_roundtrip" -> (scanXml _),
     "scan_text_roundtrip" -> (scanText _),
     "scan_json_roundtrip" -> (scanJson _),
     "scan_csv_roundtrip" -> (scanCsv _),
@@ -105,6 +123,9 @@ object Scans {
     "scan_text_roundtrip" ->
       """SELECT count(*) AS n_lines, CAST(sum(length(text)) AS BIGINT) AS total_chars
         |FROM documents""".stripMargin,
+    "scan_xml_roundtrip" ->
+      """SELECT n_regionkey, count(*) AS n, min(n_name) AS first_name
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
     "scan_json_roundtrip" ->
       """SELECT event_type, count(*) AS n, round(sum(value), 2) AS sum_value,
         | min(event_id) AS min_id, max(event_id) AS max_id
