@@ -173,6 +173,33 @@ object TextPipeline {
       .orderBy(col("w1"), col("rk"))
   }
 
+  /** END-TO-END training-data pipeline composition — the flow this
+    * engine exists for, as ONE declarative DAG Catalyst optimizes
+    * whole: quality filter (length + stopword-ratio gates) → exact
+    * dedup keep-first → deterministic split assignment → per-split
+    * stats. No stage materializes; the filter reaches the scan, the
+    * dedup window and the final aggregate are the only shuffles. */
+  def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = TextOps.tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .withColumn("_nt", size(toks))
+      .withColumn("_stop", TextOps.stopRatio(toks))
+      .filter(col("_nt").between(20, 400) && col("_stop") < 0.5)
+    val kept = scored
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("text")).orderBy(col("doc_id"))))
+      .filter(col("_rn") === 1)
+    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100))
+    kept
+      .withColumn("split",
+        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).cast("long").as("total_tokens"))
+      .orderBy(col("split"))
+  }
+
   /** The cross-join brute force — O(n^2); exists ONLY as ground truth for
     * SetSimJoinSpec/DedupSpec on the small SFs, never in the bench path. */
   def jaccardPairsBrute(s: SparkSession, dir: String): DataFrame = {
@@ -276,6 +303,7 @@ object TextPipeline {
     "doc_repetition_score" -> (repetitionScore _),
     "doc_vocab_build" -> (vocabBuild _),
     "doc_bigram_lm" -> (bigramLm _),
+    "doc_pipeline_e2e" -> (pipelineE2e _),
     "doc_minhash_pairs" -> (minhashPairs _),
     "doc_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash_pairs" -> (simhashPairs _),
@@ -363,6 +391,26 @@ object TextPipeline {
         |SELECT doc_id, component,
         |  count(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_pipeline_e2e" ->
+      """WITH scored AS (
+        |  SELECT doc_id, text, len(string_split(text, ' ')) AS nt,
+        |    CAST(len(list_filter(string_split(text, ' '),
+        |      t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
+        |      / len(string_split(text, ' ')) AS stop
+        |  FROM documents
+        |), filt AS (
+        |  SELECT * FROM scored WHERE nt BETWEEN 20 AND 400 AND stop < 0.5
+        |), kept AS (
+        |  SELECT * FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM filt) r
+        |  WHERE rn = 1
+        |)
+        |SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |            ELSE 'test' END AS split,
+        |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
+        |FROM kept GROUP BY split ORDER BY split""".stripMargin,
     "doc_vocab_build" ->
       """WITH df AS (
         |  SELECT term, count(*) AS doc_freq
