@@ -76,8 +76,14 @@ object NearDupStream {
               else out += BandFlag(docId, band, collided = docId != keeper, keeper)
             }
             state.update(keeper)
-            // expire the bucket once the watermark passes last activity + horizon
-            state.setTimeoutTimestamp(maxTs + horizonMs)
+            // expire the bucket once the watermark passes last activity +
+            // horizon. Clamp ABOVE the current watermark: Spark does NOT
+            // filter late rows for flatMapGroupsWithState (only for
+            // aggregations/dedup), and setTimeoutTimestamp throws unless
+            // the expiry is strictly beyond the watermark — a very late
+            // row must not crash the query.
+            state.setTimeoutTimestamp(
+              math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator
           }
       }
