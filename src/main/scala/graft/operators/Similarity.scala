@@ -44,12 +44,22 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .withColumn("cosine",
         VectorOps.dot(col(probeVec), col(corpusVec)) / (col("_np") * col("_nc")))
+    rankTopK(scored, "cosine", k, probeId, corpusId)
+  }
+
+  /** The shared top-k tail of the broadcast-probe scorers: rank by the
+    * rounded score (desc, id tie-break), keep k. One definition so the
+    * exact and quantized paths — which SimilaritySpec compares —
+    * can't drift in rounding or tie-break. */
+  private def rankTopK(scored: DataFrame, scoreCol: String, k: Int,
+                       probeId: String, corpusId: String): DataFrame = {
     val w = Window.partitionBy(col(probeId))
-      .orderBy(round(col("cosine"), 4).desc, col(corpusId))
+      .orderBy(round(col(scoreCol), 4).desc, col(corpusId))
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col(probeId), col("rn"), col(corpusId), round(col("cosine"), 4).as("cosine"))
+      .select(col(probeId), col("rn"), col(corpusId),
+        round(col(scoreCol), 4).as(scoreCol))
   }
 
   /** Brute-force top-k over int8-QUANTIZED vectors: same plan shape as
@@ -74,13 +84,7 @@ object Similarity {
     val scored = c.crossJoin(broadcast(p))
       .withColumn("qcosine",
         VecDotI8(col("_qp"), col("_qc")).cast("double") / (col("_np") * col("_nc")))
-    val w = Window.partitionBy(col(probeId))
-      .orderBy(round(col("qcosine"), 4).desc, col(corpusId))
-    scored
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
-      .select(col(probeId), col("rn"), col(corpusId),
-        round(col("qcosine"), 4).as("qcosine"))
+    rankTopK(scored, "qcosine", k, probeId, corpusId)
   }
 
   /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */

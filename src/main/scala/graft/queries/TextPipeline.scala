@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps
@@ -190,10 +190,8 @@ object TextPipeline {
       .withColumn("_rn", row_number().over(
         Window.partitionBy(col("text")).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1)
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100))
     kept
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_nt")).cast("long").as("total_tokens"))
@@ -257,15 +255,22 @@ object TextPipeline {
     * partitioning. Per-row work only; aggregates per split×source for a
     * bounded, oracle-hashable result. (doc_id ≤ ~1e7 keeps the product
     * < 2^63, so no overflow-semantics divergence between engines.) */
-  def splitAssign(s: SparkSession, dir: String): DataFrame = {
-    val bucket = pmod(col("doc_id") * lit(2654435761L), lit(100))
+  def splitAssign(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
-      .withColumn("split",
-        when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test"))
+      .withColumn("split", splitCol(col("doc_id")))
       .groupBy(col("split"), col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_chars")).cast("long").as("total_chars"))
       .orderBy(col("split"), col("source"))
+
+  /** The ONE definition of the deterministic split bucket (Knuth
+    * multiplicative hash mod 100 → 80/10/10) — shared by splitAssign and
+    * pipelineE2e so the multiplier/thresholds and their oracles can
+    * never drift apart. doc_id ≤ ~1e7 keeps the product < 2^63 (no
+    * overflow-semantics divergence between engines). */
+  private def splitCol(id: Column): Column = {
+    val bucket = pmod(id * lit(2654435761L), lit(100))
+    when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
   /** Multimodal plumbing: documents as opaque binary payloads with typed

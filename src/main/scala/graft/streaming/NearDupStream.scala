@@ -41,11 +41,13 @@ object NearDupStream {
 
   private final val Seed = 1
 
-  /** Per-bucket claim state: keeper doc id. */
+  /** Per-bucket claim state: (keeper doc id, max event time seen). */
   def bandFlags(docs: DataFrame, tsCol: String, watermark: String,
                 horizonMs: Long, numHashes: Int = 32, bands: Int = 8)
       : Dataset[BandFlag] = {
     import docs.sparkSession.implicits._
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must divide into bands ($bands)")
     val rows = numHashes / bands
     // watermark AFTER the rename/cast so the event-time tag sits on the
     // column that survives into the stateful operator
@@ -62,20 +64,30 @@ object NearDupStream {
       .groupByKey(r => (r._3, r._4))
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (key: (Int, Long), it: Iterator[(Long, java.sql.Timestamp, Int, Long)],
-         state: GroupState[Long]) =>
+         state: GroupState[(Long, Long)]) =>
           if (state.hasTimedOut) { state.remove(); Iterator.empty }
           else {
             // deterministic claim order within the batch
             val batch = it.toArray.sortBy(_._1)
             val out = Array.newBuilder[BandFlag]
-            var keeper = state.getOption.getOrElse(-1L)
-            var maxTs = Long.MinValue
+            // Option emptiness, not a sentinel — a negative doc_id is a
+            // valid keeper and must not read as "unclaimed"
+            var claim: Option[Long] = state.getOption.map(_._1)
+            // running ALL-TIME max event time: a late row in a later
+            // batch must not shorten the bucket's lifetime (per-batch
+            // max would overwrite a later expiry with an earlier one)
+            var maxTs = state.getOption.map(_._2).getOrElse(Long.MinValue)
             batch.foreach { case (docId, ts, band, _) =>
               maxTs = math.max(maxTs, ts.getTime)
-              if (keeper < 0) { keeper = docId; out += BandFlag(docId, band, collided = false, docId) }
-              else out += BandFlag(docId, band, collided = docId != keeper, keeper)
+              claim match {
+                case None =>
+                  claim = Some(docId)
+                  out += BandFlag(docId, band, collided = false, docId)
+                case Some(keeper) =>
+                  out += BandFlag(docId, band, collided = docId != keeper, keeper)
+              }
             }
-            state.update(keeper)
+            state.update((claim.get, maxTs))
             // expire the bucket once the watermark passes last activity +
             // horizon. Clamp ABOVE the current watermark: Spark does NOT
             // filter late rows for flatMapGroupsWithState (only for
