@@ -516,6 +516,22 @@ object Relational {
       .orderBy(col("event_type"), col("hour_us"))
   }
 
+  /** LIKE predicates, json_tuple (generator form of JSON extraction),
+    * and null-safe equality — §2b's predicate/JSON function rows that no
+    * other query exercised: pattern filters, a JSON key that EXISTS and
+    * one that's absent (json_tuple yields null, counted via `<=>`). */
+  def q38LikeJsonTuple(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"),
+        json_tuple(col("props"), "k", "missing").as(Seq("_k", "_m")))
+      .filter(col("event_type").like("p%") || col("event_type").like("%iew"))
+      .withColumn("m_is_null", col("_m") <=> lit(null))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("_k").cast("long")).as("sum_k"),
+        sum(when(col("m_is_null"), 1L).otherwise(0L)).as("n_m_null"))
+      .orderBy(col("event_type"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -554,6 +570,7 @@ object Relational {
     "q35_lateral" -> (q35Lateral _),
     "q36_range_frame" -> (q36RangeFrame _),
     "q37_gap_fill" -> (q37GapFill _),
+    "q38_like_json_tuple" -> (q38LikeJsonTuple _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -799,5 +816,15 @@ object Relational {
         |FROM types t CROSS JOIN hours h
         |LEFT JOIN c ON c.event_type = t.event_type AND c.hour_ts = h.hour_ts
         |ORDER BY t.event_type, hour_us""".stripMargin,
+    "q38_like_json_tuple" ->
+      """SELECT event_type, count(*) AS n,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT)
+        |    AS sum_k,
+        |  CAST(sum(CASE WHEN json_extract_string(props, '$.missing')
+        |                     IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    AS n_m_null
+        |FROM events
+        |WHERE event_type LIKE 'p%' OR event_type LIKE '%iew'
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
   )
 }

@@ -109,4 +109,18 @@ class OperatorSpec extends SparkSpec {
       }.collect()
     assert(ok.forall(identity))
   }
+
+  test("hash-function family agrees with reference implementations (crc32)") {
+    import spark.implicits._
+    // crc32 has no DuckDB analogue, so it is gated here against the JDK's
+    // CRC32 (the authoritative implementation) instead of the oracle
+    val texts = Seq("graft", "", "the quick brown fox", "čšž unicode")
+    val got = texts.toDF("t").select(crc32(col("t").cast("binary"))).collect()
+      .map(_.getLong(0))
+    val expect = texts.map { t =>
+      val c = new java.util.zip.CRC32()
+      c.update(t.getBytes("UTF-8")); c.getValue
+    }
+    assert(got.toSeq === expect)
+  }
 }
