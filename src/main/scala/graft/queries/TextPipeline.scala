@@ -198,6 +198,35 @@ object TextPipeline {
       .orderBy(col("split"))
   }
 
+  /** Train/test CONTAMINATION check (eval decontamination — the step
+    * that keeps benchmark answers out of the training split): every
+    * non-train document that shares at least one word-5-gram with any
+    * train document, with the shared-gram count and ratio. Shingles are
+    * the fused codegen'd hashed sets (counts over 64-bit hashes equal
+    * counts over the strings barring a ~1e-14 collision, same
+    * equivalence the ngram-jaccard oracle relies on); the train gram set
+    * never collects — the check is a semi-join shuffled on the gram
+    * hash, which IS the honest shape of decontamination at corpus
+    * scale. */
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    val grams = graft.functions.ShingleHashSet(col("text"), 5)
+    val g = Tables.documents(s, dir)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"), grams.as("gs"))
+      .filter(size(col("gs")) > 0)
+      .localCheckpoint()
+    val train = g.filter(col("split") === "train")
+      .select(explode(col("gs")).as("gram")).distinct()
+    val test = g.filter(col("split") =!= "train")
+      .select(col("doc_id"), col("split"), size(col("gs")).as("n_grams"),
+        explode(col("gs")).as("gram"))
+    test.join(train, Seq("gram"), "left_semi")
+      .groupBy(col("doc_id"), col("split"), col("n_grams"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("shared_ratio",
+        round(col("n_shared").cast("double") / col("n_grams"), 3))
+      .orderBy(col("doc_id"))
+  }
+
   /** The cross-join brute force — O(n^2); exists ONLY as ground truth for
     * SetSimJoinSpec/DedupSpec on the small SFs, never in the bench path. */
   def jaccardPairsBrute(s: SparkSession, dir: String): DataFrame = {
@@ -309,6 +338,7 @@ object TextPipeline {
     "doc_vocab_build" -> (vocabBuild _),
     "doc_bigram_lm" -> (bigramLm _),
     "doc_pipeline_e2e" -> (pipelineE2e _),
+    "doc_contamination" -> (contamination _),
     "doc_minhash_pairs" -> (minhashPairs _),
     "doc_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_simhash_pairs" -> (simhashPairs _),
@@ -396,6 +426,30 @@ object TextPipeline {
         |SELECT doc_id, component,
         |  count(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_contamination" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    string_split(text, ' ') AS toks
+        |  FROM documents
+        |), g AS (
+        |  SELECT doc_id, split, list_distinct(list_transform(range(1, len(toks) - 3),
+        |      i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4])))
+        |      AS grams
+        |  FROM d WHERE len(toks) >= 5
+        |), tr AS (
+        |  SELECT DISTINCT unnest(grams) AS gram FROM g WHERE split = 'train'
+        |), te AS (
+        |  SELECT doc_id, split, len(grams) AS n_grams, unnest(grams) AS gram
+        |  FROM g WHERE split <> 'train'
+        |)
+        |SELECT doc_id, split, n_grams, count(*) AS n_shared,
+        |  round(CAST(count(*) AS DOUBLE) / n_grams, 3) AS shared_ratio
+        |FROM te JOIN tr USING (gram)
+        |GROUP BY doc_id, split, n_grams
+        |ORDER BY doc_id""".stripMargin,
     "doc_pipeline_e2e" ->
       """WITH scored AS (
         |  SELECT doc_id, text, len(string_split(text, ' ')) AS nt,
