@@ -89,11 +89,12 @@ object NearDupStream {
             }
             state.update((claim.get, maxTs))
             // expire the bucket once the watermark passes last activity +
-            // horizon. Clamp ABOVE the current watermark: Spark does NOT
-            // filter late rows for flatMapGroupsWithState (only for
-            // aggregations/dedup), and setTimeoutTimestamp throws unless
-            // the expiry is strictly beyond the watermark — a very late
-            // row must not crash the query.
+            // horizon. Input older than the watermark never reaches this
+            // handler (FlatMapGroupsWithStateExec filters late rows under
+            // EventTimeTimeout — StreamingSpec pins that contract), so
+            // maxTs >= watermark here; the clamp guards the remaining
+            // edge (horizonMs = 0 would set the expiry EQUAL to the
+            // watermark, which setTimeoutTimestamp rejects).
             state.setTimeoutTimestamp(
               math.max(maxTs + horizonMs, state.getCurrentWatermarkMs() + 1))
             out.result().iterator

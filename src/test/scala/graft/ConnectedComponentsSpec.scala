@@ -41,6 +41,29 @@ class ConnectedComponentsSpec extends SparkSpec {
     assert(got == Map(6L -> 6L, 7L -> 6L))
   }
 
+  test("doc_dedup_clusters equals the brute-force transitive closure on sf0.001") {
+    import org.apache.spark.sql.functions._
+    // ground truth: union-find over the BRUTE-FORCE jaccard pairs
+    // (independent of SetSimJoin AND of the alternating-star operator)
+    val pairs = graft.queries.TextPipeline.jaccardPairsBrute(spark, sf0001)
+      .select(col("id1").cast("long"), col("id2").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val ids = Tables.documents(spark, sf0001).select(col("doc_id"))
+      .collect().map(_.getLong(0))
+    val parent = scala.collection.mutable.Map(ids.map(i => i -> i): _*)
+    def find(x: Long): Long = { var r = x; while (parent(r) != r) r = parent(r); r }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val roots = ids.groupBy(find).view.mapValues(_.min).toMap
+    val expect = ids.map(i => i -> roots(find(i))).toMap
+    val got = graft.queries.TextPipeline.dedupClusters(spark, sf0001)
+      .select(col("doc_id").cast("long"), col("component").cast("long"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === expect)
+  }
+
   test("component ids equal the component minimum on a random graph") {
     // pseudo-random graph, fixed seed; compare against a driver-side
     // union-find ground truth (test-only; the operator never collects)

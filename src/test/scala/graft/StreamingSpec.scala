@@ -567,5 +567,18 @@ class StreamingSpec extends SparkSpec {
     assert(dec(3) === ((false, -1L)), s"doc 3 is novel: $dec")
     assert(dec(4) === ((true, 1L)), s"doc 4 duplicates doc 1 across batches: $dec")
     assert(dec(5) === ((false, -1L)), s"doc 5 is novel: $dec")
+    // a row whose event time is behind the advanced watermark is DROPPED
+    // before the stateful operator (FlatMapGroupsWithStateExec filters
+    // late input under EventTimeTimeout) — the within-watermark contract:
+    // no crash, no claim reset, no decision row for the late doc
+    writeLines(in, "b3.json", Seq(
+      s"""{"doc_id": 6, "text": "$textA", "ts": "2023-12-31 20:00:00"}"""))
+    run()
+    val dec3 = spark.read.parquet(outDir.toString)
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), if (r.isNullAt(2)) -1L else r.getLong(2))).toMap
+    assert(!dec3.contains(6L),
+      s"late doc 6 must be dropped by the watermark, not decided: $dec3")
+    assert(dec3(4) === ((true, 1L)), "earlier decisions unchanged")
   }
 }
