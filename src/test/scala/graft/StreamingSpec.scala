@@ -528,6 +528,43 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("continuous top-k similarity: running top-k maintained across batches") {
+    import spark.implicits._
+    import graft.streaming.VectorStream
+    val in = tmp("vtin"); val ck = tmp("vtck"); val outDir = tmp("vtout")
+    val probes = Seq((100L, Seq(1.0f, 0.0f, 0.0f, 0.0f)))
+      .toDF("q_id", "q_emb")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("vec_id LONG, embedding ARRAY<FLOAT>").json(in.toString)
+      val q = VectorStream.streamingTopK(src, probes, k = 2).toDF()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          if (!b.isEmpty) b.write.mode("append").parquet(outDir.toString)
+        }
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // batch 1: cos(v1)=1.0, cos(v2)=0, cos(v3)~0.707 -> top2 = {1, 3}
+    writeLines(in, "v1.json", Seq(
+      """{"vec_id": 1, "embedding": [1.0, 0.0, 0.0, 0.0]}""",
+      """{"vec_id": 2, "embedding": [0.0, 1.0, 0.0, 0.0]}""",
+      """{"vec_id": 3, "embedding": [0.5, 0.5, 0.0, 0.0]}"""))
+    run()
+    // batch 2: cos(v4)~0.994 displaces v3 (state must carry the old top-k)
+    writeLines(in, "v2.json", Seq(
+      """{"vec_id": 4, "embedding": [0.9, 0.1, 0.0, 0.0]}"""))
+    run()
+    val entered = spark.read.parquet(outDir.toString)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(entered === Set(1L, 3L, 4L), s"entries: $entered (2 never enters)")
+    val fin = VectorStream.finalTopK(spark.read.parquet(outDir.toString), k = 2)
+      .select(col("rank"), col("vec_id")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fin === Map(1 -> 1L, 2 -> 4L), s"final top-2: $fin")
+  }
+
   test("streaming minhash near-dup dedup: cross-batch duplicate flagged, novel kept") {
     import graft.streaming.NearDupStream
     val in = tmp("ndin"); val ck = tmp("ndck"); val outDir = tmp("ndout")
