@@ -72,18 +72,31 @@ object ConnectedComponents {
     * pair per round; `maxIter` (default 25 ≈ log2 of any realistic node
     * count, the paper's bound) only guards against a pathological
     * non-termination bug — reaching it raises rather than returning a
-    * partially contracted (wrong) clustering. */
+    * partially contracted (wrong) clustering.
+    *
+    * `edgesNormalized = true` asserts the input is already what the
+    * normalize stage would produce — src > dst on every row, no
+    * self-loops, no duplicates — and skips that stage (one full shuffle
+    * + checkpoint over the edge set). SetSimJoin.jaccardEdges satisfies
+    * this by construction (member stars have rep < member, PPJoin pairs
+    * are emit-once with id1 < id2, and the two sets are disjoint);
+    * passing unnormalized edges with the flag set silently corrupts the
+    * clustering, so leave it false unless the producer guarantees it. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-                 maxIter: Int = 25): DataFrame = {
+                 maxIter: Int = 25, edgesNormalized: Boolean = false): DataFrame = {
     // canonical large→small orientation (both star steps emit src > dst,
     // so a fixpoint input is recognized after a single round)
-    var cur = edges
-      .select(
-        greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("src"),
-        least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("dst"))
-      .filter(col("src") =!= col("dst"))
-      .distinct()
-      .localCheckpoint()
+    var cur =
+      if (edgesNormalized)
+        edges.select(col(srcCol).cast("long").as("src"),
+          col(dstCol).cast("long").as("dst")).localCheckpoint()
+      else edges
+        .select(
+          greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("src"),
+          least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("dst"))
+        .filter(col("src") =!= col("dst"))
+        .distinct()
+        .localCheckpoint()
     // order-independent set checksum: xor of per-edge hashes (sum would
     // overflow under ANSI arithmetic; xor can't, and the edge set is
     // distinct so multiplicity never cancels)

@@ -103,7 +103,10 @@ object TextPipeline {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val edges = SetSimJoin.jaccardEdges(docToks(s, dir), "doc_id", "toks", 0.8)
-    val cc = ConnectedComponents.components(edges, "id1", "id2")
+    // jaccardEdges is normalized by construction (id1 < id2, distinct,
+    // no self-loops) — pass it large-first and skip the normalize shuffle
+    val cc = ConnectedComponents.components(edges, "id2", "id1",
+      edgesNormalized = true)
     Tables.documents(s, dir).select(col("doc_id"))
       .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
