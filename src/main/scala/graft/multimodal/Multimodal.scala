@@ -122,6 +122,58 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  /** Sample-level audio decode result: count, integer energy, RMS. */
+  case class AudioStats(doc_id: Long, n_samples: Int, sum_sq: Long, rms: Double)
+
+  /** SAMPLE-level WAV decode — past the header into the data chunk:
+    * int16 little-endian PCM frames decoded in a tight JVM loop,
+    * reduced to (count, sum of squares, RMS). The energy sum is pure
+    * integer math and RMS is one division + sqrt (both IEEE-exact, so
+    * the double is bit-identical to the oracle's — unlike ln, sqrt is
+    * correctly rounded by definition). Truncated/foreign payloads are
+    * rejected like a decoder would (no row). Same partition-batched
+    * iterator shape as [[decode]]. */
+  def audioStats(media: Dataset[MediaRecord]): Dataset[AudioStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+      def le16s(b: Array[Byte], i: Int): Int =
+        (u8(b, i) | (u8(b, i + 1) << 8)).toShort.toInt
+      def le32(b: Array[Byte], i: Int): Int =
+        u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+      it.flatMap { r =>
+        val b = r.payload
+        val isWav = b.length >= 44 &&
+          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+        if (!isWav) Iterator.empty
+        else {
+          val n = math.min(le32(b, 40), b.length - 44) / 2
+          if (n <= 0) Iterator.empty
+          else {
+            var ss = 0L
+            var i = 0
+            while (i < n) {
+              val s = le16s(b, 44 + 2 * i)
+              ss += s.toLong * s
+              i += 1
+            }
+            Iterator.single(AudioStats(r.doc_id, n, ss, math.sqrt(ss.toDouble / n)))
+          }
+        }
+      }
+    }
+  }
+
+  /** Audio-stats query: WAV containers → sample decode → RMS; the
+    * oracle recomputes the int16 samples from the source text's code
+    * points (pure-ASCII fixture: char == byte), so a wrong data offset,
+    * byte order, or width breaks the integer sum exactly. */
+  def audioRmsQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioStats(synthMedia(s, dir).as[MediaRecord]).toDF().orderBy(col("doc_id"))
+  }
+
   /** One nearest-neighbor-resized raster, reduced to oracle-checkable
     * features (dims + byte checksum — emitting the resized bytes
     * themselves would leave nothing DuckDB-comparable to hash). */
@@ -186,6 +238,7 @@ object Multimodal {
     "mm_decode" -> ((s, d) => decodeQuery(s, d)),
     "mm_resize" -> ((s, d) => resizeQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
+    "mm_audio_rms" -> ((s, d) => audioRmsQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -219,5 +272,20 @@ object Multimodal {
         |FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) f
         |WHERE octet_length(CAST(substring(text, (k-1)*64 + 1, 64) AS BLOB)) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_audio_rms" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, CAST(length(text) // 2 AS INT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1 AND length(text) >= 2
+        |), s AS (
+        |  SELECT doc_id, n,
+        |    CAST(list_aggregate(list_transform(range(1, n + 1),
+        |      i -> CAST(ascii(text[2*i-1]) + 256 * ascii(text[2*i]) AS BIGINT)
+        |           * CAST(ascii(text[2*i-1]) + 256 * ascii(text[2*i]) AS BIGINT)),
+        |      'sum') AS BIGINT) AS sum_sq
+        |  FROM w
+        |)
+        |SELECT doc_id, n AS n_samples, sum_sq,
+        |  sqrt(CAST(sum_sq AS DOUBLE) / n) AS rms
+        |FROM s ORDER BY doc_id""".stripMargin,
   )
 }

@@ -73,6 +73,33 @@ class MultimodalSpec extends SparkSpec {
     assert(out.select("doc_id").distinct().count() === 500)
   }
 
+  test("audio sample decode: hand-built WAV yields exact int16 energy") {
+    import spark.implicits._
+    // 44-byte header + 3 LE int16 samples: 1, -2, 300
+    val samples = Seq[Short](1, -2, 300)
+    val data = samples.flatMap(s =>
+      Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).toArray
+    val header = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Array[Byte] =
+      Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    header.write("RIFF".getBytes); header.write(le32(36 + data.length))
+    header.write("WAVE".getBytes)
+    header.write("fmt ".getBytes); header.write(le32(16)); header.write(le16(1))
+    header.write(le16(1)); header.write(le32(8000)); header.write(le32(16000))
+    header.write(le16(2)); header.write(le16(16))
+    header.write("data".getBytes); header.write(le32(data.length))
+    header.write(data)
+    val media = Seq(Multimodal.MediaRecord(7L, header.toByteArray),
+      Multimodal.MediaRecord(8L, "not audio".getBytes)).toDS()
+    val out = Multimodal.audioStats(media).collect()
+    assert(out.length === 1, "non-WAV payloads must be rejected")
+    val a = out.head
+    assert(a.doc_id === 7L && a.n_samples === 3)
+    assert(a.sum_sq === (1L * 1 + 2L * 2 + 300L * 300))
+    assert(a.rms === math.sqrt((1.0 + 4.0 + 90000.0) / 3))
+  }
+
   test("frame sample slices cover payload prefix with exact digests") {
     val fs = Multimodal.frameSample(spark, sf0001)
     // every doc contributes at least one frame; frame 0 digest must equal
