@@ -532,6 +532,21 @@ object Relational {
         sum(when(col("m_is_null"), 1L).otherwise(0L)).as("n_m_null"))
       .orderBy(col("event_type"))
 
+  /** DECIMAL aggregation — exact fixed-point money math (the TPC-H
+    * price columns are DECIMAL in the spec; the fixture stores doubles,
+    * so the cast itself is part of the operator under test). Sums of
+    * DECIMAL(18,2) are exact in both engines — no FP accumulation-order
+    * caveat — and both results are cast to DECIMAL(38,2) so the parquet
+    * schemas agree (Spark widens sums to (28,2), DuckDB to (38,2)). */
+  def q39DecimalAgg(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .select(col("l_returnflag"),
+        col("l_extendedprice").cast("decimal(18,2)").as("p"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(col("p")).cast("decimal(38,2)").as("total_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
@@ -571,6 +586,7 @@ object Relational {
     "q36_range_frame" -> (q36RangeFrame _),
     "q37_gap_fill" -> (q37GapFill _),
     "q38_like_json_tuple" -> (q38LikeJsonTuple _),
+    "q39_decimal_agg" -> (q39DecimalAgg _),
   )
 
   val oracles: Map[String, String] = Map(
@@ -826,5 +842,11 @@ object Relational {
         |FROM events
         |WHERE event_type LIKE 'p%' OR event_type LIKE '%iew'
         |GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q39_decimal_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2))
+        |    AS total_price,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
   )
 }
