@@ -40,10 +40,14 @@ object ConnectedComponents {
       .union(edges.select(col("dst").as("u"), col("src").as("v")))
     val m = und.groupBy(col("u")).agg(min(col("v")).as("_mn"))
       .select(col("u").as("_u"), least(col("u"), col("_mn")).as("_m"))
+    // NO distinct here: in near-clique graphs most of v's neighbors share
+    // one minimum, so the raw output is heavily duplicated — but smallStar
+    // consumes it with a groupBy + join and ends in ITS distinct, so the
+    // round's output set is identical and this saves one full-width
+    // shuffle per round (the dedup rides the groupBy that follows).
     und.join(m, col("u") === col("_u"))
       .filter(col("v") > col("u"))
       .select(col("v").as("src"), col("_m").as("dst"))
-      .distinct()
   }
 
   /** Small-star: orient every edge large→small; every node connects its
@@ -68,8 +72,9 @@ object ConnectedComponents {
     * edges don't appear — callers attach singletons with a left join +
     * coalesce(component, id).
     *
-    * Convergence is detected from a (count, order-independent checksum)
-    * pair per round; `maxIter` (default 25 ≈ log2 of any realistic node
+    * Convergence is detected from a (count, checksum, checksum') triple
+    * per round (two order-independent xor checksums with independent
+    * mixing); `maxIter` (default 25 ≈ log2 of any realistic node
     * count, the paper's bound) only guards against a pathological
     * non-termination bug — reaching it raises rather than returning a
     * partially contracted (wrong) clustering.
@@ -86,31 +91,44 @@ object ConnectedComponents {
                  maxIter: Int = 25, edgesNormalized: Boolean = false): DataFrame = {
     // canonical large→small orientation (both star steps emit src > dst,
     // so a fixpoint input is recognized after a single round)
+    // LAZY checkpoints throughout: the signature aggregation is the
+    // materializing action, so each round costs exactly ONE job (the r5
+    // shape — eager checkpoint + separate signature — paid two; at sf0.1
+    // the per-round fixed overhead dominated the whole operator)
     var cur =
       if (edgesNormalized)
         edges.select(col(srcCol).cast("long").as("src"),
-          col(dstCol).cast("long").as("dst")).localCheckpoint()
+          col(dstCol).cast("long").as("dst")).localCheckpoint(eager = false)
       else edges
         .select(
           greatest(col(srcCol).cast("long"), col(dstCol).cast("long")).as("src"),
           least(col(srcCol).cast("long"), col(dstCol).cast("long")).as("dst"))
         .filter(col("src") =!= col("dst"))
         .distinct()
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
     // order-independent set checksum: xor of per-edge hashes (sum would
     // overflow under ANSI arithmetic; xor can't, and the edge set is
-    // distinct so multiplicity never cancels)
-    def signature(df: DataFrame): (Long, Long) = {
+    // distinct so multiplicity never cancels). TWO independent xors
+    // (argument order reverses the xxhash64 mixing) so a false fixpoint
+    // needs simultaneous collisions — same agg, zero extra jobs.
+    def signature(df: DataFrame): (Long, Long, Long) = {
       val r = df.agg(
         count(lit(1)),
-        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L))).head()
-      (r.getLong(0), r.getLong(1))
+        coalesce(bit_xor(xxhash64(col("src"), col("dst"))), lit(0L)),
+        coalesce(bit_xor(xxhash64(col("dst"), col("src"))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
     }
     var sig = signature(cur)
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
-      val next = smallStar(largeStar(cur)).localCheckpoint()
+      // ONE star round per materialization. (Chaining two rounds into a
+      // single plan to halve the job count was tried and is SLOWER: each
+      // star consumes its input twice, so un-checkpointed chaining
+      // replicates the input subtree 4× per extra round — plan blowup
+      // beats the saved scheduling.) The signature agg doubles as the
+      // lazy checkpoint's materializing action: one job per round.
+      val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig

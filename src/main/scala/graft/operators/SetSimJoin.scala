@@ -54,7 +54,7 @@ object SetSimJoin {
     // lifecycle as with the token table (blocks freed with the plan).
     val prefRows = ranked
       .filter(col("_rk") <= col("_sz") - ceil(lit(t) * col("_sz") - lit(1e-9)) + 1)
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // each prefix row carries the doc's WHOLE prefix (of its own role)
     // as a (df, tok) array sorted in the global token order, so the join
     // below can decide per-row whether it is the pair's earliest shared
@@ -172,9 +172,10 @@ object SetSimJoin {
     *
     * Returns (members: (_rep, _mid), repPairs: (id1, id2, jaccard >= t)).
     *
-    * The token table feeds the grouping, the df-count, the ranking, and
-    * the verify joins; eager localCheckpoint so the (potentially
-    * expensive) tokenization runs once instead of once per reference,
+    * The distinct-set aggregate below is the plan's fan-out point (it
+    * feeds members, reps, the df-count, the ranking and the verify
+    * joins); a lazy localCheckpoint there runs the tokenization+grouping
+    * once — inside the first consumer's job, no separate checkpoint job —
     * WITHOUT the CacheManager leak a persist-with-no-unpersist-point has
     * (ADVICE r2): checkpoint blocks free when the returned plan is dropped.
     * Empty sets are dropped up front: brute force scores an
@@ -182,12 +183,17 @@ object SetSimJoin {
     * can never reach t > 0 against anything else. */
   private def repGraph(toks: DataFrame, idCol: String, toksCol: String,
                        t: Double): (DataFrame, DataFrame) = {
-    val cached = toks.localCheckpoint()
-    // one row per distinct NON-EMPTY token set; keep-first representative
-    val groups = cached.filter(size(col(toksCol)) > 0)
+    // one row per distinct NON-EMPTY token set; keep-first representative.
+    // The checkpoint sits HERE (not on the raw token table): since the
+    // dedup-first refactor this aggregate is the fan-out point — members,
+    // reps, the prefix index and the verify join all derive from it — and
+    // everything upstream (tokenization included) has exactly one
+    // consumer. Lazy: the first consumer job materializes the blocks, so
+    // no separate checkpoint job runs.
+    val groups = toks.filter(size(col(toksCol)) > 0)
       .groupBy(col(toksCol))
       .agg(min(col(idCol)).as("_rep"), collect_list(col(idCol)).as("_ids"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val members = groups.select(col("_rep"), explode(col("_ids")).as("_mid"))
     val reps = groups.select(col("_rep").as(idCol), col(toksCol))
     val repPairs = Dedup.jaccardVerifySorted(

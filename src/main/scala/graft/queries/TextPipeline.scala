@@ -134,20 +134,19 @@ object TextPipeline {
   }
 
   /** Vocabulary build: terms above a document-frequency floor, assigned
-    * dense ids by (doc_freq desc, term). The id-assignment window is a
-    * global order — fine here because it runs over the POST-cutoff
-    * vocabulary (bounded: vocab grows ~log corpus, and the cutoff caps
-    * it), never over the corpus; the heavy lifting is the two-level
-    * map-side-combined doc-freq aggregation before it. */
+    * dense ids by (doc_freq desc, term). The id assignment is the
+    * distributed two-phase `DenseIds` operator (range-partition → local
+    * rank → broadcast offsets) — a global `row_number` window would pull
+    * the whole vocabulary through one task, the plan that dies when the
+    * corpus (and with it the vocabulary) scales 100×. */
   def vocabBuild(s: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    Tables.documents(s, dir)
+    val df = Tables.documents(s, dir)
       .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
       .groupBy(col("term")).agg(count(lit(1)).as("doc_freq"))
       .filter(col("doc_freq") >= 5)
-      .withColumn("vocab_id",
-        row_number().over(Window.orderBy(col("doc_freq").desc, col("term"))))
-      .select(col("vocab_id"), col("term"), col("doc_freq"))
+    graft.operators.DenseIds
+      .withDenseId(df, Seq(col("doc_freq").desc, col("term")), "vocab_id")
+      .select(col("vocab_id").cast("int").as("vocab_id"), col("term"), col("doc_freq"))
       .orderBy(col("vocab_id"))
   }
 
@@ -306,8 +305,9 @@ object TextPipeline {
   }
 
   /** Multimodal plumbing: documents as opaque binary payloads with typed
-    * metadata — byte length and content digest (the decode step proper is
-    * stubbed in graft.multimodal, per the brief: codec libs absent). */
+    * metadata — byte length and content digest (format-aware decode lives
+    * in graft.multimodal: real WAV header/sample parsing, deterministic
+    * fakes only where codec libs are absent from the container). */
   def binaryStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
       .select(col("doc_id"), col("text").cast("binary").as("payload"))

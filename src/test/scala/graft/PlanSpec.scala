@@ -151,6 +151,18 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("doc_vocab_build: dense-id assignment never plans a single-partition exchange") {
+    // The r5 verdict's one scale-killer: a global row_number window pulls
+    // the whole vocabulary through one task. DenseIds replaces it; this
+    // gate keeps it replaced. (The final presentation orderBy is a range
+    // exchange, which is fine — only SinglePartition is banned.)
+    val df = SparkEntry.queries("doc_vocab_build")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"vocab dense-id must stay distributed:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -45,6 +45,30 @@ object ProfileMain {
           SetSimJoin.prefixCandidates(cached, "doc_id", "toks", t0))
         t(s"rep$rep ngram full")(SetSimJoin.jaccardSelfJoin(cached, "doc_id", "toks", t0))
       }
+    } else if (args.contains("cc")) {
+      // doc_dedup_clusters decomposition: PPJoin edge generation vs the
+      // connected-components rounds vs the full query
+      for (rep <- 1 to 3) {
+        val toks = docs.select(col("doc_id"), Dedup.hashedTokenSet(col("text")).as("toks"))
+          .filter(size(col("toks")) > 0)
+        val cachedToks = toks.localCheckpoint()
+        t(s"rep$rep cc candidates")(
+          SetSimJoin.prefixCandidates(cachedToks, "doc_id", "toks", 0.8))
+        val cands = SetSimJoin.prefixCandidates(cachedToks, "doc_id", "toks", 0.8)
+          .localCheckpoint()
+        t(s"rep$rep cc verify-only")(
+          Dedup.jaccardVerifySorted(cands, cachedToks, "doc_id", "toks")
+            .filter(col("jaccard") >= 0.8))
+        t(s"rep$rep cc edges")(
+          SetSimJoin.jaccardEdges(toks, "doc_id", "toks", 0.8))
+        val edges = SetSimJoin.jaccardEdges(toks, "doc_id", "toks", 0.8)
+          .localCheckpoint()
+        t(s"rep$rep cc rounds-only")(
+          graft.operators.ConnectedComponents.components(
+            edges, "id2", "id1", edgesNormalized = true))
+        t(s"rep$rep cc full query")(
+          graft.queries.TextPipeline.dedupClusters(spark, dir))
+      }
     } else {
       for (rep <- 1 to 3) {
         t(s"rep$rep minhashNearDups")(Dedup.minhashNearDups(docs, "doc_id", "text"))
