@@ -12,7 +12,8 @@ import graft.streaming.S4Stream.S4Config
   *
   *   run  --input DIR --lake DIR [--mode line|json] [--sink lake|console|foreach]
   *        [--flush "5 minutes"] [--checkpoint DIR] [--available-now]
-  *        [--input-kind files|socket] [--host H] [--port N]
+  *        [--input-kind files|socket|unix] [--host H] [--port N]
+  *        [--socket-path P]   (unix kind: the domain-socket file)
   *        [--max-files-per-trigger N] [--max-record-bytes N]
   *        [--lake-format text|parquet]
   *   mock [--rate N]   — the `s4 mock` generator to console (main.go:142-166)
@@ -43,11 +44,14 @@ object S4Main {
     val inputKind = flags.getOrElse("input-kind", "files")
     S4Config(
       inputDir = flags.getOrElse("input",
-        if (inputKind == "socket") ""
+        if (inputKind == "socket" || inputKind == "unix") ""
         else sys.error("--input required (the watched record directory)")),
       inputKind = inputKind,
       host = flags.getOrElse("host", "localhost"),
       port = flags.getOrElse("port", "9999").toInt,
+      socketPath = flags.getOrElse("socket-path",
+        if (inputKind == "unix") sys.error("--socket-path required for unix kind")
+        else ""),
       mode = flags.getOrElse("mode", "line"),
       sink = flags.getOrElse("sink", "lake"),
       lakeDir = flags.getOrElse("lake", ""),

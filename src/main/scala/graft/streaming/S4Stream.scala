@@ -49,9 +49,10 @@ object S4Stream {
   /** R15: the CLI surface of `main.go:20-57`, Spark-shaped. */
   case class S4Config(
       inputDir: String,
-      inputKind: String = "files",           // files | socket    (R1 dial vs dir watch)
+      inputKind: String = "files",           // files | socket | unix  (R1 dial vs dir watch)
       host: String = "localhost",            // socket mode only
       port: Int = 9999,                      // socket mode only
+      socketPath: String = "",               // unix mode only    (input/unix.go:19-34)
       mode: String = "line",                 // --type line|json  (main.go:50-56)
       sink: String = "lake",                 // lake | console    (main.go:32-38 vs mock)
       lakeDir: String = "",                  // --s3Path analog   (main.go:26-31)
@@ -69,13 +70,19 @@ object S4Stream {
     * `files` (default, production): a watched directory — many concurrent
     * writers multiplex into one stream exactly like the reference's
     * accept loop (`input/unix.go:49-82`). `socket`: Spark's TCP socket
-    * source, the literal dial-a-socket analog of the client mode
+    * source, the dial-a-socket analog of the client mode
     * (`input/unix.go:19-34`) — like the reference's socket, it has no
-    * replay, so it is the dev/mock path, not the exactly-once one. */
+    * replay, so it is the dev/mock path, not the exactly-once one.
+    * `unix`: the LITERAL transport — a UNIX domain socket at
+    * `socketPath` (graft's own DSv2 source, UnixSocketSource.scala),
+    * same dev-mode no-replay contract. */
   def source(spark: SparkSession, cfg: S4Config): DataFrame = cfg.inputKind match {
     case "socket" =>
       spark.readStream.format("socket")
         .option("host", cfg.host).option("port", cfg.port).load()
+    case "unix" =>
+      spark.readStream.format("unix-socket")
+        .option("path", cfg.socketPath).load()
     case _ =>
       val r = spark.readStream
       cfg.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))

@@ -221,6 +221,51 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); server.close() }
   }
 
+  test("unix-domain-socket source streams line-framed records (input/unix_test.go echo)") {
+    import java.net.{StandardProtocolFamily, UnixDomainSocketAddress}
+    import java.nio.channels.ServerSocketChannel
+    import java.nio.charset.StandardCharsets
+    // the reference's UnixTestServer shape: bind a domain socket, accept
+    // one client, write the hello×5 + world echo fixture repeatedly
+    val sockPath = tmp("uds").resolve("test.sock")
+    val server = ServerSocketChannel.open(StandardProtocolFamily.UNIX)
+    server.bind(UnixDomainSocketAddress.of(sockPath.toString))
+    val writer = new Thread(() => {
+      try {
+        val conn = server.accept()
+        for (_ <- 1 to 40) {
+          val block = ("""{"message": "hello"}""" + "\n") * 5 +
+            """{"message": "world"}""" + "\n"
+          conn.write(java.nio.ByteBuffer.wrap(
+            block.getBytes(StandardCharsets.UTF_8)))
+          Thread.sleep(150)
+        }
+        conn.close()
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true); writer.start()
+
+    val src = S4Stream.source(spark, S4Config(
+      inputDir = "", inputKind = "unix", socketPath = sockPath.toString))
+    val q = S4Stream.validated(src, "json")
+      .writeStream.format("memory").queryName("uds_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var n = 0L
+      while (n < 6 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        n = spark.table("uds_out").count()
+      }
+      assert(n >= 6, s"expected >=6 unix-socket records, got $n")
+      val msgs = spark.table("uds_out")
+        .select(get_json_object(col("value"), "$.message"))
+        .collect().map(_.getString(0)).toSet
+      assert(msgs === Set("hello", "world"))
+    } finally { q.stop(); server.close() }
+  }
+
   test("CLI flags drive a socket-to-parquet-lake round trip end to end") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort
@@ -563,6 +608,72 @@ class StreamingSpec extends SparkSpec {
       .select(col("rank"), col("vec_id")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(fin === Map(1 -> 1L, 2 -> 4L), s"final top-2: $fin")
+  }
+
+  test("streaming as-of enrichment: cross-batch late signup with earlier event time wins") {
+    import graft.streaming.AsofStream
+    val lin = tmp("asofl"); val rin = tmp("asofr")
+    val ck = tmp("asofck"); val outDir = tmp("asofout")
+    val prevProvider = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def run(): Unit = {
+      val left = spark.readStream
+        .schema("key STRING, ts TIMESTAMP, value STRING").json(lin.toString)
+      val right = spark.readStream
+        .schema("key STRING, ts TIMESTAMP, value STRING").json(rin.toString)
+      val q = AsofStream.asof(left, right, "key", "ts", "ts", "value", "value",
+        delay = "5 minutes")
+        .toDF().writeStream.format("parquet").option("path", outDir.toString)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+        .start()
+      q.awaitTermination()
+    }
+    try {
+      // batch 1: two purchases; u1 has one prior signup, u2 none
+      writeLines(lin, "l1.json", Seq(
+        """{"key": "u1", "ts": "2024-01-01 00:10:00", "value": "p1"}""",
+        """{"key": "u2", "ts": "2024-01-01 00:06:00", "value": "p0"}"""))
+      writeLines(rin, "r1.json", Seq(
+        """{"key": "u1", "ts": "2024-01-01 00:05:00", "value": "s0"}"""))
+      run()
+      // nothing may emit yet: the watermark after batch 1 is 00:05
+      // (batch max 00:10 minus the delay), before both purchases
+      assert(!java.nio.file.Files.exists(outDir) ||
+        spark.read.parquet(outDir.toString).isEmpty,
+        "lefts must stay buffered until the watermark passes them")
+      // batch 2, AFTER the purchases arrived: a signup for u1 with an
+      // EARLIER event time than p1 but later than s0 — the late-arrival
+      // case an eager (emit-on-sight) join gets wrong. Plus a watermark
+      // advancer on an unrelated key; once the watermark passes the
+      // purchases, the event-time timers flush them (AvailableNow runs a
+      // finalization batch after the watermark update, so the flush lands
+      // within this run).
+      writeLines(rin, "r2.json", Seq(
+        """{"key": "u1", "ts": "2024-01-01 00:08:00", "value": "s1"}""",
+        """{"key": "u9", "ts": "2024-01-01 00:30:00", "value": "adv"}"""))
+      run()
+      // batch 3: a further advancer; u1/u2 have no new input and were
+      // already flushed — nothing may emit twice
+      writeLines(rin, "r3.json", Seq(
+        """{"key": "u9", "ts": "2024-01-01 01:00:00", "value": "adv"}"""))
+      run()
+      val out = spark.read.parquet(outDir.toString)
+        .collect().map(r => r.getString(0) ->
+          ((r.getString(2), Option(r.getTimestamp(3)).map(_.toString).orNull,
+            r.getString(4)))).toMap
+      assert(out.size === 2, s"both purchases decided exactly once: $out")
+      assert(out("u1") === (("p1", "2024-01-01 00:08:00.0", "s1")),
+        s"the late-arriving earlier-event-time signup must win: $out")
+      assert(out("u2") === (("p0", null, null)),
+        s"no signup at-or-before p0 -> left-outer null: $out")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
   }
 
   test("streaming minhash near-dup dedup: cross-batch duplicate flagged, novel kept") {
