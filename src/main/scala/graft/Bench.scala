@@ -35,12 +35,14 @@ object Bench {
   private final class MetricsListener extends SparkListener {
     @volatile var peakExecMem: Long = 0L
     @volatile var gcTimeMs: Long = 0L
-    def reset(): Unit = { peakExecMem = 0L; gcTimeMs = 0L }
+    @volatile var shuffleWriteBytes: Long = 0L
+    def reset(): Unit = { peakExecMem = 0L; gcTimeMs = 0L; shuffleWriteBytes = 0L }
     override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
       val m = t.taskMetrics
       if (m != null) {
         peakExecMem = math.max(peakExecMem, m.peakExecutionMemory)
         gcTimeMs += m.jvmGCTime
+        shuffleWriteBytes += m.shuffleWriteMetrics.bytesWritten
       }
     }
   }
@@ -97,21 +99,36 @@ object Bench {
       val sec = (System.nanoTime() - t0) / 1e9
       val storMb = storageBytes() / 1e6
       dropPersistedBlocks()
-      (name, ok, sec, listener.peakExecMem / 1e6, listener.gcTimeMs, storMb)
+      (name, ok, sec, listener.peakExecMem / 1e6, listener.gcTimeMs, storMb,
+        listener.shuffleWriteBytes / 1e6)
     }
+
+    // csv round-trip attribution (VERDICT r5 item 9): the query's cost is
+    // dominated by the gzip WRITE (the operator under test), which the
+    // single timing above can't show — time the two halves separately
+    val csvSplit = try {
+      val w0 = System.nanoTime()
+      val path = graft.queries.Scans.csvWrite(spark, sfDir)
+      val wS = (System.nanoTime() - w0) / 1e9
+      val r0 = System.nanoTime()
+      graft.queries.Scans.csvRead(spark, path).count()
+      val rS = (System.nanoTime() - r0) / 1e9
+      f"""{"write_s":$wS%.3f,"read_s":$rS%.3f}"""
+    } catch { case _: Throwable => """{}""" }
 
     // driver contract: queries maps name -> seconds (plain numbers);
     // failures are excluded from the total and listed in "failed" so a
     // broken query can never masquerade as a fast one. peak_exec_mb /
     // gc_ms / storage_mb are the per-query attribution channels.
-    def jmap(f: ((String, Boolean, Double, Double, Long, Double)) => String): String =
+    def jmap(f: ((String, Boolean, Double, Double, Long, Double, Double)) => String): String =
       results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, _, v, _, _, _) => s""""$k":${f"$v%.3f"}""" }
-    val mem = jmap { case (k, _, _, m, _, _) => s""""$k":${f"$m%.1f"}""" }
-    val gc = jmap { case (k, _, _, _, g, _) => s""""$k":$g""" }
-    val stor = jmap { case (k, _, _, _, _, s) => s""""$k":${f"$s%.1f"}""" }
-    val okTotal = results.collect { case (_, true, v, _, _, _) => v }.sum
-    val failed = results.collect { case (k, false, _, _, _, _) => s""""$k"""" }.mkString("[", ",", "]")
+    val qs = jmap { case (k, _, v, _, _, _, _) => s""""$k":${f"$v%.3f"}""" }
+    val mem = jmap { case (k, _, _, m, _, _, _) => s""""$k":${f"$m%.1f"}""" }
+    val gc = jmap { case (k, _, _, _, g, _, _) => s""""$k":$g""" }
+    val stor = jmap { case (k, _, _, _, _, s, _) => s""""$k":${f"$s%.1f"}""" }
+    val shuf = jmap { case (k, _, _, _, _, _, sw) => s""""$k":${f"$sw%.1f"}""" }
+    val okTotal = results.collect { case (_, true, v, _, _, _, _) => v }.sum
+    val failed = results.collect { case (k, false, _, _, _, _, _) => s""""$k"""" }.mkString("[", ",", "]")
     // stdout line stays COMPACT (driver captures only the tail of stdout;
     // r4's line with the three attribution maps inlined grew past that
     // window and the driver recorded parsed:null). The attribution maps
@@ -120,7 +137,8 @@ object Bench {
       s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","queries":$qs,""" +
         s""""failed":$failed,"sf":"$sfDir"}"""
     val detail =
-      line.dropRight(1) + s""","peak_exec_mb":$mem,"gc_ms":$gc,"storage_mb":$stor}"""
+      line.dropRight(1) + s""","peak_exec_mb":$mem,"gc_ms":$gc,"storage_mb":$stor,""" +
+        s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit}"""
     Files.writeString(Paths.get("bench_result.json"), detail)
     println(line)
     spark.stop()

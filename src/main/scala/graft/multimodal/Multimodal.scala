@@ -145,10 +145,16 @@ object Multimodal {
         val b = r.payload
         val isWav = b.length >= 44 &&
           b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
-          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+          // the chunk at 36 must actually be 'data' (ADVICE r5): a valid
+          // WAV with a LIST/fact chunk after fmt would otherwise have its
+          // chunk HEADER decoded as samples — reject it like a decoder
+          // (this simple reader handles the canonical 44-byte layout only)
+          b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a'
         if (!isWav) Iterator.empty
         else {
-          val n = math.min(le32(b, 40), b.length - 44) / 2
+          // clamp a negative declared size (le32 is signed) to zero
+          val n = math.min(math.max(le32(b, 40), 0), b.length - 44) / 2
           if (n <= 0) Iterator.empty
           else {
             var ss = 0L
@@ -276,6 +282,13 @@ object Multimodal {
       """WITH w AS (
         |  SELECT doc_id, text, CAST(length(text) // 2 AS INT) AS n
         |  FROM documents WHERE doc_id % 2 = 1 AND length(text) >= 2
+        |    -- ASCII guard (ADVICE r5): this oracle reconstructs int16
+        |    -- samples from CHARACTER code points, which equals the
+        |    -- engine's byte-level signed decode only while every char is
+        |    -- one byte < 0x80. octet_length = length pins exactly that;
+        |    -- a non-ASCII fixture then drops oracle rows and fails the
+        |    -- row-count gate LOUDLY instead of hash-diverging silently.
+        |    AND octet_length(CAST(text AS BLOB)) = length(text)
         |), s AS (
         |  SELECT doc_id, n,
         |    CAST(list_aggregate(list_transform(range(1, n + 1),

@@ -211,8 +211,9 @@ object Similarity {
     * recall ≈ the fraction of the corpus visited (nprobe/nlist) — the
     * worst case for ANY cell-pruning index. The nprobe=8/nlist=16
     * default reflects that (recall 0.84 on the gate, half the brute
-    * cost); on a corpus with real cluster structure the same recall
-    * costs far fewer probes. */
+    * cost). On a corpus with real cluster structure the index earns its
+    * keep: SimilaritySpec's planted-cluster gate holds recall@5 >= 0.9
+    * while visiting only nprobe = nlist/4 of the cells. */
   def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int, nlist: Int = 16,
               nprobe: Int = 8, iters: Int = 2, seed: Long = 42L,
               corpusId: String = "vec_id", corpusVec: String = "embedding",

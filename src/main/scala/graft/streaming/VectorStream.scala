@@ -51,10 +51,14 @@ object VectorStream {
          state: GroupState[Seq[(Long, Double)]]) =>
           val prev = state.getOption.getOrElse(Seq.empty)
           val prevIds = prev.map(_._1).toSet
-          // merge batch arrivals into the running top-k; (score desc, id)
-          // ordering makes the survivor set and all emissions deterministic
-          val merged = (prev ++ it.map(r => (r._2, r._3)).toSeq.distinct)
-            .distinct
+          // merge batch arrivals into the running top-k, ONE entry per
+          // vec_id (ADVICE r5): a vector re-arriving with a changed
+          // embedding (update / at-least-once redelivery) must not hold
+          // two of the k slots. Max score per id is the deterministic
+          // reduction ("latest" has no order inside a batch); (score
+          // desc, id) ordering then fixes the survivor set and emissions.
+          val merged = (prev ++ it.map(r => (r._2, r._3)))
+            .groupBy(_._1).view.mapValues(_.map(_._2).max).toSeq
             .sortBy { case (id, s) => (-s, id) }
             .take(k)
           state.update(merged)

@@ -90,10 +90,21 @@ class MultimodalSpec extends SparkSpec {
     header.write(le16(2)); header.write(le16(16))
     header.write("data".getBytes); header.write(le32(data.length))
     header.write(data)
+    // a structurally valid WAV whose chunk at offset 36 is LIST, not
+    // data (ADVICE r5): the simple 44-byte-layout reader must reject it
+    // rather than decode the LIST chunk header+body as samples
+    val listWav = new java.io.ByteArrayOutputStream()
+    listWav.write(header.toByteArray, 0, 36)
+    listWav.write("LIST".getBytes); listWav.write(le32(4))
+    listWav.write("INFO".getBytes)
+    listWav.write("data".getBytes); listWav.write(le32(data.length))
+    listWav.write(data)
     val media = Seq(Multimodal.MediaRecord(7L, header.toByteArray),
-      Multimodal.MediaRecord(8L, "not audio".getBytes)).toDS()
+      Multimodal.MediaRecord(8L, "not audio".getBytes),
+      Multimodal.MediaRecord(9L, listWav.toByteArray)).toDS()
     val out = Multimodal.audioStats(media).collect()
-    assert(out.length === 1, "non-WAV payloads must be rejected")
+    assert(out.length === 1,
+      "non-WAV and non-canonical-chunk payloads must be rejected")
     val a = out.head
     assert(a.doc_id === 7L && a.n_samples === 3)
     assert(a.sum_sq === (1L * 1 + 2L * 2 + 300L * 300))

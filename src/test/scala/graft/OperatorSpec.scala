@@ -110,6 +110,18 @@ class OperatorSpec extends SparkSpec {
     assert(ok.forall(identity))
   }
 
+  test("contamination bloom pre-filter is output-invariant (exact semi-join verifies)") {
+    // the bloom only drops rows the semi-join would drop anyway; its
+    // false positives are removed BY the semi-join — so the two modes
+    // must agree row-for-row, and the bloom's only effect is fewer
+    // shuffled bytes
+    val a = graft.queries.TextPipeline.contamination(spark, sf0001, bloomPrefilter = true)
+    val b = graft.queries.TextPipeline.contamination(spark, sf0001, bloomPrefilter = false)
+    assert(a.count() > 0, "fixture must exhibit contamination")
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty,
+      "bloom pre-filter must not change the result")
+  }
+
   test("hash-function family agrees with reference implementations (crc32)") {
     import spark.implicits._
     // crc32 has no DuckDB analogue, so it is gated here against the JDK's

@@ -36,6 +36,38 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, s"IVF recall@5 $recall < 0.8")
   }
 
+  test("ivf on a planted-cluster corpus: recall@5 >= 0.9 at nprobe = nlist/4") {
+    // The sf fixture has no cosine cluster structure (max pairwise 0.479),
+    // so its IVF gate degenerates to the visit fraction nprobe/nlist —
+    // it measures pruning, not the index (VERDICT r5 item 4). This corpus
+    // has REAL structure: 16 near-orthogonal centers (pseudo-random in
+    // 64-d, pairwise cosine ~0), 100 members each at jitter cosine ~0.99.
+    // A working coarse quantizer must then reach high recall while
+    // visiting only a quarter of the cells — the claim that makes IVF
+    // worth shipping next to LSH.
+    import org.apache.spark.sql.DataFrame
+    val nClusters = 16
+    def unit(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (pmod(h, lit(2000)).cast("double") / 1000.0 - 1.0)
+    val corpus = spark.range(0, nClusters * 100L)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (unit(xxhash64(pmod(col("id"), lit(nClusters)), d)) +
+            unit(xxhash64(col("id"), d, lit(7))) * 0.05).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    val probes = corpus.filter(col("vec_id").isInCollection(Seq(3L, 117L, 512L, 1000L, 1599L)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def hits(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.bruteForceTopK(corpus, probes, k = 5))
+    val found = hits(Similarity.ivfTopK(corpus, probes, k = 5,
+      nlist = nClusters, nprobe = nClusters / 4))
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"planted-cluster IVF recall@5 $recall < 0.9 at nprobe=nlist/4")
+  }
+
   test("ivf centroids are deterministic and cover all cells") {
     val e = Tables.embeddings(spark, sf0001)
     val c1 = Similarity.trainCentroids(e, nlist = 8, iters = 1)

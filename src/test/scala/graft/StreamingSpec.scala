@@ -608,6 +608,26 @@ class StreamingSpec extends SparkSpec {
       .select(col("rank"), col("vec_id")).collect()
       .map(r => r.getInt(0) -> r.getLong(1)).toMap
     assert(fin === Map(1 -> 1L, 2 -> 4L), s"final top-2: $fin")
+    // batch 3 (ADVICE r5): vec 1 RE-ARRIVES with a changed embedding
+    // (cos ~0.99987, still the leader). One id must hold at most one of
+    // the k state slots — an unreduced merge would keep BOTH versions of
+    // vec 1, silently evicting vec 4 from state
+    writeLines(in, "v3.json", Seq(
+      """{"vec_id": 1, "embedding": [0.99, 0.01, 0.0, 0.0]}"""))
+    run()
+    // batch 4: v6 (cos ~0.9962) beats v4 (0.994) -> must ENTER the top-2;
+    // with a doubled vec 1 occupying both slots it never would
+    writeLines(in, "v4.json", Seq(
+      """{"vec_id": 6, "embedding": [0.92, 0.08, 0.0, 0.0]}"""))
+    run()
+    val entered4 = spark.read.parquet(outDir.toString)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(entered4.contains(6L),
+      s"re-arrived id must not consume two top-k slots: $entered4")
+    val fin4 = VectorStream.finalTopK(spark.read.parquet(outDir.toString), k = 2)
+      .select(col("rank"), col("vec_id")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(fin4 === Map(1 -> 1L, 2 -> 6L), s"final top-2 after update: $fin4")
   }
 
   test("streaming as-of enrichment: cross-batch late signup with earlier event time wins") {
