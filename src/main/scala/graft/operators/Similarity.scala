@@ -272,4 +272,44 @@ object Similarity {
       .select(col("id1"), col("id2"), col("cosine"))
       .distinct()
   }
+
+  /** SEMANTIC dedup (the SemDeDup shape — Abbas et al. 2023, public
+    * literature): cluster embeddings with the coarse quantizer, then
+    * within each cell flag every vector that has cosine > tau to ANY
+    * smaller-id vector in the same cell (keep-first, the paper's
+    * non-recursive triangular rule — the witness need not itself be
+    * kept). Returns every corpus row: (id, cell, is_dup, dup_of) with
+    * dup_of = the smallest same-cell witness, null for keepers.
+    *
+    * Why this scales where embedding near-dup otherwise can't: the
+    * pairwise stage runs per CELL, so the pair space is bounded by
+    * sum(cell^2) ~ corpus^2 / nlist on balanced cells — nlist is the
+    * knob that keeps within-cell brute force affordable at any corpus
+    * size (the paper runs 50k clusters at web scale). Approximate by
+    * design: a cross-cell duplicate pair is missed; SimilaritySpec
+    * bounds the miss rate on a planted-cluster corpus against the
+    * cell-free brute-force rule. */
+  def semanticDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
+                    iters: Int = 2, seed: Long = 42L,
+                    corpusId: String = "vec_id",
+                    corpusVec: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, iters, seed, corpusId, corpusVec)
+    val cells = corpus
+      .withColumn("_cid", nearestCentroid(col(corpusVec), centroids))
+      .withColumn("_nrm", VectorOps.norm(col(corpusVec)))
+      .localCheckpoint(eager = false)
+    val a = cells.select(col("_cid"), col(corpusId).as("_ida"),
+      col(corpusVec).as("_ea"), col("_nrm").as("_na"))
+    val b = cells.select(col("_cid"), col(corpusId).as("_idb"),
+      col(corpusVec).as("_eb"), col("_nrm").as("_nb"))
+    val witnesses = a.join(b, Seq("_cid"))
+      .filter(col("_idb") < col("_ida"))
+      .filter(VectorOps.dot(col("_ea"), col("_eb"))
+        > lit(tau) * col("_na") * col("_nb"))
+      .groupBy(col("_ida")).agg(min(col("_idb")).as("dup_of"))
+    cells.select(col(corpusId), col("_cid").cast("int").as("cell"))
+      .join(witnesses, col(corpusId) === col("_ida"), "left")
+      .select(col(corpusId), col("cell"),
+        col("dup_of").isNotNull.as("is_dup"), col("dup_of"))
+  }
 }

@@ -356,6 +356,104 @@ object TextPipeline {
       .orderBy(col("event_id"))
   }
 
+  /** Training-data MIXING: per-source sampling weights applied as
+    * deterministic hash-bucket keep rates — the step that turns raw
+    * corpus proportions into the target training mixture (web downsampled,
+    * high-quality sources kept, etc.). The keep decision is a pure
+    * function of doc_id, so it is reproducible, join-free, and stable
+    * under re-partitioning/re-runs — the same contract as splitCol, on an
+    * independent multiplier so mix and split don't correlate. The rate
+    * here derives from the source's numeric suffix as a stand-in for the
+    * per-source weight config a production pipeline would pass in. */
+  def sampleMix(s: SparkSession, dir: String): DataFrame = {
+    val nt = size(TextOps.tokens(col("text")))
+    val rate = lit(10) + lit(4) * substring(col("source"), 4, 10).cast("int")
+    val bucket = pmod(col("doc_id") * lit(2246822519L) + lit(1013), lit(100))
+    Tables.documents(s, dir)
+      .select(col("source"), rate.as("rate"), bucket.as("_b"), nt.as("_nt"))
+      .groupBy(col("source"), col("rate"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("_b") < col("rate"), 1).otherwise(0)).cast("long").as("n_kept"),
+        sum(when(col("_b") < col("rate"), col("_nt")).otherwise(0)).cast("long")
+          .as("kept_tokens"))
+      .orderBy(col("source"))
+  }
+
+  /** LM-based NOVELTY scoring: the fraction of a document's distinct
+    * bigrams that are corpus-rare (fewer than 5 occurrences in the whole
+    * corpus) — the integer-exact core of perplexity-style quality
+    * filtering (log-prob scoring drifts between libm and the JVM, so the
+    * oracle-gated form stays in counts; high novelty = unusual phrasing =
+    * candidate garbage or candidate gold, either way a routing signal).
+    * Scale shape: corpus counts are one map-side-combined aggregation;
+    * the doc-gram join shuffles on the gram key — never collects. */
+  def lmNovelty(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val base = Tables.documents(s, dir)
+      .select(col("doc_id"), col("text"), size(toks).as("_n"))
+      .filter(col("_n") >= 2)
+    def grams(df: DataFrame) = df.select(col("doc_id"),
+      explode(arrays_zip(
+        slice(toks, lit(1), col("_n") - 1),
+        slice(toks, lit(2), col("_n") - 1))).as("bg"))
+      .select(col("doc_id"), col("bg.0").as("w1"), col("bg.1").as("w2"))
+    val corpusCounts = grams(base)
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("_c"))
+    val docGrams = grams(base).dropDuplicates("doc_id", "w1", "w2")
+    docGrams.join(corpusCounts, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("_c") < 5, 1).otherwise(0)).cast("long").as("n_rare"))
+      .withColumn("novelty",
+        round(col("n_rare").cast("double") / col("n_bigrams"), 3))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality BINNING: per-source token-count deciles (ntile) with
+    * deterministic tie-break — the bucketing step behind curriculum /
+    * quality-stratified sampling. The window partitions by source, so the
+    * ranking is distributed (a GLOBAL decile would be the single-partition
+    * window vocabBuild just got rid of); per-source deciles are also the
+    * semantically right ones — sources have different length profiles. */
+  def qualityBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    Tables.documents(s, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextOps.tokens(col("text"))).as("n_tokens"))
+      .withColumn("bin", ntile(10).over(
+        Window.partitionBy(col("source")).orderBy(col("n_tokens"), col("doc_id"))))
+      .groupBy(col("source"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy(col("source"), col("bin"))
+  }
+
+  /** Token-budget PACKING: documents assigned to fixed-budget shards
+    * (8192 tokens) by running offset, per (split, bucket) — the sharding
+    * step before sequence packing writes training chunks. A doc belongs
+    * to the shard its START offset falls in (docs may straddle a
+    * boundary; the packer downstream handles the tail). The running sum
+    * is windowed by (split, 8-way doc_id bucket), so no partition ever
+    * holds more than 1/24th of the corpus — packing is embarrassingly
+    * parallel across buckets by design, matching how shards map to
+    * writer tasks at scale. */
+  def packShards(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("bucket"),
+        size(TextOps.tokens(col("text"))).as("_nt"))
+      .withColumn("_start", coalesce(sum(col("_nt")).over(w), lit(0L)))
+      .withColumn("shard", floor(col("_start") / lit(8192)).cast("int"))
+      .groupBy(col("split"), col("bucket"), col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_nt")).cast("long").as("shard_tokens"))
+      .orderBy(col("split"), col("bucket"), col("shard"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_exact_dedup" -> (exactDedup _),
     "doc_token_stats" -> (tokenStats _),
@@ -376,9 +474,76 @@ object TextPipeline {
     "doc_split_assign" -> (splitAssign _),
     "mm_binary_stats" -> (binaryStats _),
     "ev_asof_join" -> (asofPurchaseSignup _),
+    "doc_sample_mix" -> (sampleMix _),
+    "doc_lm_novelty" -> (lmNovelty _),
+    "doc_quality_bins" -> (qualityBins _),
+    "doc_pack_shards" -> (packShards _),
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_sample_mix" ->
+      """SELECT source,
+        |  10 + 4 * CAST(substr(source, 4) AS INT) AS rate,
+        |  count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN (doc_id * 2246822519 + 1013) % 100
+        |                     < 10 + 4 * CAST(substr(source, 4) AS INT)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN (doc_id * 2246822519 + 1013) % 100
+        |                     < 10 + 4 * CAST(substr(source, 4) AS INT)
+        |           THEN len(string_split(text, ' ')) ELSE 0 END) AS BIGINT)
+        |    AS kept_tokens
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "doc_lm_novelty" ->
+      """WITH tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(toks)),
+        |           i -> [toks[i], toks[i+1]])) AS bg
+        |  FROM tok WHERE len(toks) >= 2
+        |), c AS (
+        |  SELECT bg[1] AS w1, bg[2] AS w2, count(*) AS n FROM g GROUP BY 1, 2
+        |), dg AS (
+        |  SELECT DISTINCT doc_id, bg[1] AS w1, bg[2] AS w2 FROM g
+        |)
+        |SELECT dg.doc_id AS doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(CASE WHEN c.n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |  round(CAST(sum(CASE WHEN c.n < 5 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 3) AS novelty
+        |FROM dg JOIN c ON dg.w1 = c.w1 AND dg.w2 = c.w2
+        |GROUP BY dg.doc_id ORDER BY doc_id""".stripMargin,
+    "doc_quality_bins" ->
+      """WITH t AS (
+        |  SELECT source, doc_id, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents
+        |), b AS (
+        |  SELECT source, n_tokens,
+        |    CAST(ntile(10) OVER (PARTITION BY source
+        |                         ORDER BY n_tokens, doc_id) AS INT) AS bin
+        |  FROM t
+        |)
+        |SELECT source, bin, count(*) AS n_docs,
+        |  min(n_tokens) AS min_tokens, max(n_tokens) AS max_tokens
+        |FROM b GROUP BY source, bin ORDER BY source, bin""".stripMargin,
+    "doc_pack_shards" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(doc_id % 8 AS INT) AS bucket,
+        |    len(string_split(text, ' ')) AS nt
+        |  FROM documents
+        |), o AS (
+        |  SELECT split, bucket, nt,
+        |    CAST(coalesce(sum(nt) OVER (PARTITION BY split, bucket
+        |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |      0) // 8192 AS INT) AS shard
+        |  FROM t
+        |)
+        |SELECT split, bucket, shard, count(*) AS n_docs,
+        |  CAST(sum(nt) AS BIGINT) AS shard_tokens
+        |FROM o GROUP BY split, bucket, shard
+        |ORDER BY split, bucket, shard""".stripMargin,
     "doc_split_assign" ->
       """SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
         |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'

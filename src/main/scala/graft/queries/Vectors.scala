@@ -105,7 +105,18 @@ object Vectors {
         max(col("n")).as("n_vectors"))
       .orderBy(col("label"))
 
+  /** SemDeDup-style semantic dedup decisions over the corpus (engine-only:
+    * the k-means quantizer is not SQL-expressible; SimilaritySpec bounds
+    * the cell-miss rate on a planted-cluster corpus). The fixture has no
+    * natural cosine near-dups (max pairwise 0.479), so at tau=0.9 every
+    * row is a keeper here — the decision COLUMNS, not the flag rate, are
+    * the surface under test. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame =
+    Similarity.semanticDedup(Tables.embeddings(s, dir), tau = 0.9)
+      .orderBy(col("vec_id"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_semantic_dedup" -> (semanticDedup _),
     "vec_norms" -> (norms _),
     "vec_brute_topk" -> (bruteTopK _),
     "vec_lsh_topk" -> (lshTopK _),

@@ -68,6 +68,45 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-cluster IVF recall@5 $recall < 0.9 at nprobe=nlist/4")
   }
 
+  test("semantic dedup on planted clusters: subset of brute flags, >= 0.9 recovered") {
+    import org.apache.spark.sql.DataFrame
+    // same planted-cluster construction as the IVF gate: 16 near-orthogonal
+    // centers, jittered members at cosine ~0.99 — every non-minimum member
+    // is a semantic duplicate under tau = 0.9
+    val nClusters = 16
+    def unit(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (pmod(h, lit(2000)).cast("double") / 1000.0 - 1.0)
+    val corpus = spark.range(0, nClusters * 50L)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (unit(xxhash64(pmod(col("id"), lit(nClusters)), d)) +
+            unit(xxhash64(col("id"), d, lit(7))) * 0.05).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    // cell-free brute-force version of the SAME triangular rule
+    val n = corpus.select(col("vec_id").as("_id"), col("embedding").as("_e"),
+      graft.functions.VectorOps.norm(col("embedding")).as("_n"))
+    val bruteFlag = n.select(col("_id").as("_ida"), col("_e").as("_ea"), col("_n").as("_na"))
+      .crossJoin(n.select(col("_id").as("_idb"), col("_e").as("_eb"), col("_n").as("_nb")))
+      .filter(col("_idb") < col("_ida"))
+      .filter(graft.functions.VectorOps.dot(col("_ea"), col("_eb"))
+        > lit(0.9) * col("_na") * col("_nb"))
+      .select(col("_ida")).distinct()
+      .collect().map(_.getLong(0)).toSet
+    val got = Similarity.semanticDedup(corpus, tau = 0.9, nlist = nClusters)
+    val gotFlag = got.filter(col("is_dup")).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(bruteFlag.nonEmpty, "fixture must contain semantic duplicates")
+    assert(gotFlag.subsetOf(bruteFlag),
+      "every cell-local witness is a true witness — no false flags possible")
+    val recovered = gotFlag.size.toDouble / bruteFlag.size
+    assert(recovered >= 0.9,
+      s"cell-local dedup recovered $recovered < 0.9 of brute-force flags")
+    // keepers + dups partition the corpus, and dup_of < vec_id always
+    assert(got.count() === nClusters * 50L)
+    assert(got.filter(col("is_dup") && (col("dup_of") >= col("vec_id"))).isEmpty)
+  }
+
   test("ivf centroids are deterministic and cover all cells") {
     val e = Tables.embeddings(spark, sf0001)
     val c1 = Similarity.trainCentroids(e, nlist = 8, iters = 1)
