@@ -163,6 +163,27 @@ object Dedup {
       .drop("_t1", "_t2", "_inter")
   }
 
+  /** Predicate-only verification: keeps exactly the candidate pairs with
+    * Jaccard >= threshold, WITHOUT computing the value — the merge loop
+    * short-circuits both ways (accepted once the overlap bound is met,
+    * rejected once it is unreachable), via the equivalence
+    * J(x,y) >= t ⟺ |x∩y| >= ceil(t/(1+t)·(|x|+|y|)). The right verify
+    * form when downstream is a boolean edge (connected components), where
+    * jaccardVerifySorted's exact count pays for a column nobody reads.
+    * Same -1e-9 ceil slack as the prefix lengths (FP guard). */
+  def jaccardVerifyAtLeast(pairs: DataFrame, toks: DataFrame,
+                           idCol: String, toksCol: String,
+                           threshold: Double): DataFrame = {
+    val t = toks.select(col(idCol).as("_jid"), col(toksCol).as("_toks"))
+    pairs
+      .join(t.withColumnRenamed("_jid", "id1").withColumnRenamed("_toks", "_t1"), "id1")
+      .join(t.withColumnRenamed("_jid", "id2").withColumnRenamed("_toks", "_t2"), "id2")
+      .filter(graft.functions.SortedIntersectAtLeast(col("_t1"), col("_t2"),
+        ceil(lit(threshold / (1 + threshold))
+          * (size(col("_t1")) + size(col("_t2"))) - lit(1e-9)).cast("int")))
+      .drop("_t1", "_t2")
+  }
+
   /** Distinct tokens of a text column as a sorted array of 64-bit hashes:
     * the canonical token-set representation for the near-dup family —
     * set ops over sorted longs, sorted ONCE per doc at tokenization.

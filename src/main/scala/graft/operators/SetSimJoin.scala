@@ -155,7 +155,7 @@ object SetSimJoin {
     * size for no information gain. */
   def jaccardEdges(toks: DataFrame, idCol: String, toksCol: String,
                    t: Double): DataFrame = {
-    val (members, repPairs) = repGraph(toks, idCol, toksCol, t)
+    val (members, repPairs) = repGraph(toks, idCol, toksCol, t, needScores = false)
     members.filter(col("_mid") =!= col("_rep"))
       .select(col("_rep").as("id1"), col("_mid").as("id2"))
       .unionByName(repPairs.select(col("id1"), col("id2")))
@@ -182,7 +182,7 @@ object SetSimJoin {
     * identical-empty pair 0/0 = NaN (excluded by >= t), and an empty set
     * can never reach t > 0 against anything else. */
   private def repGraph(toks: DataFrame, idCol: String, toksCol: String,
-                       t: Double): (DataFrame, DataFrame) = {
+                       t: Double, needScores: Boolean = true): (DataFrame, DataFrame) = {
     // one row per distinct NON-EMPTY token set; keep-first representative.
     // The checkpoint sits HERE (not on the raw token table): since the
     // dedup-first refactor this aggregate is the fan-out point — members,
@@ -196,9 +196,16 @@ object SetSimJoin {
       .localCheckpoint(eager = false)
     val members = groups.select(col("_rep"), explode(col("_ids")).as("_mid"))
     val reps = groups.select(col("_rep").as(idCol), col(toksCol))
-    val repPairs = Dedup.jaccardVerifySorted(
-        prefixCandidates(reps, idCol, toksCol, t), reps, idCol, toksCol)
-      .filter(col("jaccard") >= t)
+    // score-free callers (edge producers) get the short-circuiting
+    // threshold verify — same accept set, no exact-count column
+    val repPairs =
+      if (needScores)
+        Dedup.jaccardVerifySorted(
+            prefixCandidates(reps, idCol, toksCol, t), reps, idCol, toksCol)
+          .filter(col("jaccard") >= t)
+      else
+        Dedup.jaccardVerifyAtLeast(
+          prefixCandidates(reps, idCol, toksCol, t), reps, idCol, toksCol, t)
     (members, repPairs)
   }
 }

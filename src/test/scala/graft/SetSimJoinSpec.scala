@@ -17,6 +17,48 @@ class SetSimJoinSpec extends SparkSpec {
     assert(fast === brute)
   }
 
+  test("threshold verify keeps exactly the pairs the exact count keeps (both eval modes)") {
+    import spark.implicits._
+    import graft.functions.{SortedIntersectAtLeast, SortedIntersectSize}
+    // random sorted distinct long arrays + a spread of thresholds,
+    // including vacuous (m <= 0) and unreachable bounds
+    val rnd = new scala.util.Random(4242)
+    val rows = (1 to 400).map { _ =>
+      def arr() = Array.fill(rnd.nextInt(30))(rnd.nextInt(40).toLong)
+        .distinct.sorted.toSeq
+      (arr(), arr(), rnd.nextInt(14) - 2)
+    }
+    val df = rows.toDF("a", "b", "m")
+    val prevFm = spark.conf.get("spark.sql.codegen.factoryMode", "FALLBACK")
+    try {
+      Seq("CODEGEN_ONLY", "NO_CODEGEN").foreach { mode =>
+        spark.conf.set("spark.sql.codegen.factoryMode", mode)
+        val bad = df.filter(
+          SortedIntersectAtLeast(col("a"), col("b"), col("m")) =!=
+            (SortedIntersectSize(col("a"), col("b")) >= col("m"))).count()
+        assert(bad === 0L, s"$mode: short-circuit disagrees with exact count")
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prevFm)
+  }
+
+  test("score-free edge verification equals the scored verification's accept set") {
+    import graft.operators.{Dedup, SetSimJoin}
+    val toks = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"), Dedup.hashedTokenSet(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .localCheckpoint()
+    val cands = SetSimJoin.prefixCandidates(toks, "doc_id", "toks", 0.8)
+      .localCheckpoint()
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("id1"), col("id2")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val scored = pairs(Dedup.jaccardVerifySorted(cands, toks, "doc_id", "toks")
+      .filter(col("jaccard") >= 0.8))
+    val atLeast = pairs(Dedup.jaccardVerifyAtLeast(cands, toks, "doc_id", "toks", 0.8))
+    assert(scored.nonEmpty)
+    assert(atLeast === scored)
+  }
+
   test("edge shapes: empties, singletons, exact dupes, subsets") {
     import spark.implicits._
     import graft.operators.{Dedup, SetSimJoin}
