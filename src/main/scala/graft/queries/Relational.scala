@@ -547,7 +547,54 @@ object Relational {
         count(lit(1)).as("n"))
       .orderBy(col("l_returnflag"))
 
+  /** BATCH sessionization (the gaps-and-islands form): a session breaks
+    * where the per-user inter-event gap exceeds 30 minutes; session id =
+    * running count of breaks. Two stacked windows on the SAME
+    * (partition, order) — Catalyst plans them in one Window operator
+    * behind one exchange+sort, so this costs exactly what q13/q14 cost.
+    * Complements q26's streaming session_window: same islands, computed
+    * relationally over history instead of incrementally with state. */
+  def q40Sessionize(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("_gap_us",
+        unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+      .withColumn("_brk",
+        when(col("_gap_us").isNull || col("_gap_us") > 30L * 60 * 1000000, 1)
+          .otherwise(0))
+      .withColumn("session_id", sum(col("_brk")).over(run).cast("int"))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(count(lit(1)).as("n_events"),
+        unix_micros(min(col("ts"))).as("start_us"),
+        unix_micros(max(col("ts"))).as("end_us"),
+        round(sum(col("value")), 2).as("session_value"))
+      .orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** STRATIFIED exact sampling: exactly min(n, |group|) docs per source,
+    * chosen by a deterministic pseudo-random order (multiplicative hash
+    * of doc_id, tie-broken by id) — the "N examples per source" sampling
+    * a mixture builder uses when rates (doc_sample_mix) are too coarse.
+    * The ranking window partitions by source, so it is distributed and
+    * WindowGroupLimit-prunable — never a global sort. */
+  def q41StratifiedSample(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("source"))
+      .orderBy(pmod(col("doc_id") * lit(2654435761L) + lit(17), lit(1000000007L)),
+        col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("_rk", row_number().over(w))
+      .filter(col("_rk") <= 10)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"),
+        min(col("doc_id")).as("min_sampled_id"),
+        sum(col("doc_id")).cast("long").as("id_sum"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q40_sessionize" -> (q40Sessionize _),
+    "q41_stratified_sample" -> (q41StratifiedSample _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_shipping_priority" -> (q03ShippingPriority _),
@@ -590,6 +637,36 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q40_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, ts, value,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER
+        |      (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events
+        |), b AS (
+        |  SELECT user_id, ts, value,
+        |    CAST(sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000
+        |                  THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+        |      AS session_id
+        |  FROM g
+        |)
+        |SELECT user_id, session_id, count(*) AS n_events,
+        |  epoch_us(min(ts)) AS start_us, epoch_us(max(ts)) AS end_us,
+        |  round(sum(value), 2) AS session_value
+        |FROM b GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin,
+    "q41_stratified_sample" ->
+      """WITH r AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 2654435761 + 17) % 1000000007, doc_id) AS rk
+        |  FROM documents
+        |)
+        |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_sampled_id,
+        |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+        |FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

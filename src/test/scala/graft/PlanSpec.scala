@@ -151,6 +151,33 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q40: stacked sessionize windows share one exchange+sort (no double shuffle)") {
+    // the lag window and the running-count window use the same
+    // (partition, order); Catalyst must collapse them into one Window
+    // chain behind a single hashpartitioning(user_id) exchange — a
+    // second exchange would double the query's shuffle for nothing
+    val df = SparkEntry.queries("q40_sessionize")(spark, sf0001)
+    val p = df.queryExecution.executedPlan.toString
+    val parts = "hashpartitioning\\(user_id".r.findAllIn(p).length
+    assert(parts === 1, s"expected one user_id exchange, got $parts:\n$p")
+    assert(!p.contains("SinglePartition"), s"sessionize must stay distributed:\n$p")
+  }
+
+  test("q41: stratified sample plans as WindowGroupLimit (top-n pruned per source)") {
+    val df = SparkEntry.queries("q41_stratified_sample")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"sample rank must prune below k:\n$p")
+  }
+
+  test("doc_pack_shards: running-offset packing never plans a single-partition exchange") {
+    val df = SparkEntry.queries("doc_pack_shards")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("SinglePartition"),
+      s"packing must stay distributed across (split, bucket):\n$p")
+  }
+
   test("doc_vocab_build: dense-id assignment never plans a single-partition exchange") {
     // The r5 verdict's one scale-killer: a global row_number window pulls
     // the whole vocabulary through one task. DenseIds replaces it; this
