@@ -118,7 +118,13 @@ object ConnectedComponents {
         coalesce(bit_xor(xxhash64(col("dst"), col("src"))), lit(0L))).head()
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
+    // GRAFT_CC_DEBUG=1: per-round (count, millis) to stderr — the
+    // diagnostic for "where do the rounds go" without a UI in local mode
+    val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    var t0 = System.nanoTime()
     var sig = signature(cur)
+    if (debug) System.err.println(
+      f"[cc] round 0 (input): edges=${sig._1} ${(System.nanoTime() - t0) / 1e6}%.0f ms")
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
@@ -128,12 +134,16 @@ object ConnectedComponents {
       // replicates the input subtree 4× per extra round — plan blowup
       // beats the saved scheduling.) The signature agg doubles as the
       // lazy checkpoint's materializing action: one job per round.
+      t0 = System.nanoTime()
       val next = smallStar(largeStar(cur)).localCheckpoint(eager = false)
       val nextSig = signature(next)
       converged = nextSig == sig
       sig = nextSig
       cur = next
       it += 1
+      if (debug) System.err.println(
+        f"[cc] round $it: edges=${sig._1} ${(System.nanoTime() - t0) / 1e6}%.0f ms" +
+          (if (converged) " (fixpoint)" else ""))
     }
     if (!converged)
       throw new IllegalStateException(
