@@ -180,6 +180,55 @@ object Multimodal {
     audioStats(synthMedia(s, dir).as[MediaRecord]).toDF().orderBy(col("doc_id"))
   }
 
+  /** One fixed-length analysis frame of a decoded audio payload. */
+  case class AudioFrame(doc_id: Long, frame_idx: Int, sum_sq: Long, rms: Double)
+
+  /** FRAME-level audio features: non-overlapping 64-sample windows over
+    * the int16 PCM stream, each reduced to (energy, RMS) — the feature
+    * shape every real audio pipeline extracts (VAD, loudness curves,
+    * spectral pre-pass all start from framed energy). Full frames only;
+    * the sub-frame tail is the whole-payload statistic's job
+    * ([[audioStats]]). Same container checks and partition-batched
+    * iterator as audioStats; integer energy keeps the oracle exact. */
+  def audioFrames(media: Dataset[MediaRecord], frame: Int = 64): Dataset[AudioFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      def u8(b: Array[Byte], i: Int): Int = b(i) & 0xFF
+      def le16s(b: Array[Byte], i: Int): Int =
+        (u8(b, i) | (u8(b, i + 1) << 8)).toShort.toInt
+      def le32(b: Array[Byte], i: Int): Int =
+        u8(b, i) | (u8(b, i + 1) << 8) | (u8(b, i + 2) << 16) | (u8(b, i + 3) << 24)
+      it.flatMap { r =>
+        val b = r.payload
+        val isWav = b.length >= 44 &&
+          b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+          b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E' &&
+          b(36) == 'd' && b(37) == 'a' && b(38) == 't' && b(39) == 'a'
+        if (!isWav) Iterator.empty
+        else {
+          val n = math.min(math.max(le32(b, 40), 0), b.length - 44) / 2
+          (0 until n / frame).iterator.map { f =>
+            var ss = 0L
+            var i = f * frame
+            while (i < (f + 1) * frame) {
+              val s = le16s(b, 44 + 2 * i)
+              ss += s.toLong * s
+              i += 1
+            }
+            AudioFrame(r.doc_id, f, ss, math.sqrt(ss.toDouble / frame))
+          }
+        }
+      }
+    }
+  }
+
+  /** Frame-features query (64-sample frames over the WAV payloads). */
+  def audioFramesQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    audioFrames(synthMedia(s, dir).as[MediaRecord]).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** One nearest-neighbor-resized raster, reduced to oracle-checkable
     * features (dims + byte checksum — emitting the resized bytes
     * themselves would leave nothing DuckDB-comparable to hash). */
@@ -245,6 +294,7 @@ object Multimodal {
     "mm_resize" -> ((s, d) => resizeQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_audio_rms" -> ((s, d) => audioRmsQuery(s, d)),
+    "mm_audio_frames" -> ((s, d) => audioFramesQuery(s, d)),
   )
 
   val oracles: Map[String, String] = Map(
@@ -278,6 +328,25 @@ object Multimodal {
         |FROM documents CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS k) f
         |WHERE octet_length(CAST(substring(text, (k-1)*64 + 1, 64) AS BLOB)) > 0
         |ORDER BY doc_id, frame_idx""".stripMargin,
+    "mm_audio_frames" ->
+      """WITH w AS (
+        |  SELECT doc_id, text, CAST(length(text) // 2 AS INT) AS n
+        |  FROM documents WHERE doc_id % 2 = 1 AND length(text) >= 2
+        |    -- same ASCII guard as mm_audio_rms: char-code reconstruction
+        |    -- equals the byte-level signed decode only for 1-byte chars
+        |    AND octet_length(CAST(text AS BLOB)) = length(text)
+        |), f AS (
+        |  SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |    CAST(list_aggregate(list_transform(range(fi*64 + 1, fi*64 + 65),
+        |      i -> CAST(ascii(text[2*i-1]) + 256 * ascii(text[2*i]) AS BIGINT)
+        |           * CAST(ascii(text[2*i-1]) + 256 * ascii(text[2*i]) AS BIGINT)),
+        |      'sum') AS BIGINT) AS sum_sq
+        |  FROM w CROSS JOIN (SELECT unnest(range(0, 256)) AS fi) frames
+        |  WHERE fi < n // 64
+        |)
+        |SELECT doc_id, frame_idx, sum_sq,
+        |  sqrt(CAST(sum_sq AS DOUBLE) / 64) AS rms
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "mm_audio_rms" ->
       """WITH w AS (
         |  SELECT doc_id, text, CAST(length(text) // 2 AS INT) AS n

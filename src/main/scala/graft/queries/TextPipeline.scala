@@ -454,7 +454,32 @@ object TextPipeline {
       .orderBy(col("split"), col("bucket"), col("shard"))
   }
 
+  /** Content-defined chunk fingerprints + cross-document sharing: per
+    * doc, its CDC chunk count and how many of its chunks also occur in
+    * at least one OTHER document — the partial-duplication signal
+    * (boilerplate, quoted text, mirrored-with-edits) that exact hashing
+    * misses and shingle Jaccard blurs. Engine-only (a rolling hash is
+    * not SQL-expressible); CdcChunksSpec gates the chunker against a
+    * reference implementation and the self-synchronization property.
+    * Scale shape: explode → two map-side-combined aggregations joined on
+    * the chunk hash — the exact-dedup footprint, never quadratic. */
+  def cdcChunkStats(s: SparkSession, dir: String): DataFrame = {
+    val chunks = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.CdcChunks(col("text"), 6)).as("c"))
+      .select(col("doc_id"), col("c.hash").as("chunk_hash"))
+      .localCheckpoint(eager = false)
+    val docsPerChunk = chunks.dropDuplicates("doc_id", "chunk_hash")
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("_nd"))
+    chunks.join(docsPerChunk, Seq("chunk_hash"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("_nd") >= 2, 1).otherwise(0)).cast("long").as("n_shared"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_cdc_chunks" -> (cdcChunkStats _),
     "doc_exact_dedup" -> (exactDedup _),
     "doc_token_stats" -> (tokenStats _),
     "doc_quality_score" -> (qualityScore _),

@@ -111,6 +111,27 @@ class MultimodalSpec extends SparkSpec {
     assert(a.rms === math.sqrt((1.0 + 4.0 + 90000.0) / 3))
   }
 
+  test("audio frames: full 2-sample windows with exact energy, tail dropped") {
+    import spark.implicits._
+    // 5 samples at frame=2 -> frames [1,-2], [300,4]; tail [5] dropped
+    val samples = Seq[Short](1, -2, 300, 4, 5)
+    val data = samples.flatMap(s =>
+      Seq((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte)).toArray
+    def le32(v: Int): Array[Byte] = Array(v, v >> 8, v >> 16, v >> 24).map(_.toByte)
+    def le16(v: Int): Array[Byte] = Array(v, v >> 8).map(_.toByte)
+    val h = new java.io.ByteArrayOutputStream()
+    h.write("RIFF".getBytes); h.write(le32(36 + data.length)); h.write("WAVE".getBytes)
+    h.write("fmt ".getBytes); h.write(le32(16)); h.write(le16(1)); h.write(le16(1))
+    h.write(le32(8000)); h.write(le32(16000)); h.write(le16(2)); h.write(le16(16))
+    h.write("data".getBytes); h.write(le32(data.length)); h.write(data)
+    val out = Multimodal.audioFrames(
+      Seq(Multimodal.MediaRecord(3L, h.toByteArray)).toDS(), frame = 2)
+      .collect().sortBy(_.frame_idx)
+    assert(out.map(f => (f.frame_idx, f.sum_sq)).toSeq ===
+      Seq((0, 1L * 1 + 2L * 2), (1, 300L * 300 + 4L * 4)))
+    assert(out.forall(f => f.rms === math.sqrt(f.sum_sq.toDouble / 2)))
+  }
+
   test("frame sample slices cover payload prefix with exact digests") {
     val fs = Multimodal.frameSample(spark, sf0001)
     // every doc contributes at least one frame; frame 0 digest must equal
