@@ -478,7 +478,32 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Approximate heavy-hitter terms per language via the Space-Saving
+    * sketch — the O(capacity)-state form of doc_top_terms for when the
+    * vocabulary doesn't fit an exact groupBy (the shuffle carries one
+    * bounded counter table per language, never per-term rows). Engine-only:
+    * sketch counts are approximate by design; SpaceSavingSpec gates the
+    * tracked-above-threshold and count-bound guarantees under partial
+    * aggregation, which is exactly the path this query exercises. */
+  def heavyTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = new graft.functions.SpaceSaving(20).toColumn
+    Tables.documents(s, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(agg.name("hh"))
+      .toDF("lang", "hh")
+      .select(col("lang"), posexplode(col("hh")).as(Seq("rank", "t")))
+      .select(col("lang"), (col("rank") + 1).as("rank"),
+        col("t._1").as("term"), col("t._2").as("count_hi"), col("t._3").as("err"))
+      .filter(col("rank") <= 5)
+      .orderBy(col("lang"), col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_heavy_terms" -> (heavyTerms _),
     "doc_cdc_chunks" -> (cdcChunkStats _),
     "doc_exact_dedup" -> (exactDedup _),
     "doc_token_stats" -> (tokenStats _),
