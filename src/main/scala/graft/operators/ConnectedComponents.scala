@@ -79,6 +79,18 @@ object ConnectedComponents {
     * non-termination bug — reaching it raises rather than returning a
     * partially contracted (wrong) clustering.
     *
+    * Hybrid tail finish: star rounds contract geometrically, so after a
+    * round or two the surviving edge set is a tiny fraction of the input
+    * — but each further distributed round still pays fixed scheduling
+    * cost (at sf0.1 the tail rounds were ~40% of the operator's wall
+    * time on ~0.5% of its data). Once a round's edge count is at most
+    * `localTailMaxEdges` (default 100k rows ≈ 1.6 MB — bounded by
+    * construction, NOT data-dependent), the remaining contraction runs
+    * as driver-side union-find in one pass. Rounds stay fully
+    * distributed while the edge set is above the cap, so at 100 TB the
+    * driver never sees more than the cap no matter the input; pass 0 to
+    * force the pure-distributed path (the spec covers both).
+    *
     * `edgesNormalized = true` asserts the input is already what the
     * normalize stage would produce — src > dst on every row, no
     * self-loops, no duplicates — and skips that stage (one full shuffle
@@ -88,7 +100,8 @@ object ConnectedComponents {
     * passing unnormalized edges with the flag set silently corrupts the
     * clustering, so leave it false unless the producer guarantees it. */
   def components(edges: DataFrame, srcCol: String, dstCol: String,
-                 maxIter: Int = 25, edgesNormalized: Boolean = false): DataFrame = {
+                 maxIter: Int = 25, edgesNormalized: Boolean = false,
+                 localTailMaxEdges: Long = 100000L): DataFrame = {
     // canonical large→small orientation (both star steps emit src > dst,
     // so a fixpoint input is recognized after a single round)
     // LAZY checkpoints throughout: the signature aggregation is the
@@ -128,6 +141,11 @@ object ConnectedComponents {
     var it = 0
     var converged = false
     while (!converged && it < maxIter) {
+      if (localTailMaxEdges > 0 && sig._1 <= localTailMaxEdges) {
+        if (debug) System.err.println(
+          s"[cc] local tail finish: ${sig._1} edges <= $localTailMaxEdges after $it rounds")
+        return localFinish(cur)
+      }
       // ONE star round per materialization. (Chaining two rounds into a
       // single plan to halve the job count was tried and is SLOWER: each
       // star consumes its input twice, so un-checkpointed chaining
@@ -153,5 +171,40 @@ object ConnectedComponents {
     cur.select(col("src").as("id"), col("dst").as("component"))
       .union(cur.select(col("dst").as("id"), col("dst").as("component")))
       .groupBy(col("id")).agg(min(col("component")).as("component"))
+  }
+
+  /** Driver-side union-find over an edge set already known to fit the
+    * tail cap. Union-by-min-root keeps every tree's root equal to the
+    * minimum member id (both arguments to a union are their trees'
+    * minima by induction), so the assignment needs no remap pass; path
+    * halving keeps find amortized near-constant. */
+  private def localFinish(edgesDf: DataFrame): DataFrame = {
+    val rows = edgesDf.select(col("src"), col("dst")).collect()
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.getOrDefault(x, x)
+      while (p != x) {
+        val gp = parent.getOrDefault(p, p)
+        parent.put(x, gp)
+        x = gp
+        p = parent.getOrDefault(x, x)
+      }
+      x
+    }
+    rows.foreach { r =>
+      val ra = find(r.getLong(0))
+      val rb = find(r.getLong(1))
+      if (ra != rb) {
+        if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+      }
+    }
+    val spark = edgesDf.sparkSession
+    import spark.implicits._
+    rows.iterator
+      .flatMap(r => Iterator(r.getLong(0), r.getLong(1)))
+      .toSet[Long].iterator
+      .map(id => (id, find(id)))
+      .toSeq.toDF("id", "component")
   }
 }

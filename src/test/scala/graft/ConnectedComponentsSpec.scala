@@ -10,9 +10,19 @@ import graft.operators.ConnectedComponents
 class ConnectedComponentsSpec extends SparkSpec {
   import spark.implicits._
 
-  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] =
-    ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
+  /** Runs BOTH execution paths — the driver-side union-find tail (every
+    * graph here is under the default cap) and the pure-distributed star
+    * rounds (cap 0) — and holds them to the same answer. */
+  private def cc(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val local = ConnectedComponents.components(edges.toDF("a", "b"), "a", "b")
       .as[(Long, Long)].collect().toMap
+    val distributed = ConnectedComponents.components(edges.toDF("a", "b"), "a", "b",
+        localTailMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(local == distributed,
+      "local union-find tail and distributed star rounds disagree")
+    local
+  }
 
   test("chain contracts to its minimum (the O(diameter) killer)") {
     val chain = (1L until 40L).map(i => (i, i + 1))
