@@ -592,9 +592,65 @@ object Relational {
       .orderBy(col("source"))
   }
 
+  /** TPC-H Q8-style market share: one supplier nation's revenue fraction
+    * within a customer region, by order year. The deep star join — fact
+    * lineitem⋈orders shuffles on the order key, customer shuffles on the
+    * cust key (at 100 TB customers don't broadcast), nation/region/
+    * supplier are broadcast dims. Share = conditional sum / total sum in
+    * ONE aggregate pass (no second scan or self-join). */
+  def q42MarketShare(s: SparkSession, dir: String): DataFrame = {
+    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    val custRegion = Tables.customer(s, dir)
+      .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("c_custkey"))
+    val suppNation = Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey").as("_snk"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("_snk"))
+      .select(col("s_suppkey"), col("supp_nation"))
+    Tables.lineitem(s, dir)
+      .join(Tables.orders(s, dir)
+          .filter(col("o_orderdate").between(ts("1996-01-01"), ts("1997-12-31"))),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(year(col("o_orderdate")).as("o_year"))
+      .agg(round(
+        sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0))
+          / sum(rev), 4).as("mkt_share"))
+      .orderBy(col("o_year"))
+  }
+
+  /** TPC-H Q9-style product-line profit by supplier nation and year:
+    * broadcast the filtered part dim into the fact scan, broadcast
+    * supplier/nation, shuffle only on the l_orderkey⋈o_orderkey fact-fact
+    * join and the final (nation, year) aggregate. */
+  def q43ProductProfit(s: SparkSession, dir: String): DataFrame = {
+    val amount = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    Tables.lineitem(s, dir)
+      .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
+          .select(col("p_partkey"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, dir)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, dir)
+          .select(col("n_nationkey"), col("n_name").as("supp_nation"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("supp_nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(round(sum(amount), 2).as("profit"))
+      .orderBy(col("supp_nation"), col("o_year"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
+    "q42_market_share" -> (q42MarketShare _),
+    "q43_product_profit" -> (q43ProductProfit _),
     "q01_pricing_summary" -> (q01PricingSummary _),
     "q02_filter_project" -> (q02FilterProject _),
     "q03_shipping_priority" -> (q03ShippingPriority _),
@@ -667,6 +723,29 @@ object Relational {
         |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_sampled_id,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    "q42_market_share" ->
+      """SELECT year(o_orderdate) AS o_year,
+        | round(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+        |       / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation n1 ON c_nationkey = n1.n_nationkey
+        |JOIN region   ON n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n2 ON s_nationkey = n2.n_nationkey
+        |WHERE o_orderdate BETWEEN TIMESTAMP '1996-01-01' AND TIMESTAMP '1997-12-31'
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q43_product_profit" ->
+      """SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
+        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        |FROM lineitem
+        |JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation   ON s_nationkey = n_nationkey
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity), 2) AS sum_qty,

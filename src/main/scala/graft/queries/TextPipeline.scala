@@ -502,7 +502,95 @@ object TextPipeline {
       .orderBy(col("lang"), col("rank"))
   }
 
+  /** Top-3 TF-IDF keywords per document — the classic per-doc salience
+    * score (keyword extraction, indexing features, topic drift checks).
+    * Smooth idf = ln((N+1)/(df+1)), always > 0 since df <= N.
+    *
+    * Scale shape: one explode → groupBy(doc, term) for tf (map-side
+    * combined); df reuses that output with a second groupBy(term) — both
+    * key-partitioned, no row ever leaves its key's partition twice. N
+    * rides in as a one-row broadcast cross join (never a collect). The
+    * per-doc top-3 is a WindowGroupLimit-prunable rank window keyed by
+    * doc_id — fully distributed.
+    *
+    * Determinism: the window orders by the ROUNDED score (both engines
+    * quantize identically before ranking, so accumulation-order ULPs
+    * can't flip ranks) with the term as tiebreak. */
+  def tfidfTerms(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.documents(s, dir)
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // fan-out point: feeds df AND the score join
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, dir).agg(count(lit(1)).as("n"))
+    val scored = tf.join(df, "term").crossJoin(broadcast(n))
+      .withColumn("tfidf",
+        round(col("tf") * log((col("n") + lit(1.0)) / (col("df") + lit(1.0))), 4))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("tfidf").desc, col("term"))))
+      .filter(col("rank") <= 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tfidf"))
+      .orderBy(col("doc_id"), col("rank"))
+  }
+
+  /** Fuzzy near-dup pairs by edit distance: all pairs within the same
+    * language at Levenshtein distance 1..20 — the character-level dedup
+    * family (OCR noise, template fills, small edits) that token-set
+    * Jaccard over-merges and exact hashing misses entirely.
+    *
+    * EXACT under the declared threshold: |len(a) - len(b)| <= d is a
+    * Levenshtein lower bound, so the length pre-filter loses nothing,
+    * and the bucket-replication join below finds every pair passing it
+    * — bucket width 32 > max length gap 20 means qualifying pairs sit
+    * in the same or adjacent length bucket, and replicating each doc to
+    * (own, own+1) buckets while probing from (own) meets each such pair
+    * exactly once per orientation.
+    *
+    * Scale shape: the O(n^2)-prone comparison runs only within
+    * (lang, 32-char length bucket) blocks after two LOSSLESS prunes —
+    * the length lower bound, then the bag-distance lower bound
+    * (levenshtein >= max(chars only a has, chars only b has), packed
+    * per DOC by CharHistogram and compared per PAIR by the
+    * zero-allocation BagDistanceLB codegen loop). The banded DP
+    * (levenshtein(l, r, d): O(len * d), early-exit -1) runs on the few
+    * survivors. No global stage is quadratic, and no prune can drop a
+    * true pair — the oracle is the unblocked naive form. */
+  def editDistancePairs(s: SparkSession, dir: String): DataFrame = {
+    val d = 20
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789 .,"
+    val docs = Tables.documents(s, dir)
+      .select(col("doc_id"), col("lang"), col("text"), col("n_chars"),
+        floor(col("n_chars") / 32).as("bucket"),
+        graft.functions.CharHistogram(col("text"), alphabet).as("h"))
+    val probe = docs.select(col("lang"), col("bucket"),
+      col("doc_id").as("id_a"), col("text").as("text_a"),
+      col("n_chars").as("len_a"), col("h").as("h_a"))
+    val index = docs
+      .select(col("lang"), explode(array(col("bucket"), col("bucket") + 1)).as("bucket"),
+        col("doc_id").as("id_b"), col("text").as("text_b"),
+        col("n_chars").as("len_b"), col("h").as("h_b"))
+    probe.join(index, Seq("lang", "bucket"))
+      .filter(col("id_a") =!= col("id_b"))
+      .filter(abs(col("len_a") - col("len_b")) <= d)
+      .filter(graft.functions.BagDistanceLB(col("h_a"), col("h_b")) <= d)
+      .withColumn("dist", levenshtein(col("text_a"), col("text_b"), d))
+      .filter(col("dist").between(1, d))
+      // adjacent-bucket replication can meet a same-bucket pair twice
+      // (once per orientation) — canonicalize and dedupe on the pair key
+      .select(least(col("id_a"), col("id_b")).as("id1"),
+        greatest(col("id_a"), col("id_b")).as("id2"),
+        col("lang"), col("dist"))
+      .dropDuplicates("id1", "id2")
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_tfidf_terms" -> (tfidfTerms _),
+    "doc_editdist_pairs" -> (editDistancePairs _),
     "doc_heavy_terms" -> (heavyTerms _),
     "doc_cdc_chunks" -> (cdcChunkStats _),
     "doc_exact_dedup" -> (exactDedup _),
@@ -531,6 +619,33 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_tfidf_terms" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) t
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |scored AS (
+        |  SELECT tf.doc_id, tf.term,
+        |         round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (
+        |  SELECT doc_id, term, tfidf,
+        |         row_number() OVER (PARTITION BY doc_id
+        |                            ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |SELECT doc_id, rank, term, tfidf FROM ranked
+        |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    "doc_editdist_pairs" ->
+      """SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang,
+        |       levenshtein(a.text, b.text) AS dist
+        |FROM documents a JOIN documents b
+        |  ON a.lang = b.lang AND a.doc_id < b.doc_id
+        | AND abs(a.n_chars - b.n_chars) <= 20
+        |WHERE levenshtein(a.text, b.text) BETWEEN 1 AND 20
+        |ORDER BY id1, id2""".stripMargin,
     "doc_sample_mix" ->
       """SELECT source,
         |  10 + 4 * CAST(substr(source, 4) AS INT) AS rate,
