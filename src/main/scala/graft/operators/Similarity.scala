@@ -241,6 +241,43 @@ object Similarity {
       .select(col(probeId), col("rn"), col(corpusId), col("cosine"))
   }
 
+  /** Batch kNN JOIN: EVERY corpus vector gets its approximate top-k
+    * cosine neighbors (self excluded) — the all-rows form of [[ivfTopK]]
+    * and the building block of SemDeDup-style pipelines, kNN graphs and
+    * embedding-space diagnostics. Unlike the fixed-probe scorers, the
+    * probe side here IS the corpus, so nothing broadcasts: cells and
+    * probes shuffle-join on the cell id, per-probe candidates are
+    * corpus*nprobe/nlist on balanced cells, and the top-k window is
+    * keyed by probe id (WindowGroupLimit prunes to k per partition
+    * before the final sort). Approximate by design: a neighbor whose
+    * cell the probe does not visit is missed — SimilaritySpec gates
+    * recall on the planted-cluster corpus at nprobe = nlist/4. */
+  def knnJoin(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
+              iters: Int = 2, seed: Long = 42L,
+              corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
+    val centroids = trainCentroids(corpus, nlist, iters, seed, corpusId, corpusVec)
+    val cells = corpus
+      .withColumn("_cid", nearestCentroid(col(corpusVec), centroids))
+      .withColumn("_nc", VectorOps.norm(col(corpusVec)))
+    val probed = corpus
+      .select(col(corpusId).as("q_id"), col(corpusVec).as("_qe"),
+        posexplode(CosineScores(col(corpusVec), centroids)).as(Seq("_cid", "_score")))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("q_id")).orderBy(col("_score").desc, col("_cid"))))
+      .filter(col("_rk") <= nprobe)
+      .withColumn("_np", VectorOps.norm(col("_qe")))
+      .select(col("q_id"), col("_qe"), col("_np"), col("_cid"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cosine").desc, col(corpusId))
+    cells.join(probed, Seq("_cid"))
+      .filter(col("q_id") =!= col(corpusId))
+      .withColumn("cosine", round(
+        VectorOps.dot(col("_qe"), col(corpusVec)) / (col("_np") * col("_nc")), 4))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("q_id"), col("rn"), col(corpusId), col("cosine"))
+  }
+
   /** Global embedding near-dup pairs via LSH-bucket blocking — the scale
     * path for "find near-identical vectors anywhere in the corpus"
     * (blocking on a data column like `label` is O(n^2/|labels|) and

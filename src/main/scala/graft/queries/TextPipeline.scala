@@ -588,7 +588,69 @@ object TextPipeline {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Segment-level dedup stats (the C4/RefinedWeb line-dedup shape on a
+    * corpus without newlines): each document splits into fixed 16-token
+    * segments; a segment instance is duplicated if the identical segment
+    * occurs anywhere else in the corpus (cross-doc or within-doc).
+    * Unlike doc_cdc_chunks (content-defined boundaries, engine-only),
+    * fixed-stride chunking is SQL-expressible, so this one is
+    * oracle-checked end to end.
+    *
+    * Scale shape: explode → one groupBy(segment) count (map-side
+    * combined) → join back on segment → groupBy(doc). Identical to the
+    * exact-dedup footprint; the segment strings could be hashed to longs
+    * at 100 TB to shrink the shuffle (kept as strings here to stay
+    * byte-comparable with the oracle). Ratio is emitted as RAW double
+    * division — identical longs through one IEEE divide are bit-equal in
+    * both engines, while rounding could disagree on exact halfway
+    * values like 1/16. */
+  def segmentDedup(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), ceil(size(tk) / lit(16.0)).cast("int") - 1),
+          i => concat_ws(" ", slice(tk, i * 16 + 1, lit(16))))).as("seg"))
+      .localCheckpoint(eager = false) // fan-out: segment counts + per-doc join
+    val cnt = segs.groupBy(col("seg")).agg(count(lit(1)).as("_n"))
+    val dup = when(col("_n") >= 2, 1).otherwise(0)
+    segs.join(cnt, "seg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(dup).cast("long").as("n_dup_segs"),
+        (sum(dup).cast("double") / count(lit(1))).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Point term-frequency estimates per language from a Count-Min sketch
+    * — the "how often did THIS term occur" sketch next to doc_heavy_terms'
+    * "which terms are frequent" (Space-Saving) and q20's "how many
+    * distinct" (HLL). The shuffle carries one fixed width*depth counter
+    * table per language, never per-term rows; probes are estimated
+    * distributively from the finished sketch (a flatMap over the 5 lang
+    * rows, not a collect). Engine-only: estimates overshoot by design;
+    * CountMinSpec gates the never-undercount and eps*N bounds plus
+    * bit-exact merge associativity, which is exactly the partial+final
+    * path this query exercises. */
+  def termFreqCm(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cm = new graft.functions.CountMin(width = 1024, depth = 4)
+    val probeTerms = Seq("data", "table", "spark", "quantum")
+    val sketches = Tables.documents(s, dir)
+      .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
+      .as[(String, String)]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(cm.toColumn.name("sk"))
+    sketches
+      .flatMap { case (lang, sk) => probeTerms.map(t => (lang, t, cm.estimate(sk, t))) }
+      .toDF("lang", "term", "est_count")
+      .orderBy(col("lang"), col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_term_freq_cm" -> (termFreqCm _),
+    "doc_segment_dedup" -> (segmentDedup _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
     "doc_heavy_terms" -> (heavyTerms _),
@@ -619,6 +681,17 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_segment_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |segs AS (
+        |  SELECT doc_id, array_to_string(tk[i*16+1 : i*16+16], ' ') AS seg
+        |  FROM toks, LATERAL (SELECT unnest(range(CAST(ceil(len(tk)/16.0) AS BIGINT))) AS i) r),
+        |cnt AS (SELECT seg, count(*) AS n FROM segs GROUP BY seg)
+        |SELECT s.doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
+        |  CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
+        |FROM segs s JOIN cnt c USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "doc_tfidf_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf

@@ -105,6 +105,15 @@ object Vectors {
         max(col("n")).as("n_vectors"))
       .orderBy(col("label"))
 
+  /** Approximate kNN JOIN: every corpus vector's top-3 cosine neighbors
+    * via IVF cell blocking (engine-only: the coarse quantizer is not
+    * SQL-expressible; SimilaritySpec gates recall against the brute
+    * self-join on the planted-cluster corpus). The probe side is the
+    * whole corpus — nothing broadcasts; see Similarity.knnJoin. */
+  def knnJoin(s: SparkSession, dir: String): DataFrame =
+    Similarity.knnJoin(Tables.embeddings(s, dir), k = 3)
+      .orderBy(col("q_id"), col("rn"))
+
   /** SemDeDup-style semantic dedup decisions over the corpus (engine-only:
     * the k-means quantizer is not SQL-expressible; SimilaritySpec bounds
     * the cell-miss rate on a planted-cluster corpus). The fixture has no
@@ -116,6 +125,7 @@ object Vectors {
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_knn_join" -> (knnJoin _),
     "vec_semantic_dedup" -> (semanticDedup _),
     "vec_norms" -> (norms _),
     "vec_brute_topk" -> (bruteTopK _),

@@ -68,6 +68,41 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.9, s"planted-cluster IVF recall@5 $recall < 0.9 at nprobe=nlist/4")
   }
 
+  test("knn join on planted clusters: recall@3 >= 0.9 at nprobe = nlist/4, no self pairs") {
+    import org.apache.spark.sql.DataFrame
+    // same planted-cluster construction as the IVF gate
+    val nClusters = 16
+    def unit(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (pmod(h, lit(2000)).cast("double") / 1000.0 - 1.0)
+    val corpus = spark.range(0, nClusters * 100L)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (unit(xxhash64(pmod(col("id"), lit(nClusters)), d)) +
+            unit(xxhash64(col("id"), d, lit(7))) * 0.05).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    val sampleIds = Seq(3L, 117L, 512L, 1000L, 1599L, 40L, 777L, 1234L)
+    // ground truth: brute top-3 for the sampled probes, self excluded
+    val probes = corpus.filter(col("vec_id").isInCollection(sampleIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def hits(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.bruteForceTopK(
+      corpus.alias("c"), probes, k = 4) // k+1: brute includes self at rank 1
+      .filter(col("q_id") =!= col("vec_id"))
+      .filter(col("rn") <= 4)) // then 3 non-self survivors of the top 4
+    val knn = Similarity.knnJoin(corpus, k = 3,
+      nlist = nClusters, nprobe = nClusters / 4)
+      .localCheckpoint()
+    assert(knn.filter(col("q_id") === col("vec_id")).count() == 0L)
+    // every corpus row got k neighbors
+    assert(knn.count() == nClusters * 100L * 3)
+    val found = hits(knn.filter(col("q_id").isInCollection(sampleIds)))
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"planted-cluster kNN-join recall@3 $recall < 0.9")
+  }
+
   test("semantic dedup on planted clusters: subset of brute flags, >= 0.9 recovered") {
     import org.apache.spark.sql.DataFrame
     // same planted-cluster construction as the IVF gate: 16 near-orthogonal
