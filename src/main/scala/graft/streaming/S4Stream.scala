@@ -217,6 +217,27 @@ object S4Stream {
       .agg(count(lit(1)).as("n_records"),
         sum(length(col("value"))).as("batch_bytes"))
 
+  /** STREAMING session windows (the streaming mirror of q40_sessionize's
+    * batch gaps-and-islands): per-key sessions that extend while events
+    * keep arriving within `gap` of each other and close `gap` after the
+    * last one. session_window merges partial sessions across
+    * micro-batches in the state store; the watermark both bounds that
+    * state and decides when a session can no longer grow (a session only
+    * emits once the watermark passes its end — late events inside the
+    * gap would otherwise reopen it). State per key ≈ open sessions only,
+    * independent of stream age. */
+  def sessionWindowStream(records: DataFrame, keyCol: String, tsCol: String,
+                          gap: String = "5 minutes",
+                          watermark: String = "10 minutes"): DataFrame =
+    records
+      .withWatermark(tsCol, watermark)
+      .groupBy(col(keyCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(keyCol),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+
   /** Stream-static enrichment join: the streaming side joins a static
     * dimension table per micro-batch — no state, no watermark needed;
     * at scale the static side is broadcast so the stream never

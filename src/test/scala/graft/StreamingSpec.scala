@@ -402,17 +402,15 @@ class StreamingSpec extends SparkSpec {
       """{"user_id": 9, "ts": "2024-01-01 06:00:00"}"""))
     val src = spark.readStream.schema("user_id LONG, ts TIMESTAMP")
       .option("maxFilesPerTrigger", 1).json(in.toString)
-    val sessions = src
-      .withWatermark("ts", "10 minutes")
-      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
+    val sessions = S4Stream.sessionWindowStream(src, "user_id", "ts",
+      gap = "30 minutes", watermark = "10 minutes")
     val q = sessions.writeStream.format("memory").queryName("sess_out")
       .outputMode("append")
       .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
       .start()
     q.awaitTermination()
     val out = spark.table("sess_out")
-      .select(col("user_id"), col("session_window.start").cast("string"), col("n_events"))
+      .select(col("user_id"), col("session_start").cast("string"), col("n_events"))
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
     assert(out.contains((1L, "2024-01-01 00:00:00", 2L)), s"merged session missing: $out")
     assert(out.contains((1L, "2024-01-01 01:00:00", 1L)), s"second session missing: $out")
