@@ -108,10 +108,11 @@ object Vectors {
   /** Approximate kNN JOIN: every corpus vector's top-3 cosine neighbors
     * via IVF cell blocking (engine-only: the coarse quantizer is not
     * SQL-expressible; SimilaritySpec gates recall against the brute
-    * self-join on the planted-cluster corpus). The probe side is the
-    * whole corpus — nothing broadcasts; see Similarity.knnJoin. */
+    * self-join on the planted-cluster corpus AT THIS OPERATING POINT —
+    * nprobe = nlist/4, a quarter of the cells visited). The probe side
+    * is the whole corpus — nothing broadcasts; see Similarity.knnJoin. */
   def knnJoin(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoin(Tables.embeddings(s, dir), k = 3)
+    Similarity.knnJoin(Tables.embeddings(s, dir), k = 3, nprobe = 4)
       .orderBy(col("q_id"), col("rn"))
 
   /** SemDeDup-style semantic dedup decisions over the corpus (engine-only:
