@@ -417,6 +417,41 @@ class StreamingSpec extends SparkSpec {
     assert(out.contains((2L, "2024-01-01 00:05:00", 1L)), s"user 2 session missing: $out")
   }
 
+  test("streaming upsert: latest version wins, stale replay can't regress, touched buckets only") {
+    val in = tmp("s4uin"); val ck = tmp("s4uck"); val table = tmp("s4utab")
+    // batch 1: first versions of A and B
+    writeLines(in, "a_b1.json", Seq(
+      """{"k": "A", "v": 1, "payload": "a1"}""",
+      """{"k": "B", "v": 1, "payload": "b1"}"""))
+    def run(): Unit = {
+      val src = spark.readStream.schema("k STRING, v LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).json(in.toString)
+      val q = S4Stream.upsertStream(src, "k", "v",
+        table.toString, ck.toString, numBuckets = 8)
+      q.awaitTermination()
+    }
+    run()
+    def state(): Map[String, (Long, String)] = spark.read.parquet(table.toString)
+      .select(col("k"), col("v"), col("payload"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(state() == Map("A" -> (1L, "a1"), "B" -> (1L, "b1")))
+
+    // batch 2: A updates to v2, C inserts, and a STALE replay of A v1
+    // arrives in the same batch — the within-batch contraction plus the
+    // version-wins merge must keep v2
+    writeLines(in, "b_b2.json", Seq(
+      """{"k": "A", "v": 2, "payload": "a2"}""",
+      """{"k": "A", "v": 1, "payload": "a1-late"}""",
+      """{"k": "C", "v": 1, "payload": "c1"}"""))
+    run()
+    assert(state() == Map("A" -> (2L, "a2"), "B" -> (1L, "b1"), "C" -> (1L, "c1")))
+
+    // batch 3: stale-only batch for A (pure replay) — no regression
+    writeLines(in, "c_b3.json", Seq("""{"k": "A", "v": 1, "payload": "a1-again"}"""))
+    run()
+    assert(state() == Map("A" -> (2L, "a2"), "B" -> (1L, "b1"), "C" -> (1L, "c1")))
+  }
+
   test("size-based flush emits on threshold and keeps sub-threshold state (arbitrary state)") {
     val in = tmp("s4zin"); val ck = tmp("s4zck")
     // key a: 3 records x 10 bytes with threshold 25 -> one flush at 30,
