@@ -648,7 +648,35 @@ object TextPipeline {
       .orderBy(col("lang"), col("term"))
   }
 
+  /** Vocabulary OOV (out-of-vocabulary) rate per source — the coverage
+    * check a tokenizer/vocab pipeline runs before training: what
+    * fraction of the corpus' token OCCURRENCES fall outside the df>=5
+    * vocabulary, per source. Reuses the vocabBuild cutoff semantics.
+    *
+    * Scale shape: token occurrences left-join the vocabulary on the term
+    * (key-partitioned shuffle; the vocabulary is NOT broadcast — at
+    * corpus scale it's millions of rows), then one small groupBy(source).
+    * OOV rate is raw IEEE division of two longs — no rounding drift. */
+  def vocabOov(s: SparkSession, dir: String): DataFrame = {
+    val vocab = Tables.documents(s, dir)
+      .select(explode(array_distinct(TextOps.tokens(col("text")))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("_df"))
+      .filter(col("_df") >= 5)
+      .withColumn("_inv", lit(1))
+      .select(col("term"), col("_inv"))
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("term"))
+      .join(vocab, Seq("term"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_inv").isNull, 1).otherwise(0)).cast("long").as("n_oov"),
+        (sum(when(col("_inv").isNull, 1).otherwise(0)).cast("double")
+          / count(lit(1))).as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_vocab_oov" -> (vocabOov _),
     "doc_term_freq_cm" -> (termFreqCm _),
     "doc_segment_dedup" -> (segmentDedup _),
     "doc_tfidf_terms" -> (tfidfTerms _),
@@ -681,6 +709,19 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_vocab_oov" ->
+      """WITH vocab AS (
+        |  SELECT term
+        |  FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
+        |        FROM documents) t
+        |  GROUP BY term HAVING count(*) >= 5
+        |),
+        |occ AS (SELECT source, unnest(string_split(text, ' ')) AS term FROM documents)
+        |SELECT source, count(*) AS n_tokens,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |  CAST(sum(CASE WHEN v.term IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS oov_rate
+        |FROM occ LEFT JOIN vocab v USING (term)
+        |GROUP BY source ORDER BY source""".stripMargin,
     "doc_segment_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |segs AS (
