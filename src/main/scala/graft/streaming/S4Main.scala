@@ -52,6 +52,7 @@ object S4Main {
       socketPath = flags.getOrElse("socket-path",
         if (inputKind == "unix") sys.error("--socket-path required for unix kind")
         else ""),
+      socketMode = flags.getOrElse("socket-mode", "dial"),
       mode = flags.getOrElse("mode", "line"),
       sink = flags.getOrElse("sink", "lake"),
       lakeDir = flags.getOrElse("lake", ""),

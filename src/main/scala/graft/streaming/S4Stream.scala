@@ -54,6 +54,7 @@ object S4Stream {
       host: String = "localhost",            // socket mode only
       port: Int = 9999,                      // socket mode only
       socketPath: String = "",               // unix mode only    (input/unix.go:19-34)
+      socketMode: String = "dial",           // unix mode: dial | listen (ConnectUnixSocket vs ListenUnixSocket)
       mode: String = "line",                 // --type line|json  (main.go:50-56)
       sink: String = "lake",                 // lake | console    (main.go:32-38 vs mock)
       lakeDir: String = "",                  // --s3Path analog   (main.go:26-31)
@@ -83,7 +84,8 @@ object S4Stream {
         .option("host", cfg.host).option("port", cfg.port).load()
     case "unix" =>
       spark.readStream.format("unix-socket")
-        .option("path", cfg.socketPath).load()
+        .option("path", cfg.socketPath)
+        .option("mode", cfg.socketMode).load()
     case _ =>
       val r = spark.readStream
       cfg.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))

@@ -18,10 +18,15 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Structured Streaming source for a UNIX domain socket — the reference's
-  * client dial mode (`input/unix.go:19-34`) made literal: connect to a
-  * filesystem socket path, frame by newline, one `value: string` row per
-  * record. JDK 17's `UnixDomainSocketAddress` carries the transport; the
-  * source is a standard DSv2 micro-batch stream.
+  * R1 transport made literal for BOTH of its modes: client dial
+  * (`input/unix.go:19-34`, `ConnectUnixSocket`) connects to an existing
+  * socket path; server listen (`input/unix.go:48-82`,
+  * `ListenUnixSocket`) binds the path and accepts clients one after
+  * another in a loop, draining each connection to EOF before accepting
+  * the next — exactly the reference's single-threaded accept loop.
+  * Records frame by newline either way, one `value: string` row each.
+  * JDK 17's `UnixDomainSocketAddress` carries the transport; the source
+  * is a standard DSv2 micro-batch stream.
   *
   * Same contract as Spark's own TCP `socket` source (and the same shape:
   * a driver-side reader thread buffers records; each micro-batch is an
@@ -31,7 +36,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Committed batches are trimmed from the buffer, so driver memory holds
   * only not-yet-committed records.
   *
-  * Usage: `spark.readStream.format("unix-socket").option("path", p).load()`
+  * Usage: `spark.readStream.format("unix-socket").option("path", p)
+  * [.option("mode", "dial" | "listen")].load()`
   */
 class UnixSocketSourceProvider extends TableProvider with DataSourceRegister {
   override def shortName(): String = "unix-socket"
@@ -39,17 +45,21 @@ class UnixSocketSourceProvider extends TableProvider with DataSourceRegister {
     UnixSocketSourceProvider.Schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
-    new UnixSocketTable(properties.get("path"))
+    new UnixSocketTable(properties.get("path"),
+      Option(properties.get("mode")).getOrElse("dial"))
 }
 
 object UnixSocketSourceProvider {
   val Schema: StructType = StructType(Seq(StructField("value", StringType)))
 }
 
-private class UnixSocketTable(path: String) extends Table with SupportsRead {
+private class UnixSocketTable(path: String, mode: String)
+    extends Table with SupportsRead {
   require(path != null && path.nonEmpty,
     "unix-socket source requires .option(\"path\", <socket file>)")
-  override def name(): String = s"unix-socket:$path"
+  require(mode == "dial" || mode == "listen",
+    s"unix-socket mode must be dial or listen, got $mode")
+  override def name(): String = s"unix-socket:$mode:$path"
   override def schema(): StructType = UnixSocketSourceProvider.Schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
@@ -58,7 +68,7 @@ private class UnixSocketTable(path: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = UnixSocketSourceProvider.Schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new UnixSocketMicroBatchStream(path)
+          new UnixSocketMicroBatchStream(path, mode)
       }
     }
 }
@@ -69,42 +79,68 @@ private case class RecordCountOffset(n: Long) extends Offset {
   override def json(): String = n.toString
 }
 
-private class UnixSocketMicroBatchStream(path: String) extends MicroBatchStream {
+private class UnixSocketMicroBatchStream(path: String, mode: String)
+    extends MicroBatchStream {
   // records not yet trimmed by commit; buffer(i) is record (base + i)
   private val buffer = new ArrayBuffer[String]
   private var base = 0L
   private val lock = new Object
   @volatile private var channel: SocketChannel = _
+  @volatile private var server: java.nio.channels.ServerSocketChannel = _
   @volatile private var stopped = false
 
-  // Dial eagerly (the reference client connects at startup and fails fast
-  // if the daemon is absent) and read on a daemon thread: a blocking
-  // read loop, decoded as UTF-8, framed on '\n' (CR kept — the reference
-  // frames on bare newlines too).
+  // Drain one connection to EOF: blocking reads, decoded as UTF-8,
+  // framed on '\n' (CR kept — the reference frames on bare newlines too).
+  private def drain(ch: SocketChannel): Unit = {
+    val buf = ByteBuffer.allocate(64 * 1024)
+    val pending = new StringBuilder
+    while (!stopped && ch.read(buf) >= 0) {
+      buf.flip()
+      pending.append(StandardCharsets.UTF_8.decode(buf))
+      buf.clear()
+      var idx = pending.indexOf("\n")
+      while (idx >= 0) {
+        val line = pending.substring(0, idx)
+        pending.delete(0, idx + 1)
+        lock.synchronized { buffer += line }
+        idx = pending.indexOf("\n")
+      }
+    }
+  }
+
+  // Connect/bind eagerly (the reference client connects at startup and
+  // fails fast if the daemon is absent; the reference server binds and
+  // accepts clients one at a time in a loop, input/unix.go:61-78) and
+  // read on a daemon thread.
   private lazy val reader: Thread = {
-    val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
-    ch.connect(UnixDomainSocketAddress.of(path))
-    channel = ch
-    val t = new Thread(() => {
-      val buf = ByteBuffer.allocate(64 * 1024)
-      val pending = new StringBuilder
-      try {
-        while (!stopped && channel.read(buf) >= 0) {
-          buf.flip()
-          pending.append(StandardCharsets.UTF_8.decode(buf))
-          buf.clear()
-          var idx = pending.indexOf("\n")
-          while (idx >= 0) {
-            val line = pending.substring(0, idx)
-            pending.delete(0, idx + 1)
-            lock.synchronized { buffer += line }
-            idx = pending.indexOf("\n")
+    val body: Runnable =
+      if (mode == "listen") {
+        java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+        val srv = java.nio.channels.ServerSocketChannel
+          .open(StandardProtocolFamily.UNIX)
+        srv.bind(UnixDomainSocketAddress.of(path))
+        server = srv
+        () => {
+          try {
+            while (!stopped) {
+              val conn = srv.accept() // reference: one client at a time
+              channel = conn
+              try drain(conn) finally conn.close()
+            }
+          } catch {
+            case _: Throwable if stopped => // closed by stop(); normal
           }
         }
-      } catch {
-        case _: Throwable if stopped => // closed by stop(); normal
+      } else {
+        val ch = SocketChannel.open(StandardProtocolFamily.UNIX)
+        ch.connect(UnixDomainSocketAddress.of(path))
+        channel = ch
+        () => {
+          try drain(ch)
+          catch { case _: Throwable if stopped => () }
+        }
       }
-    }, s"unix-socket-reader-$path")
+    val t = new Thread(body, s"unix-socket-reader-$mode-$path")
     t.setDaemon(true)
     t.start()
     t
@@ -144,6 +180,10 @@ private class UnixSocketMicroBatchStream(path: String) extends MicroBatchStream 
   override def stop(): Unit = {
     stopped = true
     if (channel != null) channel.close()
+    if (server != null) {
+      server.close()
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(path))
+    }
   }
 }
 

@@ -266,6 +266,57 @@ class StreamingSpec extends SparkSpec {
     } finally { q.stop(); server.close() }
   }
 
+  test("unix-domain-socket LISTEN mode accepts sequential clients (input/unix.go ListenUnixSocket)") {
+    import java.net.{StandardProtocolFamily, UnixDomainSocketAddress}
+    import java.nio.channels.SocketChannel
+    import java.nio.charset.StandardCharsets
+    val sockPath = tmp("udsl").resolve("listen.sock")
+    // the SOURCE binds; this client dials it — twice, sequentially, to
+    // exercise the reference's accept-next-client loop
+    val writer = new Thread(() => {
+      try {
+        def sendOnce(lines: Seq[String]): Unit = {
+          var conn: SocketChannel = null
+          val deadline = System.currentTimeMillis() + 15000
+          while (conn == null && System.currentTimeMillis() < deadline) {
+            try {
+              conn = SocketChannel.open(StandardProtocolFamily.UNIX)
+              conn.connect(UnixDomainSocketAddress.of(sockPath.toString))
+            } catch { case _: Throwable => conn = null; Thread.sleep(100) }
+          }
+          lines.foreach { l =>
+            conn.write(java.nio.ByteBuffer.wrap((l + "\n").getBytes(StandardCharsets.UTF_8)))
+          }
+          conn.close()
+        }
+        sendOnce(Seq("""{"message": "client1"}""", """{"message": "hello"}"""))
+        Thread.sleep(300) // let the accept loop come back around
+        sendOnce(Seq("""{"message": "client2"}"""))
+      } catch { case _: Throwable => () }
+    })
+    writer.setDaemon(true); writer.start()
+
+    val src = S4Stream.source(spark, S4Config(
+      inputDir = "", inputKind = "unix", socketPath = sockPath.toString,
+      socketMode = "listen"))
+    val q = S4Stream.validated(src, "json")
+      .writeStream.format("memory").queryName("udsl_out")
+      .trigger(Trigger.ProcessingTime("250 milliseconds"))
+      .start()
+    try {
+      val deadline = System.currentTimeMillis() + 20000
+      var msgs = Set.empty[String]
+      while (!msgs.contains("client2") && System.currentTimeMillis() < deadline) {
+        Thread.sleep(300)
+        msgs = spark.table("udsl_out")
+          .select(get_json_object(col("value"), "$.message"))
+          .collect().map(_.getString(0)).toSet
+      }
+      assert(msgs == Set("client1", "hello", "client2"),
+        s"expected records from both sequential clients, got $msgs")
+    } finally q.stop()
+  }
+
   test("CLI flags drive a socket-to-parquet-lake round trip end to end") {
     val server = new java.net.ServerSocket(0)
     val port = server.getLocalPort
