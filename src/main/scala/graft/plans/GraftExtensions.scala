@@ -39,6 +39,12 @@ object GraftExtensions {
       s"$fn: $what must be an integer literal, got $e")
   }
 
+  private def litString(e: Expression, fn: String, what: String): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case _ => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got $e")
+  }
+
   private def arity(fn: String, n: Int, args: Seq[Expression]): Unit =
     if (args.length != n) throw new IllegalArgumentException(
       s"$fn expects $n arguments, got ${args.length}")
@@ -78,6 +84,21 @@ object GraftExtensions {
       MinHashSig(args(0),
         litLong(args(1), "minhash_sig", "numHashes").toInt,
         litLong(args(2), "minhash_sig", "seed"))
+    },
+    entry("sorted_intersect_at_least") { args =>
+      arity("sorted_intersect_at_least", 3, args)
+      SortedIntersectAtLeast(args(0), args(1), args(2))
+    },
+    entry("cdc_chunks") { args =>
+      arity("cdc_chunks", 2, args)
+      CdcChunks(args(0), litLong(args(1), "cdc_chunks", "maskBits").toInt)
+    },
+    entry("char_histogram") { args =>
+      arity("char_histogram", 2, args)
+      CharHistogram(args(0), litString(args(1), "char_histogram", "alphabet"))
+    },
+    entry("bag_distance_lb") { args =>
+      arity("bag_distance_lb", 2, args); BagDistanceLB(args(0), args(1))
     },
   )
 

@@ -40,6 +40,22 @@ class ExtensionsSpec extends SparkSpec {
         .head.getSeq[Long](0)
     }
     assert(sig === viaDf, "SQL and DataFrame paths must agree")
+
+    val atLeast = spark.sql(
+      "SELECT sorted_intersect_at_least(array(1L, 2L, 5L), array(2L, 5L, 9L), 2) AS ok")
+      .head.getBoolean(0)
+    assert(atLeast)
+
+    val chunks = spark.sql(
+      "SELECT size(cdc_chunks('the quick brown fox jumps over the lazy dog', 4)) AS n")
+      .head.getInt(0)
+    assert(chunks >= 1)
+
+    val bag = spark.sql(
+      "SELECT bag_distance_lb(char_histogram('abc', 'abcdef'), " +
+        "char_histogram('abd', 'abcdef')) AS lb")
+      .head.getInt(0)
+    assert(bag === 1, "one char only in each side -> bound 1")
   }
 
   test("minhash_sig rejects non-literal sketch parameters") {
