@@ -190,6 +190,39 @@ class PlanSpec extends SparkSpec {
       s"vocab dense-id must stay distributed:\n$p")
   }
 
+  test("doc_editdist_pairs: blocked equi-join, never a cartesian product") {
+    val p = plan("doc_editdist_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"edit-distance candidates must join on (lang, bucket), not cross:\n$p")
+  }
+
+  test("q42/q43: dimensions broadcast, only fact joins shuffle") {
+    val p42 = plan("q42_market_share")
+    assert(p42.contains("BroadcastHashJoin"), "q42 dims must broadcast")
+    val p43 = plan("q43_product_profit")
+    assert(p43.contains("BroadcastHashJoin"), "q43 dims must broadcast")
+    // part/supplier/nation all broadcast: at most ONE shuffled join
+    // (lineitem ⋈ orders) may remain in q43
+    val shuffledJoins = "SortMergeJoin|ShuffledHashJoin".r
+      .findAllIn(p43).length
+    assert(shuffledJoins <= 1,
+      s"q43 should shuffle only the fact-fact join, found $shuffledJoins:\n$p43")
+  }
+
+  test("doc_tfidf_terms: per-doc top-3 prunes through WindowGroupLimit") {
+    val p = plan("doc_tfidf_terms")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push into WindowGroupLimit:\n$p")
+  }
+
+  test("vec_knn_join: cell-blocked join, probes never cross-join the corpus") {
+    val p = plan("vec_knn_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"kNN join must block on the IVF cell id:\n$p")
+    assert(p.contains("WindowGroupLimit"),
+      s"top-k filter must push into WindowGroupLimit:\n$p")
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
