@@ -675,7 +675,26 @@ object TextPipeline {
       .orderBy(col("source"))
   }
 
+  /** Deterministic global training-order shuffle: a reproducible
+    * permutation position for every document (hash order, dense 1..N) —
+    * the "shuffle the corpus before sharding" step of a training
+    * pipeline, where randomSplit-style nondeterminism would make runs
+    * unreproducible. Same Knuth multiplicative hash as q41/splitCol, so
+    * the oracle expresses the identical order; DenseIds assigns the
+    * dense position without a single-partition window (the vocab-build
+    * scale fix, reused). */
+  def shuffleOrder(s: SparkSession, dir: String): DataFrame = {
+    val key = pmod(col("doc_id") * lit(2654435761L) + lit(17), lit(1000000007L))
+    graft.operators.DenseIds
+      .withDenseId(
+        Tables.documents(s, dir).select(col("doc_id"), key.as("_k")),
+        Seq(col("_k"), col("doc_id")), "position")
+      .select(col("doc_id"), col("position"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_shuffle_order" -> (shuffleOrder _),
     "doc_vocab_oov" -> (vocabOov _),
     "doc_term_freq_cm" -> (termFreqCm _),
     "doc_segment_dedup" -> (segmentDedup _),
@@ -709,6 +728,12 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_shuffle_order" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY (doc_id * 2654435761 + 17) % 1000000007, doc_id) AS BIGINT)
+        |    AS position
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "doc_vocab_oov" ->
       """WITH vocab AS (
         |  SELECT term
