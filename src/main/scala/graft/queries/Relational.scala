@@ -646,7 +646,53 @@ object Relational {
       .orderBy(col("supp_nation"), col("o_year"))
   }
 
+  /** Funnel conversion (signup → purchase within 3 days): the event-
+    * sequence recipe every product-analytics engine ships. Per user, the
+    * FIRST signup and the first purchase at-or-after it; a conversion
+    * is a purchase within the window. One shuffle on user_id does all
+    * the per-user work; the per-day aggregate is broadcast-small. */
+  def q44Funnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val signups = ev.filter(col("event_type") === "signup")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("signup_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts").as("p_ts"))
+    signups.join(purchases, Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("signup_ts"))
+      .agg(min(when(col("p_ts") >= col("signup_ts"), col("p_ts"))).as("conv_ts"))
+      .groupBy(date_format(col("signup_ts"), "yyyy-MM-dd").as("signup_date"))
+      .agg(count(lit(1)).as("n_signups"),
+        sum(when(col("conv_ts") <= col("signup_ts") + expr("INTERVAL 3 DAYS"), 1)
+          .otherwise(0)).cast("long").as("n_converted"))
+      .orderBy(col("signup_date"))
+  }
+
+  /** Day-7 cohort retention: users grouped by first-seen date, counted
+    * again if active exactly 7 days later — the other standard
+    * product-analytics recipe. The (user, date) activity set is distinct
+    * BEFORE the self-join, so a chatty user costs one row per active
+    * day, never a row per event. */
+  def q45Retention(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("d")).as("cohort_d"))
+    // distinct column names on the probe side: both frames derive from
+    // ev, so df("col") disambiguation would hit the self-join check
+    val active = ev.distinct()
+      .select(col("user_id").as("_au"), col("d").as("_ad"))
+    firstSeen
+      .join(active,
+        col("_au") === col("user_id")
+          && col("_ad") === date_add(col("cohort_d"), 7), "left")
+      .groupBy(date_format(col("cohort_d"), "yyyy-MM-dd").as("cohort_date"))
+      .agg(count(lit(1)).as("n_users"),
+        count(col("_au")).as("n_retained_d7"))
+      .orderBy(col("cohort_date"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q44_funnel" -> (q44Funnel _),
+    "q45_retention" -> (q45Retention _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
     "q42_market_share" -> (q42MarketShare _),
@@ -723,6 +769,31 @@ object Relational {
         |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_sampled_id,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    "q44_funnel" ->
+      """WITH su AS (
+        |  SELECT user_id, min(ts) AS signup_ts FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |conv AS (
+        |  SELECT su.user_id, su.signup_ts,
+        |    min(CASE WHEN p.ts >= su.signup_ts THEN p.ts END) AS conv_ts
+        |  FROM su LEFT JOIN events p
+        |    ON p.user_id = su.user_id AND p.event_type = 'purchase'
+        |  GROUP BY su.user_id, su.signup_ts)
+        |SELECT strftime(signup_ts, '%Y-%m-%d') AS signup_date,
+        |  count(*) AS n_signups,
+        |  CAST(sum(CASE WHEN conv_ts <= signup_ts + INTERVAL 3 DAY
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+        |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q45_retention" ->
+      """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
+        |first_seen AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id),
+        |active AS (SELECT DISTINCT user_id, d FROM ev)
+        |SELECT strftime(f.cohort_d, '%Y-%m-%d') AS cohort_date,
+        |  count(*) AS n_users,
+        |  count(a.user_id) AS n_retained_d7
+        |FROM first_seen f LEFT JOIN active a
+        |  ON a.user_id = f.user_id AND a.d = f.cohort_d + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_market_share" ->
       """SELECT year(o_orderdate) AS o_year,
         | round(sum(CASE WHEN n2.n_name = 'NATION_3'
