@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
-import graft.functions.{CosineScores, LshBuckets, NearestCentroid, VecDotI8, VectorOps}
+import graft.functions.{CosineScores, LshBuckets, NearestCentroid, PqAdc, PqEncode, PqLut, PqReconNormSq, VecDotI8, VectorOps}
 
 /** Similarity search over embedding columns (SURVEY.md §2b).
   *
@@ -52,14 +52,15 @@ object Similarity {
     * exact and quantized paths — which SimilaritySpec compares —
     * can't drift in rounding or tie-break. */
   private def rankTopK(scored: DataFrame, scoreCol: String, k: Int,
-                       probeId: String, corpusId: String): DataFrame = {
+                       probeId: String, corpusId: String,
+                       keep: Seq[String] = Nil): DataFrame = {
     val w = Window.partitionBy(col(probeId))
       .orderBy(round(col(scoreCol), 4).desc, col(corpusId))
     scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)
-      .select(col(probeId), col("rn"), col(corpusId),
-        round(col(scoreCol), 4).as(scoreCol))
+      .select(col(probeId) +: col("rn") +: col(corpusId) +:
+        round(col(scoreCol), 4).as(scoreCol) +: keep.map(col): _*)
   }
 
   /** Brute-force top-k over int8-QUANTIZED vectors: same plan shape as
@@ -85,6 +86,92 @@ object Similarity {
       .withColumn("qcosine",
         VecDotI8(col("_qp"), col("_qc")).cast("double") / (col("_np") * col("_nc")))
     rankTopK(scored, "qcosine", k, probeId, corpusId)
+  }
+
+  /** PQ codebooks trained on a bounded sample, driver-side: the sample
+    * is `sampleN` rows by deterministic hash order (collect is bounded
+    * by construction — sampleN * dim doubles, never the corpus), then
+    * plain Lloyd L2 k-means per subspace. Sample-trained codebooks are
+    * the standard practice (a codebook summarizes geometry, not rows);
+    * deterministic init = first k sample subvectors in hash order, empty
+    * cells keep their previous centroid. */
+  def trainPqCodebooks(corpus: DataFrame, m: Int, kCents: Int,
+                       sampleN: Int = 512, iters: Int = 8, seed: Long = 42L,
+                       corpusId: String = "vec_id",
+                       corpusVec: String = "embedding"): Seq[Seq[Seq[Double]]] = {
+    val sample: Array[Array[Double]] = corpus
+      .orderBy(xxhash64(col(corpusId), lit(seed)))
+      .limit(sampleN)
+      .select(col(corpusVec).cast("array<double>"))
+      .collect().map(_.getSeq[Double](0).toArray)
+    require(sample.nonEmpty, "PQ training needs a non-empty corpus")
+    val dim = sample.head.length
+    require(dim % m == 0, s"dim $dim must divide into $m subspaces")
+    val ds = dim / m
+    (0 until m).map { sub =>
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * ds, (sub + 1) * ds))
+      var cents: Array[Array[Double]] =
+        pts.distinct.take(kCents).padTo(kCents, pts.head).map(_.clone())
+      for (_ <- 1 to iters) {
+        val sums = Array.fill(kCents)(new Array[Double](ds))
+        val counts = new Array[Int](kCents)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < kCents) {
+            var d = 0.0; var j = 0
+            while (j < ds) { val t = p(j) - cents(c)(j); d += t * t; j += 1 }
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          var j = 0
+          while (j < ds) { sums(best)(j) += p(j); j += 1 }
+          counts(best) += 1
+        }
+        cents = cents.indices.map { c =>
+          if (counts(c) == 0) cents(c) // empty cell keeps its centroid
+          else sums(c).map(_ / counts(c))
+        }.toArray
+      }
+      cents.map(_.toSeq).toSeq
+    }
+  }
+
+  /** ANN top-k over PRODUCT-QUANTIZED codes (the memory-bandwidth scale
+    * path beyond int8): the corpus stores M bytes per vector (16x
+    * smaller than float32 at M=8, D=64) and each (probe, vector) score
+    * is M table lookups (ADC), not D multiplies. With `rerank` > 0 the
+    * ADC pass is a candidate generator: the top-`rerank` per probe are
+    * re-scored exactly from the float vectors — the standard two-stage
+    * shape, where PQ bounds memory traffic and the exact pass fixes
+    * quantization noise in the final order. Probes broadcast; the corpus
+    * never shuffles before the rank windows (WindowGroupLimit prunes). */
+  def pqTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+             m: Int = 8, kCents: Int = 16, rerank: Int = 0, seed: Long = 42L,
+             corpusId: String = "vec_id", corpusVec: String = "embedding",
+             probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
+    val cbs = trainPqCodebooks(corpus, m, kCents, seed = seed,
+      corpusId = corpusId, corpusVec = corpusVec)
+    val c = corpus
+      .withColumn("_code", PqEncode(col(corpusVec), cbs))
+      .withColumn("_rnsq", PqReconNormSq(col("_code"), cbs))
+    val p = probes
+      .withColumn("_lut", PqLut(col(probeVec), cbs))
+      .withColumn("_np", VectorOps.norm(col(probeVec)))
+    val scored = c.crossJoin(broadcast(p))
+      .withColumn("pq_cosine",
+        PqAdc(col("_lut"), col("_code"), kCents)
+          / (col("_np") * sqrt(col("_rnsq"))))
+    if (rerank <= 0) rankTopK(scored, "pq_cosine", k, probeId, corpusId)
+    else {
+      val candidates = rankTopK(
+        scored.withColumn("_nc", VectorOps.norm(col(corpusVec))),
+        "pq_cosine", rerank, probeId, corpusId, keep = Seq("_nc", corpusVec, probeVec, "_np"))
+      rankTopK(
+        candidates.withColumn("cosine",
+          VectorOps.dot(col(probeVec), col(corpusVec)) / (col("_np") * col("_nc"))),
+        "cosine", k, probeId, corpusId)
+    }
   }
 
   /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */

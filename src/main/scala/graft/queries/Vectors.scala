@@ -105,6 +105,17 @@ object Vectors {
         max(col("n")).as("n_vectors"))
       .orderBy(col("label"))
 
+  /** ANN top-k over product-quantized codes with exact rerank
+    * (engine-only; PqSpec gates the expressions, SimilaritySpec the
+    * recall at this operating point). M=8 subspaces × 16 centroids: the
+    * corpus scans as 8 bytes + 1 double per vector and each pair costs 8
+    * table lookups; the top-50 ADC candidates per probe are re-scored
+    * exactly, which restores the true top-k order unless a true
+    * neighbor falls outside the candidate set. */
+  def pqTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.pqTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5, rerank = 50)
+      .orderBy(col("q_id"), col("rn"))
+
   /** Approximate kNN JOIN: every corpus vector's top-3 cosine neighbors
     * via IVF cell blocking (engine-only: the coarse quantizer is not
     * SQL-expressible; SimilaritySpec gates recall against the brute
@@ -126,6 +137,7 @@ object Vectors {
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_pq_topk" -> (pqTopK _),
     "vec_knn_join" -> (knnJoin _),
     "vec_semantic_dedup" -> (semanticDedup _),
     "vec_norms" -> (norms _),
