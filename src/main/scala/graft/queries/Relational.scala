@@ -690,7 +690,50 @@ object Relational {
       .orderBy(col("cohort_date"))
   }
 
+  /** Column profiler (the ANALYZE-TABLE summary every engine ships):
+    * per-column null count, distinct count, min/max and mean over
+    * lineitem's numeric columns — one pass, one row out per column via a
+    * stack/unpivot of per-column aggregates. At scale this is the same
+    * single-scan multi-aggregate any stats collector runs. */
+  def q46Profile(s: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val li = Tables.lineitem(s, dir)
+    val agg = li.agg(
+      count(lit(1)).as("_n"),
+      cols.flatMap(c => Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).cast("long").as(s"${c}_nulls"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        round(min(col(c)), 4).as(s"${c}_min"),
+        round(max(col(c)), 4).as(s"${c}_max"),
+        round(avg(col(c)), 4).as(s"${c}_mean"))): _*)
+    val stacked = cols.map { c =>
+      agg.select(lit(c).as("col_name"), col("_n").as("n_rows"),
+        col(s"${c}_nulls").as("n_nulls"), col(s"${c}_distinct").as("n_distinct"),
+        col(s"${c}_min").as("min_val"), col(s"${c}_max").as("max_val"),
+        col(s"${c}_mean").as("mean_val"))
+    }.reduce(_ unionByName _)
+    stacked.orderBy(col("col_name"))
+  }
+
+  /** Hourly z-score series (operational anomaly detection): event counts
+    * per hour scored against the whole series' mean and sample stddev.
+    * Counts are exact integers; mean/std are the only fp aggregates and
+    * the score is rounded like every cross-engine aggregate here. */
+  def q47HourlyZscore(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(s, dir)
+      .groupBy(date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("n_events"))
+    val stats = hourly.agg(
+      avg(col("n_events")).as("_mu"), stddev_samp(col("n_events")).as("_sd"))
+    hourly.crossJoin(broadcast(stats))
+      .select(unix_micros(col("hour")).as("hour_us"), col("n_events"),
+        round((col("n_events") - col("_mu")) / col("_sd"), 2).as("zscore"))
+      .orderBy(col("hour_us"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q46_profile" -> (q46Profile _),
+    "q47_hourly_zscore" -> (q47HourlyZscore _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "q40_sessionize" -> (q40Sessionize _),
@@ -769,6 +812,43 @@ object Relational {
         |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_sampled_id,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    "q46_profile" ->
+      """WITH base AS (
+        |  SELECT count(*) AS n FROM lineitem)
+        |SELECT col_name, n_rows, n_nulls, n_distinct, min_val, max_val, mean_val
+        |FROM (
+        |  SELECT 'l_discount' AS col_name, (SELECT n FROM base) AS n_rows,
+        |    CAST(sum(CASE WHEN l_discount IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+        |    count(DISTINCT l_discount) AS n_distinct,
+        |    round(min(l_discount), 4) AS min_val, round(max(l_discount), 4) AS max_val,
+        |    round(avg(l_discount), 4) AS mean_val FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', (SELECT n FROM base),
+        |    CAST(sum(CASE WHEN l_extendedprice IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_extendedprice),
+        |    round(min(l_extendedprice), 4), round(max(l_extendedprice), 4),
+        |    round(avg(l_extendedprice), 4) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', (SELECT n FROM base),
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_quantity),
+        |    round(min(l_quantity), 4), round(max(l_quantity), 4),
+        |    round(avg(l_quantity), 4) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', (SELECT n FROM base),
+        |    CAST(sum(CASE WHEN l_tax IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    count(DISTINCT l_tax),
+        |    round(min(l_tax), 4), round(max(l_tax), 4),
+        |    round(avg(l_tax), 4) FROM lineitem
+        |) t ORDER BY col_name""".stripMargin,
+    "q47_hourly_zscore" ->
+      """WITH hourly AS (
+        |  SELECT date_trunc('hour', ts) AS hour, count(*) AS n_events
+        |  FROM events GROUP BY 1),
+        |stats AS (SELECT avg(n_events) AS mu, stddev_samp(n_events) AS sd FROM hourly)
+        |SELECT epoch_us(hour) AS hour_us, n_events,
+        |  round((n_events - mu) / sd, 2) AS zscore
+        |FROM hourly CROSS JOIN stats ORDER BY hour_us""".stripMargin,
     "q44_funnel" ->
       """WITH su AS (
         |  SELECT user_id, min(ts) AS signup_ts FROM events
