@@ -693,7 +693,21 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** BPE tokenizer training over the corpus (engine-only: iterative
+    * merges are not SQL-expressible; BpeSpec holds the merge table equal
+    * to a sequential reference implementation and the classic hand
+    * example). Each round is one distributed pair-count over the
+    * word-frequency table plus a ONE-ROW collect; the result is the
+    * learned merge-rules table itself. */
+  def bpeMerges(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.operators.Bpe.train(Tables.documents(s, dir), "text", numMerges = 10)
+      .toDF("rank", "left", "right", "freq")
+      .orderBy(col("rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_bpe_merges" -> (bpeMerges _),
     "doc_shuffle_order" -> (shuffleOrder _),
     "doc_vocab_oov" -> (vocabOov _),
     "doc_term_freq_cm" -> (termFreqCm _),

@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Bpe
+
+/** Gates for distributed BPE training: the learned merge table must
+  * equal a sequential reference implementation exactly (same ranks,
+  * pairs, frequencies), the classic hand example must come out, and
+  * applyBpe must tokenize consistently with the learned rules. */
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Sequential reference BPE on a word-frequency map. */
+  private def refTrain(words: Map[String, Long], n: Int): Seq[(String, String, Long)] = {
+    var tbl: Seq[(Vector[String], Long)] = words.toSeq.map { case (w, f) =>
+      (w.dropRight(1).map(_.toString).toVector :+ (w.last.toString + "</w>"), f)
+    }
+    val out = Seq.newBuilder[(String, String, Long)]
+    var k = 0
+    var done = false
+    while (k < n && !done) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+      tbl.foreach { case (syms, f) =>
+        syms.sliding(2).filter(_.size == 2).foreach { p =>
+          counts((p(0), p(1))) = counts.getOrElse((p(0), p(1)), 0L) + f
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((l, r), f) = counts.toSeq.minBy { case ((l, r), f) => (-f, l, r) }
+        out += ((l, r, f))
+        tbl = tbl.map { case (syms, wf) =>
+          val b = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+              b += (l + r); i += 2
+            } else { b += syms(i); i += 1 }
+          }
+          (b.result(), wf)
+        }
+        k += 1
+      }
+    }
+    out.result()
+  }
+
+  test("classic hand corpus learns the expected first merges") {
+    // 5x "low", 2x "lower", 6x "newest", 3x "widest" (Sennrich's example
+    // shape): the end-of-word marker rides on the last char, so the
+    // dominant merges are (e, s) freq 9 then (es, t</w>) freq 9, and
+    // "est</w>" exists as one symbol after rank 1; (l, o) freq 7 is next.
+    val docs = (Seq.fill(5)("low") ++ Seq.fill(2)("lower") ++
+      Seq.fill(6)("newest") ++ Seq.fill(3)("widest"))
+      .mkString(" ")
+    val merges = Bpe.train(Seq(docs).toDF("text"), "text", 3)
+    assert(merges.map(m => (m.left, m.right)) ==
+      Seq(("e", "s"), ("es", "t</w>"), ("l", "o")))
+    assert(merges.map(_.freq) == Seq(9L, 9L, 7L))
+  }
+
+  test("distributed training equals the sequential reference on the fixture") {
+    val docs = Tables.documents(spark, sf0001)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refTrain(words, 12)
+    val got = Bpe.train(docs, "text", 12).map(m => (m.left, m.right, m.freq))
+    assert(got == expect)
+  }
+
+  test("applyBpe tokenizes with the learned rules (merged symbols appear, ranks respected)") {
+    val docs = Seq("aa aa aa ab").toDF("text")
+    val merges = Bpe.train(docs, "text", 2)
+    // "aa" x3 makes (a, a</w>) the top pair (freq 3), then (a, b</w>)
+    assert(merges.map(m => (m.left, m.right)) == Seq(("a", "a</w>"), ("a", "b</w>")))
+    val toks = Seq("aa ab ba").toDF("text")
+      .select(Bpe.applyBpe(col("text"), merges).as("t"))
+      .head().getSeq[String](0)
+    // "aa" -> [aa</w>], "ab" -> [ab</w>], "ba" -> [b, a</w>] (no rule for b+a)
+    assert(toks == Seq("aa</w>", "ab</w>", "b", "a</w>"))
+  }
+}
