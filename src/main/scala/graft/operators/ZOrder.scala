@@ -56,6 +56,7 @@ object ZOrder {
     val r = df.agg(
       min(col(colA)).cast("double"), max(col(colA)).cast("double"),
       min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    if (r.isNullAt(0)) return df // empty input: nothing to lay out
     val z = zValue(
       gridCell(col(colA), r.getDouble(0), r.getDouble(1)),
       gridCell(col(colB), r.getDouble(2), r.getDouble(3)))

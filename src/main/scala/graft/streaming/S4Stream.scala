@@ -174,9 +174,13 @@ object S4Stream {
     * At scale the rewrite cost per batch is proportional to the touched
     * buckets, not the table: with uniform key hashing a batch touching k
     * keys rewrites min(k, numBuckets)/numBuckets of the data. Raise
-    * numBuckets so a bucket ≈ a comfortable file size. The merged frame
-    * is eagerly checkpointed before the write because the write
-    * overwrites the very partitions it read. */
+    * numBuckets so a bucket ≈ a comfortable file size — but treat it as
+    * a TABLE CONSTANT: changing it on an existing table re-hashes new
+    * arrivals into different buckets than the rows they should replace,
+    * and the merge silently misses them (re-bucket by rewriting the
+    * whole table first). The merged frame is eagerly checkpointed before
+    * the write because the write overwrites the very partitions it
+    * read. */
   def upsertStream(records: DataFrame, keyCol: String, versionCol: String,
                    tableDir: String, checkpointDir: String,
                    numBuckets: Int = 16, availableNow: Boolean = true): StreamingQuery = {

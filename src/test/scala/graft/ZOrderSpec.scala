@@ -19,6 +19,12 @@ class ZOrderSpec extends SparkSpec {
     assert(got.toSeq == Seq(0L, 1L, 2L, 3L, 0x55555555L, 0xAAAAAAAAL))
   }
 
+  test("empty input passes through unchanged") {
+    val empty = Tables.lineitem(spark, sf001).limit(0)
+      .select(col("l_orderkey"), col("l_partkey"))
+    assert(ZOrder.layoutByZOrder(empty, "l_orderkey", "l_partkey", 4).count() == 0L)
+  }
+
   test("gridCell is monotonic and clamps to [0, 65535]") {
     val cells = Seq(-5.0, 0.0, 50.0, 100.0, 140.0).toDF("v")
       .select(ZOrder.gridCell(col("v"), 0.0, 100.0).as("c"))
