@@ -90,4 +90,32 @@ object TextOps {
 
   /** Hamming distance between two 64-bit signatures via bit_count(xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** PII scrub patterns: the categories a training-data pipeline redacts
+    * before anything else touches the text. Patterns stay inside the
+    * RE2 ∩ java.util.regex common subset (no backrefs, no lookaround) so
+    * the same strings behave identically in Spark and any RE2 engine.
+    * Order matters — specific before loose: emails before phone (an
+    * email's digit run half-matches the phone pattern), SSN before
+    * phone (an SSN IS a valid phone-shaped digit run). */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}""",
+    "ipv4" -> """\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b""",
+    "ssn" -> """\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b""",
+    "phone" -> """\+?[0-9][0-9()\-. ]{7,}[0-9]""")
+
+  /** Redact every PII category to its `[CATEGORY]` placeholder — one
+    * regexp_replace per category, all codegen'd, per-row only. */
+  def scrubPii(text: Column): Column =
+    piiPatterns.foldLeft(text) { case (c, (name, pat)) =>
+      regexp_replace(c, pat, s"[${name.toUpperCase}]")
+    }
+
+  /** Per-category PII hit counts (the audit side of [[scrubPii]]):
+    * map(category -> matches) for flagging documents, not just cleaning
+    * them. */
+  def piiCounts(text: Column): Column =
+    map(piiPatterns.flatMap { case (name, pat) =>
+      Seq(lit(name), size(regexp_extract_all(text, lit(pat), lit(0))))
+    }: _*)
 }

@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.TextOps
+
+/** Gates for the PII scrubber: each category redacts, clean text passes
+  * untouched, ordering prevents half-redactions, and the audit counts
+  * agree with the scrub. */
+class PiiScrubSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def scrub(s: String): String =
+    Seq(s).toDF("t").select(TextOps.scrubPii(col("t"))).head().getString(0)
+
+  test("each category redacts to its placeholder") {
+    assert(scrub("mail me at jo.doe+x@example.co.uk today")
+      == "mail me at [EMAIL] today")
+    assert(scrub("server 10.0.255.1 down") == "server [IPV4] down")
+    assert(scrub("call +1 (415) 555-0199 now") == "call [PHONE] now")
+    assert(scrub("ssn 123-45-6789.") == "ssn [SSN].")
+  }
+
+  test("clean text is untouched; emails redact before their digits look like phones") {
+    val clean = "the quick brown fox 42 times."
+    assert(scrub(clean) == clean)
+    // an email whose local part is a long digit run must become [EMAIL],
+    // not a half-eaten [PHONE]
+    assert(scrub("a 123456789012@example.com b") == "a [EMAIL] b")
+  }
+
+  test("audit counts match the scrub") {
+    val got = Seq("x@y.io and z@w.dev from 1.2.3.4").toDF("t")
+      .select(TextOps.piiCounts(col("t")).as("c"))
+      .head().getMap[String, Int](0)
+    assert(got("email") == 2 && got("ipv4") == 1 && got("phone") == 0 && got("ssn") == 0)
+  }
+
+  test("corpus pass: fixture documents contain no PII and survive unchanged") {
+    val changed = Tables.documents(spark, sf0001)
+      .filter(TextOps.scrubPii(col("text")) =!= col("text"))
+      .count()
+    assert(changed == 0L)
+  }
+}
