@@ -223,6 +223,32 @@ class PlanSpec extends SparkSpec {
       s"top-k filter must push into WindowGroupLimit:\n$p")
   }
 
+  test("NO query plans a CartesianProduct; SinglePartition only for bounded one-row aggregates") {
+    // The blanket form of the per-query gates above: sweep every plan in
+    // the contract. SinglePartition is allowed ONLY where the exchanged
+    // data is bounded by construction — a global no-group aggregate's
+    // partial rows (one per partition) or a generated constant grid —
+    // verified by eye per entry below; anything new failing here is
+    // either a scale bug or needs the same review.
+    val singlePartitionOk = Set(
+      "doc_tfidf_terms",      // global N: one count row per partition
+      "q06_revenue_forecast", // single-row global aggregate
+      "q37_gap_fill",         // bounded hour-grid generator
+      "q46_profile",          // single-row stats aggregate
+      "q47_hourly_zscore",    // single-row mean/std aggregate
+      "scan_binaryfile",      // one-file summary row
+      "scan_text_roundtrip")  // one-line summary row
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = fn(spark, sf0001).queryExecution.executedPlan.toString
+      val bad = Seq(
+        Option.when(p.contains("CartesianProduct"))(s"$name: CartesianProduct"),
+        Option.when(p.contains("Exchange SinglePartition")
+          && !singlePartitionOk(name))(s"$name: unreviewed SinglePartition"))
+      bad.flatten
+    }
+    assert(offenders.isEmpty, offenders.mkString("; "))
+  }
+
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
