@@ -706,7 +706,36 @@ object TextPipeline {
       .orderBy(col("rank"))
   }
 
+  /** Per-document character-distribution entropy (alphanumerics) — the
+    * compression-ratio-style quality signal: machine-generated or
+    * repetitive text scores low, natural text clusters in a band.
+    * Both engines fold the 36 per-char terms in THE SAME alphabet
+    * order (Spark: HOF aggregate over a literal-ordered array; oracle:
+    * list_aggregate over a list_transform of the same literal list), so
+    * the sum is bit-identical before the final round. Summarized per
+    * source with rounded aggregate bounds. */
+  def charEntropy(s: SparkSession, dir: String): DataFrame = {
+    val alphabet = "abcdefghijklmnopqrstuvwxyz0123456789"
+    val counts = array(alphabet.map(ch =>
+      (length(col("text")) - length(replace(col("text"), lit(ch.toString), lit(""))))
+        .cast("double")): _*)
+    val n = aggregate(counts, lit(0.0), (a, c) => a + c)
+    val ent = minus(aggregate(counts, lit(0.0),
+      (a, c) => a + when(c > 0, (c / n) * log(c / n)).otherwise(0.0)))
+    Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"), round(ent, 4).as("entropy"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("entropy")), 4).as("min_entropy"),
+        round(max(col("entropy")), 4).as("max_entropy"),
+        round(avg(col("entropy")), 4).as("avg_entropy"))
+      .orderBy(col("source"))
+  }
+
+  private def minus(c: Column): Column = lit(0.0) - c
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_char_entropy" -> (charEntropy _),
     "doc_bpe_merges" -> (bpeMerges _),
     "doc_shuffle_order" -> (shuffleOrder _),
     "doc_vocab_oov" -> (vocabOov _),
@@ -742,6 +771,28 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_char_entropy" ->
+      """WITH chars AS (
+        |  SELECT ['a','b','c','d','e','f','g','h','i','j','k','l','m',
+        |          'n','o','p','q','r','s','t','u','v','w','x','y','z',
+        |          '0','1','2','3','4','5','6','7','8','9'] AS cs),
+        |perdoc AS (
+        |  SELECT doc_id, source,
+        |    round(-list_aggregate(list_transform(cs, ch ->
+        |      CASE WHEN length(text) - length(replace(text, ch, '')) > 0
+        |        THEN (CAST(length(text) - length(replace(text, ch, '')) AS DOUBLE) /
+        |              list_aggregate(list_transform(cs, c2 ->
+        |                CAST(length(text) - length(replace(text, c2, '')) AS DOUBLE)), 'sum'))
+        |             * ln(CAST(length(text) - length(replace(text, ch, '')) AS DOUBLE) /
+        |              list_aggregate(list_transform(cs, c2 ->
+        |                CAST(length(text) - length(replace(text, c2, '')) AS DOUBLE)), 'sum'))
+        |        ELSE 0.0 END), 'sum'), 4) AS entropy
+        |  FROM documents CROSS JOIN chars)
+        |SELECT source, count(*) AS n_docs,
+        |  round(min(entropy), 4) AS min_entropy,
+        |  round(max(entropy), 4) AS max_entropy,
+        |  round(avg(entropy), 4) AS avg_entropy
+        |FROM perdoc GROUP BY source ORDER BY source""".stripMargin,
     "doc_shuffle_order" ->
       """SELECT doc_id,
         |  CAST(row_number() OVER (
