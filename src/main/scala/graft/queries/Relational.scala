@@ -731,7 +731,26 @@ object Relational {
       .orderBy(col("hour_us"))
   }
 
+  /** The string-function family exercised explicitly (it is implicit in
+    * many queries, but a user switching engines greps for these by
+    * name): case, substring, pad, reverse, translate-style replace,
+    * trim, repeat — all per-row codegen'd, pushdown-friendly. */
+  def q48StringFuncs(s: SparkSession, dir: String): DataFrame =
+    Tables.part(s, dir)
+      .filter(col("p_partkey") <= 100)
+      .select(col("p_partkey"),
+        upper(substring(col("p_name"), 1, 8)).as("name_prefix"),
+        lower(col("p_brand")).as("brand_lc"),
+        lpad(col("p_type"), 12, "_").as("type_padded"),
+        reverse(col("p_name")).as("name_rev"),
+        regexp_replace(col("p_name"), "[aeiou]", "*").as("name_devoweled"),
+        trim(concat_ws(" | ", col("p_brand"), col("p_type"))).as("brand_type"),
+        repeat(col("p_brand"), 2).as("brand_x2"),
+        length(col("p_name")).as("name_len"))
+      .orderBy(col("p_partkey"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q48_string_funcs" -> (q48StringFuncs _),
     "q46_profile" -> (q46Profile _),
     "q47_hourly_zscore" -> (q47HourlyZscore _),
     "q44_funnel" -> (q44Funnel _),
@@ -812,6 +831,17 @@ object Relational {
         |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_sampled_id,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    "q48_string_funcs" ->
+      """SELECT p_partkey,
+        | upper(substring(p_name, 1, 8)) AS name_prefix,
+        | lower(p_brand) AS brand_lc,
+        | lpad(p_type, 12, '_') AS type_padded,
+        | reverse(p_name) AS name_rev,
+        | regexp_replace(p_name, '[aeiou]', '*', 'g') AS name_devoweled,
+        | trim(concat_ws(' | ', p_brand, p_type)) AS brand_type,
+        | repeat(p_brand, 2) AS brand_x2,
+        | length(p_name) AS name_len
+        |FROM part WHERE p_partkey <= 100 ORDER BY p_partkey""".stripMargin,
     "q46_profile" ->
       """WITH base AS (
         |  SELECT count(*) AS n FROM lineitem)
