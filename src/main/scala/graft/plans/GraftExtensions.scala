@@ -20,10 +20,10 @@ import graft.functions._
   *
   * Only expressions whose extra parameters are expressible as SQL
   * literals are registered. The matrix-parameterised family
-  * (`LshBuckets`, `CosineScores`, `NearestCentroid`) is deliberately
-  * absent: their plane/centroid matrices are plan-construction-time
-  * values (built by `Similarity` from trained centroids), not something
-  * a SQL literal can carry.
+  * (`LshBuckets`, `CosineScores`, `NearestCentroid`, the `Pq*`
+  * quartet) is deliberately absent: their plane/centroid/codebook
+  * matrices are plan-construction-time values (built by `Similarity`
+  * from trained centroids), not something a SQL literal can carry.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit =
