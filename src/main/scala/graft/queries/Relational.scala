@@ -599,7 +599,12 @@ object Relational {
     * supplier are broadcast dims. Share = conditional sum / total sum in
     * ONE aggregate pass (no second scan or self-join). */
   def q42MarketShare(s: SparkSession, dir: String): DataFrame = {
-    val rev = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // DECIMAL revenue: the sf0.1 audit caught q43's double-sum landing on
+    // a half-cent boundary where the engines' accumulation orders round
+    // apart; decimal sums are exact and order-free, the single fp divide
+    // below is deterministic
+    val rev = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
     val custRegion = Tables.customer(s, dir)
       .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
       .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
@@ -618,8 +623,9 @@ object Relational {
       .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
       .groupBy(year(col("o_orderdate")).as("o_year"))
       .agg(round(
-        sum(when(col("supp_nation") === "NATION_3", rev).otherwise(0))
-          / sum(rev), 4).as("mkt_share"))
+        sum(when(col("supp_nation") === "NATION_3", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).cast("double")
+          / sum(rev).cast("double"), 4).as("mkt_share"))
       .orderBy(col("o_year"))
   }
 
@@ -628,7 +634,10 @@ object Relational {
     * supplier/nation, shuffle only on the l_orderkey⋈o_orderkey fact-fact
     * join and the final (nation, year) aggregate. */
   def q43ProductProfit(s: SparkSession, dir: String): DataFrame = {
-    val amount = col("l_extendedprice") * (lit(1) - col("l_discount"))
+    // DECIMAL amount — see q42MarketShare: exact order-free sums, no
+    // half-cent rounding divergence between engines
+    val amount = col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1).cast("decimal(18,4)") - col("l_discount").cast("decimal(18,4)"))
     Tables.lineitem(s, dir)
       .join(broadcast(Tables.part(s, dir).filter(col("p_type") === "PROMO")
           .select(col("p_partkey"))),
@@ -642,7 +651,7 @@ object Relational {
       .join(Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("supp_nation"), year(col("o_orderdate")).as("o_year"))
-      .agg(round(sum(amount), 2).as("profit"))
+      .agg(round(sum(amount), 2).cast("double").as("profit"))
       .orderBy(col("supp_nation"), col("o_year"))
   }
 
@@ -906,9 +915,13 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q42_market_share" ->
       """SELECT year(o_orderdate) AS o_year,
-        | round(sum(CASE WHEN n2.n_name = 'NATION_3'
-        |                THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-        |       / sum(l_extendedprice * (1 - l_discount)), 4) AS mkt_share
+        | round(CAST(sum(CASE WHEN n2.n_name = 'NATION_3'
+        |                THEN CAST(l_extendedprice AS DECIMAL(18,4))
+        |                     * (1 - CAST(l_discount AS DECIMAL(18,4)))
+        |                ELSE 0 END) AS DOUBLE)
+        |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                  * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE),
+        |       4) AS mkt_share
         |FROM lineitem
         |JOIN orders   ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -920,7 +933,9 @@ object Relational {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q43_product_profit" ->
       """SELECT n_name AS supp_nation, year(o_orderdate) AS o_year,
-        | round(sum(l_extendedprice * (1 - l_discount)), 2) AS profit
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))
+        |                * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2)
+        |      AS DOUBLE) AS profit
         |FROM lineitem
         |JOIN part     ON l_partkey = p_partkey AND p_type = 'PROMO'
         |JOIN supplier ON l_suppkey = s_suppkey
