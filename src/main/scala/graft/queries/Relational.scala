@@ -758,7 +758,29 @@ object Relational {
         length(col("p_name")).as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** Running DISTINCT-user count per event type (cumulative uniques —
+    * the growth-curve recipe): windows don't support COUNT(DISTINCT), so
+    * the portable formulation is first-occurrence flags (row_number == 1
+    * per (type, user)) running-summed over event time. Both engines run
+    * the IDENTICAL formulation — no reliance on one engine's distinct-
+    * window extension. Aggregated to one row per (type, day) so the
+    * output stays bounded; integers end to end. */
+  def q49RunningDistinct(s: SparkSession, dir: String): DataFrame = {
+    val firstSeen = Window.partitionBy(col("event_type"), col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val running = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, dir)
+      .withColumn("_first", when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
+      .withColumn("_cum", sum(col("_first")).over(running))
+      .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
+      .agg(max(col("_cum")).as("distinct_users_to_date"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_running_distinct" -> (q49RunningDistinct _),
     "q48_string_funcs" -> (q48StringFuncs _),
     "q46_profile" -> (q46Profile _),
     "q47_hourly_zscore" -> (q47HourlyZscore _),
@@ -840,6 +862,21 @@ object Relational {
         |SELECT source, count(*) AS n_sampled, min(doc_id) AS min_sampled_id,
         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
         |FROM r WHERE rk <= 10 GROUP BY source ORDER BY source""".stripMargin,
+    "q49_running_distinct" ->
+      """WITH flagged AS (
+        |  SELECT event_type, ts, event_id,
+        |    CASE WHEN row_number() OVER (PARTITION BY event_type, user_id
+        |                                 ORDER BY ts, event_id) = 1
+        |         THEN 1 ELSE 0 END AS first_seen
+        |  FROM events),
+        |cum AS (
+        |  SELECT event_type, ts,
+        |    sum(first_seen) OVER (PARTITION BY event_type ORDER BY ts, event_id
+        |                          ROWS UNBOUNDED PRECEDING) AS c
+        |  FROM flagged)
+        |SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(max(c) AS BIGINT) AS distinct_users_to_date
+        |FROM cum GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q48_string_funcs" ->
       """SELECT p_partkey,
         | upper(substring(p_name, 1, 8)) AS name_prefix,
