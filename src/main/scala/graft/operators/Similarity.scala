@@ -174,6 +174,51 @@ object Similarity {
     }
   }
 
+  /** Exact MIPS top-k (maximum inner product — the recommender-retrieval
+    * ranking, which cosine gets WRONG when corpus norms vary: a long
+    * vector can have the largest dot with a probe while a short one has
+    * the largest cosine). Brute scan, broadcast probes, one fused VecDot
+    * per pair; rounds like every scorer here. */
+  def mipsTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+               corpusId: String = "vec_id", corpusVec: String = "embedding",
+               probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
+    val scored = corpus.crossJoin(broadcast(probes))
+      .withColumn("dot", VectorOps.dot(col(probeVec), col(corpusVec)))
+    rankTopK(scored, "dot", k, probeId, corpusId)
+  }
+
+  /** Approximate MIPS via the norm-augmentation reduction (Bachrach et
+    * al., RecSys'14 — public literature): append sqrt(M^2 - |x|^2) to
+    * every corpus vector (M = max corpus norm, one bounded one-row agg)
+    * and 0 to every probe; all augmented corpus vectors then share norm
+    * M, so cosine ranking of the augmented space IS inner-product
+    * ranking of the original — and any cosine ANN index applies. Here
+    * the augmented vectors feed [[ivfTopK]]; the returned candidates
+    * re-score with the EXACT dot so the output scale matches
+    * [[mipsTopK]] (MipsSpec gates both the reduction's rank equivalence
+    * and ANN recall on the planted corpus). */
+  def mipsTopKAnn(corpus: DataFrame, probes: DataFrame, k: Int,
+                  nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
+                  corpusId: String = "vec_id", corpusVec: String = "embedding",
+                  probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
+    val m2 = corpus.agg(max(VectorOps.normSq(col(corpusVec)))).head().getDouble(0)
+    val caug = corpus.withColumn("_caug",
+      concat(col(corpusVec).cast("array<double>"),
+        array(sqrt(greatest(lit(m2) - VectorOps.normSq(col(corpusVec)), lit(0.0))))))
+    val paug = probes.withColumn("_paug",
+      concat(col(probeVec).cast("array<double>"), array(lit(0.0))))
+    val candidates = ivfTopK(caug, paug, k, nlist, nprobe, seed = seed,
+      corpusId = corpusId, corpusVec = "_caug",
+      probeId = probeId, probeVec = "_paug")
+      .select(col(probeId), col(corpusId))
+    // exact re-score of the k candidates per probe (bounded set)
+    val scored = candidates
+      .join(corpus.select(col(corpusId), col(corpusVec)), corpusId)
+      .join(broadcast(probes), probeId)
+      .withColumn("dot", VectorOps.dot(col(probeVec), col(corpusVec)))
+    rankTopK(scored, "dot", k, probeId, corpusId)
+  }
+
   /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */
   def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)

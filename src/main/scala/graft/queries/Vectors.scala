@@ -105,6 +105,14 @@ object Vectors {
         max(col("n")).as("n_vectors"))
       .orderBy(col("label"))
 
+  /** Exact MIPS top-k for the fixed probe set — inner-product ranking,
+    * the recommender-retrieval order that cosine gets wrong when corpus
+    * norms vary (oracle-checked; the ANN reduction is engine-only and
+    * MipsSpec-gated). */
+  def mipsTopK(s: SparkSession, dir: String): DataFrame =
+    Similarity.mipsTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
+      .orderBy(col("q_id"), col("rn"))
+
   /** ANN top-k over product-quantized codes with exact rerank
     * (engine-only; PqSpec gates the expressions, SimilaritySpec the
     * recall at this operating point). M=8 subspaces × 16 centroids: the
@@ -137,6 +145,7 @@ object Vectors {
       .orderBy(col("vec_id"))
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_mips_topk" -> (mipsTopK _),
     "vec_pq_topk" -> (pqTopK _),
     "vec_knn_join" -> (knnJoin _),
     "vec_semantic_dedup" -> (semanticDedup _),
@@ -159,6 +168,19 @@ object Vectors {
         |   x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum')), 4) AS l2_norm,
         | CAST(len(embedding) AS INTEGER) AS dim
         |FROM embeddings ORDER BY vec_id""".stripMargin,
+    "vec_mips_topk" ->
+      s"""SELECT q_id, rn, vec_id, dot FROM (
+         | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
+         |  round(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+         |     i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'),
+         |   4) AS dot,
+         |  row_number() OVER (PARTITION BY q.vec_id ORDER BY
+         |   round(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+         |      i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum'),
+         |    4) DESC, c.vec_id) AS rn
+         | FROM embeddings q CROSS JOIN embeddings c
+         | WHERE q.vec_id IN $probeList) t
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "vec_brute_topk" ->
       s"""SELECT q_id, rn, vec_id, cosine FROM (
          | SELECT q.vec_id AS q_id, c.vec_id AS vec_id,
