@@ -7,13 +7,18 @@ import graft.functions.TextOps
 import graft.operators.{AsofJoin, ConnectedComponents, Dedup, SetSimJoin}
 
 /** LLM-data-pipeline text layer over `documents` (SURVEY.md §2b): dedup
-  * (exact / MinHash-LSH / SimHash / n-gram Jaccard), text analysis
-  * (token stats, quality, language-ID, fingerprints), plus the as-of join
-  * operator exercised on `events`.
+  * (exact / MinHash-LSH / SimHash / n-gram Jaccard / edit-distance /
+  * fixed-stride segment / content-defined chunk), text analysis (token
+  * stats, quality, language-ID, fingerprints, TF-IDF, character
+  * entropy, OOV rate), corpus preparation (train/val/test split, source
+  * mixing, quality binning, shard packing, deterministic shuffle order,
+  * BPE training, contamination check), plus the as-of join operator
+  * exercised on `events`.
   *
-  * Oracle-comparable queries carry DuckDB SQL; the LSH/SimHash/fingerprint
-  * paths are engine-only (non-SQL-expressible) and are instead verified by
-  * ScalaTest against brute force on sf0.001 (SURVEY.md §5).
+  * Oracle-comparable queries carry DuckDB SQL; the LSH/SimHash/
+  * fingerprint/sketch/BPE paths are engine-only (non-SQL-expressible)
+  * and are instead verified by named ScalaTests against brute force or
+  * sequential references on sf0.001 (SURVEY.md §5).
   */
 object TextPipeline {
 
