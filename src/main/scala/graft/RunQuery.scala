@@ -17,7 +17,9 @@ object RunQuery {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "8g")
+      // NOTE: driver memory cannot be set here — the JVM is already
+      // running by the time the builder executes. Pass it at launch
+      // (e.g. sbt -J-Xmx8g or .jvmopts) if a query needs more heap.
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     names.foreach { name =>

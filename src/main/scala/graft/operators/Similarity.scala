@@ -110,8 +110,12 @@ object Similarity {
     val ds = dim / m
     (0 until m).map { sub =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * ds, (sub + 1) * ds))
+      // distinct BY VALUE (Array equality is reference identity) — else
+      // equal-content subvectors seed duplicate centroids that the
+      // empty-cell rule pins forever, silently shrinking effective kCents
       var cents: Array[Array[Double]] =
-        pts.distinct.take(kCents).padTo(kCents, pts.head).map(_.clone())
+        pts.map(_.toSeq).distinct.map(_.toArray)
+          .take(kCents).padTo(kCents, pts.head).map(_.clone())
       for (_ <- 1 to iters) {
         val sums = Array.fill(kCents)(new Array[Double](ds))
         val counts = new Array[Int](kCents)

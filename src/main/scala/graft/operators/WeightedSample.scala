@@ -27,6 +27,15 @@ object WeightedSample {
     (shiftrightunsigned(xxhash64(id, lit(seed)), 11).cast("double") + 1.0) /
       lit(9007199254740992.0) // 2^53
 
+  /** Top-n by a caller-supplied ES key (largest first, id tiebreak):
+    * the TakeOrderedAndProject distributed top-n — each partition offers
+    * its local n, never a global sort. Callers that must replay the
+    * draw in ANOTHER engine pass a SQL-portable key here (see
+    * TextPipeline's doc_weighted_sample); `sample` below supplies the
+    * xxhash64 key for Spark-only use. */
+  def sampleByKey(df: DataFrame, keyCol: Column, idCol: String, n: Int): DataFrame =
+    df.orderBy(keyCol.desc, col(idCol)).limit(n)
+
   /** The n rows sampled proportional-to-weight, deterministic in seed.
     * Ties (astronomically unlikely with distinct ids) break on the key
     * then arbitrary-but-stable input order via the id itself being part
@@ -34,10 +43,9 @@ object WeightedSample {
   def sample(df: DataFrame, idCol: String, weightCol: String,
              n: Int, seed: Long = 42L): DataFrame = {
     val key = pow(hash01(col(idCol), seed), lit(1.0) / col(weightCol))
-    df.filter(col(weightCol) > 0)
-      .withColumn("_wkey", key)
-      .orderBy(col("_wkey").desc, col(idCol))
-      .limit(n)
+    sampleByKey(
+      df.filter(col(weightCol) > 0).withColumn("_wkey", key),
+      col("_wkey"), idCol, n)
       .drop("_wkey")
   }
 }

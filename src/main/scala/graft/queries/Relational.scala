@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import graft.operators.{IncrementalAgg, ZOrder}
 
 /** Core relational operator surface (SURVEY.md §2b: scans, filter/project,
   * joins of every type, hash aggregates, count-distinct, rollup/cube/
@@ -761,25 +762,82 @@ object Relational {
   /** Running DISTINCT-user count per event type (cumulative uniques —
     * the growth-curve recipe): windows don't support COUNT(DISTINCT), so
     * the portable formulation is first-occurrence flags (row_number == 1
-    * per (type, user)) running-summed over event time. Both engines run
-    * the IDENTICAL formulation — no reliance on one engine's distinct-
-    * window extension. Aggregated to one row per (type, day) so the
-    * output stays bounded; integers end to end. */
+    * per (type, user)) summed per (type, day) and running-summed over
+    * days. The first-occurrence window partitions by (type, user) —
+    * high cardinality, parallel at any scale — and the ONLY cumulative
+    * window runs over the tiny per-(type, day) aggregate, so no task
+    * ever sees one event type's full event stream (the r6 verdict's
+    * skew finding: partitioning the running sum by low-cardinality
+    * event_type alone would funnel each type's whole history through
+    * one window task at 100×). Output identical: the cumulative new-user
+    * count through each day IS the distinct-users-to-date. */
   def q49RunningDistinct(s: SparkSession, dir: String): DataFrame = {
     val firstSeen = Window.partitionBy(col("event_type"), col("user_id"))
       .orderBy(col("ts"), col("event_id"))
-    val running = Window.partitionBy(col("event_type"))
-      .orderBy(col("ts"), col("event_id"))
+    val byDay = Window.partitionBy(col("event_type"))
+      .orderBy(col("day"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     Tables.events(s, dir)
       .withColumn("_first", when(row_number().over(firstSeen) === 1, 1L).otherwise(0L))
-      .withColumn("_cum", sum(col("_first")).over(running))
       .groupBy(col("event_type"), date_format(col("ts"), "yyyy-MM-dd").as("day"))
-      .agg(max(col("_cum")).as("distinct_users_to_date"))
+      .agg(sum(col("_first")).as("_new_users"))
+      .withColumn("distinct_users_to_date", sum(col("_new_users")).over(byDay))
+      .drop("_new_users")
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** The ZOrder operator's math surfaced as an oracle-checked projection
+    * (r6 verdict item 1: the operator existed only behind ZOrderSpec):
+    * per-event 16-bit grid cells over (value, user_id) and their Morton
+    * z-value — the exact columns layoutByZOrder range-partitions on.
+    * Pure integer/IEEE arithmetic end to end (scale bounds from one
+    * min/max agg, magic-mask bit spreads), so DuckDB replays it
+    * bit-identically; the layout side (repartitionByRange + write) stays
+    * under ZOrderSpec's measured file-skipping gate. */
+  def q50ZorderCells(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val r = ev.agg(
+      min(col("value")).cast("double"), max(col("value")).cast("double"),
+      min(col("user_id")).cast("double"), max(col("user_id")).cast("double")).head()
+    val cv = ZOrder.gridCell(col("value"), r.getDouble(0), r.getDouble(1))
+    val cu = ZOrder.gridCell(col("user_id"), r.getDouble(2), r.getDouble(3))
+    ev.select(col("event_id"), cv.as("cell_value"), cu.as("cell_user"),
+        ZOrder.zValue(cv, cu).as("z_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** The IncrementalAgg operator as an oracle-checked query (r6 verdict
+    * item 1): build the aggregate STATE from events before a cut date,
+    * then IVM-refresh it with the post-cut delta — the oracle recomputes
+    * the same aggregates over ALL events, so a green row proves
+    * refresh(state, delta) ≡ full recompute, the defining IVM property.
+    * Sums ride as exact DECIMAL(18,4) (order-free — the q42/q43 sf0.1
+    * lesson) and avg divides once at read time from (sum, count); min/max
+    * project raw doubles (exact input values, no accumulation). */
+  def q51IncrementalAgg(s: SparkSession, dir: String): DataFrame = {
+    import IncrementalAgg._
+    val aggs = Seq(
+      countAll("n_events"),
+      AggSpec("sum_value",
+        sum(col("value").cast("decimal(18,4)")), (a, b) => a + b),
+      minOf("value", "min_value"),
+      maxOf("value", "max_value"))
+    val ev = Tables.events(s, dir)
+    val cut = ts("2024-01-20 00:00:00")
+    val state = initial(ev.filter(col("ts") < cut), Seq("event_type"), aggs)
+    val refreshed = refresh(state, ev.filter(col("ts") >= cut),
+      Seq("event_type"), aggs)
+    refreshed.select(col("event_type"), col("n_events"),
+        col("sum_value").cast("double").as("sum_value"),
+        (col("sum_value").cast("double") / col("n_events").cast("double"))
+          .as("avg_value"),
+        col("min_value"), col("max_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q50_zorder_cells" -> (q50ZorderCells _),
+    "q51_incremental_agg" -> (q51IncrementalAgg _),
     "q49_running_distinct" -> (q49RunningDistinct _),
     "q48_string_funcs" -> (q48StringFuncs _),
     "q46_profile" -> (q46Profile _),
@@ -832,6 +890,32 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "q50_zorder_cells" ->
+      """WITH b AS (
+        |  SELECT CAST(min(value) AS DOUBLE) AS vmin, CAST(max(value) AS DOUBLE) AS vmax,
+        |         CAST(min(user_id) AS DOUBLE) AS umin, CAST(max(user_id) AS DOUBLE) AS umax
+        |  FROM events
+        |), g AS (
+        |  SELECT event_id,
+        |    least(greatest(CAST(floor((CAST(value AS DOUBLE) - vmin)
+        |      / (CASE WHEN vmax > vmin THEN vmax - vmin ELSE 1.0 END) * 65535.0) AS BIGINT), 0), 65535) AS cv,
+        |    least(greatest(CAST(floor((CAST(user_id AS DOUBLE) - umin)
+        |      / (CASE WHEN umax > umin THEN umax - umin ELSE 1.0 END) * 65535.0) AS BIGINT), 0), 65535) AS cu
+        |  FROM events, b
+        |), s1 AS (SELECT event_id, cv, cu, (cv | (cv << 8)) & 16711935 AS a1, (cu | (cu << 8)) & 16711935 AS b1 FROM g
+        |), s2 AS (SELECT event_id, cv, cu, (a1 | (a1 << 4)) & 252645135 AS a2, (b1 | (b1 << 4)) & 252645135 AS b2 FROM s1
+        |), s3 AS (SELECT event_id, cv, cu, (a2 | (a2 << 2)) & 858993459 AS a3, (b2 | (b2 << 2)) & 858993459 AS b3 FROM s2
+        |), s4 AS (SELECT event_id, cv, cu, (a3 | (a3 << 1)) & 1431655765 AS a4, (b3 | (b3 << 1)) & 1431655765 AS b4 FROM s3)
+        |SELECT event_id, cv AS cell_value, cu AS cell_user, (a4 | (b4 << 1)) AS z_value
+        |FROM s4 ORDER BY event_id""".stripMargin,
+    "q51_incremental_agg" ->
+      """SELECT event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS avg_value,
+        |  min(value) AS min_value,
+        |  max(value) AS max_value
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q40_sessionize" ->
       """WITH g AS (
         |  SELECT user_id, event_id, ts, value,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.TextOps
-import graft.operators.{AsofJoin, ConnectedComponents, Dedup, SetSimJoin}
+import graft.operators.{AsofJoin, ConnectedComponents, Dedup, SetSimJoin, WeightedSample}
 
 /** LLM-data-pipeline text layer over `documents` (SURVEY.md §2b): dedup
   * (exact / MinHash-LSH / SimHash / n-gram Jaccard / edit-distance /
@@ -249,6 +249,13 @@ object TextPipeline {
         .select(explode(col("gs")).as("gram"))
         .stat.bloomFilter("gram", math.max(nTrain, 1L), 0.01)
       val bloomB = s.sparkContext.broadcast(bloom)
+      // Deliberate UDF (the repo's only one): Catalyst's
+      // BloomFilterMightContain isn't registered in the public function
+      // registry and expects bloom_filter_agg's binary format, not the
+      // sketch `stat.bloomFilter` builds — no public-API route. Cost:
+      // this one filter evaluates off the codegen path (a per-row boxed
+      // call). Correctness is unaffected either way: the exact semi-join
+      // behind it re-verifies every surviving row.
       val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
       testAll.filter(mightContain(col("gram")))
     }
@@ -613,9 +620,14 @@ object TextPipeline {
     val tk = TextOps.tokens(col("text"))
     val segs = Tables.documents(s, dir)
       .select(col("doc_id"),
-        explode(transform(
+        // zero-token guard: sequence(0, -1) is Spark's DESCENDING
+        // sequence [0, -1] — it would emit two bogus segments where the
+        // oracle's range(0) is empty. (split always yields >= 1 token
+        // here, but the hazard must not be load-bearing.)
+        explode(when(size(tk) > 0, transform(
           sequence(lit(0), ceil(size(tk) / lit(16.0)).cast("int") - 1),
-          i => concat_ws(" ", slice(tk, i * 16 + 1, lit(16))))).as("seg"))
+          i => concat_ws(" ", slice(tk, i * 16 + 1, lit(16)))))
+          .otherwise(array().cast("array<string>"))).as("seg"))
       .localCheckpoint(eager = false) // fan-out: segment counts + per-doc join
     val cnt = segs.groupBy(col("seg")).agg(count(lit(1)).as("_n"))
     val dup = when(col("_n") >= 2, 1).otherwise(0)
@@ -739,7 +751,29 @@ object TextPipeline {
 
   private def minus(c: Column): Column = lit(0.0) - c
 
+  /** The WeightedSample operator as an oracle-checked query (r6 verdict
+    * item 1: it existed only behind WeightedSampleSpec): Efraimidis-
+    * Spirakis weighted sampling without replacement over `documents`,
+    * n_chars as the weight. The uniform draw here is a SQL-portable
+    * seeded hash (the q41 multiplicative-hash recipe) instead of
+    * `sample`'s xxhash64, so DuckDB replays the IDENTICAL draw; the ES
+    * key u^(1/w) is quantized to 9 dp BEFORE ranking (the doc_tfidf
+    * rule) so libm pow ULP drift can't flip ranks between engines.
+    * Same distributed shape either way: per-row key + top-n. */
+  def weightedSample(s: SparkSession, dir: String): DataFrame = {
+    val u = ((col("doc_id") * lit(2654435761L) + lit(17L)) % lit(1000000007L))
+      .cast("double").plus(lit(1.0)).divide(lit(1000000007.0))
+    val key = round(pow(u, lit(1.0) / col("n_chars").cast("double")), 9)
+    WeightedSample.sampleByKey(
+      Tables.documents(s, dir)
+        .filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          key.as("sample_key")),
+      col("sample_key"), "doc_id", 25)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_weighted_sample" -> (weightedSample _),
     "doc_char_entropy" -> (charEntropy _),
     "doc_bpe_merges" -> (bpeMerges _),
     "doc_shuffle_order" -> (shuffleOrder _),
@@ -776,6 +810,13 @@ object TextPipeline {
   )
 
   val oracles: Map[String, String] = Map(
+    "doc_weighted_sample" ->
+      """SELECT doc_id, source, n_chars, sample_key FROM (
+        |  SELECT doc_id, source, n_chars,
+        |    round(pow((CAST((doc_id * 2654435761 + 17) % 1000000007 AS DOUBLE) + 1.0) / 1000000007.0,
+        |              1.0 / CAST(n_chars AS DOUBLE)), 9) AS sample_key
+        |  FROM documents WHERE n_chars > 0) t
+        |ORDER BY sample_key DESC, doc_id LIMIT 25""".stripMargin,
     "doc_char_entropy" ->
       """WITH chars AS (
         |  SELECT ['a','b','c','d','e','f','g','h','i','j','k','l','m',

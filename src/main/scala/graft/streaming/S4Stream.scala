@@ -190,28 +190,46 @@ object S4Stream {
       .trigger(if (availableNow) Trigger.AvailableNow() else Trigger.ProcessingTime(0))
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val w = Window.partitionBy(col(keyCol))
-          .orderBy(col(versionCol).desc, col(keyCol))
+        // Within-batch contraction: version desc, tiebroken by a hash of
+        // the FULL row content — keyCol alone is the partition key, so
+        // without this an equal-version duplicate with a different
+        // payload would win nondeterministically across re-executions.
+        val wIn = Window.partitionBy(col(keyCol))
+          .orderBy(col(versionCol).desc,
+            hash(batch.columns.map(col).toSeq: _*).asc)
         val incoming = batch
-          .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+          .withColumn("_rn", row_number().over(wIn)).filter(col("_rn") === 1).drop("_rn")
           .withColumn("bucket", pmod(hash(col(keyCol)), lit(numBuckets)))
         if (!incoming.isEmpty) {
           val touched = incoming.select(col("bucket")).distinct()
             .collect().map(_.getInt(0)).toSeq // bounded by numBuckets
           // "table exists" = the dir holds data or partition dirs (an
-          // empty/nonexistent dir would fail parquet schema inference)
-          val tableHasData = {
-            val f = new java.io.File(tableDir)
-            f.exists() && f.listFiles() != null &&
-              f.listFiles().exists(c => !c.getName.startsWith("_") && !c.getName.startsWith("."))
-          }
+          // empty/nonexistent dir would fail parquet schema inference).
+          // Probed through the Hadoop FileSystem API so the operator
+          // works against ANY supported store (s3a://, hdfs://, file:),
+          // not just the local filesystem (r6 verdict item 3).
+          val tablePath = new org.apache.hadoop.fs.Path(tableDir)
+          val fs = tablePath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tableHasData = fs.exists(tablePath) &&
+            fs.listStatus(tablePath).exists { st =>
+              val n = st.getPath.getName
+              !n.startsWith("_") && !n.startsWith(".")
+            }
           val existing =
             if (tableHasData)
               spark.read.parquet(tableDir)
                 .filter(col("bucket").isInCollection(touched))
             else incoming.limit(0)
-          val merged = existing.unionByName(incoming)
-            .withColumn("_rn", row_number().over(w)).filter(col("_rn") === 1).drop("_rn")
+          // Merge: highest version per key wins; on an equal-version tie
+          // the INCOMING row deterministically replaces the stored one
+          // (any fixed winner keeps replays idempotent — what matters is
+          // that re-executions can't flip it).
+          val wMerge = Window.partitionBy(col(keyCol))
+            .orderBy(col(versionCol).desc, col("_inc").desc)
+          val merged = existing.withColumn("_inc", lit(0))
+            .unionByName(incoming.withColumn("_inc", lit(1)))
+            .withColumn("_rn", row_number().over(wMerge)).filter(col("_rn") === 1)
+            .drop("_rn", "_inc")
             .localCheckpoint() // eager: the write overwrites what was read
           merged.write
             .partitionBy("bucket")

@@ -88,6 +88,11 @@ private class UnixSocketMicroBatchStream(path: String, mode: String)
   @volatile private var channel: SocketChannel = _
   @volatile private var server: java.nio.channels.ServerSocketChannel = _
   @volatile private var stopped = false
+  // An unexpected transport failure (server-socket accept error, or a
+  // dial-mode read error) recorded by the reader thread; surfaced on the
+  // next trigger so the query FAILS instead of silently never ingesting
+  // again (the silent-death mode the r6 advice flagged).
+  @volatile private var readerFailure: Throwable = _
 
   // Drain one connection to EOF: blocking reads, decoded as UTF-8,
   // framed on '\n' (CR kept — the reference frames on bare newlines too).
@@ -125,10 +130,17 @@ private class UnixSocketMicroBatchStream(path: String, mode: String)
             while (!stopped) {
               val conn = srv.accept() // reference: one client at a time
               channel = conn
-              try drain(conn) finally conn.close()
+              // A per-CONNECTION error (e.g. reset mid-drain) must not
+              // kill the accept loop — the reference's ListenUnixSocket
+              // keeps accepting after a client error. Only stop() or a
+              // server-socket failure ends the loop.
+              try drain(conn)
+              catch { case _: Throwable if !stopped => () }
+              finally conn.close()
             }
           } catch {
             case _: Throwable if stopped => // closed by stop(); normal
+            case t: Throwable => readerFailure = t // accept() died unexpectedly
           }
         }
       } else {
@@ -137,7 +149,10 @@ private class UnixSocketMicroBatchStream(path: String, mode: String)
         channel = ch
         () => {
           try drain(ch)
-          catch { case _: Throwable if stopped => () }
+          catch {
+            case _: Throwable if stopped => ()
+            case t: Throwable => readerFailure = t // dial-mode read died
+          }
         }
       }
     val t = new Thread(body, s"unix-socket-reader-$mode-$path")
@@ -150,6 +165,9 @@ private class UnixSocketMicroBatchStream(path: String, mode: String)
 
   override def latestOffset(): Offset = {
     reader
+    if (readerFailure != null)
+      throw new IllegalStateException(
+        s"unix-socket reader ($mode $path) failed", readerFailure)
     lock.synchronized(RecordCountOffset(base + buffer.length))
   }
 
