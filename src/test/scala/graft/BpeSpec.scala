@@ -82,4 +82,39 @@ class BpeSpec extends SparkSpec {
     // "aa" -> [aa</w>], "ab" -> [ab</w>], "ba" -> [b, a</w>] (no rule for b+a)
     assert(toks == Seq("aa</w>", "ab</w>", "b", "a</w>"))
   }
+
+  test("batched rounds stay equal to sequential AND run fewer jobs than merges") {
+    val docs = Tables.documents(spark, sf0001)
+    val words = docs
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expect = refTrain(words, 20)
+    val (merges, rounds) = Bpe.trainWithStats(docs, "text", 20, batchSize = 16)
+    assert(merges.map(m => (m.left, m.right, m.freq)) == expect)
+    assert(merges.map(_.rank) == (0 until merges.length))
+    // the point of batching: strictly fewer pair-count jobs than merges
+    assert(rounds < merges.length,
+      s"expected batching to beat one-job-per-merge, got $rounds rounds for ${merges.length} merges")
+  }
+
+  test("batched == sequential reference on random corpora (small alphabets force ties)") {
+    // small alphabets maximize pair interactions and equal-frequency
+    // ties — exactly the cases where a naive batcher diverges from
+    // sequential BPE. The tie/overlap guards must keep them identical.
+    val rng = new scala.util.Random(20260813L)
+    for (trial <- 1 to 12) {
+      val alpha = Seq("a", "b", "c", "d").take(2 + trial % 3)
+      val nWords = 30 + rng.nextInt(40)
+      val corpus = (1 to nWords).map { _ =>
+        (1 to (1 + rng.nextInt(5))).map(_ => alpha(rng.nextInt(alpha.length))).mkString
+      }
+      val words = corpus.groupBy(identity).map { case (w, ws) => w -> ws.length.toLong }
+      val expect = refTrain(words, 10)
+      val got = Bpe.train(corpus.mkString(" ") :: Nil toDF "text", "text", 10, batchSize = 8)
+        .map(m => (m.left, m.right, m.freq))
+      assert(got == expect, s"trial $trial diverged: corpus=${corpus.take(10)}...")
+    }
+  }
 }

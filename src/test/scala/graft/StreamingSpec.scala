@@ -503,6 +503,49 @@ class StreamingSpec extends SparkSpec {
     assert(state() == Map("A" -> (2L, "a2"), "B" -> (1L, "b1"), "C" -> (1L, "c1")))
   }
 
+  test("upsert + lake through file:-scheme Hadoop URIs; equal-version replay is deterministic") {
+    // The north-star lake is an object store addressed by Hadoop URI
+    // (s3a://...); file:// is the scheme-carrying stand-in the sandbox
+    // can run, and it catches any java.io-style bare-path assumption —
+    // the r6 verdict's upsert probe bug — because "file:///tmp/x" is NOT
+    // a valid java.io path.
+    val in = tmp("s4fin"); val ck = tmp("s4fck")
+    val tableUri = "file://" + tmp("s4ftab").toString
+    val lakeUri = "file://" + tmp("s4flake").toString
+    writeLines(in, "u1.json", Seq(
+      """{"k": "A", "v": 1, "payload": "a1"}""",
+      """{"k": "B", "v": 1, "payload": "b1"}"""))
+    def run(): Unit = {
+      val src = spark.readStream.schema("k STRING, v LONG, payload STRING")
+        .option("maxFilesPerTrigger", 1).json(in.toString)
+      val q = S4Stream.upsertStream(src, "k", "v", tableUri, ck.toString, numBuckets = 8)
+      q.awaitTermination()
+    }
+    run() // first batch: probe must see a nonexistent file:// table as empty
+    def state(): Map[String, (Long, String)] = spark.read.parquet(tableUri)
+      .select(col("k"), col("v"), col("payload"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(state() == Map("A" -> (1L, "a1"), "B" -> (1L, "b1")))
+
+    // equal-version replay with a DIFFERENT payload: the documented
+    // tiebreak (incoming wins) must apply deterministically
+    writeLines(in, "u2.json", Seq("""{"k": "A", "v": 1, "payload": "a1-replay"}"""))
+    run()
+    assert(state() == Map("A" -> (1L, "a1-replay"), "B" -> (1L, "b1")))
+
+    // the lake sink end to end over a scheme-carrying URI as well
+    val lin = tmp("s4flin"); val lck = tmp("s4flck")
+    writeLines(lin, "l.txt", Seq("rec-a", "rec-b"))
+    val q = S4Stream.run(spark, S4Config(
+      inputDir = lin.toString, mode = "line", sink = "lake",
+      lakeDir = lakeUri, checkpointDir = lck.toString,
+      availableNow = true, lakeFormat = "parquet"))
+    q.awaitTermination()
+    val back = spark.read.parquet(lakeUri).select(col("value"))
+      .collect().map(_.getString(0)).toSeq
+    assert(back.sorted == Seq("rec-a", "rec-b"))
+  }
+
   test("size-based flush emits on threshold and keeps sub-threshold state (arbitrary state)") {
     val in = tmp("s4zin"); val ck = tmp("s4zck")
     // key a: 3 records x 10 bytes with threshold 25 -> one flush at 30,
