@@ -103,6 +103,29 @@ object Bench {
         listener.shuffleWriteBytes / 1e6)
     }
 
+    // bench-noise attribution (VERDICT r6 item 8): this box's run-to-run
+    // variance is ±20-40%, so one number per query can't distinguish a
+    // regression from a wobble. Re-run the 10 most expensive queries
+    // twice more and archive runs/min/median — the MIN is the comparable
+    // number across rounds (noise only ever adds time).
+    val repeats = results.collect { case (k, true, v, _, _, _, _) => (k, v) }
+      .sortBy(-_._2).take(10).map { case (name, first) =>
+        val fn = SparkEntry.queries(name)
+        val times = first +: (1 to 2).map { _ =>
+          val t0 = System.nanoTime()
+          try fn(spark, sfDir).count() catch { case _: Throwable => () }
+          val s = (System.nanoTime() - t0) / 1e9
+          dropPersistedBlocks()
+          s
+        }
+        (name, times)
+      }
+    val repJson = repeats.map { case (k, runs) =>
+      val sorted = runs.sorted
+      s""""$k":{"runs":${runs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        s""""min":${f"${sorted.head}%.3f"},"median":${f"${sorted(sorted.size / 2)}%.3f"}}"""
+    }.mkString("{", ",", "}")
+
     // csv round-trip attribution (VERDICT r5 item 9): the query's cost is
     // dominated by the gzip WRITE (the operator under test), which the
     // single timing above can't show — time the two halves separately
@@ -138,7 +161,7 @@ object Bench {
         s""""failed":$failed,"sf":"$sfDir"}"""
     val detail =
       line.dropRight(1) + s""","peak_exec_mb":$mem,"gc_ms":$gc,"storage_mb":$stor,""" +
-        s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit}"""
+        s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit,"repeats":$repJson}"""
     Files.writeString(Paths.get("bench_result.json"), detail)
     println(line)
     spark.stop()

@@ -223,6 +223,26 @@ class PlanSpec extends SparkSpec {
       s"top-k filter must push into WindowGroupLimit:\n$p")
   }
 
+  test("q49: cumulative window consumes the per-day aggregate, not the raw event stream") {
+    // the r6 skew finding: a running sum partitioned by low-cardinality
+    // event_type over RAW events funnels each type's entire history
+    // through one window task at scale. Restructured, the plan must read
+    // (top-down) running-sum Window -> HashAggregate(type, day) ->
+    // row_number Window -> scan: the only window over raw events is the
+    // high-cardinality (type, user) first-occurrence ranking.
+    val df = SparkEntry.queries("q49_running_distinct")(spark, sf0001)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    val runningAt = p.indexOf("distinct_users_to_date")
+    val aggAt = p.indexOf("HashAggregate")
+    val firstSeenAt = p.indexOf("row_number")
+    assert(runningAt >= 0 && aggAt >= 0 && firstSeenAt >= 0, s"plan shape changed:\n$p")
+    assert(runningAt < aggAt,
+      s"the cumulative window must sit ABOVE the per-(type, day) aggregate:\n$p")
+    assert(aggAt < firstSeenAt,
+      s"the per-day aggregate must sit above the first-occurrence ranking:\n$p")
+  }
+
   test("NO query plans a CartesianProduct; SinglePartition only for bounded one-row aggregates") {
     // The blanket form of the per-query gates above: sweep every plan in
     // the contract. SinglePartition is allowed ONLY where the exchanged
