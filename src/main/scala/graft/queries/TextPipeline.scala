@@ -639,6 +639,44 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Overlapping repeated-SPAN statistics — the substring-dedup shape of
+    * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
+    * Better" (public literature): every stride-1 window of 16 tokens is
+    * a span; a span occurring in >= 2 DISTINCT documents marks
+    * cross-document boilerplate. The stride-1 windows are what
+    * doc_segment_dedup's fixed grid cannot see: duplication that is not
+    * aligned to segment boundaries still produces identical spans.
+    * Output per document (>= 16 tokens): span count, spans shared with
+    * another document, their ratio (raw IEEE divide — identical longs
+    * both engines), and the max distinct-doc reach of any span.
+    *
+    * Scale shape = exact dedup's: explode -> distinct (doc, span) ->
+    * one groupBy(span) doc-count (map-side combined) -> join back ->
+    * per-doc agg. Span text could be hashed to a long at 100 TB to
+    * shrink the shuffle (kept stringly to stay byte-comparable with the
+    * oracle); output rows stay one per document regardless of corpus
+    * size. */
+  def spanDedup(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val spans = Tables.documents(s, dir)
+      .filter(size(tk) >= 16)
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(0), size(tk) - 16),
+          i => concat_ws(" ", slice(tk, i + 1, lit(16))))).as("span"))
+      .localCheckpoint(eager = false) // fan-out: span doc-counts + join back
+    val docCounts = spans.distinct()
+      .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
+    spans.join(docCounts, "span")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_spans"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_spans"),
+        max(col("n_docs")).as("max_span_docs"))
+      .withColumn("shared_ratio",
+        col("n_shared_spans").cast("double") / col("n_spans"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Point term-frequency estimates per language from a Count-Min sketch
     * — the "how often did THIS term occur" sketch next to doc_heavy_terms'
     * "which terms are frequent" (Space-Saving) and q20's "how many
@@ -780,6 +818,7 @@ object TextPipeline {
     "doc_vocab_oov" -> (vocabOov _),
     "doc_term_freq_cm" -> (termFreqCm _),
     "doc_segment_dedup" -> (segmentDedup _),
+    "doc_span_dedup" -> (spanDedup _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
     "doc_heavy_terms" -> (heavyTerms _),
@@ -868,6 +907,19 @@ object TextPipeline {
         |  CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_segs,
         |  CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
         |FROM segs s JOIN cnt c USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "doc_span_dedup" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |spans AS (
+        |  SELECT doc_id, array_to_string(tk[i+1 : i+16], ' ') AS span
+        |  FROM toks, LATERAL (SELECT unnest(range(len(tk) - 15)) AS i) r
+        |  WHERE len(tk) >= 16),
+        |dc AS (SELECT span, count(DISTINCT doc_id) AS n_docs FROM spans GROUP BY span)
+        |SELECT s.doc_id, count(*) AS n_spans,
+        |  CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_spans,
+        |  max(d.n_docs) AS max_span_docs,
+        |  CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_ratio
+        |FROM spans s JOIN dc d USING (span)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "doc_tfidf_terms" ->
       """WITH tf AS (

@@ -68,4 +68,29 @@ class DedupSpec extends SparkSpec {
         .filter(TextOps.hamming(col("h1"), col("h2")) <= 3))
     assert(pairSet(found) === truth)
   }
+
+  test("span dedup catches boilerplate the fixed segment grid misses (unaligned duplication)") {
+    // two docs share an identical 20-token passage, OFFSET by 3 tokens
+    // in the second doc: no fixed 16-token segment aligns across docs,
+    // but stride-1 spans must flag exactly the 5 windows that fit
+    // entirely inside the shared passage in both docs
+    import spark.implicits._
+    val passage = (1 to 20).map(i => s"p$i").mkString(" ")
+    val docA = passage + " " + (1 to 20).map(i => s"a$i").mkString(" ")
+    val docB = "b1 b2 b3 " + passage + " " + (1 to 17).map(i => s"c$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("spansrc")
+    dir.toFile.deleteOnExit()
+    Seq((0L, docA, "en", "s1", docA.length.toLong),
+        (1L, docB, "en", "s2", docB.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(dir.resolve("documents.parquet").toString)
+    val shared = TextPipeline.spanDedup(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_shared_spans
+    assert(shared == Map(0L -> 5L, 1L -> 5L),
+      s"unaligned duplication must surface as the 5 in-passage spans: $shared")
+    val dupSegs = TextPipeline.segmentDedup(spark, dir.toString).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap // doc_id -> n_dup_segs
+    assert(dupSegs.values.forall(_ == 0L),
+      s"the fixed grid must miss it (the operator's reason to exist): $dupSegs")
+  }
 }
