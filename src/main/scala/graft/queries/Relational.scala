@@ -799,6 +799,10 @@ object Relational {
     val r = ev.agg(
       min(col("value")).cast("double"), max(col("value")).cast("double"),
       min(col("user_id")).cast("double"), max(col("user_id")).cast("double")).head()
+    // empty input: min/max are null — project nothing rather than NPE
+    // (grid bounds of an empty relation are meaningless either way)
+    if (r.isNullAt(0)) return ev.select(col("event_id"),
+      lit(0L).as("cell_value"), lit(0L).as("cell_user"), lit(0L).as("z_value"))
     val cv = ZOrder.gridCell(col("value"), r.getDouble(0), r.getDouble(1))
     val cu = ZOrder.gridCell(col("user_id"), r.getDouble(2), r.getDouble(3))
     ev.select(col("event_id"), cv.as("cell_value"), cu.as("cell_user"),

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.Similarity
+import graft.operators.{Similarity, VectorIndex}
 
 /** Similarity-search layer over `embeddings` (SURVEY.md §2b: cosine/dot
   * similarity, brute-force top-k baseline, LSH-bucketed ANN scale path,
@@ -149,7 +149,23 @@ object Vectors {
     Similarity.semanticDedup(Tables.embeddings(s, dir), tau = 0.9)
       .orderBy(col("vec_id"))
 
+  /** The build-once/query-many index lifecycle as a round-trip query:
+    * persist the IVF index (centroids + cell-partitioned corpus with
+    * norms), then answer the probe set from the PERSISTED index alone —
+    * a partition-pruned scan of the probed cells, no training or corpus
+    * shuffle at query time. Engine-only like vec_ivf_topk;
+    * VectorIndexSpec gates index-query ≡ fresh-IVF equivalence and the
+    * file-level pruning. */
+  def indexTopK(s: SparkSession, dir: String): DataFrame = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_vecindex/" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    VectorIndex.build(Tables.embeddings(s, dir), idx)
+    VectorIndex.topK(s, idx, probes(s, dir), k = 5)
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_index_topk" -> (indexTopK _),
     "vec_mips_topk" -> (mipsTopK _),
     "vec_pq_topk" -> (pqTopK _),
     "vec_knn_join" -> (knnJoin _),

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Similarity, VectorIndex}
+
+/** The persisted-IVF lifecycle: build once, query many. The query path
+  * must return EXACTLY the self-contained ivfTopK answer (training is
+  * deterministic in the seed), and the query-time cell restriction must
+  * prune the index at the FILE level — that pruning is the reason the
+  * index exists. */
+class VectorIndexSpec extends SparkSpec {
+
+  test("index query == fresh ivfTopK at the same quantizer (build-once/query-many)") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val probes = corpus
+      .filter(col("vec_id").isInCollection(Seq(1L, 7L, 42L, 99L, 123L)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val dir = java.nio.file.Files.createTempDirectory("vecidx").toString
+    VectorIndex.build(corpus, dir, nlist = 8, iters = 2, seed = 42L)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Int, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val viaIndex = rows(VectorIndex.topK(spark, dir, probes, k = 5, nprobe = 2))
+    val fresh = rows(Similarity.ivfTopK(corpus, probes, k = 5, nlist = 8,
+      nprobe = 2, iters = 2, seed = 42L))
+    assert(viaIndex.nonEmpty)
+    assert(viaIndex == fresh,
+      s"persisted-index query diverged from the fresh IVF answer:\n$viaIndex\nvs\n$fresh")
+  }
+
+  test("query-time cell restriction prunes index partitions at the file level") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
+    VectorIndex.build(corpus, dir, nlist = 8)
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val cells = spark.read.parquet(s"$dir/cells")
+    val all = filesTouched(cells)
+    val pruned = filesTouched(cells.filter(col("cell").isInCollection(Seq(0, 1))))
+    assert(pruned < all, s"partition filter must skip files: touched $pruned of $all")
+    // and it must be a PARTITION filter in the scan, not a post-scan row filter
+    val p = cells.filter(col("cell") === 0).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"cell restriction did not reach the scan's partition filters:\n$p")
+  }
+}
