@@ -124,7 +124,33 @@ object S4Dataflow {
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
       .orderBy(col("event_type"))
 
+  /** Lake-maintenance round trip (operators/Compaction.scala): stage a
+    * deliberately fragmented copy of `events` (8 writer tasks per
+    * event_type partition — the many-small-files state a micro-batch
+    * sink leaves behind), compact every partition to ONE file, then read
+    * the COMPACTED table back. Rows must survive the rewrite bit-for-bit
+    * (the oracle recounts from the source) and each partition must sit
+    * at exactly one file — deterministic, unlike a >1 bound where two
+    * salt groups can hash into the same writer task. */
+  def compactLake(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_compact/" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("value"))
+      .repartition(8)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    graft.operators.Compaction.compact(s, path, Seq("event_type"), filesPerPartition = 1)
+    s.read.parquet(path)
+      .select(col("event_type"), col("value"), input_file_name().as("_f"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"),
+        countDistinct(col("_f")).as("n_files"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "s4_compact_lake" -> (compactLake _),
     "s4_flush_window" -> (flushWindow _),
     "s4_json_validity" -> (jsonValidity _),
     "s4_json_extract" -> (jsonExtract _),
@@ -137,6 +163,11 @@ object S4Dataflow {
   )
 
   val oracles: Map[String, String] = Map(
+    "s4_compact_lake" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
+        |  1 AS n_files
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s4_flush_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 5 minutes, ts)) AS window_start_us,
         | count(*) AS n_records, CAST(sum(length(props)) AS BIGINT) AS batch_bytes
