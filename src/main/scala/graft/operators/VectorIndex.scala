@@ -39,6 +39,7 @@ object VectorIndex {
     import s.implicits._
     val centroids = Similarity.trainCentroids(corpus, nlist, iters, seed,
       corpusId, corpusVec)
+    require(centroids.nonEmpty, "IVF index build needs a non-empty corpus")
     centroids.zipWithIndex
       .flatMap { case (c, cell) => c.zipWithIndex.map { case (v, pos) => (cell, pos, v) } }
       .toDF("cell", "pos", "value")
@@ -48,6 +49,25 @@ object VectorIndex {
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
       .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$indexDir/cells")
+  }
+
+  /** Incremental maintenance: assign NEW vectors to the EXISTING
+    * quantizer and append them to their cell partitions — O(|delta|),
+    * never a corpus rewrite, the arrival path for a streaming corpus.
+    * The quantizer itself is deliberately frozen (retraining would
+    * orphan every already-assigned cell); as the corpus drifts, recall
+    * degrades gracefully until a periodic [[build]] re-clusters — the
+    * standard IVF operating procedure. Appended vectors are immediately
+    * visible to [[topK]] because cells are plain parquet partitions. */
+  def append(delta: DataFrame, indexDir: String,
+             corpusVec: String = "embedding"): Unit = {
+    val s = delta.sparkSession
+    val centroids = loadCentroids(s, indexDir)
+    delta
+      .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
+      .withColumn("norm", VectorOps.norm(col(corpusVec)))
+      .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/cells")
   }
 

@@ -27,6 +27,28 @@ class VectorIndexSpec extends SparkSpec {
       s"persisted-index query diverged from the fresh IVF answer:\n$viaIndex\nvs\n$fresh")
   }
 
+  test("append assigns new vectors to the frozen quantizer; queries see them immediately") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("vecidx3").toString
+    VectorIndex.build(corpus, dir, nlist = 8)
+    val before = spark.read.parquet(s"$dir/cells").count()
+    // delta: a near-copy of vector 7 under a fresh id — it must land in
+    // 7's cell and become 7's top neighbor
+    val delta = corpus.filter(col("vec_id") === 7L)
+      .select(lit(900007L).as("vec_id"),
+        transform(col("embedding"), x => x * lit(1.0000001f)).as("embedding"),
+        col("label"))
+    VectorIndex.append(delta, dir)
+    assert(spark.read.parquet(s"$dir/cells").count() == before + 1)
+    val probes = corpus.filter(col("vec_id") === 7L)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = VectorIndex.topK(spark, dir, probes, k = 2, nprobe = 2)
+      .orderBy(col("rn")).collect()
+    // rank 1 is the probe itself (cosine 1.0), rank 2 the appended copy
+    assert(top.map(_.getLong(2)).toSeq == Seq(7L, 900007L),
+      s"appended near-copy must surface: ${top.mkString(", ")}")
+  }
+
   test("query-time cell restriction prunes index partitions at the file level") {
     val corpus = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
