@@ -466,6 +466,48 @@ object TextPipeline {
       .orderBy(col("split"), col("bucket"), col("shard"))
   }
 
+  /** Fixed-length training-SEQUENCE packing (L = 128 tokens): the step
+    * after sharding that every LLM training pipeline runs — concatenate
+    * documents in a deterministic order and cut the token stream at L
+    * boundaries, letting documents straddle a cut (the packer emits
+    * attention-boundary metadata instead of padding). Output is the
+    * per-sequence composition: contributing docs, tokens (every
+    * non-tail sequence must hold exactly L), and how many docs carried
+    * over a boundary.
+    *
+    * Same distributed shape as doc_pack_shards: the running token
+    * offset windows over (split, 8-way bucket), so packing is
+    * embarrassingly parallel across buckets and no partition ever sees
+    * more than 1/24th of the corpus — exactly how packer workers shard
+    * at 100 TB. A doc covering global offsets [o, o+nt) contributes
+    * min(o+nt, (q+1)L) - max(o, qL) tokens to each sequence q in its
+    * range — pure integer arithmetic, replayed identically by the
+    * oracle. */
+  def seqPack(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val L = 128L
+    val w = Window.partitionBy(col("split"), col("bucket")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.documents(s, dir)
+      .select(col("doc_id"), splitCol(col("doc_id")).as("split"),
+        pmod(col("doc_id"), lit(8)).cast("int").as("bucket"),
+        size(TextOps.tokens(col("text"))).cast("long").as("_nt"))
+      .filter(col("_nt") > 0)
+      .withColumn("_o", coalesce(sum(col("_nt")).over(w), lit(0L)))
+      .withColumn("seq", explode(sequence(
+        floor(col("_o") / lit(L)).cast("long"),
+        floor((col("_o") + col("_nt") - 1) / lit(L)).cast("long"))))
+      .withColumn("_contrib",
+        least(col("_o") + col("_nt"), (col("seq") + 1) * L) -
+          greatest(col("_o"), col("seq") * L))
+      .withColumn("_carry", when(col("_o") < col("seq") * L, 1L).otherwise(0L))
+      .groupBy(col("split"), col("bucket"), col("seq"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("_contrib")).as("seq_tokens"),
+        sum(col("_carry")).as("n_carryover"))
+      .orderBy(col("split"), col("bucket"), col("seq"))
+  }
+
   /** Content-defined chunk fingerprints + cross-document sharing: per
     * doc, its CDC chunk count and how many of its chunks also occur in
     * at least one OTHER document — the partial-duplication signal
@@ -819,6 +861,7 @@ object TextPipeline {
     "doc_term_freq_cm" -> (termFreqCm _),
     "doc_segment_dedup" -> (segmentDedup _),
     "doc_span_dedup" -> (spanDedup _),
+    "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
     "doc_heavy_terms" -> (heavyTerms _),
@@ -908,6 +951,28 @@ object TextPipeline {
         |  CAST(sum(CASE WHEN c.n >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_ratio
         |FROM segs s JOIN cnt c USING (seg)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "doc_seq_pack" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CAST(doc_id % 8 AS INT) AS bucket,
+        |    CAST(len(string_split(text, ' ')) AS BIGINT) AS nt
+        |  FROM documents WHERE len(string_split(text, ' ')) > 0),
+        |o AS (
+        |  SELECT *, coalesce(sum(nt) OVER (PARTITION BY split, bucket ORDER BY doc_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS o
+        |  FROM d),
+        |e AS (
+        |  SELECT split, bucket, doc_id, nt, o,
+        |    unnest(range(CAST(floor(o/128.0) AS BIGINT),
+        |                 CAST(floor((o+nt-1)/128.0) AS BIGINT) + 1)) AS seq
+        |  FROM o)
+        |SELECT split, bucket, seq, count(*) AS n_docs,
+        |  CAST(sum(least(o+nt, (seq+1)*128) - greatest(o, seq*128)) AS BIGINT) AS seq_tokens,
+        |  CAST(sum(CASE WHEN o < seq*128 THEN 1 ELSE 0 END) AS BIGINT) AS n_carryover
+        |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin,
     "doc_span_dedup" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |spans AS (
