@@ -700,6 +700,32 @@ object Relational {
       .orderBy(col("cohort_date"))
   }
 
+  /** Event-sequence trigram mining (the "user journey" pattern family:
+    * which 3-step paths dominate — signup>view>purchase vs
+    * view>view>view): per user, the time-ordered event-type sequence is
+    * cut into consecutive trigrams; global top-20 by count.
+    *
+    * Scale shape: ONE user_id shuffle builds every per-user sequence
+    * (collect_list bounded by per-user activity — the same per-entity
+    * bound sessionize/retention already rely on); trigram counting is an
+    * explode → partial-aggregated groupBy, and the top-20 is a
+    * TakeOrdered, never a global sort. Determinism: within-user order is
+    * (ts, event_id) — event_id is unique — and the top-20 boundary
+    * breaks ties on the trigram string. */
+  def evJourneyTrigrams(s: SparkSession, dir: String): DataFrame = {
+    val seqs = Tables.events(s, dir)
+      .groupBy(col("user_id"))
+      .agg(array_sort(collect_list(
+        struct(col("ts"), col("event_id"), col("event_type")))).as("evs"))
+      .select(transform(col("evs"), e => e.getField("event_type")).as("types"))
+      .filter(size(col("types")) >= 3)
+    seqs
+      .select(explode(transform(sequence(lit(0), size(col("types")) - 3),
+        i => concat_ws(">", slice(col("types"), i + 1, lit(3))))).as("trigram"))
+      .groupBy(col("trigram")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("trigram")).limit(20)
+  }
+
   /** Column profiler (the ANALYZE-TABLE summary every engine ships):
     * per-column null count, distinct count, min/max and mean over
     * lineitem's numeric columns — one pass, one row out per column via a
@@ -848,6 +874,7 @@ object Relational {
     "q47_hourly_zscore" -> (q47HourlyZscore _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
+    "ev_journey_trigrams" -> (evJourneyTrigrams _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
     "q42_market_share" -> (q42MarketShare _),
@@ -1028,6 +1055,17 @@ object Relational {
         |  CAST(sum(CASE WHEN conv_ts <= signup_ts + INTERVAL 3 DAY
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_journey_trigrams" ->
+      """WITH seqs AS (
+        |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
+        |  FROM events GROUP BY user_id
+        |), tg AS (
+        |  SELECT unnest(list_transform(range(1, len(types) - 1),
+        |    i -> concat_ws('>', types[i], types[i+1], types[i+2]))) AS trigram
+        |  FROM seqs WHERE len(types) >= 3
+        |)
+        |SELECT trigram, count(*) AS n FROM tg GROUP BY trigram
+        |ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
     "q45_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |first_seen AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id),

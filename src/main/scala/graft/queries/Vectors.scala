@@ -110,6 +110,56 @@ object Vectors {
         max(col("n")).as("n_vectors"))
       .orderBy(col("label"))
 
+  /** Embedding OUTLIER detection: flag vectors far from their label's
+    * centroid — the standard embedding-space data-quality sweep
+    * (mislabeled rows, corrupt encodes, off-distribution samples get
+    * pruned before training). Distance = Euclidean to the label
+    * centroid; a vector is flagged when its per-label z-score ≥ 2.
+    *
+    * Scale shape: the centroid is the posexplode + (label, pos) mean —
+    * fully partial-aggregated; centroids and the per-label distance
+    * moments are |labels|-row frames that BROADCAST back onto the
+    * corpus, so the corpus itself shuffles exactly once (the centroid
+    * agg) and is otherwise scanned in place. No window over the raw
+    * vectors, no driver collect.
+    *
+    * Determinism: distances round to 4 decimals only at output; the
+    * z ≥ 2 cut uses the unrounded value on both engines. ULP drift in
+    * the double sums is ~1e-12 relative — far from the cut for any
+    * real fixture. */
+  def labelOutliers(s: SparkSession, dir: String): DataFrame =
+    labelOutliersFrom(Tables.embeddings(s, dir))
+
+  /** Core of [[labelOutliers]] over any (vec_id, label, embedding)
+    * frame — separated so planted-outlier specs can gate it directly. */
+  def labelOutliersFrom(embIn: DataFrame): DataFrame = {
+    val emb = embIn
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+    val cents = emb
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("x")).as("m"))
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"),
+        transform(col("pm"), p => p.getField("m")).as("centroid"))
+    val dists = emb.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        sqrt(aggregate(
+          zip_with(col("v"), col("centroid"), (a, b) => (a - b) * (a - b)),
+          lit(0.0), (acc, x) => acc + x)).as("dist"))
+      .localCheckpoint(eager = false) // fan-out: moments AND the z-score join
+    val stats = dists.groupBy(col("label"))
+      .agg(avg(col("dist")).as("mu"), stddev(col("dist")).as("sd"))
+    dists.join(broadcast(stats), "label")
+      // sd > 0 guard: an all-identical label has nothing to flag, and
+      // ANSI mode makes the raw division throw rather than NaN
+      .filter(col("sd") > 0.0 &&
+        (col("dist") - col("mu")) / col("sd") >= 2.0)
+      .select(col("vec_id"), col("label"), round(col("dist"), 4).as("dist"),
+        round((col("dist") - col("mu")) / col("sd"), 3).as("zscore"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Exact MIPS top-k for the fixed probe set — inner-product ranking,
     * the recommender-retrieval order that cosine gets wrong when corpus
     * norms vary (oracle-checked; the ANN reduction is engine-only and
@@ -178,6 +228,7 @@ object Vectors {
     "vec_lsh_near_dups" -> (lshNearDups _),
     "vec_cosine_near_dups" -> (cosineNearDups _),
     "vec_label_centroids" -> (labelCentroids _),
+    "vec_label_outliers" -> (labelOutliers _),
   )
 
   private val probeList = probeIds.mkString("(", ", ", ")")
@@ -248,5 +299,30 @@ object Vectors {
         |            FROM embeddings) x
         |      GROUP BY label, pos) t
         |GROUP BY label ORDER BY label""".stripMargin,
+    "vec_label_outliers" ->
+      """WITH e AS (
+        |  SELECT vec_id, label,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), c AS (
+        |  SELECT label, pos, avg(x) AS m
+        |  FROM (SELECT label, generate_subscripts(v, 1) AS pos, unnest(v) AS x
+        |        FROM e) t
+        |  GROUP BY label, pos
+        |), cent AS (
+        |  SELECT label, list(m ORDER BY pos) AS centroid FROM c GROUP BY label
+        |), d AS (
+        |  SELECT vec_id, e.label,
+        |    sqrt(list_aggregate(list_transform(range(1, len(v) + 1),
+        |      i -> (v[i] - centroid[i]) * (v[i] - centroid[i])), 'sum')) AS dist
+        |  FROM e JOIN cent ON e.label = cent.label
+        |), st AS (
+        |  SELECT label, avg(dist) AS mu, stddev(dist) AS sd FROM d GROUP BY label
+        |)
+        |SELECT vec_id, d.label, round(dist, 4) AS dist,
+        |  round((dist - mu) / sd, 3) AS zscore
+        |FROM d JOIN st ON d.label = st.label
+        |WHERE sd > 0 AND (dist - mu) / sd >= 2.0
+        |ORDER BY vec_id""".stripMargin,
   )
 }

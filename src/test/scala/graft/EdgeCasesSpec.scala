@@ -73,4 +73,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(got.count() == 2L &&
       got.filter(col("n_copies") =!= 1).count() == 0L)
   }
+
+  test("source overlap: identical, disjoint, single-source, and sub-shingle inputs") {
+    import graft.queries.TextPipeline.sourceOverlapFrom
+    // identical shingle sets -> jaccard exactly 1.0 (4 tokens = 2 shingles)
+    val same = Seq(("a", "x y z w"), ("b", "x y z w")).toDF("source", "text")
+    val sameGot = sameKeyed(sourceOverlapFrom(same))
+    assert(sameGot == Map(("a", "b") -> (2L, 1.0)))
+    // disjoint sources still get a pair row, zero-filled
+    val disj = Seq(("a", "x y z"), ("b", "p q r")).toDF("source", "text")
+    assert(sameKeyed(sourceOverlapFrom(disj)) == Map(("a", "b") -> (0L, 0.0)))
+    // one source -> no pairs; all-short docs -> no grams -> no pairs
+    assert(sourceOverlapFrom(Seq(("a", "x y z")).toDF("source", "text")).count() == 0L)
+    assert(sourceOverlapFrom(Seq(("a", "x y"), ("b", "p")).toDF("source", "text"))
+      .count() == 0L)
+  }
+
+  private def sameKeyed(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
+      (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
+
+  test("label outliers: planted far vector is flagged, tight cluster is not") {
+    import graft.queries.Vectors.labelOutliersFrom
+    // 40 vectors in a tight ball + one far point, one label; the far
+    // point's z-score dominates even though it inflates sd itself
+    val rows = (0 until 40).map { i =>
+      (i.toLong, 0, Seq(0.1f * (i % 3), 0.1f * ((i + 1) % 3), 0f, 0f))
+    } :+ (99L, 0, Seq(50f, 50f, 50f, 50f))
+    val got = labelOutliersFrom(rows.toDF("vec_id", "label", "embedding"))
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert(got == Set(99L), s"flagged $got")
+    // all-identical vectors: sd = 0 -> 0/0 = NaN -> nothing flagged
+    val flat = (0 until 5).map(i => (i.toLong, 0, Seq(1f, 2f, 3f, 4f)))
+    assert(labelOutliersFrom(flat.toDF("vec_id", "label", "embedding")).count() == 0L)
+  }
 }

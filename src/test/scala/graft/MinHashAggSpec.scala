@@ -28,4 +28,19 @@ class MinHashAggSpec extends SparkSpec {
     assert(merged.count() > 0)
     assert(bad.count() === 0, "sketch union property violated")
   }
+
+  test("sketch source-overlap estimate tracks the exact Jaccard matrix") {
+    // The one-pass MinHash estimate (doc_source_overlap_minhash) must
+    // agree with the exact gram-join matrix (doc_source_overlap) within
+    // the 128-hash sampling band: std ≈ sqrt(J(1−J)/128) ≤ 0.045, so
+    // 0.15 is a > 3σ gate at any J. Deterministic: fixed hash family.
+    val exact = graft.queries.TextPipeline.sourceOverlap(spark, sf0001)
+      .select(col("src_a"), col("src_b"), col("jaccard"))
+    val est = graft.queries.TextPipeline.sourceOverlapMinhash(spark, sf0001)
+    val joined = exact.join(est, Seq("src_a", "src_b")).collect()
+    assert(joined.length > 0, "no source pairs to compare")
+    val maxErr = joined.map(r =>
+      math.abs(r.getAs[Double]("jaccard") - r.getAs[Double]("jaccard_est"))).max
+    assert(maxErr <= 0.15, s"sketch estimate off by $maxErr")
+  }
 }
