@@ -467,4 +467,27 @@ object S4Stream {
     records
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(keyCols)
+
+  /** Streaming document CURATION — the streaming mirror of the batch
+    * `doc_pipeline_e2e` composition: per-document quality gates (min
+    * token count, min distinct-token ratio — the cheap Gopher-style
+    * filters) followed by cross-batch EXACT dedup on the text's sha-256
+    * within the watermark horizon. A re-crawled page arriving in a later
+    * micro-batch is dropped as long as the original is inside the
+    * horizon; state is one 256-bit hash per kept document in the
+    * horizon, evicted past it — bounded at any ingest rate. The filter
+    * runs BEFORE the dedup state, so junk documents never enter the
+    * state store. Compose with the lake sink (`writeStream.partitionBy`)
+    * for the ingest→curate→lake path StreamingSpec drives end to end. */
+  def curationStream(docs: DataFrame, tsCol: String,
+                     minTokens: Int, minUniqRatio: Double,
+                     watermark: String = "10 minutes"): DataFrame = {
+    val toks = split(col("text"), " ")
+    docs
+      .filter(size(toks) >= minTokens &&
+        size(array_distinct(toks)).cast("double") / size(toks) >= minUniqRatio)
+      .withColumn("text_hash", sha2(col("text"), 256))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark(Seq("text_hash"))
+  }
 }

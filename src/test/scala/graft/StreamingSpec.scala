@@ -374,6 +374,40 @@ class StreamingSpec extends SparkSpec {
     assert(ids === Array(1L, 2L, 3L))
   }
 
+  test("curation stream: quality gates + cross-run exact dedup into a partitioned lake") {
+    val in = tmp("s4cin"); val lake = tmp("s4clake"); val ck = tmp("s4cck")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("doc_id LONG, text STRING, source STRING, ts TIMESTAMP")
+        .json(in.toString)
+      val q = S4Stream.curationStream(src, "ts", minTokens = 3, minUniqRatio = 0.5,
+          watermark = "1 hour")
+        .writeStream.format("parquet").partitionBy("source")
+        .option("path", lake.toString)
+        .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+        .start()
+      q.awaitTermination()
+    }
+    writeLines(in, "b1.json", Seq(
+      """{"doc_id": 1, "text": "alpha beta gamma delta", "source": "web", "ts": "2024-01-01 00:00:01"}""",
+      """{"doc_id": 2, "text": "spam spam spam spam spam spam", "source": "web", "ts": "2024-01-01 00:00:02"}""",
+      """{"doc_id": 3, "text": "too short", "source": "web", "ts": "2024-01-01 00:00:03"}"""))
+    run()
+    // second run, same checkpoint: doc 4 is an exact re-crawl of doc 1's
+    // text from a different source — the dedup state must survive the
+    // restart and drop it; doc 5 is novel and must pass
+    writeLines(in, "b2.json", Seq(
+      """{"doc_id": 4, "text": "alpha beta gamma delta", "source": "mirror", "ts": "2024-01-01 00:00:10"}""",
+      """{"doc_id": 5, "text": "epsilon zeta eta theta", "source": "web", "ts": "2024-01-01 00:00:11"}"""))
+    run()
+    val kept = spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(1L, 5L),
+      s"quality-failing docs 2/3 and cross-run dup 4 must be dropped: $kept")
+    // the lake leg keeps the hive layout (partition pruning downstream)
+    assert(lakeFiles(lake).exists(_.toString.contains("source=web")))
+  }
+
   test("stream-stream interval join matches in-window pairs and only those") {
     val inL = tmp("s4jl"); val inR = tmp("s4jr"); val ck = tmp("s4jck")
     // impressions (left) and clicks (right); window = 5 minutes.
