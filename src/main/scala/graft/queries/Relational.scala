@@ -767,6 +767,27 @@ object Relational {
       .orderBy(col("hour_us"))
   }
 
+  /** The STATISTICAL aggregate family — corr, sample covariance, and
+    * OLS regression slope/intercept (value vs hour-of-day, per event
+    * type): the "does the metric trend through the day" screen that
+    * every monitoring stack runs. All four are algebraic one-pass
+    * aggregates (sums of x, y, x², xy) — partial+final like any sum, one
+    * shuffle of |types| rows, nothing iterative. Determinism: both
+    * engines compute the same closed forms on doubles; results round to
+    * 4 decimals against accumulation-order ULPs (the q47 convention). */
+  def q52ValueRegression(s: SparkSession, dir: String): DataFrame = {
+    val x = hour(col("ts")).cast("double")
+    Tables.events(s, dir)
+      .select(col("event_type"), x.as("x"), col("value").as("y"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("y"), col("x")), 4).as("corr_vh"),
+        round(covar_samp(col("y"), col("x")), 4).as("covar_vh"),
+        round(regr_slope(col("y"), col("x")), 4).as("slope"),
+        round(regr_intercept(col("y"), col("x")), 4).as("intercept"))
+      .orderBy(col("event_type"))
+  }
+
   /** The string-function family exercised explicitly (it is implicit in
     * many queries, but a user switching engines greps for these by
     * name): case, substring, pad, reverse, translate-style replace,
@@ -872,6 +893,7 @@ object Relational {
     "q48_string_funcs" -> (q48StringFuncs _),
     "q46_profile" -> (q46Profile _),
     "q47_hourly_zscore" -> (q47HourlyZscore _),
+    "q52_value_regression" -> (q52ValueRegression _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "ev_journey_trigrams" -> (evJourneyTrigrams _),
@@ -1040,6 +1062,13 @@ object Relational {
         |SELECT epoch_us(hour) AS hour_us, n_events,
         |  round((n_events - mu) / sd, 2) AS zscore
         |FROM hourly CROSS JOIN stats ORDER BY hour_us""".stripMargin,
+    "q52_value_regression" ->
+      """SELECT event_type, count(*) AS n,
+        |  round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_vh,
+        |  round(covar_samp(value, CAST(hour(ts) AS DOUBLE)), 4) AS covar_vh,
+        |  round(regr_slope(value, CAST(hour(ts) AS DOUBLE)), 4) AS slope,
+        |  round(regr_intercept(value, CAST(hour(ts) AS DOUBLE)), 4) AS intercept
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q44_funnel" ->
       """WITH su AS (
         |  SELECT user_id, min(ts) AS signup_ts FROM events

@@ -12,8 +12,9 @@ import graft.operators.{AsofJoin, ConnectedComponents, Dedup, SetSimJoin, Weight
   * stats, quality, language-ID, fingerprints, TF-IDF, character
   * entropy, OOV rate), corpus preparation (train/val/test split, source
   * mixing, quality binning, shard packing, deterministic shuffle order,
-  * BPE training, contamination check), plus the as-of join operator
-  * exercised on `events`.
+  * BPE training + fertility, contamination check, DSIR importance
+  * weights, source-overlap matrix exact + MinHash-sketched), plus the
+  * as-of join operator exercised on `events`.
   *
   * Oracle-comparable queries carry DuckDB SQL; the LSH/SimHash/
   * fingerprint/sketch/BPE paths are engine-only (non-SQL-expressible)
@@ -926,6 +927,34 @@ object TextPipeline {
       .orderBy(col("rank"))
   }
 
+  /** Tokenizer FERTILITY by source (subwords emitted per word — the
+    * standard tokenizer-evaluation statistic: high fertility on a
+    * source means the vocab fits it badly and its token budget buys
+    * less text): trains the 10-merge BPE table, then APPLIES it to
+    * every document — the corpus-scale tokenization pass itself.
+    * Engine-only (the iterative merge fold is not SQL-expressible);
+    * BpeSpec gates applyBpe's round trip and fertility's invariants
+    * (chars/words bound at 0 merges, monotone non-increasing in the
+    * merge count). The merge table is driver-held by construction
+    * (numMerges rows) and ships inside the codegen'd fold — the apply
+    * pass is one scan, no shuffle before the per-source agg. */
+  def bpeFertility(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val merges = graft.operators.Bpe.train(docs, "text", numMerges = 10)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    docs
+      .select(col("source"), size(words).as("n_words"),
+        size(graft.operators.Bpe.applyBpe(col("text"), merges)).as("n_subwords"))
+      .filter(col("n_words") > 0)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).cast("long").as("total_words"),
+        sum(col("n_subwords")).cast("long").as("total_subwords"),
+        round(sum(col("n_subwords")).cast("double") / sum(col("n_words")), 4)
+          .as("fertility"))
+      .orderBy(col("source"))
+  }
+
   /** Per-document character-distribution entropy (alphanumerics) — the
     * compression-ratio-style quality signal: machine-generated or
     * repetitive text scores low, natural text clusters in a band.
@@ -979,6 +1008,7 @@ object TextPipeline {
     "doc_weighted_sample" -> (weightedSample _),
     "doc_char_entropy" -> (charEntropy _),
     "doc_bpe_merges" -> (bpeMerges _),
+    "doc_bpe_fertility" -> (bpeFertility _),
     "doc_shuffle_order" -> (shuffleOrder _),
     "doc_vocab_oov" -> (vocabOov _),
     "doc_term_freq_cm" -> (termFreqCm _),

@@ -117,4 +117,33 @@ class BpeSpec extends SparkSpec {
       assert(got == expect, s"trial $trial diverged: corpus=${corpus.take(10)}...")
     }
   }
+
+  test("fertility query: bounded by chars/words and monotone in merge count") {
+    // doc_bpe_fertility's invariants: with 0 merges every word splits to
+    // chars (fertility == chars/words exactly); more merges can only
+    // lower the subword count, never below 1 per word.
+    val fert10 = graft.queries.TextPipeline.bpeFertility(spark, sf0001)
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("total_words"), r.getAs[Long]("total_subwords"))).toMap
+    assert(fert10.nonEmpty)
+    val docs = Tables.documents(spark, sf0001)
+    val words = filter(split(col("text"), " "), w => length(w) > 0)
+    val bounds = docs
+      .select(col("source"), size(words).as("w"),
+        aggregate(transform(words, w => length(w)), lit(0), (a, x) => a + x).as("c"))
+      .groupBy(col("source"))
+      .agg(sum(col("w")).as("tw"), sum(col("c")).as("tc"))
+      .collect().map(r => r.getAs[String]("source") ->
+        (r.getAs[Long]("tw"), r.getAs[Long]("tc"))).toMap
+    fert10.foreach { case (src, (tw, ts)) =>
+      val (bw, bc) = bounds(src)
+      assert(tw == bw, s"$src word count drifted")
+      assert(ts >= tw && ts <= bc,
+        s"$src subwords $ts outside [words $tw, chars $bc]")
+    }
+    // 10-merge tokenization must strictly beat the 0-merge char split
+    // somewhere (the corpus repeats common pairs by construction)
+    assert(fert10.exists { case (src, (_, ts)) => ts < bounds(src)._2 },
+      "10 merges never reduced the subword count below the char split")
+  }
 }
