@@ -193,13 +193,22 @@ object TextPipeline {
     * the per-doc score is occurrences JOIN vocab ON the token (the
     * vocab is never broadcast — same shape as `doc_vocab_oov`) followed
     * by a doc-keyed sum. Every stage is key-partitioned. */
-  def dsirWeights(s: SparkSession, dir: String): DataFrame = {
-    val occ = Tables.documents(s, dir)
+  def dsirWeights(s: SparkSession, dir: String): DataFrame =
+    dsirWeightsFrom(Tables.documents(s, dir))
+
+  /** Core of [[dsirWeights]] over any (doc_id, lang, text) frame —
+    * separated so degenerate-input specs can gate it directly. */
+  def dsirWeightsFrom(docs: DataFrame, targetLang: String = "en"): DataFrame = {
+    // occ fans out 3 ways but is deliberately NOT checkpointed: it is
+    // one row PER TOKEN — materializing it would write >the corpus to
+    // executor disk, while recomputing costs column-pruned scans of the
+    // text column. The checkpoint belongs on vocab (token-level
+    // aggregate, corpus-independent size), below.
+    val occ = docs
       .select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("tok"))
-      .localCheckpoint(eager = false) // fan-out: raw counts, target counts, per-doc join
     val raw = occ.groupBy(col("tok")).agg(count(lit(1)).as("c_r"))
-    val tgt = occ.filter(col("lang") === "en")
+    val tgt = occ.filter(col("lang") === targetLang)
       .groupBy(col("tok")).agg(count(lit(1)).as("c_t"))
     val vocab = raw.join(tgt, Seq("tok"), "left")
       .withColumn("c_t", coalesce(col("c_t"), lit(0L)))

@@ -490,4 +490,25 @@ object S4Stream {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark(Seq("text_hash"))
   }
+
+  /** STREAMING per-key MinHash signature maintenance: because the
+    * element-wise-min merge is exactly the signature of the set UNION
+    * (MinHashMerge scaladoc), the per-source corpus sketch is an
+    * ordinary streaming aggregate — state is ONE fixed-size signature
+    * (numHashes longs) per key regardless of how many documents ever
+    * arrived, and the result after any prefix of the stream equals the
+    * batch signature over the same documents (StreamingSpec holds this
+    * across checkpointed restarts). Feed the signatures to the
+    * source-overlap estimator (`doc_source_overlap_minhash`'s compare
+    * stage) for an always-current overlap matrix over live ingest. */
+  def minhashSketchStream(docs: DataFrame, keyCol: String,
+                          numHashes: Int = 128): DataFrame = {
+    val mergeSig = udaf(new graft.functions.MinHashMerge(numHashes))
+    docs
+      .select(col(keyCol),
+        graft.operators.Dedup.minhashSignature(
+          graft.functions.ShingleHashSet(col("text"), 3), numHashes, seed = 42)
+          .as("sig"))
+      .groupBy(col(keyCol)).agg(mergeSig(col("sig")).as("sig"))
+  }
 }

@@ -93,6 +93,25 @@ class EdgeCasesSpec extends SparkSpec {
     df.collect().map(r => (r.getAs[String]("src_a"), r.getAs[String]("src_b")) ->
       (r.getAs[Long]("n_common"), r.getAs[Double]("jaccard"))).toMap
 
+  test("dsir weights: empty target slice and all-target corpus both score every doc") {
+    import graft.queries.TextPipeline.dsirWeightsFrom
+    val docs = Seq(
+      (1L, "fr", "le chat noir"),
+      (2L, "de", "der schwarze kater"),
+      (3L, "fr", "le chien blanc")).toDF("doc_id", "lang", "text")
+    // no 'en' docs at all: c_t = 0 everywhere, ln(0 + v) normalizer —
+    // must run (no log-of-zero) and weigh every doc
+    val noTgt = dsirWeightsFrom(docs).collect()
+    assert(noTgt.length == 3 && noTgt.forall(_.getAs[Long]("n_tokens") == 3L))
+    // fr as target: every fr token appears ONLY in fr docs, so c_t ==
+    // c_r -> q = 0 exactly for them; both fr docs (3 tokens each) must
+    // land on the identical weight, and the de doc strictly below
+    val fr = dsirWeightsFrom(docs, targetLang = "fr").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("weight_q")).toMap
+    assert(fr(1L) == fr(3L), s"pure-target docs must tie: $fr")
+    assert(fr(2L) < fr(1L), s"off-target doc must score below: $fr")
+  }
+
   test("label outliers: planted far vector is flagged, tight cluster is not") {
     import graft.queries.Vectors.labelOutliersFrom
     // 40 vectors in a tight ball + one far point, one label; the far

@@ -408,6 +408,35 @@ class StreamingSpec extends SparkSpec {
     assert(lakeFiles(lake).exists(_.toString.contains("source=web")))
   }
 
+  test("streaming minhash sketch equals the batch union signature across restarts") {
+    val in = tmp("s4min"); val ck = tmp("s4mck")
+    def run(): Unit = {
+      val src = spark.readStream.schema("source STRING, text STRING").json(in.toString)
+      val q = S4Stream.minhashSketchStream(src, "source", numHashes = 32)
+        .writeStream.format("memory").queryName("sketch_out").outputMode("complete")
+        .trigger(Trigger.AvailableNow()).option("checkpointLocation", ck.toString)
+        .start()
+      q.awaitTermination()
+    }
+    writeLines(in, "b1.json", Seq(
+      """{"source": "web", "text": "alpha beta gamma delta epsilon"}""",
+      """{"source": "book", "text": "one two three four five"}"""))
+    run()
+    writeLines(in, "b2.json", Seq(
+      """{"source": "web", "text": "gamma delta epsilon zeta eta"}"""))
+    run()
+    val streamed = spark.table("sketch_out").collect()
+      .map(r => r.getAs[String]("source") -> r.getSeq[Long](1)).toMap
+    // batch reference: same signature pipeline over ALL docs at once
+    val batch = S4Stream.minhashSketchStream(
+      spark.read.schema("source STRING, text STRING").json(in.toString), "source",
+      numHashes = 32).collect()
+      .map(r => r.getAs[String]("source") -> r.getSeq[Long](1)).toMap
+    assert(streamed.keySet == Set("web", "book"))
+    assert(streamed == batch,
+      "cross-restart streamed sketch must equal the batch union signature")
+  }
+
   test("stream-stream interval join matches in-window pairs and only those") {
     val inL = tmp("s4jl"); val inR = tmp("s4jr"); val ck = tmp("s4jck")
     // impressions (left) and clicks (right); window = 5 minutes.
