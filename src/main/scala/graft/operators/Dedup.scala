@@ -229,6 +229,63 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** ASYMMETRIC MinHash-LSH near-dup — flag INCOMING docs that
+    * near-duplicate any REFERENCE doc: the incremental-ingest shape
+    * (dedup this month's crawl dump against the standing corpus)
+    * where re-pairing the corpus against itself every ingest would be
+    * quadratic waste. The band join is strictly ref-side × incoming-side
+    * — the ref×ref and incoming×incoming pair spaces are never
+    * generated (use [[minhashNearDups]] within one frame for those).
+    * Pairs surface exactly once via the first-matching-band predicate;
+    * verification is the exact sorted-set Jaccard; per-side bucket caps
+    * bound any degenerate bucket's r×i blowup. Returns ONE row per
+    * flagged incoming doc — its best match (highest verified Jaccard,
+    * lowest ref id tiebreak) through a WindowGroupLimit-prunable rank. */
+  def minhashNearDupsAgainst(ref: DataFrame, incoming: DataFrame,
+                             idCol: String, textCol: String,
+                             numHashes: Int = 128, bands: Int = 16,
+                             threshold: Double = 0.8, maxBucket: Int = 100000,
+                             seed: Int = 42): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol), hashedTokenSet(col(textCol)).as("_toks"))
+        .localCheckpoint() // reused by the band join AND verification
+    def banded(toks: DataFrame): DataFrame = toks
+      .select(col(idCol),
+        bandHashes(minhashSignature(col("_toks"), numHashes, seed), bands, rows)
+          .as("_bh"))
+      .select(col(idCol), col("_bh"),
+        posexplode(col("_bh")).as(Seq("band", "band_hash")))
+      .withColumn("_bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+      .filter(col("_bucket_n") <= maxBucket)
+    val refToks = prep(ref)
+    val incToks = prep(incoming)
+    val r = banded(refToks).select(col("band"), col("band_hash"),
+      col(idCol).as("ref_id"), col("_bh").as("_bh1"))
+    val i = banded(incToks).select(col("band"), col("band_hash"),
+      col(idCol).as("inc_id"), col("_bh").as("_bh2"))
+    val cands = r.join(i, Seq("band", "band_hash"))
+      .filter(graft.functions.FirstBandMatch(col("_bh1"), col("_bh2")) === col("band"))
+      .select(col("inc_id"), col("ref_id"))
+    val verified = cands
+      .join(incToks.select(col(idCol).as("inc_id"), col("_toks").as("_ti")), "inc_id")
+      .join(refToks.select(col(idCol).as("ref_id"), col("_toks").as("_tr")), "ref_id")
+      .withColumn("_inter",
+        graft.functions.SortedIntersectSize(col("_ti"), col("_tr")))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_ti")) + size(col("_tr")) - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+    verified
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("inc_id"))
+          .orderBy(col("jaccard").desc, col("ref_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("inc_id"), col("ref_id"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
   /** SimHash near-dup: docs whose 64-bit simhash differs by <= maxHamming
     * bits. Candidate generation buckets on 4 × 16-bit simhash bands
     * (guarantees recall for hamming <= 3); verification checks the true

@@ -99,6 +99,22 @@ object TextPipeline {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Incremental-ingest dedup: treat `src19` as the NEWLY ARRIVED dump
+    * and flag its documents that near-duplicate the STANDING corpus
+    * (every other source) — the monthly-crawl shape where the corpus
+    * must never be re-paired against itself. Engine-only (LSH candidate
+    * generation); DedupSpec gates the asymmetric operator against a
+    * brute-force cross-side scan on planted fixtures, including that
+    * within-side duplicates never flag. */
+  def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    Dedup.minhashNearDupsAgainst(
+      docs.filter(col("source") =!= "src19"),
+      docs.filter(col("source") === "src19"),
+      "doc_id", "text")
+      .orderBy(col("inc_id"))
+  }
+
   /** Pairwise corpus overlap between SOURCES: exact Jaccard over each
     * source's word-3-gram shingle set — the "how much does source A
     * duplicate source B" matrix that drives mixture design (drop a
@@ -1042,6 +1058,7 @@ object TextPipeline {
     "doc_minhash_pairs" -> (minhashPairs _),
     "doc_ngram_jaccard_pairs" -> (ngramJaccardPairs _),
     "doc_source_overlap" -> (sourceOverlap _),
+    "doc_incremental_dedup" -> (incrementalDedup _),
     "doc_source_overlap_minhash" -> (sourceOverlapMinhash _),
     "doc_dsir_weights" -> (dsirWeights _),
     "doc_simhash_pairs" -> (simhashPairs _),

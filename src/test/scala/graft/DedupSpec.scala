@@ -24,6 +24,38 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${found.size}/${truth.size})")
   }
 
+  test("asymmetric near-dup flags incoming-vs-ref only, never within a side") {
+    import spark.implicits._
+    def words(seed: Int) =
+      (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    val ref = Seq(
+      (1L, words(1)), (2L, words(2)), (3L, words(3))).toDF("doc_id", "text")
+    val nearOf2 = words(2).split(" ").updated(0, "CHANGED").mkString(" ")
+    val twin = words(9) // 104/105 duplicate each other, neither matches ref
+    val incoming = Seq(
+      (101L, words(1)),   // exact copy of ref 1
+      (102L, nearOf2),    // 19/20 tokens of ref 2 -> J = 19/21 ≈ 0.905
+      (103L, words(7)),   // novel
+      (104L, twin), (105L, twin)).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsAgainst(ref, incoming, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("inc_id") ->
+        (r.getAs[Long]("ref_id"), r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet == Set(101L, 102L),
+      s"only cross-side near-dups may flag (104/105 pair each other, not ref): $got")
+    assert(got(101L) == (1L, 1.0))
+    assert(got(102L)._1 == 2L && got(102L)._2 >= 0.9)
+    // ground truth sweep: flags == the brute-force cross-side pair scan
+    val truth = incoming.as("i").crossJoin(ref.as("r"))
+      .select(col("i.doc_id").as("inc_id"), col("r.doc_id").as("ref_id"),
+        (size(array_intersect(split(col("i.text"), " "), split(col("r.text"), " ")))
+          .cast("double") /
+          size(array_union(split(col("i.text"), " "), split(col("r.text"), " "))))
+          .as("j"))
+      .filter(col("j") >= 0.8)
+      .select("inc_id").collect().map(_.getLong(0)).toSet
+    assert(got.keySet == truth, s"asymmetric flags must equal brute force: $truth")
+  }
+
   test("exact dedup is idempotent and keeps lowest id") {
     val docs = Tables.documents(spark, sf0001)
     val deduped = Dedup.exactKeepFirst(docs, "doc_id", "text")

@@ -39,6 +39,27 @@ class PlanSpec extends SparkSpec {
       s"expected partial aggregation before the shuffle:\n$p")
   }
 
+  test("q52: statistical aggregates are partial+final like any sum") {
+    // corr/covar/regr_* are algebraic — losing map-side combine would
+    // shuffle every event row to the |types| reducers at corpus scale
+    val p = plan("q52_value_regression")
+    assert(p.toLowerCase.contains("partial"),
+      s"expected partial aggregation of the moment sums:\n$p")
+  }
+
+  test("doc_incremental_dedup: best-match rank prunes through WindowGroupLimit") {
+    // the per-incoming-doc rank-1 filter must push below the shuffle —
+    // a full rank over every verified pair is wasted sort work at scale
+    val df = SparkEntry.queries("doc_incremental_dedup")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("WindowGroupLimit"), s"rank pushdown lost:\n$p")
+    // and the gram-scale band join must never broadcast a corpus side
+    // (both sides are corpus-sized; only dimension-sized frames may
+    // broadcast in this plan)
+    assert(!p.contains("BroadcastNestedLoopJoin"), s"degenerate join:\n$p")
+  }
+
   test("hot paths run inside whole-stage codegen") {
     Seq("q01_pricing_summary", "q02_filter_project", "doc_quality_score")
       .foreach { q =>
