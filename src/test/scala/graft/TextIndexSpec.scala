@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, TextIndex}
+
+/** The persisted text near-dup index lifecycle: build once, probe every
+  * ingest. The probe must return EXACTLY the self-contained asymmetric
+  * operator's answer (same hash family via the persisted meta row), the
+  * bucket restriction must prune index partitions at the FILE level —
+  * the reason the index exists — and append must make later dumps
+  * immediately probe-visible. */
+class TextIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def split(dir: String) = {
+    val docs = Tables.documents(spark, dir)
+    (docs.filter(col("source") =!= "src19"),
+      docs.filter(col("source") === "src19"))
+  }
+
+  test("probe == the self-contained asymmetric near-dup on the same corpus") {
+    val (ref, inc) = split(sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("textidx").toString
+    TextIndex.build(ref, "doc_id", "text", dir)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val viaIndex = rows(TextIndex.probe(spark, dir, inc, "doc_id", "text"))
+    val fresh = rows(Dedup.minhashNearDupsAgainst(ref, inc, "doc_id", "text"))
+    assert(fresh.nonEmpty, "fixture must contain cross-side near-dups")
+    assert(viaIndex == fresh,
+      s"indexed probe diverged from the fresh operator:\n$viaIndex\nvs\n$fresh")
+  }
+
+  test("probe prunes the band table at the file level via its hash buckets") {
+    val (ref, _) = split(sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("textidx2").toString
+    TextIndex.build(ref, "doc_id", "text", dir, nBuckets = 16)
+    def filesTouched(df: org.apache.spark.sql.DataFrame): Long =
+      df.select(input_file_name()).distinct().count()
+    val bandsT = spark.read.parquet(s"$dir/bands")
+    val all = filesTouched(bandsT)
+    val pruned = filesTouched(bandsT.filter(col("hb").isin(0L, 1L)))
+    assert(pruned < all, s"bucket filter must skip files: touched $pruned of $all")
+    val p = bandsT.filter(col("hb") === 0L).queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters") &&
+      p.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*hb[^\\]]*\\].*"),
+      s"bucket restriction did not reach the scan's partition filters:\n$p")
+  }
+
+  test("append under the frozen hash family; later probes find the appended doc") {
+    val (ref, _) = split(sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("textidx3").toString
+    TextIndex.build(ref, "doc_id", "text", dir)
+    // a doc UNSEEN by the index: probing it first finds nothing...
+    val novel = Seq((700001L, (0 until 25).map(i => s"novel_tok_$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    assert(TextIndex.probe(spark, dir, novel, "doc_id", "text").count() == 0L)
+    // ...append it, and a re-crawl of the same text now flags against it
+    TextIndex.append(novel, "doc_id", "text", dir)
+    val recrawl = novel.select(lit(700002L).as("doc_id"), col("text"))
+    val hit = TextIndex.probe(spark, dir, recrawl, "doc_id", "text").collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 700001L
+      && hit.head.getDouble(2) == 1.0,
+      s"appended doc must be probe-visible: ${hit.mkString(", ")}")
+  }
+}
