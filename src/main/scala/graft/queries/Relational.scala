@@ -806,6 +806,29 @@ object Relational {
         length(col("p_name")).as("name_len"))
       .orderBy(col("p_partkey"))
 
+  /** The ARRAY / higher-order-function family exercised explicitly
+    * (transform, filter, exists, aggregate/fold, zip_with, sort, slice,
+    * distinct — the lambda surface a switching user greps for): build a
+    * token array per doc, then derive with one HOF each. All per-row
+    * codegen'd; no shuffle until the presentation sort. */
+  def q53ArrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables.documents(s, dir)
+      .filter(col("doc_id") <= 100)
+      .select(col("doc_id"),
+        size(transform(toks, t => length(t))).as("n_tokens"),
+        size(filter(toks, t => length(t) >= 6)).as("n_long_tokens"),
+        exists(toks, t => t.startsWith("z")).as("has_z_token"),
+        aggregate(transform(toks, t => length(t)), lit(0), (a, x) => a + x)
+          .as("total_chars"),
+        aggregate(zip_with(toks, slice(toks, 2, 1000000),
+            (a, b) => when(a === b, 1).otherwise(0)),
+          lit(0), (a, x) => a + x).as("n_repeated_adjacent"),
+        array_join(slice(array_sort(array_distinct(toks)), 1, 3), ",")
+          .as("first3_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Running DISTINCT-user count per event type (cumulative uniques —
     * the growth-curve recipe): windows don't support COUNT(DISTINCT), so
     * the portable formulation is first-occurrence flags (row_number == 1
@@ -894,6 +917,7 @@ object Relational {
     "q46_profile" -> (q46Profile _),
     "q47_hourly_zscore" -> (q47HourlyZscore _),
     "q52_value_regression" -> (q52ValueRegression _),
+    "q53_array_funcs" -> (q53ArrayFuncs _),
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "ev_journey_trigrams" -> (evJourneyTrigrams _),
@@ -1062,6 +1086,22 @@ object Relational {
         |SELECT epoch_us(hour) AS hour_us, n_events,
         |  round((n_events - mu) / sd, 2) AS zscore
         |FROM hourly CROSS JOIN stats ORDER BY hour_us""".stripMargin,
+    "q53_array_funcs" ->
+      """WITH t AS (
+        |  SELECT doc_id, string_split(text, ' ') AS toks
+        |  FROM documents WHERE doc_id <= 100
+        |)
+        |SELECT doc_id,
+        |  len(toks) AS n_tokens,
+        |  len(list_filter(toks, x -> length(x) >= 6)) AS n_long_tokens,
+        |  len(list_filter(toks, x -> x LIKE 'z%')) > 0 AS has_z_token,
+        |  CAST(list_aggregate(list_transform(toks, x -> length(x)), 'sum')
+        |    AS INTEGER) AS total_chars,
+        |  coalesce(CAST(list_aggregate(list_transform(range(1, len(toks)),
+        |      i -> CASE WHEN toks[i] = toks[i+1] THEN 1 ELSE 0 END), 'sum')
+        |    AS INTEGER), 0) AS n_repeated_adjacent,
+        |  array_to_string(list_sort(list_distinct(toks))[1:3], ',') AS first3_sorted
+        |FROM t ORDER BY doc_id""".stripMargin,
     "q52_value_regression" ->
       """SELECT event_type, count(*) AS n,
         |  round(corr(value, CAST(hour(ts) AS DOUBLE)), 4) AS corr_vh,

@@ -511,4 +511,40 @@ object S4Stream {
           .as("sig"))
       .groupBy(col(keyCol)).agg(mergeSig(col("sig")).as("sig"))
   }
+
+  /** STREAMING ingest against the persisted near-dup index — the
+    * production crawl loop: per micro-batch, PROBE the incoming docs
+    * against `indexDir` (partition-pruned, [[graft.operators.TextIndex]]),
+    * write only the NOVEL ones to the lake, and APPEND them to the index
+    * so the very next batch (or any batch-side job sharing the index)
+    * dedups against them. Unlike [[graft.streaming.NearDupStream]]'s
+    * state-store horizon, the index is durable and shared: it outlives
+    * the query, other streams and batch ingests probe the same one, and
+    * there is no eviction horizon. Batches are processed one at a time,
+    * so the probe-then-append sequence is race-free by construction. */
+  def indexedDedupStream(docs: DataFrame, idCol: String, textCol: String,
+                         indexDir: String, lakeDir: String,
+                         checkpointDir: String,
+                         availableNow: Boolean = false): StreamingQuery = {
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val flagged = graft.operators.TextIndex
+            .probe(batch.sparkSession, indexDir, batch, idCol, textCol)
+            .select(col("inc_id"))
+          val novel = batch
+            .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
+            .localCheckpoint() // consumed twice: lake write + index append
+          // batchId-keyed overwrite (the pushBatch recipe): a replayed
+          // batch rewrites its own subtree, so the LAKE is exactly-once.
+          // An index re-append only duplicates band/token rows — flags
+          // are unchanged (the best-match rank collapses them), so the
+          // probe semantics tolerate at-least-once on that leg.
+          novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+          graft.operators.TextIndex.append(novel, idCol, textCol, indexDir)
+        }
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
 }

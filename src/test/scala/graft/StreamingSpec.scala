@@ -408,6 +408,41 @@ class StreamingSpec extends SparkSpec {
     assert(lakeFiles(lake).exists(_.toString.contains("source=web")))
   }
 
+  test("indexed dedup stream: probe, keep novel, append — across runs and vs batch ingests") {
+    import spark.implicits._
+    val in = tmp("s4iin"); val lake = tmp("s4ilake"); val ck = tmp("s4ick")
+    val idx = tmp("s4idx").toString
+    def txt(seed: Int) = (0 until 20).map(i => s"tok${seed}_$i").mkString(" ")
+    // standing corpus: doc 1 (built by the BATCH side — shared index)
+    graft.operators.TextIndex.build(
+      Seq((1L, txt(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    def run(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING").json(in.toString)
+      S4Stream.indexedDedupStream(src, "doc_id", "text", idx,
+        lake.toString, ck.toString, availableNow = true).awaitTermination()
+    }
+    // batch 1: a re-crawl of the standing doc (drop) + a novel doc (keep)
+    writeLines(in, "b1.json", Seq(
+      s"""{"doc_id": 101, "text": "${txt(1)}"}""",
+      s"""{"doc_id": 102, "text": "${txt(2)}"}"""))
+    run()
+    // batch 2 (new run, same index): a re-crawl of batch 1's NOVEL doc
+    // must now be dropped — the stream appended it — plus one more novel
+    writeLines(in, "b2.json", Seq(
+      s"""{"doc_id": 201, "text": "${txt(2)}"}""",
+      s"""{"doc_id": 202, "text": "${txt(3)}"}"""))
+    run()
+    val kept = spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(102L, 202L),
+      s"index-known docs 101/201 must drop, novel 102/202 must land: $kept")
+    // and the shared index now answers for BATCH probes too
+    val probe = graft.operators.TextIndex.probe(spark, idx,
+      Seq((900L, txt(3))).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(probe.length == 1 && probe.head.getLong(1) == 202L,
+      s"stream-appended doc must be visible to batch probes: ${probe.mkString(",")}")
+  }
+
   test("streaming minhash sketch equals the batch union signature across restarts") {
     val in = tmp("s4min"); val ck = tmp("s4mck")
     def run(): Unit = {
