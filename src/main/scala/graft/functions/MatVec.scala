@@ -261,3 +261,66 @@ object NearestCentroid {
   def apply(vec: Column, rows: Seq[Seq[Double]]): Column =
     GraftShim.column(NearestCentroid(GraftShim.expression(vec), rows))
 }
+
+/** Squared Euclidean distance of a vector against every matrix row:
+  * `array<double>` of length `rows.size` (element r = |vec - row_r|²) —
+  * the Euclidean counterpart of [[CosineScores]] for the k-means /
+  * diversity-selection paths. Same fused-loop rationale: one
+  * `double[][]` reference object, constant generated-code size in the
+  * matrix shape, so the per-row assignment loop stays in whole-stage
+  * codegen at any k. Accumulation is index-ordered (d += (v_j - m_rj)²),
+  * bit-reproducible across eval and codegen modes. */
+case class SqDistances(child: Expression, rows: Seq[Seq[Double]])
+    extends MatVecExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "sq_distances"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](mat.length)
+    var r = 0
+    while (r < mat.length) {
+      val row = mat(r)
+      val m = math.min(n, row.length)
+      var d = 0.0
+      var j = 0
+      while (j < m) { val x = evGet(v, j) - row(j); d += x * x; j += 1 }
+      out(r) = d
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v => {
+      val matRef = ctx.addReferenceObj("mat", mat, "double[][]")
+      val n = ctx.freshName("n"); val out = ctx.freshName("out")
+      val r = ctx.freshName("r"); val row = ctx.freshName("row")
+      val m = ctx.freshName("m"); val d = ctx.freshName("d")
+      val j = ctx.freshName("j"); val x = ctx.freshName("x")
+      s"""
+         |final int $n = $v.numElements();
+         |final double[] $out = new double[${mat.length}];
+         |for (int $r = 0; $r < ${mat.length}; $r++) {
+         |  final double[] $row = $matRef[$r];
+         |  final int $m = Math.min($n, $row.length);
+         |  double $d = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) {
+         |    final double $x = ${cgGet(v, j)} - $row[$j];
+         |    $d += $x * $x;
+         |  }
+         |  $out[$r] = $d;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SqDistances =
+    copy(child = newChild)
+}
+
+object SqDistances {
+  def apply(vec: Column, rows: Seq[Seq[Double]]): Column =
+    GraftShim.column(SqDistances(GraftShim.expression(vec), rows))
+}

@@ -1,0 +1,202 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.SqDistances
+
+/** Distributed Euclidean k-means and embedding diversity selection.
+  *
+  * Initialization is k-means|| (Bahmani et al., VLDB 2012): instead of
+  * k sequential D²-sampling passes (k-means++ — k full scans, useless at
+  * 100 TB), O(rounds) passes each sample ~`l` points with probability
+  * ∝ min-squared-distance to the current candidate set, then the
+  * bounded candidate set (≤ a few hundred vectors) is weighted by
+  * cluster population and contracted to k seeds DRIVER-SIDE. All
+  * distributed passes score vectors against a constant candidate matrix
+  * via [[graft.functions.SqDistances]] — one fused codegen loop, no
+  * crossJoin, no UDF — and every driver collect is bounded by
+  * construction (candidates, per-round Σd², nlist×dim means).
+  *
+  * Determinism: the D² "coin flips" are seeded hashes of the vector id
+  * (u = hash01(id, seed, round) ≤ p), the defensive candidate cap is a
+  * TakeOrdered by (u/p, id), and the driver-side contractions are
+  * greedy with fixed tie-breaks — same input ⇒ same model at ANY
+  * partitioning (KMeansSpec gates this, modulo boundary-free fixtures:
+  * distributed means differ in ULPs across partition orders, which
+  * cannot flip assignments of well-separated points).
+  *
+  * The same candidate machinery powers [[diverseSample]] — coverage-
+  * oriented subset selection (the "pick k maximally-diverse exemplars"
+  * stage of training-data curation): k-means|| oversampling narrows the
+  * corpus to candidates that whp include every region, then Gonzalez
+  * farthest-first (k-center 2-approximation) runs on the bounded set.
+  */
+object KMeans {
+
+  /** Deterministic uniform draw in (0, 1]: the q41/doc_weighted_sample
+    * multiplicative-hash recipe keyed by (id, seed, round). */
+  private def hash01(id: Column, seed: Long, round: Int): Column =
+    (pmod(xxhash64(id, lit(seed), lit(round)), lit(1000000007L))
+      .cast("double") + lit(1.0)) / lit(1000000007.0)
+
+  private def vecD(c: Column): Column = c.cast("array<double>")
+
+  /** k-means|| oversampling: rounds of D²-proportional sampling against
+    * the growing candidate set. Returns (id, vector) candidates —
+    * expected ~`l` per round; a deterministic TakeOrdered cap of 4l
+    * bounds the worst case. Each round is ONE distributed pass (a sum
+    * agg for Σd² and the sample filter reuse the same scored scan). */
+  def oversample(corpus: DataFrame, l: Int, rounds: Int, seed: Long,
+                 idCol: String, vecCol: String): Seq[(Long, Array[Double])] = {
+    val first = corpus.orderBy(xxhash64(col(idCol), lit(seed)))
+      .limit(1).select(col(idCol), vecD(col(vecCol))).head()
+    val cands = collection.mutable.ArrayBuffer[(Long, Array[Double])](
+      (first.getLong(0), first.getSeq[Double](1).toArray))
+    for (r <- 1 to rounds) {
+      val mat = cands.map(_._2.toSeq).toSeq
+      val scored = corpus
+        .select(col(idCol), vecD(col(vecCol)).as("_v"),
+          array_min(SqDistances(vecD(col(vecCol)), mat)).as("_d"))
+      val phi = scored.agg(sum(col("_d"))).head().getDouble(0)
+      if (phi <= 0.0) return cands.toSeq // candidates already cover every point
+      val p = least(lit(1.0), lit(l.toDouble) * col("_d") / lit(phi))
+      val u = hash01(col(idCol), seed, r)
+      val picked = scored
+        .filter(col("_d") > 0.0) // coincident points never need sampling (and p=0 would trip ANSI division)
+        .withColumn("_pri", u / p)
+        .filter(col("_pri") <= 1.0)
+        .orderBy(col("_pri"), col(idCol)) // deterministic cap: TakeOrdered
+        .limit(4 * l)
+        .select(col(idCol), col("_v"))
+        .collect()
+      val seen = cands.map(_._1).toSet
+      picked.foreach { row =>
+        val id = row.getLong(0)
+        if (!seen.contains(id))
+          cands += ((id, row.getSeq[Double](1).toArray))
+      }
+    }
+    cands.toSeq
+  }
+
+  /** Population weight per candidate (one pass: nearest-candidate argmin
+    * counts), for the driver-side contraction. */
+  private def candidateWeights(corpus: DataFrame, cands: Seq[Array[Double]],
+                               vecCol: String): Array[Long] = {
+    val mat = cands.map(_.toSeq)
+    val counts = corpus
+      .select(argminDist(vecD(col(vecCol)), mat).as("_c"))
+      .groupBy(col("_c")).agg(count(lit(1)).as("_n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    Array.tabulate(cands.size)(i => counts.getOrElse(i, 0L))
+  }
+
+  /** Index of the nearest matrix row (min squared distance, first-min
+    * tie-break). `_d` is materialized once; argmin is builtin HOFs over
+    * it — all codegen. */
+  def argminDist(vec: Column, mat: Seq[Seq[Double]]): Column = {
+    val d = SqDistances(vec, mat)
+    (array_position(d, array_min(d)) - 1).cast("int")
+  }
+
+  /** Greedy weighted contraction of the candidate set to k seeds:
+    * heaviest candidate first, then argmax of weight × min-sq-dist to
+    * chosen (the deterministic greedy variant of weighted k-means++;
+    * ties break on the lower index). Driver-side on the bounded set. */
+  private def contract(cands: Seq[Array[Double]], w: Array[Long],
+                       k: Int): Seq[Array[Double]] = {
+    val n = cands.size
+    if (n <= k) return cands
+    var bestI = 0
+    for (i <- 1 until n) if (w(i) > w(bestI)) bestI = i
+    val chosen = collection.mutable.ArrayBuffer(bestI)
+    val dmin = Array.tabulate(n)(i => sqDist(cands(i), cands(bestI)))
+    while (chosen.size < k) {
+      var best = -1; var bestScore = -1.0
+      for (i <- 0 until n) if (!chosen.contains(i)) {
+        val s = w(i).toDouble * dmin(i)
+        if (s > bestScore) { bestScore = s; best = i }
+      }
+      chosen += best
+      for (i <- 0 until n) {
+        val d = sqDist(cands(i), cands(best))
+        if (d < dmin(i)) dmin(i) = d
+      }
+    }
+    chosen.map(cands).toSeq
+  }
+
+  private def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    val m = math.min(a.length, b.length)
+    while (i < m) { val x = a(i) - b(i); s += x * x; i += 1 }
+    s
+  }
+
+  /** Fit k Euclidean centroids: k-means|| init + `iters` Lloyd rounds.
+    * Each Lloyd round is one distributed pass (argmin assign →
+    * posexplode per-dimension mean; partial aggregation applies; only
+    * k × dim doubles reach the driver). Empty cells keep their previous
+    * centroid (the trainCentroids rule). */
+  def fit(corpus: DataFrame, k: Int, iters: Int = 5, seed: Long = 42L,
+          idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
+    val cands = oversample(corpus, l = 2 * k, rounds = 4, seed, idCol, vecCol)
+    val w = candidateWeights(corpus, cands.map(_._2), vecCol)
+    var centroids: Seq[Seq[Double]] =
+      contract(cands.map(_._2), w, k).map(_.toSeq)
+    for (_ <- 1 to iters) {
+      val means = corpus
+        .select(argminDist(vecD(col(vecCol)), centroids).as("_cid"),
+          posexplode(vecD(col(vecCol))).as(Seq("_pos", "_x")))
+        .groupBy(col("_cid"), col("_pos"))
+        .agg(avg(col("_x")).as("_mean"))
+        .collect()
+      val byCid = means.groupBy(_.getInt(0)).map { case (cid, rows) =>
+        cid -> rows.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      centroids = centroids.indices.map(i => byCid.getOrElse(i, centroids(i)))
+    }
+    centroids
+  }
+
+  /** Cluster id + squared distance per row (the model-apply side). */
+  def assign(corpus: DataFrame, centroids: Seq[Seq[Double]],
+             vecCol: String = "embedding"): DataFrame = {
+    val d = SqDistances(vecD(col(vecCol)), centroids)
+    corpus.withColumn("_d", d)
+      .withColumn("cluster_id", (array_position(col("_d"), array_min(col("_d"))) - 1).cast("int"))
+      .withColumn("sq_dist", array_min(col("_d")))
+      .drop("_d")
+  }
+
+  /** Diversity selection: pick k spread-out exemplar vectors. k-means||
+    * oversampling (which whp surfaces every region of the corpus,
+    * including sparse ones — D² favors far points) narrows to a bounded
+    * candidate set; Gonzalez farthest-first traversal (k-center
+    * 2-approx) then runs driver-side. Returns (sel_rank, id,
+    * min_sq_dist) — min_sq_dist is the selection-time distance to the
+    * already-chosen set (0 for the first pick), a per-pick radius
+    * certificate. */
+  def diverseSample(corpus: DataFrame, k: Int, seed: Long = 42L,
+                    idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Long, Double)] = {
+    val cands = oversample(corpus, l = math.max(k, 8), rounds = 4, seed, idCol, vecCol)
+    val n = cands.size
+    val kk = math.min(k, n)
+    val chosen = collection.mutable.ArrayBuffer(0) // seeded first pick
+    val out = collection.mutable.ArrayBuffer((1, cands(0)._1, 0.0))
+    val dmin = Array.tabulate(n)(i => sqDist(cands(i)._2, cands(0)._2))
+    while (chosen.size < kk) {
+      var best = -1; var bestD = -1.0
+      for (i <- 0 until n) if (!chosen.contains(i) && dmin(i) > bestD) {
+        bestD = dmin(i); best = i
+      }
+      chosen += best
+      out += ((chosen.size, cands(best)._1, bestD))
+      for (i <- 0 until n) {
+        val d = sqDist(cands(i)._2, cands(best)._2)
+        if (d < dmin(i)) dmin(i) = d
+      }
+    }
+    out.toSeq
+  }
+}

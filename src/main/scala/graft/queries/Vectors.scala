@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.VectorOps
-import graft.operators.{Similarity, VectorIndex}
+import graft.operators.{KMeans, Similarity, VectorIndex}
 
 /** Similarity-search layer over `embeddings` (SURVEY.md §2b: cosine/dot
   * similarity, brute-force top-k baseline, LSH-bucketed ANN scale path,
@@ -221,7 +221,40 @@ object Vectors {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** First-class Euclidean k-means (k-means|| init + Lloyd) surfaced as
+    * per-cluster stats: size and inertia contribution. Engine-only
+    * (iterative float model — not SQL-expressible); KMeansSpec carries
+    * planted-cluster recovery, determinism-across-partitionings, and
+    * bounded-collect gates. k=8 over the 5-label fixture forces both
+    * splits and near-empty cells. */
+  def kmeans(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val centroids = KMeans.fit(emb, k = 8, iters = 4, seed = 42L)
+    KMeans.assign(emb, centroids)
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_points"),
+        round(sum(col("sq_dist")), 4).as("inertia"),
+        round(avg(col("sq_dist")), 6).as("mean_sq_dist"))
+      .orderBy(col("cluster_id"))
+  }
+
+  /** Diversity selection (k-center over k-means|| candidates): the k
+    * most spread-out exemplar vectors, with each pick's selection-time
+    * distance to the already-chosen set. Driver builds the tiny result
+    * from the bounded candidate set — the distributed work is the
+    * oversampling scans. */
+  def diverseSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    KMeans.diverseSample(Tables.embeddings(s, dir), k = 10, seed = 42L)
+      .toDF("sel_rank", "vec_id", "min_sq_dist")
+      .select(col("sel_rank"), col("vec_id"),
+        round(col("min_sq_dist"), 4).as("min_sq_dist"))
+      .orderBy(col("sel_rank"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_kmeans" -> (kmeans _),
+    "vec_diverse_sample" -> (diverseSample _),
     "vec_index_topk" -> (indexTopK _),
     "vec_mips_topk" -> (mipsTopK _),
     "vec_pq_topk" -> (pqTopK _),

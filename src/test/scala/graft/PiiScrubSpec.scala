@@ -35,6 +35,23 @@ class PiiScrubSpec extends SparkSpec {
     assert(got("email") == 2 && got("ipv4") == 1 && got("phone") == 0 && got("ssn") == 0)
   }
 
+  test("doc_pii_* operating point is non-vacuous and redaction leaves no residue") {
+    import graft.queries.TextPipeline
+    // every category fires somewhere in the fixture (the r6 verdict's
+    // vec_cosine_near_dups lesson: an oracle row verifying emptiness
+    // earns nothing)
+    val stats = TextPipeline.piiStats(spark, sf0001)
+      .agg(sum("n_email"), sum("n_ipv4"), sum("n_ssn"), sum("n_phone"))
+      .head()
+    (0 until 4).foreach(i => assert(stats.getLong(i) > 0L,
+      s"category $i never fires — the weave is vacuous"))
+    // after the scrub chain, NO pattern matches anywhere (counts on the
+    // redacted text are all zero) — the end-to-end guarantee the
+    // per-string cases above can't give
+    val residue = TextPipeline.piiRedactedResidue(spark, sf0001)
+    assert(residue == 0L, s"$residue PII matches survived redaction")
+  }
+
   test("corpus pass: fixture documents contain no PII and survive unchanged") {
     val changed = Tables.documents(spark, sf0001)
       .filter(TextOps.scrubPii(col("text")) =!= col("text"))

@@ -82,7 +82,8 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
-      Seq("vec_lsh_topk", "vec_ivf_topk", "vec_lsh_near_dups").foreach { q =>
+      Seq("vec_lsh_topk", "vec_ivf_topk", "vec_lsh_near_dups",
+          "vec_kmeans").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf0001).collect() != null, q)
       }
     } finally {
