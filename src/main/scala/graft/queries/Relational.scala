@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.operators.{IncrementalAgg, ZOrder}
+import graft.operators.{IncrementalAgg, PageRank, ZOrder}
 
 /** Core relational operator surface (SURVEY.md §2b: scans, filter/project,
   * joins of every type, hash aggregates, count-distinct, rollup/cube/
@@ -726,6 +726,29 @@ object Relational {
       .orderBy(col("n").desc, col("trigram")).limit(20)
   }
 
+  /** Link-centrality ranking of the journey graph: per-user event
+    * transitions between `props.k` pages form a weighted edge list, and
+    * three damped PageRank rounds score each page — the crawl-budget /
+    * training-mix prioritisation shape (rank domains by link mass, feed
+    * the scores to the sampler). The operator is the generic iterative
+    * join+agg in operators/PageRank.scala; the oracle unrolls the same
+    * three rounds as CTEs, with the damping constants CAST to DOUBLE so
+    * both engines run the identical IEEE arithmetic, and round(6)
+    * absorbing summation-order noise. */
+  def evPagerank(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("src", lag(col("k"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .groupBy(col("src"), col("k").as("dst"))
+      .agg(count(lit(1)).cast("double").as("weight"))
+    PageRank.run(edges, iters = 3, damping = 0.85)
+      .select(col("node"), round(col("rank"), 6).as("rank"))
+      .orderBy(col("node"))
+  }
+
   /** Column profiler (the ANALYZE-TABLE summary every engine ships):
     * per-column null count, distinct count, min/max and mean over
     * lineitem's numeric columns — one pass, one row out per column via a
@@ -805,6 +828,85 @@ object Relational {
         repeat(col("p_brand"), 2).as("brand_x2"),
         length(col("p_name")).as("name_len"))
       .orderBy(col("p_partkey"))
+
+  /** Winsorized (clipped) robust statistics per event type — the
+    * outlier-tolerant feature normalisation every training pipeline runs
+    * before z-scoring: exact p05/p95 per group, values clamped into that
+    * band, then the robust mean. Two passes by design — percentiles need
+    * the full group before any row can be clipped — but the second pass
+    * joins against a 5-row broadcast of per-group bounds, so nothing
+    * reshuffles the fact table twice. */
+  def evWinsorized(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val pct = ev.groupBy(col("event_type"))
+      .agg(expr("percentile(value, 0.05)").as("p05"),
+        expr("percentile(value, 0.95)").as("p95"))
+    ev.join(broadcast(pct), "event_type")
+      .groupBy(col("event_type"))
+      .agg(round(max(col("p05")), 4).as("p05"),
+        round(max(col("p95")), 4).as("p95"),
+        round(avg(least(greatest(col("value"), col("p05")), col("p95"))), 4)
+          .as("winsorized_mean"),
+        sum(when(col("value") < col("p05") || col("value") > col("p95"), 1L)
+          .otherwise(0L)).as("n_clipped"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Exponentially weighted moving average over the per-day mean value of
+    * each event type — the time-series smoothing / drift-tracking shape
+    * (monitor a metric, weight recent days geometrically). The recurrence
+    * e_i = a*x_i + (1-a)*e_(i-1) is evaluated in CLOSED FORM as one
+    * weighted sum per group (weight pow(1-a, n-i), seeded with the first
+    * day's full mass), so there is no sequential scan: the daily
+    * aggregate shuffles once, the window ranks rows within each group,
+    * and the final sum is an ordinary hash aggregate. Constants enter as
+    * the literal doubles 0.3/0.7 on both engines (never 1.0-0.3, whose
+    * rounding differs from the 0.7 literal). */
+  def evEwma(s: SparkSession, dir: String): DataFrame = {
+    val daily = Tables.events(s, dir)
+      .groupBy(col("event_type"), to_date(col("ts")).as("d"))
+      .agg(avg(col("value")).as("x"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("d"))
+    val daysW = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(daysW))
+      .groupBy(col("event_type"))
+      .agg(max(col("n")).as("n_days"),
+        round(sum(
+          when(col("rn") === 1, pow(lit(0.7), col("n") - 1) * col("x"))
+            .otherwise(lit(0.3) * pow(lit(0.7), col("n") - col("rn")) * col("x"))),
+          4).as("ewma"),
+        round(max(when(col("rn") === col("n"), col("x"))), 4).as("last_mean"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Entity resolution by blocking + pairwise scoring (the Fellegi-Sunter
+    * blocking shape every record-linkage pipeline runs): candidate pairs
+    * are generated ONLY within a blocking key — the 17-char name prefix,
+    * so each block holds ~10 records — then scored with Levenshtein
+    * distance and an account-balance proximity rule. At 100 TB the
+    * blocking key is the whole point: the pair space collapses from
+    * O(n²) to sum of per-block squares, the blocks shuffle-partition
+    * evenly, and no all-pairs stage ever exists. DuckDB ships the same
+    * `levenshtein`, so the rule is oracle-checked end to end. */
+  def custEntityResolution(s: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"),
+        substring(col("c_name"), 1, 17).as("blk"))
+    val a = c.select(col("blk"), col("c_custkey").as("id1"),
+      col("c_name").as("name1"), col("c_acctbal").as("bal1"))
+    val b = c.select(col("blk"), col("c_custkey").as("id2"),
+      col("c_name").as("name2"), col("c_acctbal").as("bal2"))
+    a.join(b, Seq("blk"))
+      .filter(col("id1") < col("id2"))
+      .withColumn("name_dist", levenshtein(col("name1"), col("name2")))
+      .filter(col("name_dist") <= 1 &&
+        abs(col("bal1") - col("bal2")) < 100.0)
+      .select(col("id1"), col("id2"), col("name_dist"),
+        round(abs(col("bal1") - col("bal2")), 2).as("bal_diff"))
+      .orderBy(col("id1"), col("id2"))
+  }
 
   /** The ARRAY / higher-order-function family exercised explicitly
     * (transform, filter, exists, aggregate/fold, zip_with, sort, slice,
@@ -921,6 +1023,10 @@ object Relational {
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "ev_journey_trigrams" -> (evJourneyTrigrams _),
+    "ev_pagerank" -> (evPagerank _),
+    "cust_entity_resolution" -> (custEntityResolution _),
+    "ev_winsorized" -> (evWinsorized _),
+    "ev_ewma" -> (evEwma _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
     "q42_market_share" -> (q42MarketShare _),
@@ -1135,6 +1241,97 @@ object Relational {
         |)
         |SELECT trigram, count(*) AS n FROM tg GROUP BY trigram
         |ORDER BY n DESC, trigram LIMIT 20""".stripMargin,
+    "ev_pagerank" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src,
+        |    k AS dst
+        |  FROM ev),
+        |edges AS (
+        |  SELECT src, dst, CAST(count(*) AS DOUBLE) AS w
+        |  FROM tr WHERE src IS NOT NULL GROUP BY src, dst),
+        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM nodes),
+        |outw AS (SELECT src, sum(w) AS wsum FROM edges GROUP BY src),
+        |base AS (SELECT (CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+        |                / (SELECT n FROM nn) AS b),
+        |r0 AS (SELECT node, CAST(1.0 AS DOUBLE) / (SELECT n FROM nn) AS r
+        |       FROM nodes),
+        |d0 AS (SELECT coalesce(sum(r), 0) AS dm FROM r0
+        |       LEFT JOIN outw ON r0.node = outw.src WHERE outw.src IS NULL),
+        |c0 AS (SELECT e.dst AS node, sum(r0.r / o.wsum * e.w) AS c
+        |       FROM edges e JOIN r0 ON e.src = r0.node
+        |       JOIN outw o ON o.src = e.src GROUP BY e.dst),
+        |r1 AS (SELECT nodes.node, (SELECT b FROM base) + CAST(0.85 AS DOUBLE)
+        |         * (coalesce(c0.c, 0)
+        |            + (SELECT dm FROM d0) / (SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN c0 ON nodes.node = c0.node),
+        |d1 AS (SELECT coalesce(sum(r), 0) AS dm FROM r1
+        |       LEFT JOIN outw ON r1.node = outw.src WHERE outw.src IS NULL),
+        |c1 AS (SELECT e.dst AS node, sum(r1.r / o.wsum * e.w) AS c
+        |       FROM edges e JOIN r1 ON e.src = r1.node
+        |       JOIN outw o ON o.src = e.src GROUP BY e.dst),
+        |r2 AS (SELECT nodes.node, (SELECT b FROM base) + CAST(0.85 AS DOUBLE)
+        |         * (coalesce(c1.c, 0)
+        |            + (SELECT dm FROM d1) / (SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN c1 ON nodes.node = c1.node),
+        |d2 AS (SELECT coalesce(sum(r), 0) AS dm FROM r2
+        |       LEFT JOIN outw ON r2.node = outw.src WHERE outw.src IS NULL),
+        |c2 AS (SELECT e.dst AS node, sum(r2.r / o.wsum * e.w) AS c
+        |       FROM edges e JOIN r2 ON e.src = r2.node
+        |       JOIN outw o ON o.src = e.src GROUP BY e.dst),
+        |r3 AS (SELECT nodes.node, (SELECT b FROM base) + CAST(0.85 AS DOUBLE)
+        |         * (coalesce(c2.c, 0)
+        |            + (SELECT dm FROM d2) / (SELECT n FROM nn)) AS r
+        |       FROM nodes LEFT JOIN c2 ON nodes.node = c2.node)
+        |SELECT node, round(r, 6) AS rank FROM r3 ORDER BY node""".stripMargin,
+    "cust_entity_resolution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, c_name, c_acctbal,
+        |    substring(c_name, 1, 17) AS blk
+        |  FROM customer)
+        |SELECT a.c_custkey AS id1, b.c_custkey AS id2,
+        |  levenshtein(a.c_name, b.c_name) AS name_dist,
+        |  round(abs(a.c_acctbal - b.c_acctbal), 2) AS bal_diff
+        |FROM c a JOIN c b ON a.blk = b.blk AND a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |  AND abs(a.c_acctbal - b.c_acctbal) < 100.0
+        |ORDER BY id1, id2""".stripMargin,
+    "ev_winsorized" ->
+      """WITH pct AS (
+        |  SELECT event_type,
+        |    quantile_cont(value, 0.05) AS p05,
+        |    quantile_cont(value, 0.95) AS p95
+        |  FROM events GROUP BY event_type)
+        |SELECT e.event_type,
+        |  round(max(p.p05), 4) AS p05,
+        |  round(max(p.p95), 4) AS p95,
+        |  round(avg(least(greatest(e.value, p.p05), p.p95)), 4)
+        |    AS winsorized_mean,
+        |  CAST(sum(CASE WHEN e.value < p.p05 OR e.value > p.p95
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS n_clipped
+        |FROM events e JOIN pct p USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "ev_ewma" ->
+      """WITH daily AS (
+        |  SELECT event_type, CAST(ts AS DATE) AS d, avg(value) AS x
+        |  FROM events GROUP BY 1, 2),
+        |r AS (
+        |  SELECT event_type, x,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY d) AS rn,
+        |    count(*) OVER (PARTITION BY event_type) AS n
+        |  FROM daily)
+        |SELECT event_type, max(n) AS n_days,
+        |  round(sum(CASE WHEN rn = 1
+        |              THEN pow(CAST(0.7 AS DOUBLE), n - 1) * x
+        |              ELSE CAST(0.3 AS DOUBLE)
+        |                   * pow(CAST(0.7 AS DOUBLE), n - rn) * x END),
+        |        4) AS ewma,
+        |  round(max(CASE WHEN rn = n THEN x END), 4) AS last_mean
+        |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q45_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |first_seen AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id),

@@ -868,6 +868,40 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
+    * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
+    * — the MOSS algorithm; public literature): hash every word 4-gram,
+    * then keep only the MINIMUM gram of each sliding window of 5 — a
+    * guaranteed-density sample (~2/(w+1) of positions) that still catches
+    * every shared substring of length ≥ k+w-1. Versus doc_span_dedup's
+    * exhaustive stride-1 spans this is the scale path: the per-doc
+    * fingerprint set (and therefore the shuffle into the doc-count join)
+    * shrinks ~3×, with the winnowing guarantee bounding what overlap can
+    * be missed. The total order is lexicographic on the raw gram (any
+    * total order satisfies the winnowing theorem), which keeps the oracle
+    * engine-portable — DuckDB's list_min picks the identical gram. */
+  def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
+    val k = 4; val w = 5
+    val tk = TextOps.tokens(col("text"))
+    val grams = transform(sequence(lit(0), size(tk) - k),
+      i => concat_ws(" ", slice(tk, i + 1, lit(k))))
+    val fps = Tables.documents(s, dir)
+      .filter(size(tk) >= k + w - 1) // at least one full window of grams
+      .select(col("doc_id"), grams.as("g"))
+      .select(col("doc_id"),
+        explode(array_distinct(transform(
+          sequence(lit(0), size(col("g")) - w),
+          j => array_min(slice(col("g"), j + 1, lit(w)))))).as("fp"))
+      .localCheckpoint(eager = false) // fan-out: fp doc-counts + join back
+    val docCounts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
+    fps.join(docCounts, "fp")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_fps"),
+        sum(when(col("n_docs") >= 2, 1L).otherwise(0L)).as("n_shared_fps"),
+        max(col("n_docs")).as("max_fp_docs"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Point term-frequency estimates per language from a Count-Min sketch
     * — the "how often did THIS term occur" sketch next to doc_heavy_terms'
     * "which terms are frequent" (Space-Saving) and q20's "how many
@@ -1172,6 +1206,7 @@ object TextPipeline {
     "doc_term_freq_cm" -> (termFreqCm _),
     "doc_segment_dedup" -> (segmentDedup _),
     "doc_span_dedup" -> (spanDedup _),
+    "doc_winnow_fps" -> (winnowFingerprints _),
     "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
@@ -1363,6 +1398,23 @@ object TextPipeline {
         |  CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS shared_ratio
         |FROM spans s JOIN dc d USING (span)
         |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
+    "doc_winnow_fps" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(tk) - 3),
+        |    i -> array_to_string(tk[i+1 : i+4], ' ')) AS g
+        |  FROM toks WHERE len(tk) >= 8),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(g) - 4),
+        |      j -> list_min(g[j+1 : j+5]))) AS fp
+        |    FROM grams) u),
+        |dc AS (SELECT fp, count(*) AS n_docs FROM fps GROUP BY fp)
+        |SELECT f.doc_id, count(*) AS n_fps,
+        |  CAST(sum(CASE WHEN d.n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_shared_fps,
+        |  max(d.n_docs) AS max_fp_docs
+        |FROM fps f JOIN dc d USING (fp)
+        |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
     "doc_tfidf_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf
