@@ -908,6 +908,78 @@ object Relational {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Exact triangle counting with degree-ordered edge orientation (the
+    * "forward" algorithm — Schank & Wagner '05 / Suri & Vassilvitskii
+    * WWW'11's MR formulation; public literature): orient every
+    * undirected edge from its lower-(degree, id) endpoint to the higher,
+    * join wedges, close them against the oriented edge set. Each
+    * triangle is found exactly once, and — the 100 TB point — every
+    * wedge is generated at its LOWEST-degree corner, so a power-law hub
+    * with degree d contributes O(d) wedges instead of O(d²); the two
+    * joins shuffle on node keys and AQE handles residual skew. Output is
+    * per-node triangle participation (integer-exact, no fp concerns). */
+  def evTriangles(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val raw = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("prev", lag(col("k"), 1).over(w))
+      .filter(col("prev").isNotNull && col("prev") =!= col("k"))
+    val und = raw
+      .select(least(col("prev"), col("k")).as("u"),
+        greatest(col("prev"), col("k")).as("v"))
+      .distinct()
+    val deg = und.select(col("u").as("node"))
+      .unionAll(und.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
+    // orient: a = lower-(deg, id) endpoint — wedges fan out from the
+    // cheap corner, never the hub
+    val e1 = und
+      .join(deg.withColumnRenamed("node", "u").withColumnRenamed("deg", "du"), "u")
+      .join(deg.withColumnRenamed("node", "v").withColumnRenamed("deg", "dv"), "v")
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+      .localCheckpoint(eager = false) // reused three times in the wedge close
+    val ab = e1.select(col("a"), col("b"))
+    val bc = e1.select(col("a").as("b"), col("b").as("c"))
+    val ac = e1.select(col("a").as("a2"), col("b").as("c2"))
+    val tris = ab.join(bc, "b")
+      .join(ac, col("a") === col("a2") && col("c") === col("c2"))
+      .select(col("a"), col("b"), col("c"))
+    tris.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy(col("node"))
+  }
+
+  /** Slowly-changing-dimension Type 2 history build (the Kimball SCD2
+    * shape every warehouse maintains): per user, each change of
+    * event_type opens a new validity interval, closed by the next
+    * change's timestamp; the current row carries an open interval. One
+    * user-keyed shuffle drives both windows (change detection and
+    * interval close), timestamps project to epoch micros per the
+    * determinism rule. Restricted to user_id < 100 to keep the verify
+    * dump bounded; the plan is invariant in the predicate. */
+  def evScd2(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val changes = Tables.events(s, dir)
+      .filter(col("user_id") < 100)
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+    changes
+      .withColumn("valid_to_ts", lead(col("ts"), 1).over(w))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("valid_from_us"),
+        unix_micros(col("valid_to_ts")).as("valid_to_us"),
+        col("valid_to_ts").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("valid_from_us"))
+  }
+
   /** The ARRAY / higher-order-function family exercised explicitly
     * (transform, filter, exists, aggregate/fold, zip_with, sort, slice,
     * distinct — the lambda surface a switching user greps for): build a
@@ -1027,6 +1099,8 @@ object Relational {
     "cust_entity_resolution" -> (custEntityResolution _),
     "ev_winsorized" -> (evWinsorized _),
     "ev_ewma" -> (evEwma _),
+    "ev_triangles" -> (evTriangles _),
+    "ev_scd2" -> (evScd2 _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
     "q42_market_share" -> (q42MarketShare _),
@@ -1332,6 +1406,56 @@ object Relational {
         |        4) AS ewma,
         |  round(max(CASE WHEN rn = n THEN x END), 4) AS last_mean
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_triangles" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev, k
+        |  FROM ev),
+        |und AS (
+        |  SELECT DISTINCT least(prev, k) AS u, greatest(prev, k) AS v
+        |  FROM tr WHERE prev IS NOT NULL AND prev <> k),
+        |deg AS (
+        |  SELECT node, count(*) AS deg FROM (
+        |    SELECT u AS node FROM und UNION ALL SELECT v FROM und) t
+        |  GROUP BY node),
+        |e1 AS (
+        |  SELECT CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |              THEN u ELSE v END AS a,
+        |         CASE WHEN du.deg < dv.deg OR (du.deg = dv.deg AND u < v)
+        |              THEN v ELSE u END AS b
+        |  FROM und JOIN deg du ON du.node = und.u
+        |           JOIN deg dv ON dv.node = und.v),
+        |tri AS (
+        |  SELECT ab.a, ab.b, bc.b AS c
+        |  FROM e1 ab JOIN e1 bc ON bc.a = ab.b
+        |             JOIN e1 ac ON ac.a = ab.a AND ac.b = bc.b),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*) AS n_triangles
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
+    "ev_scd2" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id, event_type
+        |  FROM events WHERE user_id < 100),
+        |ch AS (
+        |  SELECT user_id, ts, event_id, event_type FROM (
+        |    SELECT user_id, ts, event_id, event_type,
+        |      lag(event_type) OVER (PARTITION BY user_id
+        |                            ORDER BY ts, event_id) AS prev_type
+        |    FROM ev) t
+        |  WHERE prev_type IS NULL OR prev_type <> event_type)
+        |SELECT user_id, event_type,
+        |  epoch_us(ts) AS valid_from_us,
+        |  epoch_us(lead(ts) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id)) AS valid_to_us,
+        |  (lead(ts) OVER (PARTITION BY user_id
+        |                  ORDER BY ts, event_id) IS NULL) AS is_current
+        |FROM ch ORDER BY user_id, valid_from_us""".stripMargin,
     "q45_retention" ->
       """WITH ev AS (SELECT user_id, CAST(ts AS DATE) AS d FROM events),
         |first_seen AS (SELECT user_id, min(d) AS cohort_d FROM ev GROUP BY user_id),
