@@ -38,8 +38,12 @@ object PageRank {
     * Returns (node, rank) with ranks summing to 1. */
   def run(edges: DataFrame, iters: Int, damping: Double = 0.85): DataFrame = {
     val s = edges.sparkSession
+    // Materialize the edge list ONCE: every iteration (and the node /
+    // out-weight prep) re-reads it, and without this the upstream plan —
+    // often a full-corpus window or join — re-executes per action.
     val e = edges.select(col("src"), col("dst"),
       col("weight").cast("double").as("w"))
+      .localCheckpoint(true)
 
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()

@@ -881,17 +881,13 @@ object TextPipeline {
     * total order satisfies the winnowing theorem), which keeps the oracle
     * engine-portable — DuckDB's list_min picks the identical gram. */
   def winnowFingerprints(s: SparkSession, dir: String): DataFrame = {
-    val k = 4; val w = 5
-    val tk = TextOps.tokens(col("text"))
-    val grams = transform(sequence(lit(0), size(tk) - k),
-      i => concat_ws(" ", slice(tk, i + 1, lit(k))))
+    // fused codegen winnower (≡ the HOF chain value-for-value,
+    // WinnowFpsSpec) — the HOF form allocated a w-slice per window and
+    // was this query's whole cost; docs with < k+w-1 tokens yield an
+    // empty array and vanish at the explode, matching the oracle guard
     val fps = Tables.documents(s, dir)
-      .filter(size(tk) >= k + w - 1) // at least one full window of grams
-      .select(col("doc_id"), grams.as("g"))
       .select(col("doc_id"),
-        explode(array_distinct(transform(
-          sequence(lit(0), size(col("g")) - w),
-          j => array_min(slice(col("g"), j + 1, lit(w)))))).as("fp"))
+        explode(graft.functions.WinnowFps(col("text"), 4, 5)).as("fp"))
       .localCheckpoint(eager = false) // fan-out: fp doc-counts + join back
     val docCounts = fps.groupBy(col("fp")).agg(count(lit(1)).as("n_docs"))
     fps.join(docCounts, "fp")

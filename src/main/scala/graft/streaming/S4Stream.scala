@@ -512,6 +512,61 @@ object S4Stream {
       .groupBy(col(keyCol)).agg(mergeSig(col("sig")).as("sig"))
   }
 
+  /** One closed validity interval emitted by [[scd2Stream]]. */
+  case class Scd2Closed(key: Long, attr: String,
+                        valid_from_us: Long, valid_to_us: Long)
+
+  /** STREAMING SCD Type-2 maintenance — the live mirror of the batch
+    * `ev_scd2` history build (Kimball Type-2: each attribute change
+    * closes the previous validity interval and opens a new one). Per-key
+    * state is ONE open interval (attr, from, last-seen position) — three
+    * values regardless of stream length; each micro-batch sorts its own
+    * group's rows by (event time, seq) and emits a closed interval per
+    * attribute change, exactly what the batch operator derives with
+    * lag/lead windows. Append mode emits CLOSED intervals only — the
+    * open "current" row lives in the state store (re-derivable as the
+    * batch query's is_current row at any time; emitting it would need a
+    * retraction on the next change, which Append cannot express).
+    * Rows older than the key's already-processed horizon are dropped
+    * (the batch operator over the lake is the late-data backfill path —
+    * same contract as the reference's at-least-once shipper, where
+    * replays must never regress state). */
+  def scd2Stream(events: DataFrame, keyCol: String, tsCol: String,
+                 seqCol: String, attrCol: String):
+      org.apache.spark.sql.Dataset[Scd2Closed] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(seqCol).cast("long").as("seq"),
+        col(attrCol).cast("string").as("attr"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state = (open attr, open from_us, last ts_us, last seq)
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(String, Long, Long, Long)]) =>
+          val sorted = rows.toArray.sortBy(r => (r._2, r._3))
+          var st = state.getOption
+          val closed = scala.collection.mutable.ArrayBuffer.empty[Scd2Closed]
+          sorted.foreach { case (_, ts, seq, attr) =>
+            st match {
+              case None => st = Some((attr, ts, ts, seq))
+              case Some((cur, from, lastTs, lastSeq)) =>
+                if (ts < lastTs || (ts == lastTs && seq <= lastSeq)) {
+                  // late beyond the processed horizon — batch backfill path
+                } else if (attr != cur) {
+                  closed += Scd2Closed(key, cur, from, ts)
+                  st = Some((attr, ts, ts, seq))
+                } else st = Some((cur, from, ts, seq))
+            }
+          }
+          st.foreach(state.update)
+          closed.iterator
+      }
+  }
+
   /** STREAMING ingest against the persisted near-dup index — the
     * production crawl loop: per micro-batch, PROBE the incoming docs
     * against `indexDir` (partition-pruned, [[graft.operators.TextIndex]]),

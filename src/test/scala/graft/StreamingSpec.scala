@@ -443,6 +443,47 @@ class StreamingSpec extends SparkSpec {
       s"stream-appended doc must be visible to batch probes: ${probe.mkString(",")}")
   }
 
+  test("streaming SCD2 closes intervals on attribute change, across restarts; late rows drop") {
+    val in = tmp("scd2in"); val ck = tmp("scd2ck"); val out = tmp("scd2out")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("user_id LONG, ts TIMESTAMP, event_id LONG, event_type STRING")
+        .json(in.toString)
+      val q = S4Stream.scd2Stream(src, "user_id", "ts", "event_id", "event_type")
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def ts(s: Int) = s"2024-01-01 00:00:0$s"
+    writeLines(in, "b1.json", Seq(
+      s"""{"user_id": 1, "ts": "${ts(1)}", "event_id": 1, "event_type": "view"}""",
+      s"""{"user_id": 1, "ts": "${ts(2)}", "event_id": 2, "event_type": "click"}""",
+      s"""{"user_id": 2, "ts": "${ts(1)}", "event_id": 3, "event_type": "view"}"""))
+    run()
+    // batch 2 (checkpointed restart): same-attr row is a no-op, a change
+    // closes the CROSS-BATCH interval, and a late row must not regress
+    writeLines(in, "b2.json", Seq(
+      s"""{"user_id": 1, "ts": "${ts(3)}", "event_id": 4, "event_type": "click"}""",
+      s"""{"user_id": 1, "ts": "${ts(4)}", "event_id": 5, "event_type": "error"}""",
+      s"""{"user_id": 1, "ts": "${ts(0)}", "event_id": 6, "event_type": "purchase"}""",
+      s"""{"user_id": 2, "ts": "${ts(5)}", "event_id": 7, "event_type": "purchase"}"""))
+    run()
+    val us = (s: Int) => {
+      val fmt = java.time.LocalDateTime.parse(s"2024-01-01T00:00:0$s")
+      fmt.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L
+    }
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[String]("attr"),
+        r.getAs[Long]("valid_from_us"), r.getAs[Long]("valid_to_us"))).toSet
+    assert(got == Set(
+      (1L, "view", us(1), us(2)),   // closed within batch 1
+      (1L, "click", us(2), us(4)),  // opened in b1, survived same-attr b2 row, closed in b2
+      (2L, "view", us(1), us(5))),  // closed across the batch boundary
+      s"closed intervals wrong: $got")
+  }
+
   test("streaming minhash sketch equals the batch union signature across restarts") {
     val in = tmp("s4min"); val ck = tmp("s4mck")
     def run(): Unit = {
