@@ -49,6 +49,10 @@ object PageRank {
       .union(e.select(col("dst").as("node"))).distinct()
       .localCheckpoint(true)
     val n = nodes.count()
+    // Empty graph: no nodes to rank — return the empty (node, rank)
+    // frame instead of seeding ranks with 1/0.
+    if (n == 0L)
+      return nodes.withColumn("rank", lit(0.0)).select(col("node"), col("rank"))
 
     // Normalised out-weight per source: contributions below divide by it.
     val outw = e.groupBy(col("src")).agg(sum(col("w")).as("wsum"))

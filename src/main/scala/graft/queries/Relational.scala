@@ -908,6 +908,27 @@ object Relational {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Equi-depth histogram of `value` (the ANALYZE-TABLE histogram every
+    * optimizer builds): decile boundaries from ONE exact-percentile
+    * aggregate, then a distributed bucket-assignment pass — never an
+    * ntile over a global sort, which would funnel the table through a
+    * single-partition window. Boundaries round to 4dp on both engines
+    * before the strict-< comparison so a 1-ulp interpolation difference
+    * cannot flip a row's bucket. */
+  def evEquidepthHist(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val qs = (1 to 9).map(_ / 10.0).mkString(", ")
+    val bounds = ev.agg(expr(s"percentile(value, array($qs))").as("bs"))
+    ev.crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(col("bs"), b => round(b, 4) < col("value"))))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("value")), 4).as("lo"),
+        round(max(col("value")), 4).as("hi"))
+      .orderBy(col("bucket"))
+  }
+
   /** Exact triangle counting with degree-ordered edge orientation (the
     * "forward" algorithm — Schank & Wagner '05 / Suri & Vassilvitskii
     * WWW'11's MR formulation; public literature): orient every
@@ -1101,6 +1122,7 @@ object Relational {
     "ev_ewma" -> (evEwma _),
     "ev_triangles" -> (evTriangles _),
     "ev_scd2" -> (evScd2 _),
+    "ev_equidepth_hist" -> (evEquidepthHist _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
     "q42_market_share" -> (q42MarketShare _),
@@ -1406,6 +1428,17 @@ object Relational {
         |        4) AS ewma,
         |  round(max(CASE WHEN rn = n THEN x END), 4) AS last_mean
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "ev_equidepth_hist" ->
+      """WITH bounds AS (
+        |  SELECT quantile_cont(value,
+        |    [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS bs
+        |  FROM events)
+        |SELECT len(list_filter(bs, b -> round(b, 4) < value)) AS bucket,
+        |  count(*) AS n,
+        |  round(min(value), 4) AS lo,
+        |  round(max(value), 4) AS hi
+        |FROM events, bounds
+        |GROUP BY bucket ORDER BY bucket""".stripMargin,
     "ev_triangles" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id,

@@ -512,6 +512,62 @@ object S4Stream {
       .groupBy(col(keyCol)).agg(mergeSig(col("sig")).as("sig"))
   }
 
+  /** One anomaly emitted by [[ewmaAnomalyStream]]: the observation, the
+    * forecast it violated, and the deviation in sigma units. */
+  case class EwmaAnomaly(key: String, ts_us: Long, value: Double,
+                         forecast: Double, sigmas: Double)
+
+  /** STREAMING EWMA anomaly detection — the live monitor on the metric
+    * `ev_ewma` smooths in batch: per key, maintain the exponentially
+    * weighted mean AND the exponentially weighted variance (West's
+    * update: diff = x − m; m += a·diff; v = (1−a)·(v + a·diff²)), and
+    * flag any observation more than `k` EW-sigmas from the CURRENT
+    * forecast before folding it in. State is three doubles + a count per
+    * key — bounded regardless of stream length; the first `warmup`
+    * observations train silently (a cold detector flags everything).
+    * Rows sort by (event time, seq) within each batch; cross-batch
+    * order relies on the source's per-key ordering, late rows fold in
+    * as-if-current (the batch z-score query is the exact-replay path). */
+  def ewmaAnomalyStream(events: DataFrame, keyCol: String, tsCol: String,
+                        seqCol: String, valueCol: String,
+                        alpha: Double = 0.3, k: Double = 3.0,
+                        warmup: Int = 5):
+      org.apache.spark.sql.Dataset[EwmaAnomaly] = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("string").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(seqCol).cast("long").as("seq"),
+        col(valueCol).cast("double").as("x"))
+      .as[(String, Long, Long, Double)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state = (ewma, ewmvar, n_seen)
+        (key: String, rows: Iterator[(String, Long, Long, Double)],
+         state: GroupState[(Double, Double, Long)]) =>
+          var (m, v, n) = state.getOption.getOrElse((0.0, 0.0, 0L))
+          val out = scala.collection.mutable.ArrayBuffer.empty[EwmaAnomaly]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, x) =>
+            if (n >= warmup) {
+              val sd = math.sqrt(v)
+              if (sd > 0 && math.abs(x - m) > k * sd)
+                out += EwmaAnomaly(key, ts, x, m, math.abs(x - m) / sd)
+            }
+            if (n == 0L) { m = x; v = 0.0 }
+            else {
+              val diff = x - m
+              val incr = alpha * diff
+              m += incr
+              v = (1.0 - alpha) * (v + diff * incr)
+            }
+            n += 1
+          }
+          state.update((m, v, n))
+          out.iterator
+      }
+  }
+
   /** One closed validity interval emitted by [[scd2Stream]]. */
   case class Scd2Closed(key: Long, attr: String,
                         valid_from_us: Long, valid_to_us: Long)

@@ -53,6 +53,11 @@ class PageRankSpec extends SparkSpec {
     got.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-12))
   }
 
+  test("empty edge set yields an empty ranking, not a division by zero") {
+    val empty = Seq.empty[(Long, Long, Double)].toDF("src", "dst", "weight")
+    assert(PageRank.run(empty, 3).count() == 0L)
+  }
+
   test("disconnected pieces and a higher in-mass node ranks above a leaf") {
     val edges = Seq((1L, 2L, 1.0), (3L, 2L, 1.0), (4L, 5L, 1.0))
     val got = run(edges, 3)

@@ -443,6 +443,54 @@ class StreamingSpec extends SparkSpec {
       s"stream-appended doc must be visible to batch probes: ${probe.mkString(",")}")
   }
 
+  test("streaming EWMA anomaly detector flags the planted spike, matches the sequential recurrence") {
+    val in = tmp("ewmain"); val ck = tmp("ewmack"); val out = tmp("ewmaout")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("k STRING, ts TIMESTAMP, seq LONG, x DOUBLE")
+        .json(in.toString)
+      val q = S4Stream.ewmaAnomalyStream(src, "k", "ts", "seq", "x",
+          alpha = 0.3, k = 3.0, warmup = 5)
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    // stable series around 10 +/- 1, with one 100.0 spike in batch 2 —
+    // the detector warms up in batch 1 and must flag ONLY the spike
+    val b1 = Seq(10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 11.0)
+    val b2 = Seq(9.0, 100.0, 10.0, 10.5)
+    def row(i: Int, x: Double) =
+      s"""{"k": "m", "ts": "2024-01-01 00:${"%02d".format(i)}:00", "seq": $i, "x": $x}"""
+    writeLines(in, "b1.json", b1.zipWithIndex.map { case (x, i) => row(i, x) })
+    run()
+    writeLines(in, "b2.json", b2.zipWithIndex.map { case (x, i) => row(b1.size + i, x) })
+    run() // checkpointed restart: state (m, v, n) must carry over
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[Double]("value"), r.getAs[Double]("forecast"),
+        r.getAs[Double]("sigmas")))
+    // sequential reference of the same recurrence over the full series
+    var m = 0.0; var v = 0.0; var n = 0L
+    val expected = scala.collection.mutable.ArrayBuffer.empty[(Double, Double, Double)]
+    (b1 ++ b2).foreach { x =>
+      if (n >= 5) {
+        val sd = math.sqrt(v)
+        if (sd > 0 && math.abs(x - m) > 3.0 * sd)
+          expected += ((x, m, math.abs(x - m) / sd))
+      }
+      if (n == 0L) { m = x } else {
+        val diff = x - m; val incr = 0.3 * diff
+        m += incr; v = 0.7 * (v + diff * incr)
+      }
+      n += 1
+    }
+    assert(expected.map(_._1) == scala.collection.mutable.ArrayBuffer(100.0),
+      s"fixture must plant exactly one spike: $expected")
+    assert(got.toSeq.sortBy(_._1) == expected.toSeq.sortBy(_._1),
+      s"streamed anomalies $got != sequential reference $expected")
+  }
+
   test("streaming SCD2 closes intervals on attribute change, across restarts; late rows drop") {
     val in = tmp("scd2in"); val ck = tmp("scd2ck"); val out = tmp("scd2out")
     def run(): Unit = {
