@@ -100,6 +100,12 @@ object GraftExtensions {
     entry("bag_distance_lb") { args =>
       arity("bag_distance_lb", 2, args); BagDistanceLB(args(0), args(1))
     },
+    entry("winnow_fps") { args =>
+      arity("winnow_fps", 3, args)
+      WinnowFps(args(0),
+        litLong(args(1), "winnow_fps", "k").toInt,
+        litLong(args(2), "winnow_fps", "w").toInt)
+    },
   )
 
   /** Register every function on an existing session (idempotent —

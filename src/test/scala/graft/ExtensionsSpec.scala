@@ -56,6 +56,11 @@ class ExtensionsSpec extends SparkSpec {
         "char_histogram('abd', 'abcdef')) AS lb")
       .head.getInt(0)
     assert(bag === 1, "one char only in each side -> bound 1")
+
+    val wf = spark.sql(
+      "SELECT winnow_fps('a b c d e f g h', 4, 5) AS f").head.getSeq[String](0)
+    assert(wf === Seq("a b c d"),
+      "8 tokens -> 5 grams -> one window -> its min gram")
   }
 
   test("minhash_sig rejects non-literal sketch parameters") {

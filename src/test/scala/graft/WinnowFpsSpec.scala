@@ -39,6 +39,25 @@ class WinnowFpsSpec extends SparkSpec {
     assert(fusedFps(texts) == hofFps(texts))
   }
 
+  test("winnowing guarantee: a shared run of k+w-1 tokens always shares a fingerprint") {
+    // The SIGMOD'03 theorem the sampling rests on: any common substring
+    // of >= k+w-1 tokens contains w consecutive common grams — a full
+    // window — whose value-minimum BOTH documents must fingerprint.
+    val rnd = new scala.util.Random(7)
+    def doc(n: Int) = (1 to n).map(_ => s"w${rnd.nextInt(5000)}").mkString(" ")
+    val run = doc(k + w - 1) // the planted shared run, exactly one window
+    val pairs = (1 to 20).map { _ =>
+      val a = s"${doc(rnd.nextInt(40))} $run ${doc(rnd.nextInt(40))}".trim
+      val b = s"${doc(rnd.nextInt(40))} $run ${doc(rnd.nextInt(40))}".trim
+      (a, b)
+    }
+    val fps = fusedFps(pairs.flatMap(p => Seq(p._1, p._2)).distinct)
+    pairs.foreach { case (a, b) =>
+      assert(fps(a).toSet.intersect(fps(b).toSet).nonEmpty,
+        s"no shared fingerprint despite shared run '$run'")
+    }
+  }
+
   test("edge shapes: short docs, empty tokens, ties, boundary lengths") {
     val texts = Seq(
       "",                                    // no tokens
