@@ -868,6 +868,52 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Weighted sparse-vector similarity join: tf-idf cosine over each
+    * document's DISCRIMINATIVE 3-gram profile — the retrieval-style
+    * near-dup beside the set-based Jaccard families. Terms are word
+    * 3-grams (the unigram vocabulary here is ~31 words, in every doc —
+    * unigram profiles cannot discriminate); the profile keeps only
+    * terms with df ≤ 50 and normalises over them, which is the sparse
+    * all-pairs shape that survives scale: the term self-join's
+    * cardinality is Σ_t df(t)² ≤ 50·Σ_t df(t) — LINEAR in corpus
+    * postings, where one df-5000 shingle would alone contribute 12.5M
+    * pairs. Dropping ubiquitous terms is the tf-idf rationale itself
+    * (their idf ≈ 0); the oracle applies the identical profile. */
+  def tfidfCosinePairs(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir)
+    val tk = TextOps.tokens(col("text"))
+    val grams = transform(sequence(lit(0), size(tk) - 3),
+      i => concat_ws(" ", slice(tk, i + 1, lit(3))))
+    val tf = docs
+      .filter(size(tk) >= 3)
+      .select(col("doc_id"), explode(grams).as("term"))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(eager = false) // fans out: df, norms, pair scoring
+    val n = docs.count()
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val w = tf.join(df.filter(col("df") <= 50), "term")
+      .select(col("doc_id"), col("term"),
+        (col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0))).as("w"))
+    val norms = w.groupBy(col("doc_id"))
+      .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
+    // join key = xxhash64 of the gram: long keys shuffle and compare
+    // several times cheaper than ~20-byte strings, same collision risk
+    // the Jaccard family already accepts (Dedup.hashedTokenSet scaladoc)
+    val u = w.join(norms, "doc_id")
+      .select(col("doc_id"), xxhash64(col("term")).as("th"),
+        (col("w") / col("nrm")).as("u"))
+      .localCheckpoint(eager = false) // self-joined below
+    u.select(col("th"), col("doc_id").as("id1"), col("u").as("u1"))
+      .join(u.select(col("th"), col("doc_id").as("id2"), col("u").as("u2")),
+        "th")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2"))
+      .agg(sum(col("u1") * col("u2")).as("cos"))
+      .filter(col("cos") >= 0.5)
+      .select(col("id1"), col("id2"), round(col("cos"), 4).as("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Winnowing document fingerprints (Schleimer, Wilkerson, Aiken —
     * "Winnowing: Local Algorithms for Document Fingerprinting", SIGMOD'03
     * — the MOSS algorithm; public literature): hash every word 4-gram,
@@ -1203,6 +1249,7 @@ object TextPipeline {
     "doc_segment_dedup" -> (segmentDedup _),
     "doc_span_dedup" -> (spanDedup _),
     "doc_winnow_fps" -> (winnowFingerprints _),
+    "doc_tfidf_cosine_pairs" -> (tfidfCosinePairs _),
     "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
@@ -1411,6 +1458,32 @@ object TextPipeline {
         |  max(d.n_docs) AS max_fp_docs
         |FROM fps f JOIN dc d USING (fp)
         |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin,
+    "doc_tfidf_cosine_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(tk) - 2),
+        |      i -> array_to_string(tk[i+1 : i+3], ' '))) AS term
+        |    FROM toks WHERE len(tk) >= 3) t
+        |  GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |w AS (
+        |  SELECT tf.doc_id, tf.term,
+        |    tf.tf * ln((n.n + 1.0) / (df.df + 1.0)) AS w
+        |  FROM tf JOIN df USING (term) CROSS JOIN n
+        |  WHERE df.df <= 50),
+        |norms AS (SELECT doc_id, sqrt(sum(w * w)) AS nrm FROM w GROUP BY doc_id),
+        |u AS (
+        |  SELECT w.doc_id, w.term, w.w / norms.nrm AS u
+        |  FROM w JOIN norms USING (doc_id)),
+        |scored AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, sum(a.u * b.u) AS cos
+        |  FROM u a JOIN u b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT id1, id2, round(cos, 4) AS cosine
+        |FROM scored WHERE cos >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
     "doc_tfidf_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf
