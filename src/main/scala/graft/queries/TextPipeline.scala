@@ -830,6 +830,37 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The dedup APPLY step the stats queries stop short of (Lee et al.
+    * 2021's "deduplicate, then train" — actually rewriting the corpus):
+    * every 16-token grid segment keeps only its EARLIEST witness
+    * ((doc_id, idx) order — the deterministic keep-first rule), and each
+    * document is REBUILT from its surviving segments in position order.
+    * Emits per-doc survival counts and the md5 of the cleaned text — one
+    * divergent character anywhere fails the oracle row. The earliest-
+    * witness pick is a row_number over the segment key: state per
+    * segment value, never per document, so the shuffle carries the
+    * segment table once and skew lands on AQE like any hot key. */
+  def segmentScrub(s: SparkSession, dir: String): DataFrame = {
+    val tk = TextOps.tokens(col("text"))
+    val segs = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        posexplode(when(size(tk) > 0, transform(
+          sequence(lit(0), ceil(size(tk) / lit(16.0)).cast("int") - 1),
+          i => concat_ws(" ", slice(tk, i * 16 + 1, lit(16)))))
+          .otherwise(array().cast("array<string>"))).as(Seq("idx", "seg")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seg")).orderBy(col("doc_id"), col("idx"))
+    val marked = segs.withColumn("keep", row_number().over(w) === 1)
+    marked.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(col("keep"),
+            struct(col("idx"), col("seg"))))),
+          e => e.getField("seg")), " ")).as("cleaned_md5"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Overlapping repeated-SPAN statistics — the substring-dedup shape of
     * Lee et al. 2021, "Deduplicating Training Data Makes Language Models
     * Better" (public literature): every stride-1 window of 16 tokens is
@@ -1250,6 +1281,7 @@ object TextPipeline {
     "doc_span_dedup" -> (spanDedup _),
     "doc_winnow_fps" -> (winnowFingerprints _),
     "doc_tfidf_cosine_pairs" -> (tfidfCosinePairs _),
+    "doc_segment_scrub" -> (segmentScrub _),
     "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
@@ -1484,6 +1516,24 @@ object TextPipeline {
         |SELECT id1, id2, round(cos, 4) AS cosine
         |FROM scored WHERE cos >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+    "doc_segment_scrub" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |segs AS (
+        |  SELECT doc_id, i AS idx,
+        |    array_to_string(tk[i*16+1 : i*16+16], ' ') AS seg
+        |  FROM toks, LATERAL (SELECT unnest(range(
+        |    CAST(ceil(len(tk) / 16.0) AS INT))) AS i) r
+        |  WHERE len(tk) > 0),
+        |marked AS (
+        |  SELECT doc_id, idx, seg,
+        |    row_number() OVER (PARTITION BY seg ORDER BY doc_id, idx) AS rn
+        |  FROM segs)
+        |SELECT doc_id, count(*) AS n_segs,
+        |  CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  md5(coalesce(
+        |    string_agg(CASE WHEN rn = 1 THEN seg END, ' ' ORDER BY idx),
+        |    '')) AS cleaned_md5
+        |FROM marked GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "doc_tfidf_terms" ->
       """WITH tf AS (
         |  SELECT doc_id, term, count(*) AS tf
