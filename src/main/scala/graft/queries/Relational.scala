@@ -977,6 +977,35 @@ object Relational {
       .orderBy(col("node"))
   }
 
+  /** Bounded-depth reachability over the journey graph (the recursive-
+    * traversal family — WITH RECURSIVE in SQL engines, BFS frontier
+    * expansion here): minimum hop count from source node 0 within 3
+    * hops. Each round joins the CURRENT frontier (small) against the
+    * edge set — the standard distributed BFS where work per round is
+    * O(frontier × out-degree), never all-pairs; the oracle unrolls the
+    * same three relaxations with least() merges. Deterministic integer
+    * output. */
+  def evReachability(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val edges = Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("src", lag(col("k"), 1).over(w))
+      .filter(col("src").isNotNull && col("src") =!= col("k"))
+      .select(col("src"), col("k").as("dst")).distinct()
+      .localCheckpoint(eager = true) // re-joined per BFS round
+    var dist = edges.sparkSession.range(1)
+      .select(lit(0L).as("node"), lit(0).as("hops"))
+    (1 to 3).foreach { _ =>
+      val expanded = dist.join(edges, dist("node") === edges("src"))
+        .select(col("dst").as("node"), (col("hops") + 1).as("hops"))
+      dist = dist.unionByName(expanded)
+        .groupBy(col("node")).agg(min(col("hops")).as("hops"))
+        .localCheckpoint(eager = true)
+    }
+    dist.orderBy(col("node"))
+  }
+
   /** Slowly-changing-dimension Type 2 history build (the Kimball SCD2
     * shape every warehouse maintains): per user, each change of
     * event_type opens a new validity interval, closed by the next
@@ -1123,6 +1152,7 @@ object Relational {
     "ev_triangles" -> (evTriangles _),
     "ev_scd2" -> (evScd2 _),
     "ev_equidepth_hist" -> (evEquidepthHist _),
+    "ev_reachability" -> (evReachability _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
     "q42_market_share" -> (q42MarketShare _),
@@ -1471,6 +1501,40 @@ object Relational {
         |  UNION ALL SELECT c FROM tri)
         |SELECT node, count(*) AS n_triangles
         |FROM corners GROUP BY node ORDER BY node""".stripMargin,
+    "ev_reachability" ->
+      """WITH ev AS (
+        |  SELECT user_id, ts, event_id,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |  FROM events),
+        |tr AS (
+        |  SELECT lag(k) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS src, k
+        |  FROM ev),
+        |edges AS (
+        |  SELECT DISTINCT src, k AS dst FROM tr
+        |  WHERE src IS NOT NULL AND src <> k),
+        |d0 AS (SELECT CAST(0 AS BIGINT) AS node, 0 AS hops),
+        |d1 AS (
+        |  SELECT node, min(hops) AS hops FROM (
+        |    SELECT node, hops FROM d0
+        |    UNION ALL
+        |    SELECT e.dst AS node, d0.hops + 1 AS hops
+        |    FROM d0 JOIN edges e ON d0.node = e.src) t
+        |  GROUP BY node),
+        |d2 AS (
+        |  SELECT node, min(hops) AS hops FROM (
+        |    SELECT node, hops FROM d1
+        |    UNION ALL
+        |    SELECT e.dst AS node, d1.hops + 1 AS hops
+        |    FROM d1 JOIN edges e ON d1.node = e.src) t
+        |  GROUP BY node),
+        |d3 AS (
+        |  SELECT node, min(hops) AS hops FROM (
+        |    SELECT node, hops FROM d2
+        |    UNION ALL
+        |    SELECT e.dst AS node, d2.hops + 1 AS hops
+        |    FROM d2 JOIN edges e ON d2.node = e.src) t
+        |  GROUP BY node)
+        |SELECT node, hops FROM d3 ORDER BY node""".stripMargin,
     "ev_scd2" ->
       """WITH ev AS (
         |  SELECT user_id, ts, event_id, event_type
