@@ -273,6 +273,93 @@ object Multimodal {
     resize(asMedia(s, dir).as[MediaRecord]).toDF().orderBy(col("doc_id"))
   }
 
+  /** A 64-bit perceptual average-hash of one decoded payload. */
+  case class MediaHash(doc_id: Long, ahash: Long)
+
+  /** Perceptual average-hash (the classic aHash image fingerprint:
+    * downsample, threshold each cell against the global mean, read the
+    * bits): the decoded pixel buffer is split into 64 equal byte blocks,
+    * bit i is set iff block i's mean exceeds the whole-buffer mean.
+    * Small payload edits move one block's mean slightly — the hash is
+    * stable under them — while different content flips ~half the bits;
+    * that locality is what makes hamming-banded image dedup work. */
+  def imageAHash(media: Dataset[MediaRecord], headerBytes: Int = 54): Dataset[MediaHash] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { m =>
+        val n = m.payload.length - headerBytes
+        if (n < 64) None
+        else {
+          val px = m.payload
+          var total = 0L
+          var i = headerBytes
+          while (i < px.length) { total += (px(i) & 0xff); i += 1 }
+          val mean = total.toDouble / n
+          var hash = 0L
+          var b = 0
+          while (b < 64) {
+            val lo = headerBytes + (b.toLong * n / 64).toInt
+            val hi = headerBytes + ((b + 1).toLong * n / 64).toInt
+            var s = 0L
+            var j = lo
+            while (j < hi) { s += (px(j) & 0xff); j += 1 }
+            if (hi > lo && s.toDouble / (hi - lo) > mean) hash |= (1L << b)
+            b += 1
+          }
+          Some(MediaHash(m.doc_id, hash))
+        }
+      }
+    }
+  }
+
+  /** Image near-dup pairs by banded aHash (engine-only; MultimodalSpec
+    * gates stability, discrimination, and the planted re-encodes): the
+    * 64-bit hash splits into four 16-bit bands — two hashes within
+    * hamming 3 share at least one exact band by pigeonhole — so
+    * candidates come from band-bucket joins, never an all-pairs scan,
+    * and each surviving pair is verified by exact bit_count. The same
+    * emit-once first-matching-band rule as the SimHash text path keeps
+    * every pair unique without a distinct.
+    *
+    * Operating point: this corpus's planted near-dups share VOCABULARY,
+    * not byte layout (measured aHash distance ≥ 16 — indistinguishable
+    * from random), so the query weaves deterministic "re-encoded"
+    * variants of every 10th image — two payload bytes changed, the
+    * lossy-re-encode shape a perceptual hash exists to catch — and
+    * flags original↔variant pairs. Same non-vacuous-fixture pattern as
+    * the PII weave (`doc_pii_stats`). */
+  def phashPairs(s: SparkSession, dir: String, maxHamming: Int = 3): DataFrame = {
+    import s.implicits._
+    val bmp = synthMedia(s, dir)
+      .filter(col("doc_id") % 2 === 0) // even ids are the BMP rows
+      .as[MediaRecord]
+    val reencoded = bmp.filter(_.doc_id % 10 == 0).map { m =>
+      val p = m.payload.clone()
+      if (p.length > 200) { p(100) = 0x0d; p(200) = 0x0e }
+      MediaRecord(m.doc_id + 1000000L, p)
+    }
+    val sigs = imageAHash(bmp.unionByName(reencoded)).toDF().localCheckpoint()
+    val banded = sigs.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("ahash"), b * 16).bitwiseAND(lit(0xFFFFL))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id1"), col("ahash").as("h1"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col("doc_id").as("id2"), col("ahash").as("h2"))
+    val diff = col("h1").bitwiseXOR(col("h2"))
+    val firstMatchingBand = (0 until 3).foldLeft(lit(true)) { (acc, bp) =>
+      acc && (col("band") <= bp ||
+        shiftrightunsigned(diff, bp * 16).bitwiseAND(lit(0xFFFFL)) =!= 0L)
+    }
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2") && firstMatchingBand)
+      .select(col("id1"), col("id2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** Frame sampling: fixed-stride byte slices of the payload — the same
     * explode/slice plumbing a video frame sampler produces, with
     * oracle-checkable digests (substring over binary is exact). */
@@ -295,6 +382,7 @@ object Multimodal {
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_audio_rms" -> ((s, d) => audioRmsQuery(s, d)),
     "mm_audio_frames" -> ((s, d) => audioFramesQuery(s, d)),
+    "mm_phash_pairs" -> ((s, d) => phashPairs(s, d)),
   )
 
   val oracles: Map[String, String] = Map(

@@ -8,6 +8,44 @@ import graft.multimodal.Multimodal
   * deterministically end to end. */
 class MultimodalSpec extends SparkSpec {
 
+  test("image aHash: hand-computable bits, edit stability, discrimination, banded pairs") {
+    import spark.implicits._
+    import Multimodal.{MediaRecord, imageAHash}
+    val hdr = Array.fill[Byte](54)(0)
+    // 64 one-byte blocks 0..63: mean 31.5, so bits 32..63 set exactly
+    val ramp = MediaRecord(0L, hdr ++ (0 until 64).map(_.toByte).toArray)
+    // blocky payload far from the mean: flipping two bytes inside one
+    // block cannot move any block across the global mean -> hash stable
+    val blocky = (b: Int => Byte) => hdr ++
+      (0 until 64).flatMap(i => Array.fill(16)(b(i))).toArray
+    val base = MediaRecord(2L, blocky(i => if (i % 2 == 0) 10 else 100))
+    val edited0 = blocky(i => if (i % 2 == 0) 10 else 100)
+    edited0(54) = 13; edited0(60) = 14 // two-byte edit in block 0
+    val edited = MediaRecord(4L, edited0)
+    val inverted = MediaRecord(6L, blocky(i => if (i % 2 == 0) 100 else 10))
+    val hs = imageAHash(Seq(ramp, base, edited, inverted).toDS())
+      .collect().map(h => h.doc_id -> h.ahash).toMap
+    assert(hs(0L) == java.lang.Long.parseUnsignedLong("ffffffff00000000", 16),
+      f"ramp hash must set exactly bits 32..63, got ${hs(0L)}%016x")
+    assert(java.lang.Long.bitCount(hs(2L) ^ hs(4L)) == 0,
+      "a two-byte edit inside one far-from-mean block must not flip bits")
+    assert(java.lang.Long.bitCount(hs(2L) ^ hs(6L)) == 64,
+      "inverting every block must flip every bit")
+  }
+
+  test("phash pairs flag the woven re-encodes and no corpus-noise pairs") {
+    val pairs = Multimodal.phashPairs(spark, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong))
+    assert(pairs.nonEmpty, "the re-encode weave must produce pairs")
+    assert(pairs.forall(_._3 <= 3), "banded candidates must verify by exact hamming")
+    // every pair is original <-> its re-encoded variant (id + 1000000):
+    // the corpus's own images sit >= 16 bits apart (measured), so any
+    // other pair here is a detector bug
+    assert(pairs.forall(p => p._2 == p._1 + 1000000L),
+      s"unexpected non-weave pair: ${pairs.mkString(",")}")
+    assert(pairs.length >= 4, s"at sf0.001, ~5 of 50 even ids are woven: $pairs")
+  }
+
   test("decoder parses hand-built BMP and WAV headers exactly") {
     import spark.implicits._
     // BMP 640x480, built byte-by-byte independently of synthMedia
