@@ -830,6 +830,36 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** Near-dup pairs from shared winnowing fingerprints — MOSS's actual
+    * match step: two documents pair when they share at least 40% of the
+    * smaller one's fingerprint set (containment, not Jaccard — a short
+    * doc embedded in a long one should flag). Candidates come from the
+    * fingerprint-keyed self-join, so the pair space is Σ_fp df(fp)² over
+    * the SAMPLED fingerprints (~2/(w+1) of all grams) rather than every
+    * shared span; the overlap count then aggregates per pair. */
+  def winnowPairs(s: SparkSession, dir: String): DataFrame = {
+    val fps = Tables.documents(s, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps(col("text"), 4, 5)).as("fp"))
+      .localCheckpoint(eager = false) // fan-out: sizes + pair join
+    val sizes = fps.groupBy(col("doc_id")).agg(count(lit(1)).as("n_fps"))
+    val shared = fps.select(col("fp"), col("doc_id").as("id1"))
+      .join(fps.select(col("fp"), col("doc_id").as("id2")), "fp")
+      .filter(col("id1") < col("id2"))
+      .groupBy(col("id1"), col("id2")).agg(count(lit(1)).as("n_shared"))
+    shared
+      .join(sizes.withColumnRenamed("doc_id", "id1")
+        .withColumnRenamed("n_fps", "n1"), "id1")
+      .join(sizes.withColumnRenamed("doc_id", "id2")
+        .withColumnRenamed("n_fps", "n2"), "id2")
+      .withColumn("containment",
+        col("n_shared").cast("double") / least(col("n1"), col("n2")))
+      .filter(col("containment") >= 0.4)
+      .select(col("id1"), col("id2"), col("n_shared"),
+        round(col("containment"), 4).as("containment"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** The dedup APPLY step the stats queries stop short of (Lee et al.
     * 2021's "deduplicate, then train" — actually rewriting the corpus):
     * every 16-token grid segment keeps only its EARLIEST witness
@@ -1282,6 +1312,7 @@ object TextPipeline {
     "doc_winnow_fps" -> (winnowFingerprints _),
     "doc_tfidf_cosine_pairs" -> (tfidfCosinePairs _),
     "doc_segment_scrub" -> (segmentScrub _),
+    "doc_winnow_pairs" -> (winnowPairs _),
     "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
@@ -1515,6 +1546,30 @@ object TextPipeline {
         |  GROUP BY 1, 2)
         |SELECT id1, id2, round(cos, 4) AS cosine
         |FROM scored WHERE cos >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+    "doc_winnow_pairs" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(tk) - 3),
+        |    i -> array_to_string(tk[i+1 : i+4], ' ')) AS g
+        |  FROM toks WHERE len(tk) >= 8),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(g) - 4),
+        |      j -> list_min(g[j+1 : j+5]))) AS fp
+        |    FROM grams) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |sc AS (
+        |  SELECT id1, id2, n_shared,
+        |    n_shared * 1.0 / least(s1.n, s2.n) AS containment
+        |  FROM shared JOIN sizes s1 ON s1.doc_id = id1
+        |              JOIN sizes s2 ON s2.doc_id = id2)
+        |SELECT id1, id2, n_shared, round(containment, 4) AS containment
+        |FROM sc WHERE containment >= 0.4
         |ORDER BY id1, id2""".stripMargin,
     "doc_segment_scrub" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
