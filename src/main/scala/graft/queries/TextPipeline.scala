@@ -860,6 +860,28 @@ object TextPipeline {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Hybrid retrieval rerank — the two-stage shape every production
+    * search/dedup stack runs: CHEAP text candidates (winnowing
+    * containment ≥ 0.4, the sampled-fingerprint join) reranked by an
+    * EXPENSIVE exact embedding cosine computed only for the surviving
+    * pairs. The embedding join touches |pairs| rows, never the corpus
+    * squared, and the fused VecDot loop scores each pair in one pass —
+    * at 100 TB the text stage is what makes the vector stage affordable. */
+  def hybridRerank(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.VecDot
+    val emb = Tables.embeddings(s, dir)
+    val e1 = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"))
+    val e2 = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"))
+    winnowPairs(s, dir)
+      .join(e1, "id1").join(e2, "id2")
+      .withColumn("emb_cosine",
+        VecDot(col("e1"), col("e2")) /
+          (sqrt(VecDot(col("e1"), col("e1"))) * sqrt(VecDot(col("e2"), col("e2")))))
+      .select(col("id1"), col("id2"), col("containment"),
+        round(col("emb_cosine"), 4).as("emb_cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   /** The dedup APPLY step the stats queries stop short of (Lee et al.
     * 2021's "deduplicate, then train" — actually rewriting the corpus):
     * every 16-token grid segment keeps only its EARLIEST witness
@@ -1313,6 +1335,7 @@ object TextPipeline {
     "doc_tfidf_cosine_pairs" -> (tfidfCosinePairs _),
     "doc_segment_scrub" -> (segmentScrub _),
     "doc_winnow_pairs" -> (winnowPairs _),
+    "doc_hybrid_rerank" -> (hybridRerank _),
     "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_editdist_pairs" -> (editDistancePairs _),
@@ -1571,6 +1594,42 @@ object TextPipeline {
         |SELECT id1, id2, n_shared, round(containment, 4) AS containment
         |FROM sc WHERE containment >= 0.4
         |ORDER BY id1, id2""".stripMargin,
+    "doc_hybrid_rerank" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+        |grams AS (
+        |  SELECT doc_id, list_transform(range(len(tk) - 3),
+        |    i -> array_to_string(tk[i+1 : i+4], ' ')) AS g
+        |  FROM toks WHERE len(tk) >= 8),
+        |fps AS (
+        |  SELECT DISTINCT doc_id, fp FROM (
+        |    SELECT doc_id, unnest(list_transform(range(len(g) - 4),
+        |      j -> list_min(g[j+1 : j+5]))) AS fp
+        |    FROM grams) u),
+        |sizes AS (SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS n_shared
+        |  FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cand AS (
+        |  SELECT id1, id2,
+        |    round(n_shared * 1.0 / least(s1.n, s2.n), 4) AS containment
+        |  FROM shared JOIN sizes s1 ON s1.doc_id = id1
+        |              JOIN sizes s2 ON s2.doc_id = id2
+        |  WHERE n_shared * 1.0 / least(s1.n, s2.n) >= 0.4)
+        |SELECT c.id1, c.id2, c.containment,
+        |  round(
+        |    list_aggregate(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE)
+        |           * CAST(b.embedding[i] AS DOUBLE)), 'sum')
+        |    / (sqrt(list_aggregate(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |       * sqrt(list_aggregate(list_transform(b.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))),
+        |    4) AS emb_cosine
+        |FROM cand c
+        |JOIN embeddings a ON a.vec_id = c.id1
+        |JOIN embeddings b ON b.vec_id = c.id2
+        |ORDER BY c.id1, c.id2""".stripMargin,
     "doc_segment_scrub" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
         |segs AS (
