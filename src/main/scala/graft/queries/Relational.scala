@@ -726,6 +726,20 @@ object Relational {
       .orderBy(col("n").desc, col("trigram")).limit(20)
   }
 
+  /** Per-user consecutive transitions between `props.k` pages —
+    * (src, dst) per adjacent event pair, the edge stream the graph
+    * queries (PageRank, triangles, reachability) all start from. One
+    * user-keyed window; self-loop handling is per-query. */
+  private def kTransitions(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    Tables.events(s, dir)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .withColumn("src", lag(col("k"), 1).over(w))
+      .filter(col("src").isNotNull)
+      .select(col("src"), col("k").as("dst"))
+  }
+
   /** Link-centrality ranking of the journey graph: per-user event
     * transitions between `props.k` pages form a weighted edge list, and
     * three damped PageRank rounds score each page — the crawl-budget /
@@ -736,13 +750,8 @@ object Relational {
     * both engines run the identical IEEE arithmetic, and round(6)
     * absorbing summation-order noise. */
   def evPagerank(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val edges = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .withColumn("src", lag(col("k"), 1).over(w))
-      .filter(col("src").isNotNull)
-      .groupBy(col("src"), col("k").as("dst"))
+    val edges = kTransitions(s, dir)
+      .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).cast("double").as("weight"))
     PageRank.run(edges, iters = 3, damping = 0.85)
       .select(col("node"), round(col("rank"), 6).as("rank"))
@@ -940,15 +949,10 @@ object Relational {
     * joins shuffle on node keys and AQE handles residual skew. Output is
     * per-node triangle participation (integer-exact, no fp concerns). */
   def evTriangles(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val raw = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .withColumn("prev", lag(col("k"), 1).over(w))
-      .filter(col("prev").isNotNull && col("prev") =!= col("k"))
-    val und = raw
-      .select(least(col("prev"), col("k")).as("u"),
-        greatest(col("prev"), col("k")).as("v"))
+    val und = kTransitions(s, dir)
+      .filter(col("src") =!= col("dst"))
+      .select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v"))
       .distinct()
     val deg = und.select(col("u").as("node"))
       .unionAll(und.select(col("v").as("node")))
@@ -986,13 +990,8 @@ object Relational {
     * same three relaxations with least() merges. Deterministic integer
     * output. */
   def evReachability(s: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-    val edges = Tables.events(s, dir)
-      .select(col("user_id"), col("ts"), col("event_id"),
-        get_json_object(col("props"), "$.k").cast("long").as("k"))
-      .withColumn("src", lag(col("k"), 1).over(w))
-      .filter(col("src").isNotNull && col("src") =!= col("k"))
-      .select(col("src"), col("k").as("dst")).distinct()
+    val edges = kTransitions(s, dir)
+      .filter(col("src") =!= col("dst")).distinct()
       .localCheckpoint(eager = true) // re-joined per BFS round
     var dist = edges.sparkSession.range(1)
       .select(lit(0L).as("node"), lit(0).as("hops"))
