@@ -21,6 +21,21 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("l_tax"), "scan must prune unused columns (l_tax unused)")
   }
 
+  test("round-7 queries prune their scans to the columns they use") {
+    // winnow reads (doc_id, text) only; ER reads three customer columns;
+    // a scan dragging unused columns through a fingerprint explode or a
+    // blocked self-join is pure wasted IO at 100 TB
+    val pw = plan("doc_winnow_fps")
+    assert(!pw.contains("n_chars") && !pw.contains("lang"),
+      s"winnow scan must prune documents to (doc_id, text):\n$pw")
+    val pe = plan("cust_entity_resolution")
+    assert(!pe.contains("c_mktsegment") && !pe.contains("c_nationkey"),
+      s"ER scan must prune customer to (key, name, acctbal):\n$pe")
+    val ph = plan("ev_equidepth_hist")
+    assert(!ph.contains("props") && !ph.contains("user_id"),
+      s"histogram must scan only (event_type?, value) columns:\n$ph")
+  }
+
   test("q05: star-join dimensions broadcast, fact join shuffles") {
     val p = plan("q05_local_supplier")
     assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
