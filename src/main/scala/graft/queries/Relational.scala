@@ -917,6 +917,54 @@ object Relational {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** TPC-H Q15's shape — top supplier(s) by quarterly revenue via a
+    * derived aggregate joined against its own maximum (the "view +
+    * HAVING max" classic, tie-preserving). Revenue accumulates as
+    * DECIMAL(18,4) (order-free — the q42/q43 lesson) and the max-match
+    * happens on the EXACT decimal before any rounding, so ties survive
+    * fp formatting. The max is a one-row broadcast; nothing re-sorts the
+    * revenue table. */
+  def q54TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(s, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .cast("decimal(18,4)")).as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(s, dir),
+        col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("total_revenue").cast("double"), 2).as("total_revenue"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** Supply-concentration analysis (the Q20-adjacent shape, partsupp-
+    * free): per-part Herfindahl index over supplier quantity shares —
+    * the standard concentration statistic — with the 20 most
+    * concentrated multi-supplier parts reported. Quantities are
+    * integer-valued doubles so group sums are exact; HHI rounds to 6dp
+    * BEFORE the ordering, with partkey as the tiebreak, so the top-20
+    * cut is engine-stable. One (part, supplier) aggregate + one
+    * part-window; no self-join. */
+  def q55SupplierConcentration(s: SparkSession, dir: String): DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as("qty"))
+    val w = Window.partitionBy(col("l_partkey"))
+    val share = col("qty") / col("part_qty")
+    ps.withColumn("part_qty", sum(col("qty")).over(w))
+      .withColumn("n_supp", count(lit(1)).over(w))
+      .filter(col("n_supp") >= 2)
+      .groupBy(col("l_partkey"))
+      .agg(max(col("n_supp")).as("n_supp"),
+        round(sum(share * share), 6).as("hhi"),
+        round(max(share), 4).as("top_share"))
+      .orderBy(col("hhi").desc, col("l_partkey"))
+      .limit(20)
+  }
+
   /** Equi-depth histogram of `value` (the ANALYZE-TABLE histogram every
     * optimizer builds): decile boundaries from ONE exact-percentile
     * aggregate, then a distributed bucket-assignment pass — never an
@@ -1152,6 +1200,8 @@ object Relational {
     "ev_scd2" -> (evScd2 _),
     "ev_equidepth_hist" -> (evEquidepthHist _),
     "ev_reachability" -> (evReachability _),
+    "q54_top_supplier" -> (q54TopSupplier _),
+    "q55_supplier_concentration" -> (q55SupplierConcentration _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
     "q42_market_share" -> (q42MarketShare _),
@@ -1457,6 +1507,35 @@ object Relational {
         |        4) AS ewma,
         |  round(max(CASE WHEN rn = n THEN x END), 4) AS last_mean
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "q54_top_supplier" ->
+      """WITH rev AS (
+        |  SELECT l_suppkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)))
+        |      AS total_revenue
+        |  FROM lineitem
+        |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |    AND l_shipdate < TIMESTAMP '1996-04-01'
+        |  GROUP BY l_suppkey)
+        |SELECT s_suppkey, s_name,
+        |  round(CAST(total_revenue AS DOUBLE), 2) AS total_revenue
+        |FROM rev JOIN supplier ON l_suppkey = s_suppkey
+        |WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+        |ORDER BY s_suppkey""".stripMargin,
+    "q55_supplier_concentration" ->
+      """WITH ps AS (
+        |  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+        |  FROM lineitem GROUP BY l_partkey, l_suppkey),
+        |shares AS (
+        |  SELECT l_partkey, l_suppkey, qty,
+        |    sum(qty) OVER (PARTITION BY l_partkey) AS part_qty,
+        |    count(*) OVER (PARTITION BY l_partkey) AS n_supp
+        |  FROM ps)
+        |SELECT l_partkey, max(n_supp) AS n_supp,
+        |  round(sum((qty / part_qty) * (qty / part_qty)), 6) AS hhi,
+        |  round(max(qty / part_qty), 4) AS top_share
+        |FROM shares WHERE n_supp >= 2
+        |GROUP BY l_partkey
+        |ORDER BY hhi DESC, l_partkey LIMIT 20""".stripMargin,
     "ev_equidepth_hist" ->
       """WITH bounds AS (
         |  SELECT quantile_cont(value,

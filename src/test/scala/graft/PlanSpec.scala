@@ -291,6 +291,7 @@ class PlanSpec extends SparkSpec {
       "doc_tfidf_terms",      // global N: one count row per partition
       "doc_dsir_weights",     // global corpus totals: one partial row per partition
       "ev_equidepth_hist",    // single-row decile-boundary aggregate
+      "q54_top_supplier",     // single-row max-revenue aggregate
       "q06_revenue_forecast", // single-row global aggregate
       "q37_gap_fill",         // bounded hour-grid generator
       "q46_profile",          // single-row stats aggregate
