@@ -917,6 +917,66 @@ object Relational {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** Data-quality assertion suite (the Deequ / Great-Expectations shape
+    * every production lake runs nightly): one row per check —
+    * primary-key uniqueness, foreign-key orphans, null counts, domain
+    * ranges — with the violation count and verdict. Each check is an
+    * aggregate over one scan (the FK check is a left-anti join); the
+    * suite unions fixed single-row results, so the output is bounded by
+    * the check count, never the data. */
+  def dqChecks(s: SparkSession, dir: String): DataFrame = {
+    def row(name: String, target: String,
+            violations: org.apache.spark.sql.Column, df: DataFrame) =
+      df.agg(violations.cast("long").as("violations"))
+        .select(lit(name).as("check"), lit(target).as("target"),
+          col("violations"), (col("violations") === 0L).as("pass"))
+    val li = Tables.lineitem(s, dir)
+    val orders = Tables.orders(s, dir)
+    val cust = Tables.customer(s, dir)
+    val checks = Seq(
+      row("pk_unique", "orders",
+        count(lit(1)) - countDistinct(col("o_orderkey")), orders),
+      row("pk_unique", "customer",
+        count(lit(1)) - countDistinct(col("c_custkey")), cust),
+      row("fk_orphans", "lineitem->orders", count(lit(1)),
+        li.join(orders, li("l_orderkey") === orders("o_orderkey"), "left_anti")),
+      row("fk_orphans", "orders->customer", count(lit(1)),
+        orders.join(cust, orders("o_custkey") === cust("c_custkey"), "left_anti")),
+      row("not_null", "lineitem.l_quantity",
+        sum(when(col("l_quantity").isNull, 1L).otherwise(0L)), li),
+      row("range_0_1", "lineitem.l_discount",
+        sum(when(col("l_discount") < 0 || col("l_discount") > 1, 1L)
+          .otherwise(0L)), li),
+      row("nonnegative", "lineitem.l_extendedprice",
+        sum(when(col("l_extendedprice") < 0, 1L).otherwise(0L)), li))
+    checks.reduce(_ unionByName _).orderBy(col("check"), col("target"))
+  }
+
+  /** Snapshot diff (the run-over-run regression detector every pipeline
+    * needs): per-user value aggregates at the PREVIOUS snapshot (events
+    * before the cut) vs the CURRENT one (all events), classified into
+    * added / changed / unchanged keys per event type. One full-outer
+    * join of two aggregates of the same scan; counts only, so the
+    * output is bounded by the type space. */
+  def evSnapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    val cut = ts("2024-01-20 00:00:00")
+    def snap(df: DataFrame) = df.groupBy(col("event_type"), col("user_id"))
+      .agg(count(lit(1)).as("n"))
+    val old = snap(ev.filter(col("ts") < cut))
+      .withColumnRenamed("n", "n_old")
+    val cur = snap(ev).withColumnRenamed("n", "n_cur")
+    old.join(cur, Seq("event_type", "user_id"), "full_outer")
+      .withColumn("state",
+        when(col("n_old").isNull, "added")
+          .when(col("n_cur").isNull, "removed")
+          .when(col("n_old") === col("n_cur"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("event_type"), col("state"))
+      .agg(count(lit(1)).as("n_keys"))
+      .orderBy(col("event_type"), col("state"))
+  }
+
   /** TPC-H Q15's shape — top supplier(s) by quarterly revenue via a
     * derived aggregate joined against its own maximum (the "view +
     * HAVING max" classic, tie-preserving). Revenue accumulates as
@@ -1201,6 +1261,8 @@ object Relational {
     "ev_equidepth_hist" -> (evEquidepthHist _),
     "ev_reachability" -> (evReachability _),
     "q54_top_supplier" -> (q54TopSupplier _),
+    "dq_checks" -> (dqChecks _),
+    "ev_snapshot_diff" -> (evSnapshotDiff _),
     "q55_supplier_concentration" -> (q55SupplierConcentration _),
     "q40_sessionize" -> (q40Sessionize _),
     "q41_stratified_sample" -> (q41StratifiedSample _),
@@ -1507,6 +1569,56 @@ object Relational {
         |        4) AS ewma,
         |  round(max(CASE WHEN rn = n THEN x END), 4) AS last_mean
         |FROM r GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "dq_checks" ->
+      """SELECT * FROM (
+        |  SELECT 'pk_unique' AS check, 'orders' AS target,
+        |    CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT) AS violations,
+        |    count(*) = count(DISTINCT o_orderkey) AS pass FROM orders
+        |  UNION ALL
+        |  SELECT 'pk_unique', 'customer',
+        |    CAST(count(*) - count(DISTINCT c_custkey) AS BIGINT),
+        |    count(*) = count(DISTINCT c_custkey) FROM customer
+        |  UNION ALL
+        |  SELECT 'fk_orphans', 'lineitem->orders',
+        |    CAST(count(*) AS BIGINT), count(*) = 0
+        |  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+        |  UNION ALL
+        |  SELECT 'fk_orphans', 'orders->customer',
+        |    CAST(count(*) AS BIGINT), count(*) = 0
+        |  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+        |  UNION ALL
+        |  SELECT 'not_null', 'lineitem.l_quantity',
+        |    CAST(sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_quantity IS NULL THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'range_0_1', 'lineitem.l_discount',
+        |    CAST(sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |             THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_discount < 0 OR l_discount > 1
+        |        THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |  UNION ALL
+        |  SELECT 'nonnegative', 'lineitem.l_extendedprice',
+        |    CAST(sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) AS BIGINT),
+        |    sum(CASE WHEN l_extendedprice < 0 THEN 1 ELSE 0 END) = 0 FROM lineitem
+        |) t ORDER BY "check", target""".stripMargin,
+    "ev_snapshot_diff" ->
+      """WITH old AS (
+        |  SELECT event_type, user_id, count(*) AS n_old
+        |  FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00'
+        |  GROUP BY 1, 2),
+        |cur AS (
+        |  SELECT event_type, user_id, count(*) AS n_cur
+        |  FROM events GROUP BY 1, 2),
+        |j AS (
+        |  SELECT coalesce(o.event_type, c.event_type) AS event_type,
+        |    CASE WHEN o.n_old IS NULL THEN 'added'
+        |         WHEN c.n_cur IS NULL THEN 'removed'
+        |         WHEN o.n_old = c.n_cur THEN 'unchanged'
+        |         ELSE 'changed' END AS state
+        |  FROM old o FULL OUTER JOIN cur c
+        |    ON o.event_type = c.event_type AND o.user_id = c.user_id)
+        |SELECT event_type, state, count(*) AS n_keys
+        |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q54_top_supplier" ->
       """WITH rev AS (
         |  SELECT l_suppkey,

@@ -292,6 +292,7 @@ class PlanSpec extends SparkSpec {
       "doc_dsir_weights",     // global corpus totals: one partial row per partition
       "ev_equidepth_hist",    // single-row decile-boundary aggregate
       "q54_top_supplier",     // single-row max-revenue aggregate
+      "dq_checks",            // 7 single-row check aggregates unioned
       "q06_revenue_forecast", // single-row global aggregate
       "q37_gap_fill",         // bounded hour-grid generator
       "q46_profile",          // single-row stats aggregate
