@@ -1,0 +1,76 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Targeted key DELETION from a partitioned parquet lake — the
+  * right-to-be-forgotten / takedown maintenance job (no analogue in the
+  * reference, which only ever appends: `lake/lake.go` — but any lake
+  * that ingests user data needs the inverse operation).
+  *
+  * The 100 TB point is what does NOT get rewritten: a naive delete
+  * rescans and rewrites the whole table for a handful of keys. Here:
+  *
+  *  1. ONE pruned pass finds the distinct partitions that actually
+  *     contain victim keys (semi-join, aggregated to the partition
+  *     cols — the only driver-sized data in play),
+  *  2. only those partitions are re-read, anti-joined against the key
+  *     set (broadcast — a deletion list is small by nature),
+  *  3. dynamic partition OVERWRITE replaces just the touched
+  *     partitions (the Compaction recipe, including the eager
+  *     checkpoint so the write never overlaps its own read).
+  *
+  * Untouched partitions keep their very FILES — TargetedDeleteSpec
+  * asserts file identity, not just content. Deleting from an
+  * unpartitioned table degrades to a full rewrite, which is the honest
+  * cost floor; callers at scale partition their lakes.
+  */
+object TargetedDelete {
+
+  /** Delete every row whose `keyCol` appears in `keys` from the
+    * partitioned table at `tableDir`. Returns the number of partitions
+    * rewritten. */
+  def delete(spark: SparkSession, tableDir: String, partitionCols: Seq[String],
+             keyCol: String, keys: DataFrame): Long = {
+    require(partitionCols.nonEmpty,
+      "targeted delete needs a partitioned table; unpartitioned = full rewrite")
+    val table = spark.read.parquet(tableDir)
+    val keyList = keys.select(col(keyCol)).distinct()
+    // pass 1: which partitions hold victims? (pruned to partition cols)
+    val touched = table
+      .join(broadcast(keyList), Seq(keyCol), "left_semi")
+      .select(partitionCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val n = touched.count()
+    if (n > 0L) {
+      // pass 2: re-read ONLY those partitions, drop victims, overwrite
+      val slice = table.join(broadcast(touched), partitionCols, "left_semi")
+      val remaining = slice
+        .join(broadcast(keyList), Seq(keyCol), "left_anti")
+        .select(table.columns.map(col): _*)
+        .localCheckpoint() // eager: the write overwrites what was read
+      remaining
+        .write.partitionBy(partitionCols: _*)
+        .option("partitionOverwriteMode", "dynamic")
+        .mode("overwrite").parquet(tableDir)
+      // dynamic overwrite only replaces partitions PRESENT in the
+      // written frame — a partition whose every row was a victim writes
+      // nothing and would silently keep its files. Remove those dirs
+      // through the Hadoop FS API (works on any scheme, the
+      // upsertStream lesson — never java.io.File).
+      val emptied = touched.join(
+        remaining.select(partitionCols.map(col): _*).distinct(),
+        partitionCols, "left_anti").collect()
+      if (emptied.nonEmpty) {
+        val base = new org.apache.hadoop.fs.Path(tableDir)
+        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        emptied.foreach { row =>
+          val rel = partitionCols.zipWithIndex
+            .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
+          fs.delete(new org.apache.hadoop.fs.Path(base, rel), true)
+        }
+      }
+    }
+    n
+  }
+}

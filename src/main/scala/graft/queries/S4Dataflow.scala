@@ -149,8 +149,37 @@ object S4Dataflow {
       .orderBy(col("event_type"))
   }
 
+  /** The targeted-delete maintenance op as an oracle row: build a
+    * partitioned lake from events, DELETE every row of the victim users
+    * (user_id ≡ 3 mod 10) through [[graft.operators.TargetedDelete]] —
+    * pruned rewrite of only the touched partitions — then report
+    * per-partition survivor aggregates. The oracle recomputes the same
+    * aggregates relationally with the victims excluded, so a green row
+    * proves the lake's post-delete CONTENT equals the relational
+    * delete; TargetedDeleteSpec separately proves untouched partitions
+    * keep their very files. */
+  def targetedDelete(s: SparkSession, dir: String): DataFrame = {
+    val path = s"${System.getProperty("java.io.tmpdir")}/graft_tdelete/" +
+      dir.replaceAll("[^a-zA-Z0-9]", "_")
+    val ev = Tables.events(s, dir)
+      .select(col("event_id"), col("event_type"), col("user_id"), col("value"))
+    ev.repartition(8)
+      .write.mode("overwrite").partitionBy("event_type").parquet(path)
+    val victims = ev.filter(col("user_id") % 10 === 3)
+      .select(col("user_id")).distinct()
+    graft.operators.TargetedDelete.delete(
+      s, path, Seq("event_type"), "user_id", victims)
+    s.read.parquet(path)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).as("n_users"),
+        sum(col("value").cast("decimal(18,4)")).cast("double").as("sum_value"))
+      .orderBy(col("event_type"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "s4_compact_lake" -> (compactLake _),
+    "s4_targeted_delete" -> (targetedDelete _),
     "s4_flush_window" -> (flushWindow _),
     "s4_json_validity" -> (jsonValidity _),
     "s4_json_extract" -> (jsonExtract _),
@@ -168,6 +197,12 @@ object S4Dataflow {
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value,
         |  1 AS n_files
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+    "s4_targeted_delete" ->
+      """SELECT event_type, count(*) AS n_rows,
+        |  count(DISTINCT user_id) AS n_users,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events WHERE user_id % 10 <> 3
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "s4_flush_window" ->
       """SELECT epoch_us(time_bucket(INTERVAL 5 minutes, ts)) AS window_start_us,
         | count(*) AS n_records, CAST(sum(length(props)) AS BIGINT) AS batch_bytes

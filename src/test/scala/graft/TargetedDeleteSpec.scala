@@ -1,0 +1,88 @@
+package graft
+
+import java.nio.file.{Files, Path}
+import org.apache.spark.sql.functions._
+import graft.operators.TargetedDelete
+
+/** Gates for the targeted-delete lake maintenance operator: victims
+  * gone, survivors intact, untouched partitions keep their very FILES
+  * (identity, not just content), and a fully-victim partition's
+  * directory disappears rather than silently surviving the dynamic
+  * overwrite. */
+class TargetedDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def dataFiles(dir: Path): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    Files.walk(dir).iterator().asScala
+      .filter(Files.isRegularFile(_))
+      .filterNot { f =>
+        val n = f.getFileName.toString; n.startsWith("_") || n.startsWith(".")
+      }
+      .map(f => dir.relativize(f).toString -> Files.getLastModifiedTime(f).toMillis)
+      .toMap
+  }
+
+  test("delete removes victims, keeps untouched partition files byte-identical") {
+    val dir = Files.createTempDirectory("tdel").resolve("lake")
+    (1L to 300L).map(i => (i, s"u${i % 30}", s"d${i % 3}"))
+      .toDF("event_id", "user", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+    // victims live only where event_id % 3 == 1 -> partition d1
+    val before = dataFiles(dir)
+    // u1 = ids 1,31,61,... and u4 = ids 4,34,...; 30 ≡ 0 (mod 3), so
+    // every victim row sits in day partition d1 — exactly one rewrite
+    val victims = Seq("u1", "u4").toDF("user")
+    val n = TargetedDelete.delete(spark, dir.toString, Seq("day"), "user", victims)
+    assert(n == 1L, s"all victim rows live in d1, got $n rewrites")
+    val d0d2 = dataFiles(dir).filter(f =>
+      f._1.startsWith("day=d0") || f._1.startsWith("day=d2"))
+    val d0d2Before = before.filter(f =>
+      f._1.startsWith("day=d0") || f._1.startsWith("day=d2"))
+    assert(d0d2 == d0d2Before, "d0/d2 files must be untouched")
+    val after = spark.read.parquet(dir.toString)
+    assert(after.filter(col("user").isin("u1", "u4")).count() == 0L)
+    assert(after.count() == 300L - 20L, "exactly the 20 victim rows gone")
+  }
+
+  test("partitions without victims keep their exact files") {
+    val dir = Files.createTempDirectory("tdel2").resolve("lake")
+    (1L to 100L).map(i => (i, s"u$i", if (i <= 50) "cold" else "hot"))
+      .toDF("event_id", "user", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+    val coldBefore = dataFiles(dir).filter(_._1.startsWith("day=cold"))
+    // victims only in 'hot'
+    val n = TargetedDelete.delete(spark, dir.toString, Seq("day"), "user",
+      Seq("u60", "u70").toDF("user"))
+    assert(n == 1L)
+    val coldAfter = dataFiles(dir).filter(_._1.startsWith("day=cold"))
+    assert(coldAfter == coldBefore,
+      "cold partition files must be untouched (same names, same mtimes)")
+    assert(spark.read.parquet(dir.toString).count() == 98L)
+  }
+
+  test("a fully-victim partition's directory is removed, not silently kept") {
+    val dir = Files.createTempDirectory("tdel3").resolve("lake")
+    Seq((1L, "a", "d0"), (2L, "a", "d0"), (3L, "b", "d1"))
+      .toDF("event_id", "user", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+    val n = TargetedDelete.delete(spark, dir.toString, Seq("day"), "user",
+      Seq("a").toDF("user"))
+    assert(n == 1L)
+    assert(!Files.exists(dir.resolve("day=d0")), "emptied partition dir must go")
+    val left = spark.read.parquet(dir.toString)
+      .select("event_id").as[Long].collect().toSet
+    assert(left == Set(3L))
+  }
+
+  test("no victims present -> zero partitions rewritten, files identical") {
+    val dir = Files.createTempDirectory("tdel4").resolve("lake")
+    (1L to 40L).map(i => (i, s"u$i", s"d${i % 2}")).toDF("event_id", "user", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+    val before = dataFiles(dir)
+    val n = TargetedDelete.delete(spark, dir.toString, Seq("day"), "user",
+      Seq("nobody").toDF("user"))
+    assert(n == 0L)
+    assert(dataFiles(dir) == before, "no-op delete must not rewrite anything")
+  }
+}
