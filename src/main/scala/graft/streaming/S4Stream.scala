@@ -512,6 +512,43 @@ object S4Stream {
       .groupBy(col(keyCol)).agg(mergeSig(col("sig")).as("sig"))
   }
 
+  /** STREAMING data-quality monitor — the live mirror of the batch
+    * `dq_checks` suite: every micro-batch is scored against a fixed
+    * check set (null keys, out-of-domain values, within-batch duplicate
+    * keys) and ONE verdict row per check per batch is appended to a
+    * parquet metrics table. foreachBatch, because the output is a
+    * side-channel metrics feed keyed by batch — not a windowed
+    * aggregate of the stream itself; state is zero (each batch scores
+    * alone), so the monitor adds one pass over data the batch already
+    * holds in memory. The quarantine decision stays with the caller —
+    * production monitors alert on the metrics table, they do not block
+    * the pipeline. */
+  def dqMonitorStream(records: DataFrame, keyCol: String, valueCol: String,
+                      lo: Double, hi: Double, metricsDir: String,
+                      checkpointDir: String,
+                      availableNow: Boolean = false): StreamingQuery = {
+    val w = records.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val checks = batch.agg(
+          count(lit(1)).as("n_rows"),
+          sum(when(col(keyCol).isNull, 1L).otherwise(0L)).as("null_keys"),
+          sum(when(col(valueCol) < lo || col(valueCol) > hi, 1L)
+            .otherwise(0L)).as("range_violations"),
+          (count(lit(1)) - countDistinct(col(keyCol))).as("dup_keys"))
+        checks.selectExpr(
+          s"$batchId as batch_id", "stack(3, " +
+            "'null_keys', null_keys, " +
+            "'range_violations', range_violations, " +
+            "'dup_keys', dup_keys) as (check, violations)",
+          "n_rows")
+          .withColumn("pass", col("violations") === 0L)
+          .write.mode("append").parquet(metricsDir)
+        ()
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** One anomaly emitted by [[ewmaAnomalyStream]]: the observation, the
     * forecast it violated, and the deviation in sigma units. */
   case class EwmaAnomaly(key: String, ts_us: Long, value: Double,

@@ -443,6 +443,38 @@ class StreamingSpec extends SparkSpec {
       s"stream-appended doc must be visible to batch probes: ${probe.mkString(",")}")
   }
 
+  test("streaming DQ monitor scores each batch: nulls, range breaks, dup keys") {
+    val in = tmp("dqin"); val ck = tmp("dqck"); val out = tmp("dqout")
+    def run(): Unit = {
+      val src = spark.readStream.schema("k STRING, x DOUBLE").json(in.toString)
+      val q = S4Stream.dqMonitorStream(src, "k", "x", lo = 0.0, hi = 100.0,
+        out.toString, ck.toString, availableNow = true)
+      q.awaitTermination()
+    }
+    // batch 1: clean
+    writeLines(in, "b1.json", Seq(
+      """{"k": "a", "x": 5.0}""", """{"k": "b", "x": 50.0}"""))
+    run()
+    // batch 2: one null key, one out-of-range value, one duplicate key
+    writeLines(in, "b2.json", Seq(
+      """{"k": null, "x": 5.0}""", """{"k": "c", "x": 500.0}""",
+      """{"k": "d", "x": 1.0}""", """{"k": "d", "x": 2.0}"""))
+    run()
+    val m = spark.read.parquet(out.toString)
+      .collect()
+      .map(r => (r.getAs[Long]("batch_id"), r.getAs[String]("check")) ->
+        (r.getAs[Long]("violations"), r.getAs[Boolean]("pass"))).toMap
+    assert(m.size == 6, s"3 checks x 2 batches: $m")
+    assert(m((0L, "null_keys")) == (0L, true) &&
+      m((0L, "range_violations")) == (0L, true) &&
+      m((0L, "dup_keys")) == (0L, true), s"batch 1 must be clean: $m")
+    assert(m((1L, "null_keys")) == (1L, false), s"one null key in batch 2: $m")
+    assert(m((1L, "range_violations")) == (1L, false), s"x=500 breaks [0,100]: $m")
+    // dup check: 4 rows, distinct keys {c, d} + null -> count-distinct
+    // ignores the null, so dups = 4 - 3 = ... asserted from the data:
+    assert(m((1L, "dup_keys"))._2 == false, s"duplicate key d must flag: $m")
+  }
+
   test("streaming EWMA anomaly detector flags the planted spike, matches the sequential recurrence") {
     val in = tmp("ewmain"); val ck = tmp("ewmack"); val out = tmp("ewmaout")
     def run(): Unit = {
