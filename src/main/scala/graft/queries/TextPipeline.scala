@@ -1167,6 +1167,53 @@ object TextPipeline {
 
   private def minus(c: Column): Column = lit(0.0) - c
 
+  /** Per-source term-frequency table: one explode + hash aggregate.
+    * Partial (map-side) combine keeps shuffle volume bounded by the
+    * vocabulary, not the corpus — the input to the corpus-shape
+    * diagnostics below. */
+  private def termFreq(s: SparkSession, dir: String): DataFrame =
+    Tables.documents(s, dir)
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("source"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Corpus-level lexical diversity per source: type–token ratio and
+    * hapax-legomena fraction — the standard corpus-health dashboard
+    * numbers for a training-data mix (a collapsing TTR or hapax rate
+    * flags templated/spammy sources before they reach training). */
+  def ttrDiversity(s: SparkSession, dir: String): DataFrame =
+    termFreq(s, dir)
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_types"),
+        sum(col("tf")).cast("long").as("n_tokens"),
+        round(count(lit(1)).cast("double") / sum(col("tf")), 4).as("ttr"),
+        round(sum(when(col("tf") === 1, 1).otherwise(0)).cast("double")
+          / count(lit(1)), 4).as("hapax_frac"))
+      .orderBy(col("source"))
+
+  /** Zipf-law fit per source: OLS slope of log10(tf) on log10(rank)
+    * over the term-frequency table (rank by tf desc, token text as the
+    * deterministic tiebreak). Natural corpora sit near −1; templated or
+    * machine-generated sources drift off. The rank window partitions by
+    * source over the VOCABULARY (Heaps-law sublinear in corpus size),
+    * not the corpus, so the per-task bound holds at 100× data;
+    * covar_pop/var_pop are single-pass distributed aggregates. */
+  def zipfSlope(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    termFreq(s, dir)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("tf").desc, col("tok"))))
+      .select(col("source"),
+        log10(col("rnk").cast("double")).as("lr"),
+        log10(col("tf").cast("double")).as("lf"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_types"),
+        round(covar_pop(col("lf"), col("lr")) / var_pop(col("lr")), 3)
+          .as("zipf_slope"))
+      .orderBy(col("source"))
+  }
+
   // ---- PII detection / redaction (the Dolma/FineWeb scrub stage) ----
   // The patterns and their order live in TextOps.piiPatterns (the same
   // scrubber PiiScrubSpec gates); these queries surface that machinery
@@ -1368,6 +1415,8 @@ object TextPipeline {
     "doc_lm_novelty" -> (lmNovelty _),
     "doc_quality_bins" -> (qualityBins _),
     "doc_pack_shards" -> (packShards _),
+    "doc_ttr_diversity" -> (ttrDiversity _),
+    "doc_zipf_slope" -> (zipfSlope _),
   )
 
   /** DuckDB replica of [[withPiiText]]'s weave (lateral column refs let
@@ -1811,6 +1860,30 @@ object TextPipeline {
     "doc_exact_dedup" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY text_hash""".stripMargin,
+    "doc_ttr_diversity" ->
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY source, tok)
+        |SELECT source, count(*) AS n_types,
+        |  CAST(sum(tf) AS BIGINT) AS n_tokens,
+        |  round(CAST(count(*) AS DOUBLE) / sum(tf), 4) AS ttr,
+        |  round(CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / count(*), 4) AS hapax_frac
+        |FROM tf GROUP BY source ORDER BY source""".stripMargin,
+    "doc_zipf_slope" ->
+      """WITH tf AS (
+        |  SELECT source, tok, count(*) AS tf
+        |  FROM (SELECT source, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY source, tok),
+        |r AS (
+        |  SELECT source,
+        |    log10(CAST(row_number() OVER (PARTITION BY source ORDER BY tf DESC, tok) AS DOUBLE)) AS lr,
+        |    log10(CAST(tf AS DOUBLE)) AS lf
+        |  FROM tf)
+        |SELECT source, count(*) AS n_types,
+        |  round(covar_pop(lf, lr) / var_pop(lr), 3) AS zipf_slope
+        |FROM r GROUP BY source ORDER BY source""".stripMargin,
     "doc_token_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
