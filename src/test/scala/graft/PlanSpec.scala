@@ -34,6 +34,12 @@ class PlanSpec extends SparkSpec {
     val ph = plan("ev_equidepth_hist")
     assert(!ph.contains("props") && !ph.contains("user_id"),
       s"histogram must scan only (event_type?, value) columns:\n$ph")
+    val pt = plan("doc_ttr_diversity")
+    assert(!pt.contains("n_chars") && !pt.contains("lang#") && !pt.contains("doc_id#"),
+      s"term-frequency scan must prune documents to (source, text):\n$pt")
+    val pz = plan("doc_zipf_slope")
+    assert(!pz.contains("n_chars") && !pz.contains("lang#") && !pz.contains("doc_id#"),
+      s"zipf scan must prune documents to (source, text):\n$pz")
   }
 
   test("q05: star-join dimensions broadcast, fact join shuffles") {
