@@ -491,6 +491,35 @@ object TextPipeline {
     when(bucket < 80, "train").when(bucket < 90, "val").otherwise("test")
   }
 
+  /** LEAKAGE-SAFE split assignment: assign train/val/test by near-dup
+    * CLUSTER, not by document. Per-doc splitting ([[splitAssign]]) lets
+    * near-duplicates straddle train and test — eval data leaks into
+    * training through the duplicate, the classic benchmark-contamination
+    * trap cluster-level splits close. The split key is the CC component
+    * representative (min doc id of the near-dup cluster), so every
+    * member of a cluster lands in the SAME split by construction; the
+    * `n_rescued` column counts docs whose naive per-doc assignment
+    * differed — the leakage this operator prevented. Cost is the same
+    * CC pass `doc_dedup_clusters` runs; the split itself adds one hash
+    * and one aggregate. */
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    val edges = SetSimJoin.jaccardEdges(docToks(s, dir), "doc_id", "toks", 0.8)
+    val cc = ConnectedComponents.components(edges, "id2", "id1",
+      edgesNormalized = true)
+    Tables.documents(s, dir).select(col("doc_id"))
+      .join(cc, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("component"), col("doc_id")).as("component"))
+      .withColumn("split", splitCol(col("component")))
+      .withColumn("_doc_split", splitCol(col("doc_id")))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_clusters"),
+        sum(when(col("_doc_split") =!= col("split"), 1).otherwise(0))
+          .cast("long").as("n_rescued"))
+      .orderBy(col("split"))
+  }
+
   /** Multimodal plumbing: documents as opaque binary payloads with typed
     * metadata — byte length and content digest (format-aware decode lives
     * in graft.multimodal: real WAV header/sample parsing, deterministic
@@ -1417,6 +1446,7 @@ object TextPipeline {
     "doc_pack_shards" -> (packShards _),
     "doc_ttr_diversity" -> (ttrDiversity _),
     "doc_zipf_slope" -> (zipfSlope _),
+    "doc_leakage_safe_split" -> (leakageSafeSplit _),
   )
 
   /** DuckDB replica of [[withPiiText]]'s weave (lateral column refs let
@@ -1936,6 +1966,36 @@ object TextPipeline {
         |SELECT doc_id, component,
         |  count(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_leakage_safe_split" ->
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+        |), e AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |), und AS (
+        |  SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e
+        |), cc(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT und.v, cc.r FROM cc JOIN und ON und.u = cc.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM cc GROUP BY id
+        |), assigned AS (
+        |  SELECT doc_id, component,
+        |    CASE WHEN (component * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (component * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS split,
+        |    CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
+        |         WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |         ELSE 'test' END AS doc_split
+        |  FROM comp
+        |)
+        |SELECT split, count(*) AS n_docs,
+        |  count(DISTINCT component) AS n_clusters,
+        |  CAST(sum(CASE WHEN doc_split <> split THEN 1 ELSE 0 END) AS BIGINT) AS n_rescued
+        |FROM assigned GROUP BY split ORDER BY split""".stripMargin,
     "doc_contamination" ->
       """WITH d AS (
         |  SELECT doc_id,
