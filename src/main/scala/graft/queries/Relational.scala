@@ -656,6 +656,36 @@ object Relational {
       .orderBy(col("supp_nation"), col("o_year"))
   }
 
+  /** STRICT-ORDERED n-step funnel (view → click after it → purchase
+    * after that): the windowFunnel-style sequence operator — each step
+    * must occur AT OR AFTER the previous user's step, not merely exist.
+    * Step k+1 is one user_id-keyed join against the step-k frame plus a
+    * min-when aggregate (first qualifying event); a missing step nulls
+    * through every later step by comparison-with-null semantics, so no
+    * per-step filtering is needed. All joins shuffle on user_id — at
+    * 100× the chain is k hash joins on the same key, which AQE plans
+    * back-to-back without re-partitioning; nothing is per-event stateful
+    * and no window sees a user's full history. */
+  def evOrderedFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+    def typed(t: String, as: String) =
+      ev.filter(col("event_type") === t).select(col("user_id"), col("ts").as(as))
+    val views = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(col("ts")).as("v_ts"))
+    val clicked = views.join(typed("click", "_c"), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("v_ts"))
+      .agg(min(when(col("_c") >= col("v_ts"), col("_c"))).as("c_ts"))
+    val purchased = clicked.join(typed("purchase", "_p"), Seq("user_id"), "left")
+      .groupBy(col("user_id"), col("v_ts"), col("c_ts"))
+      .agg(min(when(col("_p") >= col("c_ts"), col("_p"))).as("p_ts"))
+    purchased
+      .groupBy(date_format(col("v_ts"), "yyyy-MM-dd").as("cohort_date"))
+      .agg(count(lit(1)).as("n_viewed"),
+        sum(when(col("c_ts").isNotNull, 1).otherwise(0)).cast("long").as("n_clicked"),
+        sum(when(col("p_ts").isNotNull, 1).otherwise(0)).cast("long").as("n_purchased"))
+      .orderBy(col("cohort_date"))
+  }
+
   /** Funnel conversion (signup → purchase within 3 days): the event-
     * sequence recipe every product-analytics engine ships. Per user, the
     * FIRST signup and the first purchase at-or-after it; a conversion
@@ -1252,6 +1282,7 @@ object Relational {
     "q44_funnel" -> (q44Funnel _),
     "q45_retention" -> (q45Retention _),
     "ev_journey_trigrams" -> (evJourneyTrigrams _),
+    "ev_ordered_funnel" -> (evOrderedFunnel _),
     "ev_pagerank" -> (evPagerank _),
     "cust_entity_resolution" -> (custEntityResolution _),
     "ev_winsorized" -> (evWinsorized _),
@@ -1467,6 +1498,27 @@ object Relational {
         |  CAST(sum(CASE WHEN conv_ts <= signup_ts + INTERVAL 3 DAY
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_ordered_funnel" ->
+      """WITH v AS (
+        |  SELECT user_id, min(ts) AS v_ts FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (
+        |  SELECT v.user_id, v.v_ts,
+        |    min(CASE WHEN e.ts >= v.v_ts THEN e.ts END) AS c_ts
+        |  FROM v LEFT JOIN events e
+        |    ON e.user_id = v.user_id AND e.event_type = 'click'
+        |  GROUP BY v.user_id, v.v_ts),
+        |p AS (
+        |  SELECT c.user_id, c.v_ts, c.c_ts,
+        |    min(CASE WHEN e.ts >= c.c_ts THEN e.ts END) AS p_ts
+        |  FROM c LEFT JOIN events e
+        |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+        |  GROUP BY c.user_id, c.v_ts, c.c_ts)
+        |SELECT strftime(v_ts, '%Y-%m-%d') AS cohort_date,
+        |  count(*) AS n_viewed,
+        |  CAST(sum(CASE WHEN c_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_clicked,
+        |  CAST(sum(CASE WHEN p_ts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_purchased
+        |FROM p GROUP BY 1 ORDER BY 1""".stripMargin,
     "ev_journey_trigrams" ->
       """WITH seqs AS (
         |  SELECT user_id, list(event_type ORDER BY ts, event_id) AS types
