@@ -520,6 +520,39 @@ object TextPipeline {
       .orderBy(col("split"))
   }
 
+  /** Source-RELATIVE quality quartiles: classify each document against
+    * its own source's quality distribution rather than the corpus's —
+    * the fair cross-domain comparison (code and prose score on
+    * different absolute scales, so one global threshold over- or
+    * under-filters per domain). Exact per-source quartile boundaries
+    * come from ONE sort-based percentile aggregate (|sources| boundary
+    * rows, broadcast back); classification is a broadcast join + CASE —
+    * nothing windows over a source's full document list (the
+    * percent_rank trap at 100 TB). Scores are rounded to 3 decimals
+    * BEFORE the percentile so interpolated boundaries sit ≥5e-4 from
+    * any score and an engine ULP difference can never flip a quartile. */
+  def sourceRelativeQuality(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scored = Tables.documents(s, dir)
+      .select(col("doc_id"), col("source"),
+        round(size(array_distinct(toks)).cast("double") / size(toks), 3)
+          .as("score"))
+    val bounds = scored.groupBy(col("source"))
+      .agg(expr("percentile(score, 0.25)").as("p25"),
+        expr("percentile(score, 0.5)").as("p50"),
+        expr("percentile(score, 0.75)").as("p75"))
+    scored.join(broadcast(bounds), "source")
+      .withColumn("quartile",
+        when(col("score") < col("p25"), "q1")
+          .when(col("score") < col("p50"), "q2")
+          .when(col("score") < col("p75"), "q3")
+          .otherwise("q4"))
+      .groupBy(col("source"), col("quartile"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_score"))
+      .orderBy(col("source"), col("quartile"))
+  }
+
   /** Multimodal plumbing: documents as opaque binary payloads with typed
     * metadata — byte length and content digest (format-aware decode lives
     * in graft.multimodal: real WAV header/sample parsing, deterministic
@@ -1447,6 +1480,7 @@ object TextPipeline {
     "doc_ttr_diversity" -> (ttrDiversity _),
     "doc_zipf_slope" -> (zipfSlope _),
     "doc_leakage_safe_split" -> (leakageSafeSplit _),
+    "doc_source_rel_quality" -> (sourceRelativeQuality _),
   )
 
   /** DuckDB replica of [[withPiiText]]'s weave (lateral column refs let
@@ -1966,6 +2000,24 @@ object TextPipeline {
         |SELECT doc_id, component,
         |  count(*) OVER (PARTITION BY component) AS cluster_size
         |FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_source_rel_quality" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 3) AS score
+        |  FROM documents),
+        |b AS (
+        |  SELECT source,
+        |    quantile_cont(score, 0.25) AS p25,
+        |    quantile_cont(score, 0.5) AS p50,
+        |    quantile_cont(score, 0.75) AS p75
+        |  FROM scored GROUP BY source)
+        |SELECT s.source,
+        |  CASE WHEN score < p25 THEN 'q1' WHEN score < p50 THEN 'q2'
+        |       WHEN score < p75 THEN 'q3' ELSE 'q4' END AS quartile,
+        |  count(*) AS n_docs, round(avg(score), 4) AS avg_score
+        |FROM scored s JOIN b ON s.source = b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_leakage_safe_split" ->
       """WITH RECURSIVE tok AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
