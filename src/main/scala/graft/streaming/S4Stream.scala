@@ -660,6 +660,53 @@ object S4Stream {
       }
   }
 
+  /** One funnel transition emitted by [[funnelStream]]: the user reached
+    * step `step` (1-based position in the step list) at `ts_us`. */
+  case class FunnelStep(key: Long, step: Int, step_type: String, ts_us: Long)
+
+  /** STREAMING strict-ordered funnel — the live mirror of the batch
+    * `ev_ordered_funnel`: per user, track progress through an ordered
+    * step-type list (e.g. view → click → purchase), where a step counts
+    * only AT OR AFTER the previous one was reached, and emit one
+    * transition row the moment each step is achieved. State per key is
+    * two values (step index reached + its event time) regardless of
+    * stream length or funnel depth. Within a micro-batch the group's
+    * rows sort by (event time, seq); a late row older than the reached
+    * step's time folds away — an emitted transition is never retracted
+    * (Append semantics; the batch operator over the lake is the
+    * exact-replay / backfill path, same contract as scd2Stream). */
+  def funnelStream(events: DataFrame, keyCol: String, tsCol: String,
+                   seqCol: String, typeCol: String, steps: Seq[String]):
+      org.apache.spark.sql.Dataset[FunnelStep] = {
+    require(steps.nonEmpty, "funnel needs at least one step type")
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import events.sparkSession.implicits._
+    events
+      .select(col(keyCol).cast("long").as("key"),
+        unix_micros(col(tsCol)).as("ts_us"),
+        col(seqCol).cast("long").as("seq"),
+        col(typeCol).cast("string").as("t"))
+      .as[(Long, Long, Long, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        // state = (steps reached, event time of the last reached step)
+        (key: Long, rows: Iterator[(Long, Long, Long, String)],
+         state: GroupState[(Int, Long)]) =>
+          var (reached, reachedTs) = state.getOption.getOrElse((0, Long.MinValue))
+          val out = scala.collection.mutable.ArrayBuffer.empty[FunnelStep]
+          rows.toArray.sortBy(r => (r._2, r._3)).foreach { case (_, ts, _, t) =>
+            if (reached < steps.length && t == steps(reached) &&
+                (reached == 0 || ts >= reachedTs)) {
+              reached += 1
+              reachedTs = ts
+              out += FunnelStep(key, reached, t, ts)
+            }
+          }
+          state.update((reached, reachedTs))
+          out.iterator
+      }
+  }
+
   /** STREAMING ingest against the persisted near-dup index — the
     * production crawl loop: per micro-batch, PROBE the incoming docs
     * against `indexDir` (partition-pruned, [[graft.operators.TextIndex]]),

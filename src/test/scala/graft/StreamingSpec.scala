@@ -475,6 +475,50 @@ class StreamingSpec extends SparkSpec {
     assert(m((1L, "dup_keys"))._2 == false, s"duplicate key d must flag: $m")
   }
 
+  test("streaming ordered funnel advances strictly in order across checkpointed batches") {
+    val in = tmp("funin"); val ck = tmp("funck"); val out = tmp("funout")
+    def run(): Unit = {
+      val src = spark.readStream
+        .schema("k LONG, ts TIMESTAMP, seq LONG, t STRING")
+        .json(in.toString)
+      val q = S4Stream.funnelStream(src, "k", "ts", "seq", "t",
+          Seq("view", "click", "purchase"))
+        .writeStream.format("parquet").outputMode("append")
+        .option("path", out.toString)
+        .option("checkpointLocation", ck.toString)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    def row(k: Long, min: Int, seq: Long, t: String) =
+      s"""{"k": $k, "ts": "2024-01-01 00:${"%02d".format(min)}:00", "seq": $seq, "t": "$t"}"""
+    // user 1: click arrives before its view IN EVENT TIME within b1 —
+    //   the within-batch sort must discard it (no step yet reached);
+    // user 2: purchase first (skipping view) must not count;
+    // user 3: reaches view in b1.
+    writeLines(in, "b1.json", Seq(
+      row(1, 2, 1, "click"), row(1, 5, 2, "view"),
+      row(2, 3, 3, "purchase"), row(2, 6, 4, "view"),
+      row(3, 9, 5, "view")))
+    run()
+    // b2 (checkpointed restart — user state must carry over):
+    // user 1 completes click -> purchase in order;
+    // user 2's second purchase still skips the click step;
+    // user 3's click is EARLIER than its reached view — strict-after drops it.
+    writeLines(in, "b2.json", Seq(
+      row(1, 10, 6, "click"), row(1, 12, 7, "purchase"),
+      row(2, 13, 8, "purchase"),
+      row(3, 4, 9, "click")))
+    run()
+    val got = spark.read.parquet(out.toString)
+      .collect().map(r => (r.getAs[Long]("key"), r.getAs[Int]("step"),
+        r.getAs[String]("step_type"))).toSet
+    val expected = Set(
+      (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+      (2L, 1, "view"),
+      (3L, 1, "view"))
+    assert(got == expected, s"funnel transitions: $got")
+  }
+
   test("streaming EWMA anomaly detector flags the planted spike, matches the sequential recurrence") {
     val in = tmp("ewmain"); val ck = tmp("ewmack"); val out = tmp("ewmaout")
     def run(): Unit = {
