@@ -656,6 +656,26 @@ object Relational {
       .orderBy(col("supp_nation"), col("o_year"))
   }
 
+  /** OHLC downsampling (open/high/low/close per type × hour): the
+    * standard time-series resample for metrics and market data. One
+    * hash aggregate — open/close are min_by/max_by over a zero-padded
+    * (event-time, event-id) string key, so ties in event time cannot
+    * make the pick nondeterministic on either engine (DuckDB's arg_min
+    * has no composite ordering key; the padded string is the portable
+    * total order). No window, no sort: partial aggregation does all the
+    * work map-side, the classic 100×-safe downsample plan. */
+  def evOhlc(s: SparkSession, dir: String): DataFrame = {
+    val ord = format_string("%020d%010d", unix_micros(col("ts")), col("event_id"))
+    Tables.events(s, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(min_by(col("value"), ord).as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        max_by(col("value"), ord).as("close"),
+        count(lit(1)).as("n"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
   /** STRICT-ORDERED n-step funnel (view → click after it → purchase
     * after that): the windowFunnel-style sequence operator — each step
     * must occur AT OR AFTER the previous user's step, not merely exist.
@@ -1283,6 +1303,7 @@ object Relational {
     "q45_retention" -> (q45Retention _),
     "ev_journey_trigrams" -> (evJourneyTrigrams _),
     "ev_ordered_funnel" -> (evOrderedFunnel _),
+    "ev_ohlc" -> (evOhlc _),
     "ev_pagerank" -> (evPagerank _),
     "cust_entity_resolution" -> (custEntityResolution _),
     "ev_winsorized" -> (evWinsorized _),
@@ -1498,6 +1519,13 @@ object Relational {
         |  CAST(sum(CASE WHEN conv_ts <= signup_ts + INTERVAL 3 DAY
         |                THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
         |FROM conv GROUP BY 1 ORDER BY 1""".stripMargin,
+    "ev_ohlc" ->
+      """SELECT event_type, date_trunc('hour', ts) AS hour,
+        |  arg_min(value, printf('%020d%010d', epoch_us(ts), event_id)) AS open,
+        |  max(value) AS high, min(value) AS low,
+        |  arg_max(value, printf('%020d%010d', epoch_us(ts), event_id)) AS close,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev_ordered_funnel" ->
       """WITH v AS (
         |  SELECT user_id, min(ts) AS v_ts FROM events
