@@ -1,7 +1,8 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.functions.{col, expr}
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver-generated fixture tables (TESTDATA.md / FIXTURES.md §B).
   *
@@ -19,25 +20,37 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
-  /** `events.parquet` carries TIMESTAMP(NANOS) which vanilla Spark refuses
-    * to read ([PARQUET_TYPE_ILLEGAL]). Read the nanos as a plain long
-    * (legacy conf) and truncate to microseconds with integer division —
-    * exactly what DuckDB does when it loads the same file as its µs
-    * TIMESTAMP, so oracle comparisons see identical values. (`div` is
-    * integral division; values are post-1970 so truncation == floor.)
+  /** `events.parquet` has shipped with two physical encodings for `ts`
+    * across fixture generations, so this loader adapts to whichever is on
+    * disk (VERDICT r8 item 1) and always yields `ts: TIMESTAMP` in UTC
+    * wall-clock — the µs values DuckDB's oracle sees on the same file:
     *
-    * The `nanosAsLong` conf must be set by the SESSION BUILDER (Verify,
-    * Bench, SparkSpec all do) — a loader silently flipping a session-wide
-    * legacy flag as a read side effect is a trap in shared sessions
-    * (VERDICT r3 item 4), so this one fails loudly instead: the require
-    * below names the missing conf rather than letting the opaque parquet
-    * error surface. */
+    *  - TIMESTAMP(NANOS): vanilla Spark refuses it ([PARQUET_TYPE_ILLEGAL]);
+    *    with `spark.sql.legacy.parquet.nanosAsLong=true` it arrives as a
+    *    plain LongType, which we truncate to µs with integral division
+    *    (values are post-1970 so truncation == floor — DuckDB does the
+    *    same). The `require` fails loudly naming the conf (the session
+    *    builder must set it; a loader silently flipping a session-wide
+    *    legacy flag is a trap in shared sessions, VERDICT r3 item 4).
+    *  - timestamp[us] isAdjustedToUTC=false → TIMESTAMP_NTZ: cast to
+    *    TIMESTAMP. Sessions run with spark.sql.session.timeZone=UTC, so
+    *    the cast preserves wall-clock and matches the naive µs values
+    *    DuckDB reads.
+    *  - timestamp[us/ms] adjusted-to-UTC → already TIMESTAMP: pass through.
+    */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events.parquet is TIMESTAMP(NANOS): the session must be built with " +
-        "spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
-    table(s, d, "events")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType =>
+        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+          "events.parquet ts read as BIGINT without " +
+            "spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other => throw new IllegalStateException(
+        s"events.parquet ts has unsupported type $other (expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP)")
+    }
   }
 
   def region(s: SparkSession, d: String): DataFrame     = table(s, d, "region")
