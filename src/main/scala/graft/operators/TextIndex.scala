@@ -48,7 +48,9 @@ object TextIndex {
     toks.withColumn("idb", pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
 
   /** One corpus pass: tokenize + sign every document, persist the
-    * bucket-partitioned band and token tables plus the parameter row. */
+    * bucket-partitioned band and token tables plus the parameter row —
+    * which also carries the indexed corpus' fingerprint (staleness guard;
+    * see [[Fingerprint]] / [[isFresh]]). */
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
             numHashes: Int = 128, bands: Int = 16, nBuckets: Int = 64,
             seed: Int = 42): Unit = {
@@ -62,8 +64,9 @@ object TextIndex {
       .write.mode("overwrite").partitionBy("idb").parquet(s"$indexDir/toks")
     bandRows(toks, idCol, numHashes, bands, nBuckets, seed)
       .write.mode("overwrite").partitionBy("hb").parquet(s"$indexDir/bands")
-    Seq((numHashes, bands, nBuckets, seed))
-      .toDF("num_hashes", "bands", "n_buckets", "seed")
+    val fp = Fingerprint.of(docs, Seq(idCol, textCol))
+    Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
+      .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
   }
 
@@ -73,11 +76,41 @@ object TextIndex {
       m.getAs[Int]("n_buckets"), m.getAs[Int]("seed"))
   }
 
+  private def readFingerprint(s: SparkSession, indexDir: String): Option[(Long, Long)] =
+    try {
+      val m = s.read.parquet(s"$indexDir/meta").head()
+      Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+    } catch { case _: Exception => None } // absent/legacy meta => stale
+
+  /** Does the persisted index still describe THIS corpus? False when meta
+    * is absent / pre-fingerprint or the corpus was regenerated in place.
+    * One column-pruned agg scan — cheap next to the 128-hashes-per-doc
+    * pass it guards. The fingerprint tracks the corpus OF RECORD: build
+    * corpus plus every [[append]]ed delta (merged in O(1)). */
+  def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
+              idCol: String, textCol: String): Boolean =
+    readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
+
+  /** Build-once/probe-many entry: (re)build only when the index is absent
+    * or stale w.r.t. `docs`. */
+  def ensure(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+             numHashes: Int = 128, bands: Int = 16, nBuckets: Int = 64,
+             seed: Int = 42): Unit = {
+    val s = docs.sparkSession
+    val success = new org.apache.hadoop.fs.Path(s"$indexDir/bands/_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success) || !isFresh(s, indexDir, docs, idCol, textCol))
+      build(docs, idCol, textCol, indexDir, numHashes, bands, nBuckets, seed)
+  }
+
   /** O(|delta|) maintenance: sign a new dump with the index's FROZEN
-    * parameters and append its rows to both tables. */
+    * parameters and append its rows to both tables; the meta fingerprint
+    * absorbs the delta in O(1) so [[isFresh]] keeps working. */
   def append(delta: DataFrame, idCol: String, textCol: String,
              indexDir: String): Unit = {
-    val (numHashes, bands, nBuckets, seed) = readMeta(delta.sparkSession, indexDir)
+    val s = delta.sparkSession
+    val (numHashes, bands, nBuckets, seed) = readMeta(s, indexDir)
+    val old = readFingerprint(s, indexDir)
     val toks = delta
       .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
       .localCheckpoint()
@@ -85,6 +118,13 @@ object TextIndex {
       .write.mode("append").partitionBy("idb").parquet(s"$indexDir/toks")
     bandRows(toks, idCol, numHashes, bands, nBuckets, seed)
       .write.mode("append").partitionBy("hb").parquet(s"$indexDir/bands")
+    import s.implicits._
+    old.foreach { o =>
+      val fp = Fingerprint.merge(o, Fingerprint.of(delta, Seq(idCol, textCol)))
+      Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
+        .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    }
   }
 
   /** Flag incoming docs that near-duplicate the INDEXED corpus: the

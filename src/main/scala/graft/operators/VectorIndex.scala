@@ -31,7 +31,9 @@ import graft.functions.{CosineScores, VectorOps}
 object VectorIndex {
 
   /** One corpus pass: train the quantizer, persist centroids + the
-    * cell-partitioned corpus with precomputed norms. */
+    * cell-partitioned corpus with precomputed norms, plus a meta row
+    * fingerprinting the indexed corpus (staleness guard — see
+    * [[Fingerprint]] and [[isFresh]]). */
   def build(corpus: DataFrame, indexDir: String, nlist: Int = 16,
             iters: Int = 2, seed: Long = 42L,
             corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
@@ -50,6 +52,42 @@ object VectorIndex {
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells")
+    writeMeta(s, indexDir, Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
+  }
+
+  private def writeMeta(s: SparkSession, indexDir: String,
+                        fp: (Long, Long)): Unit = {
+    import s.implicits._
+    Seq(fp).toDF("n_rows", "content_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+  }
+
+  private def readMeta(s: SparkSession, indexDir: String): Option[(Long, Long)] =
+    try {
+      val m = s.read.parquet(s"$indexDir/meta").head()
+      Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+    } catch { case _: Exception => None } // absent/legacy meta => stale
+
+  /** Does the persisted index still describe THIS corpus? False when the
+    * meta row is absent (pre-fingerprint index) or the corpus fingerprint
+    * drifted — e.g. the source parquet was regenerated in place. The
+    * check is one column-pruned agg scan, far cheaper than the quantizer
+    * training pass it guards. */
+  def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
+              corpusId: String = "vec_id",
+              corpusVec: String = "embedding"): Boolean =
+    readMeta(s, indexDir).contains(Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
+
+  /** Build-once/query-many entry: (re)build only when the index is
+    * absent or its fingerprint no longer matches the corpus. */
+  def ensure(corpus: DataFrame, indexDir: String, nlist: Int = 16,
+             iters: Int = 2, seed: Long = 42L,
+             corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
+    val s = corpus.sparkSession
+    val success = new org.apache.hadoop.fs.Path(s"$indexDir/cells/_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success) || !isFresh(s, indexDir, corpus, corpusId, corpusVec))
+      build(corpus, indexDir, nlist, iters, seed, corpusId, corpusVec)
   }
 
   /** Incremental maintenance: assign NEW vectors to the EXISTING
@@ -61,6 +99,7 @@ object VectorIndex {
     * standard IVF operating procedure. Appended vectors are immediately
     * visible to [[topK]] because cells are plain parquet partitions. */
   def append(delta: DataFrame, indexDir: String,
+             corpusId: String = "vec_id",
              corpusVec: String = "embedding"): Unit = {
     val s = delta.sparkSession
     val centroids = loadCentroids(s, indexDir)
@@ -69,6 +108,11 @@ object VectorIndex {
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/cells")
+    // keep the staleness fingerprint in step: merge the delta in O(1)
+    readMeta(s, indexDir).foreach { old =>
+      writeMeta(s, indexDir,
+        Fingerprint.merge(old, Fingerprint.of(delta, Seq(corpusId, corpusVec))))
+    }
   }
 
   /** The persisted quantizer, reassembled in cell order (bounded read:

@@ -209,14 +209,13 @@ object Vectors {
   def indexTopK(s: SparkSession, dir: String): DataFrame = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_vecindex/" +
       dir.replaceAll("[^a-zA-Z0-9]", "_")
-    // Build-once/query-many IS the operator's contract: only build when
-    // the persisted index is absent (keyed by the fixture dir, so a
-    // different SF never reuses it). First run pays the build; warm
-    // runs measure the real query path — a partition-pruned scan of the
-    // probed cells. Hadoop-FS probe, not java.io: works on any store.
-    val success = new org.apache.hadoop.fs.Path(s"$idx/cells/_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success)) VectorIndex.build(Tables.embeddings(s, dir), idx)
+    // Build-once/query-many IS the operator's contract: (re)build only
+    // when the index is absent OR its fingerprint no longer matches the
+    // corpus (the driver regenerates fixtures in place — a dir-keyed
+    // index would silently answer from dead data; VERDICT r8 item 3).
+    // First run pays the build; warm runs pay one pruned fingerprint
+    // scan + the real query path over the probed cells.
+    VectorIndex.ensure(Tables.embeddings(s, dir), idx)
     VectorIndex.topK(s, idx, probes(s, dir), k = 5)
       .orderBy(col("q_id"), col("rn"))
   }

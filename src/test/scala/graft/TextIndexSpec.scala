@@ -47,6 +47,27 @@ class TextIndexSpec extends SparkSpec {
       s"bucket restriction did not reach the scan's partition filters:\n$p")
   }
 
+  test("ensure rebuilds when the corpus is regenerated in place, not otherwise") {
+    val srcDir = java.nio.file.Files.createTempDirectory("textsrc").toString
+    val dir = java.nio.file.Files.createTempDirectory("textidx4").toString
+    val all = Tables.documents(spark, sf0001)
+    all.filter(col("doc_id") < 200L)
+      .write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    def corpus = spark.read.parquet(s"$srcDir/documents.parquet")
+    TextIndex.ensure(corpus, "doc_id", "text", dir)
+    val meta = new java.io.File(s"$dir/meta/_SUCCESS")
+    val built = meta.lastModified()
+    TextIndex.ensure(corpus, "doc_id", "text", dir) // same bytes: no rebuild
+    assert(meta.lastModified() == built, "unchanged corpus must not rebuild")
+    // regenerate IN PLACE with different content
+    all.filter(col("doc_id") < 100L)
+      .write.mode("overwrite").parquet(s"$srcDir/documents.parquet")
+    assert(!TextIndex.isFresh(spark, dir, corpus, "doc_id", "text"))
+    TextIndex.ensure(corpus, "doc_id", "text", dir)
+    assert(meta.lastModified() > built, "regenerated corpus must trigger rebuild")
+    assert(TextIndex.isFresh(spark, dir, corpus, "doc_id", "text"))
+  }
+
   test("append under the frozen hash family; later probes find the appended doc") {
     val (ref, _) = split(sf0001)
     val dir = java.nio.file.Files.createTempDirectory("textidx3").toString
@@ -62,5 +83,9 @@ class TextIndexSpec extends SparkSpec {
     assert(hit.length == 1 && hit.head.getLong(1) == 700001L
       && hit.head.getDouble(2) == 1.0,
       s"appended doc must be probe-visible: ${hit.mkString(", ")}")
+    // and the staleness fingerprint absorbed the delta in step
+    assert(!TextIndex.isFresh(spark, dir, ref, "doc_id", "text"))
+    assert(TextIndex.isFresh(spark, dir,
+      ref.select(col("doc_id"), col("text")).unionAll(novel), "doc_id", "text"))
   }
 }

@@ -49,6 +49,45 @@ class VectorIndexSpec extends SparkSpec {
       s"appended near-copy must surface: ${top.mkString(", ")}")
   }
 
+  test("ensure rebuilds when the corpus is regenerated in place, not otherwise") {
+    // the r8 fixture regen: same path, different bytes — a dir-keyed
+    // index must notice (VERDICT r8 item 3)
+    val srcDir = java.nio.file.Files.createTempDirectory("vecsrc").toString
+    val dir = java.nio.file.Files.createTempDirectory("vecidx4").toString
+    val all = Tables.embeddings(spark, sf0001)
+    all.filter(col("vec_id") < 200L)
+      .write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    def corpus = spark.read.parquet(s"$srcDir/embeddings.parquet")
+    VectorIndex.ensure(corpus, dir, nlist = 8)
+    val meta = new java.io.File(s"$dir/meta/_SUCCESS")
+    val built = meta.lastModified()
+    assert(VectorIndex.isFresh(spark, dir, corpus))
+    VectorIndex.ensure(corpus, dir, nlist = 8) // same bytes: no rebuild
+    assert(meta.lastModified() == built, "unchanged corpus must not rebuild")
+    // regenerate IN PLACE with different content (drop half the rows)
+    all.filter(col("vec_id") < 100L)
+      .write.mode("overwrite").parquet(s"$srcDir/embeddings.parquet")
+    assert(!VectorIndex.isFresh(spark, dir, corpus), "stale index must be detected")
+    VectorIndex.ensure(corpus, dir, nlist = 8)
+    assert(meta.lastModified() > built, "regenerated corpus must trigger rebuild")
+    assert(spark.read.parquet(s"$dir/cells").count() == corpus.count(),
+      "rebuilt index must describe the regenerated corpus")
+    assert(VectorIndex.isFresh(spark, dir, corpus))
+  }
+
+  test("append keeps the staleness fingerprint in step") {
+    val corpus = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 100L)
+    val delta = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") >= 100L && col("vec_id") < 120L)
+    val dir = java.nio.file.Files.createTempDirectory("vecidx5").toString
+    VectorIndex.build(corpus, dir, nlist = 8)
+    VectorIndex.append(delta, dir)
+    assert(!VectorIndex.isFresh(spark, dir, corpus),
+      "fingerprint must absorb the appended delta")
+    assert(VectorIndex.isFresh(spark, dir, corpus.unionAll(delta)),
+      "index == build corpus + appended rows")
+  }
+
   test("query-time cell restriction prunes index partitions at the file level") {
     val corpus = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
