@@ -130,10 +130,18 @@ object TextIndex {
   /** Flag incoming docs that near-duplicate the INDEXED corpus: the
     * [[Dedup.minhashNearDupsAgainst]] contract (one row per flagged
     * incoming doc, best match by verified Jaccard then ref id), with the
-    * reference side read partition-PRUNED from the persisted index. */
+    * reference side read partition-PRUNED from the persisted index.
+    *
+    * `excludeSelf` drops candidate refs whose id is IN the incoming
+    * batch — for replay safety: if this very batch was already appended
+    * to the index (crash after append, before the caller's commit
+    * marker), a re-probe would otherwise flag every doc against its own
+    * indexed copy. On a first run the incoming ids are not in the index,
+    * so the flag set is identical with or without the exclusion —
+    * enabling it makes probe-then-append loops replay-deterministic. */
   def probe(s: SparkSession, indexDir: String, incoming: DataFrame,
             idCol: String, textCol: String,
-            threshold: Double = 0.8): DataFrame = {
+            threshold: Double = 0.8, excludeSelf: Boolean = false): DataFrame = {
     val (numHashes, bands, nBuckets, seed) = readMeta(s, indexDir)
     val incToks = incoming
       .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
@@ -147,12 +155,15 @@ object TextIndex {
       .filter(col("hb").isin(touchedHb: _*))
       .select(col("band"), col("band_hash"),
         col(idCol).as("ref_id"), col("_bh").as("_bh1"))
-    val cands = refBands
+    val cands0 = refBands
       .join(incBands.select(col("band"), col("band_hash"),
           col(idCol).as("inc_id"), col("_bh").as("_bh2")),
         Seq("band", "band_hash"))
       .filter(graft.functions.FirstBandMatch(col("_bh1"), col("_bh2")) === col("band"))
       .select(col("inc_id"), col("ref_id"))
+    val cands = (if (excludeSelf)
+        cands0.join(incoming.select(col(idCol).as("ref_id")), Seq("ref_id"), "left_anti")
+      else cands0)
       .localCheckpoint() // consumed twice: id-bucket collect + verify join
     // bounded collect again: candidate ref ids' buckets prune the verify scan
     val touchedIdb = cands

@@ -443,6 +443,47 @@ class StreamingSpec extends SparkSpec {
       s"stream-appended doc must be visible to batch probes: ${probe.mkString(",")}")
   }
 
+  test("indexed dedup stream replay is idempotent: lake and index unchanged") {
+    import spark.implicits._
+    val lake = tmp("s4rlake"); val idx = tmp("s4ridx").toString
+    def txt(seed: Int) = (0 until 20).map(i => s"rtok${seed}_$i").mkString(" ")
+    graft.operators.TextIndex.build(
+      Seq((1L, txt(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    // batch 0: one re-crawl of the standing doc (drop) + two novel docs
+    val batch = Seq((101L, txt(1)), (102L, txt(2)), (103L, txt(3)))
+      .toDF("doc_id", "text")
+    def lakeIds = spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def bandRows = spark.read.parquet(s"$idx/bands").count()
+    S4Stream.processIndexedDedupBatch(batch, 0L, "doc_id", "text",
+      idx, lake.toString, "runA")
+    val (ids1, bands1) = (lakeIds, bandRows)
+    assert(ids1 === Set(102L, 103L), s"novel docs must land: $ids1")
+    // full replay (marker present — crash AFTER the commit marker):
+    // the batch must be skipped outright
+    S4Stream.processIndexedDedupBatch(batch, 0L, "doc_id", "text",
+      idx, lake.toString, "runA")
+    assert(lakeIds === ids1, "replay with marker must not touch the lake")
+    assert(bandRows === bands1, "replay with marker must not re-append")
+    // crash BETWEEN append and marker: marker missing, index already has
+    // the batch. Without self-exclusion the re-probe flags every doc
+    // against its own indexed copy and overwrites the lake subtree EMPTY.
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/applied/ckrunA_b0"), false), "marker must exist to delete")
+    S4Stream.processIndexedDedupBatch(batch, 0L, "doc_id", "text",
+      idx, lake.toString, "runA")
+    assert(lakeIds === ids1,
+      "replay after un-markered append must recreate identical lake content")
+    // the re-append duplicates that batch's band rows (documented,
+    // flag-neutral): probe results must be unchanged
+    val probe = graft.operators.TextIndex.probe(spark, idx,
+      Seq((900L, txt(2))).toDF("doc_id", "text"), "doc_id", "text").collect()
+    assert(probe.length == 1 && probe.head.getLong(1) == 102L,
+      s"probe flags must survive the duplicate append: ${probe.mkString(",")}")
+  }
+
   test("streaming DQ monitor scores each batch: nulls, range breaks, dup keys") {
     val in = tmp("dqin"); val ck = tmp("dqck"); val out = tmp("dqout")
     def run(): Unit = {
