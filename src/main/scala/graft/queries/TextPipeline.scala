@@ -332,9 +332,11 @@ object TextPipeline {
   /** END-TO-END training-data pipeline composition — the flow this
     * engine exists for, as ONE declarative DAG Catalyst optimizes
     * whole: quality filter (length + stopword-ratio gates) → exact
-    * dedup keep-first → deterministic split assignment → per-split
-    * stats. No stage materializes; the filter reaches the scan, the
-    * dedup window and the final aggregate are the only shuffles. */
+    * dedup keep-first → LEAKAGE-SAFE split assignment (by near-dup
+    * cluster, the [[componentOf]] key [[leakageSafeSplit]] reports on —
+    * per-doc splitting would let near-duplicates straddle train/test) →
+    * per-split stats. The filter reaches the scan; the dedup window,
+    * the CC pass, and the final aggregate are the shuffles. */
   def pipelineE2e(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = TextOps.tokens(col("text"))
@@ -347,7 +349,8 @@ object TextPipeline {
         Window.partitionBy(col("text")).orderBy(col("doc_id"))))
       .filter(col("_rn") === 1)
     kept
-      .withColumn("split", splitCol(col("doc_id")))
+      .join(componentOf(s, dir), "doc_id")
+      .withColumn("split", splitCol(col("component")))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("_nt")).cast("long").as("total_tokens"))
@@ -502,7 +505,13 @@ object TextPipeline {
     * differed — the leakage this operator prevented. Cost is the same
     * CC pass `doc_dedup_clusters` runs; the split itself adds one hash
     * and one aggregate. */
-  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+  /** The ONE definition of the near-dup-cluster key: every doc's CC
+    * component representative (min doc id of its Jaccard-0.8 cluster;
+    * singletons map to themselves). Shared by [[leakageSafeSplit]] and
+    * [[pipelineE2e]] so their split assignments can never drift — the
+    * whole point of a leakage-safe split is that every consumer keys on
+    * the same cluster. */
+  private def componentOf(s: SparkSession, dir: String): DataFrame = {
     val edges = SetSimJoin.jaccardEdges(docToks(s, dir), "doc_id", "toks", 0.8)
     val cc = ConnectedComponents.components(edges, "id2", "id1",
       edgesNormalized = true)
@@ -510,6 +519,10 @@ object TextPipeline {
       .join(cc, col("doc_id") === col("id"), "left")
       .select(col("doc_id"),
         coalesce(col("component"), col("doc_id")).as("component"))
+  }
+
+  def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
+    componentOf(s, dir)
       .withColumn("split", splitCol(col("component")))
       .withColumn("_doc_split", splitCol(col("doc_id")))
       .groupBy(col("split"))
@@ -2073,7 +2086,22 @@ object TextPipeline {
         |GROUP BY doc_id, split, n_grams
         |ORDER BY doc_id""".stripMargin,
     "doc_pipeline_e2e" ->
-      """WITH scored AS (
+      """WITH RECURSIVE tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM documents
+        |), e AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |), und AS (
+        |  SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e
+        |), cc(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT und.v, cc.r FROM cc JOIN und ON und.u = cc.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM cc GROUP BY id
+        |), scored AS (
         |  SELECT doc_id, text, len(string_split(text, ' ')) AS nt,
         |    CAST(len(list_filter(string_split(text, ' '),
         |      t -> t IN ('the','a','of','and','to','in','is','it','for','on'))) AS DOUBLE)
@@ -2087,11 +2115,12 @@ object TextPipeline {
         |    FROM filt) r
         |  WHERE rn = 1
         |)
-        |SELECT CASE WHEN (doc_id * 2654435761) % 100 < 80 THEN 'train'
-        |            WHEN (doc_id * 2654435761) % 100 < 90 THEN 'val'
+        |SELECT CASE WHEN (component * 2654435761) % 100 < 80 THEN 'train'
+        |            WHEN (component * 2654435761) % 100 < 90 THEN 'val'
         |            ELSE 'test' END AS split,
         |  count(*) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens
-        |FROM kept GROUP BY split ORDER BY split""".stripMargin,
+        |FROM kept JOIN comp USING (doc_id)
+        |GROUP BY split ORDER BY split""".stripMargin,
     "doc_vocab_build" ->
       """WITH df AS (
         |  SELECT term, count(*) AS doc_freq
