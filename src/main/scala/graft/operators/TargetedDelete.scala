@@ -36,6 +36,12 @@ object TargetedDelete {
       "targeted delete needs a partitioned table; unpartitioned = full rewrite")
     val table = spark.read.parquet(tableDir)
     val keyList = keys.select(col(keyCol)).distinct()
+    // Partition-col joins must be NULL-SAFE: parquet surfaces the
+    // __HIVE_DEFAULT_PARTITION__ dir as null partition values, and a
+    // plain equi-join would never match them — victims in a null
+    // partition would silently survive the delete.
+    def partMatch(a: DataFrame, b: DataFrame) =
+      partitionCols.map(c => a(c) <=> b(c)).reduce(_ && _)
     // pass 1: which partitions hold victims? (pruned to partition cols)
     val touched = table
       .join(broadcast(keyList), Seq(keyCol), "left_semi")
@@ -44,7 +50,7 @@ object TargetedDelete {
     val n = touched.count()
     if (n > 0L) {
       // pass 2: re-read ONLY those partitions, drop victims, overwrite
-      val slice = table.join(broadcast(touched), partitionCols, "left_semi")
+      val slice = table.join(broadcast(touched), partMatch(table, touched), "left_semi")
       val remaining = slice
         .join(broadcast(keyList), Seq(keyCol), "left_anti")
         .select(table.columns.map(col): _*)
@@ -58,16 +64,26 @@ object TargetedDelete {
       // nothing and would silently keep its files. Remove those dirs
       // through the Hadoop FS API (works on any scheme, the
       // upsertStream lesson — never java.io.File).
-      val emptied = touched.join(
-        remaining.select(partitionCols.map(col): _*).distinct(),
-        partitionCols, "left_anti").collect()
+      val remainingParts = remaining.select(partitionCols.map(col): _*).distinct()
+      val emptied = touched.join(remainingParts,
+        partMatch(touched, remainingParts), "left_anti").collect()
       if (emptied.nonEmpty) {
         val base = new org.apache.hadoop.fs.Path(tableDir)
         val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
         emptied.foreach { row =>
-          val rel = partitionCols.zipWithIndex
-            .map { case (c, i) => s"$c=${row.get(i)}" }.mkString("/")
-          fs.delete(new org.apache.hadoop.fs.Path(base, rel), true)
+          // Spark's OWN partition-path rendering (percent-escaping of
+          // special chars, __HIVE_DEFAULT_PARTITION__ for null/empty) —
+          // hand-built "$c=$v" breaks on values like "US/2024" or null
+          // and would delete the wrong path or none at all.
+          val rel = partitionCols.zipWithIndex.map { case (c, i) =>
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(c,
+                if (row.isNullAt(i)) null else row.get(i).toString)
+          }.mkString("/")
+          val dir = new org.apache.hadoop.fs.Path(base, rel)
+          if (!fs.delete(dir, true) && fs.exists(dir))
+            throw new java.io.IOException(
+              s"targeted delete could not remove emptied partition $dir")
         }
       }
     }

@@ -75,6 +75,52 @@ class TargetedDeleteSpec extends SparkSpec {
     assert(left == Set(3L))
   }
 
+  test("partition values needing path escaping: emptied dir still removed") {
+    val dir = Files.createTempDirectory("tdel5").resolve("lake")
+    // "US/east 1:a" has /, space, and : — Spark percent-escapes all three
+    // in the partition path; a hand-built "day=US/east 1:a" would point
+    // at a nested path that doesn't exist
+    Seq((1L, "a", "US/east 1:a"), (2L, "a", "US/east 1:a"), (3L, "b", "plain"))
+      .toDF("event_id", "user", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+    import scala.jdk.CollectionConverters._
+    val escaped = Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith("day=US")).toSeq
+    assert(escaped.nonEmpty && escaped.head.contains("%2F"),
+      s"precondition: spark escapes '/' in partition paths, saw $escaped")
+    val n = TargetedDelete.delete(spark, dir.toString, Seq("day"), "user",
+      Seq("a").toDF("user"))
+    assert(n == 1L)
+    assert(!Files.exists(dir.resolve(escaped.head)),
+      "escaped emptied partition dir must be removed")
+    val left = spark.read.parquet(dir.toString)
+      .select("event_id").as[Long].collect().toSet
+    assert(left == Set(3L))
+  }
+
+  test("victims in the null partition are found and deleted") {
+    val dir = Files.createTempDirectory("tdel6").resolve("lake")
+    Seq((1L, "a", null), (2L, "b", null), (3L, "a", "d1"), (4L, "c", "d1"))
+      .toDF("event_id", "user", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+    assert(Files.exists(dir.resolve("day=__HIVE_DEFAULT_PARTITION__")))
+    // victim 'a' lives in BOTH the null partition and d1 — equi-joins on
+    // the partition cols would miss the null one entirely
+    val n = TargetedDelete.delete(spark, dir.toString, Seq("day"), "user",
+      Seq("a").toDF("user"))
+    assert(n == 2L, s"null partition and d1 both hold victims, got $n")
+    val left = spark.read.parquet(dir.toString)
+      .select("event_id").as[Long].collect().toSet
+    assert(left == Set(2L, 4L), s"rows 1 and 3 must be gone: $left")
+    assert(Files.exists(dir.resolve("day=__HIVE_DEFAULT_PARTITION__")),
+      "null partition still holds survivor row 2")
+    // and a delete that empties the null partition removes its dir
+    TargetedDelete.delete(spark, dir.toString, Seq("day"), "user",
+      Seq("b").toDF("user"))
+    assert(!Files.exists(dir.resolve("day=__HIVE_DEFAULT_PARTITION__")),
+      "emptied null-partition dir must be removed")
+  }
+
   test("no victims present -> zero partitions rewritten, files identical") {
     val dir = Files.createTempDirectory("tdel4").resolve("lake")
     (1L to 40L).map(i => (i, s"u$i", s"d${i % 2}")).toDF("event_id", "user", "day")
