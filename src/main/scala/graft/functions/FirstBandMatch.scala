@@ -7,8 +7,8 @@ import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftshim.GraftShim
 import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
 
-/** First index i where a[i] == b[i] for two equal-length array<long>
-  * columns; -1 when no position matches.
+/** First index i where a[i] == b[i] AND both elements are non-null, for
+  * two equal-length array<long> columns; -1 when no position matches.
   *
   * The LSH dedup trick this powers: a candidate pair that collides in k
   * of the b bands surfaces k times from the band-bucket self-join, and
@@ -18,6 +18,13 @@ import org.apache.spark.sql.types.{ArrayType, DataType, IntegerType, LongType}
   * join and filtering `FirstBandMatch(bh1, bh2) === band` emits every
   * pair exactly once BY CONSTRUCTION — the shuffle-wide distinct becomes
   * a per-row codegen'd loop over `bands` longs.
+  *
+  * Null elements mark MASKED bands — positions the maxBucket valve
+  * removed from the candidate join (Dedup.maskedSurvivingBands). A
+  * masked position never matches, so the "first matching band" is the
+  * first band the pair can actually surface from: a pair whose earliest
+  * agreeing band was capped is still emitted once, from its first
+  * SURVIVING agreeing band (VERDICT r8 item 9).
   */
 case class FirstBandMatch(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -32,7 +39,8 @@ case class FirstBandMatch(left: Expression, right: Expression)
     val n = math.min(x.numElements(), y.numElements())
     var i = 0
     while (i < n) {
-      if (x.getLong(i) == y.getLong(i)) return i
+      if (!x.isNullAt(i) && !y.isNullAt(i) && x.getLong(i) == y.getLong(i))
+        return i
       i += 1
     }
     -1
@@ -45,7 +53,8 @@ case class FirstBandMatch(left: Expression, right: Expression)
          |final int $n = Math.min($a.numElements(), $b.numElements());
          |${ev.value} = -1;
          |for (int $i = 0; $i < $n; $i++) {
-         |  if ($a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i) &&
+         |      $a.getLong($i) == $b.getLong($i)) { ${ev.value} = $i; break; }
          |}
        """.stripMargin
     })

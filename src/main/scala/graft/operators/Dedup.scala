@@ -95,21 +95,16 @@ object Dedup {
     * construction, dedup work moves from a shuffle to a codegen'd
     * per-row loop over `bands` longs.
     *
-    * maxBucket valve semantics (vs [[candidatePairs]]): a pair whose
-    * FIRST matching band sits in an over-cap bucket is dropped even if a
-    * later matching band's bucket is healthy. Oversize buckets are
-    * degenerate near-identical clusters whose members collide in ALL
-    * bands, so in practice the valve drops the same pairs either way;
+    * maxBucket valve semantics (vs [[candidatePairs]]): identical — the
+    * emit-once predicate sees MASKED signatures
+    * ([[maskedSurvivingBands]]), so a pair whose earliest agreeing band
+    * was capped still surfaces once, from its first surviving agreeing
+    * band. Only pairs with NO surviving agreeing band are dropped (the
+    * same set [[candidatePairs]]' post-filter distinct would drop);
     * audit with [[droppedBuckets]]. */
   def candidatePairsFirstBand(withBh: DataFrame, idCol: String,
                               maxBucket: Int): DataFrame = {
-    val banded = withBh.select(col(idCol), col("_bh"),
-      posexplode(col("_bh")).as(Seq("band", "band_hash")))
-    val sized = banded
-      .withColumn("_bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("_bucket_n") <= maxBucket)
+    val sized = maskedSurvivingBands(withBh, idCol, maxBucket)
     val a = sized.select(col("band"), col("band_hash"),
       col(idCol).as("id1"), col("_bh").as("_bh1"))
     val b = sized.select(col("band"), col("band_hash"),
@@ -118,6 +113,38 @@ object Dedup {
       .filter(col("id1") < col("id2"))
       .filter(graft.functions.FirstBandMatch(col("_bh1"), col("_bh2")) === col("band"))
       .select(col("id1"), col("id2"))
+  }
+
+  /** Surviving band rows for the emit-once candidate join: explode the
+    * band-hash array, drop rows in over-cap buckets, and MASK each doc's
+    * carried signature — null at every band position the valve removed
+    * for that doc — so [[graft.functions.FirstBandMatch]] computes the
+    * first band a pair can actually surface from, not a band that no
+    * longer exists in the join (VERDICT r8 item 9: a pair whose earliest
+    * agreeing band was capped used to vanish even when a later healthy
+    * band agreed).
+    *
+    * Cost discipline: the masking join is built from the rows the valve
+    * DROPPED — empty on healthy (exact-deduplicated) input, at most
+    * (capped buckets × maxBucket) ids otherwise — and is broadcast, so
+    * the common no-capping case adds no shuffle and leaves every
+    * signature untouched. */
+  private[operators] def maskedSurvivingBands(withBh: DataFrame, idCol: String,
+                                              maxBucket: Int): DataFrame = {
+    val exploded = withBh.select(col(idCol), col("_bh"),
+        posexplode(col("_bh")).as(Seq("band", "band_hash")))
+      .withColumn("_bucket_n",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("band"), col("band_hash"))))
+    val cappedOfDoc = exploded.filter(col("_bucket_n") > maxBucket)
+      .groupBy(col(idCol)).agg(collect_set(col("band")).as("_capped"))
+    exploded.filter(col("_bucket_n") <= maxBucket)
+      .join(broadcast(cappedOfDoc), Seq(idCol), "left")
+      .withColumn("_bh", when(col("_capped").isNull, col("_bh"))
+        .otherwise(transform(sequence(lit(0), size(col("_bh")) - 1),
+          b => when(array_contains(col("_capped"), b), lit(null).cast("long"))
+            .otherwise(element_at(col("_bh"), b + 1)))))
+      .select(col(idCol), col("_bh"), col("band"), col("band_hash"))
   }
 
   /** The audit twin of [[candidatePairs]]: the band buckets its
@@ -251,16 +278,11 @@ object Dedup {
     def prep(df: DataFrame): DataFrame =
       df.select(col(idCol), hashedTokenSet(col(textCol)).as("_toks"))
         .localCheckpoint() // reused by the band join AND verification
-    def banded(toks: DataFrame): DataFrame = toks
-      .select(col(idCol),
+    def banded(toks: DataFrame): DataFrame = maskedSurvivingBands(
+      toks.select(col(idCol),
         bandHashes(minhashSignature(col("_toks"), numHashes, seed), bands, rows)
-          .as("_bh"))
-      .select(col(idCol), col("_bh"),
-        posexplode(col("_bh")).as(Seq("band", "band_hash")))
-      .withColumn("_bucket_n",
-        count(lit(1)).over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("band"), col("band_hash"))))
-      .filter(col("_bucket_n") <= maxBucket)
+          .as("_bh")),
+      idCol, maxBucket)
     val refToks = prep(ref)
     val incToks = prep(incoming)
     val r = banded(refToks).select(col("band"), col("band_hash"),

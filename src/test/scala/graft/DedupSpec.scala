@@ -85,6 +85,34 @@ class DedupSpec extends SparkSpec {
     assert(reps.count() === 1)
   }
 
+  test("a capped bucket masks, not suppresses: pair still found via a later band") {
+    import spark.implicits._
+    // synthetic band-hash arrays: docs 1 and 2 agree in band 0 AND band 1;
+    // band 0's bucket (hash 100) holds 5 docs and gets capped at 4, band
+    // 1's bucket (hash 777) holds only the pair. Pre-fix, FirstBandMatch
+    // saw the unmasked signatures, said "first match = band 0", and the
+    // pair vanished with the capped bucket even though band 1 agreed.
+    val withBh = Seq(
+      (1L, Seq(100L, 777L)), (2L, Seq(100L, 777L)),
+      (3L, Seq(100L, 11L)), (4L, Seq(100L, 12L)), (5L, Seq(100L, 13L)))
+      .toDF("id", "_bh")
+    val pairs = Dedup.candidatePairsFirstBand(withBh, "id", maxBucket = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L)),
+      s"pair must surface from its first SURVIVING agreeing band: $pairs")
+    // and with no capping the masking path is inert: same pairs as the
+    // distinct-based generator on the same input
+    val viaDistinct = Dedup.candidatePairs(
+      withBh.select(col("id"), col("_bh"),
+        posexplode(col("_bh")).as(Seq("band", "band_hash")))
+        .select(col("id"), col("band"), col("band_hash")),
+      "id", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaFirstBand = Dedup.candidatePairsFirstBand(withBh, "id", maxBucket = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFirstBand === viaDistinct, s"$viaFirstBand vs $viaDistinct")
+  }
+
   test("simhash pairs respect the hamming bound and recover banded mass") {
     val docs = Tables.documents(spark, sf0001)
     val found = Dedup.simhashNearDups(docs, "doc_id", "text", maxHamming = 3)

@@ -20,6 +20,26 @@ class EmitOncePredicateSpec extends SparkSpec {
     assert(got.toSeq === Seq(1, 0, -1, -1, 1))
   }
 
+  test("FirstBandMatch skips masked (null) positions on either side") {
+    // masked bands (capped buckets) are nulled out of the signature; a
+    // null position must never match, shifting the first match to the
+    // first surviving agreeing band
+    val df = spark.range(1).select(
+      FirstBandMatch(
+        expr("array(CAST(NULL AS LONG), 20L, 30L)"),
+        expr("array(10L, 20L, 30L)")).as("left_masked"),
+      FirstBandMatch(
+        expr("array(10L, 20L, 30L)"),
+        expr("array(10L, CAST(NULL AS LONG), 30L)")).as("right_masked"),
+      FirstBandMatch(
+        expr("array(CAST(NULL AS LONG), CAST(NULL AS LONG))"),
+        expr("array(CAST(NULL AS LONG), 2L)")).as("all_masked"))
+    val r = df.head()
+    assert(r.getInt(0) == 1, "null left position must not match")
+    assert(r.getInt(1) == 0, "match before the masked position is unaffected")
+    assert(r.getInt(2) == -1, "no surviving agreement -> -1")
+  }
+
   test("FirstBandMatch emits each colliding pair exactly once across bands") {
     import spark.implicits._
     // two docs agreeing in bands 1 AND 3: only the band-1 rows pass
