@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope fixture generator (VERDICT r8 item 8): builds an
+  * sfN-equivalent of sf0.1 by unioning `copies` re-keyed replicas —
+  * `runMain graft.ScaleGen <outDir> [copies]` (default 5 → "sf0.5").
+  *
+  * Replicas must not interact, or the measurement lies: identical text
+  * replicas would make every doc a cross-copy near-dup (pair counts ×k²,
+  * clusters spanning copies — super-linear RESULTS masquerading as
+  * super-linear RUNTIME). Each copy therefore gets a disjoint token
+  * namespace (tokens prefixed with the copy tag), disjoint ids (stride =
+  * max(id)+1), and slightly perturbed embeddings — the workload scales
+  * exactly ×k in rows AND in result structure, so sec/SF is the honest
+  * slope.
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val outDir = args(0)
+    val copies = if (args.length > 1) args(1).toInt else 5
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val src = "/root/testdata/sf0.1"
+
+    def replicate(name: String, rekey: (DataFrame, Int, Long) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val idCol = base.columns.head // doc_id / vec_id / event_id lead each table
+      val stride = base.agg(max(col(idCol))).head().getLong(0) + 1L
+      (0 until copies).map(c => rekey(base, c, stride))
+        .reduce(_ unionAll _)
+        .write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+    }
+
+    replicate("documents", (df, c, stride) => df
+      .withColumn("doc_id", col("doc_id") + lit(c * stride))
+      // disjoint token namespace per copy: replicas never near-dup each other
+      .withColumn("text",
+        if (c == 0) col("text")
+        else array_join(transform(split(col("text"), " "),
+          t => concat(lit(s"c${c}_"), t)), " ")))
+
+    replicate("embeddings", (df, c, stride) => df
+      .withColumn("vec_id", col("vec_id") + lit(c * stride))
+      .withColumn("embedding",
+        if (c == 0) col("embedding")
+        else transform(col("embedding"),
+          x => x + lit(c * 0.0137f)))) // break exact cross-copy ties
+
+    replicate("events", (df, c, stride) => df
+      .withColumn("event_id", col("event_id") + lit(c * stride))
+      .withColumn("user_id", col("user_id") + lit(c * 1000000L)))
+
+    println(s"[scalegen] wrote $copies x sf0.1 to $outDir")
+    spark.stop()
+  }
+}
