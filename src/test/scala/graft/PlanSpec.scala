@@ -319,4 +319,21 @@ class PlanSpec extends SparkSpec {
   test("flagship entry returns rows (driver smoke contract)") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("LSH band-cap masking joins broadcast — no shuffle added to the hot path") {
+    import spark.implicits._
+    val withBh = (1L to 50L).map(i => (i, Seq(i, i * 7, i * 13)))
+      .toDF("id", "_bh")
+    val df = graft.operators.Dedup.candidatePairsFirstBand(withBh, "id", 10)
+    df.collect() // finalize the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    // the capped-docs mask table must come in via broadcast (it is empty
+    // on healthy input); a SortMergeJoin here would mean the masking
+    // added a per-call shuffle of the banded rows
+    assert(p.contains("BroadcastHashJoin"),
+      s"capped-docs masking join must broadcast:\n$p")
+    val bandedToMask = p.linesIterator.count(_.contains("SortMergeJoin"))
+    assert(bandedToMask <= 1,
+      s"only the band-bucket candidate join may sort-merge, saw $bandedToMask:\n$p")
+  }
 }
