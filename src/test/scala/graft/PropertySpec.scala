@@ -93,4 +93,39 @@ class PropertySpec extends SparkSpec {
       assert(unspread(z >> 1) == b, s"odd bits of $z != $b")
     }
   }
+
+  test("Fingerprint: order/partitioning-independent; of(a ∪ b) == merge(of(a), of(b))") {
+    val row = Gen.zip(Gen.chooseNum(-1000L, 1000L), Gen.alphaNumStr)
+    val sets = cases(Gen.zip(Gen.listOf(row), Gen.listOf(row)), 30, 66L)
+    sets.foreach { case (a, b) =>
+      def fp(rows: Seq[(Long, String)], parts: Int) =
+        graft.operators.Fingerprint.of(
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(rows, math.max(parts, 1)))
+            .toDF("id", "s"),
+          Seq("id", "s"))
+      val (fa, fb) = (fp(a, 2), fp(b, 3))
+      assert(fp(scala.util.Random.shuffle(a ++ b), 4) ==
+        graft.operators.Fingerprint.merge(fa, fb),
+        s"union fingerprint must equal merged parts for |a|=${a.size} |b|=${b.size}")
+      assert(fp(a.reverse, 1) == fa, "row order must not matter")
+    }
+  }
+
+  test("FirstBandMatch ≡ reference first-agreeing-index over nullable arrays") {
+    val elem = Gen.option(Gen.chooseNum(0L, 8L)) // tiny domain forces matches
+    val arr = Gen.listOfN(6, elem)
+    val pairs = cases(Gen.zip(arr, arr), 300, 77L)
+    def ref(a: Seq[Option[Long]], b: Seq[Option[Long]]): Int =
+      a.zip(b).indexWhere { case (x, y) => x.isDefined && y.isDefined && x == y }
+    val got = pairs
+      .map { case (a, b) => (a.map(_.map(Long.box).orNull), b.map(_.map(Long.box).orNull)) }
+      .toDF("a", "b")
+      .select(graft.functions.FirstBandMatch(
+        col("a").cast("array<long>"), col("b").cast("array<long>")))
+      .collect().map(_.getInt(0))
+    pairs.zip(got).foreach { case ((a, b), g) =>
+      assert(g == ref(a, b), s"FirstBandMatch($a, $b) = $g, expected ${ref(a, b)}")
+    }
+  }
 }
