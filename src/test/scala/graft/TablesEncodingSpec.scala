@@ -93,6 +93,27 @@ class TablesEncodingSpec extends SparkSpec {
     }
   }
 
+  test("embeddings element-type drift (float -> double) does not break the vec stack") {
+    // same hazard class as the events ts regen: if the driver rewrites
+    // embeddings.parquet with array<double>, the custom vector
+    // expressions (VecDot/MatVec/PqOps branch on the element type) and
+    // the getSeq[Double] driver collects must keep working
+    val dir = Files.createTempDirectory("graft_embdbl").toString
+    Tables.embeddings(spark, "/root/testdata/sf0.001")
+      .withColumn("embedding", col("embedding").cast("array<double>"))
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val asDouble = graft.queries.Vectors.norms(spark, dir).collect()
+    val asFloat = graft.queries.Vectors.norms(spark, "/root/testdata/sf0.001").collect()
+    assert(asDouble.length == asFloat.length && asDouble.nonEmpty)
+    asFloat.zip(asDouble).foreach { case (f, d) =>
+      assert(f.getLong(0) == d.getLong(0))
+      assert(math.abs(f.getDouble(2) - d.getDouble(2)) < 1e-3,
+        s"norm drift for vec ${f.getLong(0)}")
+    }
+    // an ANN query end-to-end on the double encoding
+    assert(graft.queries.Vectors.mipsTopK(spark, dir).count() > 0)
+  }
+
   test("unsupported ts type fails loudly") {
     val dir = Files.createTempDirectory("graft_enc_bad").toString
     spark.createDataFrame(
