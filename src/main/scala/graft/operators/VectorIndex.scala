@@ -124,6 +124,46 @@ object VectorIndex {
         rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("value")).toSeq
       }
 
+  /** SemDeDup probe against the PERSISTED index: flag incoming vectors
+    * whose cosine against any INDEXED vector in their own cell exceeds
+    * `tau` — [[Similarity.semanticDedup]]'s decision rule with the
+    * corpus side read partition-pruned from the index (the touched-cell
+    * set is a bounded collect, the probe batch broadcasts). Returns one
+    * row per flagged incoming vector: (inc_id, dup_of) with dup_of the
+    * smallest same-cell witness. Same approximation contract as the
+    * batch operator: a cross-cell duplicate is missed by design.
+    *
+    * `excludeSelf` drops indexed rows whose id is IN the incoming batch
+    * — the replay guard for probe-then-append loops (see
+    * TextIndex.probe): a re-probed batch that was already appended must
+    * not flag against its own indexed copies. */
+  def probeDups(s: SparkSession, indexDir: String, incoming: DataFrame,
+                tau: Double, corpusId: String = "vec_id",
+                corpusVec: String = "embedding",
+                excludeSelf: Boolean = false): DataFrame = {
+    val centroids = loadCentroids(s, indexDir)
+    val probed = incoming
+      .withColumn("_cid", Similarity.nearestCentroid(col(corpusVec), centroids))
+      .withColumn("_nrm", VectorOps.norm(col(corpusVec)))
+      .select(col(corpusId).as("inc_id"), col(corpusVec).as("_ei"),
+        col("_nrm").as("_ni"), col("_cid"))
+    // bounded collect (<= nlist ints): static partition filter on cells
+    val touched = probed.select(col("_cid")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val cells0 = s.read.parquet(s"$indexDir/cells")
+      .filter(col("cell").isInCollection(touched))
+    val cells = if (excludeSelf)
+      cells0.join(incoming.select(col(corpusId)), Seq(corpusId), "left_anti")
+    else cells0
+    cells
+      .select(col("cell"), col(corpusId).as("ref_id"),
+        col(corpusVec).as("_er"), col("norm").as("_nr"))
+      .join(broadcast(probed), col("cell") === probed("_cid"))
+      .filter(VectorOps.dot(col("_ei"), col("_er"))
+        > lit(tau) * col("_ni") * col("_nr"))
+      .groupBy(col("inc_id")).agg(min(col("ref_id")).as("dup_of"))
+  }
+
   /** ANN top-k against the PERSISTED index: identical semantics to
     * [[Similarity.ivfTopK]] at the same (nlist, iters, seed), but the
     * corpus-side work is a partition-pruned scan of the touched cells

@@ -731,6 +731,41 @@ object S4Stream {
     * band/token rows for that one batch, which probe semantics tolerate
     * (best-match rank collapses duplicates and their Jaccard is
     * identical). */
+  /** Marker-gated batch application for probe-then-append ingest loops:
+    * run `body` only when `<indexDir>/applied/ck<runKey>_b<batchId>` is
+    * absent, and create that marker LAST as the commit point. A replayed
+    * batch whose marker exists is skipped — its lake subtree and index
+    * rows are already committed. */
+  private def appliedOnce(s: org.apache.spark.sql.SparkSession,
+      indexDir: String, runKey: String, batchId: Long)(body: => Unit): Unit = {
+    val marker = new org.apache.hadoop.fs.Path(
+      s"$indexDir/applied/ck${runKey}_b$batchId")
+    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(marker)) {
+      body
+      fs.create(marker, true).close() // commit point: batch fully applied
+    }
+  }
+
+  /** Marker namespace key = the checkpoint's QUERY ID (written to
+    * `<ck>/metadata` at stream start): stable across restarts from the
+    * same checkpoint (same batchId lineage), fresh when the checkpoint
+    * is recreated — a recreated checkpoint restarts batchIds at 0, and
+    * path-keyed markers would silently skip those new batches. */
+  private def checkpointRunKey(s: org.apache.spark.sql.SparkSession,
+                               checkpointDir: String): String = {
+    val meta = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
+    val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val txt = try {
+      val in = fs.open(meta)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    } catch { case _: Exception => checkpointDir } // pre-start fallback
+    """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
+      .map(_.group(1)).getOrElse(checkpointDir)
+      .replaceAll("[^a-zA-Z0-9-]", "_")
+  }
+
   /** One micro-batch of [[indexedDedupStream]], exposed for direct
     * replay testing. `runKey` is the stream's identity in the shared
     * marker namespace — batchIds only mean something within one
@@ -739,10 +774,7 @@ object S4Stream {
       idCol: String, textCol: String, indexDir: String, lakeDir: String,
       runKey: String): Unit = {
     val s = batch.sparkSession
-    val marker = new org.apache.hadoop.fs.Path(
-      s"$indexDir/applied/ck${runKey}_b$batchId")
-    val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(marker) && !batch.isEmpty) {
+    if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
       val flagged = graft.operators.TextIndex
         .probe(s, indexDir, batch, idCol, textCol, excludeSelf = true)
         .select(col("inc_id"))
@@ -753,7 +785,6 @@ object S4Stream {
       // batch rewrites its own subtree, so the LAKE is exactly-once.
       novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
       graft.operators.TextIndex.append(novel, idCol, textCol, indexDir)
-      fs.create(marker, true).close() // commit point: batch fully applied
     }
   }
 
@@ -761,28 +792,55 @@ object S4Stream {
                          indexDir: String, lakeDir: String,
                          checkpointDir: String,
                          availableNow: Boolean = false): StreamingQuery = {
-    // Marker namespace key = the checkpoint's QUERY ID (written to
-    // `<ck>/metadata` at stream start): stable across restarts from the
-    // same checkpoint (same batchId lineage), fresh when the checkpoint
-    // is recreated — a recreated checkpoint restarts batchIds at 0, and
-    // path-keyed markers would silently skip those new batches.
-    lazy val runKey: String = {
-      val meta = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
-      val fs = meta.getFileSystem(docs.sparkSession.sparkContext.hadoopConfiguration)
-      val txt = try {
-        val in = fs.open(meta)
-        try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        finally in.close()
-      } catch { case _: Exception => checkpointDir } // pre-start fallback
-      """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-        .map(_.group(1)).getOrElse(checkpointDir)
-        .replaceAll("[^a-zA-Z0-9-]", "_")
-    }
+    lazy val runKey = checkpointRunKey(docs.sparkSession, checkpointDir)
     val w = docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         processIndexedDedupBatch(batch, batchId, idCol, textCol,
           indexDir, lakeDir, runKey)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
+  /** One micro-batch of [[indexedSemanticDedupStream]], exposed for
+    * direct replay testing (same contract as
+    * [[processIndexedDedupBatch]]). */
+  private[graft] def processIndexedSemanticBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, indexDir: String, lakeDir: String,
+      tau: Double, runKey: String): Unit = {
+    val s = batch.sparkSession
+    if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
+      val flagged = graft.operators.VectorIndex
+        .probeDups(s, indexDir, batch, tau, idCol, vecCol, excludeSelf = true)
+        .select(col("inc_id"))
+      val novel = batch
+        .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
+        .localCheckpoint() // consumed twice: lake write + index append
+      novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+      graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol)
+    }
+  }
+
+  /** STREAMING semantic dedup against the persisted IVF index — the
+    * embedding-side sibling of [[indexedDedupStream]] (SemDeDup as a
+    * continuous-ingest loop): per micro-batch, PROBE the incoming
+    * vectors against `indexDir` (partition-pruned cells, frozen
+    * quantizer — [[graft.operators.VectorIndex.probeDups]]), write only
+    * the semantically NOVEL ones to the lake, and APPEND them to their
+    * cells so the very next batch — or any batch job sharing the index —
+    * dedups against them in O(|delta|). Replay idempotence is the same
+    * marker + excludeSelf contract as the text loop; the index
+    * fingerprint absorbs each append so staleness checks keep working. */
+  def indexedSemanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
+                                 indexDir: String, lakeDir: String,
+                                 checkpointDir: String, tau: Double = 0.9,
+                                 availableNow: Boolean = false): StreamingQuery = {
+    lazy val runKey = checkpointRunKey(vecs.sparkSession, checkpointDir)
+    val w = vecs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIndexedSemanticBatch(batch, batchId, idCol, vecCol,
+          indexDir, lakeDir, tau, runKey)
       }
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }

@@ -443,6 +443,80 @@ class StreamingSpec extends SparkSpec {
       s"stream-appended doc must be visible to batch probes: ${probe.mkString(",")}")
   }
 
+  test("indexed SEMANTIC dedup stream: probe cells, keep novel, append — across runs") {
+    import spark.implicits._
+    val in = tmp("svin"); val lake = tmp("svlake"); val ck = tmp("svck")
+    val idx = tmp("svidx").toString
+    // standing corpus: two well-separated unit-ish vectors, nlist=2
+    graft.operators.VectorIndex.build(
+      Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), idx, nlist = 2)
+    def run(): Unit = {
+      val src = spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .json(in.toString)
+      S4Stream.indexedSemanticDedupStream(src, "vec_id", "embedding", idx,
+        lake.toString, ck.toString, tau = 0.9, availableNow = true)
+        .awaitTermination()
+    }
+    // batch 1: 101 ~ copy of indexed vector 1 (cos ≈ 1 -> drop);
+    // 102 sits in vector 2's cell but at cos ≈ 0.87 < tau (novel, keep)
+    writeLines(in, "b1.json", Seq(
+      """{"vec_id": 101, "embedding": [0.999, 0.01, 0.0, 0.0]}""",
+      """{"vec_id": 102, "embedding": [0.1, 0.9, 0.5, 0.0]}"""))
+    run()
+    // batch 2 (new run, same index): 201 ~ copy of the APPENDED 102 ->
+    // drop (the stream dedups against its own past); 202 novel
+    writeLines(in, "b2.json", Seq(
+      """{"vec_id": 201, "embedding": [0.101, 0.902, 0.501, 0.0]}""",
+      """{"vec_id": 202, "embedding": [0.0, 0.0, 0.0, 1.0]}"""))
+    run()
+    val kept = spark.read.parquet(lake.toString)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(kept === Set(102L, 202L),
+      s"near-copies 101/201 must drop, novel 102/202 must land: $kept")
+    // the shared index answers batch-side probes too, and its
+    // fingerprint tracked build corpus + streamed appends
+    val probe = graft.operators.VectorIndex.probeDups(spark, idx,
+      Seq((900L, Seq(0.1f, 0.9f, 0.5f, 0.0f))).toDF("vec_id", "embedding"),
+      tau = 0.9).collect()
+    assert(probe.length == 1 && probe.head.getLong(1) == 102L,
+      s"stream-appended vector must flag batch probes: ${probe.mkString(",")}")
+  }
+
+  test("indexed semantic dedup replay is idempotent: lake and index unchanged") {
+    import spark.implicits._
+    val lake = tmp("svrlake"); val idx = tmp("svridx").toString
+    graft.operators.VectorIndex.build(
+      Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), idx, nlist = 2)
+    val batch = Seq(
+      (101L, Seq(0.999f, 0.01f, 0f, 0f)),   // dup of indexed 1
+      (102L, Seq(0.1f, 0.9f, 0.5f, 0f)))    // novel
+      .toDF("vec_id", "embedding")
+    def lakeIds = spark.read.parquet(lake.toString)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def cellRows = spark.read.parquet(s"$idx/cells").count()
+    S4Stream.processIndexedSemanticBatch(batch, 0L, "vec_id", "embedding",
+      idx, lake.toString, 0.9, "runV")
+    val (ids1, cells1) = (lakeIds, cellRows)
+    assert(ids1 === Set(102L))
+    // markered replay: skipped outright
+    S4Stream.processIndexedSemanticBatch(batch, 0L, "vec_id", "embedding",
+      idx, lake.toString, 0.9, "runV")
+    assert(lakeIds === ids1 && cellRows === cells1)
+    // crash between append and marker: excludeSelf keeps the lake intact
+    // (without it 102 would flag against its own indexed copy and the
+    // overwrite would empty the batch subtree)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/applied/ckrunV_b0"), false))
+    S4Stream.processIndexedSemanticBatch(batch, 0L, "vec_id", "embedding",
+      idx, lake.toString, 0.9, "runV")
+    assert(lakeIds === ids1,
+      "replay after un-markered append must recreate identical lake content")
+  }
+
   test("indexed dedup stream replay is idempotent: lake and index unchanged") {
     import spark.implicits._
     val lake = tmp("s4rlake"); val idx = tmp("s4ridx").toString
