@@ -73,8 +73,14 @@ object SetSimJoin {
         .select(col("_tok"), col("_df"), col(idCol), col("_sz"), col("_rk"), col("_parr"))
     }
     val probe = withPrefixArr(prefRows)
-    val index = withPrefixArr(prefRows.filter(
-      col("_rk") <= col("_sz") - ceil(lit(2 * t / (1 + t)) * col("_sz") - lit(1e-9)) + 1))
+    // the index role is a per-row projection of the probe role: its
+    // (shorter) prefix is the first idxLen tokens in the same global
+    // (df, tok) order the probe array is sorted by, so slicing the
+    // already-built array replaces a second groupBy + join
+    val idxLen = (col("_sz")
+      - ceil(lit(2 * t / (1 + t)) * col("_sz") - lit(1e-9)) + 1).cast("int")
+    val index = probe.filter(col("_rk") <= idxLen)
+      .withColumn("_parr", slice(col("_parr"), lit(1), idxLen * 2))
     val a = probe.select(col("_tok"), col("_df"), col(idCol).as("_ida"),
       col("_sz").as("_sza"), col("_rk").as("_rka"), col("_parr").as("_parra"))
     val b = index.select(col("_tok"), col(idCol).as("_idb"),
