@@ -75,6 +75,28 @@ class VectorIndexSpec extends SparkSpec {
     assert(VectorIndex.isFresh(spark, dir, corpus))
   }
 
+  test("probeDups == the batch SemDeDup decision rule, partition-pruned") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("vecidx6").toString
+    VectorIndex.build(corpus, dir, nlist = 8)
+    // probes: exact copies of indexed vectors under fresh ids — each must
+    // flag with dup_of = its source (the smallest same-cell witness at
+    // cosine 1.0 is the source itself unless an even smaller id ties)
+    val probes = corpus.filter(col("vec_id").isInCollection(Seq(7L, 42L)))
+      .select((col("vec_id") + 800000L).as("vec_id"), col("embedding"))
+    val flags = VectorIndex.probeDups(spark, dir, probes, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the fixture has no natural near-dups (max pairwise cosine 0.479),
+    // so each copy's only witness above tau is its source
+    assert(flags == Map(800007L -> 7L, 800042L -> 42L), s"copies must flag: $flags")
+    // a NEGATED corpus vector can't exceed cosine 0.479 against anything
+    // (all pairwise cosines are within ±0.479): provably no flag
+    val novel = corpus.filter(col("vec_id") === 7L)
+      .select(lit(900001L).as("vec_id"),
+        transform(col("embedding"), x => -x).as("embedding"))
+    assert(VectorIndex.probeDups(spark, dir, novel, tau = 0.99).count() == 0L)
+  }
+
   test("append keeps the staleness fingerprint in step") {
     val corpus = Tables.embeddings(spark, sf0001).filter(col("vec_id") < 100L)
     val delta = Tables.embeddings(spark, sf0001)
