@@ -90,7 +90,9 @@ object Bench {
     // after a fixture regen) here, so the timed vec_index_topk run
     // measures the query path production actually repeats
     try graft.queries.Vectors.ensureIndex(spark, sfDir)
-    catch { case _: Throwable => () }
+    catch { case e: Throwable => // timed run will rebuild — make that visible
+      System.err.println(s"[bench] warmup ensureIndex FAILED: ${e.getMessage}")
+    }
     dropPersistedBlocks()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -39,14 +39,29 @@ object Tables {
     *  - timestamp[us/ms] adjusted-to-UTC → already TIMESTAMP: pass through.
     */
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
-    val raw = table(s, d, "events")
+    // schema inference is eager: a TIMESTAMP(NANOS) file without the
+    // legacy conf throws the opaque PARQUET_TYPE_ILLEGAL here, before
+    // any type match could run — intercept it and name the fix
+    val raw = try table(s, d, "events") catch {
+      case e: Exception
+          if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+        throw new IllegalStateException(
+          "events.parquet is TIMESTAMP(NANOS): the session must be built " +
+            "with spark.sql.legacy.parquet.nanosAsLong=true " +
+            "(see Tables.events scaladoc)", e)
+    }
     raw.schema("ts").dataType match {
       case LongType =>
-        require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-          "events.parquet ts read as BIGINT without " +
-            "spark.sql.legacy.parquet.nanosAsLong=true (see Tables.events scaladoc)")
         raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampNTZType =>
+        // the cast interprets NTZ wall-clock in the SESSION zone; only
+        // UTC reproduces the µs values the DuckDB oracle reads — fail
+        // loudly like the nanos branch rather than shift silently
+        require(s.conf.get("spark.sql.session.timeZone", "") == "UTC",
+          "events.parquet ts is TIMESTAMP_NTZ: the session must be built " +
+            "with spark.sql.session.timeZone=UTC so the cast to TIMESTAMP " +
+            "preserves wall-clock (see Tables.events scaladoc)")
+        raw.withColumn("ts", col("ts").cast(TimestampType))
       case TimestampType    => raw
       case other => throw new IllegalStateException(
         s"events.parquet ts has unsupported type $other (expected BIGINT nanos, TIMESTAMP_NTZ, or TIMESTAMP)")

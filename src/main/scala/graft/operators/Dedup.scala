@@ -125,10 +125,13 @@ object Dedup {
     * band agreed).
     *
     * Cost discipline: the masking join is built from the rows the valve
-    * DROPPED — empty on healthy (exact-deduplicated) input, at most
-    * (capped buckets × maxBucket) ids otherwise — and is broadcast, so
-    * the common no-capping case adds no shuffle and leaves every
-    * signature untouched. */
+    * DROPPED — empty on healthy (exact-deduplicated) input. Its size is
+    * NOT bounded (a degenerate corpus puts every clique member in it),
+    * so the join is left unhinted: AQE converts it to a broadcast join
+    * at runtime when the capped-doc table is small (the plan gate in
+    * PlanSpec holds that for the healthy case) and falls back to a
+    * shuffle join on the degenerate corpora where a forced broadcast
+    * would OOM the driver — exactly the input the valve exists for. */
   private[operators] def maskedSurvivingBands(withBh: DataFrame, idCol: String,
                                               maxBucket: Int): DataFrame = {
     val exploded = withBh.select(col(idCol), col("_bh"),
@@ -139,7 +142,7 @@ object Dedup {
     val cappedOfDoc = exploded.filter(col("_bucket_n") > maxBucket)
       .groupBy(col(idCol)).agg(collect_set(col("band")).as("_capped"))
     exploded.filter(col("_bucket_n") <= maxBucket)
-      .join(broadcast(cappedOfDoc), Seq(idCol), "left")
+      .join(cappedOfDoc, Seq(idCol), "left")
       .withColumn("_bh", when(col("_capped").isNull, col("_bh"))
         .otherwise(transform(sequence(lit(0), size(col("_bh")) - 1),
           b => when(array_contains(col("_capped"), b), lit(null).cast("long"))

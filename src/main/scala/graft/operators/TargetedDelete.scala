@@ -51,6 +51,21 @@ object TargetedDelete {
     if (n > 0L) {
       // pass 2: re-read ONLY those partitions, drop victims, overwrite
       val slice = table.join(broadcast(touched), partMatch(table, touched), "left_semi")
+      // The ON-DISK directory of every touched partition, captured from
+      // the files themselves BEFORE the overwrite (parent of
+      // input_file_name). Reconstructing "$c=$v" from the partition
+      // VALUES is a trap twice over: Spark percent-escapes path chars
+      // and renders null as __HIVE_DEFAULT_PARTITION__, and partition
+      // type INFERENCE can change the value's string form entirely
+      // (dir `day=01` reads back as long 1 → "day=1" names a path that
+      // does not exist, fs.delete returns false, exists() is false, and
+      // the victim files silently survive). The filesystem's own path
+      // needs no rendering. Driver-sized: one row per touched partition.
+      val dirOfPart = slice
+        .select(partitionCols.map(col) :+
+          expr("regexp_replace(input_file_name(), '/[^/]*$', '')").as("_dir"): _*)
+        .distinct() // every file of a partition shares one parent dir
+        .localCheckpoint(true) // pin before the overwrite invalidates it
       val remaining = slice
         .join(broadcast(keyList), Seq(keyCol), "left_anti")
         .select(table.columns.map(col): _*)
@@ -65,22 +80,20 @@ object TargetedDelete {
       // through the Hadoop FS API (works on any scheme, the
       // upsertStream lesson — never java.io.File).
       val remainingParts = remaining.select(partitionCols.map(col): _*).distinct()
-      val emptied = touched.join(remainingParts,
-        partMatch(touched, remainingParts), "left_anti").collect()
+      val emptied = dirOfPart.join(remainingParts,
+        partMatch(dirOfPart, remainingParts), "left_anti")
+        .select(col("_dir")).collect()
       if (emptied.nonEmpty) {
-        val base = new org.apache.hadoop.fs.Path(tableDir)
-        val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val fs = new org.apache.hadoop.fs.Path(tableDir)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
         emptied.foreach { row =>
-          // Spark's OWN partition-path rendering (percent-escaping of
-          // special chars, __HIVE_DEFAULT_PARTITION__ for null/empty) —
-          // hand-built "$c=$v" breaks on values like "US/2024" or null
-          // and would delete the wrong path or none at all.
-          val rel = partitionCols.zipWithIndex.map { case (c, i) =>
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(c,
-                if (row.isNullAt(i)) null else row.get(i).toString)
-          }.mkString("/")
-          val dir = new org.apache.hadoop.fs.Path(base, rel)
+          // input_file_name returns the URI-ENCODED form (on-disk %2F
+          // prints as %252F); Path(String) keeps the escapes literal and
+          // misses the dir — going through java.net.URI decodes once,
+          // back to the on-disk name (verified against escaped fixtures)
+          val uri = row.getString(0)
+          val dir = try new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+            catch { case _: Exception => new org.apache.hadoop.fs.Path(uri) }
           if (!fs.delete(dir, true) && fs.exists(dir))
             throw new java.io.IOException(
               s"targeted delete could not remove emptied partition $dir")

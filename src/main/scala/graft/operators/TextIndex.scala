@@ -63,6 +63,7 @@ object TextIndex {
     tokRows(toks, idCol, nBuckets)
       .write.mode("overwrite").partitionBy("idb").parquet(s"$indexDir/toks")
     bandRows(toks, idCol, numHashes, bands, nBuckets, seed)
+      .withColumn("_src", lit("build")) // ingest provenance, see probe
       .write.mode("overwrite").partitionBy("hb").parquet(s"$indexDir/bands")
     val fp = Fingerprint.of(docs, Seq(idCol, textCol))
     Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
@@ -105,9 +106,12 @@ object TextIndex {
 
   /** O(|delta|) maintenance: sign a new dump with the index's FROZEN
     * parameters and append its rows to both tables; the meta fingerprint
-    * absorbs the delta in O(1) so [[isFresh]] keeps working. */
+    * absorbs the delta in O(1) so [[isFresh]] keeps working. `tag` is
+    * the ingest-provenance label stored on the band rows — pass a
+    * batch-unique value to make a probe-then-append loop replayable
+    * (see [[probe]]'s excludeTag). */
   def append(delta: DataFrame, idCol: String, textCol: String,
-             indexDir: String): Unit = {
+             indexDir: String, tag: String = "append"): Unit = {
     val s = delta.sparkSession
     val (numHashes, bands, nBuckets, seed) = readMeta(s, indexDir)
     val old = readFingerprint(s, indexDir)
@@ -117,6 +121,7 @@ object TextIndex {
     tokRows(toks, idCol, nBuckets)
       .write.mode("append").partitionBy("idb").parquet(s"$indexDir/toks")
     bandRows(toks, idCol, numHashes, bands, nBuckets, seed)
+      .withColumn("_src", lit(tag))
       .write.mode("append").partitionBy("hb").parquet(s"$indexDir/bands")
     import s.implicits._
     old.foreach { o =>
@@ -132,16 +137,19 @@ object TextIndex {
     * incoming doc, best match by verified Jaccard then ref id), with the
     * reference side read partition-PRUNED from the persisted index.
     *
-    * `excludeSelf` drops candidate refs whose id is IN the incoming
-    * batch — for replay safety: if this very batch was already appended
-    * to the index (crash after append, before the caller's commit
-    * marker), a re-probe would otherwise flag every doc against its own
-    * indexed copy. On a first run the incoming ids are not in the index,
-    * so the flag set is identical with or without the exclusion —
-    * enabling it makes probe-then-append loops replay-deterministic. */
+    * `excludeTag` drops index rows whose ingest-provenance `_src` label
+    * equals the given tag — the replay guard for probe-then-append
+    * loops: if this very batch was already appended (crash after append,
+    * before the caller's commit marker), a re-probe would otherwise flag
+    * every doc against its own just-appended copy. Exclusion is by the
+    * batch's PROVENANCE, not by incoming id, so a stable-id re-crawl
+    * appended by an EARLIER batch still dedups normally — an id-based
+    * self-exclusion would silently disable dedup for any source that
+    * reuses document ids across dumps. */
   def probe(s: SparkSession, indexDir: String, incoming: DataFrame,
             idCol: String, textCol: String,
-            threshold: Double = 0.8, excludeSelf: Boolean = false): DataFrame = {
+            threshold: Double = 0.8,
+            excludeTag: Option[String] = None): DataFrame = {
     val (numHashes, bands, nBuckets, seed) = readMeta(s, indexDir)
     val incToks = incoming
       .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
@@ -151,19 +159,18 @@ object TextIndex {
     // bounded collect: at most nBuckets longs — prunes the band scan
     val touchedHb = incBands.select(col("hb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val refBands = s.read.parquet(s"$indexDir/bands")
+    val refBandsAll = s.read.parquet(s"$indexDir/bands")
       .filter(col("hb").isin(touchedHb: _*))
+    val refBands = excludeTag.fold(refBandsAll)(t =>
+        refBandsAll.filter(col("_src") =!= lit(t)))
       .select(col("band"), col("band_hash"),
         col(idCol).as("ref_id"), col("_bh").as("_bh1"))
-    val cands0 = refBands
+    val cands = refBands
       .join(incBands.select(col("band"), col("band_hash"),
           col(idCol).as("inc_id"), col("_bh").as("_bh2")),
         Seq("band", "band_hash"))
       .filter(graft.functions.FirstBandMatch(col("_bh1"), col("_bh2")) === col("band"))
       .select(col("inc_id"), col("ref_id"))
-    val cands = (if (excludeSelf)
-        cands0.join(incoming.select(col(idCol).as("ref_id")), Seq("ref_id"), "left_anti")
-      else cands0)
       .localCheckpoint() // consumed twice: id-bucket collect + verify join
     // bounded collect again: candidate ref ids' buckets prune the verify scan
     val touchedIdb = cands

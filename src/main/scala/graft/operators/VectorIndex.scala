@@ -50,6 +50,7 @@ object VectorIndex {
     corpus
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
+      .withColumn("_src", lit("build")) // ingest provenance, see probeDups
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells")
     writeMeta(s, indexDir, Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
@@ -100,12 +101,14 @@ object VectorIndex {
     * visible to [[topK]] because cells are plain parquet partitions. */
   def append(delta: DataFrame, indexDir: String,
              corpusId: String = "vec_id",
-             corpusVec: String = "embedding"): Unit = {
+             corpusVec: String = "embedding",
+             tag: String = "append"): Unit = {
     val s = delta.sparkSession
     val centroids = loadCentroids(s, indexDir)
     delta
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
+      .withColumn("_src", lit(tag))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/cells")
     // keep the staleness fingerprint in step: merge the delta in O(1)
@@ -133,14 +136,15 @@ object VectorIndex {
     * smallest same-cell witness. Same approximation contract as the
     * batch operator: a cross-cell duplicate is missed by design.
     *
-    * `excludeSelf` drops indexed rows whose id is IN the incoming batch
-    * — the replay guard for probe-then-append loops (see
-    * TextIndex.probe): a re-probed batch that was already appended must
-    * not flag against its own indexed copies. */
+    * `excludeTag` drops index rows whose ingest-provenance `_src` label
+    * equals the given tag — the replay guard for probe-then-append loops
+    * (see [[TextIndex.probe]]): a re-probed batch that was already
+    * appended must not flag against its own indexed copies, while a
+    * stable-id re-crawl appended by an EARLIER batch must still dedup. */
   def probeDups(s: SparkSession, indexDir: String, incoming: DataFrame,
                 tau: Double, corpusId: String = "vec_id",
                 corpusVec: String = "embedding",
-                excludeSelf: Boolean = false): DataFrame = {
+                excludeTag: Option[String] = None): DataFrame = {
     val centroids = loadCentroids(s, indexDir)
     val probed = incoming
       .withColumn("_cid", Similarity.nearestCentroid(col(corpusVec), centroids))
@@ -152,9 +156,7 @@ object VectorIndex {
       .collect().map(_.getInt(0)).toSeq
     val cells0 = s.read.parquet(s"$indexDir/cells")
       .filter(col("cell").isInCollection(touched))
-    val cells = if (excludeSelf)
-      cells0.join(incoming.select(col(corpusId)), Seq(corpusId), "left_anti")
-    else cells0
+    val cells = excludeTag.fold(cells0)(t => cells0.filter(col("_src") =!= lit(t)))
     cells
       .select(col("cell"), col(corpusId).as("ref_id"),
         col(corpusVec).as("_er"), col("norm").as("_nr"))

@@ -724,7 +724,7 @@ object S4Stream {
     * batchId, written LAST). A replayed batch whose marker exists is
     * skipped outright — lake subtree and index rows are already
     * committed. If the crash landed between the append and the marker,
-    * the replay re-runs the batch with `excludeSelf` probing (the batch's
+    * the replay re-runs the batch excluding its own provenance tag (the batch's
     * own just-appended copies don't self-flag — without this the re-probe
     * would mark everything dup and OVERWRITE the lake subtree with zero
     * rows), recreating the same lake content; the re-append duplicates
@@ -754,16 +754,23 @@ object S4Stream {
     * path-keyed markers would silently skip those new batches. */
   private def checkpointRunKey(s: org.apache.spark.sql.SparkSession,
                                checkpointDir: String): String = {
+    // evaluated lazily inside foreachBatch, so the metadata file exists
+    // by construction. FAIL rather than fall back to a path-derived key:
+    // a silent fallback on a transient FS error would pin this lineage
+    // to path-keyed markers, and a later checkpoint recreation at the
+    // same path (batchIds restart at 0) could match stale markers and
+    // skip real batches — the data-loss mode the query-id key prevents.
     val meta = new org.apache.hadoop.fs.Path(s"$checkpointDir/metadata")
     val fs = meta.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val txt = try {
+    val txt = {
       val in = fs.open(meta)
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
       finally in.close()
-    } catch { case _: Exception => checkpointDir } // pre-start fallback
+    }
     """"id"\s*:\s*"([^"]+)"""".r.findFirstMatchIn(txt)
-      .map(_.group(1)).getOrElse(checkpointDir)
-      .replaceAll("[^a-zA-Z0-9-]", "_")
+      .map(_.group(1).replaceAll("[^a-zA-Z0-9-]", "_"))
+      .getOrElse(throw new IllegalStateException(
+        s"no query id in checkpoint metadata at $meta: $txt"))
   }
 
   /** One micro-batch of [[indexedDedupStream]], exposed for direct
@@ -774,9 +781,14 @@ object S4Stream {
       idCol: String, textCol: String, indexDir: String, lakeDir: String,
       runKey: String): Unit = {
     val s = batch.sparkSession
+    // the batch's provenance tag: append stamps index rows with it, and
+    // the replay re-probe excludes exactly those rows — NOT rows that
+    // merely share an id with the batch (a stable-id re-crawl appended
+    // by an earlier batch must still dedup)
+    val tag = s"ck${runKey}_b$batchId"
     if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
       val flagged = graft.operators.TextIndex
-        .probe(s, indexDir, batch, idCol, textCol, excludeSelf = true)
+        .probe(s, indexDir, batch, idCol, textCol, excludeTag = Some(tag))
         .select(col("inc_id"))
       val novel = batch
         .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
@@ -784,7 +796,7 @@ object S4Stream {
       // batchId-keyed overwrite (the pushBatch recipe): a replayed
       // batch rewrites its own subtree, so the LAKE is exactly-once.
       novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-      graft.operators.TextIndex.append(novel, idCol, textCol, indexDir)
+      graft.operators.TextIndex.append(novel, idCol, textCol, indexDir, tag)
     }
   }
 
@@ -809,15 +821,16 @@ object S4Stream {
       idCol: String, vecCol: String, indexDir: String, lakeDir: String,
       tau: Double, runKey: String): Unit = {
     val s = batch.sparkSession
+    val tag = s"ck${runKey}_b$batchId" // provenance tag, see text sibling
     if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
       val flagged = graft.operators.VectorIndex
-        .probeDups(s, indexDir, batch, tau, idCol, vecCol, excludeSelf = true)
+        .probeDups(s, indexDir, batch, tau, idCol, vecCol, excludeTag = Some(tag))
         .select(col("inc_id"))
       val novel = batch
         .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
         .localCheckpoint() // consumed twice: lake write + index append
       novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-      graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol)
+      graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol, tag)
     }
   }
 
@@ -829,7 +842,7 @@ object S4Stream {
     * the semantically NOVEL ones to the lake, and APPEND them to their
     * cells so the very next batch — or any batch job sharing the index —
     * dedups against them in O(|delta|). Replay idempotence is the same
-    * marker + excludeSelf contract as the text loop; the index
+    * marker + provenance-tag-exclusion contract as the text loop; the index
     * fingerprint absorbs each append so staleness checks keep working. */
   def indexedSemanticDedupStream(vecs: DataFrame, idCol: String, vecCol: String,
                                  indexDir: String, lakeDir: String,

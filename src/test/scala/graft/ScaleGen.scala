@@ -48,10 +48,17 @@ object ScaleGen {
 
     replicate("embeddings", (df, c, stride) => df
       .withColumn("vec_id", col("vec_id") + lit(c * stride))
+      // cyclic dimension ROTATION by c positions: preserves every norm
+      // and all within-copy pairwise geometry exactly (dedup/ANN
+      // structure scales exactly xk), while cross-copy cosine decays to
+      // the background level — an additive constant would leave
+      // cos(v, v + eps) ~ 1 and make every replica a semantic near-dup
+      // of its source, faking super-linear vector slopes
       .withColumn("embedding",
         if (c == 0) col("embedding")
-        else transform(col("embedding"),
-          x => x + lit(c * 0.0137f)))) // break exact cross-copy ties
+        else transform(sequence(lit(0), size(col("embedding")) - 1),
+          i => element_at(col("embedding"),
+            pmod(i + lit(c), size(col("embedding"))) + 1))))
 
     replicate("events", (df, c, stride) => df
       .withColumn("event_id", col("event_id") + lit(c * stride))

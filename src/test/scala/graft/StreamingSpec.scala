@@ -504,7 +504,7 @@ class StreamingSpec extends SparkSpec {
     S4Stream.processIndexedSemanticBatch(batch, 0L, "vec_id", "embedding",
       idx, lake.toString, 0.9, "runV")
     assert(lakeIds === ids1 && cellRows === cells1)
-    // crash between append and marker: excludeSelf keeps the lake intact
+    // crash between append and marker: tag exclusion keeps the lake intact
     // (without it 102 would flag against its own indexed copy and the
     // overwrite would empty the batch subtree)
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -515,6 +515,28 @@ class StreamingSpec extends SparkSpec {
       idx, lake.toString, 0.9, "runV")
     assert(lakeIds === ids1,
       "replay after un-markered append must recreate identical lake content")
+  }
+
+  test("stable-id re-crawl still dedups: tag exclusion is not id exclusion") {
+    import spark.implicits._
+    val lake = tmp("s4slake"); val idx = tmp("s4sidx").toString
+    def txt(seed: Int) = (0 until 20).map(i => s"stok${seed}_$i").mkString(" ")
+    graft.operators.TextIndex.build(
+      Seq((1L, txt(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    // batch 0 ingests novel doc 42; batch 1 re-crawls THE SAME id with
+    // the same text. An id-based self-exclusion would hide batch 0's
+    // indexed copy from the probe and re-ingest the duplicate; the
+    // provenance tag only hides rows appended by the PROBING batch.
+    val b0 = Seq((42L, txt(7))).toDF("doc_id", "text")
+    S4Stream.processIndexedDedupBatch(b0, 0L, "doc_id", "text",
+      idx, lake.toString, "runS")
+    val recrawl = Seq((42L, txt(7))).toDF("doc_id", "text")
+    S4Stream.processIndexedDedupBatch(recrawl, 1L, "doc_id", "text",
+      idx, lake.toString, "runS")
+    val lakeRows = spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(lakeRows == Seq(42L),
+      s"the re-crawled duplicate must be flagged, not re-ingested: $lakeRows")
   }
 
   test("indexed dedup stream replay is idempotent: lake and index unchanged") {

@@ -121,6 +121,26 @@ class TargetedDeleteSpec extends SparkSpec {
       "emptied null-partition dir must be removed")
   }
 
+  test("partition value whose inferred form differs from its dir ('01' -> 1)") {
+    val dir = Files.createTempDirectory("tdel7").resolve("lake")
+    // written as STRING "01" -> dir day=01; read back, partition type
+    // inference turns the value into long 1, so any path rebuilt from
+    // the VALUE ("day=1") names a directory that does not exist — the
+    // dirs must come from the actual files
+    Seq((1L, "a", "01"), (2L, "a", "01"), (3L, "b", "30"))
+      .toDF("event_id", "user", "day")
+      .write.partitionBy("day").parquet(dir.toString)
+    assert(Files.exists(dir.resolve("day=01")), "precondition: dir is day=01")
+    val n = TargetedDelete.delete(spark, dir.toString, Seq("day"), "user",
+      Seq("a").toDF("user"))
+    assert(n == 1L)
+    assert(!Files.exists(dir.resolve("day=01")),
+      "fully-victim partition dir day=01 must be removed despite inference")
+    val left = spark.read.parquet(dir.toString)
+      .select("event_id").as[Long].collect().toSet
+    assert(left == Set(3L))
+  }
+
   test("no victims present -> zero partitions rewritten, files identical") {
     val dir = Files.createTempDirectory("tdel4").resolve("lake")
     (1L to 40L).map(i => (i, s"u$i", s"d${i % 2}")).toDF("event_id", "user", "day")
