@@ -90,8 +90,10 @@ object Bench {
     // after a fixture regen) here, so the timed vec_index_topk run
     // measures the query path production actually repeats
     try graft.queries.Vectors.ensureIndex(spark, sfDir)
-    catch { case e: Throwable => // timed run will rebuild — make that visible
-      System.err.println(s"[bench] warmup ensureIndex FAILED: ${e.getMessage}")
+    catch { // NonFatal only (ADVICE r9): an OOM/interrupt must kill the
+      // bench, not let it continue on a broken session
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup ensureIndex FAILED: ${e.getMessage}")
     }
     dropPersistedBlocks()
 

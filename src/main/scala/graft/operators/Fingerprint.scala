@@ -44,4 +44,64 @@ object Fingerprint {
     * wrapping long add equals decimal-sum-mod-2^64 of the union. */
   def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
     (a._1 + b._1, a._2 + b._2)
+
+  // ---- per-batch merge idempotence (ADVICE r9) -------------------------
+  //
+  // The documented crash-between-append-and-marker replay re-runs an
+  // index append: the duplicated band/cell ROWS are tolerated by probe
+  // semantics, but merging the delta fingerprint a second time would
+  // drift meta away from the corpus of record forever (next ensure() →
+  // spurious full rebuild). Each append therefore records its (tag →
+  // delta fingerprint) in a tiny `<indexDir>/tagfp/<tag>` file; a replay
+  // presents the same tag with the same delta fingerprint and the merge
+  // is skipped. A DIFFERENT delta under a reused tag (legitimate repeated
+  // `append(tag = "append")` calls) still merges — only the exact
+  // (tag, fingerprint) pair is treated as already-applied.
+
+  private def tagPath(indexDir: String, tag: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$indexDir/tagfp/${tag.replaceAll("[^a-zA-Z0-9._-]", "_")}")
+
+  /** Should this (tag, delta-fingerprint) be merged into index meta?
+    * False exactly when the same pair was already recorded — the replay
+    * case. On true, the pair is recorded (after the caller's meta write
+    * ordering: record LAST so a crash mid-append degrades to a spurious
+    * rebuild, never a silently-stale index). */
+  def shouldMerge(conf: org.apache.hadoop.conf.Configuration,
+                  indexDir: String, tag: String, fp: (Long, Long)): Boolean = {
+    val p = tagPath(indexDir, tag)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) true
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt != s"${fp._1},${fp._2}"
+    }
+  }
+
+  /** Record that (tag, fp) has been merged into meta — see [[shouldMerge]]. */
+  def recordMerge(conf: org.apache.hadoop.conf.Configuration,
+                  indexDir: String, tag: String, fp: (Long, Long)): Unit = {
+    val p = tagPath(indexDir, tag)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(s"${fp._1},${fp._2}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Reset all replay bookkeeping under an index dir — called by every
+    * index build(): a rebuild wipes the indexed rows and resets meta to
+    * the fresh corpus fingerprint, so surviving `applied/` batch markers
+    * (a replayed batch would be skipped though its rows were wiped) and
+    * `tagfp/` merge records (stale pairs could suppress a legitimate
+    * merge) must go with them. */
+  def clearReplayState(conf: org.apache.hadoop.conf.Configuration,
+                       indexDir: String): Unit =
+    Seq(s"$indexDir/applied", s"$indexDir/tagfp").foreach { d =>
+      val p = new org.apache.hadoop.fs.Path(d)
+      val fs = p.getFileSystem(conf)
+      if (fs.exists(p)) fs.delete(p, true)
+    }
 }

@@ -69,6 +69,9 @@ object TextIndex {
     Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
       .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    // a rebuild wiped the indexed rows: batch markers / merge records
+    // from the previous build generation must not survive it
+    Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
   }
 
   private def readMeta(s: SparkSession, indexDir: String): (Int, Int, Int, Int) = {
@@ -100,7 +103,13 @@ object TextIndex {
     val s = docs.sparkSession
     val success = new org.apache.hadoop.fs.Path(s"$indexDir/bands/_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success) || !isFresh(s, indexDir, docs, idCol, textCol))
+    // a pre-provenance index (no _src column anywhere) can't honor
+    // probe's excludeTag replay guard — treat it as stale, don't infer
+    val hasSrc =
+      try s.read.parquet(s"$indexDir/bands").schema.fieldNames.contains("_src")
+      catch { case _: Exception => false }
+    if (!fs.exists(success) || !hasSrc ||
+        !isFresh(s, indexDir, docs, idCol, textCol))
       build(docs, idCol, textCol, indexDir, numHashes, bands, nBuckets, seed)
   }
 
@@ -125,10 +134,19 @@ object TextIndex {
       .write.mode("append").partitionBy("hb").parquet(s"$indexDir/bands")
     import s.implicits._
     old.foreach { o =>
-      val fp = Fingerprint.merge(o, Fingerprint.of(delta, Seq(idCol, textCol)))
-      Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
-        .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
-        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      // idempotent per batch (ADVICE r9): a crash-replayed append presents
+      // the same (tag, delta fingerprint) pair — its rows re-append (probe
+      // semantics tolerate duplicates) but the fingerprint must merge ONCE
+      // or meta drifts from the corpus of record forever
+      val conf = s.sparkContext.hadoopConfiguration
+      val dfp = Fingerprint.of(delta, Seq(idCol, textCol))
+      if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
+        val fp = Fingerprint.merge(o, dfp)
+        Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
+          .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+        Fingerprint.recordMerge(conf, indexDir, tag, dfp)
+      }
     }
   }
 
@@ -159,10 +177,23 @@ object TextIndex {
     // bounded collect: at most nBuckets longs — prunes the band scan
     val touchedHb = incBands.select(col("hb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    val refBandsAll = s.read.parquet(s"$indexDir/bands")
+    // mergeSchema: default inference samples ONE footer, and on an index
+    // mixing pre-_src files with tagged appends it could come back
+    // without _src — hiding the appended rows' provenance and silently
+    // disabling the replay guard. Merging is a bounded metadata pass.
+    val refBandsRead = s.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/bands")
       .filter(col("hb").isin(touchedHb: _*))
+    // fully pre-provenance index (ensure() rebuilds these, but direct
+    // probe calls must still resolve): legacy rows are _src = null
+    val refBandsAll =
+      if (refBandsRead.columns.contains("_src")) refBandsRead
+      else refBandsRead.withColumn("_src", lit(null).cast("string"))
+    // null-safe (ADVICE r9): on an index mixing pre-_src files with tagged
+    // appends, legacy rows read _src = null; `=!=` would evaluate NULL and
+    // silently drop the whole pre-upgrade corpus from the probe
     val refBands = excludeTag.fold(refBandsAll)(t =>
-        refBandsAll.filter(col("_src") =!= lit(t)))
+        refBandsAll.filter(!(col("_src") <=> lit(t))))
       .select(col("band"), col("band_hash"),
         col(idCol).as("ref_id"), col("_bh").as("_bh1"))
     val cands = refBands

@@ -54,6 +54,9 @@ object VectorIndex {
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$indexDir/cells")
     writeMeta(s, indexDir, Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
+    // a rebuild wiped the indexed rows: batch markers / merge records
+    // from the previous build generation must not survive it
+    Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
   }
 
   private def writeMeta(s: SparkSession, indexDir: String,
@@ -87,7 +90,13 @@ object VectorIndex {
     val s = corpus.sparkSession
     val success = new org.apache.hadoop.fs.Path(s"$indexDir/cells/_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(success) || !isFresh(s, indexDir, corpus, corpusId, corpusVec))
+    // a pre-provenance index (no _src column anywhere) can't honor
+    // probeDups' excludeTag replay guard — treat it as stale
+    val hasSrc =
+      try s.read.parquet(s"$indexDir/cells").schema.fieldNames.contains("_src")
+      catch { case _: Exception => false }
+    if (!fs.exists(success) || !hasSrc ||
+        !isFresh(s, indexDir, corpus, corpusId, corpusVec))
       build(corpus, indexDir, nlist, iters, seed, corpusId, corpusVec)
   }
 
@@ -111,10 +120,16 @@ object VectorIndex {
       .withColumn("_src", lit(tag))
       .write.mode("append").partitionBy("cell")
       .parquet(s"$indexDir/cells")
-    // keep the staleness fingerprint in step: merge the delta in O(1)
+    // keep the staleness fingerprint in step: merge the delta in O(1) —
+    // once per (tag, delta) pair, so a crash-replayed append (ADVICE r9)
+    // can't drift meta away from the corpus of record
     readMeta(s, indexDir).foreach { old =>
-      writeMeta(s, indexDir,
-        Fingerprint.merge(old, Fingerprint.of(delta, Seq(corpusId, corpusVec))))
+      val conf = s.sparkContext.hadoopConfiguration
+      val dfp = Fingerprint.of(delta, Seq(corpusId, corpusVec))
+      if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
+        writeMeta(s, indexDir, Fingerprint.merge(old, dfp))
+        Fingerprint.recordMerge(conf, indexDir, tag, dfp)
+      }
     }
   }
 
@@ -154,9 +169,20 @@ object VectorIndex {
     // bounded collect (<= nlist ints): static partition filter on cells
     val touched = probed.select(col("_cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cells0 = s.read.parquet(s"$indexDir/cells")
+    // mergeSchema: a mixed pre-_src index must expose the appended rows'
+    // provenance (single-footer inference could hide it and silently
+    // disable the replay guard); see TextIndex.probe
+    val cellsRead = s.read.option("mergeSchema", "true")
+      .parquet(s"$indexDir/cells")
       .filter(col("cell").isInCollection(touched))
-    val cells = excludeTag.fold(cells0)(t => cells0.filter(col("_src") =!= lit(t)))
+    // fully pre-provenance index: legacy rows are _src = null
+    val cells0 =
+      if (cellsRead.columns.contains("_src")) cellsRead
+      else cellsRead.withColumn("_src", lit(null).cast("string"))
+    // null-safe (ADVICE r9): pre-_src rows read _src = null; `=!=` would
+    // evaluate NULL and silently drop them from the probe
+    val cells = excludeTag.fold(cells0)(t =>
+      cells0.filter(!(col("_src") <=> lit(t))))
     cells
       .select(col("cell"), col(corpusId).as("ref_id"),
         col(corpusVec).as("_er"), col("norm").as("_nr"))

@@ -515,6 +515,12 @@ class StreamingSpec extends SparkSpec {
       idx, lake.toString, 0.9, "runV")
     assert(lakeIds === ids1,
       "replay after un-markered append must recreate identical lake content")
+    // and the re-append merged the delta fingerprint ONCE (ADVICE r9):
+    // the index must still read fresh against its corpus of record
+    assert(graft.operators.VectorIndex.isFresh(spark, idx,
+      Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+        (102L, Seq(0.1f, 0.9f, 0.5f, 0f))).toDF("vec_id", "embedding")),
+      "un-markered replay must not drift the index fingerprint")
   }
 
   test("stable-id re-crawl still dedups: tag exclusion is not id exclusion") {
@@ -578,6 +584,12 @@ class StreamingSpec extends SparkSpec {
       Seq((900L, txt(2))).toDF("doc_id", "text"), "doc_id", "text").collect()
     assert(probe.length == 1 && probe.head.getLong(1) == 102L,
       s"probe flags must survive the duplicate append: ${probe.mkString(",")}")
+    // and the re-append merged the delta fingerprint ONCE (ADVICE r9):
+    // the index must still read fresh against its corpus of record
+    assert(graft.operators.TextIndex.isFresh(spark, idx,
+      Seq((1L, txt(1)), (102L, txt(2)), (103L, txt(3))).toDF("doc_id", "text"),
+      "doc_id", "text"),
+      "un-markered replay must not drift the index fingerprint")
   }
 
   test("streaming DQ monitor scores each batch: nulls, range breaks, dup keys") {

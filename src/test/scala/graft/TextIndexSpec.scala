@@ -88,4 +88,85 @@ class TextIndexSpec extends SparkSpec {
     assert(TextIndex.isFresh(spark, dir,
       ref.select(col("doc_id"), col("text")).unionAll(novel), "doc_id", "text"))
   }
+
+  /** Strip the ingest-provenance column from the persisted band table —
+    * simulates an index written before _src existed. */
+  private def stripSrc(dir: String): Unit = {
+    val legacy = spark.read.parquet(s"$dir/bands").drop("_src").localCheckpoint()
+    legacy.write.mode("overwrite").partitionBy("hb").parquet(s"$dir/bands")
+  }
+
+  test("excludeTag probe is null-safe: pre-provenance rows stay visible (ADVICE r9)") {
+    def txt(seed: Int) = (0 until 25).map(i => s"ntok${seed}_$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("textidx5").toString
+    TextIndex.build(Seq((1L, txt(1))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    stripSrc(dir) // doc 1's band rows now carry _src = null (or no _src)
+    TextIndex.append(Seq((2L, txt(2))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "t2")
+    // replaying batch t2 re-crawls doc 1: the legacy copy MUST still flag
+    // it — with a null-unsafe `=!=` the _src=null rows evaluate NULL and
+    // the whole pre-upgrade corpus silently vanishes from the probe
+    val hit = TextIndex.probe(spark, dir,
+      Seq((900L, txt(1))).toDF("doc_id", "text"), "doc_id", "text",
+      excludeTag = Some("t2")).collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 1L,
+      s"legacy (_src-less) index rows must survive excludeTag: ${hit.mkString(",")}")
+  }
+
+  test("ensure treats an index without _src as stale and rebuilds it") {
+    def txt(seed: Int) = (0 until 25).map(i => s"etok${seed}_$i").mkString(" ")
+    val docs = Seq((1L, txt(1)), (2L, txt(2))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("textidx6").toString
+    TextIndex.ensure(docs, "doc_id", "text", dir)
+    stripSrc(dir)
+    assert(!spark.read.parquet(s"$dir/bands").columns.contains("_src"))
+    // fingerprint still matches, but the missing provenance column alone
+    // must force the rebuild — probe's replay guard can't work without it
+    assert(TextIndex.isFresh(spark, dir, docs, "doc_id", "text"))
+    TextIndex.ensure(docs, "doc_id", "text", dir)
+    assert(spark.read.parquet(s"$dir/bands").columns.contains("_src"),
+      "ensure must rebuild a pre-provenance index")
+  }
+
+  test("build clears replay bookkeeping: stale applied/ markers and tagfp/ records") {
+    def txt(seed: Int) = (0 until 25).map(i => s"ctok${seed}_$i").mkString(" ")
+    val docs = Seq((1L, txt(1))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("textidx7").toString
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // leftover markers from the PREVIOUS build generation: without the
+    // clear, a replayed batch would be skipped though its rows were wiped
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/applied/ckX_b0"), true).close()
+    fs.create(new org.apache.hadoop.fs.Path(s"$dir/tagfp/ckX_b0"), true).close()
+    TextIndex.build(docs, "doc_id", "text", dir)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/applied")),
+      "rebuild must wipe applied/ markers from the previous generation")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/tagfp")),
+      "rebuild must wipe tagfp/ merge records from the previous generation")
+  }
+
+  test("replayed append merges the fingerprint once; a new delta under the same tag still merges") {
+    def txt(seed: Int) = (0 until 25).map(i => s"ftok${seed}_$i").mkString(" ")
+    val base = Seq((1L, txt(1))).toDF("doc_id", "text")
+    val d1 = Seq((2L, txt(2))).toDF("doc_id", "text")
+    val d2 = Seq((3L, txt(3))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("textidx8").toString
+    TextIndex.build(base, "doc_id", "text", dir)
+    TextIndex.append(d1, "doc_id", "text", dir, tag = "b1")
+    val rec = base.unionAll(d1)
+    assert(TextIndex.isFresh(spark, dir, rec, "doc_id", "text"))
+    // crash-replay: same tag, same delta — rows re-append (tolerated) but
+    // the fingerprint must NOT merge twice (ADVICE r9: double-merge means
+    // meta drifts from the corpus of record and every later ensure()
+    // triggers a spurious full rebuild)
+    TextIndex.append(d1, "doc_id", "text", dir, tag = "b1")
+    assert(TextIndex.isFresh(spark, dir, rec, "doc_id", "text"),
+      "replayed append must not drift the fingerprint")
+    // but a DIFFERENT delta reusing the tag is a legitimate append
+    TextIndex.append(d2, "doc_id", "text", dir, tag = "b1")
+    assert(TextIndex.isFresh(spark, dir, rec.unionAll(d2), "doc_id", "text"),
+      "a new delta under a reused tag must still merge")
+  }
 }

@@ -110,6 +110,40 @@ class VectorIndexSpec extends SparkSpec {
       "index == build corpus + appended rows")
   }
 
+  test("replayed append merges the fingerprint once; excludeTag probe is null-safe (ADVICE r9)") {
+    import spark.implicits._
+    val base = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val d1 = Seq((3L, Seq(0f, 0f, 1f, 0f))).toDF("vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("vecidx7").toString
+    VectorIndex.build(base, dir, nlist = 2)
+    // simulate a pre-provenance index: strip _src from the cell table
+    val legacy = spark.read.parquet(s"$dir/cells").drop("_src").localCheckpoint()
+    legacy.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    VectorIndex.append(d1, dir, tag = "b1")
+    val rec = base.unionAll(d1)
+    assert(VectorIndex.isFresh(spark, dir, rec))
+    // crash-replay: same (tag, delta) — rows re-append, fingerprint must not
+    VectorIndex.append(d1, dir, tag = "b1")
+    assert(VectorIndex.isFresh(spark, dir, rec),
+      "replayed append must not drift the fingerprint")
+    // null-safe exclusion: a re-crawl of legacy vector 1 (_src = null)
+    // must still flag against it even when batch b1's own rows are
+    // excluded — `=!=` would NULL out the whole pre-upgrade corpus
+    val probe = Seq((900L, Seq(0.999f, 0.01f, 0f, 0f))).toDF("vec_id", "embedding")
+    val hit = VectorIndex.probeDups(spark, dir, probe, tau = 0.9,
+      excludeTag = Some("b1")).collect()
+    assert(hit.length == 1 && hit.head.getLong(1) == 1L,
+      s"legacy (_src-less) cells must survive excludeTag: ${hit.mkString(",")}")
+    // and ensure() treats the (now mixed) index as usable but a FULLY
+    // pre-provenance one as stale: rebuild restores _src everywhere
+    val legacy2 = spark.read.parquet(s"$dir/cells").drop("_src").localCheckpoint()
+    legacy2.write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    VectorIndex.ensure(rec, dir, nlist = 2)
+    assert(spark.read.parquet(s"$dir/cells").columns.contains("_src"),
+      "ensure must rebuild a pre-provenance index")
+  }
+
   test("query-time cell restriction prunes index partitions at the file level") {
     val corpus = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
