@@ -1,0 +1,306 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Persistent near-dup CLUSTER index — the build-once artifact behind the
+  * whole `doc_dedup_clusters` / `doc_leakage_safe_split` /
+  * `doc_pipeline_e2e` family (VERDICT r9 item 1). The tokenize →
+  * prefix-filtered exact set-similarity join ([[SetSimJoin]]) →
+  * connected components ([[ConnectedComponents]]) pass is the most
+  * expensive computation in the engine; at 100 TB the `doc_id →
+  * component` map is exactly the kind of thing you compute ONCE,
+  * fingerprint, and probe — not something every consumer query re-derives.
+  *
+  * Layout (plain parquet, engine-independent, object-store friendly;
+  * every table carries the ingest-provenance `_src` tag as its TOP
+  * partition level so an append is a tag-scoped DYNAMIC overwrite —
+  * crash-replay of a batch rewrites its own partitions and is therefore
+  * exactly-once by construction, the same property the lake side of
+  * `indexedDedupStream` gets from batchId-keyed subtrees):
+  *
+  *  - `<dir>/assign`   (id, component)        PARTITIONED BY (_src, idb)
+  *  - `<dir>/toks`     (id, sorted token set) PARTITIONED BY (_src, idb)
+  *  - `<dir>/postings` (token, id, set size)  PARTITIONED BY (_src, tb)
+  *  - `<dir>/df`       (token, doc freq)      PARTITIONED BY (tb) — frozen
+  *  - `<dir>/meta`     threshold + bucket count + corpus [[Fingerprint]]
+  *
+  * [[probe]] assigns INCOMING docs their component under the union
+  * corpus EXACTLY, in O(|delta| + touched partitions): the old graph
+  * never needs revisiting because contracting each existing component to
+  * one super-node is a valid connectivity quotient — every old edge is
+  * intra-component by definition, so components of (old ∪ delta) equal
+  * components of (quotient nodes = old component reps + new ids, edges =
+  * delta-internal near-dup edges + delta→component matches). Component
+  * ids stay canonical (min member id) because an old rep IS its
+  * component's minimum, so the quotient minimum is the union minimum.
+  *
+  * Candidate generation against the index is EXACT with a one-sided
+  * prefix: if none of the |x| - ceil(t|x|) + 1 chosen tokens of incoming
+  * x hit an indexed doc y, then |x∩y| <= ceil(t|x|) - 1 < t|x|, which
+  * J(x,y) >= t forbids (J >= t forces overlap >= t·|x| via the size
+  * bound |y| >= t|x|). That argument needs NO global token order — any
+  * k-subset works — so the index stores FULL postings and the persisted
+  * df table is only an EFFICIENCY hint (rarest-first prefixes shrink the
+  * candidate join); df staleness after appends can never lose a pair,
+  * and new-vocabulary tokens default to df 0 = rarest = chosen first.
+  *
+  * [[append]] = probe + tag-scoped writes + targeted re-assignment of
+  * the (rare) components the delta bridged, + an idempotent-per-batch
+  * fingerprint merge ([[Fingerprint.shouldMerge]]). After append,
+  * `<dir>/assign` equals a fresh CC over the union corpus —
+  * ClusterIndexSpec holds that equivalence including bridge-merge,
+  * rep-change, and delta-internal-chain cases.
+  *
+  * Ids must be integral (CC operates on longs) and UNIQUE across corpus
+  * and deltas — the id namespace is the graph's node namespace.
+  */
+object ClusterIndex {
+
+  private def sanitize(tag: String): String =
+    tag.replaceAll("[^a-zA-Z0-9._-]", "_")
+
+  private def idb(id: Column, nBuckets: Int): Column =
+    pmod(xxhash64(id), lit(nBuckets.toLong))
+
+  private def tb(tok: Column, nBuckets: Int): Column =
+    pmod(tok, lit(nBuckets.toLong))
+
+  private def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
+
+  /** One corpus pass: tokenize, exact near-dup edges (prefix-filtered,
+    * no O(n²) stage), O(log n)-round CC, then persist assignments +
+    * token sets + full postings + the df hint + the fingerprinted meta
+    * row. Static overwrite: a rebuild replaces every generation of every
+    * table, and [[Fingerprint.clearReplayState]] drops the old
+    * generation's replay bookkeeping with it. */
+  def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+            threshold: Double = 0.8, nBuckets: Int = 64): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = tokenize(docs, idCol, textCol).localCheckpoint()
+    val edges = SetSimJoin.jaccardEdges(toks, idCol, "_toks", threshold)
+    val cc = ConnectedComponents.components(edges, "id2", "id1",
+      edgesNormalized = true)
+      .select(col("id").as("_ccid"), col("component").as("_cccomp"))
+    val assign = docs.select(col(idCol))
+      .join(cc, col(idCol) === col("_ccid"), "left")
+      .select(col(idCol),
+        coalesce(col("_cccomp"), col(idCol)).as("component"))
+    assign
+      .withColumn("_src", lit("build")).withColumn("idb", idb(col(idCol), nBuckets))
+      .write.mode("overwrite").partitionBy("_src", "idb")
+      .parquet(s"$indexDir/assign")
+    toks
+      .withColumn("_src", lit("build")).withColumn("idb", idb(col(idCol), nBuckets))
+      .write.mode("overwrite").partitionBy("_src", "idb")
+      .parquet(s"$indexDir/toks")
+    val postings = toks
+      .select(col(idCol), size(col("_toks")).as("_sz"), explode(col("_toks")).as("_tok"))
+    postings
+      .withColumn("_src", lit("build")).withColumn("tb", tb(col("_tok"), nBuckets))
+      .write.mode("overwrite").partitionBy("_src", "tb")
+      .parquet(s"$indexDir/postings")
+    postings.groupBy(col("_tok")).agg(count(lit(1)).as("df"))
+      .withColumn("tb", tb(col("_tok"), nBuckets))
+      .write.mode("overwrite").partitionBy("tb")
+      .parquet(s"$indexDir/df")
+    val fp = Fingerprint.of(docs, Seq(idCol, textCol))
+    Seq((threshold, nBuckets, fp._1, fp._2))
+      .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+    Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
+  }
+
+  private def readMeta(s: SparkSession, indexDir: String): (Double, Int) = {
+    val m = s.read.parquet(s"$indexDir/meta").head()
+    (m.getAs[Double]("threshold"), m.getAs[Int]("n_buckets"))
+  }
+
+  private def readFingerprint(s: SparkSession, indexDir: String): Option[(Long, Long)] =
+    try {
+      val m = s.read.parquet(s"$indexDir/meta").head()
+      Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+    } catch { case _: Exception => None } // absent/legacy meta => stale
+
+  /** Does the persisted cluster map still describe THIS corpus? One
+    * column-pruned agg scan (see [[Fingerprint]]) — cheap next to the
+    * PPJoin+CC pass it guards. */
+  def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
+              idCol: String, textCol: String): Boolean =
+    readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
+
+  /** Build-once/consume-many entry: (re)build only when absent or stale. */
+  def ensure(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+             threshold: Double = 0.8, nBuckets: Int = 64): Unit = {
+    val s = docs.sparkSession
+    val success = new org.apache.hadoop.fs.Path(s"$indexDir/assign/_SUCCESS")
+    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(success) || !isFresh(s, indexDir, docs, idCol, textCol))
+      build(docs, idCol, textCol, indexDir, threshold, nBuckets)
+  }
+
+  /** The persisted `(id, component)` map — what every consumer reads
+    * instead of re-running PPJoin+CC. */
+  def assignments(s: SparkSession, indexDir: String, idCol: String): DataFrame =
+    s.read.parquet(s"$indexDir/assign").select(col(idCol), col("component"))
+
+  /** Incoming docs' components under the UNION corpus (exact — see the
+    * quotient argument in the class doc), plus the merge map for old
+    * components the delta bridged. Pure query: mutates nothing. */
+  private def probeParts(s: SparkSession, indexDir: String, incoming: DataFrame,
+                         idCol: String, textCol: String,
+                         excludeTag: Option[String]): (DataFrame, DataFrame) = {
+    val (t, nBuckets) = readMeta(s, indexDir)
+    val incToks = tokenize(incoming, idCol, textCol).localCheckpoint()
+    // delta-internal connectivity (sparse star+rep form, exact)
+    val inner = SetSimJoin.jaccardEdges(incToks, idCol, "_toks", t)
+      .select(col("id1").as("src"), col("id2").as("dst"))
+    // probe prefix: the |x| - ceil(t|x|) + 1 rarest tokens by the FROZEN
+    // df hint (new tokens coalesce to df 0 — rarest). Bounded collects
+    // (<= nBuckets longs) turn the df and postings reads into static
+    // partition filters, the same recipe as TextIndex/VectorIndex.
+    val occ = incToks.select(col(idCol).as("_inc"),
+      size(col("_toks")).as("_szi"), explode(col("_toks")).as("_tok"))
+      .localCheckpoint() // feeds the bucket collect AND the ranked join
+    val touchedTb = occ.select(tb(col("_tok"), nBuckets).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val dfHint = s.read.parquet(s"$indexDir/df")
+      .filter(col("tb").isin(touchedTb: _*)).select(col("_tok"), col("df"))
+    val pref = occ.join(dfHint, Seq("_tok"), "left")
+      .withColumn("_df", coalesce(col("df"), lit(0L)))
+      .withColumn("_rk", row_number().over(
+        Window.partitionBy(col("_inc")).orderBy(col("_df"), col("_tok"))))
+      .filter(col("_rk") <= col("_szi") - ceil(lit(t) * col("_szi") - lit(1e-9)) + 1)
+      .select(col("_tok"), col("_inc"), col("_szi"))
+      .localCheckpoint() // feeds the bucket collect AND the candidate join
+    val prefTb = pref.select(tb(col("_tok"), nBuckets).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val postAll = s.read.parquet(s"$indexDir/postings")
+      .filter(col("tb").isin(prefTb: _*))
+    // _src is a PARTITION column (never null): plain =!= is both safe
+    // and pruned at the file level
+    val post = excludeTag.fold(postAll)(tg =>
+      postAll.filter(col("_src") =!= lit(sanitize(tg))))
+    val cands = pref
+      .join(post.select(col("_tok"), col(idCol).as("_ref"), col("_sz").as("_szr")), "_tok")
+      // size filter: J >= t forces t|x| <= |y| <= |x|/t
+      .filter(col("_szr") >= lit(t) * col("_szi") - lit(1e-9)
+        && col("_szi") >= lit(t) * col("_szr") - lit(1e-9))
+      .select(col("_inc"), col("_ref")).distinct()
+      .localCheckpoint() // feeds the bucket collect AND the verify join
+    val candIdb = cands.select(idb(col("_ref"), nBuckets).as("idb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    def prunedByIdb(table: String): DataFrame = {
+      val all = s.read.parquet(s"$indexDir/$table")
+        .filter(col("idb").isin(candIdb: _*))
+      excludeTag.fold(all)(tg => all.filter(col("_src") =!= lit(sanitize(tg))))
+    }
+    // exact verification — the same predicate-only accept set as
+    // Dedup.jaccardVerifyAtLeast (J >= t ⟺ overlap >= ceil(t/(1+t)(|x|+|y|)))
+    val matches = cands
+      .join(incToks.select(col(idCol).as("_inc"), col("_toks").as("_ti")), "_inc")
+      .join(prunedByIdb("toks").select(col(idCol).as("_ref"), col("_toks").as("_tr")), "_ref")
+      .filter(graft.functions.SortedIntersectAtLeast(col("_ti"), col("_tr"),
+        ceil(lit(t / (1 + t)) * (size(col("_ti")) + size(col("_tr"))) - lit(1e-9)).cast("int")))
+      .select(col("_inc"), col("_ref"))
+    // quotient-graph edges: delta-internal pairs + (incoming -> matched
+    // existing COMPONENT). Old components enter as single super-nodes.
+    val bridge = matches
+      .join(prunedByIdb("assign").select(col(idCol).as("_ref"), col("component")), "_ref")
+      .select(col("_inc").as("src"), col("component").as("dst"))
+    val qcc = ConnectedComponents.components(
+        inner.unionByName(bridge), "src", "dst")
+      .select(col("id").as("_ccid"), col("component").as("_cccomp"))
+      .localCheckpoint() // feeds incoming assignment AND the merge map
+    val assignInc = incoming.select(col(idCol))
+      .join(qcc, col(idCol) === col("_ccid"), "left")
+      .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("component"))
+    val merges = bridge.select(col("dst").as("loser")).distinct()
+      .join(qcc, col("loser") === col("_ccid"))
+      .filter(col("_cccomp") =!= col("loser"))
+      .select(col("loser"), col("_cccomp").as("winner"))
+    (assignInc, merges)
+  }
+
+  /** Assign incoming docs their exact union-corpus component without
+    * touching the index — the read-only probe. Docs near-duplicating
+    * nothing are singletons (component = own id); docs bridging existing
+    * clusters get the merged minimum, exactly what a fresh CC over
+    * (indexed corpus ∪ incoming) assigns them. */
+  def probe(s: SparkSession, indexDir: String, incoming: DataFrame,
+            idCol: String, textCol: String,
+            excludeTag: Option[String] = None): DataFrame =
+    probeParts(s, indexDir, incoming, idCol, textCol, excludeTag)._1
+
+  /** O(|delta|) maintenance: probe (excluding this batch's own tag, so a
+    * crash-replay behaves like the first run), write the delta's rows
+    * tag-scoped (dynamic overwrite — replay rewrites the same partitions,
+    * exactly-once), re-assign the members of any bridged components, and
+    * merge the fingerprint once per (tag, delta) pair. Post-condition
+    * (ClusterIndexSpec): `assign` == fresh CC over the union corpus. */
+  def append(delta: DataFrame, idCol: String, textCol: String,
+             indexDir: String, tag: String = "append"): Unit = {
+    val s = delta.sparkSession
+    val (_, nBuckets) = readMeta(s, indexDir)
+    val tagS = sanitize(tag)
+    val (assignInc, merges) = probeParts(s, indexDir, delta, idCol, textCol,
+      excludeTag = Some(tag))
+    // materialize BEFORE any write mutates the partitions they were read
+    // from (the dynamic overwrites below touch the same tables)
+    val assignD = assignInc.localCheckpoint()
+    val mergeMap = merges.localCheckpoint() // bounded: <= touched components
+    val toksD = tokenize(delta, idCol, textCol).localCheckpoint()
+    def dynOverwrite(df: DataFrame, parts: Seq[String], path: String): Unit =
+      df.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(parts: _*).parquet(path)
+    dynOverwrite(
+      toksD.withColumn("_src", lit(tagS)).withColumn("idb", idb(col(idCol), nBuckets)),
+      Seq("_src", "idb"), s"$indexDir/toks")
+    dynOverwrite(
+      toksD.select(col(idCol), size(col("_toks")).as("_sz"), explode(col("_toks")).as("_tok"))
+        .withColumn("_src", lit(tagS)).withColumn("tb", tb(col("_tok"), nBuckets)),
+      Seq("_src", "tb"), s"$indexDir/postings")
+    dynOverwrite(
+      assignD.withColumn("_src", lit(tagS)).withColumn("idb", idb(col(idCol), nBuckets)),
+      Seq("_src", "idb"), s"$indexDir/assign")
+    // targeted re-assignment of bridged components: rewrite ONLY the
+    // partitions that hold a loser's members. Reading the affected rows
+    // is one predicate-pushed scan of the (id, component) map — orders
+    // of magnitude cheaper than the PPJoin+CC recompute it replaces.
+    // partition-dir values read back type-inferred (idb=5 -> INT):
+    // cast before collecting
+    val affected = s.read.parquet(s"$indexDir/assign")
+      .join(broadcast(mergeMap), col("component") === col("loser"))
+      .select(col("_src"), col("idb").cast("long")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    if (affected.nonEmpty) {
+      val srcs = affected.map(_._1).distinct.toSeq
+      val idbs = affected.map(_._2).distinct.toSeq
+      val rewritten = s.read.parquet(s"$indexDir/assign")
+        .filter(col("_src").isin(srcs: _*) && col("idb").isin(idbs: _*))
+        .join(broadcast(mergeMap), col("component") === col("loser"), "left")
+        .select(col(idCol), coalesce(col("winner"), col("component")).as("component"),
+          col("_src"), col("idb"))
+        .localCheckpoint() // fully read before its source partitions are replaced
+      dynOverwrite(rewritten, Seq("_src", "idb"), s"$indexDir/assign")
+    }
+    // fingerprint: merged once per (tag, delta) — replay-safe
+    readFingerprint(s, indexDir).foreach { old =>
+      val conf = s.sparkContext.hadoopConfiguration
+      val dfp = Fingerprint.of(delta, Seq(idCol, textCol))
+      if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
+        val (thr, _) = readMeta(s, indexDir)
+        import s.implicits._
+        val fp = Fingerprint.merge(old, dfp)
+        Seq((thr, nBuckets, fp._1, fp._2))
+          .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+        Fingerprint.recordMerge(conf, indexDir, tag, dfp)
+      }
+    }
+  }
+}
