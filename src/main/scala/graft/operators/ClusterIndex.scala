@@ -112,6 +112,10 @@ object ClusterIndex {
       .toDF("threshold", "n_buckets", "n_rows", "content_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
     Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
+    // freshness fast-path: record the corpus file statuses LAST — a
+    // crash mid-build degrades to the hash scan, never a false fresh
+    Fingerprint.writeSourceStatus(s.sparkContext.hadoopConfiguration,
+      indexDir, Fingerprint.sourceStatus(docs))
   }
 
   private def readMeta(s: SparkSession, indexDir: String): (Double, Int) = {
@@ -125,12 +129,16 @@ object ClusterIndex {
       Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
     } catch { case _: Exception => None } // absent/legacy meta => stale
 
-  /** Does the persisted cluster map still describe THIS corpus? One
-    * column-pruned agg scan (see [[Fingerprint]]) — cheap next to the
-    * PPJoin+CC pass it guards. */
+  /** Does the persisted cluster map still describe THIS corpus? The
+    * unchanged-corpus answer is O(files) FS metadata calls
+    * ([[Fingerprint.statusFresh]] — no Spark job); drift or a non-file
+    * corpus falls back to the content-hash authority: one column-pruned
+    * agg scan (see [[Fingerprint]]) — cheap next to the PPJoin+CC pass
+    * it guards. */
   def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
               idCol: String, textCol: String): Boolean =
-    readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
+    Fingerprint.statusFresh(indexDir, corpus) ||
+      readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
 
   /** Build-once/consume-many entry: (re)build only when absent or stale. */
   def ensure(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
@@ -302,5 +310,8 @@ object ClusterIndex {
         Fingerprint.recordMerge(conf, indexDir, tag, dfp)
       }
     }
+    // build-time file statuses no longer describe the corpus of
+    // record: freshness reverts to the content-hash authority
+    Fingerprint.clearSourceStatus(s.sparkContext.hadoopConfiguration, indexDir)
   }
 }

@@ -91,6 +91,103 @@ object Fingerprint {
     finally out.close()
   }
 
+  // ---- FS-metadata freshness fast-path (VERDICT r9 item 2) -------------
+  //
+  // The content hash above is the freshness AUTHORITY, but it costs a
+  // full (column-pruned) corpus scan per check — paid inside the query
+  // path by every ensure(). At 100 TB that is a corpus read per probe
+  // batch just to learn "nothing changed". The fast path answers
+  // "unchanged" from FILE METADATA alone: at build time the index
+  // records the corpus' source-file statuses (path, length, mtime — the
+  // same change signal Spark's own file streaming source trusts) plus
+  // the canonicalized-plan hash of the corpus expression (so the SAME
+  // files read through a DIFFERENT filter/projection can never
+  // fast-match). On check, O(files) FS metadata calls — zero Spark
+  // jobs, zero data bytes. ANY drift (or a corpus whose plan isn't a
+  // pure file scan, e.g. an in-memory test fixture) falls back to the
+  // hash scan, which keeps its role as the authority; the fast path can
+  // only ever short-circuit toward "fresh" when the bytes provably
+  // haven't moved.
+
+  /** Serialized source status of a corpus DataFrame: the canonicalized
+    * plan hash + one `path|length|mtime` line per underlying file,
+    * sorted. None when any leaf of the plan is not a file relation (no
+    * file-level change signal exists — callers must use the content
+    * hash). */
+  def sourceStatus(df: DataFrame): Option[String] = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val plan = df.queryExecution.optimizedPlan
+    val leaves = plan.collectLeaves()
+    val allFiles = leaves.nonEmpty && leaves.forall {
+      case l: LogicalRelation => l.relation.isInstanceOf[HadoopFsRelation]
+      case _                  => false
+    }
+    if (!allFiles) None
+    else {
+      val files = df.inputFiles
+      if (files.isEmpty) None
+      else {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        val lines = files.sorted.toSeq.map { f =>
+          val p = new org.apache.hadoop.fs.Path(f)
+          val st = p.getFileSystem(conf).getFileStatus(p)
+          s"$f|${st.getLen}|${st.getModificationTime}"
+        }
+        Some((s"plan=${plan.semanticHash()}" +: lines).mkString("\n"))
+      }
+    }
+  }
+
+  private def statusPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(s"$indexDir/srcstat")
+
+  /** Record the corpus source status at build time (deleted when status
+    * is None — e.g. an in-memory corpus — so a stale record from a prior
+    * build can never fast-match). Written AFTER the index tables + meta:
+    * a crash mid-build leaves no status record, degrading to the hash
+    * scan, never to a false "fresh". */
+  def writeSourceStatus(conf: org.apache.hadoop.conf.Configuration,
+                        indexDir: String, status: Option[String]): Unit = {
+    val p = statusPath(indexDir)
+    val fs = p.getFileSystem(conf)
+    status match {
+      case None => if (fs.exists(p)) fs.delete(p, false)
+      case Some(s) =>
+        val out = fs.create(p, true)
+        try out.write(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+    }
+  }
+
+  /** Drop the status record — called by every index append(): after a
+    * delta merges, the build-time statuses no longer describe the corpus
+    * of record, and freshness reverts to the content-hash authority. */
+  def clearSourceStatus(conf: org.apache.hadoop.conf.Configuration,
+                        indexDir: String): Unit =
+    writeSourceStatus(conf, indexDir, None)
+
+  /** The fast path itself: true iff a status record exists AND matches
+    * the corpus' current status AND the index meta table is present (the
+    * record is written last, but a manual partial wipe must not read as
+    * fresh). Costs O(files) metadata calls and no Spark job; false means
+    * "don't know" — the caller falls back to the content hash. */
+  def statusFresh(indexDir: String, corpus: DataFrame): Boolean = {
+    val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
+    val p = statusPath(indexDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) false
+    else {
+      val in = fs.open(p)
+      val recorded = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val metaOk = {
+        val m = new org.apache.hadoop.fs.Path(s"$indexDir/meta/_SUCCESS")
+        m.getFileSystem(conf).exists(m)
+      }
+      metaOk && sourceStatus(corpus).contains(recorded)
+    }
+  }
+
   /** Reset all replay bookkeeping under an index dir — called by every
     * index build(): a rebuild wipes the indexed rows and resets meta to
     * the fresh corpus fingerprint, so surviving `applied/` batch markers

@@ -72,6 +72,10 @@ object TextIndex {
     // a rebuild wiped the indexed rows: batch markers / merge records
     // from the previous build generation must not survive it
     Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
+    // freshness fast-path: record the corpus file statuses LAST — a
+    // crash mid-build degrades to the hash scan, never a false fresh
+    Fingerprint.writeSourceStatus(s.sparkContext.hadoopConfiguration,
+      indexDir, Fingerprint.sourceStatus(docs))
   }
 
   private def readMeta(s: SparkSession, indexDir: String): (Int, Int, Int, Int) = {
@@ -88,12 +92,17 @@ object TextIndex {
 
   /** Does the persisted index still describe THIS corpus? False when meta
     * is absent / pre-fingerprint or the corpus was regenerated in place.
-    * One column-pruned agg scan — cheap next to the 128-hashes-per-doc
-    * pass it guards. The fingerprint tracks the corpus OF RECORD: build
-    * corpus plus every [[append]]ed delta (merged in O(1)). */
+    * The unchanged-corpus answer is O(files) FS metadata calls
+    * ([[Fingerprint.statusFresh]] — no Spark job); drift or a non-file
+    * corpus falls back to the content-hash authority: one column-pruned
+    * agg scan — cheap next to the 128-hashes-per-doc pass it guards.
+    * The fingerprint tracks the corpus OF RECORD: build corpus plus
+    * every [[append]]ed delta (merged in O(1); appends drop the status
+    * record, so the fast path only ever serves the pure-build case). */
   def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
               idCol: String, textCol: String): Boolean =
-    readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
+    Fingerprint.statusFresh(indexDir, corpus) ||
+      readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
 
   /** Build-once/probe-many entry: (re)build only when the index is absent
     * or stale w.r.t. `docs`. */
@@ -148,6 +157,9 @@ object TextIndex {
         Fingerprint.recordMerge(conf, indexDir, tag, dfp)
       }
     }
+    // build-time file statuses no longer describe the corpus of
+    // record: freshness reverts to the content-hash authority
+    Fingerprint.clearSourceStatus(s.sparkContext.hadoopConfiguration, indexDir)
   }
 
   /** Flag incoming docs that near-duplicate the INDEXED corpus: the

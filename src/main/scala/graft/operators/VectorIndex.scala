@@ -57,6 +57,10 @@ object VectorIndex {
     // a rebuild wiped the indexed rows: batch markers / merge records
     // from the previous build generation must not survive it
     Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
+    // freshness fast-path: record the corpus file statuses LAST — a
+    // crash mid-build degrades to the hash scan, never a false fresh
+    Fingerprint.writeSourceStatus(s.sparkContext.hadoopConfiguration,
+      indexDir, Fingerprint.sourceStatus(corpus))
   }
 
   private def writeMeta(s: SparkSession, indexDir: String,
@@ -75,12 +79,16 @@ object VectorIndex {
   /** Does the persisted index still describe THIS corpus? False when the
     * meta row is absent (pre-fingerprint index) or the corpus fingerprint
     * drifted — e.g. the source parquet was regenerated in place. The
-    * check is one column-pruned agg scan, far cheaper than the quantizer
-    * training pass it guards. */
+    * unchanged-corpus answer is O(files) FS METADATA calls (build-time
+    * source statuses + plan hash, [[Fingerprint.statusFresh]] — no Spark
+    * job, no data bytes); any drift or a non-file corpus falls back to
+    * the content-hash authority: one column-pruned agg scan, still far
+    * cheaper than the quantizer training pass it guards. */
   def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
               corpusId: String = "vec_id",
               corpusVec: String = "embedding"): Boolean =
-    readMeta(s, indexDir).contains(Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
+    Fingerprint.statusFresh(indexDir, corpus) ||
+      readMeta(s, indexDir).contains(Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
 
   /** Build-once/query-many entry: (re)build only when the index is
     * absent or its fingerprint no longer matches the corpus. */
@@ -131,6 +139,9 @@ object VectorIndex {
         Fingerprint.recordMerge(conf, indexDir, tag, dfp)
       }
     }
+    // build-time file statuses no longer describe the corpus of
+    // record: freshness reverts to the content-hash authority
+    Fingerprint.clearSourceStatus(s.sparkContext.hadoopConfiguration, indexDir)
   }
 
   /** The persisted quantizer, reassembled in cell order (bounded read:

@@ -1,0 +1,51 @@
+package graft
+
+import java.net.URI
+
+import org.apache.hadoop.fs.{FSDataInputStream, Path, RawLocalFileSystem}
+
+/** A registered non-`file:` Hadoop FileSystem scheme backed by local
+  * disk — the sandbox stand-in for an object store (VERDICT r9 item 3:
+  * the north star is Structured Streaming over an S3 source, but every
+  * test ran `file:`; a `mock://` round trip proves no `java.io.File` /
+  * `file:`-scheme assumption leaks into the lake and index code paths).
+  * Same trick Spark's own CheckpointSuite uses (a RawLocalFileSystem
+  * subclass with a foreign URI).
+  *
+  * Every data `open()` is also COUNTED per path, which gives
+  * IndexFreshnessSpec a synchronous, listener-free way to assert "this
+  * ensure() read NO corpus bytes": any Spark job that scans a corpus
+  * file must open it through this method, while pure FS-metadata calls
+  * (`getFileStatus`, `listStatus`) never do.
+  */
+class CountingMockFs extends RawLocalFileSystem {
+  override def getScheme: String = "mock"
+  override def getUri: URI = CountingMockFs.uri
+  override def open(f: Path, bufferSize: Int): FSDataInputStream = {
+    CountingMockFs.record(f)
+    super.open(f, bufferSize)
+  }
+}
+
+object CountingMockFs {
+  val uri: URI = URI.create("mock:///")
+  private val opened = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  /** Register the scheme on a session's Hadoop conf (idempotent). */
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.mock.impl", classOf[CountingMockFs].getName)
+
+  private[graft] def record(p: Path): Unit = opened.add(p.toUri.getPath)
+  def reset(): Unit = opened.clear()
+
+  /** How many file opens landed under this local-path prefix since the
+    * last [[reset]] (local[*] runs tasks in this JVM, so task-side opens
+    * are visible). */
+  def opensUnder(prefix: String): Int = {
+    val it = opened.iterator()
+    var n = 0
+    while (it.hasNext) if (it.next().startsWith(prefix)) n += 1
+    n
+  }
+}
