@@ -105,6 +105,13 @@ object Bench {
     }
     dropPersistedBlocks()
 
+    // bench-noise attribution (VERDICT r6 item 8, widened to EVERY query
+    // by r9 item 5): this box's run-to-run variance is ±20-40%, and
+    // first-run JIT noise has misled two rounds of headline totals. Each
+    // query runs 3× and the per-query headline number is the MIN — the
+    // comparable statistic across rounds (noise only ever adds time).
+    // Attribution metrics (peak exec mem / GC / shuffle write) come from
+    // the first run; all three raw times + min + median are archived.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       listener.reset()
       val t0 = System.nanoTime()
@@ -114,31 +121,22 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getClass.getSimpleName}: ${e.getMessage}")
           false
         }
-      val sec = (System.nanoTime() - t0) / 1e9
+      val first = (System.nanoTime() - t0) / 1e9
       val storMb = storageBytes() / 1e6
+      val peakMb = listener.peakExecMem / 1e6
+      val gcMs = listener.gcTimeMs
+      val shufMb = listener.shuffleWriteBytes / 1e6
       dropPersistedBlocks()
-      (name, ok, sec, listener.peakExecMem / 1e6, listener.gcTimeMs, storMb,
-        listener.shuffleWriteBytes / 1e6)
+      val runs = first +: (if (ok) (1 to 2).map { _ =>
+        val r0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val sec = (System.nanoTime() - r0) / 1e9
+        dropPersistedBlocks()
+        sec
+      } else Seq.empty)
+      (name, ok, runs, peakMb, gcMs, storMb, shufMb)
     }
-
-    // bench-noise attribution (VERDICT r6 item 8): this box's run-to-run
-    // variance is ±20-40%, so one number per query can't distinguish a
-    // regression from a wobble. Re-run the 10 most expensive queries
-    // twice more and archive runs/min/median — the MIN is the comparable
-    // number across rounds (noise only ever adds time).
-    val repeats = results.collect { case (k, true, v, _, _, _, _) => (k, v) }
-      .sortBy(-_._2).take(10).map { case (name, first) =>
-        val fn = SparkEntry.queries(name)
-        val times = first +: (1 to 2).map { _ =>
-          val t0 = System.nanoTime()
-          try fn(spark, sfDir).count() catch { case _: Throwable => () }
-          val s = (System.nanoTime() - t0) / 1e9
-          dropPersistedBlocks()
-          s
-        }
-        (name, times)
-      }
-    val repJson = repeats.map { case (k, runs) =>
+    val repJson = results.map { case (k, _, runs, _, _, _, _) =>
       val sorted = runs.sorted
       s""""$k":{"runs":${runs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
         s""""min":${f"${sorted.head}%.3f"},"median":${f"${sorted(sorted.size / 2)}%.3f"}}"""
@@ -157,26 +155,27 @@ object Bench {
       f"""{"write_s":$wS%.3f,"read_s":$rS%.3f}"""
     } catch { case _: Throwable => """{}""" }
 
-    // driver contract: queries maps name -> seconds (plain numbers);
-    // failures are excluded from the total and listed in "failed" so a
-    // broken query can never masquerade as a fast one. peak_exec_mb /
-    // gc_ms / storage_mb are the per-query attribution channels.
-    def jmap(f: ((String, Boolean, Double, Double, Long, Double, Double)) => String): String =
+    // driver contract: queries maps name -> seconds (plain numbers; the
+    // per-query MIN of 3 runs since r10 — "timing" says so); failures
+    // are excluded from the total and listed in "failed" so a broken
+    // query can never masquerade as a fast one. peak_exec_mb / gc_ms /
+    // storage_mb are the per-query attribution channels.
+    def jmap(f: ((String, Boolean, Seq[Double], Double, Long, Double, Double)) => String): String =
       results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, _, v, _, _, _, _) => s""""$k":${f"$v%.3f"}""" }
+    val qs = jmap { case (k, _, runs, _, _, _, _) => s""""$k":${f"${runs.min}%.3f"}""" }
     val mem = jmap { case (k, _, _, m, _, _, _) => s""""$k":${f"$m%.1f"}""" }
     val gc = jmap { case (k, _, _, _, g, _, _) => s""""$k":$g""" }
     val stor = jmap { case (k, _, _, _, _, s, _) => s""""$k":${f"$s%.1f"}""" }
     val shuf = jmap { case (k, _, _, _, _, _, sw) => s""""$k":${f"$sw%.1f"}""" }
-    val okTotal = results.collect { case (_, true, v, _, _, _, _) => v }.sum
+    val okTotal = results.collect { case (_, true, runs, _, _, _, _) => runs.min }.sum
     val failed = results.collect { case (k, false, _, _, _, _, _) => s""""$k"""" }.mkString("[", ",", "]")
     // stdout line stays COMPACT (driver captures only the tail of stdout;
     // r4's line with the three attribution maps inlined grew past that
     // window and the driver recorded parsed:null). The attribution maps
     // (peak_exec_mb / gc_ms / storage_mb) go to bench_result.json only.
     val line =
-      s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","queries":$qs,""" +
-        s""""failed":$failed,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","timing":"min_of_3",""" +
+        s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     val detail =
       line.dropRight(1) + s""","peak_exec_mb":$mem,"gc_ms":$gc,"storage_mb":$stor,""" +
         s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit,"repeats":$repJson}"""
