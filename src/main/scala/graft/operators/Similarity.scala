@@ -448,8 +448,10 @@ object Similarity {
 
   /** SEMANTIC dedup (the SemDeDup shape — Abbas et al. 2023, public
     * literature): cluster embeddings with the coarse quantizer, then
-    * within each cell flag every vector that has cosine > tau to ANY
-    * smaller-id vector in the same cell (keep-first, the paper's
+    * within each cell flag every vector that has cosine STRICTLY > tau
+    * to ANY smaller-id vector in the same cell (cosine == tau is kept —
+    * VectorIndexSpec pins the boundary verdict across the batch, index
+    * -probe, and streaming paths) (keep-first, the paper's
     * non-recursive triangular rule — the witness need not itself be
     * kept). Returns every corpus row: (id, cell, is_dup, dup_of) with
     * dup_of = the smallest same-cell witness, null for keepers.

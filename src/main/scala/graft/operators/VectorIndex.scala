@@ -154,8 +154,10 @@ object VectorIndex {
       }
 
   /** SemDeDup probe against the PERSISTED index: flag incoming vectors
-    * whose cosine against any INDEXED vector in their own cell exceeds
-    * `tau` — [[Similarity.semanticDedup]]'s decision rule with the
+    * whose cosine against any INDEXED vector in their own cell STRICTLY
+    * exceeds `tau` (cosine == tau is kept; VectorIndexSpec pins the
+    * boundary verdict across batch/probe/stream so the rule cannot
+    * drift) — [[Similarity.semanticDedup]]'s decision rule with the
     * corpus side read partition-pruned from the index (the touched-cell
     * set is a bounded collect, the probe batch broadcasts). Returns one
     * row per flagged incoming vector: (inc_id, dup_of) with dup_of the

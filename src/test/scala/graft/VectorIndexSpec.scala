@@ -144,6 +144,53 @@ class VectorIndexSpec extends SparkSpec {
       "ensure must rebuild a pre-provenance index")
   }
 
+  test("decision rule at the tau boundary: cosine == tau is kept, in batch, probe, and stream paths") {
+    // The rule is STRICT inequality — dot > tau·|a|·|b| — so a pair at
+    // cosine EXACTLY tau is kept (not flagged). Pinned here with fully
+    // exact float arithmetic (identical unit vectors, tau = 1.0: dot,
+    // both norms, and tau·|a|·|b| are all exactly 1.0) so the verdict
+    // cannot drift between Similarity.semanticDedup, the persisted-index
+    // probe, and the streaming ingest loop that composes it (r9 item 8).
+    import spark.implicits._
+    val e = Seq(1f, 0f, 0f, 0f)
+    val corpus = Seq((1L, e)).toDF("vec_id", "embedding")
+    val probe = Seq((2L, e)).toDF("vec_id", "embedding")
+    // batch path: union corpus, one cell; id 2's only candidate witness
+    // is id 1 at cosine exactly 1.0 == tau -> kept
+    val batchVerdict = Similarity
+      .semanticDedup(corpus.unionByName(probe), tau = 1.0, nlist = 1)
+      .filter(col("vec_id") === 2L).select(col("is_dup")).head().getBoolean(0)
+    assert(!batchVerdict, "batch: cosine == tau must be KEPT (strict >)")
+    // index-probe path: same tie, same verdict
+    val dir = java.nio.file.Files.createTempDirectory("vecidx8").toString
+    VectorIndex.build(corpus, dir, nlist = 1)
+    assert(VectorIndex.probeDups(spark, dir, probe, tau = 1.0).count() == 0L,
+      "probe: cosine == tau must be KEPT (strict >)")
+    // ...and strictly-above control on all paths (tau = 0.5 < 1.0): flagged
+    assert(Similarity.semanticDedup(corpus.unionByName(probe), tau = 0.5, nlist = 1)
+      .filter(col("vec_id") === 2L).head().getBoolean(2), "batch: above tau flags")
+    assert(VectorIndex.probeDups(spark, dir, probe, tau = 0.5).count() == 1L,
+      "probe: above tau flags")
+    // streaming ingest loop at the tie: the at-tau vector is NOVEL —
+    // written to the lake and appended to the index
+    val lake = java.nio.file.Files.createTempDirectory("vecidx8_lake").toString
+    graft.streaming.S4Stream.processIndexedSemanticBatch(probe, 0L,
+      "vec_id", "embedding", dir, lake, tau = 1.0, runKey = "tiespec")
+    val kept = spark.read.parquet(s"$lake/batch=0")
+    assert(kept.count() == 1L && kept.head().getLong(0) == 2L,
+      "stream: cosine == tau must be KEPT end-to-end")
+    // a non-exact boundary (cos = 24/25 against tau = 0.96): whatever
+    // direction FP rounds tau·|a|·|b|, every path must agree on it
+    val c2 = Seq((1L, Seq(3f, 4f, 0f, 0f))).toDF("vec_id", "embedding")
+    val p2 = Seq((2L, Seq(4f, 3f, 0f, 0f))).toDF("vec_id", "embedding")
+    val bat = Similarity.semanticDedup(c2.unionByName(p2), tau = 0.96, nlist = 1)
+      .filter(col("vec_id") === 2L).head().getBoolean(2)
+    val dir2 = java.nio.file.Files.createTempDirectory("vecidx9").toString
+    VectorIndex.build(c2, dir2, nlist = 1)
+    val prb = VectorIndex.probeDups(spark, dir2, p2, tau = 0.96).count() == 1L
+    assert(bat == prb, s"paths disagree at the FP boundary: batch=$bat probe=$prb")
+  }
+
   test("query-time cell restriction prunes index partitions at the file level") {
     val corpus = Tables.embeddings(spark, sf0001)
     val dir = java.nio.file.Files.createTempDirectory("vecidx2").toString
