@@ -151,6 +151,26 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(TextIndex.isFresh(spark, idx, corpus.unionByName(delta), "doc_id", "text"))
   }
 
+  test("a status record cannot answer fresh over a wiped meta table") {
+    // srcstat is written LAST, but a manual partial wipe (meta gone,
+    // srcstat surviving) must degrade to stale-and-rebuild, never to a
+    // false fresh over a gutted index
+    CountingMockFs.install(spark)
+    val src = mockDir("wipe_src")
+    val idx = java.nio.file.Files.createTempDirectory("wipe_idx").toString
+    vecCorpus(32).write.mode("overwrite").parquet(s"$src/emb.parquet")
+    def corpus = spark.read.parquet(s"$src/emb.parquet")
+    VectorIndex.ensure(corpus, idx, nlist = 4)
+    assert(Fingerprint.statusFresh(idx, corpus))
+    val conf = spark.sparkContext.hadoopConfiguration
+    val meta = new Path(s"$idx/meta")
+    meta.getFileSystem(conf).delete(meta, true)
+    assert(!Fingerprint.statusFresh(idx, corpus),
+      "statusFresh must not vouch for an index whose meta is gone")
+    VectorIndex.ensure(corpus, idx, nlist = 4) // hash path -> readMeta None -> rebuild
+    assert(VectorIndex.isFresh(spark, idx, corpus), "ensure must have rebuilt meta")
+  }
+
   test("cluster index shares the fast path (the CC family's warmup gate)") {
     CountingMockFs.install(spark)
     val src = mockDir("cc_src")
