@@ -102,8 +102,8 @@ object Fingerprint {
   // same change signal Spark's own file streaming source trusts) plus
   // the canonicalized-plan hash of the corpus expression (so the SAME
   // files read through a DIFFERENT filter/projection can never
-  // fast-match). On check, O(files) FS metadata calls — zero Spark
-  // jobs, zero data bytes. ANY drift (or a corpus whose plan isn't a
+  // fast-match). On check, ONE directory listing per corpus directory —
+  // zero Spark jobs, zero data bytes. ANY drift (or a corpus whose plan isn't a
   // pure file scan, e.g. an in-memory test fixture) falls back to the
   // hash scan, which keeps its role as the authority; the fast path can
   // only ever short-circuit toward "fresh" when the bytes provably
@@ -127,11 +127,27 @@ object Fingerprint {
       val files = df.inputFiles
       if (files.isEmpty) None
       else {
+        // ONE listStatus per parent directory, not one getFileStatus per
+        // file: a 100 TB corpus has O(10⁵) files but few directories,
+        // and object stores answer a directory listing in one call. A
+        // file deleted between the df's listing and this check (regen
+        // race) simply goes missing from the map — its line renders as
+        // absent and the status reads stale, instead of throwing.
         val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        val lines = files.sorted.toSeq.map { f =>
-          val p = new org.apache.hadoop.fs.Path(f)
-          val st = p.getFileSystem(conf).getFileStatus(p)
-          s"$f|${st.getLen}|${st.getModificationTime}"
+        val paths = files.sorted.toSeq.map(new org.apache.hadoop.fs.Path(_))
+        val byDir = paths.flatMap(p => Option(p.getParent).map(_ -> p))
+          .groupBy(_._1)
+        val statusOf: Map[String, (Long, Long)] = byDir.flatMap { case (dir, _) =>
+          val fs = dir.getFileSystem(conf)
+          try fs.listStatus(dir).toSeq
+            .map(st => st.getPath.toUri.getPath -> (st.getLen, st.getModificationTime))
+          catch { case _: java.io.FileNotFoundException => Seq.empty }
+        }
+        val lines = paths.map { p =>
+          statusOf.get(p.toUri.getPath) match {
+            case Some((len, mtime)) => s"$p|$len|$mtime"
+            case None               => s"$p|ABSENT"
+          }
         }
         Some((s"plan=${plan.semanticHash()}" +: lines).mkString("\n"))
       }
@@ -169,8 +185,9 @@ object Fingerprint {
   /** The fast path itself: true iff a status record exists AND matches
     * the corpus' current status AND the index meta table is present (the
     * record is written last, but a manual partial wipe must not read as
-    * fresh). Costs O(files) metadata calls and no Spark job; false means
-    * "don't know" — the caller falls back to the content hash. */
+    * fresh). Costs one listing per corpus directory and no Spark job;
+    * false means "don't know" — the caller falls back to the content
+    * hash. */
   def statusFresh(indexDir: String, corpus: DataFrame): Boolean = {
     val conf = corpus.sparkSession.sparkContext.hadoopConfiguration
     val p = statusPath(indexDir)
