@@ -103,6 +103,14 @@ object Bench {
       case scala.util.control.NonFatal(e) =>
         System.err.println(s"[bench] warmup ensureClusterIndex FAILED: ${e.getMessage}")
     }
+    // ...and the standing-corpus index doc_cluster_index_probe probes
+    // (a separate, filtered corpus — without this its first timed run
+    // pays the build and mislabels the attribution metrics)
+    try graft.queries.TextPipeline.ensureProbeClusterIndex(spark, sfDir)
+    catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warmup ensureProbeClusterIndex FAILED: ${e.getMessage}")
+    }
     dropPersistedBlocks()
 
     // bench-noise attribution (VERDICT r6 item 8, widened to EVERY query
@@ -127,12 +135,22 @@ object Bench {
       val gcMs = listener.gcTimeMs
       val shufMb = listener.shuffleWriteBytes / 1e6
       dropPersistedBlocks()
-      val runs = first +: (if (ok) (1 to 2).map { _ =>
+      // a FAILED re-run contributes NO time (its fast failure would
+      // otherwise become the min and report a broken query as fast —
+      // the exact masquerade the failed:[] contract forbids); it is
+      // logged loudly and the min falls back to the successful runs
+      val runs = first +: (if (ok) (1 to 2).flatMap { i =>
         val r0 = System.nanoTime()
-        try fn(spark, sfDir).count() catch { case _: Throwable => () }
+        val okRun =
+          try { fn(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name re-run $i FAILED: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
         val sec = (System.nanoTime() - r0) / 1e9
         dropPersistedBlocks()
-        sec
+        if (okRun) Some(sec) else None
       } else Seq.empty)
       (name, ok, runs, peakMb, gcMs, storMb, shufMb)
     }

@@ -20,6 +20,16 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Collision-free filesystem key for a fixture dir — used to derive
+    * per-fixture persisted-index paths. Sanitization alone maps e.g.
+    * `/data/sf0.1` and `/data/sf0_1` onto the same key, which would
+    * alias two corpora to one index and thrash full rebuilds on every
+    * alternation; the raw-path hash disambiguates deterministically
+    * across JVMs. */
+  def fixtureKey(dir: String): String =
+    dir.replaceAll("[^a-zA-Z0-9]", "_") + "_" +
+      java.lang.Integer.toHexString(scala.util.hashing.MurmurHash3.stringHash(dir))
+
   /** `events.parquet` has shipped with two physical encodings for `ts`
     * across fixture generations, so this loader adapts to whichever is on
     * disk (VERDICT r8 item 1) and always yields `ts: TIMESTAMP` in UTC
@@ -45,10 +55,14 @@ object Tables {
     * remains only as a last-resort net for wrapped non-SparkThrowable
     * rethrows. */
   private def isParquetTypeIllegal(e: Throwable): Boolean =
-    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists {
-      case st: org.apache.spark.SparkThrowable =>
-        "PARQUET_TYPE_ILLEGAL" == st.getCondition
-      case t => String.valueOf(t.getMessage).contains("PARQUET_TYPE_ILLEGAL")
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8).exists { t =>
+      (t match {
+        case st: org.apache.spark.SparkThrowable =>
+          "PARQUET_TYPE_ILLEGAL" == st.getCondition
+        case _ => false
+        // message check runs for EVERY link (a SparkThrowable wrapper can
+        // carry a null condition but the marker in its message)
+      }) || String.valueOf(t.getMessage).contains("PARQUET_TYPE_ILLEGAL")
     }
 
   private def eventsRaw(s: SparkSession, d: String): DataFrame = {

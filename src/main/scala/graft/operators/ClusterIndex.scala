@@ -243,7 +243,14 @@ object ClusterIndex {
             excludeTag: Option[String] = None): DataFrame =
     probeParts(s, indexDir, incoming, idCol, textCol, excludeTag)._1
 
-  /** O(|delta|) maintenance: probe (excluding this batch's own tag, so a
+  /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE (the streaming
+    * loops use ck<runKey>_b<batchId>): writes are tag-scoped dynamic
+    * overwrites, so a DIFFERENT batch under a used tag would destroy the
+    * earlier batch's rows; append() detects reuse via the applied
+    * fingerprint record and refuses loudly, re-admitting only the exact
+    * same (tag, delta) pair — the crash-replay.
+    *
+    * Probe (excluding this batch's own tag, so a
     * crash-replay behaves like the first run), write the delta's rows
     * tag-scoped (dynamic overwrite — replay rewrites the same partitions,
     * exactly-once), re-assign the members of any bridged components, and
@@ -252,7 +259,29 @@ object ClusterIndex {
   def append(delta: DataFrame, idCol: String, textCol: String,
              indexDir: String, tag: String = "append"): Unit = {
     val s = delta.sparkSession
-    val (_, nBuckets) = readMeta(s, indexDir)
+    // ONE meta read serves threshold, bucket count, and the fingerprint
+    // (three separate reads could observe different generations under a
+    // concurrent rebuild)
+    val m = s.read.parquet(s"$indexDir/meta").head()
+    val thr = m.getAs[Double]("threshold")
+    val nBuckets = m.getAs[Int]("n_buckets")
+    val oldFp =
+      if (m.schema.fieldNames.contains("n_rows"))
+        Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+      else None // legacy meta: no fingerprint to maintain
+    val conf = s.sparkContext.hadoopConfiguration
+    val dfp = Fingerprint.of(delta, Seq(idCol, textCol))
+    // Tag reuse guard: unlike the append-mode indexes, these writes are
+    // tag-scoped dynamic OVERWRITES — a different batch under a used tag
+    // would silently destroy the earlier batch's rows wherever their
+    // hash buckets collide (and the excludeTag probe would skip them).
+    // The exact same (tag, delta) pair is the legitimate crash-replay.
+    val replay = Fingerprint.wasApplied(conf, indexDir, tag, dfp)
+    require(replay || !Fingerprint.tagUsed(conf, indexDir, tag),
+      s"ClusterIndex.append: tag '$tag' was already used by a different " +
+        "batch; appends are tag-scoped dynamic overwrites, so reusing a " +
+        "tag would destroy the earlier batch's rows — pass a batch-unique " +
+        "tag (the streaming loops use ck<runKey>_b<batchId>)")
     val tagS = sanitize(tag)
     val (assignInc, merges) = probeParts(s, indexDir, delta, idCol, textCol,
       excludeTag = Some(tag))
@@ -297,21 +326,16 @@ object ClusterIndex {
       dynOverwrite(rewritten, Seq("_src", "idb"), s"$indexDir/assign")
     }
     // fingerprint: merged once per (tag, delta) — replay-safe
-    readFingerprint(s, indexDir).foreach { old =>
-      val conf = s.sparkContext.hadoopConfiguration
-      val dfp = Fingerprint.of(delta, Seq(idCol, textCol))
-      if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
-        val (thr, _) = readMeta(s, indexDir)
-        import s.implicits._
-        val fp = Fingerprint.merge(old, dfp)
-        Seq((thr, nBuckets, fp._1, fp._2))
-          .toDF("threshold", "n_buckets", "n_rows", "content_hash")
-          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-        Fingerprint.recordMerge(conf, indexDir, tag, dfp)
-      }
+    if (!replay) oldFp.foreach { old =>
+      import s.implicits._
+      val fp = Fingerprint.merge(old, dfp)
+      Seq((thr, nBuckets, fp._1, fp._2))
+        .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      Fingerprint.recordMerge(conf, indexDir, tag, dfp)
     }
     // build-time file statuses no longer describe the corpus of
     // record: freshness reverts to the content-hash authority
-    Fingerprint.clearSourceStatus(s.sparkContext.hadoopConfiguration, indexDir)
+    Fingerprint.clearSourceStatus(conf, indexDir)
   }
 }

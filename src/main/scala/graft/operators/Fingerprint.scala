@@ -52,15 +52,46 @@ object Fingerprint {
   // semantics, but merging the delta fingerprint a second time would
   // drift meta away from the corpus of record forever (next ensure() →
   // spurious full rebuild). Each append therefore records its (tag →
-  // delta fingerprint) in a tiny `<indexDir>/tagfp/<tag>` file; a replay
-  // presents the same tag with the same delta fingerprint and the merge
-  // is skipped. A DIFFERENT delta under a reused tag (legitimate repeated
-  // `append(tag = "append")` calls) still merges — only the exact
-  // (tag, fingerprint) pair is treated as already-applied.
+  // delta fingerprint) as one LINE of the tiny `<indexDir>/tagfp/<tag>`
+  // file; a replay presents the same tag with an already-recorded delta
+  // fingerprint and the merge is skipped. A DIFFERENT delta under a
+  // reused tag (legitimate repeated `append(tag = "append")` calls on
+  // the append-mode indexes) still merges — the file accumulates the
+  // SET of applied fingerprints per tag, so a crash-replay of any EARLIER
+  // batch under a reused tag is also recognized (a last-pair-only record
+  // would re-merge it and drift meta).
 
   private def tagPath(indexDir: String, tag: String) =
     new org.apache.hadoop.fs.Path(
       s"$indexDir/tagfp/${tag.replaceAll("[^a-zA-Z0-9._-]", "_")}")
+
+  private def readTagSet(fs: org.apache.hadoop.fs.FileSystem,
+                         p: org.apache.hadoop.fs.Path): Set[String] =
+    if (!fs.exists(p)) Set.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.split("\n").filter(_.nonEmpty).toSet
+    }
+
+  /** Has this exact (tag, delta-fingerprint) batch already been applied
+    * to the index? The crash-replay detector. */
+  def wasApplied(conf: org.apache.hadoop.conf.Configuration,
+                 indexDir: String, tag: String, fp: (Long, Long)): Boolean = {
+    val p = tagPath(indexDir, tag)
+    readTagSet(p.getFileSystem(conf), p).contains(s"${fp._1},${fp._2}")
+  }
+
+  /** Has this tag been used by ANY prior applied batch? Overwrite-mode
+    * indexes (tag-scoped dynamic overwrite, e.g. [[ClusterIndex]]) must
+    * REJECT a different delta under a used tag — the overwrite would
+    * silently destroy the earlier batch's rows. */
+  def tagUsed(conf: org.apache.hadoop.conf.Configuration,
+              indexDir: String, tag: String): Boolean = {
+    val p = tagPath(indexDir, tag)
+    readTagSet(p.getFileSystem(conf), p).nonEmpty
+  }
 
   /** Should this (tag, delta-fingerprint) be merged into index meta?
     * False exactly when the same pair was already recorded — the replay
@@ -68,25 +99,19 @@ object Fingerprint {
     * ordering: record LAST so a crash mid-append degrades to a spurious
     * rebuild, never a silently-stale index). */
   def shouldMerge(conf: org.apache.hadoop.conf.Configuration,
-                  indexDir: String, tag: String, fp: (Long, Long)): Boolean = {
-    val p = tagPath(indexDir, tag)
-    val fs = p.getFileSystem(conf)
-    if (!fs.exists(p)) true
-    else {
-      val in = fs.open(p)
-      val txt = try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      txt != s"${fp._1},${fp._2}"
-    }
-  }
+                  indexDir: String, tag: String, fp: (Long, Long)): Boolean =
+    !wasApplied(conf, indexDir, tag, fp)
 
-  /** Record that (tag, fp) has been merged into meta — see [[shouldMerge]]. */
+  /** Record that (tag, fp) has been merged into meta — see [[shouldMerge]].
+    * Appends to the tag's fingerprint set (read-modify-write: object
+    * stores lack append, and the file holds a handful of 40-byte lines). */
   def recordMerge(conf: org.apache.hadoop.conf.Configuration,
                   indexDir: String, tag: String, fp: (Long, Long)): Unit = {
     val p = tagPath(indexDir, tag)
     val fs = p.getFileSystem(conf)
+    val merged = readTagSet(fs, p) + s"${fp._1},${fp._2}"
     val out = fs.create(p, true)
-    try out.write(s"${fp._1},${fp._2}"
+    try out.write(merged.toSeq.sorted.mkString("\n")
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }

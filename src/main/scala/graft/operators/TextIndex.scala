@@ -189,13 +189,20 @@ object TextIndex {
     // bounded collect: at most nBuckets longs — prunes the band scan
     val touchedHb = incBands.select(col("hb")).distinct()
       .collect().map(_.getLong(0)).toSeq
-    // mergeSchema: default inference samples ONE footer, and on an index
-    // mixing pre-_src files with tagged appends it could come back
+    // Schema resolution: default inference samples ONE footer; on an
+    // index mixing pre-_src files with tagged appends it could come back
     // without _src — hiding the appended rows' provenance and silently
-    // disabling the replay guard. Merging is a bounded metadata pass.
-    val refBandsRead = s.read.option("mergeSchema", "true")
-      .parquet(s"$indexDir/bands")
-      .filter(col("hb").isin(touchedHb: _*))
+    // disabling the replay guard. But an unconditional mergeSchema read
+    // merges EVERY file's footer on every probe — a per-micro-batch
+    // full-metadata pass on the hot streaming path. So: try the cheap
+    // single-footer read; only when the sampled footer lacks _src (the
+    // rare mixed-legacy index, which ensure() rebuilds anyway) pay the
+    // mergeSchema pass to check whether any appended file carries it.
+    val plainBands = s.read.parquet(s"$indexDir/bands")
+    val refBandsRead =
+      (if (plainBands.columns.contains("_src")) plainBands
+       else s.read.option("mergeSchema", "true").parquet(s"$indexDir/bands"))
+        .filter(col("hb").isin(touchedHb: _*))
     // fully pre-provenance index (ensure() rebuilds these, but direct
     // probe calls must still resolve): legacy rows are _src = null
     val refBandsAll =

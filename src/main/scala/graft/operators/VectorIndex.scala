@@ -182,12 +182,15 @@ object VectorIndex {
     // bounded collect (<= nlist ints): static partition filter on cells
     val touched = probed.select(col("_cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    // mergeSchema: a mixed pre-_src index must expose the appended rows'
-    // provenance (single-footer inference could hide it and silently
-    // disable the replay guard); see TextIndex.probe
-    val cellsRead = s.read.option("mergeSchema", "true")
-      .parquet(s"$indexDir/cells")
-      .filter(col("cell").isInCollection(touched))
+    // a mixed pre-_src index must expose the appended rows' provenance
+    // (single-footer inference could hide it and silently disable the
+    // replay guard) — but the mergeSchema pass reads every footer, so
+    // it runs only when the cheap read lacks _src; see TextIndex.probe
+    val plainCells = s.read.parquet(s"$indexDir/cells")
+    val cellsRead =
+      (if (plainCells.columns.contains("_src")) plainCells
+       else s.read.option("mergeSchema", "true").parquet(s"$indexDir/cells"))
+        .filter(col("cell").isInCollection(touched))
     // fully pre-provenance index: legacy rows are _src = null
     val cells0 =
       if (cellsRead.columns.contains("_src")) cellsRead

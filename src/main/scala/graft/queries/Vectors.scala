@@ -216,7 +216,7 @@ object Vectors {
     * not a rebuild that production would amortize over every query. */
   def ensureIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_vecindex/" +
-      dir.replaceAll("[^a-zA-Z0-9]", "_")
+      Tables.fixtureKey(dir)
     VectorIndex.ensure(Tables.embeddings(s, dir), idx)
     idx
   }

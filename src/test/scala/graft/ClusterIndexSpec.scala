@@ -177,6 +177,30 @@ class ClusterIndexSpec extends SparkSpec {
       "replay must not drift the fingerprint")
   }
 
+  test("a DIFFERENT batch under a used tag is refused; unique tags still chain") {
+    // tag-scoped dynamic overwrite means tag reuse would silently destroy
+    // the earlier batch's rows wherever hash buckets collide — append()
+    // must refuse loudly, while the exact-replay case (previous test) and
+    // batch-unique tags keep working
+    val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clidx7").toString
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    val d1 = Seq((30L, txt(3))).toDF("doc_id", "text")
+    val d2 = Seq((40L, txt(4))).toDF("doc_id", "text")
+    ClusterIndex.append(d1, "doc_id", "text", dir, tag = "b0")
+    val e = intercept[IllegalArgumentException](
+      ClusterIndex.append(d2, "doc_id", "text", dir, tag = "b0"))
+    assert(e.getMessage.contains("batch-unique"))
+    // d1's rows untouched, fingerprint still == corpus + d1 only
+    assert(assignMap(dir).keySet == Set(10L, 20L, 30L))
+    assert(ClusterIndex.isFresh(spark, dir, corpus.unionAll(d1), "doc_id", "text"))
+    // the same second batch under its own tag lands fine
+    ClusterIndex.append(d2, "doc_id", "text", dir, tag = "b1")
+    assert(assignMap(dir).keySet == Set(10L, 20L, 30L, 40L))
+    assert(ClusterIndex.isFresh(spark, dir,
+      corpus.unionAll(d1).unionAll(d2), "doc_id", "text"))
+  }
+
   test("ensure: fingerprint-guarded rebuild; probe prunes postings at the file level") {
     val srcDir = java.nio.file.Files.createTempDirectory("clsrc").toString
     val dir = java.nio.file.Files.createTempDirectory("clidx5").toString

@@ -166,7 +166,15 @@ class TextIndexSpec extends SparkSpec {
       "replayed append must not drift the fingerprint")
     // but a DIFFERENT delta reusing the tag is a legitimate append
     TextIndex.append(d2, "doc_id", "text", dir, tag = "b1")
-    assert(TextIndex.isFresh(spark, dir, rec.unionAll(d2), "doc_id", "text"),
+    val rec2 = rec.unionAll(d2)
+    assert(TextIndex.isFresh(spark, dir, rec2, "doc_id", "text"),
       "a new delta under a reused tag must still merge")
+    // crash-replay of the OLDER batch under the reused tag: the tagfp
+    // record is a SET, not last-pair-only — d1's fingerprint is still on
+    // record, so it must not merge a second time (a last-pair record
+    // would see only d2 and drift meta forever)
+    TextIndex.append(d1, "doc_id", "text", dir, tag = "b1")
+    assert(TextIndex.isFresh(spark, dir, rec2, "doc_id", "text"),
+      "replay of an earlier same-tag batch must not re-merge")
   }
 }
