@@ -257,7 +257,7 @@ object ClusterIndex {
     * merge the fingerprint once per (tag, delta) pair. Post-condition
     * (ClusterIndexSpec): `assign` == fresh CC over the union corpus. */
   def append(delta: DataFrame, idCol: String, textCol: String,
-             indexDir: String, tag: String = "append"): Unit = {
+             indexDir: String, tag: String = "append"): DataFrame = {
     val s = delta.sparkSession
     // ONE meta read serves threshold, bucket count, and the fingerprint
     // (three separate reads could observe different generations under a
@@ -337,5 +337,10 @@ object ClusterIndex {
     // build-time file statuses no longer describe the corpus of
     // record: freshness reverts to the content-hash authority
     Fingerprint.clearSourceStatus(conf, indexDir)
+    // the delta's assignments AS OF THIS APPEND (already materialized —
+    // safe to consume after the overwrites): the streaming loop's
+    // per-batch output. The index's assign table stays authoritative;
+    // a later batch that bridges can amend components there.
+    assignD
   }
 }

@@ -814,6 +814,58 @@ object S4Stream {
     (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
   }
 
+  /** One micro-batch of [[indexedClusterStream]], exposed for direct
+    * replay testing (same marker contract as the dedup loops). */
+  private[graft] def processIndexedClusterBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, lakeDir: String,
+      runKey: String): Unit = {
+    val s = batch.sparkSession
+    val tag = s"ck${runKey}_b$batchId" // batch-unique: append REQUIRES it
+    if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
+      // append consumes the batch several times (fingerprint, tokenize,
+      // probe); pin it once
+      val assigned = graft.operators.ClusterIndex
+        .append(batch.localCheckpoint(), idCol, textCol, indexDir, tag)
+      // batchId-keyed overwrite: the per-batch assignment FEED is
+      // exactly-once under replay, like the dedup loops' lakes
+      assigned.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+    }
+  }
+
+  /** STREAMING near-dup cluster maintenance against the persisted
+    * [[graft.operators.ClusterIndex]] — the third leg of the
+    * build-once/ingest-forever index family (text near-dup, semantic
+    * vector dedup, and now clustering): per micro-batch, APPEND the
+    * incoming docs to the index, which assigns each its EXACT
+    * union-corpus component (quotient-graph CC over delta edges +
+    * delta→component matches, O(|delta| + touched partitions)) and
+    * targeted-rewrites any components the batch bridged. The batch's
+    * assignments-as-of-ingest land in a batchId-keyed lake subtree as an
+    * audit feed; the index's `assign` table is the AUTHORITATIVE live
+    * map (a later batch that bridges two clusters amends it there —
+    * consumers wanting current components read
+    * [[graft.operators.ClusterIndex.assignments]], not the feed).
+    *
+    * Replay idempotence is the family contract: the applied/ marker
+    * skips fully-committed batches; a crash between the append and the
+    * marker re-admits exactly the same (tag, delta-fingerprint) pair,
+    * whose tag-scoped dynamic overwrite rewrites its own partitions —
+    * and append REFUSES a different batch under a used tag, so the
+    * ck<runKey>_b<batchId> tags this loop generates are load-bearing. */
+  def indexedClusterStream(docs: DataFrame, idCol: String, textCol: String,
+                           indexDir: String, lakeDir: String,
+                           checkpointDir: String,
+                           availableNow: Boolean = false): StreamingQuery = {
+    lazy val runKey = checkpointRunKey(docs.sparkSession, checkpointDir)
+    val w = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        processIndexedClusterBatch(batch, batchId, idCol, textCol,
+          indexDir, lakeDir, runKey)
+      }
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** One micro-batch of [[indexedSemanticDedupStream]], exposed for
     * direct replay testing (same contract as
     * [[processIndexedDedupBatch]]). */

@@ -1288,4 +1288,94 @@ class StreamingSpec extends SparkSpec {
       s"late doc 6 must be dropped by the watermark, not decided: $dec3")
     assert(dec3(4) === ((true, 1L)), "earlier decisions unchanged")
   }
+
+  test("indexed CLUSTER stream: components maintained across runs, bridges amended") {
+    import spark.implicits._
+    val in = tmp("s4cin"); val lake = tmp("s4clake"); val ck = tmp("s4cck")
+    val idx = tmp("s4cidx").toString
+    // base token set T; doc 10 and doc 20 each swap out a DIFFERENT pair
+    // of tokens: J(10, 20) = 16/24 ≈ 0.67 < 0.8 (separate clusters), but
+    // the unmodified T has J = 18/22 ≈ 0.82 with BOTH — the bridge text
+    val base = (0 until 20).map(i => s"cstok_$i")
+    def swapped(tag: String, at: Seq[Int]) =
+      base.zipWithIndex.map { case (t, i) =>
+        if (at.contains(i)) s"x${tag}_$i" else t }.mkString(" ")
+    val txt10 = swapped("a", Seq(0, 1)); val txt20 = swapped("b", Seq(2, 3))
+    graft.operators.ClusterIndex.build(
+      Seq((10L, txt10), (20L, txt20)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    def run(): Unit = {
+      val src = spark.readStream.schema("doc_id LONG, text STRING").json(in.toString)
+      S4Stream.indexedClusterStream(src, "doc_id", "text", idx,
+        lake.toString, ck.toString, availableNow = true).awaitTermination()
+    }
+    // batch 0: doc 30 re-crawls doc 10's text (joins its cluster),
+    // doc 40 is a novel singleton
+    writeLines(in, "b1.json", Seq(
+      s"""{"doc_id": 30, "text": "$txt10"}""",
+      s"""{"doc_id": 40, "text": "${(0 until 20).map(i => s"nv_$i").mkString(" ")}"}"""))
+    run()
+    def assign(): Map[Long, Long] =
+      graft.operators.ClusterIndex.assignments(spark, idx, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign() === Map(10L -> 10L, 20L -> 20L, 30L -> 10L, 40L -> 40L))
+    // batch 1 (new run, same checkpoint): doc 15 carries the bridge text
+    // — clusters {10,30} and {20} must merge to component 10, AMENDING
+    // doc 20's row in the authoritative assign table
+    writeLines(in, "b2.json", Seq(
+      s"""{"doc_id": 15, "text": "${base.mkString(" ")}"}"""))
+    run()
+    assert(assign() === Map(10L -> 10L, 15L -> 10L, 20L -> 10L,
+      30L -> 10L, 40L -> 40L),
+      s"bridge must merge across batches and amend doc 20: ${assign()}")
+    // the audit feed is per-batch assignment-at-ingest: batch 0 predates
+    // the bridge, so it still shows 40 -> 40 / 30 -> 10; batch 1 shows
+    // the merged component
+    val b0 = spark.read.parquet(s"$lake/batch=0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b0 === Map(30L -> 10L, 40L -> 40L), s"batch-0 feed: $b0")
+    val b1 = spark.read.parquet(s"$lake/batch=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === Map(15L -> 10L), s"batch-1 feed: $b1")
+    // fingerprint tracks the full corpus of record across stream appends
+    val rec = Seq((10L, txt10), (20L, txt20),
+      (30L, txt10), (40L, (0 until 20).map(i => s"nv_$i").mkString(" ")),
+      (15L, base.mkString(" "))).toDF("doc_id", "text")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx, rec, "doc_id", "text"))
+  }
+
+  test("indexed cluster batch replay: marker skip and append re-admission") {
+    import spark.implicits._
+    val lake = tmp("s4crlake"); val idx = tmp("s4cridx").toString
+    def t(seed: Int) = (0 until 20).map(i => s"crtok${seed}_$i").mkString(" ")
+    graft.operators.ClusterIndex.build(
+      Seq((1L, t(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    val batch = Seq((2L, t(1)), (3L, t(3))).toDF("doc_id", "text")
+    S4Stream.processIndexedClusterBatch(batch, 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "manual")
+    def state() = (
+      graft.operators.ClusterIndex.assignments(spark, idx, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      graft.operators.ClusterIndex.assignments(spark, idx, "doc_id").count(),
+      spark.read.parquet(s"$lake/batch=0")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+    val s1 = state()
+    assert(s1._1 === Map(1L -> 1L, 2L -> 1L, 3L -> 3L))
+    // replay with the marker intact: skipped outright
+    S4Stream.processIndexedClusterBatch(batch, 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "manual")
+    assert(state() === s1)
+    // crash window: marker lost after the append — the replay re-runs,
+    // append re-admits the same (tag, delta) pair, dynamic overwrite
+    // rewrites the same partitions, the fingerprint does not re-merge
+    val marker = new org.apache.hadoop.fs.Path(s"$idx/applied/ckmanual_b0")
+    marker.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(marker, false)
+    S4Stream.processIndexedClusterBatch(batch, 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "manual")
+    assert(state() === s1, "un-markered replay must converge to the same state")
+    val rec = Seq((1L, t(1)), (2L, t(1)), (3L, t(3))).toDF("doc_id", "text")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx, rec, "doc_id", "text"),
+      "replay must not drift the fingerprint")
+  }
 }
