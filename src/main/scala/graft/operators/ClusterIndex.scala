@@ -157,10 +157,12 @@ object ClusterIndex {
 
   /** Incoming docs' components under the UNION corpus (exact — see the
     * quotient argument in the class doc), plus the merge map for old
-    * components the delta bridged. Pure query: mutates nothing. */
+    * components the delta bridged, plus the delta's (already
+    * checkpointed) token sets so [[append]] doesn't tokenize twice.
+    * Pure query: mutates nothing. */
   private def probeParts(s: SparkSession, indexDir: String, incoming: DataFrame,
                          idCol: String, textCol: String,
-                         excludeTag: Option[String]): (DataFrame, DataFrame) = {
+                         excludeTag: Option[String]): (DataFrame, DataFrame, DataFrame) = {
     val (t, nBuckets) = readMeta(s, indexDir)
     val incToks = tokenize(incoming, idCol, textCol).localCheckpoint()
     // delta-internal connectivity (sparse star+rep form, exact)
@@ -230,7 +232,7 @@ object ClusterIndex {
       .join(qcc, col("loser") === col("_ccid"))
       .filter(col("_cccomp") =!= col("loser"))
       .select(col("loser"), col("_cccomp").as("winner"))
-    (assignInc, merges)
+    (assignInc, merges, incToks)
   }
 
   /** Assign incoming docs their exact union-corpus component without
@@ -242,6 +244,26 @@ object ClusterIndex {
             idCol: String, textCol: String,
             excludeTag: Option[String] = None): DataFrame =
     probeParts(s, indexDir, incoming, idCol, textCol, excludeTag)._1
+
+  /** Which of `ids` does the index already hold an assignment for?
+    * Bounded work: the batch's id-hash buckets (a ≤`nBuckets` collect)
+    * become a static partition filter on `assign`, and the pruned scan
+    * is semi-joined against the broadcast batch — no shuffle, result
+    * ≤ |ids|. `excludeTag` skips rows this batch's own (crashed,
+    * replayed) append wrote, the same provenance rule the probes use —
+    * an id is "known" only if a DIFFERENT batch ingested it. */
+  def knownIds(s: SparkSession, indexDir: String, ids: DataFrame,
+               idCol: String, excludeTag: Option[String] = None): DataFrame = {
+    val (_, nBuckets) = readMeta(s, indexDir)
+    val pinned = ids.select(col(idCol)).distinct().localCheckpoint()
+    val touched = pinned.select(idb(col(idCol), nBuckets).as("idb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val assignAll = s.read.parquet(s"$indexDir/assign")
+      .filter(col("idb").isin(touched: _*))
+    val assign = excludeTag.fold(assignAll)(tg =>
+      assignAll.filter(col("_src") =!= lit(sanitize(tg))))
+    assign.join(broadcast(pinned), Seq(idCol), "leftsemi").select(col(idCol))
+  }
 
   /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE (the streaming
     * loops use ck<runKey>_b<batchId>): writes are tag-scoped dynamic
@@ -283,13 +305,13 @@ object ClusterIndex {
         "tag would destroy the earlier batch's rows — pass a batch-unique " +
         "tag (the streaming loops use ck<runKey>_b<batchId>)")
     val tagS = sanitize(tag)
-    val (assignInc, merges) = probeParts(s, indexDir, delta, idCol, textCol,
-      excludeTag = Some(tag))
+    val (assignInc, merges, toksD) = probeParts(s, indexDir, delta, idCol,
+      textCol, excludeTag = Some(tag))
     // materialize BEFORE any write mutates the partitions they were read
-    // from (the dynamic overwrites below touch the same tables)
+    // from (the dynamic overwrites below touch the same tables; toksD is
+    // probeParts' already-checkpointed tokenization — not recomputed)
     val assignD = assignInc.localCheckpoint()
     val mergeMap = merges.localCheckpoint() // bounded: <= touched components
-    val toksD = tokenize(delta, idCol, textCol).localCheckpoint()
     def dynOverwrite(df: DataFrame, parts: Seq[String], path: String): Unit =
       df.write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")

@@ -747,6 +747,17 @@ object S4Stream {
     }
   }
 
+  /** Shared wiring of the three indexed-ingest loops: checkpointed
+    * foreachBatch, optional drain-and-stop trigger. Kept in one place so
+    * trigger/checkpoint handling can't drift between the loops. */
+  private def startIndexedLoop(src: DataFrame, checkpointDir: String,
+      availableNow: Boolean)(body: (DataFrame, Long) => Unit): StreamingQuery = {
+    val w = src.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch(body)
+    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+  }
+
   /** Marker namespace key = the checkpoint's QUERY ID (written to
     * `<ck>/metadata` at stream start): stable across restarts from the
     * same checkpoint (same batchId lineage), fresh when the checkpoint
@@ -786,17 +797,22 @@ object S4Stream {
     // merely share an id with the batch (a stable-id re-crawl appended
     // by an earlier batch must still dedup)
     val tag = s"ck${runKey}_b$batchId"
-    if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
-      val flagged = graft.operators.TextIndex
-        .probe(s, indexDir, batch, idCol, textCol, excludeTag = Some(tag))
-        .select(col("inc_id"))
-      val novel = batch
-        .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
-        .localCheckpoint() // consumed twice: lake write + index append
-      // batchId-keyed overwrite (the pushBatch recipe): a replayed
-      // batch rewrites its own subtree, so the LAKE is exactly-once.
-      novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-      graft.operators.TextIndex.append(novel, idCol, textCol, indexDir, tag)
+    // marker first: a replayed, fully-committed batch costs one FS
+    // exists() — the isEmpty action (a job over the batch source) only
+    // runs for batches that still need applying
+    appliedOnce(s, indexDir, runKey, batchId) {
+      if (!batch.isEmpty) {
+        val flagged = graft.operators.TextIndex
+          .probe(s, indexDir, batch, idCol, textCol, excludeTag = Some(tag))
+          .select(col("inc_id"))
+        val novel = batch
+          .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
+          .localCheckpoint() // consumed twice: lake write + index append
+        // batchId-keyed overwrite (the pushBatch recipe): a replayed
+        // batch rewrites its own subtree, so the LAKE is exactly-once.
+        novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+        graft.operators.TextIndex.append(novel, idCol, textCol, indexDir, tag)
+      }
     }
   }
 
@@ -805,13 +821,10 @@ object S4Stream {
                          checkpointDir: String,
                          availableNow: Boolean = false): StreamingQuery = {
     lazy val runKey = checkpointRunKey(docs.sparkSession, checkpointDir)
-    val w = docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processIndexedDedupBatch(batch, batchId, idCol, textCol,
-          indexDir, lakeDir, runKey)
-      }
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    startIndexedLoop(docs, checkpointDir, availableNow) { (batch, batchId) =>
+      processIndexedDedupBatch(batch, batchId, idCol, textCol,
+        indexDir, lakeDir, runKey)
+    }
   }
 
   /** One micro-batch of [[indexedClusterStream]], exposed for direct
@@ -821,14 +834,34 @@ object S4Stream {
       runKey: String): Unit = {
     val s = batch.sparkSession
     val tag = s"ck${runKey}_b$batchId" // batch-unique: append REQUIRES it
-    if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
-      // append consumes the batch several times (fingerprint, tokenize,
-      // probe); pin it once
-      val assigned = graft.operators.ClusterIndex
-        .append(batch.localCheckpoint(), idCol, textCol, indexDir, tag)
-      // batchId-keyed overwrite: the per-batch assignment FEED is
-      // exactly-once under replay, like the dedup loops' lakes
-      assigned.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+    appliedOnce(s, indexDir, runKey, batchId) {
+      if (!batch.isEmpty) {
+        // Ids are graph NODES here (ClusterIndex requires them unique
+        // across corpus and deltas), so a stable-id re-crawl must not
+        // re-enter the graph: appending doc_id 10 twice would give
+        // assignments() duplicate rows and, if the re-crawled text
+        // changed, attach the NEW text's near-dup edges to the node that
+        // already carries the OLD text's — falsely merging clusters.
+        // First write wins: drop ids a DIFFERENT batch already ingested
+        // (excludeTag keeps this batch's own crashed-append rows from
+        // masking its replay). The content-dedup loops don't need this —
+        // their indexes are multisets of token/vector rows, where a
+        // changed re-crawl is legitimately a new version to dedup against.
+        val pinned = batch.localCheckpoint() // consumed by filter + append
+        val known = graft.operators.ClusterIndex.knownIds(
+          s, indexDir, pinned.select(col(idCol)), idCol,
+          excludeTag = Some(tag))
+        val fresh = pinned
+          .join(broadcast(known), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        // batchId-keyed overwrite: the per-batch assignment FEED is
+        // exactly-once under replay, like the dedup loops' lakes. The
+        // feed carries first-ingest assignments only; re-crawled ids
+        // were assigned when first seen.
+        val assigned = graft.operators.ClusterIndex
+          .append(fresh, idCol, textCol, indexDir, tag)
+        assigned.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+      }
     }
   }
 
@@ -857,13 +890,10 @@ object S4Stream {
                            checkpointDir: String,
                            availableNow: Boolean = false): StreamingQuery = {
     lazy val runKey = checkpointRunKey(docs.sparkSession, checkpointDir)
-    val w = docs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processIndexedClusterBatch(batch, batchId, idCol, textCol,
-          indexDir, lakeDir, runKey)
-      }
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    startIndexedLoop(docs, checkpointDir, availableNow) { (batch, batchId) =>
+      processIndexedClusterBatch(batch, batchId, idCol, textCol,
+        indexDir, lakeDir, runKey)
+    }
   }
 
   /** One micro-batch of [[indexedSemanticDedupStream]], exposed for
@@ -874,15 +904,17 @@ object S4Stream {
       tau: Double, runKey: String): Unit = {
     val s = batch.sparkSession
     val tag = s"ck${runKey}_b$batchId" // provenance tag, see text sibling
-    if (!batch.isEmpty) appliedOnce(s, indexDir, runKey, batchId) {
-      val flagged = graft.operators.VectorIndex
-        .probeDups(s, indexDir, batch, tau, idCol, vecCol, excludeTag = Some(tag))
-        .select(col("inc_id"))
-      val novel = batch
-        .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
-        .localCheckpoint() // consumed twice: lake write + index append
-      novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-      graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol, tag)
+    appliedOnce(s, indexDir, runKey, batchId) { // marker first, see sibling
+      if (!batch.isEmpty) {
+        val flagged = graft.operators.VectorIndex
+          .probeDups(s, indexDir, batch, tau, idCol, vecCol, excludeTag = Some(tag))
+          .select(col("inc_id"))
+        val novel = batch
+          .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
+          .localCheckpoint() // consumed twice: lake write + index append
+        novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+        graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol, tag)
+      }
     }
   }
 
@@ -901,12 +933,9 @@ object S4Stream {
                                  checkpointDir: String, tau: Double = 0.9,
                                  availableNow: Boolean = false): StreamingQuery = {
     lazy val runKey = checkpointRunKey(vecs.sparkSession, checkpointDir)
-    val w = vecs.writeStream
-      .option("checkpointLocation", checkpointDir)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        processIndexedSemanticBatch(batch, batchId, idCol, vecCol,
-          indexDir, lakeDir, tau, runKey)
-      }
-    (if (availableNow) w.trigger(Trigger.AvailableNow()) else w).start()
+    startIndexedLoop(vecs, checkpointDir, availableNow) { (batch, batchId) =>
+      processIndexedSemanticBatch(batch, batchId, idCol, vecCol,
+        indexDir, lakeDir, tau, runKey)
+    }
   }
 }

@@ -1378,4 +1378,34 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.ClusterIndex.isFresh(spark, idx, rec, "doc_id", "text"),
       "replay must not drift the fingerprint")
   }
+
+  test("indexed cluster stream: stable-id re-crawl is dropped, first write wins") {
+    import spark.implicits._
+    val lake = tmp("s4cglake"); val idx = tmp("s4cgidx").toString
+    def t(seed: Int) = (0 until 20).map(i => s"cgtok${seed}_$i").mkString(" ")
+    graft.operators.ClusterIndex.build(
+      Seq((1L, t(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    // batch 0: doc 2 is novel text B — its own singleton
+    S4Stream.processIndexedClusterBatch(
+      Seq((2L, t(2))).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "g")
+    // batch 1 RE-CRAWLS doc 2 with text that near-dups doc 1 — without
+    // the guard, node 2 would gain an edge to cluster 1 and falsely
+    // merge {2} into {1}. Doc 4 in the same batch is genuinely novel.
+    S4Stream.processIndexedClusterBatch(
+      Seq((2L, t(1)), (4L, t(4))).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, lake.toString, runKey = "g")
+    val rows = graft.operators.ClusterIndex.assignments(spark, idx, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).sorted
+    assert(rows === Seq(1L -> 1L, 2L -> 2L, 4L -> 4L),
+      s"re-crawl must not duplicate ids or merge clusters: ${rows.toSeq}")
+    // the batch-1 feed admits only the first-seen id
+    val b1 = spark.read.parquet(s"$lake/batch=1")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(b1 === Map(4L -> 4L), s"batch-1 feed: $b1")
+    // fingerprint tracks the FIRST-WRITE corpus of record
+    val rec = Seq((1L, t(1)), (2L, t(2)), (4L, t(4))).toDF("doc_id", "text")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx, rec, "doc_id", "text"),
+      "corpus of record is first-write-wins")
+  }
 }
