@@ -72,6 +72,14 @@ object Bench {
     def dropPersistedBlocks(): Unit =
       sc.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
 
+    // dev convenience: SPARK_GRAFT_BENCH_ONLY=name1,name2 times a subset
+    // for fast iteration on one query. The driver never sets it, so the
+    // headline artifact always covers the full set.
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(names =>
+      SparkEntry.queries.view.filterKeys(names).toMap)
+
     // untimed warmup: run the WHOLE query set once at the smallest SF so
     // JIT + whole-stage-codegen compilation of every pipeline happens
     // before the clock starts — otherwise it all lands on whichever
@@ -80,7 +88,7 @@ object Bench {
     // fixture is absent.
     val warmDir = "/root/testdata/sf0.001"
     if (new java.io.File(warmDir).isDirectory)
-      SparkEntry.queries.values.foreach { fn =>
+      selected.values.foreach { fn =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
         dropPersistedBlocks()
       }
@@ -120,7 +128,7 @@ object Bench {
     // comparable statistic across rounds (noise only ever adds time).
     // Attribution metrics (peak exec mem / GC / shuffle write) come from
     // the first run; all three raw times + min + median are archived.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       listener.reset()
       val t0 = System.nanoTime()
       val ok =

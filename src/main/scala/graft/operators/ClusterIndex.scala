@@ -70,6 +70,19 @@ object ClusterIndex {
   private def tokenize(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
 
+  /** GRAFT_PROBE_DEBUG=1: time each probe leg with an extra count()
+    * action (costs a re-execution per leg — debug channel only, the
+    * same contract as GRAFT_CC_DEBUG). */
+  private val probeDebug = sys.env.get("GRAFT_PROBE_DEBUG").contains("1")
+  private def dbg(name: String)(df: DataFrame): DataFrame = {
+    if (probeDebug) {
+      val t0 = System.nanoTime()
+      val n = df.count()
+      println(f"[probe] $name%-14s ${(System.nanoTime() - t0) / 1e9}%7.2fs rows=$n")
+    }
+    df
+  }
+
   /** One corpus pass: tokenize, exact near-dup edges (prefix-filtered,
     * no O(n²) stage), O(log n)-round CC, then persist assignments +
     * token sets + full postings + the df hint + the fingerprinted meta
@@ -164,17 +177,27 @@ object ClusterIndex {
                          idCol: String, textCol: String,
                          excludeTag: Option[String]): (DataFrame, DataFrame, DataFrame) = {
     val (t, nBuckets) = readMeta(s, indexDir)
-    val incToks = tokenize(incoming, idCol, textCol).localCheckpoint()
+    // lazy checkpoints throughout: each frame's FIRST consumer (a bounded
+    // collect or append's eager assignD checkpoint) materializes the
+    // blocks inside its own job, so the probe path pays no standalone
+    // checkpoint jobs — on a small delta the sequential-job count, not
+    // data volume, dominates wall-clock
+    val incToks = tokenize(incoming, idCol, textCol)
+      .localCheckpoint(eager = false)
     // delta-internal connectivity (sparse star+rep form, exact)
-    val inner = SetSimJoin.jaccardEdges(incToks, idCol, "_toks", t)
-      .select(col("id1").as("src"), col("id2").as("dst"))
+    val inner = dbg("inner-edges")(
+      SetSimJoin.jaccardEdges(incToks, idCol, "_toks", t)
+        .select(col("id1").as("src"), col("id2").as("dst")))
     // probe prefix: the |x| - ceil(t|x|) + 1 rarest tokens by the FROZEN
-    // df hint (new tokens coalesce to df 0 — rarest). Bounded collects
-    // (<= nBuckets longs) turn the df and postings reads into static
-    // partition filters, the same recipe as TextIndex/VectorIndex.
+    // df hint (new tokens coalesce to df 0 — rarest). ONE bounded collect
+    // (<= nBuckets longs) of the delta's token buckets turns BOTH the df
+    // and postings reads into static partition filters, the same recipe
+    // as TextIndex/VectorIndex (prefix buckets are a subset of the
+    // delta's token buckets, so reusing the superset list is pruning-
+    // correct and saves a second collect barrier).
     val occ = incToks.select(col(idCol).as("_inc"),
       size(col("_toks")).as("_szi"), explode(col("_toks")).as("_tok"))
-      .localCheckpoint() // feeds the bucket collect AND the ranked join
+      .localCheckpoint(eager = false) // feeds the bucket collect AND the ranked join
     val touchedTb = occ.select(tb(col("_tok"), nBuckets).as("tb"))
       .distinct().collect().map(_.getLong(0)).toSeq
     val dfHint = s.read.parquet(s"$indexDir/df")
@@ -185,22 +208,19 @@ object ClusterIndex {
         Window.partitionBy(col("_inc")).orderBy(col("_df"), col("_tok"))))
       .filter(col("_rk") <= col("_szi") - ceil(lit(t) * col("_szi") - lit(1e-9)) + 1)
       .select(col("_tok"), col("_inc"), col("_szi"))
-      .localCheckpoint() // feeds the bucket collect AND the candidate join
-    val prefTb = pref.select(tb(col("_tok"), nBuckets).as("tb"))
-      .distinct().collect().map(_.getLong(0)).toSeq
     val postAll = s.read.parquet(s"$indexDir/postings")
-      .filter(col("tb").isin(prefTb: _*))
+      .filter(col("tb").isin(touchedTb: _*))
     // _src is a PARTITION column (never null): plain =!= is both safe
     // and pruned at the file level
     val post = excludeTag.fold(postAll)(tg =>
       postAll.filter(col("_src") =!= lit(sanitize(tg))))
-    val cands = pref
+    val cands = dbg("cands")(pref
       .join(post.select(col("_tok"), col(idCol).as("_ref"), col("_sz").as("_szr")), "_tok")
       // size filter: J >= t forces t|x| <= |y| <= |x|/t
       .filter(col("_szr") >= lit(t) * col("_szi") - lit(1e-9)
         && col("_szi") >= lit(t) * col("_szr") - lit(1e-9))
       .select(col("_inc"), col("_ref")).distinct()
-      .localCheckpoint() // feeds the bucket collect AND the verify join
+      .localCheckpoint(eager = false)) // feeds the bucket collect AND the verify join
     val candIdb = cands.select(idb(col("_ref"), nBuckets).as("idb"))
       .distinct().collect().map(_.getLong(0)).toSeq
     def prunedByIdb(table: String): DataFrame = {
@@ -218,13 +238,24 @@ object ClusterIndex {
       .select(col("_inc"), col("_ref"))
     // quotient-graph edges: delta-internal pairs + (incoming -> matched
     // existing COMPONENT). Old components enter as single super-nodes.
-    val bridge = matches
+    // DISTINCT is load-bearing for cost, not correctness: against a
+    // large near-dup family an incoming doc verifies hundreds of member
+    // refs that all map to ONE component — collapsing the multi-edges
+    // keeps the quotient graph at <= |delta| x (components touched)
+    // edges, inside CC's local-tail cap, instead of |verified matches|
+    // (2.7M at the sf1 fixture, which forced distributed CC rounds).
+    // Checkpointed because both the CC input and the merge map consume
+    // it — without pinning, the merge map re-executes the whole
+    // candidate+verify chain.
+    val bridge = dbg("bridge")(matches
       .join(prunedByIdb("assign").select(col(idCol).as("_ref"), col("component")), "_ref")
       .select(col("_inc").as("src"), col("component").as("dst"))
+      .distinct()
+      .localCheckpoint(eager = false))
     val qcc = ConnectedComponents.components(
         inner.unionByName(bridge), "src", "dst")
       .select(col("id").as("_ccid"), col("component").as("_cccomp"))
-      .localCheckpoint() // feeds incoming assignment AND the merge map
+      .localCheckpoint(eager = false) // feeds incoming assignment AND the merge map
     val assignInc = incoming.select(col(idCol))
       .join(qcc, col(idCol) === col("_ccid"), "left")
       .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("component"))

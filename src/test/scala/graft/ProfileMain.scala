@@ -69,6 +69,28 @@ object ProfileMain {
         t(s"rep$rep cc full query")(
           graft.queries.TextPipeline.dedupClusters(spark, dir))
       }
+    } else if (args.contains("probe")) {
+      // doc_cluster_index_probe decomposition: which leg of the probe
+      // path (delta-internal PPJoin, candidate generation against the
+      // persisted postings, verify, quotient CC) carries the cost?
+      val idx = graft.queries.TextPipeline.ensureProbeClusterIndex(spark, dir)
+      val incoming = Tables.documents(spark, dir)
+        .filter(col("source") === "src19").localCheckpoint()
+      for (rep <- 1 to 3) {
+        val incToks = incoming.select(col("doc_id"),
+          Dedup.hashedTokenSet(col("text")).as("_toks"))
+        t(s"rep$rep probe tokenize")(incToks)
+        val cached = incToks.localCheckpoint()
+        t(s"rep$rep probe inner-edges")(
+          SetSimJoin.jaccardEdges(cached, "doc_id", "_toks", 0.8))
+        t(s"rep$rep probe full")(
+          graft.operators.ClusterIndex.probe(spark, idx, incoming,
+            "doc_id", "text"))
+        t(s"rep$rep probe e2e query")(
+          graft.queries.TextPipeline.clusterIndexProbe(spark, dir))
+        spark.sparkContext.getPersistentRDDs.values
+          .filterNot(_.id <= incoming.rdd.id).foreach(_.unpersist(true))
+      }
     } else {
       for (rep <- 1 to 3) {
         t(s"rep$rep minhashNearDups")(Dedup.minhashNearDups(docs, "doc_id", "text"))
