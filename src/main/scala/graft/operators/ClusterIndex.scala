@@ -238,15 +238,16 @@ object ClusterIndex {
       .select(col("_inc"), col("_ref"))
     // quotient-graph edges: delta-internal pairs + (incoming -> matched
     // existing COMPONENT). Old components enter as single super-nodes.
-    // DISTINCT is load-bearing for cost, not correctness: against a
-    // large near-dup family an incoming doc verifies hundreds of member
-    // refs that all map to ONE component — collapsing the multi-edges
-    // keeps the quotient graph at <= |delta| x (components touched)
-    // edges, inside CC's local-tail cap, instead of |verified matches|
-    // (2.7M at the sf1 fixture, which forced distributed CC rounds).
-    // Checkpointed because both the CC input and the merge map consume
-    // it — without pinning, the merge map re-executes the whole
-    // candidate+verify chain.
+    // Against a large near-dup family the raw relation is multi-edged
+    // (an incoming doc verifies hundreds of member refs that all map to
+    // ONE component — 2.7M rows at the sf1 fixture); the DISTINCT
+    // collapses it to <= |delta| x (components touched) rows. CC's own
+    // normalize stage would also collapse the duplicates (so this is not
+    // a correctness requirement, and bridge must STILL go through
+    // normalize — its edges are not src>dst oriented), but the second
+    // consumer would not: without distinct+checkpoint the merge map
+    // re-executes the whole candidate+verify chain and re-reads the
+    // multi-edge relation.
     val bridge = dbg("bridge")(matches
       .join(prunedByIdb("assign").select(col(idCol).as("_ref"), col("component")), "_ref")
       .select(col("_inc").as("src"), col("component").as("dst"))

@@ -76,6 +76,11 @@ object ProfileMain {
       val idx = graft.queries.TextPipeline.ensureProbeClusterIndex(spark, dir)
       val incoming = Tables.documents(spark, dir)
         .filter(col("source") === "src19").localCheckpoint()
+      // pin the keep-boundary NOW: Dataset.rdd is a lazy val, so reading
+      // it inside the cleanup filter would allocate its id AFTER every
+      // rep-1 checkpoint RDD, keep them all persisted, and skew reps 2-3
+      // with exactly the storage bloat this profiler exists to measure
+      val keepId = incoming.rdd.id
       for (rep <- 1 to 3) {
         val incToks = incoming.select(col("doc_id"),
           Dedup.hashedTokenSet(col("text")).as("_toks"))
@@ -89,7 +94,7 @@ object ProfileMain {
         t(s"rep$rep probe e2e query")(
           graft.queries.TextPipeline.clusterIndexProbe(spark, dir))
         spark.sparkContext.getPersistentRDDs.values
-          .filterNot(_.id <= incoming.rdd.id).foreach(_.unpersist(true))
+          .filterNot(_.id <= keepId).foreach(_.unpersist(true))
       }
     } else {
       for (rep <- 1 to 3) {
