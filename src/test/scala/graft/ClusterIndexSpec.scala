@@ -156,6 +156,38 @@ class ClusterIndexSpec extends SparkSpec {
     assert(assignMap(dir)(200L) == 90L && assignMap(dir)(100L) == 90L)
   }
 
+  test("hub probe: one delta doc bridging MANY singleton components at once") {
+    // the giant-fan-in shape the sf1 fixture stressed: members share a
+    // 16-token base plus 3 private tokens each, so they are pairwise
+    // BELOW threshold (J = 16/22 ≈ 0.727) — 30 separate singleton
+    // components — while the 16-token hub matches EVERY member
+    // (J = 16/19 ≈ 0.842). The probe must fan one incoming doc into 30
+    // bridge edges, the quotient CC must merge all 30 components plus
+    // the hub into min id, and append's targeted rewrite must amend all
+    // 30 members' rows. This also pins the bridge edge-collapse: the
+    // raw match relation is 30 pairs here but component-labelled, and
+    // correctness must not depend on any multi-edge structure.
+    def member(j: Int) =
+      ((0 until 16).map(i => s"hub_b$i") ++
+        (0 until 3).map(k => s"hub_u${j}_$k")).mkString(" ")
+    val hubText = (0 until 16).map(i => s"hub_b$i").mkString(" ")
+    val corpus = (0 until 30).map(j => (100L + j, member(j))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clidxhub").toString
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    assert(assignMap(dir).values.toSet.size === 30,
+      "members must start as 30 separate components")
+    val delta = Seq((500L, hubText)).toDF("doc_id", "text")
+    val probed = ClusterIndex.probe(spark, dir, delta, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed === Map(500L -> 100L),
+      s"hub joins the merged component min(100..129, 500) = 100: $probed")
+    ClusterIndex.append(delta, "doc_id", "text", dir, tag = "hub")
+    val union = freshCC(corpus.unionAll(delta))
+    assert(assignMap(dir) === union,
+      "all 30 components plus the hub must merge to 100 in the persisted map")
+    assert(assignMap(dir).values.toSet === Set(100L))
+  }
+
   test("replayed append is idempotent: assign rows, components, fingerprint") {
     val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("clidx4").toString
