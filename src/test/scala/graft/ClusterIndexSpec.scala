@@ -188,6 +188,25 @@ class ClusterIndexSpec extends SparkSpec {
     assert(assignMap(dir).values.toSet === Set(100L))
   }
 
+  test("knownIds: prior-batch ids flagged, own-tag rows excluded, novel ids not") {
+    val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clidxknown").toString
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    ClusterIndex.append(Seq((30L, txt(3))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "b0")
+    def known(ids: Seq[Long], excl: Option[String]): Set[Long] =
+      ClusterIndex.knownIds(spark, dir,
+          ids.toDF("doc_id"), "doc_id", excludeTag = excl)
+        .collect().map(_.getLong(0)).toSet
+    // build rows and the b0 append are both known; novel ids are not
+    assert(known(Seq(10L, 30L, 99L), None) === Set(10L, 30L))
+    // the crash-replay view: a batch checking under its OWN tag must not
+    // see its own rows (they would mask the replay), but still sees
+    // every other batch's
+    assert(known(Seq(10L, 30L, 99L), Some("b0")) === Set(10L))
+    assert(known(Seq(99L), None) === Set.empty)
+  }
+
   test("replayed append is idempotent: assign rows, components, fingerprint") {
     val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("clidx4").toString
