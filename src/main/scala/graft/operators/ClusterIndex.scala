@@ -297,6 +297,59 @@ object ClusterIndex {
     assign.join(broadcast(pinned), Seq(idCol), "leftsemi").select(col(idCol))
   }
 
+  /** Fold every append generation back into ONE `build` generation — the
+    * small-files lifecycle valve for a long-running ingest stream. Each
+    * streaming batch appends its own `_src=<tag>` partition tree to
+    * assign/toks/postings (up to `nBuckets` files per table per batch),
+    * so a year of micro-batches accretes O(batches × buckets) files per
+    * table; compaction rewrites each table as one file per partition
+    * directory with PURE I/O — no tokenize, no PPJoin, no CC — which is
+    * what distinguishes it from a [[build]] (the recompute path).
+    *
+    * Semantics preserved exactly: row contents, the meta row (threshold,
+    * buckets, the corpus-of-record fingerprint — so [[isFresh]] answers
+    * unchanged), and the replay-protection state (`applied/` markers and
+    * `tagfp/` records are copied verbatim, so a restarted stream still
+    * skips its committed batches and a reused old tag is still refused).
+    * The build-time source-status record is NOT carried over (appends
+    * already cleared it; freshness falls back to the content-hash
+    * authority).
+    *
+    * PRECONDITION: a quiesced index — no in-flight append and no running
+    * stream batch. The swap is two directory renames (write everything
+    * to `<dir>.compact`, move the old dir aside, move the new one in,
+    * delete the old); a crash between the renames leaves the index
+    * momentarily absent — re-run compact() or restore `<dir>.old` by
+    * hand, both states are complete and self-consistent. */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val src = new org.apache.hadoop.fs.Path(indexDir)
+    val fs = src.getFileSystem(conf)
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact")
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // hive-read partition values come back type-inferred (idb=5 -> INT);
+    // normalize back to the written LONG so pruning filters stay typed
+    def fold(table: String, bucketCol: String): Unit =
+      s.read.parquet(s"$indexDir/$table")
+        .drop("_src").withColumn("_src", lit("build"))
+        .withColumn(bucketCol, col(bucketCol).cast("long"))
+        // one task per partition directory => one file per directory
+        .repartition(col("_src"), col(bucketCol))
+        .write.mode("overwrite").partitionBy("_src", bucketCol)
+        .parquet(s"$tmp/$table")
+    fold("assign", "idb")
+    fold("toks", "idb")
+    fold("postings", "tb")
+    s.read.parquet(s"$indexDir/df")
+      .withColumn("tb", col("tb").cast("long"))
+      .repartition(col("tb"))
+      .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/df")
+    s.read.parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexMaintenance.copyReplayState(conf, indexDir, tmp.toString)
+    IndexMaintenance.swapInPlace(conf, indexDir)
+  }
+
   /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE (the streaming
     * loops use ck<runKey>_b<batchId>): writes are tag-scoped dynamic
     * overwrites, so a DIFFERENT batch under a used tag would destroy the

@@ -162,6 +162,34 @@ object TextIndex {
     Fingerprint.clearSourceStatus(s.sparkContext.hadoopConfiguration, indexDir)
   }
 
+  /** Fold the accreted append files: rewrite `bands`/`toks` as one file
+    * per partition directory with pure I/O (no re-tokenize, no
+    * re-sign). Ingest-provenance `_src` values are a DATA column here
+    * and are preserved verbatim, so probe's excludeTag replay guard
+    * keeps working; meta and the replay-protection state carry over
+    * unchanged. Precondition and crash-window: see [[IndexMaintenance]]
+    * (quiesced index; two-rename swap). */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact")
+    val fs = tmp.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    // hive-read partition values come back type-inferred (hb=5 -> INT);
+    // normalize back to the written LONG so pruning filters stay typed
+    def fold(table: String, bucketCol: String): Unit =
+      s.read.parquet(s"$indexDir/$table")
+        .withColumn(bucketCol, col(bucketCol).cast("long"))
+        .repartition(col(bucketCol)) // one task per dir => one file per dir
+        .write.mode("overwrite").partitionBy(bucketCol)
+        .parquet(s"$tmp/$table")
+    fold("bands", "hb")
+    fold("toks", "idb")
+    s.read.parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexMaintenance.copyReplayState(conf, indexDir, tmp.toString)
+    IndexMaintenance.swapInPlace(conf, indexDir)
+  }
+
   /** Flag incoming docs that near-duplicate the INDEXED corpus: the
     * [[Dedup.minhashNearDupsAgainst]] contract (one row per flagged
     * incoming doc, best match by verified Jaccard then ref id), with the

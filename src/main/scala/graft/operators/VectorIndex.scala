@@ -208,6 +208,34 @@ object VectorIndex {
       .groupBy(col("inc_id")).agg(min(col("ref_id")).as("dup_of"))
   }
 
+  /** Fold the accreted append files: rewrite `cells` as one file per
+    * cell partition with pure I/O (no re-training, no re-assignment —
+    * the quantizer and every vector's cell are unchanged). The
+    * ingest-provenance `_src` values are a DATA column and carry over
+    * verbatim, so probeDups' excludeTag replay guard keeps working;
+    * centroids, meta and the replay-protection state copy unchanged.
+    * Precondition and crash-window: see [[IndexMaintenance]] (quiesced
+    * index; two-rename swap). */
+  def compact(s: SparkSession, indexDir: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact")
+    val fs = tmp.getFileSystem(conf)
+    if (fs.exists(tmp)) fs.delete(tmp, true)
+    s.read.parquet(s"$indexDir/cells")
+      // hive-read partition values are type-inferred; pin back to INT
+      // (the written type) so cell pruning filters stay typed
+      .withColumn("cell", col("cell").cast("int"))
+      .repartition(col("cell")) // one task per dir => one file per dir
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$tmp/cells")
+    s.read.parquet(s"$indexDir/centroids")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
+    s.read.parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
+    IndexMaintenance.copyReplayState(conf, indexDir, tmp.toString)
+    IndexMaintenance.swapInPlace(conf, indexDir)
+  }
+
   /** ANN top-k against the PERSISTED index: identical semantics to
     * [[Similarity.ivfTopK]] at the same (nlist, iters, seed), but the
     * corpus-side work is a partition-pruned scan of the touched cells

@@ -207,6 +207,45 @@ class ClusterIndexSpec extends SparkSpec {
     assert(known(Seq(99L), None) === Set.empty)
   }
 
+  test("compact folds append generations: one _src, same answers, replay state kept") {
+    val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clidxcompact").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    ClusterIndex.append(Seq((30L, txt(1))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "c0") // joins 10's cluster
+    ClusterIndex.append(Seq((40L, txt(7))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "c1") // novel singleton
+    val before = assignMap(dir)
+    def srcGenerations(table: String): Set[String] =
+      spark.read.parquet(s"$dir/$table").select(col("_src"))
+        .distinct().collect().map(_.getString(0)).toSet
+    assert(srcGenerations("assign") === Set("build", "c0", "c1"))
+    ClusterIndex.compact(spark, dir)
+    // one generation, identical contents
+    Seq("assign", "toks", "postings").foreach(t =>
+      assert(srcGenerations(t) === Set("build"), s"table $t"))
+    assert(assignMap(dir) === before, "compaction must not change the map")
+    // probes answer identically and the fingerprint still matches the
+    // corpus of record (meta copied verbatim)
+    val probed = ClusterIndex.probe(spark, dir,
+        Seq((50L, txt(7))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed === Map(50L -> 40L), s"probe after compact: $probed")
+    val rec = Seq((10L, txt(1)), (20L, txt(2)), (30L, txt(1)), (40L, txt(7)))
+      .toDF("doc_id", "text")
+    assert(ClusterIndex.isFresh(spark, dir, rec, "doc_id", "text"))
+    // replay protection survives: a DIFFERENT batch under the old tag is
+    // still refused, and appends keep working on the compacted index
+    val ex = intercept[IllegalArgumentException] {
+      ClusterIndex.append(Seq((60L, txt(8))).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "c0")
+    }
+    assert(ex.getMessage.contains("already used"))
+    ClusterIndex.append(Seq((60L, txt(8))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "c2")
+    assert(assignMap(dir) === before ++ Map(60L -> 60L))
+  }
+
   test("replayed append is idempotent: assign rows, components, fingerprint") {
     val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("clidx4").toString

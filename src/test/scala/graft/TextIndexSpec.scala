@@ -31,6 +31,38 @@ class TextIndexSpec extends SparkSpec {
       s"indexed probe diverged from the fresh operator:\n$viaIndex\nvs\n$fresh")
   }
 
+  test("compact folds accreted append files; probes, freshness and replay state survive") {
+    val (ref, inc) = split(sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("textidxc").toString + "/idx"
+    TextIndex.build(ref, "doc_id", "text", dir)
+    val batch = inc.limit(3).localCheckpoint()
+    TextIndex.append(batch, "doc_id", "text", dir, tag = "t0")
+    TextIndex.append(inc.limit(5).localCheckpoint(), "doc_id", "text", dir, tag = "t1")
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Double)] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val before = rows(TextIndex.probe(spark, dir, inc, "doc_id", "text"))
+    def filesPerDir(table: String): Map[String, Int] = {
+      val root = new java.io.File(s"$dir/$table")
+      root.listFiles().filter(_.isDirectory).map(d =>
+        d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    assert(filesPerDir("bands").values.exists(_ > 1),
+      "appends must have accreted multiple files in at least one hb dir")
+    TextIndex.compact(spark, dir)
+    assert(filesPerDir("bands").values.forall(_ == 1), "one file per hb dir")
+    assert(filesPerDir("toks").values.forall(_ == 1), "one file per idb dir")
+    assert(rows(TextIndex.probe(spark, dir, inc, "doc_id", "text")) === before,
+      "probe answers must be identical after compaction")
+    // provenance survives compaction (the _src data column is kept
+    // verbatim, so excludeTag replay guards keep working)
+    val srcs = spark.read.parquet(s"$dir/bands").select(col("_src"))
+      .distinct().collect().map(_.getString(0)).toSet
+    assert(srcs === Set("build", "t0", "t1"), s"provenance lost: $srcs")
+    // the fingerprint still matches the corpus of record
+    val rec = ref.unionByName(inc.limit(3)).unionByName(inc.limit(5))
+    assert(TextIndex.isFresh(spark, dir, rec, "doc_id", "text"))
+  }
+
   test("probe prunes the band table at the file level via its hash buckets") {
     val (ref, _) = split(sf0001)
     val dir = java.nio.file.Files.createTempDirectory("textidx2").toString
