@@ -297,56 +297,62 @@ object ClusterIndex {
     assign.join(broadcast(pinned), Seq(idCol), "leftsemi").select(col(idCol))
   }
 
-  /** Fold every append generation back into ONE `build` generation — the
-    * small-files lifecycle valve for a long-running ingest stream. Each
-    * streaming batch appends its own `_src=<tag>` partition tree to
-    * assign/toks/postings (up to `nBuckets` files per table per batch),
-    * so a year of micro-batches accretes O(batches × buckets) files per
-    * table; compaction rewrites each table as one file per partition
-    * directory with PURE I/O — no tokenize, no PPJoin, no CC — which is
-    * what distinguishes it from a [[build]] (the recompute path).
+  /** Fold marker-COMMITTED append generations back into the `build`
+    * generation — the small-files lifecycle valve for a long-running
+    * ingest stream. Each streaming batch appends its own `_src=<tag>`
+    * partition tree to assign/toks/postings (up to `nBuckets` files per
+    * table per batch), so a year of micro-batches accretes O(batches ×
+    * buckets) files per table; compaction rewrites each table as one
+    * file per partition directory with PURE I/O — no tokenize, no
+    * PPJoin, no CC — which is what distinguishes it from a [[build]]
+    * (the recompute path).
     *
-    * Semantics preserved exactly: row contents, the meta row (threshold,
+    * Which generations fold: only tags whose `applied/` marker exists —
+    * the streaming loop's commit point, after which that batch can never
+    * re-run its body (the marker check runs first on replay). An
+    * appended-but-UNMARKERED batch is the crash-window replay candidate:
+    * relabeling its rows to `build` would break its excludeTag re-probe
+    * (every id would read as already-known, the replay would append an
+    * empty delta, and the tag-reuse guard would then crash-loop the
+    * stream), so those generations keep their provenance. Direct
+    * [[append]] callers have no markers; when the operator KNOWS none of
+    * those tags can ever replay (every append call returned), pass
+    * `foldUnmarkedTags = true` to fold everything.
+    *
+    * Also preserved exactly: row contents, the meta row (threshold,
     * buckets, the corpus-of-record fingerprint — so [[isFresh]] answers
     * unchanged), and the replay-protection state (`applied/` markers and
-    * `tagfp/` records are copied verbatim, so a restarted stream still
-    * skips its committed batches and a reused old tag is still refused).
-    * The build-time source-status record is NOT carried over (appends
+    * `tagfp/` records copy verbatim, so a restarted stream still skips
+    * its committed batches and a reused old tag is still refused). The
+    * build-time source-status record is NOT carried over (appends
     * already cleared it; freshness falls back to the content-hash
     * authority).
     *
-    * PRECONDITION: a quiesced index — no in-flight append and no running
-    * stream batch. The swap is two directory renames (write everything
-    * to `<dir>.compact`, move the old dir aside, move the new one in,
-    * delete the old); a crash between the renames leaves the index
-    * momentarily absent — re-run compact() or restore `<dir>.old` by
-    * hand, both states are complete and self-consistent. */
-  def compact(s: SparkSession, indexDir: String): Unit = {
+    * PRECONDITION and crash window: see [[IndexMaintenance]] (quiesced
+    * index; two-rename swap with the old state at `<dir>.old`). */
+  def compact(s: SparkSession, indexDir0: String,
+              foldUnmarkedTags: Boolean = false): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val src = new org.apache.hadoop.fs.Path(indexDir)
-    val fs = src.getFileSystem(conf)
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact")
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    // hive-read partition values come back type-inferred (idb=5 -> INT);
-    // normalize back to the written LONG so pruning filters stay typed
+    val indexDir = IndexMaintenance.normalize(indexDir0)
+    val tmp = IndexMaintenance.prepTmp(conf, indexDir)
+    // marker names are raw tags; _src partition values are sanitized —
+    // compare in sanitized space (identical for streaming-loop tags)
+    val committed = IndexMaintenance.committedTags(conf, indexDir)
+      .map(sanitize).toSeq
+    val foldSrc: Column =
+      if (foldUnmarkedTags) lit("build")
+      else when(col("_src").isin(committed: _*)
+          || col("_src") === "build", lit("build"))
+        .otherwise(col("_src"))
     def fold(table: String, bucketCol: String): Unit =
-      s.read.parquet(s"$indexDir/$table")
-        .drop("_src").withColumn("_src", lit("build"))
-        .withColumn(bucketCol, col(bucketCol).cast("long"))
-        // one task per partition directory => one file per directory
-        .repartition(col("_src"), col(bucketCol))
-        .write.mode("overwrite").partitionBy("_src", bucketCol)
-        .parquet(s"$tmp/$table")
+      IndexMaintenance.foldTable(s, indexDir, tmp, table,
+        Seq("_src", bucketCol), remap = Map("_src" -> foldSrc))
     fold("assign", "idb")
     fold("toks", "idb")
     fold("postings", "tb")
-    s.read.parquet(s"$indexDir/df")
-      .withColumn("tb", col("tb").cast("long"))
-      .repartition(col("tb"))
-      .write.mode("overwrite").partitionBy("tb").parquet(s"$tmp/df")
-    s.read.parquet(s"$indexDir/meta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
-    IndexMaintenance.copyReplayState(conf, indexDir, tmp.toString)
+    IndexMaintenance.foldTable(s, indexDir, tmp, "df", Seq("tb"))
+    IndexMaintenance.copyTable(s, indexDir, tmp, "meta")
+    IndexMaintenance.copyReplayState(conf, indexDir, tmp)
     IndexMaintenance.swapInPlace(conf, indexDir)
   }
 

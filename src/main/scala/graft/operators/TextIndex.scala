@@ -169,24 +169,14 @@ object TextIndex {
     * keeps working; meta and the replay-protection state carry over
     * unchanged. Precondition and crash-window: see [[IndexMaintenance]]
     * (quiesced index; two-rename swap). */
-  def compact(s: SparkSession, indexDir: String): Unit = {
+  def compact(s: SparkSession, indexDir0: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact")
-    val fs = tmp.getFileSystem(conf)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    // hive-read partition values come back type-inferred (hb=5 -> INT);
-    // normalize back to the written LONG so pruning filters stay typed
-    def fold(table: String, bucketCol: String): Unit =
-      s.read.parquet(s"$indexDir/$table")
-        .withColumn(bucketCol, col(bucketCol).cast("long"))
-        .repartition(col(bucketCol)) // one task per dir => one file per dir
-        .write.mode("overwrite").partitionBy(bucketCol)
-        .parquet(s"$tmp/$table")
-    fold("bands", "hb")
-    fold("toks", "idb")
-    s.read.parquet(s"$indexDir/meta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
-    IndexMaintenance.copyReplayState(conf, indexDir, tmp.toString)
+    val indexDir = IndexMaintenance.normalize(indexDir0)
+    val tmp = IndexMaintenance.prepTmp(conf, indexDir)
+    IndexMaintenance.foldTable(s, indexDir, tmp, "bands", Seq("hb"))
+    IndexMaintenance.foldTable(s, indexDir, tmp, "toks", Seq("idb"))
+    IndexMaintenance.copyTable(s, indexDir, tmp, "meta")
+    IndexMaintenance.copyReplayState(conf, indexDir, tmp)
     IndexMaintenance.swapInPlace(conf, indexDir)
   }
 

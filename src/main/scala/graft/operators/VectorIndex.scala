@@ -216,23 +216,14 @@ object VectorIndex {
     * centroids, meta and the replay-protection state copy unchanged.
     * Precondition and crash-window: see [[IndexMaintenance]] (quiesced
     * index; two-rename swap). */
-  def compact(s: SparkSession, indexDir: String): Unit = {
+  def compact(s: SparkSession, indexDir0: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val tmp = new org.apache.hadoop.fs.Path(s"$indexDir.compact")
-    val fs = tmp.getFileSystem(conf)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    s.read.parquet(s"$indexDir/cells")
-      // hive-read partition values are type-inferred; pin back to INT
-      // (the written type) so cell pruning filters stay typed
-      .withColumn("cell", col("cell").cast("int"))
-      .repartition(col("cell")) // one task per dir => one file per dir
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$tmp/cells")
-    s.read.parquet(s"$indexDir/centroids")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/centroids")
-    s.read.parquet(s"$indexDir/meta")
-      .coalesce(1).write.mode("overwrite").parquet(s"$tmp/meta")
-    IndexMaintenance.copyReplayState(conf, indexDir, tmp.toString)
+    val indexDir = IndexMaintenance.normalize(indexDir0)
+    val tmp = IndexMaintenance.prepTmp(conf, indexDir)
+    IndexMaintenance.foldTable(s, indexDir, tmp, "cells", Seq("cell"))
+    IndexMaintenance.copyTable(s, indexDir, tmp, "centroids")
+    IndexMaintenance.copyTable(s, indexDir, tmp, "meta")
+    IndexMaintenance.copyReplayState(conf, indexDir, tmp)
     IndexMaintenance.swapInPlace(conf, indexDir)
   }
 

@@ -220,8 +220,28 @@ class ClusterIndexSpec extends SparkSpec {
       spark.read.parquet(s"$dir/$table").select(col("_src"))
         .distinct().collect().map(_.getString(0)).toSet
     assert(srcGenerations("assign") === Set("build", "c0", "c1"))
+    // marker-based fold rule: c0 has its applied/ marker (the streaming
+    // loop's commit point — that batch can never re-run its body), c1
+    // does NOT (the crash-window replay candidate) — compaction must
+    // fold c0 into build but PRESERVE c1's provenance, or c1's replay
+    // re-probe would see its own rows and misbehave
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = new org.apache.hadoop.fs.Path(s"$dir/applied/c0")
+    val mfs = marker.getFileSystem(conf)
+    mfs.mkdirs(marker.getParent); mfs.create(marker, true).close()
     ClusterIndex.compact(spark, dir)
-    // one generation, identical contents
+    Seq("assign", "toks", "postings").foreach(t =>
+      assert(srcGenerations(t) === Set("build", "c1"),
+        s"table $t must fold only the marker-committed generation"))
+    assert(assignMap(dir) === before,
+      "marker-scoped compaction must not change the map")
+    // the preserved crash-window batch replays exactly as before
+    // compaction: same (tag, delta) is re-admitted and converges
+    ClusterIndex.append(Seq((40L, txt(7))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "c1")
+    assert(assignMap(dir) === before, "c1 replay must converge, not duplicate")
+    // operator-asserted full fold: no tag can replay => everything folds
+    ClusterIndex.compact(spark, dir, foldUnmarkedTags = true)
     Seq("assign", "toks", "postings").foreach(t =>
       assert(srcGenerations(t) === Set("build"), s"table $t"))
     assert(assignMap(dir) === before, "compaction must not change the map")
