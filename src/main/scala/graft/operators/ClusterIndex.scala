@@ -383,6 +383,18 @@ object ClusterIndex {
         Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
       else None // legacy meta: no fingerprint to maintain
     val conf = s.sparkContext.hadoopConfiguration
+    // "build" is the build generation's own _src value: a tag sanitizing
+    // to it would dynamic-overwrite build partitions wherever the hash
+    // buckets collide, and excludeTag=Some("build") would exclude the
+    // whole build corpus from the probe — near-dups of indexed docs
+    // would silently go unflagged (ADVICE r10). compact() folds
+    // committed generations into _src=build, widening the exposure, so
+    // refuse the name outright rather than trusting callers.
+    require(sanitize(tag) != "build",
+      s"ClusterIndex.append: tag '$tag' sanitizes to the reserved build " +
+        "generation name 'build'; its tag-scoped overwrite would destroy " +
+        "build rows and its probe would exclude the build corpus — pass a " +
+        "batch-unique tag that does not collide with 'build'")
     val dfp = Fingerprint.of(delta, Seq(idCol, textCol))
     // Tag reuse guard: unlike the append-mode indexes, these writes are
     // tag-scoped dynamic OVERWRITES — a different batch under a used tag

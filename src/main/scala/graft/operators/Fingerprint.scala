@@ -130,9 +130,15 @@ object Fingerprint {
   // fast-match). On check, ONE directory listing per corpus directory —
   // zero Spark jobs, zero data bytes. ANY drift (or a corpus whose plan isn't a
   // pure file scan, e.g. an in-memory test fixture) falls back to the
-  // hash scan, which keeps its role as the authority; the fast path can
-  // only ever short-circuit toward "fresh" when the bytes provably
-  // haven't moved.
+  // hash scan, which keeps its role as the authority; the fast path
+  // short-circuits toward "fresh" only when every file's (length, mtime)
+  // is unchanged. That signal is as strong as Spark's own file-source
+  // change detection but NOT airtight: an in-place rewrite that produces
+  // an identical-length file within the store's mtime granularity (1 s on
+  // some filesystems and object stores) aliases to "unchanged" and would
+  // serve the stale index. Deployments rewriting files in place at
+  // sub-granularity cadence should disable the fast path (delete
+  // `srcstat`) or rely on the content-hash authority alone.
 
   /** Serialized source status of a corpus DataFrame: the canonicalized
     * plan hash + one `path|length|mtime` line per underlying file,
@@ -162,14 +168,26 @@ object Fingerprint {
         val paths = files.sorted.toSeq.map(new org.apache.hadoop.fs.Path(_))
         val byDir = paths.flatMap(p => Option(p.getParent).map(_ -> p))
           .groupBy(_._1)
+        // Keys are FULLY-QUALIFIED path strings (scheme + authority), via
+        // the owning fs's makeQualified on BOTH sides so the two render
+        // identically. Scheme-stripped getPath keys (pre-r11) let a
+        // corpus spanning two filesystems whose directories share a path
+        // component shadow one file's (length, mtime) with the other's —
+        // drift in the shadowed file could then read as fresh (ADVICE r10).
         val statusOf: Map[String, (Long, Long)] = byDir.flatMap { case (dir, _) =>
           val fs = dir.getFileSystem(conf)
           try fs.listStatus(dir).toSeq
-            .map(st => st.getPath.toUri.getPath -> (st.getLen, st.getModificationTime))
+            .map(st => fs.makeQualified(st.getPath).toString ->
+              (st.getLen, st.getModificationTime))
           catch { case _: java.io.FileNotFoundException => Seq.empty }
         }
+        val qualifiedKey: Map[org.apache.hadoop.fs.Path, String] =
+          byDir.flatMap { case (dir, ps) =>
+            val fs = dir.getFileSystem(conf)
+            ps.map { case (_, p) => p -> fs.makeQualified(p).toString }
+          }
         val lines = paths.map { p =>
-          statusOf.get(p.toUri.getPath) match {
+          statusOf.get(qualifiedKey(p)) match {
             case Some((len, mtime)) => s"$p|$len|$mtime"
             case None               => s"$p|ABSENT"
           }
