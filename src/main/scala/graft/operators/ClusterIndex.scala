@@ -88,11 +88,18 @@ object ClusterIndex {
     * token sets + full postings + the df hint + the fingerprinted meta
     * row. Static overwrite: a rebuild replaces every generation of every
     * table, and [[Fingerprint.clearReplayState]] drops the old
-    * generation's replay bookkeeping with it. */
+    * generation's replay bookkeeping with it. Tables land in the index's
+    * LIVE data root ([[IndexMaintenance.liveRoot]] — `<dir>` until a
+    * compaction cutover moves it to `<dir>/g<N>`), under a write lease
+    * so a racing compact() fails loudly instead of retiring the tree
+    * mid-write. */
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
             threshold: Double = 0.8, nBuckets: Int = 64): Unit = {
     val s = docs.sparkSession
     import s.implicits._
+    val conf0 = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf0, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf0, indexDir)
     val toks = tokenize(docs, idCol, textCol).localCheckpoint()
     val edges = SetSimJoin.jaccardEdges(toks, idCol, "_toks", threshold)
     val cc = ConnectedComponents.components(edges, "id2", "id1",
@@ -105,40 +112,41 @@ object ClusterIndex {
     assign
       .withColumn("_src", lit("build")).withColumn("idb", idb(col(idCol), nBuckets))
       .write.mode("overwrite").partitionBy("_src", "idb")
-      .parquet(s"$indexDir/assign")
+      .parquet(s"$root/assign")
     toks
       .withColumn("_src", lit("build")).withColumn("idb", idb(col(idCol), nBuckets))
       .write.mode("overwrite").partitionBy("_src", "idb")
-      .parquet(s"$indexDir/toks")
+      .parquet(s"$root/toks")
     val postings = toks
       .select(col(idCol), size(col("_toks")).as("_sz"), explode(col("_toks")).as("_tok"))
     postings
       .withColumn("_src", lit("build")).withColumn("tb", tb(col("_tok"), nBuckets))
       .write.mode("overwrite").partitionBy("_src", "tb")
-      .parquet(s"$indexDir/postings")
+      .parquet(s"$root/postings")
     postings.groupBy(col("_tok")).agg(count(lit(1)).as("df"))
       .withColumn("tb", tb(col("_tok"), nBuckets))
       .write.mode("overwrite").partitionBy("tb")
-      .parquet(s"$indexDir/df")
+      .parquet(s"$root/df")
     val fp = Fingerprint.of(docs, Seq(idCol, textCol))
     Seq((threshold, nBuckets, fp._1, fp._2))
       .toDF("threshold", "n_buckets", "n_rows", "content_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
-    Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    Fingerprint.clearReplayState(conf0, indexDir)
     // freshness fast-path: record the corpus file statuses LAST — a
     // crash mid-build degrades to the hash scan, never a false fresh
-    Fingerprint.writeSourceStatus(s.sparkContext.hadoopConfiguration,
-      indexDir, Fingerprint.sourceStatus(docs))
+    Fingerprint.writeSourceStatus(conf0, indexDir, Fingerprint.sourceStatus(docs))
+    }
   }
 
-  private def readMeta(s: SparkSession, indexDir: String): (Double, Int) = {
-    val m = s.read.parquet(s"$indexDir/meta").head()
+  // root = resolved data root (IndexMaintenance.liveRoot), not the index dir
+  private def readMeta(s: SparkSession, root: String): (Double, Int) = {
+    val m = s.read.parquet(s"$root/meta").head()
     (m.getAs[Double]("threshold"), m.getAs[Int]("n_buckets"))
   }
 
-  private def readFingerprint(s: SparkSession, indexDir: String): Option[(Long, Long)] =
+  private def readFingerprint(s: SparkSession, root: String): Option[(Long, Long)] =
     try {
-      val m = s.read.parquet(s"$indexDir/meta").head()
+      val m = s.read.parquet(s"$root/meta").head()
       Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
     } catch { case _: Exception => None } // absent/legacy meta => stale
 
@@ -151,32 +159,38 @@ object ClusterIndex {
   def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
               idCol: String, textCol: String): Boolean =
     Fingerprint.statusFresh(indexDir, corpus) ||
-      readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
+      readFingerprint(s,
+          IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir))
+        .contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
 
   /** Build-once/consume-many entry: (re)build only when absent or stale. */
   def ensure(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
              threshold: Double = 0.8, nBuckets: Int = 64): Unit = {
     val s = docs.sparkSession
-    val success = new org.apache.hadoop.fs.Path(s"$indexDir/assign/_SUCCESS")
-    val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val success = new org.apache.hadoop.fs.Path(s"$root/assign/_SUCCESS")
+    val fs = success.getFileSystem(conf)
     if (!fs.exists(success) || !isFresh(s, indexDir, docs, idCol, textCol))
       build(docs, idCol, textCol, indexDir, threshold, nBuckets)
   }
 
   /** The persisted `(id, component)` map — what every consumer reads
     * instead of re-running PPJoin+CC. */
-  def assignments(s: SparkSession, indexDir: String, idCol: String): DataFrame =
-    s.read.parquet(s"$indexDir/assign").select(col(idCol), col("component"))
+  def assignments(s: SparkSession, indexDir: String, idCol: String): DataFrame = {
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    s.read.parquet(s"$root/assign").select(col(idCol), col("component"))
+  }
 
   /** Incoming docs' components under the UNION corpus (exact — see the
     * quotient argument in the class doc), plus the merge map for old
     * components the delta bridged, plus the delta's (already
     * checkpointed) token sets so [[append]] doesn't tokenize twice.
     * Pure query: mutates nothing. */
-  private def probeParts(s: SparkSession, indexDir: String, incoming: DataFrame,
+  private def probeParts(s: SparkSession, root: String, incoming: DataFrame,
                          idCol: String, textCol: String,
                          excludeTag: Option[String]): (DataFrame, DataFrame, DataFrame) = {
-    val (t, nBuckets) = readMeta(s, indexDir)
+    val (t, nBuckets) = readMeta(s, root)
     // lazy checkpoints throughout: each frame's FIRST consumer (a bounded
     // collect or append's eager assignD checkpoint) materializes the
     // blocks inside its own job, so the probe path pays no standalone
@@ -200,7 +214,7 @@ object ClusterIndex {
       .localCheckpoint(eager = false) // feeds the bucket collect AND the ranked join
     val touchedTb = occ.select(tb(col("_tok"), nBuckets).as("tb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val dfHint = s.read.parquet(s"$indexDir/df")
+    val dfHint = s.read.parquet(s"$root/df")
       .filter(col("tb").isin(touchedTb: _*)).select(col("_tok"), col("df"))
     val pref = occ.join(dfHint, Seq("_tok"), "left")
       .withColumn("_df", coalesce(col("df"), lit(0L)))
@@ -208,7 +222,7 @@ object ClusterIndex {
         Window.partitionBy(col("_inc")).orderBy(col("_df"), col("_tok"))))
       .filter(col("_rk") <= col("_szi") - ceil(lit(t) * col("_szi") - lit(1e-9)) + 1)
       .select(col("_tok"), col("_inc"), col("_szi"))
-    val postAll = s.read.parquet(s"$indexDir/postings")
+    val postAll = s.read.parquet(s"$root/postings")
       .filter(col("tb").isin(touchedTb: _*))
     // _src is a PARTITION column (never null): plain =!= is both safe
     // and pruned at the file level
@@ -224,7 +238,7 @@ object ClusterIndex {
     val candIdb = cands.select(idb(col("_ref"), nBuckets).as("idb"))
       .distinct().collect().map(_.getLong(0)).toSeq
     def prunedByIdb(table: String): DataFrame = {
-      val all = s.read.parquet(s"$indexDir/$table")
+      val all = s.read.parquet(s"$root/$table")
         .filter(col("idb").isin(candIdb: _*))
       excludeTag.fold(all)(tg => all.filter(col("_src") =!= lit(sanitize(tg))))
     }
@@ -275,7 +289,9 @@ object ClusterIndex {
   def probe(s: SparkSession, indexDir: String, incoming: DataFrame,
             idCol: String, textCol: String,
             excludeTag: Option[String] = None): DataFrame =
-    probeParts(s, indexDir, incoming, idCol, textCol, excludeTag)._1
+    probeParts(s,
+      IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir),
+      incoming, idCol, textCol, excludeTag)._1
 
   /** Which of `ids` does the index already hold an assignment for?
     * Bounded work: the batch's id-hash buckets (a ≤`nBuckets` collect)
@@ -286,11 +302,12 @@ object ClusterIndex {
     * an id is "known" only if a DIFFERENT batch ingested it. */
   def knownIds(s: SparkSession, indexDir: String, ids: DataFrame,
                idCol: String, excludeTag: Option[String] = None): DataFrame = {
-    val (_, nBuckets) = readMeta(s, indexDir)
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val (_, nBuckets) = readMeta(s, root)
     val pinned = ids.select(col(idCol)).distinct().localCheckpoint()
     val touched = pinned.select(idb(col(idCol), nBuckets).as("idb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val assignAll = s.read.parquet(s"$indexDir/assign")
+    val assignAll = s.read.parquet(s"$root/assign")
       .filter(col("idb").isin(touched: _*))
     val assign = excludeTag.fold(assignAll)(tg =>
       assignAll.filter(col("_src") =!= lit(sanitize(tg))))
@@ -328,32 +345,43 @@ object ClusterIndex {
     * already cleared it; freshness falls back to the content-hash
     * authority).
     *
-    * PRECONDITION and crash window: see [[IndexMaintenance]] (quiesced
-    * index; two-rename swap with the old state at `<dir>.old`). */
+    * Cutover and crash window: see [[IndexMaintenance]] — the folded
+    * tables are staged in the next generation directory and go live via
+    * a single generation-pointer write (no directory rename, object-
+    * store safe); a crash before the flip leaves the old generation
+    * live and the staged tree inert. Quiescence is ENFORCED: compact
+    * holds the compact lease, so a racing build/append fails loudly. */
   def compact(s: SparkSession, indexDir0: String,
               foldUnmarkedTags: Boolean = false): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
-    val tmp = IndexMaintenance.prepTmp(conf, indexDir)
-    // marker names are raw tags; _src partition values are sanitized —
-    // compare in sanitized space (identical for streaming-loop tags)
-    val committed = IndexMaintenance.committedTags(conf, indexDir)
-      .map(sanitize).toSeq
-    val foldSrc: Column =
-      if (foldUnmarkedTags) lit("build")
-      else when(col("_src").isin(committed: _*)
-          || col("_src") === "build", lit("build"))
-        .otherwise(col("_src"))
-    def fold(table: String, bucketCol: String): Unit =
-      IndexMaintenance.foldTable(s, indexDir, tmp, table,
-        Seq("_src", bucketCol), remap = Map("_src" -> foldSrc))
-    fold("assign", "idb")
-    fold("toks", "idb")
-    fold("postings", "tb")
-    IndexMaintenance.foldTable(s, indexDir, tmp, "df", Seq("tb"))
-    IndexMaintenance.copyTable(s, indexDir, tmp, "meta")
-    IndexMaintenance.copyReplayState(conf, indexDir, tmp)
-    IndexMaintenance.swapInPlace(conf, indexDir)
+    val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    try {
+      // marker names are raw tags; _src partition values are sanitized —
+      // compare in sanitized space (identical for streaming-loop tags)
+      val committed = IndexMaintenance.committedTags(conf, indexDir)
+        .map(sanitize).toSeq
+      val foldSrc: Column =
+        if (foldUnmarkedTags) lit("build")
+        else when(col("_src").isin(committed: _*)
+            || col("_src") === "build", lit("build"))
+          .otherwise(col("_src"))
+      def fold(table: String, bucketCol: String): Unit =
+        IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, table,
+          Seq("_src", bucketCol), remap = Map("_src" -> foldSrc))
+      fold("assign", "idb")
+      fold("toks", "idb")
+      fold("postings", "tb")
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "df", Seq("tb"))
+      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
+    } catch {
+      case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
+    }
+    IndexMaintenance.finishCompact(conf, ctx,
+      legacyTables = Seq("assign", "toks", "postings", "df", "meta"))
+    // the folded tree describes the same corpus of record: re-recording
+    // would be wrong only if the corpus moved, which the fingerprint
+    // still guards — nothing else to do here
   }
 
   /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE (the streaming
@@ -372,17 +400,22 @@ object ClusterIndex {
   def append(delta: DataFrame, idCol: String, textCol: String,
              indexDir: String, tag: String = "append"): DataFrame = {
     val s = delta.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    // write lease for the whole append: a racing compact() (which would
+    // retire this generation and strand these writes) fails loudly at
+    // its own acquire instead
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
     // ONE meta read serves threshold, bucket count, and the fingerprint
     // (three separate reads could observe different generations under a
     // concurrent rebuild)
-    val m = s.read.parquet(s"$indexDir/meta").head()
+    val m = s.read.parquet(s"$root/meta").head()
     val thr = m.getAs[Double]("threshold")
     val nBuckets = m.getAs[Int]("n_buckets")
     val oldFp =
       if (m.schema.fieldNames.contains("n_rows"))
         Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
       else None // legacy meta: no fingerprint to maintain
-    val conf = s.sparkContext.hadoopConfiguration
     // "build" is the build generation's own _src value: a tag sanitizing
     // to it would dynamic-overwrite build partitions wherever the hash
     // buckets collide, and excludeTag=Some("build") would exclude the
@@ -408,7 +441,7 @@ object ClusterIndex {
         "tag would destroy the earlier batch's rows — pass a batch-unique " +
         "tag (the streaming loops use ck<runKey>_b<batchId>)")
     val tagS = sanitize(tag)
-    val (assignInc, merges, toksD) = probeParts(s, indexDir, delta, idCol,
+    val (assignInc, merges, toksD) = probeParts(s, root, delta, idCol,
       textCol, excludeTag = Some(tag))
     // materialize BEFORE any write mutates the partitions they were read
     // from (the dynamic overwrites below touch the same tables; toksD is
@@ -421,34 +454,34 @@ object ClusterIndex {
         .partitionBy(parts: _*).parquet(path)
     dynOverwrite(
       toksD.withColumn("_src", lit(tagS)).withColumn("idb", idb(col(idCol), nBuckets)),
-      Seq("_src", "idb"), s"$indexDir/toks")
+      Seq("_src", "idb"), s"$root/toks")
     dynOverwrite(
       toksD.select(col(idCol), size(col("_toks")).as("_sz"), explode(col("_toks")).as("_tok"))
         .withColumn("_src", lit(tagS)).withColumn("tb", tb(col("_tok"), nBuckets)),
-      Seq("_src", "tb"), s"$indexDir/postings")
+      Seq("_src", "tb"), s"$root/postings")
     dynOverwrite(
       assignD.withColumn("_src", lit(tagS)).withColumn("idb", idb(col(idCol), nBuckets)),
-      Seq("_src", "idb"), s"$indexDir/assign")
+      Seq("_src", "idb"), s"$root/assign")
     // targeted re-assignment of bridged components: rewrite ONLY the
     // partitions that hold a loser's members. Reading the affected rows
     // is one predicate-pushed scan of the (id, component) map — orders
     // of magnitude cheaper than the PPJoin+CC recompute it replaces.
     // partition-dir values read back type-inferred (idb=5 -> INT):
     // cast before collecting
-    val affected = s.read.parquet(s"$indexDir/assign")
+    val affected = s.read.parquet(s"$root/assign")
       .join(broadcast(mergeMap), col("component") === col("loser"))
       .select(col("_src"), col("idb").cast("long")).distinct()
       .collect().map(r => (r.getString(0), r.getLong(1)))
     if (affected.nonEmpty) {
       val srcs = affected.map(_._1).distinct.toSeq
       val idbs = affected.map(_._2).distinct.toSeq
-      val rewritten = s.read.parquet(s"$indexDir/assign")
+      val rewritten = s.read.parquet(s"$root/assign")
         .filter(col("_src").isin(srcs: _*) && col("idb").isin(idbs: _*))
         .join(broadcast(mergeMap), col("component") === col("loser"), "left")
         .select(col(idCol), coalesce(col("winner"), col("component")).as("component"),
           col("_src"), col("idb"))
         .localCheckpoint() // fully read before its source partitions are replaced
-      dynOverwrite(rewritten, Seq("_src", "idb"), s"$indexDir/assign")
+      dynOverwrite(rewritten, Seq("_src", "idb"), s"$root/assign")
     }
     // fingerprint: merged once per (tag, delta) — replay-safe
     if (!replay) oldFp.foreach { old =>
@@ -456,16 +489,26 @@ object ClusterIndex {
       val fp = Fingerprint.merge(old, dfp)
       Seq((thr, nBuckets, fp._1, fp._2))
         .toDF("threshold", "n_buckets", "n_rows", "content_hash")
-        .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
       Fingerprint.recordMerge(conf, indexDir, tag, dfp)
     }
     // build-time file statuses no longer describe the corpus of
     // record: freshness reverts to the content-hash authority
     Fingerprint.clearSourceStatus(conf, indexDir)
+    // belt-and-braces behind the lease: if the generation moved anyway
+    // (a compact that broke leases while this append was truly alive),
+    // the writes above landed in a retired tree — fail loudly rather
+    // than report success for rows no probe will ever see
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"ClusterIndex.append on $indexDir: the index was compacted to a new " +
+        s"generation while this append was writing $root; its rows are in " +
+        "the retired tree — re-run the append (same tag + delta replays " +
+        "exactly-once) after verifying no maintenance is racing")
     // the delta's assignments AS OF THIS APPEND (already materialized —
     // safe to consume after the overwrites): the streaming loop's
     // per-batch output. The index's assign table stays authoritative;
     // a later batch that bridges can amend components there.
     assignD
+    }
   }
 }

@@ -225,6 +225,34 @@ object Fingerprint {
                         indexDir: String): Unit =
     writeSourceStatus(conf, indexDir, None)
 
+  /** Re-arm the freshness fast path after appends (VERDICT r10 item 8):
+    * appends clear the status record, so every later ensure() pays the
+    * content-hash scan even when nothing changed. When the operator can
+    * hand over the file-backed CORPUS OF RECORD (build corpus plus every
+    * appended delta — e.g. the ingest lake), this verifies it against
+    * the index meta fingerprint (the content-hash authority, one pruned
+    * scan — refusing a mismatched corpus, which would turn the fast path
+    * into a stale-serving lie) and records its file statuses; subsequent
+    * unchanged-corpus ensure() calls are again zero-Spark-job metadata
+    * checks. `cols` are the family's fingerprint columns (id + text for
+    * the text families, id + vector for [[VectorIndex]]). A non-file
+    * corpus records nothing (same rule as build). */
+  def recordCorpusStatus(s: org.apache.spark.sql.SparkSession, indexDir: String,
+                         corpus: DataFrame, cols: Seq[String]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val m = s.read.parquet(s"$root/meta").head()
+    val recorded = (m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash"))
+    val actual = of(corpus, cols)
+    require(recorded == actual,
+      s"recordCorpusStatus on $indexDir: the given corpus (fingerprint " +
+        s"$actual) is not the index's corpus of record ($recorded); " +
+        "recording its file statuses would make staleness checks serve a " +
+        "mismatched corpus as fresh — pass the build corpus plus every " +
+        "appended delta")
+    writeSourceStatus(conf, indexDir, sourceStatus(corpus))
+  }
+
   /** The fast path itself: true iff a status record exists AND matches
     * the corpus' current status AND the index meta table is present (the
     * record is written last, but a manual partial wipe must not read as
@@ -241,7 +269,10 @@ object Fingerprint {
       val recorded = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
       val metaOk = {
-        val m = new org.apache.hadoop.fs.Path(s"$indexDir/meta/_SUCCESS")
+        // meta lives in the index's current data GENERATION (the status
+        // record itself is top-level bookkeeping) — resolve like readers do
+        val root = IndexMaintenance.liveRoot(conf, indexDir)
+        val m = new org.apache.hadoop.fs.Path(s"$root/meta/_SUCCESS")
         m.getFileSystem(conf).exists(m)
       }
       metaOk && sourceStatus(corpus).contains(recorded)

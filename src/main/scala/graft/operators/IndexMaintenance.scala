@@ -1,30 +1,231 @@
 package graft.operators
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileUtil, Path}
+import org.apache.hadoop.fs.{FileSystem, Path}
 import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.functions._
 
-/** Shared mechanics of persisted-index compaction — the small-files
-  * lifecycle valve all three index families use ([[ClusterIndex]],
-  * [[TextIndex]], [[VectorIndex]]). Each streaming append adds its own
-  * files per table (up to the bucket count per batch), so a long-running
-  * ingest accretes O(batches × buckets) files; compaction rewrites each
-  * table as one file per partition directory with PURE I/O — no
-  * re-tokenize, no re-sign, no re-cluster — into `<dir>.compact`, then
-  * swaps directories.
+/** Shared lifecycle mechanics of the persisted indexes ([[ClusterIndex]],
+  * [[TextIndex]], [[VectorIndex]]): generation-pointer layout, compaction
+  * cutover, and the write/compact lease that makes racing maintenance
+  * fail loudly instead of silently losing rows.
   *
-  * PRECONDITION (all callers): a quiesced index — no in-flight append
-  * and no running stream batch. The swap is two renames; a crash
-  * between them leaves the index momentarily absent with the complete
-  * old state at `<dir>.old` — re-run compact() or rename it back, both
-  * states are self-consistent.
+  * == Generation layout ==
+  *
+  * An index directory has ONE live data root at a time:
+  *
+  *  - legacy / freshly built: tables directly under `<dir>/` (no pointer)
+  *  - after a compaction: tables under `<dir>/g<N>/`, with the one-line
+  *    pointer file `<dir>/GEN` naming the live generation `N`
+  *
+  * [[liveRoot]] resolves a directory to its current data root; every
+  * index read and write goes through it. Compaction writes the folded
+  * tables into the NEXT generation directory and then flips the pointer
+  * with a single small-file write — no directory rename anywhere. On an
+  * object store (the deployment north star) a directory rename is a
+  * non-atomic O(data) copy+delete, so the previous two-rename swap had a
+  * window where the index was absent or half-copied; under the pointer a
+  * reader always resolves to a COMPLETE tree: the old generation until
+  * the flip, the new one after it. The pointer write itself is a
+  * single-object PUT — atomic on object stores; on local/HDFS a reader
+  * could glimpse a truncated file, so [[currentGen]] retries briefly
+  * before failing loudly (it never silently falls back to the legacy
+  * root: a wrong root would serve wrong answers, not an error).
+  *
+  * Replay/bookkeeping state is NOT generational — `applied/` batch
+  * markers, `tagfp/` merge records, the `srcstat` freshness record and
+  * `lease/` all live at the top level of `<dir>` and survive cutovers
+  * untouched (compaction used to copy them between trees; now nothing
+  * moves).
+  *
+  * == Leases (quiesce enforcement) ==
+  *
+  * The compaction contract requires a quiesced index. Instead of
+  * trusting callers, writers and compactors take LEASES under
+  * `<dir>/lease/`: every build/append holds a `write_*` lease for its
+  * duration, compact holds a `compact_*` lease. Acquisition creates the
+  * own lease FIRST, then checks for conflicts (write conflicts with
+  * compact; compact conflicts with everything) — so two racing
+  * operations can both abort but can never both proceed. A crashed
+  * operation leaves a stale lease behind; after verifying real
+  * quiescence an operator clears it with [[breakLeases]] (or by deleting
+  * `<dir>/lease/`). This is a single-writer coordination aid, not a
+  * distributed lock manager — it turns the silent-data-loss race into a
+  * loud, actionable error.
   */
-private[operators] object IndexMaintenance {
+private[graft] object IndexMaintenance {
 
-  /** Trailing slashes would make `<dir>.compact` / `<dir>.old` resolve
-    * INSIDE the index and fail the swap after all the rewrite work. */
+  /** Trailing slashes would make derived paths (`<dir>/GEN`,
+    * `<dir>/g<N>`) resolve inconsistently between writers and readers. */
   def normalize(indexDir: String): String = indexDir.replaceAll("/+$", "")
+
+  // ---- generation pointer ------------------------------------------------
+
+  private def genPath(indexDir: String) = new Path(s"$indexDir/GEN")
+
+  private def readSmallFile(fs: FileSystem, p: Path): String = {
+    val in = fs.open(p)
+    try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+    finally in.close()
+  }
+
+  /** The live generation number, or None for the legacy in-place layout
+    * (tables directly under `indexDir`). Retries a briefly-unreadable
+    * pointer (local-FS create-truncate window) and then FAILS — never
+    * guesses a root. */
+  def currentGen(conf: Configuration, indexDir0: String): Option[Long] = {
+    val indexDir = normalize(indexDir0)
+    val p = genPath(indexDir)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      var attempt = 0
+      var txt = readSmallFile(fs, p).trim
+      while (!txt.matches("[0-9]+") && attempt < 5) {
+        attempt += 1
+        Thread.sleep(50L * attempt)
+        txt = readSmallFile(fs, p).trim
+      }
+      if (!txt.matches("[0-9]+"))
+        throw new IllegalStateException(
+          s"unreadable generation pointer at $p (content: '$txt') — the " +
+            "index has a pointer file but no parseable generation; refusing " +
+            "to guess a data root")
+      Some(txt.toLong)
+    }
+  }
+
+  /** Resolve an index directory to its current data root — `<dir>` for
+    * the legacy layout, `<dir>/g<N>` after a compaction cutover. Every
+    * table read and write in the index families goes through this. */
+  def liveRoot(conf: Configuration, indexDir0: String): String = {
+    val indexDir = normalize(indexDir0)
+    currentGen(conf, indexDir).fold(indexDir)(g => s"$indexDir/g$g")
+  }
+
+  private def writeGen(conf: Configuration, indexDir: String, gen: Long): Unit = {
+    val p = genPath(indexDir)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true) // single small object: PUT-atomic on stores
+    try out.write(gen.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  // ---- leases ------------------------------------------------------------
+
+  private def leaseDir(indexDir: String) = new Path(s"$indexDir/lease")
+
+  private def listLeases(fs: FileSystem, indexDir: String): Seq[String] = {
+    val d = leaseDir(indexDir)
+    if (!fs.exists(d)) Seq.empty else fs.listStatus(d).map(_.getPath.getName).toSeq
+  }
+
+  /** Take a lease of `kind` ("write" for build/append, "compact") on the
+    * index. Own lease is created FIRST, conflicts checked second — two
+    * racers can both abort, never both proceed. Throws (and removes its
+    * own lease) on conflict. */
+  def acquireLease(conf: Configuration, indexDir0: String, kind: String): Path = {
+    require(kind == "write" || kind == "compact", s"unknown lease kind $kind")
+    val indexDir = normalize(indexDir0)
+    val own = new Path(leaseDir(indexDir),
+      s"${kind}_${java.util.UUID.randomUUID().toString.take(12)}")
+    val fs = own.getFileSystem(conf)
+    fs.create(own, false).close()
+    val conflicts = listLeases(fs, indexDir)
+      .filterNot(_ == own.getName)
+      .filter(other => kind == "compact" || other.startsWith("compact"))
+    if (conflicts.nonEmpty) {
+      fs.delete(own, false)
+      throw new IllegalStateException(
+        s"$kind on $indexDir refused: in-flight maintenance holds lease(s) " +
+          s"${conflicts.mkString(", ")} under $indexDir/lease/. If the " +
+          "holder crashed, verify quiescence and clear stale leases " +
+          "(IndexMaintenance.breakLeases or delete the lease files)")
+    }
+    own
+  }
+
+  def releaseLease(conf: Configuration, lease: Path): Unit = {
+    val fs = lease.getFileSystem(conf)
+    fs.delete(lease, false)
+  }
+
+  /** Operator escape hatch: clear ALL leases after independently
+    * verifying no maintenance is actually running (a crashed holder
+    * cannot clean up after itself). */
+  def breakLeases(conf: Configuration, indexDir0: String): Unit = {
+    val d = leaseDir(normalize(indexDir0))
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+  }
+
+  /** Run `body` under a lease, releasing it on every exit path. */
+  def withLease[T](conf: Configuration, indexDir: String, kind: String)
+                  (body: => T): T = {
+    val lease = acquireLease(conf, indexDir, kind)
+    try body finally releaseLease(conf, lease)
+  }
+
+  // ---- compaction cutover ------------------------------------------------
+
+  /** Everything a family compact() needs: the current data root to read,
+    * the staging root to write, and the expected generation for the
+    * guarded pointer flip. */
+  final case class CompactCtx(indexDir: String, fromRoot: String,
+                              fromGen: Option[Long], newGen: Long,
+                              stagingRoot: String, lease: Path)
+
+  /** Acquire the compact lease and prepare a clean next-generation
+    * staging directory. Callers MUST end with [[finishCompact]] or
+    * [[abortCompact]]. */
+  def beginCompact(conf: Configuration, indexDir0: String): CompactCtx = {
+    val indexDir = normalize(indexDir0)
+    val lease = acquireLease(conf, indexDir, "compact")
+    try {
+      val fromGen = currentGen(conf, indexDir)
+      val newGen = fromGen.getOrElse(0L) + 1
+      val staging = new Path(s"$indexDir/g$newGen")
+      val fs = staging.getFileSystem(conf)
+      // a crashed prior compact may have left a partial staging tree —
+      // it never became live (no pointer flip), so it is junk to clear
+      if (fs.exists(staging)) fs.delete(staging, true)
+      CompactCtx(indexDir, liveRoot(conf, indexDir), fromGen, newGen,
+        staging.toString, lease)
+    } catch { case t: Throwable => releaseLease(conf, lease); throw t }
+  }
+
+  /** Flip the generation pointer to the staged tree and GC the retired
+    * root. The flip re-checks the pointer against the generation read at
+    * [[beginCompact]] — a concurrent generation change (another compact
+    * that ignored the lease discipline) fails loudly instead of
+    * clobbering. GC of a legacy root deletes the named table dirs only
+    * (the top level also holds the new generation, the pointer and the
+    * bookkeeping state). */
+  def finishCompact(conf: Configuration, ctx: CompactCtx,
+                    legacyTables: Seq[String]): Unit = {
+    try {
+      val now = currentGen(conf, ctx.indexDir)
+      require(now == ctx.fromGen,
+        s"compact on ${ctx.indexDir}: generation moved ${ctx.fromGen} -> " +
+          s"$now while compacting; aborting the cutover (staged tree at " +
+          s"${ctx.stagingRoot} is inert)")
+      writeGen(conf, ctx.indexDir, ctx.newGen)
+      val fs = new Path(ctx.indexDir).getFileSystem(conf)
+      ctx.fromGen match {
+        case Some(g) => fs.delete(new Path(s"${ctx.indexDir}/g$g"), true)
+        case None =>
+          legacyTables.foreach(t =>
+            fs.delete(new Path(s"${ctx.indexDir}/$t"), true))
+      }
+    } finally releaseLease(conf, ctx.lease)
+  }
+
+  /** Release the compact lease after a failed fold; the staged tree (if
+    * any) is left for the next [[beginCompact]] to clear. */
+  def abortCompact(conf: Configuration, ctx: CompactCtx): Unit =
+    releaseLease(conf, ctx.lease)
+
+  // ---- table rewrite primitives -------------------------------------------
 
   /** Rewrite one table as one file per partition directory. The read
     * merges every footer: compaction is a rare offline pass, and
@@ -55,50 +256,17 @@ private[operators] object IndexMaintenance {
     s.read.parquet(s"$fromDir/$table")
       .coalesce(1).write.mode("overwrite").parquet(s"$tmpDir/$table")
 
-  /** Copy the replay-protection state (applied/ batch markers, tagfp/
-    * merge records) verbatim so a restarted stream still skips its
-    * committed batches and reused tags are still refused. */
-  def copyReplayState(conf: Configuration, fromDir: String, toDir: String): Unit = {
-    val from0 = new Path(fromDir)
-    val fs = from0.getFileSystem(conf)
-    Seq("applied", "tagfp").foreach { d =>
-      val from = new Path(s"$fromDir/$d")
-      if (fs.exists(from))
-        FileUtil.copy(fs, from, fs, new Path(s"$toDir/$d"), false, conf)
-    }
-  }
-
   /** The batch tags whose `applied/` marker exists — i.e. the streaming
     * loop's commit point was reached, so that batch can never replay its
     * body again (the marker check runs first). Only these generations
     * are safe to fold away; an appended-but-unmarkered batch is the
-    * crash-window replay candidate and must keep its provenance. */
+    * crash-window replay candidate and must keep its provenance.
+    * Markers live at the index top level (outside the data
+    * generations), so `indexDir` here is the index dir, not a root. */
   def committedTags(conf: Configuration, indexDir: String): Set[String] = {
     val p = new Path(s"$indexDir/applied")
     val fs = p.getFileSystem(conf)
     if (!fs.exists(p)) Set.empty
     else fs.listStatus(p).map(_.getPath.getName).toSet
-  }
-
-  /** Prepare a clean `<dir>.compact`, returning its path. */
-  def prepTmp(conf: Configuration, indexDir: String): String = {
-    val tmp = new Path(s"$indexDir.compact")
-    val fs = tmp.getFileSystem(conf)
-    if (fs.exists(tmp)) fs.delete(tmp, true)
-    tmp.toString
-  }
-
-  /** The directory dance: `<dir>` → `<dir>.old`, `<dir>.compact` →
-    * `<dir>`, delete `<dir>.old`. */
-  def swapInPlace(conf: Configuration, indexDir: String): Unit = {
-    val src = new Path(indexDir)
-    val fs = src.getFileSystem(conf)
-    val tmp = new Path(s"$indexDir.compact")
-    val old = new Path(s"$indexDir.old")
-    if (fs.exists(old)) fs.delete(old, true)
-    require(fs.rename(src, old), s"compact: could not move $src aside")
-    require(fs.rename(tmp, src), s"compact: could not move $tmp into place " +
-      s"(index is at $old — restore it by renaming back)")
-    fs.delete(old, true)
   }
 }

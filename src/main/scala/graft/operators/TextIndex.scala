@@ -57,36 +57,43 @@ object TextIndex {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val s = docs.sparkSession
     import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    // write lease + live-root resolution: tables land in the current
+    // data generation, and a racing compact() fails loudly (see
+    // [[IndexMaintenance]])
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
     val toks = docs
       .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
       .localCheckpoint() // feeds both tables; never recompute the hash pass
     tokRows(toks, idCol, nBuckets)
-      .write.mode("overwrite").partitionBy("idb").parquet(s"$indexDir/toks")
+      .write.mode("overwrite").partitionBy("idb").parquet(s"$root/toks")
     bandRows(toks, idCol, numHashes, bands, nBuckets, seed)
       .withColumn("_src", lit("build")) // ingest provenance, see probe
-      .write.mode("overwrite").partitionBy("hb").parquet(s"$indexDir/bands")
+      .write.mode("overwrite").partitionBy("hb").parquet(s"$root/bands")
     val fp = Fingerprint.of(docs, Seq(idCol, textCol))
     Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
       .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
     // a rebuild wiped the indexed rows: batch markers / merge records
     // from the previous build generation must not survive it
-    Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
+    Fingerprint.clearReplayState(conf, indexDir)
     // freshness fast-path: record the corpus file statuses LAST — a
     // crash mid-build degrades to the hash scan, never a false fresh
-    Fingerprint.writeSourceStatus(s.sparkContext.hadoopConfiguration,
-      indexDir, Fingerprint.sourceStatus(docs))
+    Fingerprint.writeSourceStatus(conf, indexDir, Fingerprint.sourceStatus(docs))
+    }
   }
 
-  private def readMeta(s: SparkSession, indexDir: String): (Int, Int, Int, Int) = {
-    val m = s.read.parquet(s"$indexDir/meta").head()
+  // root = resolved data root (IndexMaintenance.liveRoot), not the index dir
+  private def readMeta(s: SparkSession, root: String): (Int, Int, Int, Int) = {
+    val m = s.read.parquet(s"$root/meta").head()
     (m.getAs[Int]("num_hashes"), m.getAs[Int]("bands"),
       m.getAs[Int]("n_buckets"), m.getAs[Int]("seed"))
   }
 
-  private def readFingerprint(s: SparkSession, indexDir: String): Option[(Long, Long)] =
+  private def readFingerprint(s: SparkSession, root: String): Option[(Long, Long)] =
     try {
-      val m = s.read.parquet(s"$indexDir/meta").head()
+      val m = s.read.parquet(s"$root/meta").head()
       Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
     } catch { case _: Exception => None } // absent/legacy meta => stale
 
@@ -102,7 +109,9 @@ object TextIndex {
   def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
               idCol: String, textCol: String): Boolean =
     Fingerprint.statusFresh(indexDir, corpus) ||
-      readFingerprint(s, indexDir).contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
+      readFingerprint(s,
+          IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir))
+        .contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
 
   /** Build-once/probe-many entry: (re)build only when the index is absent
     * or stale w.r.t. `docs`. */
@@ -110,12 +119,13 @@ object TextIndex {
              numHashes: Int = 128, bands: Int = 16, nBuckets: Int = 64,
              seed: Int = 42): Unit = {
     val s = docs.sparkSession
-    val success = new org.apache.hadoop.fs.Path(s"$indexDir/bands/_SUCCESS")
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val success = new org.apache.hadoop.fs.Path(s"$root/bands/_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     // a pre-provenance index (no _src column anywhere) can't honor
     // probe's excludeTag replay guard — treat it as stale, don't infer
     val hasSrc =
-      try s.read.parquet(s"$indexDir/bands").schema.fieldNames.contains("_src")
+      try s.read.parquet(s"$root/bands").schema.fieldNames.contains("_src")
       catch { case _: Exception => false }
     if (!fs.exists(success) || !hasSrc ||
         !isFresh(s, indexDir, docs, idCol, textCol))
@@ -131,53 +141,70 @@ object TextIndex {
   def append(delta: DataFrame, idCol: String, textCol: String,
              indexDir: String, tag: String = "append"): Unit = {
     val s = delta.sparkSession
-    val (numHashes, bands, nBuckets, seed) = readMeta(s, indexDir)
-    val old = readFingerprint(s, indexDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    // write lease: a compact() racing this append fails loudly at its
+    // own acquire instead of retiring the generation mid-append
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val (numHashes, bands, nBuckets, seed) = readMeta(s, root)
+    val old = readFingerprint(s, root)
     val toks = delta
       .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
       .localCheckpoint()
     tokRows(toks, idCol, nBuckets)
-      .write.mode("append").partitionBy("idb").parquet(s"$indexDir/toks")
+      .write.mode("append").partitionBy("idb").parquet(s"$root/toks")
     bandRows(toks, idCol, numHashes, bands, nBuckets, seed)
       .withColumn("_src", lit(tag))
-      .write.mode("append").partitionBy("hb").parquet(s"$indexDir/bands")
+      .write.mode("append").partitionBy("hb").parquet(s"$root/bands")
     import s.implicits._
     old.foreach { o =>
       // idempotent per batch (ADVICE r9): a crash-replayed append presents
       // the same (tag, delta fingerprint) pair — its rows re-append (probe
       // semantics tolerate duplicates) but the fingerprint must merge ONCE
       // or meta drifts from the corpus of record forever
-      val conf = s.sparkContext.hadoopConfiguration
       val dfp = Fingerprint.of(delta, Seq(idCol, textCol))
       if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
         val fp = Fingerprint.merge(o, dfp)
         Seq((numHashes, bands, nBuckets, seed, fp._1, fp._2))
           .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
-          .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
         Fingerprint.recordMerge(conf, indexDir, tag, dfp)
       }
     }
     // build-time file statuses no longer describe the corpus of
     // record: freshness reverts to the content-hash authority
-    Fingerprint.clearSourceStatus(s.sparkContext.hadoopConfiguration, indexDir)
+    Fingerprint.clearSourceStatus(conf, indexDir)
+    // behind the lease this cannot fire; it guards the broke-stale-leases
+    // case (see ClusterIndex.append)
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"TextIndex.append on $indexDir: index compacted to a new generation " +
+        s"during the append; rows landed in the retired tree $root — re-run " +
+        "the append after verifying no maintenance is racing")
+    }
   }
 
   /** Fold the accreted append files: rewrite `bands`/`toks` as one file
     * per partition directory with pure I/O (no re-tokenize, no
     * re-sign). Ingest-provenance `_src` values are a DATA column here
     * and are preserved verbatim, so probe's excludeTag replay guard
-    * keeps working; meta and the replay-protection state carry over
-    * unchanged. Precondition and crash-window: see [[IndexMaintenance]]
-    * (quiesced index; two-rename swap). */
+    * keeps working; meta carries over unchanged and the
+    * replay-protection state lives at the index top level, outside the
+    * data generations. Cutover is a generation-pointer flip
+    * (object-store safe, no renames) under the compact lease — see
+    * [[IndexMaintenance]]. */
   def compact(s: SparkSession, indexDir0: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
-    val tmp = IndexMaintenance.prepTmp(conf, indexDir)
-    IndexMaintenance.foldTable(s, indexDir, tmp, "bands", Seq("hb"))
-    IndexMaintenance.foldTable(s, indexDir, tmp, "toks", Seq("idb"))
-    IndexMaintenance.copyTable(s, indexDir, tmp, "meta")
-    IndexMaintenance.copyReplayState(conf, indexDir, tmp)
-    IndexMaintenance.swapInPlace(conf, indexDir)
+    val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    try {
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "bands", Seq("hb"))
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "toks", Seq("idb"))
+      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
+    } catch {
+      case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
+    }
+    IndexMaintenance.finishCompact(conf, ctx,
+      legacyTables = Seq("bands", "toks", "meta"))
   }
 
   /** Flag incoming docs that near-duplicate the INDEXED corpus: the
@@ -198,7 +225,8 @@ object TextIndex {
             idCol: String, textCol: String,
             threshold: Double = 0.8,
             excludeTag: Option[String] = None): DataFrame = {
-    val (numHashes, bands, nBuckets, seed) = readMeta(s, indexDir)
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val (numHashes, bands, nBuckets, seed) = readMeta(s, root)
     val incToks = incoming
       .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
       .localCheckpoint()
@@ -216,10 +244,10 @@ object TextIndex {
     // single-footer read; only when the sampled footer lacks _src (the
     // rare mixed-legacy index, which ensure() rebuilds anyway) pay the
     // mergeSchema pass to check whether any appended file carries it.
-    val plainBands = s.read.parquet(s"$indexDir/bands")
+    val plainBands = s.read.parquet(s"$root/bands")
     val refBandsRead =
       (if (plainBands.columns.contains("_src")) plainBands
-       else s.read.option("mergeSchema", "true").parquet(s"$indexDir/bands"))
+       else s.read.option("mergeSchema", "true").parquet(s"$root/bands"))
         .filter(col("hb").isin(touchedHb: _*))
     // fully pre-provenance index (ensure() rebuilds these, but direct
     // probe calls must still resolve): legacy rows are _src = null
@@ -244,7 +272,7 @@ object TextIndex {
     val touchedIdb = cands
       .select(pmod(xxhash64(col("ref_id")), lit(nBuckets.toLong)).as("idb"))
       .distinct().collect().map(_.getLong(0)).toSeq
-    val refToks = s.read.parquet(s"$indexDir/toks")
+    val refToks = s.read.parquet(s"$root/toks")
       .filter(col("idb").isin(touchedIdb: _*))
       .select(col(idCol).as("ref_id"), col("_toks").as("_tr"))
     cands

@@ -39,6 +39,12 @@ object VectorIndex {
             corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
     val s = corpus.sparkSession
     import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    // write lease + live-root resolution: tables land in the current
+    // data generation, and a racing compact() fails loudly (see
+    // [[IndexMaintenance]])
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
     val centroids = Similarity.trainCentroids(corpus, nlist, iters, seed,
       corpusId, corpusVec)
     require(centroids.nonEmpty, "IVF index build needs a non-empty corpus")
@@ -46,33 +52,34 @@ object VectorIndex {
       .flatMap { case (c, cell) => c.zipWithIndex.map { case (v, pos) => (cell, pos, v) } }
       .toDF("cell", "pos", "value")
       .coalesce(1) // nlist x dim doubles: one tiny file, broadcast-sized
-      .write.mode("overwrite").parquet(s"$indexDir/centroids")
+      .write.mode("overwrite").parquet(s"$root/centroids")
     corpus
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
       .withColumn("_src", lit("build")) // ingest provenance, see probeDups
       .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$indexDir/cells")
-    writeMeta(s, indexDir, Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
+      .parquet(s"$root/cells")
+    writeMeta(s, root, Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
     // a rebuild wiped the indexed rows: batch markers / merge records
     // from the previous build generation must not survive it
-    Fingerprint.clearReplayState(s.sparkContext.hadoopConfiguration, indexDir)
+    Fingerprint.clearReplayState(conf, indexDir)
     // freshness fast-path: record the corpus file statuses LAST — a
     // crash mid-build degrades to the hash scan, never a false fresh
-    Fingerprint.writeSourceStatus(s.sparkContext.hadoopConfiguration,
-      indexDir, Fingerprint.sourceStatus(corpus))
+    Fingerprint.writeSourceStatus(conf, indexDir, Fingerprint.sourceStatus(corpus))
+    }
   }
 
-  private def writeMeta(s: SparkSession, indexDir: String,
+  // root = resolved data root (IndexMaintenance.liveRoot), not the index dir
+  private def writeMeta(s: SparkSession, root: String,
                         fp: (Long, Long)): Unit = {
     import s.implicits._
     Seq(fp).toDF("n_rows", "content_hash")
-      .coalesce(1).write.mode("overwrite").parquet(s"$indexDir/meta")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
-  private def readMeta(s: SparkSession, indexDir: String): Option[(Long, Long)] =
+  private def readMeta(s: SparkSession, root: String): Option[(Long, Long)] =
     try {
-      val m = s.read.parquet(s"$indexDir/meta").head()
+      val m = s.read.parquet(s"$root/meta").head()
       Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
     } catch { case _: Exception => None } // absent/legacy meta => stale
 
@@ -88,7 +95,9 @@ object VectorIndex {
               corpusId: String = "vec_id",
               corpusVec: String = "embedding"): Boolean =
     Fingerprint.statusFresh(indexDir, corpus) ||
-      readMeta(s, indexDir).contains(Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
+      readMeta(s,
+          IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir))
+        .contains(Fingerprint.of(corpus, Seq(corpusId, corpusVec)))
 
   /** Build-once/query-many entry: (re)build only when the index is
     * absent or its fingerprint no longer matches the corpus. */
@@ -96,12 +105,13 @@ object VectorIndex {
              iters: Int = 2, seed: Long = 42L,
              corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
     val s = corpus.sparkSession
-    val success = new org.apache.hadoop.fs.Path(s"$indexDir/cells/_SUCCESS")
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val success = new org.apache.hadoop.fs.Path(s"$root/cells/_SUCCESS")
     val fs = success.getFileSystem(s.sparkContext.hadoopConfiguration)
     // a pre-provenance index (no _src column anywhere) can't honor
     // probeDups' excludeTag replay guard — treat it as stale
     val hasSrc =
-      try s.read.parquet(s"$indexDir/cells").schema.fieldNames.contains("_src")
+      try s.read.parquet(s"$root/cells").schema.fieldNames.contains("_src")
       catch { case _: Exception => false }
     if (!fs.exists(success) || !hasSrc ||
         !isFresh(s, indexDir, corpus, corpusId, corpusVec))
@@ -121,33 +131,48 @@ object VectorIndex {
              corpusVec: String = "embedding",
              tag: String = "append"): Unit = {
     val s = delta.sparkSession
-    val centroids = loadCentroids(s, indexDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    // write lease: a compact() racing this append fails loudly at its
+    // own acquire instead of retiring the generation mid-append
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val centroids = loadCentroidsFromRoot(s, root)
     delta
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
       .withColumn("_src", lit(tag))
       .write.mode("append").partitionBy("cell")
-      .parquet(s"$indexDir/cells")
+      .parquet(s"$root/cells")
     // keep the staleness fingerprint in step: merge the delta in O(1) —
     // once per (tag, delta) pair, so a crash-replayed append (ADVICE r9)
     // can't drift meta away from the corpus of record
-    readMeta(s, indexDir).foreach { old =>
-      val conf = s.sparkContext.hadoopConfiguration
+    readMeta(s, root).foreach { old =>
       val dfp = Fingerprint.of(delta, Seq(corpusId, corpusVec))
       if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
-        writeMeta(s, indexDir, Fingerprint.merge(old, dfp))
+        writeMeta(s, root, Fingerprint.merge(old, dfp))
         Fingerprint.recordMerge(conf, indexDir, tag, dfp)
       }
     }
     // build-time file statuses no longer describe the corpus of
     // record: freshness reverts to the content-hash authority
-    Fingerprint.clearSourceStatus(s.sparkContext.hadoopConfiguration, indexDir)
+    Fingerprint.clearSourceStatus(conf, indexDir)
+    // behind the lease this cannot fire; it guards the broke-stale-leases
+    // case (see ClusterIndex.append)
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"VectorIndex.append on $indexDir: index compacted to a new " +
+        s"generation during the append; rows landed in the retired tree " +
+        s"$root — re-run the append after verifying no maintenance is racing")
+    }
   }
 
   /** The persisted quantizer, reassembled in cell order (bounded read:
     * nlist x dim rows). */
   def loadCentroids(s: SparkSession, indexDir: String): Seq[Seq[Double]] =
-    s.read.parquet(s"$indexDir/centroids").collect()
+    loadCentroidsFromRoot(s,
+      IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir))
+
+  private def loadCentroidsFromRoot(s: SparkSession, root: String): Seq[Seq[Double]] =
+    s.read.parquet(s"$root/centroids").collect()
       .groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
       .map { case (_, rs) =>
         rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("value")).toSeq
@@ -173,7 +198,8 @@ object VectorIndex {
                 tau: Double, corpusId: String = "vec_id",
                 corpusVec: String = "embedding",
                 excludeTag: Option[String] = None): DataFrame = {
-    val centroids = loadCentroids(s, indexDir)
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val centroids = loadCentroidsFromRoot(s, root)
     val probed = incoming
       .withColumn("_cid", Similarity.nearestCentroid(col(corpusVec), centroids))
       .withColumn("_nrm", VectorOps.norm(col(corpusVec)))
@@ -186,10 +212,10 @@ object VectorIndex {
     // (single-footer inference could hide it and silently disable the
     // replay guard) — but the mergeSchema pass reads every footer, so
     // it runs only when the cheap read lacks _src; see TextIndex.probe
-    val plainCells = s.read.parquet(s"$indexDir/cells")
+    val plainCells = s.read.parquet(s"$root/cells")
     val cellsRead =
       (if (plainCells.columns.contains("_src")) plainCells
-       else s.read.option("mergeSchema", "true").parquet(s"$indexDir/cells"))
+       else s.read.option("mergeSchema", "true").parquet(s"$root/cells"))
         .filter(col("cell").isInCollection(touched))
     // fully pre-provenance index: legacy rows are _src = null
     val cells0 =
@@ -213,18 +239,23 @@ object VectorIndex {
     * the quantizer and every vector's cell are unchanged). The
     * ingest-provenance `_src` values are a DATA column and carry over
     * verbatim, so probeDups' excludeTag replay guard keeps working;
-    * centroids, meta and the replay-protection state copy unchanged.
-    * Precondition and crash-window: see [[IndexMaintenance]] (quiesced
-    * index; two-rename swap). */
+    * centroids and meta copy unchanged; the replay-protection state
+    * lives at the index top level, outside the data generations.
+    * Cutover is a generation-pointer flip (object-store safe, no
+    * renames) under the compact lease — see [[IndexMaintenance]]. */
   def compact(s: SparkSession, indexDir0: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
-    val tmp = IndexMaintenance.prepTmp(conf, indexDir)
-    IndexMaintenance.foldTable(s, indexDir, tmp, "cells", Seq("cell"))
-    IndexMaintenance.copyTable(s, indexDir, tmp, "centroids")
-    IndexMaintenance.copyTable(s, indexDir, tmp, "meta")
-    IndexMaintenance.copyReplayState(conf, indexDir, tmp)
-    IndexMaintenance.swapInPlace(conf, indexDir)
+    val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    try {
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "cells", Seq("cell"))
+      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "centroids")
+      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
+    } catch {
+      case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
+    }
+    IndexMaintenance.finishCompact(conf, ctx,
+      legacyTables = Seq("cells", "centroids", "meta"))
   }
 
   /** ANN top-k against the PERSISTED index: identical semantics to
@@ -236,7 +267,8 @@ object VectorIndex {
            nprobe: Int = 8, corpusId: String = "vec_id",
            corpusVec: String = "embedding",
            probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
-    val centroids = loadCentroids(s, indexDir)
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val centroids = loadCentroidsFromRoot(s, root)
     val probed = probes
       .select(col(probeId), col(probeVec),
         posexplode(CosineScores(col(probeVec), centroids)).as(Seq("_cid", "_score")))
@@ -249,7 +281,7 @@ object VectorIndex {
     // turned into a STATIC partition filter so the file scan prunes
     val touched = probed.select(col("_cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cells = s.read.parquet(s"$indexDir/cells")
+    val cells = s.read.parquet(s"$root/cells")
       .filter(col("cell").isInCollection(touched))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("cosine").desc, col(corpusId))

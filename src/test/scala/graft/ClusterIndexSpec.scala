@@ -216,9 +216,14 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.append(Seq((40L, txt(7))).toDF("doc_id", "text"),
       "doc_id", "text", dir, tag = "c1") // novel singleton
     val before = assignMap(dir)
-    def srcGenerations(table: String): Set[String] =
-      spark.read.parquet(s"$dir/$table").select(col("_src"))
+    def srcGenerations(table: String): Set[String] = {
+      // compaction cuts over to a new generation root (<dir>/g<N>);
+      // resolve like the operators do
+      val root = graft.operators.IndexMaintenance.liveRoot(
+        spark.sparkContext.hadoopConfiguration, dir)
+      spark.read.parquet(s"$root/$table").select(col("_src"))
         .distinct().collect().map(_.getString(0)).toSet
+    }
     assert(srcGenerations("assign") === Set("build", "c0", "c1"))
     // marker-based fold rule: c0 has its applied/ marker (the streaming
     // loop's commit point — that batch can never re-run its body), c1

@@ -151,6 +151,44 @@ class IndexFreshnessSpec extends SparkSpec {
     assert(TextIndex.isFresh(spark, idx, corpus.unionByName(delta), "doc_id", "text"))
   }
 
+  test("recordCorpusStatus re-arms the fast path after appends and compaction") {
+    CountingMockFs.install(spark)
+    val src = mockDir("rearm_src")
+    val idx = java.nio.file.Files.createTempDirectory("rearm_idx").toString + "/tidx"
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"the quick brown fox $i jumps over the lazy dog"))
+      .toDF("doc_id", "text")
+    docs.write.mode("overwrite").parquet(s"$src/docs.parquet")
+    val delta = Seq((100L, "an entirely novel delta document about ships"))
+      .toDF("doc_id", "text")
+    def corpus = spark.read.parquet(s"$src/docs.parquet")
+    TextIndex.ensure(corpus, "doc_id", "text", idx)
+    TextIndex.append(delta, "doc_id", "text", idx, tag = "r1") // clears srcstat
+    TextIndex.compact(spark, idx) // generation cutover: g1
+    // the corpus of record is file-backed: build files + the appended
+    // delta persisted beside them
+    delta.write.mode("overwrite").parquet(s"$src/delta.parquet")
+    // bound once: re-deriving the frame after the reset would re-infer
+    // the parquet schema (one footer open) and muddy the zero-bytes count
+    val record = spark.read.parquet(s"$src/docs.parquet", s"$src/delta.parquet")
+    // a WRONG corpus is refused — recording it would serve stale as fresh
+    val ex = intercept[IllegalArgumentException] {
+      Fingerprint.recordCorpusStatus(spark, idx, corpus, Seq("doc_id", "text"))
+    }
+    assert(ex.getMessage.contains("corpus of record"))
+    // the true corpus of record records fine (one content-hash scan)...
+    Fingerprint.recordCorpusStatus(spark, idx, record, Seq("doc_id", "text"))
+    // ...and ensure() is again a zero-corpus-bytes metadata check, with
+    // the meta presence resolved through the post-compaction generation
+    CountingMockFs.reset()
+    TextIndex.ensure(record, "doc_id", "text", idx)
+    assert(CountingMockFs.opensUnder(localPath(src)) == 0,
+      "re-armed fast path must read no corpus bytes")
+    assert(graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, idx) == s"$idx/g1",
+      "ensure must not have rebuilt (rebuild writes into the live root)")
+  }
+
   test("a status record cannot answer fresh over a wiped meta table") {
     // srcstat is written LAST, but a manual partial wipe (meta gone,
     // srcstat surviving) must degrade to stale-and-rebuild, never to a

@@ -49,3 +49,42 @@ object CountingMockFs {
     n
   }
 }
+
+/** A registered `naren://` scheme where EVERY rename is a NON-ATOMIC
+  * recursive copy-then-delete — the object-store rename semantics (S3A
+  * directory "rename" is an O(data) copy+delete with no atomicity).
+  * Every rename call is also recorded, so a spec can assert that an
+  * index lifecycle never renames the live tree itself: under the
+  * generation-pointer cutover the only renames left are Spark's own
+  * commit-protocol moves inside a staged, not-yet-live directory. */
+class NonAtomicRenameFs extends RawLocalFileSystem {
+  override def getScheme: String = "naren"
+  override def getUri: URI = NonAtomicRenameFs.uri
+  override def rename(src: Path, dst: Path): Boolean = {
+    NonAtomicRenameFs.record(src, dst)
+    if (!exists(src)) false
+    else org.apache.hadoop.fs.FileUtil.copy(this, src, this, dst, true, getConf)
+  }
+}
+
+object NonAtomicRenameFs {
+  val uri: URI = URI.create("naren:///")
+  private val renamed =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
+
+  def install(spark: org.apache.spark.sql.SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.naren.impl", classOf[NonAtomicRenameFs].getName)
+
+  private[graft] def record(src: Path, dst: Path): Unit =
+    renamed.add((src.toUri.getPath, dst.toUri.getPath))
+  def reset(): Unit = renamed.clear()
+
+  /** All (src, dst) rename pairs since the last [[reset]], as
+    * scheme-stripped paths. */
+  def renames: Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    renamed.forEach(p => out += p)
+    out.result()
+  }
+}

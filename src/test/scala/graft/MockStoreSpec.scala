@@ -90,4 +90,71 @@ class MockStoreSpec extends SparkSpec {
       threshold = 0.8, excludeTag = Some("b1"))
     assert(re.count() == 0L, "a replayed batch must not flag against its own copies")
   }
+
+  test("compaction cutover survives object-store rename semantics (copy+delete)") {
+    // naren:// makes EVERY rename a non-atomic recursive copy+delete —
+    // the S3A directory-"rename" reality. The pre-r11 two-rename swap
+    // would leave the index absent or half-copied for the whole copy
+    // window; the generation-pointer cutover must (a) never rename the
+    // live tree at all and (b) keep a complete tree resolvable at every
+    // moment: the old generation until the one-file pointer flip, the
+    // new one after.
+    NonAtomicRenameFs.install(spark)
+    val idx = "naren://" +
+      java.nio.file.Files.createTempDirectory("naren_idx").toString + "/textindex"
+    val docs = (0 until 30)
+      .map(i => (i.toLong, s"document number $i with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", idx)
+    val d1 = Seq((900L, "appended doc alpha with plenty of words to hash"))
+      .toDF("doc_id", "text")
+    TextIndex.append(d1, "doc_id", "text", idx, tag = "t0")
+    val probes = Seq(
+      (950L, "document number 7 with some shared boilerplate text"),
+      (951L, "appended doc alpha with plenty of words to hash"))
+      .toDF("doc_id", "text").localCheckpoint()
+    def probeMap(): Map[Long, Long] =
+      TextIndex.probe(spark, idx, probes, "doc_id", "text", threshold = 0.8)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val before = probeMap()
+    assert(before == Map(950L -> 7L, 951L -> 900L), s"fixture drifted: $before")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val idxPath = idx.stripPrefix("naren://")
+    NonAtomicRenameFs.reset()
+    TextIndex.compact(spark, idx)
+    // (a) the live tree itself was never the object of a rename: every
+    // recorded rename stays inside the STAGED generation (Spark's own
+    // commit-protocol moves) — none touches the index root or a live
+    // table path as source or destination
+    val outside = NonAtomicRenameFs.renames.filter { case (src, dst) =>
+      !(src.startsWith(s"$idxPath/g1/") && dst.startsWith(s"$idxPath/g1/"))
+    }
+    assert(outside.isEmpty,
+      s"cutover must not rename outside the staged generation: $outside")
+    // (b) the pointer flipped, the retired tables are gone, answers hold
+    val im = graft.operators.IndexMaintenance
+    assert(im.liveRoot(conf, idx) == s"$idx/g1")
+    val fs = new Path(idx).getFileSystem(conf)
+    Seq("bands", "toks", "meta").foreach(t =>
+      assert(!fs.exists(new Path(s"$idx/$t")), s"legacy table $t must be GC'd"))
+    assert(probeMap() == before, "probe answers must survive the cutover")
+    // crash-mid-compact: a half-staged NEXT generation (no pointer flip)
+    // is inert — readers resolve the live g1 untouched — and the next
+    // compact clears the junk and converges
+    fs.mkdirs(new Path(s"$idx/g2/bands"))
+    fs.create(new Path(s"$idx/g2/bands/part-junk.parquet"), true).close()
+    assert(im.liveRoot(conf, idx) == s"$idx/g1", "junk staging must stay inert")
+    assert(probeMap() == before, "half-staged tree must not affect readers")
+    TextIndex.compact(spark, idx)
+    assert(im.liveRoot(conf, idx) == s"$idx/g2")
+    assert(!fs.exists(new Path(s"$idx/g1")), "retired generation must be GC'd")
+    assert(probeMap() == before, "answers must survive the second cutover")
+    // replay state survived both cutovers at the top level: a different
+    // batch under the used tag still refuses nothing here (append-mode
+    // index merges fine), but the recorded (tag, fp) still suppresses a
+    // replayed merge
+    TextIndex.append(d1, "doc_id", "text", idx, tag = "t0") // crash replay
+    assert(TextIndex.isFresh(spark, idx, docs.unionByName(d1), "doc_id", "text"),
+      "replayed merge after two cutovers must not drift the fingerprint")
+  }
 }

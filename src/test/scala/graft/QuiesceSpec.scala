@@ -1,0 +1,99 @@
+package graft
+
+import graft.operators.{ClusterIndex, IndexMaintenance, TextIndex}
+
+/** Quiesce ENFORCEMENT (VERDICT r10 item 3): the compaction contract
+  * used to trust callers to stop all writers first; now writers hold a
+  * `write` lease and compact holds a `compact` lease, so the race fails
+  * loudly on whichever side arrives second, instead of compact retiring
+  * a generation out from under an in-flight append (silent row loss).
+  */
+class QuiesceSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def conf = spark.sparkContext.hadoopConfiguration
+
+  private def freshTextIndex(): String = {
+    val dir = java.nio.file.Files.createTempDirectory("quiesce").toString + "/idx"
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"document number $i with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    dir
+  }
+
+  test("compact refuses while a write lease is held; proceeds after release") {
+    val dir = freshTextIndex()
+    val lease = IndexMaintenance.acquireLease(conf, dir, "write")
+    val ex = intercept[IllegalStateException] { TextIndex.compact(spark, dir) }
+    assert(ex.getMessage.contains("lease"), s"not the lease error: ${ex.getMessage}")
+    IndexMaintenance.releaseLease(conf, lease)
+    TextIndex.compact(spark, dir) // quiesced now — must succeed
+    assert(IndexMaintenance.liveRoot(conf, dir) == s"$dir/g1")
+  }
+
+  test("append and build refuse under a compact lease; write-write is allowed") {
+    val dir = freshTextIndex()
+    val delta = Seq((900L, "a novel appended document with enough words"))
+      .toDF("doc_id", "text")
+    val clease = IndexMaintenance.acquireLease(conf, dir, "compact")
+    val exA = intercept[IllegalStateException] {
+      TextIndex.append(delta, "doc_id", "text", dir, tag = "q0")
+    }
+    assert(exA.getMessage.contains("lease"))
+    val exB = intercept[IllegalStateException] {
+      TextIndex.build(delta, "doc_id", "text", dir)
+    }
+    assert(exB.getMessage.contains("lease"))
+    IndexMaintenance.releaseLease(conf, clease)
+    TextIndex.append(delta, "doc_id", "text", dir, tag = "q0") // released: ok
+    // plain write leases do NOT exclude each other (concurrent probes +
+    // appends were always the caller's sequencing concern; the lease
+    // exists to exclude the generation cutover specifically)
+    val w1 = IndexMaintenance.acquireLease(conf, dir, "write")
+    TextIndex.append(Seq((901L, "another novel appended document right here"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "q1")
+    IndexMaintenance.releaseLease(conf, w1)
+  }
+
+  test("a stale lease is an explicit operator decision: breakLeases unblocks") {
+    val dir = freshTextIndex()
+    // simulate a crashed append: lease acquired, holder gone
+    IndexMaintenance.acquireLease(conf, dir, "write")
+    intercept[IllegalStateException] { TextIndex.compact(spark, dir) }
+    IndexMaintenance.breakLeases(conf, dir) // operator verified quiescence
+    TextIndex.compact(spark, dir)
+    assert(IndexMaintenance.liveRoot(conf, dir) == s"$dir/g1")
+  }
+
+  test("two compacts cannot both cut over (second acquire fails loudly)") {
+    val dir = freshTextIndex()
+    val c1 = IndexMaintenance.acquireLease(conf, dir, "compact")
+    val ex = intercept[IllegalStateException] {
+      IndexMaintenance.acquireLease(conf, dir, "compact")
+    }
+    assert(ex.getMessage.contains("lease"))
+    IndexMaintenance.releaseLease(conf, c1)
+  }
+
+  test("cluster index append/compact run the same lease discipline") {
+    val t = (n: Int) => (0 until 24).map(i => s"tok${n}_$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("quiesce_cl").toString + "/idx"
+    ClusterIndex.build(Seq((10L, t(1)), (20L, t(2))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    val clease = IndexMaintenance.acquireLease(conf, dir, "compact")
+    val ex = intercept[IllegalStateException] {
+      ClusterIndex.append(Seq((30L, t(1))).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "qc0")
+    }
+    assert(ex.getMessage.contains("lease"))
+    IndexMaintenance.releaseLease(conf, clease)
+    ClusterIndex.append(Seq((30L, t(1))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "qc0")
+    ClusterIndex.compact(spark, dir, foldUnmarkedTags = true)
+    assert(IndexMaintenance.liveRoot(conf, dir) == s"$dir/g1")
+    val m = ClusterIndex.assignments(spark, dir, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m == Map(10L -> 10L, 20L -> 20L, 30L -> 10L), s"map drifted: $m")
+  }
+}

@@ -42,7 +42,10 @@ class TextIndexSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
     val before = rows(TextIndex.probe(spark, dir, inc, "doc_id", "text"))
     def filesPerDir(table: String): Map[String, Int] = {
-      val root = new java.io.File(s"$dir/$table")
+      // resolve the live generation root like the operators do
+      val live = graft.operators.IndexMaintenance.liveRoot(
+        spark.sparkContext.hadoopConfiguration, dir)
+      val root = new java.io.File(s"$live/$table")
       root.listFiles().filter(_.isDirectory).map(d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
     }
@@ -55,7 +58,10 @@ class TextIndexSpec extends SparkSpec {
       "probe answers must be identical after compaction")
     // provenance survives compaction (the _src data column is kept
     // verbatim, so excludeTag replay guards keep working)
-    val srcs = spark.read.parquet(s"$dir/bands").select(col("_src"))
+    val liveRoot = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, dir)
+    assert(liveRoot == s"$dir/g1", s"cutover must move the root: $liveRoot")
+    val srcs = spark.read.parquet(s"$liveRoot/bands").select(col("_src"))
       .distinct().collect().map(_.getString(0)).toSet
     assert(srcs === Set("build", "t0", "t1"), s"provenance lost: $srcs")
     // the fingerprint still matches the corpus of record

@@ -65,7 +65,10 @@ class VectorIndexSpec extends SparkSpec {
       df.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
     val before = rows(VectorIndex.topK(spark, dir, probes, k = 5, nprobe = 3))
     def filesPerCell: Map[String, Int] = {
-      val root = new java.io.File(s"$dir/cells")
+      // resolve the live generation root like the operators do
+      val live = graft.operators.IndexMaintenance.liveRoot(
+        spark.sparkContext.hadoopConfiguration, dir)
+      val root = new java.io.File(s"$live/cells")
       root.listFiles().filter(_.isDirectory).map(d =>
         d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))).toMap
     }
@@ -75,7 +78,10 @@ class VectorIndexSpec extends SparkSpec {
     assert(filesPerCell.values.forall(_ == 1), "one file per cell dir")
     assert(rows(VectorIndex.topK(spark, dir, probes, k = 5, nprobe = 3)) === before,
       "top-k answers must be identical after compaction")
-    val srcs = spark.read.parquet(s"$dir/cells").select(col("_src"))
+    val live = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, dir)
+    assert(live == s"$dir/g1", s"cutover must move the root: $live")
+    val srcs = spark.read.parquet(s"$live/cells").select(col("_src"))
       .distinct().collect().map(_.getString(0)).toSet
     assert(srcs === Set("build", "v0", "v1"), s"provenance lost: $srcs")
     val rec = half.unionByName(d1).unionByName(d2)
