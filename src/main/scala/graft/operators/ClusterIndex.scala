@@ -384,6 +384,176 @@ object ClusterIndex {
     // still guards — nothing else to do here
   }
 
+  /** Index-side targeted DELETE (VERDICT r10 item 1 — the
+    * right-to-be-forgotten contract reaching the persisted index, not
+    * just the lake): remove `victims` rows from every table and re-split
+    * the components they held together. Deletion is the one maintenance
+    * op where the append-side quotient argument (class doc) does NOT
+    * apply — removing a doc can disconnect its component — so the
+    * component structure is recomputed, but SCOPED: only the victims'
+    * own components can change (an inter-component edge would have
+    * merged them at build/append time, so no other component's
+    * connectivity involves a victim), and the re-split is one PPJoin+CC
+    * over those components' SURVIVING members — O(touched components),
+    * never the corpus.
+    *
+    * `victims` must carry the EXACT `(id, text)` rows as ingested (the
+    * lake still has them pre-delete — the composed flow reads them out
+    * before scrubbing): the meta fingerprint is maintained by exact
+    * subtraction ([[Fingerprint.unmerge]]), so after remove the index
+    * fingerprint equals a fresh build over the surviving corpus and
+    * [[isFresh]] keeps answering correctly. All victim ids must be
+    * indexed (checked against `toks` before anything mutates).
+    *
+    * Crash safety mirrors append, inverted: the fingerprint subtract +
+    * replay record commit FIRST, then the row rewrites — every rewrite
+    * is idempotent (victim-row removal and survivor re-assignment both
+    * converge), so the recorded (tag, victims-fingerprint) pair replays
+    * the rewrites without re-subtracting; the reverse order would
+    * strand a half-removed index behind the all-victims-indexed check.
+    * Row-rewrite order is dependency-aware: the survivor re-assignment
+    * (needs victim assign rows to find affected components) and the
+    * postings prune (needs victim toks for the token buckets) run
+    * before the assign/toks victim rows are dropped, so a crash at any
+    * boundary replays to the same final state. The stale `df` hint is
+    * left as-is — the one-sided prefix argument (class doc) needs no
+    * accurate df, only SOME k-subset, so an over-counted df can never
+    * lose a pair. */
+  def remove(victims: DataFrame, idCol: String, textCol: String,
+             indexDir: String, tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val m = s.read.parquet(s"$root/meta").head()
+    val thr = m.getAs[Double]("threshold")
+    val nBuckets = m.getAs[Int]("n_buckets")
+    val oldFp =
+      if (m.schema.fieldNames.contains("n_rows"))
+        Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+      else None
+    // removes record replay state under their own namespace: an append
+    // and a remove of the SAME delta under the same tag are different
+    // operations — sharing a record would make the remove read as a
+    // replay and skip its fingerprint subtraction forever
+    val rmTag = s"rm.$tag"
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+    require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
+      s"ClusterIndex.remove: tag '$tag' was already used by a different " +
+        "removal batch — pass a batch-unique tag (the same (tag, victims) " +
+        "pair is the legitimate crash-replay and is re-admitted)")
+    val vids = victims.select(col(idCol)).distinct().localCheckpoint()
+    val nV = vids.count()
+    if (nV > 0L) {
+      // bounded collects throughout: id buckets and token buckets of the
+      // victim set, the same static-partition-filter recipe as probe
+      val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      val vToks = s.read.parquet(s"$root/toks")
+        .filter(col("idb").isin(vIdb: _*))
+        .join(broadcast(vids), Seq(idCol), "leftsemi")
+        .select(col(idCol), col("_toks"))
+        .localCheckpoint()
+      if (!replay) {
+        val known = vToks.select(col(idCol)).distinct().count()
+        require(known == nV,
+          s"ClusterIndex.remove: only $known of $nV victims are indexed; " +
+            "the fingerprint subtraction needs exactly the ingested rows — " +
+            "pass the (id, text) rows as they entered the index")
+      }
+      val vTb = vToks.select(explode(col("_toks")).as("_tok"))
+        .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // the components the victims belong to, and those components'
+      // surviving members — discovered BEFORE any rewrite (a replay
+      // whose victim rows are already gone finds nothing and skips the
+      // re-split, which an earlier completed run already wrote)
+      val comps = s.read.parquet(s"$root/assign")
+        .filter(col("idb").isin(vIdb: _*))
+        .join(broadcast(vids), Seq(idCol), "leftsemi")
+        .select(col("component")).distinct().localCheckpoint()
+      // one column-pruned scan of the (id, component) map restricted to
+      // the affected components (comps is bounded by |victims|)
+      val survivors = s.read.parquet(s"$root/assign")
+        .join(broadcast(comps), Seq("component"))
+        .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
+        .join(broadcast(vids), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      val survIdb = survivors.select(col("idb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      // scoped re-split: exact CC over the induced subgraph on the
+      // surviving members (edges never crossed component boundaries, so
+      // this equals a fresh corpus-wide CC restricted to these docs)
+      val newAssign =
+        if (survIdb.isEmpty) None
+        else {
+          val survToks = s.read.parquet(s"$root/toks")
+            .filter(col("idb").isin(survIdb: _*))
+            .join(survivors.select(col(idCol)), Seq(idCol), "leftsemi")
+            .select(col(idCol), col("_toks"))
+          val edges = SetSimJoin.jaccardEdges(survToks, idCol, "_toks", thr)
+          val cc = ConnectedComponents.components(edges, "id2", "id1",
+            edgesNormalized = true)
+            .select(col("id").as("_ccid"), col("component").as("_cccomp"))
+          Some(survivors.select(col(idCol))
+            .join(cc, col(idCol) === col("_ccid"), "left")
+            .select(col(idCol),
+              coalesce(col("_cccomp"), col(idCol)).as("_newcomp"))
+            .localCheckpoint())
+        }
+      // commit point FIRST (see the crash-safety note above)
+      if (!replay) {
+        oldFp.foreach { old =>
+          import s.implicits._
+          val fp = Fingerprint.unmerge(old, vfp)
+          Seq((thr, nBuckets, fp._1, fp._2))
+            .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+        }
+        Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      }
+      // survivor re-assignment BEFORE victim rows leave assign (replay
+      // discovery depends on them); victims' own rows pass through the
+      // left join unmapped and are dropped right after
+      newAssign.foreach { na =>
+        val affected = survivors.select(col("_src"), col("idb")).distinct()
+          .collect().map(r => (r.getString(0), r.getLong(1)))
+        if (affected.nonEmpty) {
+          val srcs = affected.map(_._1).distinct.toSeq
+          val idbs = affected.map(_._2).distinct.toSeq
+          val rewritten = s.read.parquet(s"$root/assign")
+            .filter(col("_src").isin(srcs: _*) && col("idb").isin(idbs: _*))
+            .join(na, Seq(idCol), "left")
+            .select(col(idCol),
+              coalesce(col("_newcomp"), col("component")).as("component"),
+              col("_src"), col("idb"))
+            .localCheckpoint() // fully read before its source is replaced
+          rewritten.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("_src", "idb").parquet(s"$root/assign")
+        }
+      }
+      // victim-row removal, dependency order: postings prune needs vToks
+      // (kept until toks goes last); each is an idempotent pruned
+      // rewrite with emptied-partition cleanup (TargetedDelete mechanics)
+      TargetedDelete.delete(s, s"$root/assign", Seq("_src", "idb"), idCol,
+        vids, col("idb").isin(vIdb: _*))
+      TargetedDelete.delete(s, s"$root/postings", Seq("_src", "tb"), idCol,
+        vids, col("tb").isin(vTb: _*))
+      TargetedDelete.delete(s, s"$root/toks", Seq("_src", "idb"), idCol,
+        vids, col("idb").isin(vIdb: _*))
+      // the corpus of record changed: freshness reverts to the
+      // content-hash authority (recordCorpusStatus re-arms it)
+      Fingerprint.clearSourceStatus(conf, indexDir)
+    }
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"ClusterIndex.remove on $indexDir: the index was compacted to a new " +
+        "generation during the removal — re-run it (same tag + victims " +
+        "replays idempotently) after verifying no maintenance is racing")
+    }
+  }
+
   /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE (the streaming
     * loops use ck<runKey>_b<batchId>): writes are tag-scoped dynamic
     * overwrites, so a DIFFERENT batch under a used tag would destroy the

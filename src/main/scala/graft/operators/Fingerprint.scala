@@ -45,6 +45,15 @@ object Fingerprint {
   def merge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
     (a._1 + b._1, a._2 + b._2)
 
+  /** Fingerprint of (a \ b) from the parts — the remove path (index-side
+    * targeted delete). Exact inverse of [[merge]] PROVIDED b's rows were
+    * really in a with the same (id, text/vector) values: the wrapping
+    * subtract equals decimal-sum-mod-2^64 of the difference. The remove
+    * operators enforce that precondition (all victim ids indexed) before
+    * subtracting. */
+  def unmerge(a: (Long, Long), b: (Long, Long)): (Long, Long) =
+    (a._1 - b._1, a._2 - b._2)
+
   // ---- per-batch merge idempotence (ADVICE r9) -------------------------
   //
   // The documented crash-between-append-and-marker replay re-runs an

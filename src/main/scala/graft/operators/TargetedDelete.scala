@@ -29,12 +29,22 @@ object TargetedDelete {
 
   /** Delete every row whose `keyCol` appears in `keys` from the
     * partitioned table at `tableDir`. Returns the number of partitions
-    * rewritten. */
+    * rewritten.
+    *
+    * `prePrune` (default: everything) is a PARTITION-column predicate
+    * bounding pass 1: when the caller can name the partitions the
+    * victims could possibly live in (the persisted indexes hash their
+    * keys into bucket partitions, so the victim list maps to a bucket
+    * list), pass 1 prunes to those files instead of key-scanning the
+    * whole table — the difference between O(victim buckets) and
+    * O(table) reads on a 100 TB index. Rows outside `prePrune` are
+    * untouched by construction. */
   def delete(spark: SparkSession, tableDir: String, partitionCols: Seq[String],
-             keyCol: String, keys: DataFrame): Long = {
+             keyCol: String, keys: DataFrame,
+             prePrune: org.apache.spark.sql.Column = lit(true)): Long = {
     require(partitionCols.nonEmpty,
       "targeted delete needs a partitioned table; unpartitioned = full rewrite")
-    val table = spark.read.parquet(tableDir)
+    val table = spark.read.parquet(tableDir).filter(prePrune)
     val keyList = keys.select(col(keyCol)).distinct()
     // Partition-col joins must be NULL-SAFE: parquet surfaces the
     // __HIVE_DEFAULT_PARTITION__ dir as null partition values, and a

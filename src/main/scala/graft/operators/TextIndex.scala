@@ -183,6 +183,78 @@ object TextIndex {
     }
   }
 
+  /** Index-side targeted DELETE (VERDICT r10 item 1): drop `victims`
+    * from both tables so probes stop matching right-to-be-forgotten
+    * docs, and subtract their contribution from the meta fingerprint so
+    * [[isFresh]] tracks the surviving corpus of record. `victims` must
+    * carry the EXACT `(id, text)` rows as ingested (read them from the
+    * lake before scrubbing it) and every id must be indexed — checked
+    * before anything mutates. Crash-safe like the cluster sibling: the
+    * subtract + replay record commit first, then the idempotent pruned
+    * rewrites (band buckets recomputed from the victims' indexed token
+    * sets under the frozen hash family, so the prune is exact); a
+    * replayed `(tag, victims)` pair re-runs only the rewrites. Removes
+    * duplicate rows from crashed append replays too — removal is by id,
+    * not by row. */
+  def remove(victims: DataFrame, idCol: String, textCol: String,
+             indexDir: String, tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
+    val oldFp = readFingerprint(s, root)
+    val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+    require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
+      s"TextIndex.remove: tag '$tag' was already used by a different " +
+        "removal batch — pass a batch-unique tag")
+    val vids = victims.select(col(idCol)).distinct().localCheckpoint()
+    val nV = vids.count()
+    if (nV > 0L) {
+      val vIdb = vids
+        .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("idb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      // the victims' INDEXED token sets: authoritative for the band
+      // buckets their rows live in (frozen family => exact recompute)
+      val vToks = s.read.parquet(s"$root/toks")
+        .filter(col("idb").isin(vIdb: _*))
+        .join(broadcast(vids), Seq(idCol), "leftsemi")
+        .select(col(idCol), col("_toks"))
+        .localCheckpoint()
+      if (!replay) {
+        val known = vToks.select(col(idCol)).distinct().count()
+        require(known == nV,
+          s"TextIndex.remove: only $known of $nV victims are indexed; the " +
+            "fingerprint subtraction needs exactly the ingested rows")
+      }
+      val vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
+        .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
+      if (!replay) {
+        oldFp.foreach { o =>
+          import s.implicits._
+          val fp = Fingerprint.unmerge(o, vfp)
+          Seq((numHashes, bandCount, nBuckets, seed, fp._1, fp._2))
+            .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+        }
+        Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      }
+      // bands first (its prune depends on toks), toks last — a crash at
+      // the boundary replays with vToks intact
+      TargetedDelete.delete(s, s"$root/bands", Seq("hb"), idCol, vids,
+        col("hb").isin(vHb: _*))
+      TargetedDelete.delete(s, s"$root/toks", Seq("idb"), idCol, vids,
+        col("idb").isin(vIdb: _*))
+      Fingerprint.clearSourceStatus(conf, indexDir)
+    }
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"TextIndex.remove on $indexDir: index compacted during the removal " +
+        "— re-run it after verifying no maintenance is racing")
+    }
+  }
+
   /** Fold the accreted append files: rewrite `bands`/`toks` as one file
     * per partition directory with pure I/O (no re-tokenize, no
     * re-sign). Ingest-provenance `_src` values are a DATA column here

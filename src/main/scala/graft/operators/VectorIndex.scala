@@ -234,6 +234,62 @@ object VectorIndex {
       .groupBy(col("inc_id")).agg(min(col("ref_id")).as("dup_of"))
   }
 
+  /** Index-side targeted DELETE (VERDICT r10 item 1): drop `victims`
+    * from their cells so [[probeDups]]/[[topK]] stop matching
+    * right-to-be-forgotten vectors, and subtract their contribution from
+    * the meta fingerprint so [[isFresh]] tracks the surviving corpus.
+    * `victims` must carry the EXACT `(id, embedding)` rows as ingested
+    * and every id must be indexed. The touched-cell set is recomputed
+    * from the victim embeddings under the FROZEN quantizer (assignment
+    * is deterministic), so the rewrite prunes to ≤ nlist cell
+    * partitions and is independent of index state — replay-safe at any
+    * crash boundary. The quantizer itself is untouched: cell centroids
+    * describe geometry, not membership, and recall semantics are
+    * unchanged by removals. */
+  def remove(victims: DataFrame, indexDir: String,
+             corpusId: String = "vec_id", corpusVec: String = "embedding",
+             tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val centroids = loadCentroidsFromRoot(s, root)
+    val oldFp = readMeta(s, root)
+    val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
+    val vfp = Fingerprint.of(victims, Seq(corpusId, corpusVec))
+    val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+    require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
+      s"VectorIndex.remove: tag '$tag' was already used by a different " +
+        "removal batch — pass a batch-unique tag")
+    val pinned = victims
+      .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
+      .select(col(corpusId), col("cell")).distinct().localCheckpoint()
+    val nV = pinned.select(col(corpusId)).distinct().count()
+    if (nV > 0L) {
+      val vCells = pinned.select(col("cell")).distinct()
+        .collect().map(_.getInt(0)).toSeq // bounded by nlist
+      val vids = pinned.select(col(corpusId)).distinct()
+      if (!replay) {
+        val known = s.read.parquet(s"$root/cells")
+          .filter(col("cell").isInCollection(vCells))
+          .join(broadcast(vids), Seq(corpusId), "leftsemi")
+          .select(col(corpusId)).distinct().count()
+        require(known == nV,
+          s"VectorIndex.remove: only $known of $nV victims are indexed; " +
+            "the fingerprint subtraction needs exactly the ingested rows")
+        oldFp.foreach(o => writeMeta(s, root, Fingerprint.unmerge(o, vfp)))
+        Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      }
+      TargetedDelete.delete(s, s"$root/cells", Seq("cell"), corpusId, vids,
+        col("cell").isInCollection(vCells))
+      Fingerprint.clearSourceStatus(conf, indexDir)
+    }
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"VectorIndex.remove on $indexDir: index compacted during the " +
+        "removal — re-run it after verifying no maintenance is racing")
+    }
+  }
+
   /** Fold the accreted append files: rewrite `cells` as one file per
     * cell partition with pure I/O (no re-training, no re-assignment —
     * the quantizer and every vector's cell are unchanged). The

@@ -560,6 +560,45 @@ object TextPipeline {
       .orderBy(col("doc_id"))
   }
 
+  /** The COMPOSED right-to-be-forgotten flow as a first-class query
+    * (VERDICT r10 item 1): snapshot the persisted cluster index, scrub a
+    * victim set from BOTH the lake and the index
+    * ([[graft.operators.TargetedDelete]] +
+    * [[graft.operators.ClusterIndex.remove]] — the latter re-splits any
+    * component a victim held together, the inverse of append's quotient
+    * trick), then serve the surviving assignments semi-joined against
+    * the post-delete lake so the two stores must AGREE on survivorship.
+    * The oracle is the recursive-CTE CC over the surviving corpus — a
+    * full-strength check that targeted index deletion equals a fresh
+    * rebuild without the victims, bridge-splits included. The timed
+    * path is the honest production takedown cost: snapshot copy + lake
+    * scrub + scoped index remove + serve. */
+  def clusterIndexRemove(s: SparkSession, dir: String): DataFrame = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val base = ensureClusterIndex(s, dir)
+    val key = Tables.fixtureKey(dir)
+    val tmp = System.getProperty("java.io.tmpdir")
+    val scratch = s"$tmp/graft_clusteridx_rm/$key"
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
+      fs, new org.apache.hadoop.fs.Path(scratch), false, conf)
+    val lake = s"$tmp/graft_rmlake/$key"
+    val docs = Tables.documents(s, dir)
+    docs.write.mode("overwrite").partitionBy("source").parquet(lake)
+    // victims read out BEFORE the lake scrub — remove() needs the exact
+    // ingested (id, text) rows for its fingerprint subtraction
+    val victims = docs.filter(col("doc_id") % 37 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    graft.operators.TargetedDelete.delete(s, lake, Seq("source"), "doc_id",
+      victims.select(col("doc_id")))
+    graft.operators.ClusterIndex.remove(victims, "doc_id", "text", scratch,
+      tag = "takedown")
+    graft.operators.ClusterIndex.assignments(s, scratch, "doc_id")
+      .join(s.read.parquet(lake).select(col("doc_id")), Seq("doc_id"), "leftsemi")
+      .orderBy(col("doc_id"))
+  }
+
   def leakageSafeSplit(s: SparkSession, dir: String): DataFrame = {
     componentOf(s, dir)
       .withColumn("split", splitCol(col("component")))
@@ -1509,6 +1548,7 @@ object TextPipeline {
     "doc_jaccard_pairs" -> (jaccardPairs _),
     "doc_dedup_clusters" -> (dedupClusters _),
     "doc_cluster_index_probe" -> (clusterIndexProbe _),
+    "doc_cluster_index_remove" -> (clusterIndexRemove _),
     "doc_repetition_score" -> (repetitionScore _),
     "doc_vocab_build" -> (vocabBuild _),
     "doc_bigram_lm" -> (bigramLm _),
@@ -2074,6 +2114,26 @@ object TextPipeline {
         |FROM comp c JOIN documents d ON d.doc_id = c.doc_id
         |WHERE d.source = 'src19'
         |ORDER BY c.doc_id""".stripMargin,
+    "doc_cluster_index_remove" ->
+      """WITH RECURSIVE surv AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+        |), tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM surv
+        |), e AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |), und AS (
+        |  SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e
+        |), cc(id, r) AS (
+        |  SELECT doc_id, doc_id FROM surv
+        |  UNION
+        |  SELECT und.v, cc.r FROM cc JOIN und ON und.u = cc.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM cc GROUP BY id
+        |)
+        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
     "doc_source_rel_quality" ->
       """WITH scored AS (
         |  SELECT doc_id, source,

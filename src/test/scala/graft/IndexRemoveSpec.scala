@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterIndex, Fingerprint, TextIndex, VectorIndex}
+
+/** Index-side targeted delete (VERDICT r10 item 1): removing docs from
+  * the persisted indexes must equal a fresh build over the surviving
+  * corpus — rows gone from every table, components re-SPLIT where the
+  * victim was the bridge (the one case append's quotient argument
+  * deliberately does not cover), the meta fingerprint subtracted
+  * exactly, probes blind to the removed docs, and the whole operation
+  * replay-idempotent. */
+class IndexRemoveSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tokens [a, b) — Jaccard(span(0,50), span(5,55)) = 45/55 ≈ 0.818. */
+  private def span(a: Int, b: Int): String =
+    (a until b).map(i => s"w$i").mkString(" ")
+
+  private def assignMap(dir: String): Map[Long, Long] =
+    ClusterIndex.assignments(spark, dir, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("removing a bridge doc splits its component; result == fresh build on survivors") {
+    // chain A(10)-B(20)-C(30): J(A,B) = J(B,C) ≈ 0.818 >= 0.8 but
+    // J(A,C) ≈ 0.667 < 0.8 — B is the bridge. D(40) is an unrelated
+    // singleton; E(50) near-dups nothing and gets removed too.
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(10, 60)); val d = (40L, span(200, 260))
+    val e = (50L, span(300, 360))
+    val corpus = Seq(a, b, c, d, e).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_cl").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    assert(assignMap(dir) === Map(10L -> 10L, 20L -> 10L, 30L -> 10L,
+      40L -> 40L, 50L -> 50L), "fixture must form the A-B-C chain")
+    val victims = Seq(b, e).toDF("doc_id", "text")
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "take1")
+    // the component SPLIT: A and C fall apart without the bridge
+    val after = assignMap(dir)
+    assert(after === Map(10L -> 10L, 30L -> 30L, 40L -> 40L),
+      s"bridge removal must split the component: $after")
+    // full equivalence against a fresh build on the survivors, tables
+    // and fingerprint both
+    val freshDir = java.nio.file.Files.createTempDirectory("rm_cl_fresh").toString
+    val survivors = Seq(a, c, d).toDF("doc_id", "text")
+    ClusterIndex.build(survivors, "doc_id", "text", freshDir)
+    assert(after === assignMap(freshDir))
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"),
+      "fingerprint must equal the surviving corpus exactly")
+    assert(!ClusterIndex.isFresh(spark, dir, corpus, "doc_id", "text"))
+    // probes are blind to the removed docs: a clone of E is a singleton
+    val probed = ClusterIndex.probe(spark, dir,
+        Seq((60L, span(300, 360))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed === Map(60L -> 60L),
+      s"a clone of a removed doc must match nothing: $probed")
+    // knownIds no longer reports the victims
+    val known = ClusterIndex.knownIds(spark, dir,
+        Seq(10L, 20L, 50L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(known === Set(10L), s"victims must leave knownIds: $known")
+    // no stale postings/toks rows survive anywhere (mergeSchema-free
+    // count by id over both tables)
+    val root = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, dir)
+    Seq("toks", "postings").foreach { t =>
+      val leak = spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id").isin(20L, 50L)).count()
+      assert(leak == 0L, s"$t still holds $leak victim rows")
+    }
+  }
+
+  test("cluster remove replays idempotently and refuses unknown victims") {
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val corpus = Seq(a, b).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_cl2").toString
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    // remove works on appended generations too
+    ClusterIndex.append(Seq((30L, span(5, 55))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "ap0")
+    val victims = Seq(b).toDF("doc_id", "text")
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "take1")
+    val after = assignMap(dir)
+    // 10 and 30 are both copies of different spans: J(A, 30) = 0.818 —
+    // still one component through the direct edge
+    assert(after === Map(10L -> 10L, 30L -> 10L), s"$after")
+    val surv = Seq(a, (30L, span(5, 55))).toDF("doc_id", "text")
+    assert(ClusterIndex.isFresh(spark, dir, surv, "doc_id", "text"))
+    // crash-replay: same tag + same victims — rows already gone, the
+    // fingerprint must NOT subtract twice
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "take1")
+    assert(assignMap(dir) === after)
+    assert(ClusterIndex.isFresh(spark, dir, surv, "doc_id", "text"),
+      "replayed remove must not drift the fingerprint")
+    // a DIFFERENT victim set under the used tag is refused
+    val exTag = intercept[IllegalArgumentException] {
+      ClusterIndex.remove(Seq(a).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "take1")
+    }
+    assert(exTag.getMessage.contains("already used"))
+    // an unknown victim is refused before anything mutates
+    val exUnknown = intercept[IllegalArgumentException] {
+      ClusterIndex.remove(Seq((99L, "never ingested text right here"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "take2")
+    }
+    assert(exUnknown.getMessage.contains("indexed"))
+    assert(assignMap(dir) === after, "refused remove must not mutate")
+  }
+
+  test("text index remove: probes go blind, fingerprint tracks survivors, replay-safe") {
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"document number $i with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_tx").toString + "/idx"
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val clone7 = Seq((900L, "document number 7 with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    assert(TextIndex.probe(spark, dir, clone7, "doc_id", "text").count() == 1L,
+      "pre-remove: the clone must flag against doc 7")
+    val victims = docs.filter(col("doc_id") === 7L)
+    TextIndex.remove(victims, "doc_id", "text", dir, tag = "take1")
+    assert(TextIndex.probe(spark, dir, clone7, "doc_id", "text").count() == 0L,
+      "post-remove: the clone of the deleted doc must match nothing")
+    val clone3 = Seq((901L, "document number 3 with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    val hits = TextIndex.probe(spark, dir, clone3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(901L -> 3L), s"surviving docs must still match: $hits")
+    val survivors = docs.filter(col("doc_id") =!= 7L)
+    assert(TextIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+    assert(!TextIndex.isFresh(spark, dir, docs, "doc_id", "text"))
+    // replay: no double subtraction
+    TextIndex.remove(victims, "doc_id", "text", dir, tag = "take1")
+    assert(TextIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+    // removal also erases duplicate rows from a crashed append replay
+    val extra = Seq((100L, "a wholly novel appended document about glaciers"))
+      .toDF("doc_id", "text")
+    TextIndex.append(extra, "doc_id", "text", dir, tag = "ap1")
+    TextIndex.append(extra, "doc_id", "text", dir, tag = "ap1") // replayed rows
+    TextIndex.remove(extra, "doc_id", "text", dir, tag = "take2")
+    val root = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, dir)
+    assert(spark.read.parquet(s"$root/bands")
+      .filter(col("doc_id") === 100L).count() == 0L,
+      "every duplicated band row of the victim must be gone")
+    assert(TextIndex.isFresh(spark, dir, survivors, "doc_id", "text"),
+      "append+remove of the same delta must round-trip the fingerprint")
+  }
+
+  test("vector index remove: dup-probe and top-k go blind, replay-safe") {
+    val corpus = Tables.embeddings(spark, sf0001)
+    val dir = java.nio.file.Files.createTempDirectory("rm_vec").toString + "/idx"
+    VectorIndex.build(corpus, dir, nlist = 8)
+    val v7 = corpus.filter(col("vec_id") === 7L)
+    val clone = v7.select(lit(900L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    val pre = VectorIndex.probeDups(spark, dir, clone, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(pre == Map(900L -> 7L), s"pre-remove the clone must flag: $pre")
+    VectorIndex.remove(v7, dir, tag = "take1")
+    assert(VectorIndex.probeDups(spark, dir, clone, tau = 0.99).count() == 0L,
+      "post-remove the clone must match nothing")
+    val probes = clone.select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val top = VectorIndex.topK(spark, dir, probes, k = 5, nprobe = 8)
+      .select(col("vec_id")).collect().map(_.getLong(0)).toSet
+    assert(!top.contains(7L), "top-k must not return the removed vector")
+    val survivors = corpus.filter(col("vec_id") =!= 7L)
+    assert(VectorIndex.isFresh(spark, dir, survivors))
+    assert(!VectorIndex.isFresh(spark, dir, corpus))
+    VectorIndex.remove(v7, dir, tag = "take1") // replay
+    assert(VectorIndex.isFresh(spark, dir, survivors),
+      "replayed remove must not drift the fingerprint")
+    val ex = intercept[IllegalArgumentException] {
+      VectorIndex.remove(corpus.filter(col("vec_id") === 7L)
+        .select((col("vec_id") + 5000L).as("vec_id"), col("embedding")),
+        dir, tag = "take2")
+    }
+    assert(ex.getMessage.contains("indexed"))
+  }
+}
