@@ -127,6 +127,12 @@ object Bench {
     // pays the build and mislabels the attribution metrics)
     warmIndex("ensureProbeClusterIndex", Set("doc_cluster_index_probe"))(
       graft.queries.TextPipeline.ensureProbeClusterIndex(spark, sfDir))
+    // scan staging is ingest-side too since r11 (stage-once markers):
+    // pay the format writes here so every timed iteration — not just
+    // iterations 2-3 under the min — measures the read path
+    warmIndex("stageScans", _.startsWith("scan_"))(
+      selected.view.filterKeys(_.startsWith("scan_")).values
+        .foreach(fn => fn(spark, sfDir).count()))
     dropPersistedBlocks()
 
     // bench-noise attribution (VERDICT r6 item 8, widened to EVERY query

@@ -60,11 +60,21 @@ object TextOps {
     }.otherwise(lit("und"))
   }
 
-  /** Document fingerprint: min rolling hash over word shingles (a 1-hash
-    * MinHash — robust to small edits, unlike a whole-text hash). */
-  def fingerprint(toks: Column, shingleLen: Int): Column =
-    aggregate(shingles(toks, shingleLen), lit(Long.MaxValue),
-      (m, sh) => least(m, xxhash64(sh)))
+  /** Document fingerprint: min hash over word shingles (a 1-hash
+    * MinHash — robust to small edits, unlike a whole-text hash). The
+    * per-shingle hash is the first 15 hex chars of md5 (60 bits,
+    * sign-safe in a BIGINT) rather than xxhash64: md5 is the one hash
+    * every engine computes bit-identically, which lets the DuckDB
+    * oracle replay the fingerprint exactly (VERDICT r10 item 6) — the
+    * robustness properties are the same. Docs with fewer than
+    * `shingleLen` tokens fingerprint as NULL on both engines. */
+  def fingerprint(toks: Column, shingleLen: Int): Column = {
+    val sh = shingles(toks, shingleLen)
+    when(size(sh) > 0,
+      array_min(transform(sh, x =>
+        conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long"))))
+      .otherwise(lit(null).cast("long"))
+  }
 
   /** SimHash-64 of a token column, computed scale-friendly: explode to
     * (id, tokenHash), one hash-aggregate pass producing the 64 bit-votes

@@ -386,6 +386,52 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full-strength aHash replay (r10 item 6): BMP pixel data is exactly
+    // the document's text bytes (54-byte header stripped), so the oracle
+    // recomputes the 64-block threshold hash from character codes (ASCII
+    // guard as in mm_audio_rms), weaves the same two-byte "re-encoded"
+    // variants (payload offsets 100/200 = text chars 47/147), and takes
+    // ALL pairs at hamming <= 3 — the banded join's emit-once candidate
+    // set equals exactly that by pigeonhole (<= 3 differing bits cannot
+    // touch all four 16-bit bands). Bits are compared as 0/1 lists, so
+    // no engine's signed-shift semantics are in play.
+    "mm_phash_pairs" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 2 = 0 AND octet_length(CAST(text AS BLOB)) = length(text)
+        |), variants AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN length(text) >= 147
+        |      THEN substr(text, 1, 46) || chr(13) || substr(text, 48, 99)
+        |           || chr(14) || substr(text, 148)
+        |      ELSE text END AS text
+        |  FROM base WHERE doc_id % 10 = 0
+        |), allm AS (
+        |  SELECT * FROM base UNION ALL SELECT * FROM variants
+        |), px AS (
+        |  SELECT doc_id, length(text) AS n,
+        |    list_transform(string_split(text, ''), c -> ascii(c)) AS p
+        |  FROM allm WHERE length(text) >= 64
+        |), m AS (
+        |  SELECT doc_id, n, p,
+        |    CAST(list_aggregate(p, 'sum') AS DOUBLE) / n AS mean FROM px
+        |), bits AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 64), b -> CASE WHEN
+        |      (b+1)*n//64 > b*n//64 AND
+        |      CAST(list_aggregate(p[(b*n//64 + 1):((b+1)*n//64)], 'sum') AS DOUBLE)
+        |        / ((b+1)*n//64 - b*n//64) > mean
+        |      THEN 1 ELSE 0 END) AS bv
+        |  FROM m
+        |), pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |    CAST(list_aggregate(list_transform(range(1, 65),
+        |      i -> CASE WHEN a.bv[i] <> b.bv[i] THEN 1 ELSE 0 END), 'sum')
+        |      AS BIGINT) AS hamming
+        |  FROM bits a JOIN bits b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id1, id2, hamming FROM pairs WHERE hamming <= 3
+        |ORDER BY id1, id2""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,

@@ -2285,6 +2285,36 @@ object TextPipeline {
         |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS term
         |      FROM documents) t
         |GROUP BY term ORDER BY doc_freq DESC, term LIMIT 20""".stripMargin,
+    // full-strength replay of the language-ID argmax (stopword hit
+    // counts, alphabetical tie-break, 'und' on zero) and the 1-hash
+    // MinHash fingerprint (min over 3-token shingles of the first 15
+    // md5 hex chars — md5 is engine-neutral, which is why the engine
+    // uses it here)
+    "doc_langid_fingerprint" ->
+      """WITH t AS (
+        |  SELECT doc_id, lang AS labeled_lang,
+        |    string_split(text, ' ') AS toks FROM documents
+        |), sc AS (
+        |  SELECT doc_id, labeled_lang, toks,
+        |    len(list_filter(toks, x -> list_contains(['der','die','das','und','zu','in','ein','eine','ist','von'], x))) AS s_de,
+        |    len(list_filter(toks, x -> list_contains(['the','a','of','and','to','in','is','it','for','on'], x))) AS s_en,
+        |    len(list_filter(toks, x -> list_contains(['el','la','de','y','que','en','un','una','los','por'], x))) AS s_es,
+        |    len(list_filter(toks, x -> list_contains(['le','la','de','et','que','en','un','une','les','pour'], x))) AS s_fr,
+        |    len(list_filter(toks, x -> list_contains(['de','le','shi','bu','wo','you','ta','zhe','men','zai'], x))) AS s_zh
+        |  FROM t
+        |)
+        |SELECT doc_id, labeled_lang,
+        |  CASE WHEN greatest(s_de, s_en, s_es, s_fr, s_zh) <= 0 THEN 'und'
+        |       WHEN s_de = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'de'
+        |       WHEN s_en = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'en'
+        |       WHEN s_es = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'es'
+        |       WHEN s_fr = greatest(s_de, s_en, s_es, s_fr, s_zh) THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  CASE WHEN len(toks) >= 3 THEN
+        |    list_min(list_transform(range(1, len(toks) - 1), i ->
+        |      CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15) AS BIGINT)))
+        |  END AS fingerprint
+        |FROM sc ORDER BY doc_id""".stripMargin,
     "mm_binary_stats" ->
       """SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
         | sha256(text) AS digest
