@@ -61,7 +61,10 @@ object S4Main {
       availableNow = flags.contains("available-now"),
       maxFilesPerTrigger = flags.get("max-files-per-trigger").map(_.toInt),
       maxRecordBytes = flags.getOrElse("max-record-bytes", (64 * 1024).toString).toInt,
-      lakeFormat = flags.getOrElse("lake-format", "text"))
+      lakeFormat = flags.getOrElse("lake-format", "text"),
+      cleanSource = flags.getOrElse("clean-source", "off"),
+      sourceArchiveDir = flags.getOrElse("source-archive-dir", ""),
+      maxFileAge = flags.get("max-file-age"))
   }
 
   def main(args: Array[String]): Unit = {

@@ -63,7 +63,21 @@ object S4Stream {
       availableNow: Boolean = false,         // drain-and-stop    (R4)
       maxFilesPerTrigger: Option[Int] = None,// backpressure S4 never had
       maxRecordBytes: Int = 64 * 1024,       // R3 record cap (input/unix.go:91-93)
-      lakeFormat: String = "text"            // text (gzip, = S4 objects) | parquet
+      lakeFormat: String = "text",           // text (gzip, = S4 objects) | parquet
+      // File-source RETENTION (VERDICT r10 item 4 — the 100 TB file
+      // source killer): without it the driver's seen-files log and the
+      // per-trigger directory listing grow without bound on an
+      // ever-growing input prefix. `cleanSource` = archive | delete |
+      // off — what happens to a file after its batch COMMITS (archive
+      // moves it under `sourceArchiveDir`, outside the watched glob, so
+      // it leaves every future listing; delete removes it). `maxFileAge`
+      // bounds how far back a listing looks when a file escapes
+      // cleaning. Both map to Spark's own file-source options — the
+      // engine handles commit-time cleanup, so a crashed batch's files
+      // are never cleaned early.
+      cleanSource: String = "off",           // off | archive | delete
+      sourceArchiveDir: String = "",         // required when cleanSource=archive
+      maxFileAge: Option[String] = None      // e.g. "7d" — listing horizon
   )
 
   /** Line-framed source (R1/R2/R3): one row per newline-terminated
@@ -89,6 +103,16 @@ object S4Stream {
     case _ =>
       val r = spark.readStream
       cfg.maxFilesPerTrigger.foreach(n => r.option("maxFilesPerTrigger", n))
+      if (cfg.cleanSource != "off") {
+        r.option("cleanSource", cfg.cleanSource)
+        if (cfg.cleanSource == "archive") {
+          require(cfg.sourceArchiveDir.nonEmpty,
+            "cleanSource=archive needs --source-archive-dir (must resolve " +
+              "OUTSIDE the watched directory, or Spark refuses to archive)")
+          r.option("sourceArchiveDir", cfg.sourceArchiveDir)
+        }
+      }
+      cfg.maxFileAge.foreach(a => r.option("maxFileAge", a))
       r.text(cfg.inputDir)
   }
 

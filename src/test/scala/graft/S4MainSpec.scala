@@ -34,7 +34,9 @@ class S4MainSpec extends AnyFunSuite {
     val (_, flags) = S4Main.parse(Array(
       "run", "--input-kind", "socket", "--host", "h1", "--port", "1234",
       "--max-files-per-trigger", "7", "--max-record-bytes", "1024",
-      "--lake-format", "parquet", "--sink", "foreach", "--lake", "/lake"))
+      "--lake-format", "parquet", "--sink", "foreach", "--lake", "/lake",
+      "--clean-source", "archive", "--source-archive-dir", "/done",
+      "--max-file-age", "7d"))
     val cfg = S4Main.configFrom(flags)
     assert(cfg.inputKind === "socket")
     assert(cfg.host === "h1")
@@ -43,6 +45,9 @@ class S4MainSpec extends AnyFunSuite {
     assert(cfg.maxRecordBytes === 1024)
     assert(cfg.lakeFormat === "parquet")
     assert(cfg.sink === "foreach")
+    assert(cfg.cleanSource === "archive")
+    assert(cfg.sourceArchiveDir === "/done")
+    assert(cfg.maxFileAge === Some("7d"))
   }
 
   test("socket kind needs no --input; files kind still requires it") {

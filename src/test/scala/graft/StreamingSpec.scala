@@ -48,6 +48,51 @@ class StreamingSpec extends SparkSpec {
     assert(back.sorted === lines.sorted) // per-batch set semantics (SURVEY §1)
   }
 
+  test("cleanSource retires processed files from the watched listing") {
+    // VERDICT r10 item 4: without retention, the seen-files log and the
+    // per-trigger listing grow without bound on an ever-growing input
+    // prefix. cleanSource=archive moves committed files OUTSIDE the
+    // watched glob; maxFileAge bounds the listing horizon for files
+    // that escape cleaning. maxFilesPerTrigger=1 forces multiple
+    // batches because the engine cleans a batch's files when a LATER
+    // batch commits — the final batch's file may legitimately remain.
+    val in = tmp("s4clin"); val lake = tmp("s4cllake"); val ck = tmp("s4clck")
+    val arch = tmp("s4clarch")
+    writeLines(in, "a.txt", Seq("r1", "r2"))
+    writeLines(in, "b.txt", Seq("r3"))
+    writeLines(in, "c.txt", Seq("r4"))
+    // synchronous cleaner: the default async thread would race the
+    // post-termination assertions
+    spark.conf.set("spark.sql.streaming.fileSource.cleaner.numThreads", "0")
+    try {
+      val q = S4Stream.run(spark, S4Config(
+        inputDir = in.toString, mode = "line", sink = "lake",
+        lakeDir = lake.toString, checkpointDir = ck.toString,
+        availableNow = true, maxFilesPerTrigger = Some(1),
+        cleanSource = "archive", sourceArchiveDir = arch.toString,
+        maxFileAge = Some("7d")))
+      q.awaitTermination()
+    } finally
+      spark.conf.unset("spark.sql.streaming.fileSource.cleaner.numThreads")
+    // every record landed exactly once...
+    val back = spark.read.text(lake.toString).collect().map(_.getString(0))
+    assert(back.sorted === Array("r1", "r2", "r3", "r4"))
+    // ...and committed input files left the watched directory for the
+    // archive (at least the first two of three single-file batches)
+    import scala.jdk.CollectionConverters._
+    val remaining = Files.list(in).iterator().asScala
+      .filter(_.toString.endsWith(".txt")).map(_.getFileName.toString).toSet
+    val archived = Files.walk(arch).iterator().asScala
+      .filter(f => Files.isRegularFile(f) && f.toString.endsWith(".txt"))
+      .map(_.getFileName.toString).toSet
+    assert(archived.size >= 2,
+      s"committed files must be archived: archived=$archived remaining=$remaining")
+    assert(remaining.intersect(archived).isEmpty,
+      s"archived files must LEAVE the watched dir: $remaining vs $archived")
+    assert((remaining ++ archived) == Set("a.txt", "b.txt", "c.txt"),
+      s"no file may be lost: $remaining + $archived")
+  }
+
   test("parquet lake format writes the same records columnar") {
     val in = tmp("s4qin"); val lake = tmp("s4qlake"); val ck = tmp("s4qck")
     writeLines(in, "p.txt", Seq("rec-a", "rec-b", "rec-c"))
