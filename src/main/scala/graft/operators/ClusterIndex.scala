@@ -24,6 +24,14 @@ import org.apache.spark.sql.functions._
   *  - `<dir>/toks`     (id, sorted token set) PARTITIONED BY (_src, idb)
   *  - `<dir>/postings` (token, id, set size)  PARTITIONED BY (_src, tb)
   *  - `<dir>/df`       (token, doc freq)      PARTITIONED BY (tb) — frozen
+  *  - `<dir>/edges`    (u, v) similarity-graph adjacency log in the
+  *    deletion-safe set-node form ([[SetSimJoin.jaccardEdgesSetForm]]:
+  *    negative ids are virtual per-distinct-token-set nodes) plus
+  *    append-time verified doc-doc pairs — PARTITIONED BY (_src, eb).
+  *    [[remove]]'s scoped component re-split reads this log instead of
+  *    re-running a PPJoin over the affected components' members: the
+  *    difference between O(component edges) I/O and a corpus-class
+  *    similarity join per takedown. Probes never read it.
   *  - `<dir>/meta`     threshold + bucket count + corpus [[Fingerprint]]
   *
   * [[probe]] assigns INCOMING docs their component under the union
@@ -74,6 +82,17 @@ object ClusterIndex {
     * action (costs a re-execution per leg — debug channel only, the
     * same contract as GRAFT_CC_DEBUG). */
   private val probeDebug = sys.env.get("GRAFT_PROBE_DEBUG").contains("1")
+  /** GRAFT_REMOVE_DEBUG=1: time each remove() leg (same debug-only
+    * contract as GRAFT_PROBE_DEBUG). */
+  private val removeDebug = sys.env.get("GRAFT_REMOVE_DEBUG").contains("1")
+  private def rleg[T](name: String)(f: => T): T = {
+    if (removeDebug) {
+      val t0 = System.nanoTime()
+      val r = f
+      println(f"[remove] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    } else f
+  }
   private def dbg(name: String)(df: DataFrame): DataFrame = {
     if (probeDebug) {
       val t0 = System.nanoTime()
@@ -127,6 +146,12 @@ object ClusterIndex {
       .withColumn("tb", tb(col("_tok"), nBuckets))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$root/df")
+    // the adjacency log (deletion-safe set-node form) — same repGraph
+    // pass as `edges` above, re-expressed for storage; see class doc
+    SetSimJoin.jaccardEdgesSetForm(toks, idCol, "_toks", threshold)
+      .withColumn("_src", lit("build")).withColumn("eb", idb(col("u"), nBuckets))
+      .write.mode("overwrite").partitionBy("_src", "eb")
+      .parquet(s"$root/edges")
     val fp = Fingerprint.of(docs, Seq(idCol, textCol))
     Seq((threshold, nBuckets, fp._1, fp._2))
       .toDF("threshold", "n_buckets", "n_rows", "content_hash")
@@ -171,7 +196,13 @@ object ClusterIndex {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val success = new org.apache.hadoop.fs.Path(s"$root/assign/_SUCCESS")
     val fs = success.getFileSystem(conf)
-    if (!fs.exists(success) || !isFresh(s, indexDir, docs, idCol, textCol))
+    // a pre-r11 index has no adjacency log — remove() depends on it, so
+    // treat the index as stale and rebuild rather than leaving a tree
+    // that refuses takedowns
+    val edgesOk = fs.exists(
+      new org.apache.hadoop.fs.Path(s"$root/edges/_SUCCESS"))
+    if (!fs.exists(success) || !edgesOk ||
+        !isFresh(s, indexDir, docs, idCol, textCol))
       build(docs, idCol, textCol, indexDir, threshold, nBuckets)
   }
 
@@ -189,7 +220,7 @@ object ClusterIndex {
     * Pure query: mutates nothing. */
   private def probeParts(s: SparkSession, root: String, incoming: DataFrame,
                          idCol: String, textCol: String,
-                         excludeTag: Option[String]): (DataFrame, DataFrame, DataFrame) = {
+                         excludeTag: Option[String]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (t, nBuckets) = readMeta(s, root)
     // lazy checkpoints throughout: each frame's FIRST consumer (a bounded
     // collect or append's eager assignD checkpoint) materializes the
@@ -278,7 +309,10 @@ object ClusterIndex {
       .join(qcc, col("loser") === col("_ccid"))
       .filter(col("_cccomp") =!= col("loser"))
       .select(col("loser"), col("_cccomp").as("winner"))
-    (assignInc, merges, incToks)
+    // matches is returned UN-checkpointed: probe() never consumes it (no
+    // cost), append() writes it to the adjacency log (its one extra
+    // consumer re-executes the verify chain — delta-sized)
+    (assignInc, merges, incToks, matches)
   }
 
   /** Assign incoming docs their exact union-corpus component without
@@ -372,13 +406,14 @@ object ClusterIndex {
       fold("assign", "idb")
       fold("toks", "idb")
       fold("postings", "tb")
+      fold("edges", "eb")
       IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "df", Seq("tb"))
       IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
     } catch {
       case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
     }
     IndexMaintenance.finishCompact(conf, ctx,
-      legacyTables = Seq("assign", "toks", "postings", "df", "meta"))
+      legacyTables = Seq("assign", "toks", "postings", "df", "edges", "meta"))
     // the folded tree describes the same corpus of record: re-recording
     // would be wrong only if the corpus moved, which the fingerprint
     // still guards — nothing else to do here
@@ -450,11 +485,11 @@ object ClusterIndex {
       // victim set, the same static-partition-filter recipe as probe
       val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      val vToks = s.read.parquet(s"$root/toks")
+      val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
         .filter(col("idb").isin(vIdb: _*))
         .join(broadcast(vids), Seq(idCol), "leftsemi")
         .select(col(idCol), col("_toks"))
-        .localCheckpoint()
+        .localCheckpoint())
       if (!replay) {
         val known = vToks.select(col(idCol)).distinct().count()
         require(known == nV,
@@ -469,38 +504,64 @@ object ClusterIndex {
       // surviving members — discovered BEFORE any rewrite (a replay
       // whose victim rows are already gone finds nothing and skips the
       // re-split, which an earlier completed run already wrote)
-      val comps = s.read.parquet(s"$root/assign")
+      val comps = rleg("comps")(s.read.parquet(s"$root/assign")
         .filter(col("idb").isin(vIdb: _*))
         .join(broadcast(vids), Seq(idCol), "leftsemi")
-        .select(col("component")).distinct().localCheckpoint()
+        .select(col("component")).distinct().localCheckpoint())
       // one column-pruned scan of the (id, component) map restricted to
       // the affected components (comps is bounded by |victims|)
-      val survivors = s.read.parquet(s"$root/assign")
+      val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
         .join(broadcast(comps), Seq("component"))
         .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
         .join(broadcast(vids), Seq(idCol), "left_anti")
-        .localCheckpoint()
-      val survIdb = survivors.select(col("idb")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      // scoped re-split: exact CC over the induced subgraph on the
-      // surviving members (edges never crossed component boundaries, so
-      // this equals a fresh corpus-wide CC restricted to these docs)
+        .localCheckpoint())
+      val anySurvivors = !survivors.isEmpty
+      // Scoped re-split from the PERSISTED adjacency log — O(affected
+      // components' edges) I/O, never a similarity join (pre-r11 this
+      // re-ran PPJoin over the members: deleting a handful of docs from
+      // a 3.7k-member cluster cost ~a full corpus pass). The log stores
+      // build/delta connectivity in the deletion-safe set-node form
+      // (negative ids = virtual per-token-set nodes; see
+      // [[SetSimJoin.jaccardEdgesSetForm]]) plus append-time doc-doc
+      // pairs. Survivor subgraph rules: a doc vertex survives iff the
+      // doc survives; a SET node survives iff >= 1 of its member docs
+      // survives (its member rows define that); set-set edges hold iff
+      // both set nodes survive — exactly when the true pairwise doc
+      // graph retains those paths, because J(S,T) >= t links every
+      // member of S to every member of T directly.
       val newAssign =
-        if (survIdb.isEmpty) None
+        if (!anySurvivors) None
         else {
-          val survToks = s.read.parquet(s"$root/toks")
-            .filter(col("idb").isin(survIdb: _*))
-            .join(survivors.select(col(idCol)), Seq(idCol), "leftsemi")
-            .select(col(idCol), col("_toks"))
-          val edges = SetSimJoin.jaccardEdges(survToks, idCol, "_toks", thr)
-          val cc = ConnectedComponents.components(edges, "id2", "id1",
-            edgesNormalized = true)
+          val survIds = survivors.select(col(idCol).as("_sid"))
+          val edgesAll = s.read.parquet(s"$root/edges")
+          // doc->set membership rows among survivors decide set survival
+          val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+            .join(survIds, col("v") === col("_sid"), "leftsemi")
+            .select(col("u")).distinct().localCheckpoint()
+          // a member row whose doc survives has a live set by definition
+          val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+            .join(survIds, col("v") === col("_sid"), "leftsemi")
+          val setSetEdges = edgesAll.filter(col("u") < 0 && col("v") < 0)
+            .join(liveSets.select(col("u")), Seq("u"), "leftsemi")
+            .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi")
+          val docDocEdges = edgesAll.filter(col("u") >= 0 && col("v") >= 0)
+            .join(survIds, col("u") === col("_sid"), "leftsemi")
+            .join(survIds, col("v") === col("_sid"), "leftsemi")
+          val survEdges = memberEdges.unionByName(setSetEdges)
+            .unionByName(docDocEdges).select(col("u"), col("v"))
+          val cc = ConnectedComponents.components(survEdges, "u", "v")
             .select(col("id").as("_ccid"), col("component").as("_cccomp"))
-          Some(survivors.select(col(idCol))
+          // canonical component ids are the min MEMBER DOC id — the CC
+          // universe contains negative set nodes, whose ids must never
+          // leak into assignments
+          val docCc = survivors.select(col(idCol))
             .join(cc, col(idCol) === col("_ccid"), "left")
-            .select(col(idCol),
-              coalesce(col("_cccomp"), col(idCol)).as("_newcomp"))
-            .localCheckpoint())
+            .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("_rawcomp"))
+          val canon = docCc.groupBy(col("_rawcomp"))
+            .agg(min(col(idCol)).as("_canon"))
+          Some(rleg("resplit-cc")(docCc.join(canon, Seq("_rawcomp"))
+            .select(col(idCol), col("_canon").as("_newcomp"))
+            .localCheckpoint()))
         }
       // commit point FIRST (see the crash-safety note above)
       if (!replay) {
@@ -516,33 +577,49 @@ object ClusterIndex {
       // survivor re-assignment BEFORE victim rows leave assign (replay
       // discovery depends on them); victims' own rows pass through the
       // left join unmapped and are dropped right after
-      newAssign.foreach { na =>
-        val affected = survivors.select(col("_src"), col("idb")).distinct()
-          .collect().map(r => (r.getString(0), r.getLong(1)))
-        if (affected.nonEmpty) {
-          val srcs = affected.map(_._1).distinct.toSeq
-          val idbs = affected.map(_._2).distinct.toSeq
-          val rewritten = s.read.parquet(s"$root/assign")
-            .filter(col("_src").isin(srcs: _*) && col("idb").isin(idbs: _*))
+      // ONE combined assign rewrite: drop victim rows AND remap the
+      // surviving members of affected components (pre-r11 these were two
+      // passes rewriting overlapping partitions twice). Victim rows
+      // belong to affected components by definition, so marking by
+      // component covers both reasons a partition must be touched; a
+      // partition whose every row was a victim empties and its dir is
+      // removed (TargetedDelete mechanics). Crash-replay: partitions
+      // flip whole — a replayed remove re-discovers only the victims
+      // still present and converges per the ordering argument above.
+      val survIdb = survivors.select(col("idb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      rleg("assign-rewrite")(TargetedDelete.rewriteWhere(
+        s, s"$root/assign", Seq("_src", "idb"),
+        mark = df => df.join(broadcast(comps), Seq("component"), "left_semi"),
+        keep = df => {
+          val kept = df.join(broadcast(vids), Seq(idCol), "left_anti")
+          newAssign.fold(kept)(na => kept
             .join(na, Seq(idCol), "left")
-            .select(col(idCol),
-              coalesce(col("_newcomp"), col("component")).as("component"),
-              col("_src"), col("idb"))
-            .localCheckpoint() // fully read before its source is replaced
-          rewritten.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("_src", "idb").parquet(s"$root/assign")
-        }
-      }
+            .withColumn("component",
+              coalesce(col("_newcomp"), col("component")))
+            .drop("_newcomp"))
+        },
+        prePrune = col("idb").isin((vIdb ++ survIdb).distinct: _*)))
       // victim-row removal, dependency order: postings prune needs vToks
       // (kept until toks goes last); each is an idempotent pruned
       // rewrite with emptied-partition cleanup (TargetedDelete mechanics)
-      TargetedDelete.delete(s, s"$root/assign", Seq("_src", "idb"), idCol,
-        vids, col("idb").isin(vIdb: _*))
-      TargetedDelete.delete(s, s"$root/postings", Seq("_src", "tb"), idCol,
-        vids, col("tb").isin(vTb: _*))
-      TargetedDelete.delete(s, s"$root/toks", Seq("_src", "idb"), idCol,
-        vids, col("idb").isin(vIdb: _*))
+      rleg("del-postings")(TargetedDelete.delete(s, s"$root/postings",
+        Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*)))
+      rleg("del-toks")(TargetedDelete.delete(s, s"$root/toks",
+        Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*)))
+      // adjacency-log hygiene: a removed id MUST leave the log, or a
+      // later re-ingest under the same id would inherit the old text's
+      // edges and falsely merge clusters. One combined pass (the victim
+      // id may sit in either endpoint — two keyed deletes would rewrite
+      // overlapping partitions twice); the deletion list is
+      // driver-bounded by nature, so the isin predicate is fine. Dead
+      // set nodes (all members gone) keep their set-set rows: every
+      // consumer drops them at read time via the member-row liveness
+      // rule above; compaction folds them away with the generations.
+      val vidList = vids.collect().map(_.getLong(0)).toSeq
+      rleg("del-edges")(TargetedDelete.deleteWhere(s, s"$root/edges",
+        Seq("_src", "eb"),
+        col("u").isInCollection(vidList) || col("v").isInCollection(vidList)))
       // the corpus of record changed: freshness reverts to the
       // content-hash authority (recordCorpusStatus re-arms it)
       Fingerprint.clearSourceStatus(conf, indexDir)
@@ -611,8 +688,8 @@ object ClusterIndex {
         "tag would destroy the earlier batch's rows — pass a batch-unique " +
         "tag (the streaming loops use ck<runKey>_b<batchId>)")
     val tagS = sanitize(tag)
-    val (assignInc, merges, toksD) = probeParts(s, root, delta, idCol,
-      textCol, excludeTag = Some(tag))
+    val (assignInc, merges, toksD, matchPairs) = probeParts(s, root, delta,
+      idCol, textCol, excludeTag = Some(tag))
     // materialize BEFORE any write mutates the partitions they were read
     // from (the dynamic overwrites below touch the same tables; toksD is
     // probeParts' already-checkpointed tokenization — not recomputed)
@@ -632,6 +709,19 @@ object ClusterIndex {
     dynOverwrite(
       assignD.withColumn("_src", lit(tagS)).withColumn("idb", idb(col(idCol), nBuckets)),
       Seq("_src", "idb"), s"$root/assign")
+    // adjacency-log maintenance: the delta's own connectivity in the
+    // deletion-safe set-node form + every verified delta->indexed pair
+    // (matchPairs is pair-distinct — cands was). Tag-scoped dynamic
+    // overwrite like the other tables: replay rewrites its partitions.
+    val deltaEdges = SetSimJoin
+      .jaccardEdgesSetForm(toksD, idCol, "_toks", thr)
+      .unionByName(matchPairs.select(
+        least(col("_inc"), col("_ref")).as("u"),
+        greatest(col("_inc"), col("_ref")).as("v")))
+    dynOverwrite(
+      deltaEdges.withColumn("_src", lit(tagS))
+        .withColumn("eb", idb(col("u"), nBuckets)),
+      Seq("_src", "eb"), s"$root/edges")
     // targeted re-assignment of bridged components: rewrite ONLY the
     // partitions that hold a loser's members. Reading the affected rows
     // is one predicate-pushed scan of the (id, component) map — orders

@@ -167,6 +167,30 @@ object SetSimJoin {
       .unionByName(repPairs.select(col("id1"), col("id2")))
   }
 
+  /** The same connectivity as [[jaccardEdges]] in a DELETION-SAFE form
+    * (the persisted edge log [[ClusterIndex]] keeps for its scoped
+    * re-split): each distinct token SET becomes a virtual node with id
+    * `-(rep doc id) - 1` (negative — disjoint from the non-negative doc
+    * id namespace, and stable because the rep is the set's min member at
+    * this pass), every member doc links to its set node, and set-set
+    * edges connect the NODES, not the rep docs. Why the star form
+    * cannot be stored: its hub is a real doc, so deleting the rep would
+    * sever member-member connectivity that the true similarity graph
+    * (where identical docs are pairwise linked) retains; the set node
+    * can never be a deletion victim, and a consumer drops a set node
+    * exactly when its last member doc is gone — which is also exactly
+    * when the true graph loses those paths. Set-set edges are honest
+    * under deletion too: J(S,T) >= t means EVERY surviving member of S
+    * pairs with every surviving member of T directly. */
+  def jaccardEdgesSetForm(toks: DataFrame, idCol: String, toksCol: String,
+                          t: Double): DataFrame = {
+    val (members, repPairs) = repGraph(toks, idCol, toksCol, t, needScores = false)
+    members
+      .select((-col("_rep") - 1).as("u"), col("_mid").as("v"))
+      .unionByName(repPairs.select(
+        (-col("id1") - 1).as("u"), (-col("id2") - 1).as("v")))
+  }
+
   /** Shared dedup-first structure (Dedup.scala's own prescription, VERDICT
     * r3 item 2): docs with IDENTICAL token sets are grouped before the
     * prefix join — the PPJoin machinery runs over one representative per

@@ -42,42 +42,83 @@ object TargetedDelete {
   def delete(spark: SparkSession, tableDir: String, partitionCols: Seq[String],
              keyCol: String, keys: DataFrame,
              prePrune: org.apache.spark.sql.Column = lit(true)): Long = {
+    // pinned: a deletion list is small by nature, and the checkpoint
+    // also keeps pass 1's input_file_name projection single-source
+    // (the analyzer rejects it over a plan with two file relations —
+    // e.g. keys read from another parquet table)
+    val keyList = keys.select(col(keyCol)).distinct().localCheckpoint()
+    deleteImpl(spark, tableDir, partitionCols, prePrune,
+      mark = df => df.join(broadcast(keyList), Seq(keyCol), "left_semi"),
+      keep = df => df.join(broadcast(keyList), Seq(keyCol), "left_anti"))
+  }
+
+  /** Predicate variant: delete every row matching `victim` (a row-level
+    * boolean Column) in one pass. For a MULTI-column victim condition —
+    * e.g. the cluster index's adjacency log, where a doc id may sit in
+    * either endpoint — one combined pass rewrites each touched partition
+    * once, where two keyed [[delete]] calls would rewrite overlapping
+    * partitions twice. The predicate should be driver-bounded (isin
+    * over a small deletion list); for large key sets use the keyed
+    * variant's broadcast join. */
+  def deleteWhere(spark: SparkSession, tableDir: String,
+                  partitionCols: Seq[String],
+                  victim: org.apache.spark.sql.Column,
+                  prePrune: org.apache.spark.sql.Column = lit(true)): Long =
+    deleteImpl(spark, tableDir, partitionCols, prePrune,
+      mark = df => df.filter(victim),
+      keep = df => df.filter(!victim))
+
+  /** General partition-surgery variant: `mark` selects the rows whose
+    * partitions must be rewritten, `keep` maps the touched slice to its
+    * replacement rows (it may drop AND transform — e.g. the cluster
+    * index's combined victim-removal + component-remap pass). Same
+    * touched-partition discovery, dynamic overwrite, and emptied-dir
+    * cleanup as [[delete]]. */
+  def rewriteWhere(spark: SparkSession, tableDir: String,
+                   partitionCols: Seq[String],
+                   mark: DataFrame => DataFrame,
+                   keep: DataFrame => DataFrame,
+                   prePrune: org.apache.spark.sql.Column = lit(true)): Long =
+    deleteImpl(spark, tableDir, partitionCols, prePrune, mark, keep)
+
+  private def deleteImpl(spark: SparkSession, tableDir: String,
+                         partitionCols: Seq[String],
+                         prePrune: org.apache.spark.sql.Column,
+                         mark: DataFrame => DataFrame,
+                         keep: DataFrame => DataFrame): Long = {
     require(partitionCols.nonEmpty,
       "targeted delete needs a partitioned table; unpartitioned = full rewrite")
     val table = spark.read.parquet(tableDir).filter(prePrune)
-    val keyList = keys.select(col(keyCol)).distinct()
     // Partition-col joins must be NULL-SAFE: parquet surfaces the
     // __HIVE_DEFAULT_PARTITION__ dir as null partition values, and a
     // plain equi-join would never match them — victims in a null
     // partition would silently survive the delete.
     def partMatch(a: DataFrame, b: DataFrame) =
       partitionCols.map(c => a(c) <=> b(c)).reduce(_ && _)
-    // pass 1: which partitions hold victims? (pruned to partition cols)
-    val touched = table
-      .join(broadcast(keyList), Seq(keyCol), "left_semi")
-      .select(partitionCols.map(col): _*).distinct()
-      .localCheckpoint(true)
+    // pass 1: which partitions hold victims, AND those partitions'
+    // ON-DISK directories, in ONE scan. The dir comes from the files
+    // themselves (parent of input_file_name) captured BEFORE the
+    // overwrite: reconstructing "$c=$v" from partition VALUES is a trap
+    // twice over — Spark percent-escapes path chars and renders null as
+    // __HIVE_DEFAULT_PARTITION__, and partition type INFERENCE can
+    // change the value's string form entirely (dir `day=01` reads back
+    // as long 1 → "day=1" names a path that does not exist, fs.delete
+    // returns false, exists() is false, and the victim files silently
+    // survive). Every file of a partition shares one parent dir, and
+    // any marked row's file lives in its partition's dir, so the marked
+    // rows alone name every touched dir. Driver-sized result.
+    val dirOfPart = mark(table)
+      .select(partitionCols.map(col) :+
+        expr("regexp_replace(input_file_name(), '/[^/]*$', '')").as("_dir"): _*)
+      .distinct()
+      .localCheckpoint(true) // pin before the overwrite invalidates it
+    val touched = dirOfPart.select(partitionCols.map(col): _*).distinct()
+      .localCheckpoint(true) // driver-sized; reused for slice + emptied
     val n = touched.count()
     if (n > 0L) {
-      // pass 2: re-read ONLY those partitions, drop victims, overwrite
+      // pass 2: re-read ONLY those partitions, transform, overwrite
       val slice = table.join(broadcast(touched), partMatch(table, touched), "left_semi")
-      // The ON-DISK directory of every touched partition, captured from
-      // the files themselves BEFORE the overwrite (parent of
-      // input_file_name). Reconstructing "$c=$v" from the partition
-      // VALUES is a trap twice over: Spark percent-escapes path chars
-      // and renders null as __HIVE_DEFAULT_PARTITION__, and partition
-      // type INFERENCE can change the value's string form entirely
-      // (dir `day=01` reads back as long 1 → "day=1" names a path that
-      // does not exist, fs.delete returns false, exists() is false, and
-      // the victim files silently survive). The filesystem's own path
-      // needs no rendering. Driver-sized: one row per touched partition.
-      val dirOfPart = slice
-        .select(partitionCols.map(col) :+
-          expr("regexp_replace(input_file_name(), '/[^/]*$', '')").as("_dir"): _*)
-        .distinct() // every file of a partition shares one parent dir
-        .localCheckpoint(true) // pin before the overwrite invalidates it
-      val remaining = slice
-        .join(broadcast(keyList), Seq(keyCol), "left_anti")
+      val remaining = keep(slice)
         .select(table.columns.map(col): _*)
         .localCheckpoint() // eager: the write overwrites what was read
       remaining

@@ -840,6 +840,86 @@ object S4Stream {
     }
   }
 
+  /** One micro-batch of [[indexedTakedownStream]], exposed for direct
+    * replay testing. Crash safety hinges on the STAGED victim snapshot:
+    * the index remove subtracts the victims' exact (id, text)
+    * fingerprint, so a replay must present the SAME rows — but the lake
+    * leg deletes them. Staging under `<lakeDir>/.takedown/batch=<id>`
+    * (written once; a replay whose staging exists reuses it verbatim)
+    * makes every replay boundary converge:
+    *
+    *  - crash after staging / after the index remove: replay re-reads
+    *    the staged rows, the remove's (tag, fingerprint) record makes
+    *    the re-remove a no-op, the lake delete proceeds;
+    *  - crash after the lake delete: staged rows still drive the same
+    *    no-op remove; lake delete is idempotent;
+    *  - crash after the staging cleanup: the lake holds none of the
+    *    ids, so the replay stages an empty set and no-ops through to
+    *    the marker.
+    *
+    * Without the staging, a crash mid-lake-delete would replay with a
+    * SUBSET of the victims — a different fingerprint under the used
+    * removal tag, which remove() rightly refuses, and the loop would
+    * crash forever. */
+  private[graft] def processTakedownBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, lakeDir: String,
+      runKey: String): Unit = {
+    val s = batch.sparkSession
+    val tag = s"ck${runKey}_b$batchId"
+    appliedOnce(s, indexDir, runKey, batchId) {
+      if (!batch.isEmpty) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val staging = s"$lakeDir/.takedown/batch=$batchId"
+        val stagingSuccess = new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")
+        val fs = stagingSuccess.getFileSystem(conf)
+        if (!fs.exists(stagingSuccess)) {
+          // first attempt: snapshot the victims' docs OF RECORD out of
+          // the lake (ids never ingested, or already taken down, simply
+          // do not match)
+          val ids = batch.select(col(idCol)).distinct().localCheckpoint()
+          s.read.parquet(lakeDir)
+            .select(col(idCol), col(textCol))
+            .join(broadcast(ids), Seq(idCol), "leftsemi")
+            .write.mode("overwrite").parquet(staging)
+        }
+        val victims = s.read.parquet(staging).localCheckpoint()
+        if (!victims.isEmpty) {
+          // INDEX FIRST (see the crash-boundary walkthrough above)
+          graft.operators.TextIndex.remove(victims, idCol, textCol,
+            indexDir, tag)
+          graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
+            idCol, victims.select(col(idCol)))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+    }
+  }
+
+  /** STREAMING right-to-be-forgotten against the text ingest loop — the
+    * continuous takedown queue a production curation lake runs beside
+    * [[indexedDedupStream]]: per micro-batch of victim DOC IDS, snapshot
+    * their rows out of the batchId-keyed lake, remove them from the
+    * persisted near-dup text index ([[graft.operators.TextIndex.remove]]
+    * — probes go blind, the meta fingerprint subtracts exactly), and
+    * scrub the lake partitions that held them
+    * ([[graft.operators.TargetedDelete]]). Replay idempotence is the
+    * family marker contract plus a staged victim snapshot (see
+    * [[processTakedownBatch]]). Note the loud-failure edge: ids from an
+    * ingest batch that crashed BEFORE its index append replays cannot be
+    * taken down until that ingest replay completes — remove() refuses
+    * victims the index does not hold, rather than silently
+    * under-subtracting. */
+  def indexedTakedownStream(victimIds: DataFrame, idCol: String,
+                            textCol: String, indexDir: String,
+                            lakeDir: String, checkpointDir: String,
+                            availableNow: Boolean = false): StreamingQuery = {
+    lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
+    startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
+      processTakedownBatch(batch, batchId, idCol, textCol,
+        indexDir, lakeDir, runKey)
+    }
+  }
+
   def indexedDedupStream(docs: DataFrame, idCol: String, textCol: String,
                          indexDir: String, lakeDir: String,
                          checkpointDir: String,

@@ -70,6 +70,32 @@ class IndexRemoveSpec extends SparkSpec {
     }
   }
 
+  test("removing an identical-clique REPRESENTATIVE keeps the clique together") {
+    // The r11 adjacency log stores build connectivity in set-node form
+    // precisely for this case: docs 10/20/30 share ONE token set, so
+    // the sparse star form would route 20-30's connectivity through rep
+    // 10 — storing that and deleting 10 would falsely split them. The
+    // virtual set node can never be a victim, so the clique holds.
+    val t = span(0, 50)
+    val corpus = Seq((10L, t), (20L, t), (30L, t), (40L, span(100, 150)))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_clique").toString
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    assert(assignMap(dir) === Map(10L -> 10L, 20L -> 10L, 30L -> 10L, 40L -> 40L))
+    ClusterIndex.remove(Seq((10L, t)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "repkill")
+    val after = assignMap(dir)
+    assert(after === Map(20L -> 20L, 30L -> 20L, 40L -> 40L),
+      s"survivors of the clique must stay one component under rep 20: $after")
+    assert(ClusterIndex.isFresh(spark, dir,
+      Seq((20L, t), (30L, t), (40L, span(100, 150))).toDF("doc_id", "text"),
+      "doc_id", "text"))
+    // and a second removal from the same clique still works off the log
+    ClusterIndex.remove(Seq((20L, t)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "repkill2")
+    assert(assignMap(dir) === Map(30L -> 30L, 40L -> 40L))
+  }
+
   test("cluster remove replays idempotently and refuses unknown victims") {
     val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
     val corpus = Seq(a, b).toDF("doc_id", "text")

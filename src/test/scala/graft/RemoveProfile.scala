@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One-off leg profiler for doc_cluster_index_remove (r11 tuning). */
+object RemoveProfile {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    def leg[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      println(f"[rmprof] $name%-18s ${(System.nanoTime() - t0) / 1e9}%7.2f s"); r
+    }
+    (1 to 2).foreach { round =>
+      println(s"=== round $round ===")
+      val conf = spark.sparkContext.hadoopConfiguration
+      val base = leg("ensure-base") { graft.queries.TextPipeline.ensureClusterIndex(spark, dir) }
+      val key = graft.Tables.fixtureKey(dir)
+      val tmp = System.getProperty("java.io.tmpdir")
+      val scratch = s"$tmp/graft_clusteridx_rm/$key"
+      leg("snapshot-copy") {
+        val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+        fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+        org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(base),
+          fs, new org.apache.hadoop.fs.Path(scratch), false, conf)
+      }
+      val lake = s"$tmp/graft_rmlake/$key"
+      val docs = graft.Tables.documents(spark, dir)
+      leg("lake-write") {
+        docs.write.mode("overwrite").partitionBy("source").parquet(lake)
+      }
+      val victims = leg("victims-pin") {
+        docs.filter(col("doc_id") % 37 === 0)
+          .select(col("doc_id"), col("text")).localCheckpoint()
+      }
+      leg("lake-delete") {
+        graft.operators.TargetedDelete.delete(spark, lake, Seq("source"),
+          "doc_id", victims.select(col("doc_id")))
+      }
+      leg("index-remove") {
+        graft.operators.ClusterIndex.remove(victims, "doc_id", "text",
+          scratch, tag = "takedown")
+      }
+      leg("serve") {
+        graft.operators.ClusterIndex.assignments(spark, scratch, "doc_id")
+          .join(spark.read.parquet(lake).select(col("doc_id")), Seq("doc_id"), "leftsemi")
+          .orderBy(col("doc_id")).count()
+      }
+    }
+    spark.stop()
+  }
+}

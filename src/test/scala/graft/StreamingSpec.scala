@@ -488,6 +488,72 @@ class StreamingSpec extends SparkSpec {
       s"stream-appended doc must be visible to batch probes: ${probe.mkString(",")}")
   }
 
+  test("takedown stream: victims leave the lake AND the index; replay converges") {
+    import spark.implicits._
+    val in = tmp("tkin"); val lake = tmp("tklake"); val ck = tmp("tkck")
+    val idx = tmp("tkidx").toString
+    def txt(seed: Int) = (0 until 20).map(i => s"ktok${seed}_$i").mkString(" ")
+    graft.operators.TextIndex.build(
+      Seq((1L, txt(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    // ingest two batches through the production dedup loop
+    S4Stream.processIndexedDedupBatch(
+      Seq((101L, txt(2)), (102L, txt(3))).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, lake.toString, "runIn")
+    S4Stream.processIndexedDedupBatch(
+      Seq((103L, txt(4))).toDF("doc_id", "text"),
+      1L, "doc_id", "text", idx, lake.toString, "runIn")
+    def lakeIds = spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def probeHits(seed: Int) = graft.operators.TextIndex.probe(spark, idx,
+      Seq((900L, txt(seed))).toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(lakeIds === Set(101L, 102L, 103L))
+    assert(probeHits(2) == 1L, "pre-takedown: the victim's text must flag")
+    // the takedown QUEUE, driven through the real streaming wiring
+    writeLines(in, "t1.json", Seq("""{"doc_id": 101}""", """{"doc_id": 103}"""))
+    val src = spark.readStream.schema("doc_id LONG").json(in.toString)
+    S4Stream.indexedTakedownStream(src, "doc_id", "text", idx,
+      lake.toString, ck.toString, availableNow = true).awaitTermination()
+    assert(lakeIds === Set(102L), "victims must leave the lake")
+    assert(probeHits(2) == 0L && probeHits(4) == 0L,
+      "probes must go blind to taken-down docs")
+    assert(probeHits(3) == 1L, "survivors must still flag")
+    // the index fingerprint tracks the surviving corpus of record
+    val survivors = Seq((1L, txt(1)), (102L, txt(3))).toDF("doc_id", "text")
+    assert(graft.operators.TextIndex.isFresh(spark, idx, survivors,
+      "doc_id", "text"), "fingerprint must subtract the victims exactly")
+    // crash window 1: marker lost AFTER full completion — the replay
+    // finds no victim rows in the lake, stages an empty set, and no-ops
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    // the applied/ namespace holds the INGEST loop's markers too
+    // (ckrunIn_b*): pick the takedown stream's, keyed by its query id
+    val marker = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/applied"))
+      .map(_.getPath)
+      .find(p => p.getName.endsWith("_b0") && !p.getName.contains("runIn")).get
+    assert(fs.delete(marker, false))
+    S4Stream.processTakedownBatch(Seq(101L, 103L).toDF("doc_id"), 0L,
+      "doc_id", "text", idx, lake.toString,
+      marker.getName.stripPrefix("ck").split("_b0").head)
+    assert(lakeIds === Set(102L) && probeHits(3) == 1L)
+    assert(graft.operators.TextIndex.isFresh(spark, idx, survivors,
+      "doc_id", "text"), "empty replay must not drift the fingerprint")
+    // crash window 2: staging survived (crash after the lake delete,
+    // before cleanup) — the replay re-presents the ORIGINAL victim rows;
+    // the (tag, fingerprint) record makes the re-remove a no-op
+    assert(fs.delete(marker, false))
+    Seq((101L, txt(2)), (103L, txt(4))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$lake/.takedown/batch=0")
+    S4Stream.processTakedownBatch(Seq(101L, 103L).toDF("doc_id"), 0L,
+      "doc_id", "text", idx, lake.toString,
+      marker.getName.stripPrefix("ck").split("_b0").head)
+    assert(lakeIds === Set(102L) && probeHits(2) == 0L && probeHits(3) == 1L)
+    assert(graft.operators.TextIndex.isFresh(spark, idx, survivors,
+      "doc_id", "text"),
+      "staged replay must hit the replay record, not double-subtract")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$lake/.takedown/batch=0")),
+      "replay must clean its staging")
+  }
+
   test("indexed SEMANTIC dedup stream: probe cells, keep novel, append — across runs") {
     import spark.implicits._
     val in = tmp("svin"); val lake = tmp("svlake"); val ck = tmp("svck")
