@@ -406,7 +406,20 @@ object ClusterIndex {
       fold("assign", "idb")
       fold("toks", "idb")
       fold("postings", "tb")
-      fold("edges", "eb")
+      // edges fold also GCs DANGLING set-set rows: a remove() that
+      // deleted a set's last member leaves its set-set edges behind
+      // (consumers drop them at read via the member-liveness rule);
+      // compaction is the natural point to drop them physically
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "edges",
+        Seq("_src", "eb"), remap = Map("_src" -> foldSrc),
+        transform = { df =>
+          val liveSets = df.filter(col("u") < 0 && col("v") >= 0)
+            .select(col("u")).distinct()
+          df.filter(!(col("u") < 0 && col("v") < 0))
+            .unionByName(df.filter(col("u") < 0 && col("v") < 0)
+              .join(liveSets, Seq("u"), "leftsemi")
+              .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi"))
+        })
       IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "df", Seq("tb"))
       IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
     } catch {

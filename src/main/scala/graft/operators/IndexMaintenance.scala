@@ -238,9 +238,11 @@ private[graft] object IndexMaintenance {
     * generation fold) before the repartition. */
   def foldTable(s: SparkSession, fromDir: String, tmpDir: String,
                 table: String, partCols: Seq[String],
-                remap: Map[String, Column] = Map.empty): Unit = {
-    val base = s.read.option("mergeSchema", "true")
-      .parquet(s"$fromDir/$table")
+                remap: Map[String, Column] = Map.empty,
+                transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame =
+                  identity): Unit = {
+    val base = transform(s.read.option("mergeSchema", "true")
+      .parquet(s"$fromDir/$table"))
     val remapped = remap.foldLeft(base) { case (df, (name, expr)) =>
       df.withColumn(name, expr)
     }

@@ -920,6 +920,56 @@ object S4Stream {
     }
   }
 
+  /** Vector-side sibling of [[processTakedownBatch]]: same staged
+    * victim snapshot and crash-boundary contract, with
+    * [[graft.operators.VectorIndex.remove]] as the index leg (the
+    * semantic ingest loop's lake stores `(id, embedding)`). */
+  private[graft] def processVectorTakedownBatch(batch: DataFrame, batchId: Long,
+      idCol: String, vecCol: String, indexDir: String, lakeDir: String,
+      runKey: String): Unit = {
+    val s = batch.sparkSession
+    val tag = s"ck${runKey}_b$batchId"
+    appliedOnce(s, indexDir, runKey, batchId) {
+      if (!batch.isEmpty) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val staging = s"$lakeDir/.takedown/batch=$batchId"
+        val stagingSuccess = new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")
+        val fs = stagingSuccess.getFileSystem(conf)
+        if (!fs.exists(stagingSuccess)) {
+          val ids = batch.select(col(idCol)).distinct().localCheckpoint()
+          s.read.parquet(lakeDir)
+            .select(col(idCol), col(vecCol))
+            .join(broadcast(ids), Seq(idCol), "leftsemi")
+            .write.mode("overwrite").parquet(staging)
+        }
+        val victims = s.read.parquet(staging).localCheckpoint()
+        if (!victims.isEmpty) {
+          graft.operators.VectorIndex.remove(victims, indexDir,
+            corpusId = idCol, corpusVec = vecCol, tag = tag)
+          graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
+            idCol, victims.select(col(idCol)))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+    }
+  }
+
+  /** STREAMING right-to-be-forgotten against the SEMANTIC ingest loop
+    * ([[indexedSemanticDedupStream]]'s lake + the persisted IVF index):
+    * victims stop matching [[graft.operators.VectorIndex.probeDups]] /
+    * `topK` and leave the lake, with the staged-snapshot replay contract
+    * of the text sibling ([[indexedTakedownStream]]). */
+  def indexedVectorTakedownStream(victimIds: DataFrame, idCol: String,
+                                  vecCol: String, indexDir: String,
+                                  lakeDir: String, checkpointDir: String,
+                                  availableNow: Boolean = false): StreamingQuery = {
+    lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
+    startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
+      processVectorTakedownBatch(batch, batchId, idCol, vecCol,
+        indexDir, lakeDir, runKey)
+    }
+  }
+
   def indexedDedupStream(docs: DataFrame, idCol: String, textCol: String,
                          indexDir: String, lakeDir: String,
                          checkpointDir: String,

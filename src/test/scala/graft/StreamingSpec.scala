@@ -554,6 +554,75 @@ class StreamingSpec extends SparkSpec {
       "replay must clean its staging")
   }
 
+  test("vector takedown: victims leave the lake and the IVF index; compact GCs edges") {
+    import spark.implicits._
+    val in = tmp("vtkin"); val lake = tmp("vtklake"); val ck = tmp("vtkck")
+    val idx = tmp("vtkidx").toString
+    graft.operators.VectorIndex.build(
+      Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), idx, nlist = 2)
+    // ingest one batch through the semantic loop
+    S4Stream.processIndexedSemanticBatch(
+      Seq((101L, Seq(0.1f, 0.95f, 0.2f, 0f)), (102L, Seq(0.9f, 0.1f, 0.1f, 0f)))
+        .toDF("vec_id", "embedding"),
+      0L, "vec_id", "embedding", idx, lake.toString, 0.99, "runVin")
+    def lakeIds = spark.read.parquet(lake.toString)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(lakeIds === Set(101L, 102L))
+    val clone101 = Seq((900L, Seq(0.1f, 0.95f, 0.2f, 0f)))
+      .toDF("vec_id", "embedding").localCheckpoint()
+    assert(graft.operators.VectorIndex
+      .probeDups(spark, idx, clone101, tau = 0.999).count() == 1L)
+    // the takedown queue through the real stream wiring
+    writeLines(in, "v1.json", Seq("""{"vec_id": 101}"""))
+    val src = spark.readStream.schema("vec_id LONG").json(in.toString)
+    S4Stream.indexedVectorTakedownStream(src, "vec_id", "embedding", idx,
+      lake.toString, ck.toString, availableNow = true).awaitTermination()
+    assert(lakeIds === Set(102L), "victim must leave the lake")
+    assert(graft.operators.VectorIndex
+      .probeDups(spark, idx, clone101, tau = 0.999).count() == 0L,
+      "dup-probe must go blind to the taken-down vector")
+    val survivors = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (102L, Seq(0.9f, 0.1f, 0.1f, 0f))).toDF("vec_id", "embedding")
+    assert(graft.operators.VectorIndex.isFresh(spark, idx, survivors),
+      "fingerprint must subtract the victim exactly")
+  }
+
+  test("cluster compaction GCs dangling set-set edges after a whole-set removal") {
+    import spark.implicits._
+    def t(n: Int) = (0 until 24).map(i => s"gtok${n}_$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("edgegc").toString
+    // A(10)=B(20) identical (one set, two members); C(30) a distinct set
+    // near-duping them is impossible with disjoint vocab — use a third
+    // identical member instead and an unrelated doc
+    val corpus = Seq((10L, t(1)), (20L, t(1)), (30L, t(9)))
+      .toDF("doc_id", "text")
+    graft.operators.ClusterIndex.build(corpus, "doc_id", "text", dir)
+    // remove BOTH members of the set: its set node dies
+    graft.operators.ClusterIndex.remove(
+      Seq((10L, t(1)), (20L, t(1))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "gc1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def edges(root: String) = spark.read.parquet(s"$root/edges")
+    val preRoot = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    // the dead set's member rows went with the victims; no doc rows remain
+    assert(edges(preRoot).filter(col("v") >= 0 && col("v").isin(10L, 20L))
+      .count() == 0L, "victim member rows must be gone")
+    graft.operators.ClusterIndex.compact(spark, dir, foldUnmarkedTags = true)
+    val postRoot = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    // every surviving set-set row references sets that still have members
+    val live = edges(postRoot).filter(col("u") < 0 && col("v") >= 0)
+      .select(col("u")).distinct().collect().map(_.getLong(0)).toSet
+    val ss = edges(postRoot).filter(col("u") < 0 && col("v") < 0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(ss.forall(p => live(p._1) && live(p._2)),
+      s"dangling set-set rows must be GC'd: $ss vs live $live")
+    // and the surviving corpus still answers correctly
+    val m = graft.operators.ClusterIndex.assignments(spark, dir, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m === Map(30L -> 30L), s"post-GC assignments drifted: $m")
+  }
+
   test("indexed SEMANTIC dedup stream: probe cells, keep novel, append — across runs") {
     import spark.implicits._
     val in = tmp("svin"); val lake = tmp("svlake"); val ck = tmp("svck")
