@@ -498,11 +498,15 @@ object ClusterIndex {
       // victim set, the same static-partition-filter recipe as probe
       val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
         .distinct().collect().map(_.getLong(0)).toSeq
+      // lazy checkpoints below (the probe's small-delta lesson): the
+      // first consumer materializes inside its own job, so the removal
+      // pays no standalone checkpoint jobs — sequential job count, not
+      // data volume, dominates on bounded victim sets
       val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
         .filter(col("idb").isin(vIdb: _*))
         .join(broadcast(vids), Seq(idCol), "leftsemi")
         .select(col(idCol), col("_toks"))
-        .localCheckpoint())
+        .localCheckpoint(eager = false))
       if (!replay) {
         val known = vToks.select(col(idCol)).distinct().count()
         require(known == nV,
@@ -520,14 +524,14 @@ object ClusterIndex {
       val comps = rleg("comps")(s.read.parquet(s"$root/assign")
         .filter(col("idb").isin(vIdb: _*))
         .join(broadcast(vids), Seq(idCol), "leftsemi")
-        .select(col("component")).distinct().localCheckpoint())
+        .select(col("component")).distinct().localCheckpoint(eager = false))
       // one column-pruned scan of the (id, component) map restricted to
       // the affected components (comps is bounded by |victims|)
       val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
         .join(broadcast(comps), Seq("component"))
         .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
         .join(broadcast(vids), Seq(idCol), "left_anti")
-        .localCheckpoint())
+        .localCheckpoint(eager = false))
       val anySurvivors = !survivors.isEmpty
       // Scoped re-split from the PERSISTED adjacency log — O(affected
       // components' edges) I/O, never a similarity join (pre-r11 this
@@ -550,7 +554,7 @@ object ClusterIndex {
           // doc->set membership rows among survivors decide set survival
           val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
             .join(survIds, col("v") === col("_sid"), "leftsemi")
-            .select(col("u")).distinct().localCheckpoint()
+            .select(col("u")).distinct().localCheckpoint(eager = false)
           // a member row whose doc survives has a live set by definition
           val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
             .join(survIds, col("v") === col("_sid"), "leftsemi")
