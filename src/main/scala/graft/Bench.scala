@@ -188,7 +188,9 @@ object Bench {
     // Skipped when a BENCH_ONLY subset doesn't include the query.
     val csvSplit = if (!selected.contains("scan_csv_roundtrip")) """{}""" else try {
       val w0 = System.nanoTime()
-      val path = graft.queries.Scans.csvWrite(spark, sfDir)
+      // force = true: stage-once would make this a marker-check no-op on
+      // a warmed box and write_s would silently measure nothing
+      val path = graft.queries.Scans.csvWrite(spark, sfDir, force = true)
       val wS = (System.nanoTime() - w0) / 1e9
       val r0 = System.nanoTime()
       graft.queries.Scans.csvRead(spark, path).count()

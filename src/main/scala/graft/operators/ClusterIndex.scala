@@ -28,10 +28,11 @@ import org.apache.spark.sql.functions._
   *    deletion-safe set-node form ([[SetSimJoin.jaccardEdgesSetForm]]:
   *    negative ids are virtual per-distinct-token-set nodes) plus
   *    append-time verified doc-doc pairs — PARTITIONED BY (_src, eb).
-  *    [[remove]]'s scoped component re-split reads this log instead of
-  *    re-running a PPJoin over the affected components' members: the
-  *    difference between O(component edges) I/O and a corpus-class
-  *    similarity join per takedown. Probes never read it.
+  *    [[remove]]'s scoped component re-split reads this log (one
+  *    narrow-table pass + the hygiene rewrite) instead of re-running a
+  *    PPJoin over the affected components' members: log I/O in place of
+  *    a corpus-class similarity join per takedown (31% faster at sf1,
+  *    slope 1.76x vs 3.05x — SCALING.md r11). Probes never read it.
   *  - `<dir>/meta`     threshold + bucket count + corpus [[Fingerprint]]
   *
   * [[probe]] assigns INCOMING docs their component under the union
@@ -120,7 +121,15 @@ object ClusterIndex {
     IndexMaintenance.withLease(conf0, indexDir, "write") {
     val root = IndexMaintenance.liveRoot(conf0, indexDir)
     val toks = tokenize(docs, idCol, textCol).localCheckpoint()
-    val edges = SetSimJoin.jaccardEdges(toks, idCol, "_toks", threshold)
+    // the edge log's sign-based vertex classification needs non-negative
+    // doc ids — enforce loudly (one tiny agg against checkpointed toks)
+    val minId = toks.agg(min(col(idCol))).head().getLong(0)
+    require(minId >= 0L,
+      s"ClusterIndex requires non-negative doc ids (got min $minId): the " +
+        "persisted edge log encodes virtual set nodes as negative ids")
+    // ONE repGraph pass feeds both the CC input and the persisted log
+    val (edges, edgeLog) = SetSimJoin.jaccardEdgesWithLog(
+      toks, idCol, "_toks", threshold, salt = "build")
     val cc = ConnectedComponents.components(edges, "id2", "id1",
       edgesNormalized = true)
       .select(col("id").as("_ccid"), col("component").as("_cccomp"))
@@ -146,9 +155,9 @@ object ClusterIndex {
       .withColumn("tb", tb(col("_tok"), nBuckets))
       .write.mode("overwrite").partitionBy("tb")
       .parquet(s"$root/df")
-    // the adjacency log (deletion-safe set-node form) — same repGraph
-    // pass as `edges` above, re-expressed for storage; see class doc
-    SetSimJoin.jaccardEdgesSetForm(toks, idCol, "_toks", threshold)
+    // the adjacency log (deletion-safe set-node form; see class doc) —
+    // derived from the SAME repGraph pass as the CC input above
+    edgeLog
       .withColumn("_src", lit("build")).withColumn("eb", idb(col("u"), nBuckets))
       .write.mode("overwrite").partitionBy("_src", "eb")
       .parquet(s"$root/edges")
@@ -471,7 +480,7 @@ object ClusterIndex {
              indexDir: String, tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
-    IndexMaintenance.withLease(conf, indexDir, "write") {
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val m = s.read.parquet(s"$root/meta").head()
     val thr = m.getAs[Double]("threshold")
@@ -550,7 +559,13 @@ object ClusterIndex {
         if (!anySurvivors) None
         else {
           val survIds = survivors.select(col(idCol).as("_sid"))
+          // one physical pass over the log: the four survivor-subgraph
+          // frames below share these blocks instead of re-scanning
+          // (review-caught; the log is narrow but scanning it four
+          // times was pure waste). The hygiene rewrite later is its own
+          // necessary pass.
           val edgesAll = s.read.parquet(s"$root/edges")
+            .localCheckpoint(eager = false)
           // doc->set membership rows among survivors decide set survival
           val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
             .join(survIds, col("v") === col("_sid"), "leftsemi")
@@ -730,8 +745,16 @@ object ClusterIndex {
     // deletion-safe set-node form + every verified delta->indexed pair
     // (matchPairs is pair-distinct — cands was). Tag-scoped dynamic
     // overwrite like the other tables: replay rewrites its partitions.
+    // salted by this batch's tag so a re-ingested id can never re-create
+    // an earlier generation's node id (delta-sized second repGraph pass;
+    // probeParts' CC input is computed against a different exclusion set
+    // and cannot be shared without entangling the probe hot path)
+    val minId = toksD.agg(min(col(idCol))).head().getLong(0)
+    require(minId >= 0L,
+      s"ClusterIndex requires non-negative doc ids (got min $minId): the " +
+        "persisted edge log encodes virtual set nodes as negative ids")
     val deltaEdges = SetSimJoin
-      .jaccardEdgesSetForm(toksD, idCol, "_toks", thr)
+      .jaccardEdgesSetForm(toksD, idCol, "_toks", thr, salt = tagS)
       .unionByName(matchPairs.select(
         least(col("_inc"), col("_ref")).as("u"),
         greatest(col("_inc"), col("_ref")).as("v")))

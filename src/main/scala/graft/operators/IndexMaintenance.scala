@@ -120,12 +120,22 @@ private[graft] object IndexMaintenance {
     if (!fs.exists(d)) Seq.empty else fs.listStatus(d).map(_.getPath.getName).toSeq
   }
 
-  /** Take a lease of `kind` ("write" for build/append, "compact") on the
-    * index. Own lease is created FIRST, conflicts checked second — two
-    * racers can both abort, never both proceed. Throws (and removes its
-    * own lease) on conflict. */
+  /** Take a lease of `kind` on the index. Own lease is created FIRST,
+    * conflicts checked second — two racers can both abort, never both
+    * proceed. Throws (and removes its own lease) on conflict.
+    *
+    * Kinds and their conflict rules:
+    *  - `write` (build/append): tag-scoped writers never touch each
+    *    other's partitions, so write+write is allowed; conflicts with
+    *    `compact` and `remove`.
+    *  - `remove` (targeted delete): EXCLUSIVE — a removal rewrites
+    *    OTHER generations' partitions (its read-then-overwrite would
+    *    silently wipe rows a concurrent append lands between the read
+    *    and the write; review-caught), so it conflicts with everything.
+    *  - `compact`: EXCLUSIVE — retires the whole generation. */
   def acquireLease(conf: Configuration, indexDir0: String, kind: String): Path = {
-    require(kind == "write" || kind == "compact", s"unknown lease kind $kind")
+    require(kind == "write" || kind == "compact" || kind == "remove",
+      s"unknown lease kind $kind")
     val indexDir = normalize(indexDir0)
     val own = new Path(leaseDir(indexDir),
       s"${kind}_${java.util.UUID.randomUUID().toString.take(12)}")
@@ -133,7 +143,8 @@ private[graft] object IndexMaintenance {
     fs.create(own, false).close()
     val conflicts = listLeases(fs, indexDir)
       .filterNot(_ == own.getName)
-      .filter(other => kind == "compact" || other.startsWith("compact"))
+      .filter(other => kind != "write" ||
+        other.startsWith("compact") || other.startsWith("remove"))
     if (conflicts.nonEmpty) {
       fs.delete(own, false)
       throw new IllegalStateException(
@@ -194,13 +205,21 @@ private[graft] object IndexMaintenance {
     } catch { case t: Throwable => releaseLease(conf, lease); throw t }
   }
 
-  /** Flip the generation pointer to the staged tree and GC the retired
-    * root. The flip re-checks the pointer against the generation read at
-    * [[beginCompact]] — a concurrent generation change (another compact
-    * that ignored the lease discipline) fails loudly instead of
-    * clobbering. GC of a legacy root deletes the named table dirs only
-    * (the top level also holds the new generation, the pointer and the
-    * bookkeeping state). */
+  /** Flip the generation pointer to the staged tree and GC retired
+    * roots with ONE-GENERATION GRACE. The flip re-checks the pointer
+    * against the generation read at [[beginCompact]] — a concurrent
+    * generation change (another compact that ignored the lease
+    * discipline) fails loudly instead of clobbering.
+    *
+    * GC is deferred by one cutover (review-caught): probes hold no
+    * lease, so an in-flight reader that resolved the ABOUT-TO-RETIRE
+    * root would hit deleted files if it were GC'd immediately. Keeping
+    * exactly one retired generation makes the reader-completeness claim
+    * true for any read that does not span two compaction cycles (and
+    * compaction is a rare offline pass); generations older than the one
+    * being retired — including the legacy top-level tables once g2 cuts
+    * over — are deleted here. Disk cost: at most one extra generation
+    * retained. */
   def finishCompact(conf: Configuration, ctx: CompactCtx,
                     legacyTables: Seq[String]): Unit = {
     try {
@@ -211,11 +230,13 @@ private[graft] object IndexMaintenance {
           s"${ctx.stagingRoot} is inert)")
       writeGen(conf, ctx.indexDir, ctx.newGen)
       val fs = new Path(ctx.indexDir).getFileSystem(conf)
-      ctx.fromGen match {
-        case Some(g) => fs.delete(new Path(s"${ctx.indexDir}/g$g"), true)
-        case None =>
-          legacyTables.foreach(t =>
-            fs.delete(new Path(s"${ctx.indexDir}/$t"), true))
+      // delete everything OLDER than the root just retired; keep the
+      // just-retired root itself for in-flight lease-free readers
+      ctx.fromGen.foreach { g =>
+        legacyTables.foreach(t =>
+          fs.delete(new Path(s"${ctx.indexDir}/$t"), true))
+        (1L until g).foreach(old =>
+          fs.delete(new Path(s"${ctx.indexDir}/g$old"), true))
       }
     } finally releaseLease(conf, ctx.lease)
   }

@@ -169,10 +169,8 @@ object SetSimJoin {
 
   /** The same connectivity as [[jaccardEdges]] in a DELETION-SAFE form
     * (the persisted edge log [[ClusterIndex]] keeps for its scoped
-    * re-split): each distinct token SET becomes a virtual node with id
-    * `-(rep doc id) - 1` (negative — disjoint from the non-negative doc
-    * id namespace, and stable because the rep is the set's min member at
-    * this pass), every member doc links to its set node, and set-set
+    * re-split): each distinct token SET becomes a VIRTUAL node (strictly
+    * negative id), every member doc links to its set node, and set-set
     * edges connect the NODES, not the rep docs. Why the star form
     * cannot be stored: its hub is a real doc, so deleting the rep would
     * sever member-member connectivity that the true similarity graph
@@ -181,14 +179,51 @@ object SetSimJoin {
     * exactly when its last member doc is gone — which is also exactly
     * when the true graph loses those paths. Set-set edges are honest
     * under deletion too: J(S,T) >= t means EVERY surviving member of S
-    * pairs with every surviving member of T directly. */
+    * pairs with every surviving member of T directly.
+    *
+    * Node ids are `-(xxhash64(salt, rep) & Long.MaxValue) - 1` — always
+    * negative, SALTED by the writing generation. A plain `-(rep)-1`
+    * encoding was a review-caught collision: remove an id, re-ingest it
+    * under DIFFERENT text in a later batch, and the re-created node id
+    * would conflate the old and new token sets, falsely merging their
+    * components in a later re-split. With the generation salt, node ids
+    * never alias across batches; cross-batch connectivity rides the
+    * doc-doc match pairs, which never needed shared node ids. (Hash
+    * collisions are the same 2^-64 class the token-set hashing upstream
+    * already accepts.) Doc ids must be NON-NEGATIVE — the log's
+    * sign-based vertex classification depends on it; [[ClusterIndex]]
+    * enforces that at build/append. */
   def jaccardEdgesSetForm(toks: DataFrame, idCol: String, toksCol: String,
-                          t: Double): DataFrame = {
+                          t: Double, salt: String): DataFrame = {
     val (members, repPairs) = repGraph(toks, idCol, toksCol, t, needScores = false)
+    def node(rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      -(xxhash64(lit(salt), rep).bitwiseAND(lit(Long.MaxValue))) - 1
     members
-      .select((-col("_rep") - 1).as("u"), col("_mid").as("v"))
+      .select(node(col("_rep")).as("u"), col("_mid").as("v"))
       .unionByName(repPairs.select(
-        (-col("id1") - 1).as("u"), (-col("id2") - 1).as("v")))
+        node(col("id1")).as("u"), node(col("id2")).as("v")))
+  }
+
+  /** ONE repGraph pass serving both consumers ([[ClusterIndex.build]]):
+    * the CC-input star edges and the persistable set-form log. The
+    * shared (members, repPairs) frames are lazily checkpointed so the
+    * expensive prefix-candidate + verify join runs once, not once per
+    * derived form. */
+  def jaccardEdgesWithLog(toks: DataFrame, idCol: String, toksCol: String,
+                          t: Double, salt: String): (DataFrame, DataFrame) = {
+    val (members0, repPairs0) = repGraph(toks, idCol, toksCol, t, needScores = false)
+    val members = members0.localCheckpoint(eager = false)
+    val repPairs = repPairs0.localCheckpoint(eager = false)
+    val star = members.filter(col("_mid") =!= col("_rep"))
+      .select(col("_rep").as("id1"), col("_mid").as("id2"))
+      .unionByName(repPairs.select(col("id1"), col("id2")))
+    def node(rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      -(xxhash64(lit(salt), rep).bitwiseAND(lit(Long.MaxValue))) - 1
+    val setForm = members
+      .select(node(col("_rep")).as("u"), col("_mid").as("v"))
+      .unionByName(repPairs.select(
+        node(col("id1")).as("u"), node(col("id2")).as("v")))
+    (star, setForm)
   }
 
   /** Shared dedup-first structure (Dedup.scala's own prescription, VERDICT

@@ -200,7 +200,7 @@ object TextIndex {
              indexDir: String, tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
-    IndexMaintenance.withLease(conf, indexDir, "write") {
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
     val oldFp = readFingerprint(s, root)

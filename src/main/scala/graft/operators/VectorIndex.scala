@@ -251,7 +251,7 @@ object VectorIndex {
              tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
-    IndexMaintenance.withLease(conf, indexDir, "write") {
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val centroids = loadCentroidsFromRoot(s, root)
     val oldFp = readMeta(s, root)

@@ -93,15 +93,33 @@ object Scans {
 
   /** The write half of the csv round trip (gzip, header); returns the
     * staged path. Exposed separately so Bench can attribute the round
-    * trip's cost between the two halves in its detail output. */
-  def csvWrite(s: SparkSession, dir: String): String = {
+    * trip's cost between the two halves in its detail output —
+    * `force = true` bypasses the stage-once marker so the attribution
+    * times a REAL gzip write (with stage-once, the warmed query path's
+    * "write" is a marker check and timing it would silently measure
+    * nothing). */
+  def csvWrite(s: SparkSession, dir: String, force: Boolean = false): String = {
     val path = stage(dir, "lineitem_csv")
     val src = Tables.lineitem(s, dir)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
         col("l_returnflag"))
-    stageOnce(src, path)(
+    def write(): Unit =
       src.write.mode("overwrite").option("header", true)
-        .option("compression", "gzip").csv(path))
+        .option("compression", "gzip").csv(path)
+    if (force) {
+      write()
+      // the forced write refreshed the staging; re-record the marker so
+      // the NEXT stage-once call still short-circuits
+      val marker = new org.apache.hadoop.fs.Path(s"$path.__staged")
+      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
+      graft.operators.Fingerprint.sourceStatus(src) match {
+        case Some(st) =>
+          val out = fs.create(marker, true)
+          try out.write(st.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          finally out.close()
+        case None => if (fs.exists(marker)) fs.delete(marker, false)
+      }
+    } else stageOnce(src, path)(write())
     path
   }
 

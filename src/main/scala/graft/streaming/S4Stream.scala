@@ -904,11 +904,15 @@ object S4Stream {
     * scrub the lake partitions that held them
     * ([[graft.operators.TargetedDelete]]). Replay idempotence is the
     * family marker contract plus a staged victim snapshot (see
-    * [[processTakedownBatch]]). Note the loud-failure edge: ids from an
-    * ingest batch that crashed BEFORE its index append replays cannot be
-    * taken down until that ingest replay completes — remove() refuses
-    * victims the index does not hold, rather than silently
-    * under-subtracting. */
+    * [[processTakedownBatch]]). Note two loud-failure edges: (a) ids
+    * from an ingest batch that crashed BEFORE its index append replays
+    * cannot be taken down until that ingest replay completes — remove()
+    * refuses victims the index does not hold, rather than silently
+    * under-subtracting; (b) the index remove holds the EXCLUSIVE
+    * `remove` lease (it rewrites other generations' partitions), so a
+    * takedown batch that overlaps an ingest batch on the SAME index
+    * fails loudly — schedule the two loops non-overlapping (trigger
+    * offsets or AvailableNow turns), exactly as compaction requires. */
   def indexedTakedownStream(victimIds: DataFrame, idCol: String,
                             textCol: String, indexDir: String,
                             lakeDir: String, checkpointDir: String,

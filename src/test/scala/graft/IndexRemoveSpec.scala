@@ -96,6 +96,39 @@ class IndexRemoveSpec extends SparkSpec {
     assert(assignMap(dir) === Map(30L -> 30L, 40L -> 40L))
   }
 
+  test("re-ingesting a removed id cannot alias set nodes across generations") {
+    // review-caught: with UNSALTED set-node ids (-(rep)-1), removing id
+    // 5 and re-ingesting it under different text re-creates the SAME
+    // virtual node, conflating the old and new token sets — a later
+    // re-split whose survivors span both worlds would falsely merge
+    // them. The generation-salted encoding keeps the worlds apart.
+    val t1 = span(0, 50); val t3 = span(100, 150)
+    val corpus = Seq((5L, t1), (7L, t1), (9L, t1), (11L, t3), (13L, t3))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_alias").toString
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    assert(assignMap(dir) === Map(5L -> 5L, 7L -> 5L, 9L -> 5L,
+      11L -> 11L, 13L -> 11L))
+    ClusterIndex.remove(Seq((5L, t1)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "rm1")
+    assert(assignMap(dir) === Map(7L -> 7L, 9L -> 7L, 11L -> 11L, 13L -> 11L))
+    // the freed id returns with UNRELATED text and joins the OTHER cluster
+    ClusterIndex.append(Seq((5L, t3)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "re1")
+    assert(assignMap(dir) === Map(7L -> 7L, 9L -> 7L,
+      5L -> 5L, 11L -> 5L, 13L -> 5L))
+    // victims span BOTH components: the re-split's survivor subgraph
+    // contains doc 9 (old-text world) and docs 5/13 (new-text world) —
+    // an aliased node would bridge them
+    ClusterIndex.remove(Seq((7L, t1), (11L, t3)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "rm2")
+    val after = assignMap(dir)
+    assert(after === Map(9L -> 9L, 5L -> 5L, 13L -> 5L),
+      s"aliased set nodes would merge 9 into 5's component: $after")
+    val survivors = Seq((9L, t1), (5L, t3), (13L, t3)).toDF("doc_id", "text")
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+  }
+
   test("cluster remove replays idempotently and refuses unknown victims") {
     val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
     val corpus = Seq(a, b).toDF("doc_id", "text")

@@ -131,12 +131,15 @@ class MockStoreSpec extends SparkSpec {
     }
     assert(outside.isEmpty,
       s"cutover must not rename outside the staged generation: $outside")
-    // (b) the pointer flipped, the retired tables are gone, answers hold
+    // (b) the pointer flipped and answers hold; the JUST-retired legacy
+    // tables are kept one cycle (GC grace for in-flight lease-free
+    // readers) and fall away on the NEXT cutover
     val im = graft.operators.IndexMaintenance
     assert(im.liveRoot(conf, idx) == s"$idx/g1")
     val fs = new Path(idx).getFileSystem(conf)
     Seq("bands", "toks", "meta").foreach(t =>
-      assert(!fs.exists(new Path(s"$idx/$t")), s"legacy table $t must be GC'd"))
+      assert(fs.exists(new Path(s"$idx/$t")),
+        s"just-retired legacy table $t must survive one GC grace cycle"))
     assert(probeMap() == before, "probe answers must survive the cutover")
     // crash-mid-compact: a half-staged NEXT generation (no pointer flip)
     // is inert — readers resolve the live g1 untouched — and the next
@@ -147,8 +150,20 @@ class MockStoreSpec extends SparkSpec {
     assert(probeMap() == before, "half-staged tree must not affect readers")
     TextIndex.compact(spark, idx)
     assert(im.liveRoot(conf, idx) == s"$idx/g2")
-    assert(!fs.exists(new Path(s"$idx/g1")), "retired generation must be GC'd")
+    // deferred GC: the cut to g2 drops everything OLDER than g1 (the
+    // legacy tables) and keeps g1 itself for one more cycle
+    Seq("bands", "toks", "meta").foreach(t =>
+      assert(!fs.exists(new Path(s"$idx/$t")),
+        s"legacy table $t must be GC'd after the grace cycle"))
+    assert(fs.exists(new Path(s"$idx/g1")),
+      "the just-retired g1 must survive one GC grace cycle")
     assert(probeMap() == before, "answers must survive the second cutover")
+    TextIndex.compact(spark, idx)
+    assert(im.liveRoot(conf, idx) == s"$idx/g3")
+    assert(!fs.exists(new Path(s"$idx/g1")),
+      "g1 must be GC'd once its grace cycle passes")
+    assert(fs.exists(new Path(s"$idx/g2")), "g2 now holds the grace slot")
+    assert(probeMap() == before, "answers must survive the third cutover")
     // replay state survived both cutovers at the top level: a different
     // batch under the used tag still refuses nothing here (append-mode
     // index merges fine), but the recorded (tag, fp) still suppresses a

@@ -76,6 +76,33 @@ class QuiesceSpec extends SparkSpec {
     IndexMaintenance.releaseLease(conf, c1)
   }
 
+  test("remove is EXCLUSIVE: it blocks and is blocked by concurrent writers") {
+    // review-caught: a removal rewrites OTHER generations' partitions,
+    // so unlike tag-scoped appends it cannot share the index with any
+    // concurrent writer — its read-then-overwrite would silently wipe
+    // rows an append lands in between
+    val dir = freshTextIndex()
+    val w = IndexMaintenance.acquireLease(conf, dir, "write")
+    val exR = intercept[IllegalStateException] {
+      TextIndex.remove(
+        Seq((0L, "document number 0 with some shared boilerplate text"))
+          .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "x0")
+    }
+    assert(exR.getMessage.contains("lease"))
+    IndexMaintenance.releaseLease(conf, w)
+    val r = IndexMaintenance.acquireLease(conf, dir, "remove")
+    val exW = intercept[IllegalStateException] {
+      TextIndex.append(Seq((900L, "a novel appended document with words"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "x1")
+    }
+    assert(exW.getMessage.contains("lease"))
+    IndexMaintenance.releaseLease(conf, r)
+    // released: the remove goes through
+    TextIndex.remove(
+      Seq((0L, "document number 0 with some shared boilerplate text"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "x2")
+  }
+
   test("cluster index append/compact run the same lease discipline") {
     val t = (n: Int) => (0 until 24).map(i => s"tok${n}_$i").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("quiesce_cl").toString + "/idx"
