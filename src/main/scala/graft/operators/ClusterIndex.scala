@@ -123,10 +123,11 @@ object ClusterIndex {
     val toks = tokenize(docs, idCol, textCol).localCheckpoint()
     // the edge log's sign-based vertex classification needs non-negative
     // doc ids — enforce loudly (one tiny agg against checkpointed toks)
-    val minId = toks.agg(min(col(idCol))).head().getLong(0)
-    require(minId >= 0L,
-      s"ClusterIndex requires non-negative doc ids (got min $minId): the " +
-        "persisted edge log encodes virtual set nodes as negative ids")
+    val minRow = toks.agg(min(col(idCol))).head()
+    require(minRow.isNullAt(0) || minRow.getLong(0) >= 0L,
+      s"ClusterIndex requires non-negative doc ids (got min " +
+        s"${minRow.getLong(0)}): the persisted edge log encodes virtual " +
+        "set nodes as negative ids")
     // ONE repGraph pass feeds both the CC input and the persisted log
     val (edges, edgeLog) = SetSimJoin.jaccardEdgesWithLog(
       toks, idCol, "_toks", threshold, salt = "build")
@@ -421,9 +422,12 @@ object ClusterIndex {
       // compaction is the natural point to drop them physically
       IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "edges",
         Seq("_src", "eb"), remap = Map("_src" -> foldSrc),
-        transform = { df =>
+        transform = { df0 =>
+          // one physical pass feeds all three branches (same rescan fix
+          // as remove()'s survivor-subgraph frames)
+          val df = df0.localCheckpoint(eager = false)
           val liveSets = df.filter(col("u") < 0 && col("v") >= 0)
-            .select(col("u")).distinct()
+            .select(col("u")).distinct().localCheckpoint(eager = false)
           df.filter(!(col("u") < 0 && col("v") < 0))
             .unionByName(df.filter(col("u") < 0 && col("v") < 0)
               .join(liveSets, Seq("u"), "leftsemi")
@@ -655,6 +659,10 @@ object ClusterIndex {
       // the corpus of record changed: freshness reverts to the
       // content-hash authority (recordCorpusStatus re-arms it)
       Fingerprint.clearSourceStatus(conf, indexDir)
+      // retired GC-grace generations hold the victims' rows too —
+      // right-to-be-forgotten beats reader grace (see
+      // IndexMaintenance.purgeRetired)
+      IndexMaintenance.purgeRetired(conf, indexDir, Seq("assign", "toks", "postings", "df", "edges", "meta"))
     }
     require(IndexMaintenance.liveRoot(conf, indexDir) == root,
       s"ClusterIndex.remove on $indexDir: the index was compacted to a new " +
@@ -722,6 +730,16 @@ object ClusterIndex {
     val tagS = sanitize(tag)
     val (assignInc, merges, toksD, matchPairs) = probeParts(s, root, delta,
       idCol, textCol, excludeTag = Some(tag))
+    // id-sign guard BEFORE any write (review-caught twice: a post-write
+    // check would leave a rejected delta's rows committed, and an EMPTY
+    // delta — a re-crawl-only streaming batch — aggregates min to null,
+    // which must be a no-op, not an NPE): the edge log's sign-based
+    // vertex classification needs non-negative doc ids
+    val minRow = toksD.agg(min(col(idCol))).head()
+    require(minRow.isNullAt(0) || minRow.getLong(0) >= 0L,
+      s"ClusterIndex requires non-negative doc ids (got min " +
+        s"${minRow.getLong(0)}): the persisted edge log encodes virtual " +
+        "set nodes as negative ids")
     // materialize BEFORE any write mutates the partitions they were read
     // from (the dynamic overwrites below touch the same tables; toksD is
     // probeParts' already-checkpointed tokenization — not recomputed)
@@ -749,10 +767,6 @@ object ClusterIndex {
     // an earlier generation's node id (delta-sized second repGraph pass;
     // probeParts' CC input is computed against a different exclusion set
     // and cannot be shared without entangling the probe hot path)
-    val minId = toksD.agg(min(col(idCol))).head().getLong(0)
-    require(minId >= 0L,
-      s"ClusterIndex requires non-negative doc ids (got min $minId): the " +
-        "persisted edge log encodes virtual set nodes as negative ids")
     val deltaEdges = SetSimJoin
       .jaccardEdgesSetForm(toksD, idCol, "_toks", thr, salt = tagS)
       .unionByName(matchPairs.select(

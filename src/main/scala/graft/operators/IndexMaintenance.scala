@@ -246,6 +246,24 @@ private[graft] object IndexMaintenance {
   def abortCompact(conf: Configuration, ctx: CompactCtx): Unit =
     releaseLease(conf, ctx.lease)
 
+  /** Delete every RETIRED data generation — the GC-grace copies
+    * [[finishCompact]] keeps for lease-free in-flight readers of past
+    * cutovers. Called by the remove() family (review-caught): the grace
+    * copies hold the victims' rows too, and right-to-be-forgotten beats
+    * reader grace; the caller's EXCLUSIVE remove lease is the closest
+    * thing to a quiesce point the index has, so this is also the safest
+    * moment to drop them. No-op on a never-compacted index. */
+  def purgeRetired(conf: Configuration, indexDir0: String,
+                   legacyTables: Seq[String]): Unit = {
+    val indexDir = normalize(indexDir0)
+    currentGen(conf, indexDir).foreach { g =>
+      val fs = new Path(indexDir).getFileSystem(conf)
+      legacyTables.foreach(t => fs.delete(new Path(s"$indexDir/$t"), true))
+      (1L until g).foreach(old =>
+        fs.delete(new Path(s"$indexDir/g$old"), true))
+    }
+  }
+
   // ---- table rewrite primitives -------------------------------------------
 
   /** Rewrite one table as one file per partition directory. The read

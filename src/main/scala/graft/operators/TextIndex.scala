@@ -248,6 +248,10 @@ object TextIndex {
       TargetedDelete.delete(s, s"$root/toks", Seq("idb"), idCol, vids,
         col("idb").isin(vIdb: _*))
       Fingerprint.clearSourceStatus(conf, indexDir)
+      // retired GC-grace generations hold the victims' rows too —
+      // right-to-be-forgotten beats reader grace (see
+      // IndexMaintenance.purgeRetired)
+      IndexMaintenance.purgeRetired(conf, indexDir, Seq("bands", "toks", "meta"))
     }
     require(IndexMaintenance.liveRoot(conf, indexDir) == root,
       s"TextIndex.remove on $indexDir: index compacted during the removal " +

@@ -283,6 +283,10 @@ object VectorIndex {
       TargetedDelete.delete(s, s"$root/cells", Seq("cell"), corpusId, vids,
         col("cell").isInCollection(vCells))
       Fingerprint.clearSourceStatus(conf, indexDir)
+      // retired GC-grace generations hold the victims' rows too —
+      // right-to-be-forgotten beats reader grace (see
+      // IndexMaintenance.purgeRetired)
+      IndexMaintenance.purgeRetired(conf, indexDir, Seq("cells", "centroids", "meta"))
     }
     require(IndexMaintenance.liveRoot(conf, indexDir) == root,
       s"VectorIndex.remove on $indexDir: index compacted during the " +

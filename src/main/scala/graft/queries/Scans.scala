@@ -33,9 +33,25 @@ object Scans {
     * the two noisiest bench rows (driver 2.46 s vs builder 0.35 s on
     * identical code). Regenerated fixtures re-stage via the status
     * mismatch, same rule the index ensure() family uses. */
+  private def markerPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path.__staged")
+
+  /** Record (or clear, for a non-file source) the staging marker.
+    * Shared by [[stageOnce]] and the forced bench path so the marker
+    * format can never desynchronize between them. */
+  private def recordMarker(fs: org.apache.hadoop.fs.FileSystem, path: String,
+                           status: Option[String]): Unit = status match {
+    case Some(st) =>
+      val out = fs.create(markerPath(path), true)
+      try out.write(st.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    case None =>
+      if (fs.exists(markerPath(path))) fs.delete(markerPath(path), false)
+  }
+
   private def stageOnce(src: DataFrame, path: String)(write: => Unit): Unit = {
     val conf = src.sparkSession.sparkContext.hadoopConfiguration
-    val marker = new org.apache.hadoop.fs.Path(s"$path.__staged")
+    val marker = markerPath(path)
     val fs = marker.getFileSystem(conf)
     val status = graft.operators.Fingerprint.sourceStatus(src)
     val fresh = status.nonEmpty && fs.exists(marker) && {
@@ -47,11 +63,8 @@ object Scans {
     if (!fresh) {
       if (fs.exists(marker)) fs.delete(marker, false)
       write
-      status.foreach { st => // marker LAST: crash mid-write re-stages
-        val out = fs.create(marker, true)
-        try out.write(st.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        finally out.close()
-      }
+      // marker LAST: crash mid-write re-stages
+      recordMarker(fs, path, status)
     }
   }
 
@@ -107,18 +120,14 @@ object Scans {
       src.write.mode("overwrite").option("header", true)
         .option("compression", "gzip").csv(path)
     if (force) {
+      val fs = markerPath(path)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      // marker FIRST-deleted, LAST-recorded — same crash invariant as
+      // stageOnce (review-caught: a crash mid-forced-write must re-stage,
+      // never serve the half-written dir under a stale valid marker)
+      if (fs.exists(markerPath(path))) fs.delete(markerPath(path), false)
       write()
-      // the forced write refreshed the staging; re-record the marker so
-      // the NEXT stage-once call still short-circuits
-      val marker = new org.apache.hadoop.fs.Path(s"$path.__staged")
-      val fs = marker.getFileSystem(s.sparkContext.hadoopConfiguration)
-      graft.operators.Fingerprint.sourceStatus(src) match {
-        case Some(st) =>
-          val out = fs.create(marker, true)
-          try out.write(st.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-          finally out.close()
-        case None => if (fs.exists(marker)) fs.delete(marker, false)
-      }
+      recordMarker(fs, path, graft.operators.Fingerprint.sourceStatus(src))
     } else stageOnce(src, path)(write())
     path
   }

@@ -863,7 +863,20 @@ object S4Stream {
     * crash forever. */
   private[graft] def processTakedownBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, indexDir: String, lakeDir: String,
-      runKey: String): Unit = {
+      runKey: String): Unit =
+    takedownBatchImpl(batch, batchId, idCol, textCol, indexDir, lakeDir,
+      runKey) { (victims, tag) =>
+      graft.operators.TextIndex.remove(victims, idCol, textCol, indexDir, tag)
+    }
+
+  /** The staged-snapshot takedown protocol shared by the text and
+    * vector loops (one implementation so the crash-boundary contract
+    * above can never diverge between the siblings): snapshot the
+    * victims' rows of record once, run the family's index remove, scrub
+    * the lake, clean the staging — in exactly that order. */
+  private def takedownBatchImpl(batch: DataFrame, batchId: Long,
+      idCol: String, valueCol: String, indexDir: String, lakeDir: String,
+      runKey: String)(removeFn: (DataFrame, String) => Unit): Unit = {
     val s = batch.sparkSession
     val tag = s"ck${runKey}_b$batchId"
     appliedOnce(s, indexDir, runKey, batchId) {
@@ -873,20 +886,19 @@ object S4Stream {
         val stagingSuccess = new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")
         val fs = stagingSuccess.getFileSystem(conf)
         if (!fs.exists(stagingSuccess)) {
-          // first attempt: snapshot the victims' docs OF RECORD out of
+          // first attempt: snapshot the victims' rows OF RECORD out of
           // the lake (ids never ingested, or already taken down, simply
           // do not match)
           val ids = batch.select(col(idCol)).distinct().localCheckpoint()
           s.read.parquet(lakeDir)
-            .select(col(idCol), col(textCol))
+            .select(col(idCol), col(valueCol))
             .join(broadcast(ids), Seq(idCol), "leftsemi")
             .write.mode("overwrite").parquet(staging)
         }
         val victims = s.read.parquet(staging).localCheckpoint()
         if (!victims.isEmpty) {
           // INDEX FIRST (see the crash-boundary walkthrough above)
-          graft.operators.TextIndex.remove(victims, idCol, textCol,
-            indexDir, tag)
+          removeFn(victims, tag)
           graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
             idCol, victims.select(col(idCol)))
         }
@@ -930,33 +942,12 @@ object S4Stream {
     * semantic ingest loop's lake stores `(id, embedding)`). */
   private[graft] def processVectorTakedownBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, indexDir: String, lakeDir: String,
-      runKey: String): Unit = {
-    val s = batch.sparkSession
-    val tag = s"ck${runKey}_b$batchId"
-    appliedOnce(s, indexDir, runKey, batchId) {
-      if (!batch.isEmpty) {
-        val conf = s.sparkContext.hadoopConfiguration
-        val staging = s"$lakeDir/.takedown/batch=$batchId"
-        val stagingSuccess = new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")
-        val fs = stagingSuccess.getFileSystem(conf)
-        if (!fs.exists(stagingSuccess)) {
-          val ids = batch.select(col(idCol)).distinct().localCheckpoint()
-          s.read.parquet(lakeDir)
-            .select(col(idCol), col(vecCol))
-            .join(broadcast(ids), Seq(idCol), "leftsemi")
-            .write.mode("overwrite").parquet(staging)
-        }
-        val victims = s.read.parquet(staging).localCheckpoint()
-        if (!victims.isEmpty) {
-          graft.operators.VectorIndex.remove(victims, indexDir,
-            corpusId = idCol, corpusVec = vecCol, tag = tag)
-          graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
-            idCol, victims.select(col(idCol)))
-        }
-        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
-      }
+      runKey: String): Unit =
+    takedownBatchImpl(batch, batchId, idCol, vecCol, indexDir, lakeDir,
+      runKey) { (victims, tag) =>
+      graft.operators.VectorIndex.remove(victims, indexDir,
+        corpusId = idCol, corpusVec = vecCol, tag = tag)
     }
-  }
 
   /** STREAMING right-to-be-forgotten against the SEMANTIC ingest loop
     * ([[indexedSemanticDedupStream]]'s lake + the persisted IVF index):

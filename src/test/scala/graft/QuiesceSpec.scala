@@ -103,6 +103,29 @@ class QuiesceSpec extends SparkSpec {
         .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "x2")
   }
 
+  test("remove purges retained GC-grace generations (right-to-be-forgotten)") {
+    // review-caught: the one-cutover GC grace keeps the just-retired
+    // generation for in-flight readers — but that copy holds removal
+    // victims' rows too, and the takedown contract wins
+    val dir = freshTextIndex()
+    TextIndex.compact(spark, dir) // legacy tables retained as grace copy
+    val conf2 = conf
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf2)
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$dir/bands")),
+      "grace copy must exist before the remove")
+    TextIndex.remove(
+      Seq((7L, "document number 7 with some shared boilerplate text"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "rg1")
+    Seq("bands", "toks", "meta").foreach(t =>
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/$t")),
+        s"retained grace table $t must be purged by the remove"))
+    // the live generation answered the removal correctly
+    val hit = TextIndex.probe(spark, dir,
+      Seq((900L, "document number 7 with some shared boilerplate text"))
+        .toDF("doc_id", "text"), "doc_id", "text")
+    assert(hit.count() == 0L, "probe must be blind to the victim")
+  }
+
   test("cluster index append/compact run the same lease discipline") {
     val t = (n: Int) => (0 until 24).map(i => s"tok${n}_$i").mkString(" ")
     val dir = java.nio.file.Files.createTempDirectory("quiesce_cl").toString + "/idx"

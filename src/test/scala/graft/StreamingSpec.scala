@@ -590,37 +590,41 @@ class StreamingSpec extends SparkSpec {
 
   test("cluster compaction GCs dangling set-set edges after a whole-set removal") {
     import spark.implicits._
-    def t(n: Int) = (0 until 24).map(i => s"gtok${n}_$i").mkString(" ")
-    val dir = java.nio.file.Files.createTempDirectory("edgegc").toString
-    // A(10)=B(20) identical (one set, two members); C(30) a distinct set
-    // near-duping them is impossible with disjoint vocab — use a third
-    // identical member instead and an unrelated doc
-    val corpus = Seq((10L, t(1)), (20L, t(1)), (30L, t(9)))
+    // Set 1: docs 10/20 IDENTICAL (24 tokens); set 2: doc 30 = set 1
+    // plus one extra token (J = 24/25 = 0.96 — a genuine NEAR-dup of a
+    // DISTINCT set, so the log holds a set-set edge between the two
+    // virtual nodes); doc 40 unrelated. Review-caught: the previous
+    // fixture had disjoint vocabularies, so no set-set row ever
+    // existed and the GC assertion was vacuous.
+    val base = (0 until 24).map(i => s"gtok_$i").mkString(" ")
+    val corpus = Seq((10L, base), (20L, base), (30L, base + " gtok_extra"),
+      (40L, (0 until 24).map(i => s"other_$i").mkString(" ")))
       .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("edgegc").toString
     graft.operators.ClusterIndex.build(corpus, "doc_id", "text", dir)
-    // remove BOTH members of the set: its set node dies
-    graft.operators.ClusterIndex.remove(
-      Seq((10L, t(1)), (20L, t(1))).toDF("doc_id", "text"),
-      "doc_id", "text", dir, tag = "gc1")
     val conf = spark.sparkContext.hadoopConfiguration
     def edges(root: String) = spark.read.parquet(s"$root/edges")
     val preRoot = graft.operators.IndexMaintenance.liveRoot(conf, dir)
-    // the dead set's member rows went with the victims; no doc rows remain
-    assert(edges(preRoot).filter(col("v") >= 0 && col("v").isin(10L, 20L))
+    // non-vacuousness: the fixture must actually hold a set-set edge
+    assert(edges(preRoot).filter(col("u") < 0 && col("v") < 0).count() == 1L,
+      "fixture must plant exactly one set-set edge")
+    // remove BOTH members of set 1: its node dies, its set-set row dangles
+    graft.operators.ClusterIndex.remove(
+      Seq((10L, base), (20L, base)).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "gc1")
+    val midRoot = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    assert(edges(midRoot).filter(col("v") >= 0 && col("v").isin(10L, 20L))
       .count() == 0L, "victim member rows must be gone")
+    assert(edges(midRoot).filter(col("u") < 0 && col("v") < 0).count() == 1L,
+      "the dangling set-set row is kept until compaction (read-time rule)")
     graft.operators.ClusterIndex.compact(spark, dir, foldUnmarkedTags = true)
     val postRoot = graft.operators.IndexMaintenance.liveRoot(conf, dir)
-    // every surviving set-set row references sets that still have members
-    val live = edges(postRoot).filter(col("u") < 0 && col("v") >= 0)
-      .select(col("u")).distinct().collect().map(_.getLong(0)).toSet
-    val ss = edges(postRoot).filter(col("u") < 0 && col("v") < 0)
-      .collect().map(r => (r.getLong(0), r.getLong(1)))
-    assert(ss.forall(p => live(p._1) && live(p._2)),
-      s"dangling set-set rows must be GC'd: $ss vs live $live")
+    assert(edges(postRoot).filter(col("u") < 0 && col("v") < 0).count() == 0L,
+      "compaction must GC the dangling set-set row")
     // and the surviving corpus still answers correctly
     val m = graft.operators.ClusterIndex.assignments(spark, dir, "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(m === Map(30L -> 30L), s"post-GC assignments drifted: $m")
+    assert(m === Map(30L -> 30L, 40L -> 40L), s"post-GC assignments drifted: $m")
   }
 
   test("indexed SEMANTIC dedup stream: probe cells, keep novel, append — across runs") {
