@@ -506,6 +506,10 @@ object ClusterIndex {
         "pair is the legitimate crash-replay and is re-admitted)")
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
+    // mass-victim regime (VERDICT r11 item 1): every vids/comps join
+    // below broadcasts only under the key threshold — a bulk compliance
+    // sweep (millions of ids) runs the same plans as shuffle joins
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
     if (nV > 0L) {
       // bounded collects throughout: id buckets and token buckets of the
       // victim set, the same static-partition-filter recipe as probe
@@ -517,7 +521,7 @@ object ClusterIndex {
       // data volume, dominates on bounded victim sets
       val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
         .filter(col("idb").isin(vIdb: _*))
-        .join(broadcast(vids), Seq(idCol), "leftsemi")
+        .join(bVids(vids), Seq(idCol), "leftsemi")
         .select(col(idCol), col("_toks"))
         .localCheckpoint(eager = false))
       if (!replay) {
@@ -536,14 +540,14 @@ object ClusterIndex {
       // re-split, which an earlier completed run already wrote)
       val comps = rleg("comps")(s.read.parquet(s"$root/assign")
         .filter(col("idb").isin(vIdb: _*))
-        .join(broadcast(vids), Seq(idCol), "leftsemi")
+        .join(bVids(vids), Seq(idCol), "leftsemi")
         .select(col("component")).distinct().localCheckpoint(eager = false))
       // one column-pruned scan of the (id, component) map restricted to
       // the affected components (comps is bounded by |victims|)
       val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
-        .join(broadcast(comps), Seq("component"))
+        .join(bVids(comps), Seq("component"))
         .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
-        .join(broadcast(vids), Seq(idCol), "left_anti")
+        .join(bVids(vids), Seq(idCol), "left_anti")
         .localCheckpoint(eager = false))
       val anySurvivors = !survivors.isEmpty
       // Scoped re-split from the PERSISTED adjacency log — O(affected
@@ -626,9 +630,9 @@ object ClusterIndex {
         .collect().map(_.getLong(0)).toSeq
       rleg("assign-rewrite")(TargetedDelete.rewriteWhere(
         s, s"$root/assign", Seq("_src", "idb"),
-        mark = df => df.join(broadcast(comps), Seq("component"), "left_semi"),
+        mark = df => df.join(bVids(comps), Seq("component"), "left_semi"),
         keep = df => {
-          val kept = df.join(broadcast(vids), Seq(idCol), "left_anti")
+          val kept = df.join(bVids(vids), Seq(idCol), "left_anti")
           newAssign.fold(kept)(na => kept
             .join(na, Seq(idCol), "left")
             .withColumn("component",
@@ -645,17 +649,17 @@ object ClusterIndex {
         Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*)))
       // adjacency-log hygiene: a removed id MUST leave the log, or a
       // later re-ingest under the same id would inherit the old text's
-      // edges and falsely merge clusters. One combined pass (the victim
-      // id may sit in either endpoint — two keyed deletes would rewrite
-      // overlapping partitions twice); the deletion list is
-      // driver-bounded by nature, so the isin predicate is fine. Dead
-      // set nodes (all members gone) keep their set-set rows: every
-      // consumer drops them at read time via the member-row liveness
-      // rule above; compaction folds them away with the generations.
-      val vidList = vids.collect().map(_.getLong(0)).toSeq
-      rleg("del-edges")(TargetedDelete.deleteWhere(s, s"$root/edges",
-        Seq("_src", "eb"),
-        col("u").isInCollection(vidList) || col("v").isInCollection(vidList)))
+      // edges and falsely merge clusters. One combined either-endpoint
+      // pass (two keyed deletes would rewrite overlapping partitions
+      // twice) through equi semi/anti joins — no collected literal
+      // list, so a mass-victim sweep neither blows the plan nor the
+      // driver (ADVICE r11); below the key threshold the join
+      // broadcasts exactly like the old fast path. Dead set nodes (all
+      // members gone) keep their set-set rows: every consumer drops
+      // them at read time via the member-row liveness rule above;
+      // compaction folds them away with the generations.
+      rleg("del-edges")(TargetedDelete.deleteAnyKey(s, s"$root/edges",
+        Seq("_src", "eb"), Seq("u", "v"), idCol, vids))
       // the corpus of record changed: freshness reverts to the
       // content-hash authority (recordCorpusStatus re-arms it)
       Fingerprint.clearSourceStatus(conf, indexDir)

@@ -27,6 +27,23 @@ import org.apache.spark.sql.functions._
   */
 object TargetedDelete {
 
+  /** Above this many distinct victim keys the delete's key joins drop
+    * their broadcast hint and run as shuffle joins (VERDICT r11 items
+    * 1/4): an RTBF request (tens to thousands of ids) broadcasts, a
+    * compliance sweep (millions — 0.1% of a 100 TB corpus) must not —
+    * a broadcast of that list strains the driver while a shuffle
+    * hash-join on the key column costs one exchange of the (already
+    * bucket-pruned) touched slice. Tunable for tests and deployments
+    * via `-Dgraft.delete.broadcastKeys=N`; the decision is made on the
+    * driver per call, so the property is read at call time. */
+  private[graft] def broadcastKeyLimit: Long =
+    sys.props.get("graft.delete.broadcastKeys").map(_.toLong).getOrElse(1000000L)
+
+  /** Broadcast only below the key-count threshold — shared by every
+    * victim-keyed join in the delete/remove family. */
+  private[graft] def maybeBroadcast(df: DataFrame, nKeys: Long): DataFrame =
+    if (nKeys <= broadcastKeyLimit) broadcast(df) else df
+
   /** Delete every row whose `keyCol` appears in `keys` from the
     * partitioned table at `tableDir`. Returns the number of partitions
     * rewritten.
@@ -42,14 +59,43 @@ object TargetedDelete {
   def delete(spark: SparkSession, tableDir: String, partitionCols: Seq[String],
              keyCol: String, keys: DataFrame,
              prePrune: org.apache.spark.sql.Column = lit(true)): Long = {
-    // pinned: a deletion list is small by nature, and the checkpoint
-    // also keeps pass 1's input_file_name projection single-source
-    // (the analyzer rejects it over a plan with two file relations —
-    // e.g. keys read from another parquet table)
+    // pinned: the checkpoint keeps pass 1's input_file_name projection
+    // single-source (the analyzer rejects it over a plan with two file
+    // relations — e.g. keys read from another parquet table) and gives
+    // the key count for the broadcast decision without recompute
     val keyList = keys.select(col(keyCol)).distinct().localCheckpoint()
+    val nKeys = keyList.count()
     deleteImpl(spark, tableDir, partitionCols, prePrune,
-      mark = df => df.join(broadcast(keyList), Seq(keyCol), "left_semi"),
-      keep = df => df.join(broadcast(keyList), Seq(keyCol), "left_anti"))
+      mark = df => df.join(maybeBroadcast(keyList, nKeys), Seq(keyCol), "left_semi"),
+      keep = df => df.join(maybeBroadcast(keyList, nKeys), Seq(keyCol), "left_anti"))
+  }
+
+  /** Either-endpoint keyed delete for adjacency/edge logs: delete every
+    * row where ANY of `keyCols` matches a key in `keys` (column
+    * `keyName`). One combined pass rewrites each touched partition once
+    * — per-endpoint keyed [[delete]] calls would rewrite overlapping
+    * partitions twice — and the endpoints are matched with semi/anti
+    * EQUI-joins (broadcast below the key threshold), so the plan carries
+    * no O(|victims|) literal list and no driver-side collect of the key
+    * set, where the former `isInCollection` route blew plan size and
+    * driver memory on mass-victim takedowns (ADVICE r11). */
+  def deleteAnyKey(spark: SparkSession, tableDir: String,
+                   partitionCols: Seq[String], keyCols: Seq[String],
+                   keyName: String, keys: DataFrame,
+                   prePrune: org.apache.spark.sql.Column = lit(true)): Long = {
+    require(keyCols.nonEmpty, "deleteAnyKey needs at least one key column")
+    val keyList = keys.select(col(keyName)).distinct().localCheckpoint()
+    val nKeys = keyList.count()
+    def keysAs(c: String) = maybeBroadcast(keyList.select(col(keyName).as(c)), nKeys)
+    deleteImpl(spark, tableDir, partitionCols, prePrune,
+      // union of per-endpoint semi-joins may duplicate a row matching on
+      // both endpoints — pass 1 only needs the DISTINCT partitions, so
+      // duplicates are harmless and an OR-join (which would degrade to a
+      // nested-loop join) is avoided
+      mark = df => keyCols.map(c => df.join(keysAs(c), Seq(c), "left_semi"))
+        .reduce(_ unionByName _),
+      keep = df => keyCols.foldLeft(df)((d, c) =>
+        d.join(keysAs(c), Seq(c), "left_anti")))
   }
 
   /** Predicate variant: delete every row matching `victim` (a row-level
@@ -107,9 +153,16 @@ object TargetedDelete {
     // survive). Every file of a partition shares one parent dir, and
     // any marked row's file lives in its partition's dir, so the marked
     // rows alone name every touched dir. Driver-sized result.
-    val dirOfPart = mark(table)
-      .select(partitionCols.map(col) :+
-        expr("regexp_replace(input_file_name(), '/[^/]*$', '')").as("_dir"): _*)
+    // _dir is projected BEFORE the mark join (r12): input_file_name()
+    // is only defined on the scan side of the plan — evaluated after an
+    // exchange (the mass-victim SHUFFLE-join mark path) it returns "",
+    // and the emptied-dir cleanup would silently miss every dir.
+    // Projecting it here pins the evaluation under the file scan for
+    // broadcast and shuffle marks alike; mark transforms (semi-joins /
+    // filters) preserve the column.
+    val dirOfPart = mark(table.withColumn("_dir",
+        expr("regexp_replace(input_file_name(), '/[^/]*$', '')")))
+      .select(partitionCols.map(col) :+ col("_dir"): _*)
       .distinct()
       .localCheckpoint(true) // pin before the overwrite invalidates it
     val touched = dirOfPart.select(partitionCols.map(col): _*).distinct()

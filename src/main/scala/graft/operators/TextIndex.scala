@@ -217,10 +217,12 @@ object TextIndex {
         .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("idb"))
         .distinct().collect().map(_.getLong(0)).toSeq
       // the victims' INDEXED token sets: authoritative for the band
-      // buckets their rows live in (frozen family => exact recompute)
+      // buckets their rows live in (frozen family => exact recompute).
+      // Broadcast only below the mass-victim key threshold (VERDICT r11
+      // item 1), like every victim join in the remove family.
       val vToks = s.read.parquet(s"$root/toks")
         .filter(col("idb").isin(vIdb: _*))
-        .join(broadcast(vids), Seq(idCol), "leftsemi")
+        .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
         .select(col(idCol), col("_toks"))
         .localCheckpoint()
       if (!replay) {

@@ -272,7 +272,7 @@ object VectorIndex {
       if (!replay) {
         val known = s.read.parquet(s"$root/cells")
           .filter(col("cell").isInCollection(vCells))
-          .join(broadcast(vids), Seq(corpusId), "leftsemi")
+          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
           .select(col(corpusId)).distinct().count()
         require(known == nV,
           s"VectorIndex.remove: only $known of $nV victims are indexed; " +

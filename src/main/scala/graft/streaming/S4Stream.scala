@@ -892,7 +892,10 @@ object S4Stream {
           val ids = batch.select(col(idCol)).distinct().localCheckpoint()
           s.read.parquet(lakeDir)
             .select(col(idCol), col(valueCol))
-            .join(broadcast(ids), Seq(idCol), "leftsemi")
+            // broadcast only below the mass-victim threshold — a bulk
+            // purge batch shuffles instead (VERDICT r11 item 1)
+            .join(graft.operators.TargetedDelete.maybeBroadcast(ids, ids.count()),
+              Seq(idCol), "leftsemi")
             .write.mode("overwrite").parquet(staging)
         }
         val victims = s.read.parquet(staging).localCheckpoint()

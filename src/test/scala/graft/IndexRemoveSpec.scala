@@ -166,6 +166,53 @@ class IndexRemoveSpec extends SparkSpec {
     assert(assignMap(dir) === after, "refused remove must not mutate")
   }
 
+  test("MASS-victim remove (join path): 20% of corpus, equals fresh build on survivors") {
+    // VERDICT r11 item 1: above the key threshold every victim join
+    // (vids/comps semi-joins, the either-endpoint edge delete) must run
+    // WITHOUT broadcast hints or collected literal lists and still be
+    // exactly equivalent. Corpus: 60 near-dup chains of 5 (their middle
+    // doc is the bridge) + 100 singletons = 400 docs; victims = every
+    // chain's bridge + 40 singletons = 100 docs (25%).
+    val chains = (0 until 60).flatMap { c =>
+      val base = c * 1000
+      (0 until 5).map(j => ((c * 10 + j).toLong, span(base + 5 * j, base + 5 * j + 50)))
+    }
+    val singles = (0 until 100).map(i => ((10000 + i).toLong, span(100000 + i * 200, 100000 + i * 200 + 60)))
+    val corpus = (chains ++ singles).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_mass").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    // victims: doc j==2 of every chain (the middle — splits the chain in
+    // two) and singletons 10000..10039
+    val victims = corpus.filter(
+      (col("doc_id") < 10000L && col("doc_id") % 10 === 2) ||
+        (col("doc_id") >= 10000L && col("doc_id") < 10040L))
+      .localCheckpoint()
+    assert(victims.count() == 100L)
+    System.setProperty("graft.delete.broadcastKeys", "10")
+    try ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "mass1")
+    finally System.clearProperty("graft.delete.broadcastKeys")
+    val survivors = corpus.join(victims.select(col("doc_id")),
+      Seq("doc_id"), "left_anti").localCheckpoint()
+    val freshDir = java.nio.file.Files.createTempDirectory("rm_mass_f").toString
+    ClusterIndex.build(survivors, "doc_id", "text", freshDir)
+    assert(assignMap(dir) === assignMap(freshDir),
+      "join-path mass removal must equal a fresh build on the survivors")
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+    // no victim row survives in any table, edges included
+    val root = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, dir)
+    val vSet = victims.select("doc_id").as[Long].collect().toSet
+    Seq("toks", "postings", "assign").foreach { t =>
+      val leak = spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id").isin(vSet.toSeq: _*)).count()
+      assert(leak == 0L, s"$t still holds $leak victim rows")
+    }
+    val edgeLeak = spark.read.parquet(s"$root/edges")
+      .filter(col("u").isin(vSet.toSeq: _*) || col("v").isin(vSet.toSeq: _*))
+      .count()
+    assert(edgeLeak == 0L, s"edge log still holds $edgeLeak victim rows")
+  }
+
   test("text index remove: probes go blind, fingerprint tracks survivors, replay-safe") {
     val docs = (0 until 20)
       .map(i => (i.toLong, s"document number $i with some shared boilerplate text"))
