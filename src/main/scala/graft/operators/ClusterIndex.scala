@@ -466,23 +466,35 @@ object ClusterIndex {
     * [[isFresh]] keeps answering correctly. All victim ids must be
     * indexed (checked against `toks` before anything mutates).
     *
-    * Crash safety mirrors append, inverted: the fingerprint subtract +
-    * replay record commit FIRST, then the row rewrites — every rewrite
-    * is idempotent (victim-row removal and survivor re-assignment both
-    * converge), so the recorded (tag, victims-fingerprint) pair replays
-    * the rewrites without re-subtracting; the reverse order would
-    * strand a half-removed index behind the all-victims-indexed check.
-    * Row-rewrite order is dependency-aware: the survivor re-assignment
-    * (needs victim assign rows to find affected components) and the
-    * postings prune (needs victim toks for the token buckets) run
-    * before the assign/toks victim rows are dropped, so a crash at any
-    * boundary replays to the same final state. The stale `df` hint is
-    * left as-is — the one-sided prefix argument (class doc) needs no
-    * accurate df, only SOME k-subset, so an over-counted df can never
-    * lose a pair. */
+    * Crash safety is PLAN-FIRST (ADVICE r11, replacing the r11
+    * discover-on-replay protocol whose discovery read the very table
+    * the rewrites mutate — a crash inside the per-partition dynamic
+    * overwrite could strand survivors of partially-flipped components
+    * with mixed old/new ids):
+    *
+    *  1. DISCOVER the affected components, their survivors, and the
+    *     re-split assignment while every table is still pristine, and
+    *     PERSIST that plan (`rmstate/<tag>/{newassign,parts,commit}` +
+    *     a `PLAN_READY` marker written last) — a replay never
+    *     re-discovers from mutated state;
+    *  2. COMMIT the fingerprint idempotently: the meta write recomputes
+    *     the TARGET fingerprint from the persisted commit record, so
+    *     the former crash window between the meta overwrite and the
+    *     replay record (which double-subtracted) now converges;
+    *  3. REWRITE rows driven from the persisted plan — each rewrite is
+    *     an idempotent pruned dynamic overwrite, replayable from any
+    *     boundary (postings before toks, since the token-bucket prune
+    *     derives from the victims' indexed token sets);
+    *  4. CLEAR the plan state LAST; a replay finding no state under an
+    *     applied record no-ops through empty discovery.
+    *
+    * The stale `df` hint is left as-is — the one-sided prefix argument
+    * (class doc) needs no accurate df, only SOME k-subset, so an
+    * over-counted df can never lose a pair. */
   def remove(victims: DataFrame, idCol: String, textCol: String,
              indexDir: String, tag: String = "remove"): Unit = {
     val s = victims.sparkSession
+    import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
     IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
@@ -511,142 +523,184 @@ object ClusterIndex {
     // sweep (millions of ids) runs the same plans as shuffle joins
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
     if (nV > 0L) {
-      // bounded collects throughout: id buckets and token buckets of the
-      // victim set, the same static-partition-filter recipe as probe
+      val normDir = IndexMaintenance.normalize(indexDir)
+      val stateDir = Fingerprint.removeStatePath(normDir, rmTag)
+      val planMarker = new org.apache.hadoop.fs.Path(s"$stateDir/PLAN_READY")
+      val stateFs = planMarker.getFileSystem(conf)
+      // bounded collect: the victim set's id-hash buckets — a pure
+      // function of the victims argument, so replay-stable; the same
+      // static-partition-filter recipe as probe
       val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
         .distinct().collect().map(_.getLong(0)).toSeq
-      // lazy checkpoints below (the probe's small-delta lesson): the
-      // first consumer materializes inside its own job, so the removal
-      // pays no standalone checkpoint jobs — sequential job count, not
-      // data volume, dominates on bounded victim sets
+      // the victims' INDEXED token sets drive the postings bucket prune.
+      // Read from the CURRENT toks table on purpose: until del-toks runs
+      // it is pristine (rewrites are plan-ordered), and a replay after
+      // del-toks finds it empty exactly when del-postings already
+      // completed — the prune no-ops.
       val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
         .filter(col("idb").isin(vIdb: _*))
         .join(bVids(vids), Seq(idCol), "leftsemi")
         .select(col(idCol), col("_toks"))
         .localCheckpoint(eager = false))
-      if (!replay) {
-        val known = vToks.select(col(idCol)).distinct().count()
-        require(known == nV,
-          s"ClusterIndex.remove: only $known of $nV victims are indexed; " +
-            "the fingerprint subtraction needs exactly the ingested rows — " +
-            "pass the (id, text) rows as they entered the index")
-      }
-      val vTb = vToks.select(explode(col("_toks")).as("_tok"))
-        .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      // the components the victims belong to, and those components'
-      // surviving members — discovered BEFORE any rewrite (a replay
-      // whose victim rows are already gone finds nothing and skips the
-      // re-split, which an earlier completed run already wrote)
-      val comps = rleg("comps")(s.read.parquet(s"$root/assign")
-        .filter(col("idb").isin(vIdb: _*))
-        .join(bVids(vids), Seq(idCol), "leftsemi")
-        .select(col("component")).distinct().localCheckpoint(eager = false))
-      // one column-pruned scan of the (id, component) map restricted to
-      // the affected components (comps is bounded by |victims|)
-      val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
-        .join(bVids(comps), Seq("component"))
-        .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
-        .join(bVids(vids), Seq(idCol), "left_anti")
-        .localCheckpoint(eager = false))
-      val anySurvivors = !survivors.isEmpty
-      // Scoped re-split from the PERSISTED adjacency log — O(affected
-      // components' edges) I/O, never a similarity join (pre-r11 this
-      // re-ran PPJoin over the members: deleting a handful of docs from
-      // a 3.7k-member cluster cost ~a full corpus pass). The log stores
-      // build/delta connectivity in the deletion-safe set-node form
-      // (negative ids = virtual per-token-set nodes; see
-      // [[SetSimJoin.jaccardEdgesSetForm]]) plus append-time doc-doc
-      // pairs. Survivor subgraph rules: a doc vertex survives iff the
-      // doc survives; a SET node survives iff >= 1 of its member docs
-      // survives (its member rows define that); set-set edges hold iff
-      // both set nodes survive — exactly when the true pairwise doc
-      // graph retains those paths, because J(S,T) >= t links every
-      // member of S to every member of T directly.
-      val newAssign =
-        if (!anySurvivors) None
-        else {
-          val survIds = survivors.select(col(idCol).as("_sid"))
-          // one physical pass over the log: the four survivor-subgraph
-          // frames below share these blocks instead of re-scanning
-          // (review-caught; the log is narrow but scanning it four
-          // times was pure waste). The hygiene rewrite later is its own
-          // necessary pass.
-          val edgesAll = s.read.parquet(s"$root/edges")
-            .localCheckpoint(eager = false)
-          // doc->set membership rows among survivors decide set survival
-          val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
-            .join(survIds, col("v") === col("_sid"), "leftsemi")
-            .select(col("u")).distinct().localCheckpoint(eager = false)
-          // a member row whose doc survives has a live set by definition
-          val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
-            .join(survIds, col("v") === col("_sid"), "leftsemi")
-          val setSetEdges = edgesAll.filter(col("u") < 0 && col("v") < 0)
-            .join(liveSets.select(col("u")), Seq("u"), "leftsemi")
-            .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi")
-          val docDocEdges = edgesAll.filter(col("u") >= 0 && col("v") >= 0)
-            .join(survIds, col("u") === col("_sid"), "leftsemi")
-            .join(survIds, col("v") === col("_sid"), "leftsemi")
-          val survEdges = memberEdges.unionByName(setSetEdges)
-            .unionByName(docDocEdges).select(col("u"), col("v"))
-          val cc = ConnectedComponents.components(survEdges, "u", "v")
-            .select(col("id").as("_ccid"), col("component").as("_cccomp"))
-          // canonical component ids are the min MEMBER DOC id — the CC
-          // universe contains negative set nodes, whose ids must never
-          // leak into assignments
-          val docCc = survivors.select(col(idCol))
-            .join(cc, col(idCol) === col("_ccid"), "left")
-            .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("_rawcomp"))
-          val canon = docCc.groupBy(col("_rawcomp"))
-            .agg(min(col(idCol)).as("_canon"))
-          Some(rleg("resplit-cc")(docCc.join(canon, Seq("_rawcomp"))
-            .select(col(idCol), col("_canon").as("_newcomp"))
-            .localCheckpoint()))
+      if (!stateFs.exists(planMarker)) {
+        // ---- 1. DISCOVERY: every table still pristine (rewrites only
+        // ever start after PLAN_READY commits) ----
+        if (!replay) {
+          val known = vToks.select(col(idCol)).distinct().count()
+          require(known == nV,
+            s"ClusterIndex.remove: only $known of $nV victims are indexed; " +
+              "the fingerprint subtraction needs exactly the ingested rows — " +
+              "pass the (id, text) rows as they entered the index")
         }
-      // commit point FIRST (see the crash-safety note above)
-      if (!replay) {
-        oldFp.foreach { old =>
-          import s.implicits._
-          val fp = Fingerprint.unmerge(old, vfp)
-          Seq((thr, nBuckets, fp._1, fp._2))
-            .toDF("threshold", "n_buckets", "n_rows", "content_hash")
-            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+        // the components the victims belong to, and those components'
+        // surviving members
+        val comps = rleg("comps")(s.read.parquet(s"$root/assign")
+          .filter(col("idb").isin(vIdb: _*))
+          .join(bVids(vids), Seq(idCol), "leftsemi")
+          .select(col("component")).distinct().localCheckpoint(eager = false))
+        // one column-pruned scan of the (id, component) map restricted to
+        // the affected components (comps is bounded by |victims|)
+        val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
+          .join(bVids(comps), Seq("component"))
+          .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
+          .join(bVids(vids), Seq(idCol), "left_anti")
+          .localCheckpoint(eager = false))
+        val anySurvivors = !survivors.isEmpty
+        // Scoped re-split from the PERSISTED adjacency log — O(affected
+        // components' edges) I/O, never a similarity join (pre-r11 this
+        // re-ran PPJoin over the members: deleting a handful of docs from
+        // a 3.7k-member cluster cost ~a full corpus pass). The log stores
+        // build/delta connectivity in the deletion-safe set-node form
+        // (negative ids = virtual per-token-set nodes; see
+        // [[SetSimJoin.jaccardEdgesSetForm]]) plus append-time doc-doc
+        // pairs. Survivor subgraph rules: a doc vertex survives iff the
+        // doc survives; a SET node survives iff >= 1 of its member docs
+        // survives (its member rows define that); set-set edges hold iff
+        // both set nodes survive — exactly when the true pairwise doc
+        // graph retains those paths, because J(S,T) >= t links every
+        // member of S to every member of T directly.
+        val newAssign =
+          if (!anySurvivors)
+            Seq.empty[(Long, Long)].toDF(idCol, "_newcomp")
+          else {
+            val survIds = survivors.select(col(idCol).as("_sid"))
+            // one physical pass over the log: the four survivor-subgraph
+            // frames below share these blocks instead of re-scanning
+            // (review-caught; the log is narrow but scanning it four
+            // times was pure waste). The hygiene rewrite later is its own
+            // necessary pass.
+            val edgesAll = s.read.parquet(s"$root/edges")
+              .localCheckpoint(eager = false)
+            // doc->set membership rows among survivors decide set survival
+            val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+              .join(survIds, col("v") === col("_sid"), "leftsemi")
+              .select(col("u")).distinct().localCheckpoint(eager = false)
+            // a member row whose doc survives has a live set by definition
+            val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+              .join(survIds, col("v") === col("_sid"), "leftsemi")
+            val setSetEdges = edgesAll.filter(col("u") < 0 && col("v") < 0)
+              .join(liveSets.select(col("u")), Seq("u"), "leftsemi")
+              .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi")
+            val docDocEdges = edgesAll.filter(col("u") >= 0 && col("v") >= 0)
+              .join(survIds, col("u") === col("_sid"), "leftsemi")
+              .join(survIds, col("v") === col("_sid"), "leftsemi")
+            val survEdges = memberEdges.unionByName(setSetEdges)
+              .unionByName(docDocEdges).select(col("u"), col("v"))
+            val cc = ConnectedComponents.components(survEdges, "u", "v")
+              .select(col("id").as("_ccid"), col("component").as("_cccomp"))
+            // canonical component ids are the min MEMBER DOC id — the CC
+            // universe contains negative set nodes, whose ids must never
+            // leak into assignments
+            val docCc = survivors.select(col(idCol))
+              .join(cc, col(idCol) === col("_ccid"), "left")
+              .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("_rawcomp"))
+            val canon = docCc.groupBy(col("_rawcomp"))
+              .agg(min(col(idCol)).as("_canon"))
+            docCc.join(canon, Seq("_rawcomp"))
+              .select(col(idCol), col("_canon").as("_newcomp"))
+          }
+        // ---- PERSIST the plan. The parquet writes double as the
+        // materialization the r11 eager checkpoints provided (everything
+        // is fully computed before any table mutates) — and the plan,
+        // not the soon-to-be-rewritten assign table, is what a replay
+        // reads.
+        rleg("plan-write") {
+          newAssign.write.mode("overwrite").parquet(s"$stateDir/newassign")
+          // the assign partitions to rewrite: every partition holding a
+          // row of an affected component (victims included). Driver-small
+          // (<= generations x buckets).
+          s.read.parquet(s"$root/assign")
+            .join(bVids(comps), Seq("component"), "left_semi")
+            .select(col("_src"), col("idb").cast("long").as("idb")).distinct()
+            .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")
+          // target fingerprint: computed ONCE, here; a replay whose
+          // subtraction already committed records "leave meta alone"
+          val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
+          Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
+          stateFs.create(planMarker, true).close() // plan commit point
         }
-        Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+        FaultInjection.maybeCrash("cluster.plan")
       }
-      // survivor re-assignment BEFORE victim rows leave assign (replay
-      // discovery depends on them); victims' own rows pass through the
-      // left join unmapped and are dropped right after
+      // ---- the persisted plan is the sole authority from here on ----
+      val (planVfp, target) = Fingerprint.readRemoveState(conf, normDir, rmTag)
+        .getOrElse(throw new IllegalStateException(
+          s"ClusterIndex.remove: $stateDir has PLAN_READY but no commit " +
+            "record — the state dir was partially deleted; clear it and " +
+            "re-run"))
+      require(planVfp == vfp,
+        s"ClusterIndex.remove: tag '$tag' has leftover removal state for a " +
+          "DIFFERENT victim set (a crashed removal under this tag never " +
+          "completed) — re-run that removal with its original victims " +
+          "first, or clear its rmstate dir after verifying it")
+      // ---- 2. idempotent fingerprint commit: recomputed from the
+      // persisted record, so replaying this write can never re-subtract
+      target.foreach { fp =>
+        Seq((thr, nBuckets, fp._1, fp._2))
+          .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      }
+      FaultInjection.maybeCrash("cluster.meta")
+      if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      FaultInjection.maybeCrash("cluster.record")
+      // ---- 3. rewrites, driven from the plan ----
       // ONE combined assign rewrite: drop victim rows AND remap the
-      // surviving members of affected components (pre-r11 these were two
-      // passes rewriting overlapping partitions twice). Victim rows
-      // belong to affected components by definition, so marking by
-      // component covers both reasons a partition must be touched; a
-      // partition whose every row was a victim empties and its dir is
-      // removed (TargetedDelete mechanics). Crash-replay: partitions
-      // flip whole — a replayed remove re-discovers only the victims
-      // still present and converges per the ordering argument above.
-      val survIdb = survivors.select(col("idb")).distinct()
-        .collect().map(_.getLong(0)).toSeq
-      rleg("assign-rewrite")(TargetedDelete.rewriteWhere(
-        s, s"$root/assign", Seq("_src", "idb"),
-        mark = df => df.join(bVids(comps), Seq("component"), "left_semi"),
-        keep = df => {
-          val kept = df.join(bVids(vids), Seq(idCol), "left_anti")
-          newAssign.fold(kept)(na => kept
-            .join(na, Seq(idCol), "left")
+      // surviving members of affected components (two passes would
+      // rewrite overlapping partitions twice). Partitions flip whole
+      // (per-partition dynamic-overwrite commit); the plan-driven mark
+      // re-selects the ORIGINAL affected partitions on every replay, so
+      // a crash mid-flip re-rewrites the stragglers — already-flipped
+      // partitions pass through keep unchanged (victims already gone,
+      // the remap joins by id and is idempotent).
+      val parts = s.read.parquet(s"$stateDir/parts")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      if (parts.nonEmpty) {
+        val newAssign = s.read.parquet(s"$stateDir/newassign")
+        val partsDf = parts.toDF("_psrc", "_pidb")
+        rleg("assign-rewrite")(TargetedDelete.rewriteWhere(
+          s, s"$root/assign", Seq("_src", "idb"),
+          mark = df => df.join(broadcast(partsDf),
+            col("_src") === col("_psrc") &&
+              col("idb").cast("long") === col("_pidb"), "left_semi"),
+          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
+            .join(newAssign, Seq(idCol), "left")
             .withColumn("component",
               coalesce(col("_newcomp"), col("component")))
-            .drop("_newcomp"))
-        },
-        prePrune = col("idb").isin((vIdb ++ survIdb).distinct: _*)))
+            .drop("_newcomp"),
+          prePrune = col("idb").isin(parts.map(_._2).distinct: _*)))
+      }
+      FaultInjection.maybeCrash("cluster.assign")
       // victim-row removal, dependency order: postings prune needs vToks
       // (kept until toks goes last); each is an idempotent pruned
       // rewrite with emptied-partition cleanup (TargetedDelete mechanics)
-      rleg("del-postings")(TargetedDelete.delete(s, s"$root/postings",
-        Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*)))
+      val vTb = vToks.select(explode(col("_toks")).as("_tok"))
+        .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+        .collect().map(_.getLong(0)).toSeq
+      if (vTb.nonEmpty)
+        rleg("del-postings")(TargetedDelete.delete(s, s"$root/postings",
+          Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*)))
       rleg("del-toks")(TargetedDelete.delete(s, s"$root/toks",
         Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*)))
+      FaultInjection.maybeCrash("cluster.toks")
       // adjacency-log hygiene: a removed id MUST leave the log, or a
       // later re-ingest under the same id would inherit the old text's
       // edges and falsely merge clusters. One combined either-endpoint
@@ -667,6 +721,10 @@ object ClusterIndex {
       // right-to-be-forgotten beats reader grace (see
       // IndexMaintenance.purgeRetired)
       IndexMaintenance.purgeRetired(conf, indexDir, Seq("assign", "toks", "postings", "df", "edges", "meta"))
+      // ---- 4. state cleanup LAST: everything before here replays from
+      // the persisted plan; a replay arriving after this point no-ops
+      // through empty discovery under its applied record
+      Fingerprint.clearRemoveState(conf, normDir, rmTag)
     }
     require(IndexMaintenance.liveRoot(conf, indexDir) == root,
       s"ClusterIndex.remove on $indexDir: the index was compacted to a new " +

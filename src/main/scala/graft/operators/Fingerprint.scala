@@ -125,6 +125,77 @@ object Fingerprint {
     finally out.close()
   }
 
+  // ---- removal-commit state (ADVICE r11) -------------------------------
+  //
+  // The remove() families used to present their fingerprint commit as a
+  // single atomic point, but it was two writes (meta overwrite, then
+  // recordMerge): a crash BETWEEN them made the replay see
+  // wasApplied=false and subtract the victims' fingerprint a SECOND
+  // time, permanently drifting meta from the surviving corpus. The fix
+  // makes the meta write idempotent: before anything mutates, the
+  // remove persists (victims-fingerprint, TARGET meta fingerprint) under
+  // `<indexDir>/rmstate/<rmTag>/commit`; the meta write then always
+  // recomputes from that persisted record, so replaying it any number
+  // of times lands on the same value. The record doubles as the
+  // leftover-state guard: a DIFFERENT victim set under a tag with
+  // surviving state is refused before mutation. State is cleared LAST,
+  // when every rewrite has converged.
+
+  private def rmStateDir(indexDir: String, rmTag: String) =
+    new org.apache.hadoop.fs.Path(
+      s"$indexDir/rmstate/${rmTag.replaceAll("[^a-zA-Z0-9._-]", "_")}")
+
+  /** The state dir path for callers persisting extra plan tables beside
+    * the commit record (ClusterIndex's re-split plan). */
+  def removeStatePath(indexDir: String, rmTag: String): String =
+    rmStateDir(indexDir, rmTag).toString
+
+  /** Persist the removal-commit record: the victims' fingerprint (the
+    * leftover-state guard) and the target meta fingerprint, None when
+    * meta must be left untouched (replayed removal whose subtraction
+    * already committed, or a legacy index without a fingerprint). */
+  def writeRemoveState(conf: org.apache.hadoop.conf.Configuration,
+                       indexDir: String, rmTag: String, vfp: (Long, Long),
+                       target: Option[(Long, Long)]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(rmStateDir(indexDir, rmTag), "commit")
+    val fs = p.getFileSystem(conf)
+    val txt = s"vfp=${vfp._1},${vfp._2}\n" +
+      target.fold("target=none")(t => s"target=${t._1},${t._2}")
+    val out = fs.create(p, true)
+    try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Read back the removal-commit record — None when no state survives
+    * (fresh removal, or a prior one that ran to completion). */
+  def readRemoveState(conf: org.apache.hadoop.conf.Configuration,
+                      indexDir: String, rmTag: String): Option[((Long, Long), Option[(Long, Long)])] = {
+    val p = new org.apache.hadoop.fs.Path(rmStateDir(indexDir, rmTag), "commit")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = txt.split("\n").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+      def pair(v: String) = {
+        val Array(a, b) = v.split(","); (a.toLong, b.toLong)
+      }
+      Some((pair(kv("vfp")),
+        kv.get("target").filter(_ != "none").map(pair)))
+    }
+  }
+
+  /** Drop a removal's state dir — the removal's LAST step. */
+  def clearRemoveState(conf: org.apache.hadoop.conf.Configuration,
+                       indexDir: String, rmTag: String): Unit = {
+    val d = rmStateDir(indexDir, rmTag)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+  }
+
   // ---- FS-metadata freshness fast-path (VERDICT r9 item 2) -------------
   //
   // The content hash above is the freshness AUTHORITY, but it costs a

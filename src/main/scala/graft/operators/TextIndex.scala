@@ -233,20 +233,37 @@ object TextIndex {
       }
       val vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
         .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
-      if (!replay) {
-        oldFp.foreach { o =>
-          import s.implicits._
-          val fp = Fingerprint.unmerge(o, vfp)
-          Seq((numHashes, bandCount, nBuckets, seed, fp._1, fp._2))
-            .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
-            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
-        }
-        Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      // idempotent fingerprint commit (ADVICE r11): the TARGET meta
+      // fingerprint is persisted BEFORE the meta overwrite, so a crash
+      // between the meta write and the replay record replays to the same
+      // meta value instead of subtracting the victims a second time
+      val normDir = IndexMaintenance.normalize(indexDir)
+      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+      state0.foreach { case (svfp, _) =>
+        require(svfp == vfp,
+          s"TextIndex.remove: tag '$tag' has leftover removal state for a " +
+            "DIFFERENT victim set — re-run that removal with its original " +
+            "victims first, or clear its rmstate dir after verifying it")
       }
+      if (state0.isEmpty) {
+        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
+        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
+      }
+      FaultInjection.maybeCrash("text.state")
+      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { fp =>
+        import s.implicits._
+        Seq((numHashes, bandCount, nBuckets, seed, fp._1, fp._2))
+          .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      }
+      FaultInjection.maybeCrash("text.meta")
+      if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      FaultInjection.maybeCrash("text.record")
       // bands first (its prune depends on toks), toks last — a crash at
       // the boundary replays with vToks intact
       TargetedDelete.delete(s, s"$root/bands", Seq("hb"), idCol, vids,
         col("hb").isin(vHb: _*))
+      FaultInjection.maybeCrash("text.bands")
       TargetedDelete.delete(s, s"$root/toks", Seq("idb"), idCol, vids,
         col("idb").isin(vIdb: _*))
       Fingerprint.clearSourceStatus(conf, indexDir)
@@ -254,6 +271,8 @@ object TextIndex {
       // right-to-be-forgotten beats reader grace (see
       // IndexMaintenance.purgeRetired)
       IndexMaintenance.purgeRetired(conf, indexDir, Seq("bands", "toks", "meta"))
+      // state cleanup LAST — every step above replays from the record
+      Fingerprint.clearRemoveState(conf, normDir, rmTag)
     }
     require(IndexMaintenance.liveRoot(conf, indexDir) == root,
       s"TextIndex.remove on $indexDir: index compacted during the removal " +

@@ -277,9 +277,29 @@ object VectorIndex {
         require(known == nV,
           s"VectorIndex.remove: only $known of $nV victims are indexed; " +
             "the fingerprint subtraction needs exactly the ingested rows")
-        oldFp.foreach(o => writeMeta(s, root, Fingerprint.unmerge(o, vfp)))
-        Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
       }
+      // idempotent fingerprint commit (ADVICE r11): the TARGET meta
+      // fingerprint is persisted BEFORE the meta overwrite, so a crash
+      // between the meta write and the replay record replays to the
+      // same meta value instead of subtracting the victims twice
+      val normDir = IndexMaintenance.normalize(indexDir)
+      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+      state0.foreach { case (svfp, _) =>
+        require(svfp == vfp,
+          s"VectorIndex.remove: tag '$tag' has leftover removal state for " +
+            "a DIFFERENT victim set — re-run that removal with its " +
+            "original victims first, or clear its rmstate dir after " +
+            "verifying it")
+      }
+      if (state0.isEmpty) {
+        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
+        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
+      }
+      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2
+        .foreach(fp => writeMeta(s, root, fp))
+      FaultInjection.maybeCrash("vector.meta")
+      if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      FaultInjection.maybeCrash("vector.record")
       TargetedDelete.delete(s, s"$root/cells", Seq("cell"), corpusId, vids,
         col("cell").isInCollection(vCells))
       Fingerprint.clearSourceStatus(conf, indexDir)
@@ -287,6 +307,8 @@ object VectorIndex {
       // right-to-be-forgotten beats reader grace (see
       // IndexMaintenance.purgeRetired)
       IndexMaintenance.purgeRetired(conf, indexDir, Seq("cells", "centroids", "meta"))
+      // state cleanup LAST — every step above replays from the record
+      Fingerprint.clearRemoveState(conf, normDir, rmTag)
     }
     require(IndexMaintenance.liveRoot(conf, indexDir) == root,
       s"VectorIndex.remove on $indexDir: index compacted during the " +

@@ -166,6 +166,124 @@ class IndexRemoveSpec extends SparkSpec {
     assert(assignMap(dir) === after, "refused remove must not mutate")
   }
 
+  test("cluster remove crash-replay matrix: every commit window converges") {
+    // ADVICE r11: the r11 protocol re-discovered affected components
+    // from the assign table the rewrites mutate, and double-subtracted
+    // the fingerprint when a crash landed between the meta write and the
+    // replay record. The plan-first protocol must converge from EVERY
+    // boundary: plan committed / meta written / replay recorded / assign
+    // rewritten / toks deleted.
+    import graft.operators.FaultInjection
+    val steps = Seq("cluster.plan", "cluster.meta", "cluster.record",
+      "cluster.assign", "cluster.toks")
+    steps.foreach { step =>
+      val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+      val c = (30L, span(10, 60)); val d = (40L, span(200, 260))
+      val corpus = Seq(a, b, c, d).toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("rm_crash").toString + "/idx"
+      ClusterIndex.build(corpus, "doc_id", "text", dir)
+      val victims = Seq(b).toDF("doc_id", "text")
+      intercept[FaultInjection.InjectedCrash] {
+        FaultInjection.armed(step)(
+          ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
+      }
+      // the replay (same tag + victims) must complete and converge
+      ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+      val after = assignMap(dir)
+      assert(after === Map(10L -> 10L, 30L -> 30L, 40L -> 40L),
+        s"[$step] replay must split the bridged component: $after")
+      val survivors = Seq(a, c, d).toDF("doc_id", "text")
+      assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"),
+        s"[$step] fingerprint drifted — the subtraction is not idempotent")
+      val root = graft.operators.IndexMaintenance.liveRoot(
+        spark.sparkContext.hadoopConfiguration, dir)
+      Seq("toks", "postings").foreach { t =>
+        assert(spark.read.parquet(s"$root/$t")
+          .filter(col("doc_id") === 20L).count() == 0L,
+          s"[$step] $t still holds victim rows after replay")
+      }
+      assert(spark.read.parquet(s"$root/edges")
+        .filter(col("u") === 20L || col("v") === 20L).count() == 0L,
+        s"[$step] edge log still holds victim rows after replay")
+      // rmstate cleaned up on completion
+      assert(!new java.io.File(s"$dir/rmstate").exists() ||
+        new java.io.File(s"$dir/rmstate").listFiles().isEmpty,
+        s"[$step] removal state must be cleared on completion")
+    }
+  }
+
+  test("cluster remove replay survives a PARTIALLY-FLIPPED assign rewrite") {
+    // The exact ADVICE r11 stranding scenario: dynamic partition
+    // overwrite commits per-partition, so a crash mid-rewrite can leave
+    // the victim's partition flipped (its assign row GONE) while a
+    // survivor needing a remap still holds the old component id. A
+    // replay that re-discovered victims from assign would find none and
+    // strand the survivor; the plan-driven replay must converge.
+    import graft.operators.FaultInjection
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(10, 60))
+    val corpus = Seq(a, b, c).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_flip").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    val victims = Seq(b).toDF("doc_id", "text")
+    // crash right after the replay record — no rewrite has run yet
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("cluster.record")(
+        ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
+    }
+    // simulate the partial flip: surgically remove ONLY the victim's
+    // assign row (its partition "committed") while survivors 10/30 keep
+    // their stale component-10 rows
+    val root = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, dir)
+    graft.operators.TargetedDelete.delete(spark, s"$root/assign",
+      Seq("_src", "idb"), "doc_id", Seq(20L).toDF("doc_id"))
+    assert(assignMap(dir) === Map(10L -> 10L, 30L -> 10L),
+      "pre-replay: survivor 30 is stranded on the old component")
+    // the plan-driven replay must still re-split 30 into its own
+    // component — discovery from the mutated table would find no victims
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+    val after = assignMap(dir)
+    assert(after === Map(10L -> 10L, 30L -> 30L),
+      s"plan-driven replay must rescue the stranded survivor: $after")
+    assert(ClusterIndex.isFresh(spark, dir,
+      Seq(a, c).toDF("doc_id", "text"), "doc_id", "text"))
+  }
+
+  test("text/vector remove crash windows: fingerprint never subtracts twice") {
+    import graft.operators.FaultInjection
+    // text family
+    Seq("text.state", "text.meta", "text.record", "text.bands").foreach { step =>
+      val docs = (0 until 12)
+        .map(i => (i.toLong, s"doc $i same shared boilerplate body"))
+        .toDF("doc_id", "text")
+      val dir = java.nio.file.Files.createTempDirectory("rm_txc").toString + "/idx"
+      TextIndex.build(docs, "doc_id", "text", dir)
+      val victims = docs.filter(col("doc_id") === 5L)
+      intercept[FaultInjection.InjectedCrash] {
+        FaultInjection.armed(step)(
+          TextIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
+      }
+      TextIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+      val survivors = docs.filter(col("doc_id") =!= 5L)
+      assert(TextIndex.isFresh(spark, dir, survivors, "doc_id", "text"),
+        s"[$step] text fingerprint drifted across the crash window")
+    }
+    // vector family
+    Seq("vector.meta", "vector.record").foreach { step =>
+      val corpus = Tables.embeddings(spark, sf0001)
+      val dir = java.nio.file.Files.createTempDirectory("rm_vxc").toString + "/idx"
+      VectorIndex.build(corpus, dir, nlist = 8)
+      val victims = corpus.filter(col("vec_id") === 7L)
+      intercept[FaultInjection.InjectedCrash] {
+        FaultInjection.armed(step)(VectorIndex.remove(victims, dir, tag = "t1"))
+      }
+      VectorIndex.remove(victims, dir, tag = "t1")
+      assert(VectorIndex.isFresh(spark, dir, corpus.filter(col("vec_id") =!= 7L)),
+        s"[$step] vector fingerprint drifted across the crash window")
+    }
+  }
+
   test("MASS-victim remove (join path): 20% of corpus, equals fresh build on survivors") {
     // VERDICT r11 item 1: above the key threshold every victim join
     // (vids/comps semi-joins, the either-endpoint edge delete) must run
