@@ -826,16 +826,27 @@ object S4Stream {
     // runs for batches that still need applying
     appliedOnce(s, indexDir, runKey, batchId) {
       if (!batch.isEmpty) {
+        // resurrection guard FIRST: a replay of this batch after a
+        // takedown removed some of its rows must not re-admit them
+        val live = exceptTombstoned(batch, idCol, textCol, indexDir)
         val flagged = graft.operators.TextIndex
-          .probe(s, indexDir, batch, idCol, textCol, excludeTag = Some(tag))
+          .probe(s, indexDir, live, idCol, textCol, excludeTag = Some(tag))
           .select(col("inc_id"))
-        val novel = batch
-          .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
+        val novel = live
+          .join(flagged, live(idCol) === col("inc_id"), "left_anti")
           .localCheckpoint() // consumed twice: lake write + index append
         // batchId-keyed overwrite (the pushBatch recipe): a replayed
         // batch rewrites its own subtree, so the LAKE is exactly-once.
         novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-        graft.operators.TextIndex.append(novel, idCol, textCol, indexDir, tag)
+        // recordMerge is append's LAST meta action, so a recorded tag
+        // proves the original append fully committed rows+fingerprint —
+        // the replay skips it rather than appending duplicate rows and
+        // (when a takedown shrank `novel` via tombstones between crash
+        // and replay) re-merging a now-different delta fingerprint,
+        // which would drift meta from the corpus of record.
+        if (!graft.operators.Fingerprint.tagUsed(
+            s.sparkContext.hadoopConfiguration, indexDir, tag))
+          graft.operators.TextIndex.append(novel, idCol, textCol, indexDir, tag)
       }
     }
   }
@@ -872,8 +883,17 @@ object S4Stream {
   /** The staged-snapshot takedown protocol shared by the text and
     * vector loops (one implementation so the crash-boundary contract
     * above can never diverge between the siblings): snapshot the
-    * victims' rows of record once, run the family's index remove, scrub
-    * the lake, clean the staging — in exactly that order. */
+    * victims' rows of record once, TOMBSTONE them, run the family's
+    * index remove, scrub the lake, clean the staging — in exactly that
+    * order. The tombstone (ADVICE r11) closes the silent resurrection
+    * window: an ingest batch that crashed AFTER its index append but
+    * BEFORE its applied/ marker replays after the takedown, finds its
+    * victim no longer indexed (so "novel"), and would re-write the
+    * supposedly-forgotten rows into both lake and index. Tombstones are
+    * (id, content-hash) pairs under `<indexDir>/removed/` — the ingest
+    * loops anti-join every batch against them, which blocks exactly the
+    * replayed (identical) content while a legitimately NEW version of
+    * the same id (changed text — a later re-crawl) still ingests. */
   private def takedownBatchImpl(batch: DataFrame, batchId: Long,
       idCol: String, valueCol: String, indexDir: String, lakeDir: String,
       runKey: String)(removeFn: (DataFrame, String) => Unit): Unit = {
@@ -900,6 +920,11 @@ object S4Stream {
         }
         val victims = s.read.parquet(staging).localCheckpoint()
         if (!victims.isEmpty) {
+          // tombstone BEFORE the index remove: from the moment the
+          // victim leaves the index, a replaying ingest batch would
+          // re-admit it as novel — the tombstone must already be
+          // visible. Batch-tag-keyed overwrite => replay-idempotent.
+          recordTombstones(victims, idCol, valueCol, indexDir, tag)
           // INDEX FIRST (see the crash-boundary walkthrough above)
           removeFn(victims, tag)
           graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
@@ -907,6 +932,43 @@ object S4Stream {
         }
         fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       }
+    }
+  }
+
+  /** Persist RTBF tombstones: one `(id, content-hash)` row per removed
+    * (id, value) under `<indexDir>/removed/batch=<tag>`. Written by the
+    * takedown loops before their index remove; batch RTBF flows that
+    * call the index removes directly against a lake with a LIVE ingest
+    * checkpoint should call this with the same victim rows, or the
+    * ingest replay of a crashed-unmarkered batch can resurrect the
+    * removed content (see [[indexedTakedownStream]]). Tombstones are
+    * content-scoped on purpose: a future re-crawl of the same id with
+    * CHANGED content is a new document and still ingests. */
+  def recordTombstones(victims: DataFrame, idCol: String, valueCol: String,
+                       indexDir: String, tag: String): Unit = {
+    val safe = tag.replaceAll("[^a-zA-Z0-9._-]", "_")
+    victims.select(col(idCol), xxhash64(col(valueCol)).as("_vh"))
+      .distinct()
+      .write.mode("overwrite").parquet(s"$indexDir/removed/batch=$safe")
+  }
+
+  /** Drop the rows of `batch` whose (id, content-hash) is tombstoned
+    * under `<indexDir>/removed/` — the ingest loops' resurrection
+    * guard. No-FS-entry fast path when no takedown ever ran; the join
+    * is an equi anti-join Spark auto-broadcasts while the tombstone set
+    * is small (parquet size stats), shuffling only for bulk-purge-scale
+    * sets. */
+  private def exceptTombstoned(batch: DataFrame, idCol: String,
+      valueCol: String, indexDir: String): DataFrame = {
+    val s = batch.sparkSession
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/removed")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) batch
+    else {
+      val tomb = s.read.parquet(dir.toString)
+        .select(col(idCol).as("_tomb_id"), col("_vh"))
+      batch.join(tomb, batch(idCol) === col("_tomb_id") &&
+        xxhash64(batch(valueCol)) === col("_vh"), "left_anti")
     }
   }
 
@@ -927,7 +989,13 @@ object S4Stream {
     * `remove` lease (it rewrites other generations' partitions), so a
     * takedown batch that overlaps an ingest batch on the SAME index
     * fails loudly — schedule the two loops non-overlapping (trigger
-    * offsets or AvailableNow turns), exactly as compaction requires. */
+    * offsets or AvailableNow turns), exactly as compaction requires.
+    * The third edge is SILENT without the tombstones and closed by
+    * them: an ingest batch that crashed after its index append but
+    * before its applied/ marker replays AFTER a takedown already
+    * removed some of its rows — the replay's re-probe no longer flags
+    * them (not indexed), so absent the `removed/` anti-join it would
+    * re-write forgotten rows into lake and index. */
   def indexedTakedownStream(victimIds: DataFrame, idCol: String,
                             textCol: String, indexDir: String,
                             lakeDir: String, checkpointDir: String,
@@ -999,7 +1067,9 @@ object S4Stream {
         // masking its replay). The content-dedup loops don't need this —
         // their indexes are multisets of token/vector rows, where a
         // changed re-crawl is legitimately a new version to dedup against.
-        val pinned = batch.localCheckpoint() // consumed by filter + append
+        // resurrection guard first (same contract as the dedup loops)
+        val pinned = exceptTombstoned(batch, idCol, textCol, indexDir)
+          .localCheckpoint() // consumed by filter + append
         val known = graft.operators.ClusterIndex.knownIds(
           s, indexDir, pinned.select(col(idCol)), idCol,
           excludeTag = Some(tag))
@@ -1010,9 +1080,24 @@ object S4Stream {
         // exactly-once under replay, like the dedup loops' lakes. The
         // feed carries first-ingest assignments only; re-crawled ids
         // were assigned when first seen.
-        val assigned = graft.operators.ClusterIndex
-          .append(fresh, idCol, textCol, indexDir, tag)
-        assigned.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+        if (!graft.operators.Fingerprint.tagUsed(
+            s.sparkContext.hadoopConfiguration, indexDir, tag)) {
+          val assigned = graft.operators.ClusterIndex
+            .append(fresh, idCol, textCol, indexDir, tag)
+          assigned.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+        } else {
+          // replay of a fully-committed append (recorded tag): the rows
+          // are in the index, and append() would rightly REFUSE a
+          // tombstone-shrunk delta under the used tag. Rewrite the
+          // batch's feed from the live assignment map instead — ids
+          // taken down since simply aren't in it, which is the point;
+          // consumers wanting current components read assignments()
+          // anyway (the feed is an audit trail).
+          fresh.select(col(idCol))
+            .join(graft.operators.ClusterIndex.assignments(s, indexDir, idCol),
+              Seq(idCol))
+            .write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+        }
       }
     }
   }
@@ -1058,14 +1143,20 @@ object S4Stream {
     val tag = s"ck${runKey}_b$batchId" // provenance tag, see text sibling
     appliedOnce(s, indexDir, runKey, batchId) { // marker first, see sibling
       if (!batch.isEmpty) {
+        // resurrection guard first (same contract as the text loop)
+        val live = exceptTombstoned(batch, idCol, vecCol, indexDir)
         val flagged = graft.operators.VectorIndex
-          .probeDups(s, indexDir, batch, tau, idCol, vecCol, excludeTag = Some(tag))
+          .probeDups(s, indexDir, live, tau, idCol, vecCol, excludeTag = Some(tag))
           .select(col("inc_id"))
-        val novel = batch
-          .join(flagged, batch(idCol) === col("inc_id"), "left_anti")
+        val novel = live
+          .join(flagged, live(idCol) === col("inc_id"), "left_anti")
           .localCheckpoint() // consumed twice: lake write + index append
         novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-        graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol, tag)
+        // recorded tag => original append fully committed; skip (see
+        // the text sibling for the tombstone-replay drift argument)
+        if (!graft.operators.Fingerprint.tagUsed(
+            s.sparkContext.hadoopConfiguration, indexDir, tag))
+          graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol, tag)
       }
     }
   }

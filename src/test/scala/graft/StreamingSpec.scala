@@ -554,6 +554,54 @@ class StreamingSpec extends SparkSpec {
       "replay must clean its staging")
   }
 
+  test("takedown tombstones: a crashed-unmarkered ingest replay cannot resurrect victims") {
+    // ADVICE r11 (S4Stream silent window): ingest batch appends, crashes
+    // BEFORE its applied/ marker; a takedown removes one of its docs;
+    // the ingest replay re-probes — the victim is no longer indexed, so
+    // without the tombstone anti-join it would re-enter lake AND index.
+    import spark.implicits._
+    val lake = tmp("rstlake"); val idx = tmp("rstidx").toString
+    def txt(seed: Int) = (0 until 20).map(i => s"rtok${seed}_$i").mkString(" ")
+    graft.operators.TextIndex.build(
+      Seq((1L, txt(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    val b0 = Seq((101L, txt(2)), (102L, txt(3))).toDF("doc_id", "text")
+    S4Stream.processIndexedDedupBatch(b0, 0L, "doc_id", "text",
+      idx, lake.toString, "runIn")
+    // simulate the crash window: batch fully applied, marker lost
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/applied/ckrunIn_b0"), false))
+    // takedown doc 101 through the production batch body
+    S4Stream.processTakedownBatch(Seq(101L).toDF("doc_id"), 0L,
+      "doc_id", "text", idx, lake.toString, "runTk")
+    def lakeIds = spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def probeHits(seed: Int) = graft.operators.TextIndex.probe(spark, idx,
+      Seq((900L, txt(seed))).toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(lakeIds === Set(102L) && probeHits(2) == 0L)
+    // the ingest REPLAY (same batch, same lineage) must not resurrect
+    S4Stream.processIndexedDedupBatch(b0, 0L, "doc_id", "text",
+      idx, lake.toString, "runIn")
+    assert(lakeIds === Set(102L),
+      "replayed ingest resurrected a taken-down doc in the lake")
+    assert(probeHits(2) == 0L,
+      "replayed ingest resurrected a taken-down doc in the index")
+    assert(probeHits(3) == 1L, "the replay must keep its surviving rows")
+    // a legitimately NEW version of the forgotten id (changed content)
+    // is a different document and still ingests
+    S4Stream.processIndexedDedupBatch(
+      Seq((101L, txt(9))).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, lake.toString, "runIn")
+    assert(lakeIds === Set(102L, 101L),
+      "content-scoped tombstones must admit a changed re-crawl")
+    // the fingerprint still tracks the corpus of record exactly
+    val corpus = Seq((1L, txt(1)), (102L, txt(3)), (101L, txt(9)))
+      .toDF("doc_id", "text")
+    assert(graft.operators.TextIndex.isFresh(spark, idx, corpus,
+      "doc_id", "text"))
+  }
+
   test("vector takedown: victims leave the lake and the IVF index; compact GCs edges") {
     import spark.implicits._
     val in = tmp("vtkin"); val lake = tmp("vtklake"); val ck = tmp("vtkck")
