@@ -419,7 +419,15 @@ object ClusterIndex {
       // edges fold also GCs DANGLING set-set rows: a remove() that
       // deleted a set's last member leaves its set-set edges behind
       // (consumers drop them at read via the member-liveness rule);
-      // compaction is the natural point to drop them physically
+      // compaction is the natural point to drop them physically.
+      // Pre-r11 indexes have no edges table (ADVICE r11): skip the fold
+      // — mirroring ensure()'s edgesOk handling, which already treats
+      // such trees as rebuild-needed for remove() purposes — instead of
+      // hard-failing a compaction of an otherwise-valid index.
+      val legacyNoEdges = !new org.apache.hadoop.fs.Path(
+        s"${ctx.fromRoot}/edges/_SUCCESS").getFileSystem(conf)
+        .exists(new org.apache.hadoop.fs.Path(s"${ctx.fromRoot}/edges/_SUCCESS"))
+      if (!legacyNoEdges)
       IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "edges",
         Seq("_src", "eb"), remap = Map("_src" -> foldSrc),
         transform = { df0 =>

@@ -271,6 +271,37 @@ class ClusterIndexSpec extends SparkSpec {
     assert(assignMap(dir) === before ++ Map(60L -> 60L))
   }
 
+  test("compact() on a legacy index without an edges table skips the fold") {
+    // ADVICE r11: pre-r11 trees have no edges/ directory; compact() must
+    // not hard-fail reading it — ensure() already treats such trees as
+    // rebuild-needed for remove() purposes, but a direct compact() of an
+    // otherwise-valid index has to keep working.
+    val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("cilegacy").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    ClusterIndex.append(Seq((30L, txt(3))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "c0")
+    val before = assignMap(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    val edges = new org.apache.hadoop.fs.Path(s"$root/edges")
+    assert(edges.getFileSystem(conf).delete(edges, true))
+    ClusterIndex.compact(spark, dir, foldUnmarkedTags = true)
+    assert(assignMap(dir) === before,
+      "legacy compact must still fold the row tables correctly")
+    val newRoot = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    assert(newRoot != root, "compact must have cut over a generation")
+    assert(!new org.apache.hadoop.fs.Path(s"$newRoot/edges/_SUCCESS")
+      .getFileSystem(conf).exists(
+        new org.apache.hadoop.fs.Path(s"$newRoot/edges/_SUCCESS")),
+      "no edges table should be staged for a legacy tree")
+    // probes still answer on the compacted legacy index
+    val probed = ClusterIndex.probe(spark, dir,
+        Seq((50L, txt(3))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probed === Map(50L -> 30L), s"probe after legacy compact: $probed")
+  }
+
   test("replayed append is idempotent: assign rows, components, fingerprint") {
     val corpus = Seq((10L, txt(1)), (20L, txt(2))).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("clidx4").toString
