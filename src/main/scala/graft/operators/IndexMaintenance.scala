@@ -46,12 +46,16 @@ import org.apache.spark.sql.functions._
   * duration, compact holds a `compact_*` lease. Acquisition creates the
   * own lease FIRST, then checks for conflicts (write conflicts with
   * compact; compact conflicts with everything) — so two racing
-  * operations can both abort but can never both proceed. A crashed
-  * operation leaves a stale lease behind; after verifying real
-  * quiescence an operator clears it with [[breakLeases]] (or by deleting
-  * `<dir>/lease/`). This is a single-writer coordination aid, not a
-  * distributed lock manager — it turns the silent-data-loss race into a
-  * loud, actionable error.
+  * operations can both abort but can never both proceed. Holders renew
+  * their lease at ttl/3 (daemon heartbeat); a crashed holder's lease
+  * self-EXPIRES after [[leaseTtlMs]] and the next acquirer clears it —
+  * no human runbook needed ([[breakLeases]] remains the force override).
+  * A holder that stalled past the TTL and lost its lease is FENCED: its
+  * heartbeat notices the reclaim and its completion fails loudly
+  * instead of reporting success for writes that may have interleaved
+  * with the new holder's. This is a single-writer coordination aid, not
+  * a distributed lock manager — it turns the silent-data-loss race into
+  * a loud, actionable error.
   */
 private[graft] object IndexMaintenance {
 
@@ -120,9 +124,43 @@ private[graft] object IndexMaintenance {
     if (!fs.exists(d)) Seq.empty else fs.listStatus(d).map(_.getPath.getName).toSeq
   }
 
+  /** Lease TTL (ms): a lease whose heartbeat is older than this is
+    * EXPIRED — a new acquirer clears it and proceeds, turning crashed-
+    * holder recovery from a human runbook (breakLeases) into an
+    * invariant (VERDICT r11 item 3). Holders renew at ttl/3 via a
+    * daemon heartbeat, so a LIVE holder is never expired unless the
+    * process is stalled for a full TTL — and a stalled-then-revived
+    * holder is FENCED: its renewal discovers the stolen lease and its
+    * commit fails loudly ([[withLease]]/[[finishCompact]]). */
+  def leaseTtlMs: Long =
+    sys.props.get("graft.lease.ttlMs").map(_.toLong).getOrElse(600000L)
+  private def heartbeatMs: Long =
+    sys.props.get("graft.lease.hbMs").map(_.toLong)
+      .getOrElse(math.max(1L, leaseTtlMs / 3))
+
+  /** Renewal = rewriting the lease file; the HEARTBEAT AUTHORITY is the
+    * file's mtime, not its content — readers never parse bytes a
+    * concurrent rewrite could truncate mid-read (the content is a
+    * human-facing hint only). Fencing needs no token either: lease
+    * filenames are uuid-unique, so "my file still exists" is exactly
+    * "nobody reclaimed my lease". */
+  private def writeLeaseFile(fs: FileSystem, p: Path): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s"hb=${System.currentTimeMillis()}"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Heartbeat millis of a lease file (mtime); None when gone. */
+  private def leaseHeartbeat(fs: FileSystem, p: Path): Option[Long] =
+    try Some(fs.getFileStatus(p).getModificationTime)
+    catch { case _: java.io.FileNotFoundException => None }
+
   /** Take a lease of `kind` on the index. Own lease is created FIRST,
     * conflicts checked second — two racers can both abort, never both
-    * proceed. Throws (and removes its own lease) on conflict.
+    * proceed. Throws (and removes its own lease) on conflict. A
+    * conflicting lease whose heartbeat exceeds [[leaseTtlMs]] is a
+    * crashed holder's leftover: it is deleted and ignored.
     *
     * Kinds and their conflict rules:
     *  - `write` (build/append): tag-scoped writers never touch each
@@ -140,18 +178,27 @@ private[graft] object IndexMaintenance {
     val own = new Path(leaseDir(indexDir),
       s"${kind}_${java.util.UUID.randomUUID().toString.take(12)}")
     val fs = own.getFileSystem(conf)
-    fs.create(own, false).close()
+    writeLeaseFile(fs, own)
+    val deadline = System.currentTimeMillis() - leaseTtlMs
     val conflicts = listLeases(fs, indexDir)
       .filterNot(_ == own.getName)
       .filter(other => kind != "write" ||
         other.startsWith("compact") || other.startsWith("remove"))
+      .filterNot { other =>
+        // expired => the holder crashed (a live one renews at ttl/3):
+        // clear it and move on
+        val p = new Path(leaseDir(indexDir), other)
+        val expired = leaseHeartbeat(fs, p).forall(_ < deadline)
+        if (expired) fs.delete(p, false)
+        expired
+      }
     if (conflicts.nonEmpty) {
       fs.delete(own, false)
       throw new IllegalStateException(
         s"$kind on $indexDir refused: in-flight maintenance holds lease(s) " +
           s"${conflicts.mkString(", ")} under $indexDir/lease/. If the " +
-          "holder crashed, verify quiescence and clear stale leases " +
-          "(IndexMaintenance.breakLeases or delete the lease files)")
+          s"holder crashed, its lease self-expires after ${leaseTtlMs}ms; " +
+          "to force, clear stale leases (IndexMaintenance.breakLeases)")
     }
     own
   }
@@ -160,6 +207,53 @@ private[graft] object IndexMaintenance {
     val fs = lease.getFileSystem(conf)
     fs.delete(lease, false)
   }
+
+  /** A running lease heartbeat: renews the lease file at ttl/3 and trips
+    * `fenced` the moment the file is gone (a new acquirer reclaimed it
+    * after expiry — filenames are uuid-unique, so existence is
+    * ownership). */
+  final class LeaseBeat private[IndexMaintenance] (
+      fs: FileSystem, lease: Path) {
+    @volatile private[IndexMaintenance] var fenced = false
+    private val task: java.util.concurrent.ScheduledFuture[_] =
+      IndexMaintenance.heartbeatPool.scheduleAtFixedRate(
+        () => renew(), heartbeatMs, heartbeatMs,
+        java.util.concurrent.TimeUnit.MILLISECONDS)
+    /** Check-then-touch; also callable synchronously at a commit point.
+      * Any unexpected throwable trips the fence rather than silently
+      * killing the scheduled task (scheduleAtFixedRate suppresses
+      * later runs after an uncaught exception). */
+    private[IndexMaintenance] def renew(): Unit = synchronized {
+      if (!fenced) {
+        try {
+          if (fs.exists(lease)) writeLeaseFile(fs, lease)
+          else fenced = true // reclaimed or cleared: stop renewing
+        } catch { case _: Throwable => fenced = true }
+      }
+    }
+    /** Loud fencing check for the holder's commit point. */
+    private[IndexMaintenance] def assertHeld(what: String): Unit = {
+      renew()
+      if (fenced) throw new IllegalStateException(
+        s"$what: this holder's lease $lease expired and was reclaimed by " +
+          "another maintenance operation (stalled past the " +
+          s"${leaseTtlMs}ms TTL) — its writes may interleave with the new " +
+          "holder's; verify the index (ensure()/isFresh) before serving")
+    }
+    private[IndexMaintenance] def stop(): Unit = task.cancel(false)
+  }
+
+  private lazy val heartbeatPool = {
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+      val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
+    })
+    p.setRemoveOnCancelPolicy(true)
+    p
+  }
+
+  /** Start the renewal heartbeat for an acquired lease. */
+  private def startBeat(conf: Configuration, lease: Path): LeaseBeat =
+    new LeaseBeat(lease.getFileSystem(conf), lease)
 
   /** Operator escape hatch: clear ALL leases after independently
     * verifying no maintenance is actually running (a crashed holder
@@ -170,11 +264,26 @@ private[graft] object IndexMaintenance {
     if (fs.exists(d)) fs.delete(d, true)
   }
 
-  /** Run `body` under a lease, releasing it on every exit path. */
+  /** Run `body` under a heartbeat-renewed lease, releasing it on every
+    * exit path. If the holder stalled past the TTL and another
+    * operation reclaimed the lease, the completed body's SUCCESS is
+    * refused (fencing): the exception tells the operator the two
+    * holders' writes may have interleaved. The check runs after `body`
+    * because these are filesystem-rewrite operations with no single
+    * revocable commit call — what fencing buys is that a stale holder
+    * can never REPORT success, so the condition is always surfaced. */
   def withLease[T](conf: Configuration, indexDir: String, kind: String)
                   (body: => T): T = {
     val lease = acquireLease(conf, indexDir, kind)
-    try body finally releaseLease(conf, lease)
+    val beat = startBeat(conf, lease)
+    try {
+      val r = body
+      beat.assertHeld(s"$kind on ${normalize(indexDir)}")
+      r
+    } finally {
+      beat.stop()
+      releaseLease(conf, lease)
+    }
   }
 
   // ---- compaction cutover ------------------------------------------------
@@ -184,7 +293,8 @@ private[graft] object IndexMaintenance {
     * guarded pointer flip. */
   final case class CompactCtx(indexDir: String, fromRoot: String,
                               fromGen: Option[Long], newGen: Long,
-                              stagingRoot: String, lease: Path)
+                              stagingRoot: String, lease: Path,
+                              private[IndexMaintenance] val beat: LeaseBeat)
 
   /** Acquire the compact lease and prepare a clean next-generation
     * staging directory. Callers MUST end with [[finishCompact]] or
@@ -201,7 +311,7 @@ private[graft] object IndexMaintenance {
       // it never became live (no pointer flip), so it is junk to clear
       if (fs.exists(staging)) fs.delete(staging, true)
       CompactCtx(indexDir, liveRoot(conf, indexDir), fromGen, newGen,
-        staging.toString, lease)
+        staging.toString, lease, startBeat(conf, lease))
     } catch { case t: Throwable => releaseLease(conf, lease); throw t }
   }
 
@@ -223,6 +333,9 @@ private[graft] object IndexMaintenance {
   def finishCompact(conf: Configuration, ctx: CompactCtx,
                     legacyTables: Seq[String]): Unit = {
     try {
+      // fencing BEFORE the pointer flip: a holder that stalled past the
+      // TTL (lease reclaimed) must not cut its stale staged tree live
+      ctx.beat.assertHeld(s"compact on ${ctx.indexDir}")
       val now = currentGen(conf, ctx.indexDir)
       require(now == ctx.fromGen,
         s"compact on ${ctx.indexDir}: generation moved ${ctx.fromGen} -> " +
@@ -238,13 +351,15 @@ private[graft] object IndexMaintenance {
         (1L until g).foreach(old =>
           fs.delete(new Path(s"${ctx.indexDir}/g$old"), true))
       }
-    } finally releaseLease(conf, ctx.lease)
+    } finally { ctx.beat.stop(); releaseLease(conf, ctx.lease) }
   }
 
   /** Release the compact lease after a failed fold; the staged tree (if
     * any) is left for the next [[beginCompact]] to clear. */
-  def abortCompact(conf: Configuration, ctx: CompactCtx): Unit =
+  def abortCompact(conf: Configuration, ctx: CompactCtx): Unit = {
+    ctx.beat.stop()
     releaseLease(conf, ctx.lease)
+  }
 
   /** Delete every RETIRED data generation — the GC-grace copies
     * [[finishCompact]] keeps for lease-free in-flight readers of past

@@ -146,4 +146,60 @@ class QuiesceSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(m == Map(10L -> 10L, 20L -> 20L, 30L -> 10L), s"map drifted: $m")
   }
+
+  // ---- lease TTL + fencing (VERDICT r11 item 3) -------------------------
+
+  test("an EXPIRED lease self-clears: the next acquirer proceeds, no runbook") {
+    val dir = freshTextIndex()
+    System.setProperty("graft.lease.ttlMs", "200")
+    try {
+      // a crashed holder: bare acquire never starts a heartbeat
+      IndexMaintenance.acquireLease(conf, dir, "write")
+      Thread.sleep(450)
+      TextIndex.compact(spark, dir) // TTL passed: admitted without breakLeases
+      assert(IndexMaintenance.liveRoot(conf, dir) == s"$dir/g1")
+    } finally System.clearProperty("graft.lease.ttlMs")
+  }
+
+  test("a stalled-then-revived holder is FENCED: its completion fails loudly") {
+    val dir = freshTextIndex()
+    System.setProperty("graft.lease.ttlMs", "250")
+    System.setProperty("graft.lease.hbMs", "3600000") // holder stalls: no renewals
+    try {
+      val ex = intercept[IllegalStateException] {
+        IndexMaintenance.withLease(conf, dir, "write") {
+          Thread.sleep(600) // stall past the TTL
+          // a reclaimer arrives, sees the expired lease, clears it, runs
+          val other = IndexMaintenance.acquireLease(conf, dir, "remove")
+          IndexMaintenance.releaseLease(conf, other)
+          "body completed" // ...but the stale holder must not report success
+        }
+      }
+      assert(ex.getMessage.contains("reclaimed"), s"not the fence: ${ex.getMessage}")
+    } finally {
+      System.clearProperty("graft.lease.ttlMs")
+      System.clearProperty("graft.lease.hbMs")
+    }
+  }
+
+  test("a LIVE holder is never fenced mid-write: heartbeat outlasts any TTL") {
+    val dir = freshTextIndex()
+    System.setProperty("graft.lease.ttlMs", "1000") // heartbeat at ~333ms
+    try {
+      val refusals = IndexMaintenance.withLease(conf, dir, "write") {
+        // hold well past the TTL; renewals must keep every acquirer out
+        val deadline = System.currentTimeMillis() + 2500
+        var n = 0
+        while (System.currentTimeMillis() < deadline) {
+          intercept[IllegalStateException] {
+            IndexMaintenance.acquireLease(conf, dir, "compact")
+          }
+          n += 1
+          Thread.sleep(100)
+        }
+        n
+      } // withLease's own fencing check must pass: the lease was never lost
+      assert(refusals >= 5, s"only $refusals refusals across the hold window")
+    } finally System.clearProperty("graft.lease.ttlMs")
+  }
 }
