@@ -106,6 +106,9 @@ object GraftExtensions {
         litLong(args(1), "winnow_fps", "k").toInt,
         litLong(args(2), "winnow_fps", "w").toInt)
     },
+    entry("bloom_contains") { args =>
+      arity("bloom_contains", 2, args); BloomContains(args(0), args(1))
+    },
   )
 
   /** Register every function on an existing session (idempotent —

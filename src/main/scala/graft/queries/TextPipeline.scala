@@ -392,16 +392,10 @@ object TextPipeline {
       val bloom = g.filter(col("split") === "train")
         .select(explode(col("gs")).as("gram"))
         .stat.bloomFilter("gram", math.max(nTrain, 1L), 0.01)
-      val bloomB = s.sparkContext.broadcast(bloom)
-      // Deliberate UDF (the repo's only one): Catalyst's
-      // BloomFilterMightContain isn't registered in the public function
-      // registry and expects bloom_filter_agg's binary format, not the
-      // sketch `stat.bloomFilter` builds — no public-API route. Cost:
-      // this one filter evaluates off the codegen path (a per-row boxed
-      // call). Correctness is unaffected either way: the exact semi-join
-      // behind it re-verifies every surviving row.
-      val mightContain = udf((h: Long) => bloomB.value.mightContainLong(h))
-      testAll.filter(mightContain(col("gram")))
+      // fused codegen probe (was the repo's last UDF — a per-row boxed
+      // call off the codegen path); the sketch rides the task binary as
+      // a foldable literal, see graft.functions.BloomContains
+      testAll.filter(graft.functions.BloomContains(bloom, col("gram")))
     }
     test.join(train, Seq("gram"), "left_semi")
       .groupBy(col("doc_id"), col("split"), col("n_grams"))

@@ -103,8 +103,10 @@ class PlanSpec extends SparkSpec {
     spark.conf.set("spark.sql.codegen.fallback", "false")
     spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
     try {
+      // doc_contamination: its bloom pre-filter was the repo's last UDF
+      // (always interpreted); BloomContains must compile in the stage
       Seq("vec_lsh_topk", "vec_ivf_topk", "vec_lsh_near_dups",
-          "vec_kmeans").foreach { q =>
+          "vec_kmeans", "doc_contamination").foreach { q =>
         assert(SparkEntry.queries(q)(spark, sf0001).collect() != null, q)
       }
     } finally {
