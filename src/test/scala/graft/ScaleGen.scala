@@ -17,6 +17,25 @@ import org.apache.spark.sql.functions._
   * slope.
   */
 object ScaleGen {
+
+  /** Deep-CHAIN near-dup fixture (VERDICT r11 item 7): doc i shares a
+    * sliding token window with doc i+1 only — consecutive Jaccard is
+    * (tokens-step)/(tokens+step) (0.818 at the defaults, above the 0.8
+    * pipeline threshold) while skip-one Jaccard is
+    * (tokens-2*step)/(tokens+2*step) (0.667, below it). The similarity
+    * graph is therefore a single PATH of diameter n-1 — the shape the
+    * replica fixtures never produce (their clusters are near-cliques
+    * that contract in one star round), so this is what exercises the
+    * O(log n) multi-round bound of ConnectedComponents. */
+  def chainDocs(spark: SparkSession, n: Int, tokens: Int = 50,
+                step: Int = 5): DataFrame = {
+    import spark.implicits._
+    (0 until n).map { i =>
+      (i.toLong,
+        (i * step until i * step + tokens).map(t => s"chaintok$t").mkString(" "))
+    }.toDF("doc_id", "text")
+  }
+
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val copies = if (args.length > 1) args(1).toInt else 5
