@@ -15,7 +15,7 @@ import graft.streaming.S4Stream.S4Config
   *        [--input-kind files|socket|unix] [--host H] [--port N]
   *        [--socket-path P]   (unix kind: the domain-socket file)
   *        [--max-files-per-trigger N] [--max-record-bytes N]
-  *        [--lake-format text|parquet]
+  *        [--lake-format text|parquet] [--s3a]  (object-store conf bundle)
   *   mock [--rate N]   — the `s4 mock` generator to console (main.go:142-166)
   *
   * Every S4Config field has a flag (config without a flag is dead
@@ -67,12 +67,78 @@ object S4Main {
       maxFileAge = flags.get("max-file-age"))
   }
 
+  /** The S3A deployment conf bundle, applied by `--s3a` (VERDICT r11
+    * item 5). Everything here is public Hadoop-S3A/Spark knowledge; the
+    * bundle exists so a cluster deployment against an object store gets
+    * the known-correct committer and listing posture without hand-tuning:
+    *
+    *  - MAGIC COMMITTER: task commits become S3 multipart-complete
+    *    calls — no rename (S3 has none; the default FileOutputCommitter
+    *    v1/v2 "rename" is a COPY+DELETE per file, and v1 is not even
+    *    correct under failure on eventual stores). Spark side binds via
+    *    the cloud commit protocol so parquet writes route through it.
+    *  - DIRECTORY MARKERS KEPT: deleting parent markers on every write
+    *    (the compatibility default) costs a DELETE storm per commit and
+    *    defeats LIST caching; "keep" is correct on any post-3.1 S3A.
+    *  - SEQUENTIAL INPUT POLICY: the streaming text/JSON sources read
+    *    files start-to-end; `sequential` fadvise avoids the
+    *    read-ahead-discard penalty of the `normal` random-ish policy.
+    *  - The index/lake layer needs NO flags: generation cutovers are a
+    *    one-object pointer PUT (IndexMaintenance), targeted deletes
+    *    rewrite whole partition dirs, and the streaming file source
+    *    should use `--clean-source archive` (rename-free on S3A via
+    *    copy+delete, bounded by --max-file-age) rather than rely on an
+    *    ever-growing seen-files log.
+    */
+  val s3aProfile: Map[String, String] = Map(
+    "fs.s3a.committer.name" -> "magic",
+    "fs.s3a.committer.magic.enabled" -> "true",
+    "fs.s3a.directory.marker.retention" -> "keep",
+    "fs.s3a.input.fadvise" -> "sequential",
+    // multipart sizing: fewer, larger parts for the gzip'd text sink
+    "fs.s3a.multipart.size" -> "128M",
+    "fs.s3a.fast.upload.buffer" -> "disk")
+
+  /** SQL-layer half of the bundle (session confs, runtime-settable). */
+  val s3aSqlProfile: Map[String, String] = Map(
+    "spark.sql.sources.commitProtocolClass" ->
+      "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol",
+    "spark.sql.parquet.output.committer.class" ->
+      "org.apache.spark.internal.io.cloud.BindingParquetOutputCommitter")
+
+  /** Apply the bundle to a live session — the `--s3a` code path. Hadoop
+    * confs are runtime-mutable (S3A filesystems instantiate per-URI on
+    * first use), and both SQL confs are session-settable, so the flag
+    * works with `getOrCreate` even when the session pre-exists. The
+    * committer bindings need the `spark-hadoop-cloud` module on the
+    * classpath (it ships with cloud-targeted Spark distributions);
+    * without it Spark refuses the conf value, so they apply only when
+    * the protocol class loads — the S3A filesystem confs always apply. */
+  def applyS3aProfile(spark: SparkSession): Unit = {
+    s3aProfile.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
+    val cloudModulePresent =
+      try {
+        Class.forName(
+          "org.apache.spark.internal.io.cloud.PathOutputCommitProtocol")
+        true
+      } catch { case _: ClassNotFoundException => false }
+    if (cloudModulePresent)
+      s3aSqlProfile.foreach { case (k, v) => spark.conf.set(k, v) }
+    else
+      System.err.println("s4spark --s3a: spark-hadoop-cloud module " +
+        "absent; committer bindings NOT applied (add the module on a " +
+        "real cluster) — S3A filesystem confs applied")
+  }
+
   def main(args: Array[String]): Unit = {
     val (cmd, flags) = parse(args)
     val spark = SparkSession.builder()
       .appName("s4spark")
       .config("spark.sql.session.timeZone", "UTC")
       .getOrCreate()
+    if (flags.contains("s3a")) applyS3aProfile(spark)
     cmd match {
       case "run" =>
         val q = S4Stream.run(spark, configFrom(flags))
