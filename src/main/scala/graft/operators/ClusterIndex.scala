@@ -559,6 +559,24 @@ object ClusterIndex {
             s"ClusterIndex.remove: only $known of $nV victims are indexed; " +
               "the fingerprint subtraction needs exactly the ingested rows — " +
               "pass the (id, text) rows as they entered the index")
+          // mid-append crash guard (see TextIndex.remove): a victim from
+          // an append whose fingerprint merge never recorded must not
+          // subtract — its delta was never added. Pruned provenance read,
+          // bounded by |tags|.
+          if (oldFp.isDefined) {
+            val vSrcs = s.read.parquet(s"$root/assign")
+              .filter(col("idb").isin(vIdb: _*))
+              .join(bVids(vids), Seq(idCol), "leftsemi")
+              .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
+            .distinct().collect().map(_.getString(0))
+              .toSet - "build"
+            val unrecorded = vSrcs -- Fingerprint.recordedTags(conf, indexDir)
+            require(unrecorded.isEmpty,
+              s"ClusterIndex.remove: victims were ingested by append " +
+                s"batch(es) ${unrecorded.mkString(", ")} whose fingerprint " +
+                "merge never committed (a crash mid-append) — let the " +
+                "ingest replay complete, or rebuild, before taking these down")
+          }
         }
         // the components the victims belong to, and those components'
         // surviving members

@@ -125,6 +125,20 @@ object Fingerprint {
     finally out.close()
   }
 
+  /** Sanitized names of every tag with a recorded fingerprint merge —
+    * the same namespace as `_src` partition values (identical
+    * sanitization), so the remove() families can check a victim row's
+    * ingest provenance against it: a victim whose append crashed MID
+    * append (rows landed, merge never recorded) must not be subtracted,
+    * because its fingerprint was never added. */
+  def recordedTags(conf: org.apache.hadoop.conf.Configuration,
+                   indexDir: String): Set[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$indexDir/tagfp")
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).map(_.getPath.getName).toSet
+  }
+
   // ---- removal-commit state (ADVICE r11) -------------------------------
   //
   // The remove() families used to present their fingerprint commit as a

@@ -233,6 +233,26 @@ object TextIndex {
       }
       val vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
         .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
+      // victims whose append crashed MID-append (rows landed, fingerprint
+      // merge never recorded) must not subtract — their delta was never
+      // added. One pruned read of the victims' band rows' provenance,
+      // bounded by |tags|; only meaningful on fingerprinted indexes with
+      // provenance columns. Same sanitized namespace as tagfp/ names.
+      if (!replay && oldFp.isDefined &&
+          s.read.parquet(s"$root/bands").schema.fieldNames.contains("_src")) {
+        val vSrcs = s.read.parquet(s"$root/bands")
+          .filter(col("hb").isin(vHb: _*))
+          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+          .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
+            .distinct().collect().map(_.getString(0))
+          .toSet - "build"
+        val unrecorded = vSrcs -- Fingerprint.recordedTags(conf, indexDir)
+        require(unrecorded.isEmpty,
+          s"TextIndex.remove: victims were ingested by append batch(es) " +
+            s"${unrecorded.mkString(", ")} whose fingerprint merge never " +
+            "committed (a crash mid-append) — let the ingest replay " +
+            "complete, or rebuild the index, before taking these down")
+      }
       // idempotent fingerprint commit (ADVICE r11): the TARGET meta
       // fingerprint is persisted BEFORE the meta overwrite, so a crash
       // between the meta write and the replay record replays to the same

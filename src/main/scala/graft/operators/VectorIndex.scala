@@ -277,6 +277,23 @@ object VectorIndex {
         require(known == nV,
           s"VectorIndex.remove: only $known of $nV victims are indexed; " +
             "the fingerprint subtraction needs exactly the ingested rows")
+        // mid-append crash guard (see TextIndex.remove): a victim row
+        // from an append whose merge never recorded must not subtract
+        if (oldFp.isDefined &&
+            s.read.parquet(s"$root/cells").schema.fieldNames.contains("_src")) {
+          val vSrcs = s.read.parquet(s"$root/cells")
+            .filter(col("cell").isInCollection(vCells))
+            .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
+            .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
+            .distinct().collect().map(_.getString(0))
+            .toSet - "build"
+          val unrecorded = vSrcs -- Fingerprint.recordedTags(conf, indexDir)
+          require(unrecorded.isEmpty,
+            s"VectorIndex.remove: victims were ingested by append batch(es) " +
+              s"${unrecorded.mkString(", ")} whose fingerprint merge never " +
+              "committed (a crash mid-append) — let the ingest replay " +
+              "complete, or rebuild the index, before taking these down")
+        }
       }
       // idempotent fingerprint commit (ADVICE r11): the TARGET meta
       // fingerprint is persisted BEFORE the meta overwrite, so a crash

@@ -284,6 +284,36 @@ class IndexRemoveSpec extends SparkSpec {
     }
   }
 
+  test("remove refuses victims from an append whose merge never recorded") {
+    // the MID-append crash window: a batch's rows landed but its
+    // fingerprint merge never committed (no tagfp record). Subtracting
+    // such a victim would remove a fingerprint that was never added —
+    // remove() must refuse it loudly, while victims from committed
+    // provenance ('build' or recorded tags) still take down fine.
+    val docs = (0 until 10)
+      .map(i => (i.toLong, s"midcrash doc $i with shared boilerplate words"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_mid").toString + "/idx"
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val delta = Seq((100L, "the crashed append's novel document body here"))
+      .toDF("doc_id", "text")
+    TextIndex.append(delta, "doc_id", "text", dir, tag = "mid1")
+    // simulate the window: drop the merge record, keep the rows
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rec = new org.apache.hadoop.fs.Path(s"$dir/tagfp/mid1")
+    assert(rec.getFileSystem(conf).delete(rec, false), "fixture: record must exist")
+    val ex = intercept[IllegalArgumentException] {
+      TextIndex.remove(delta, "doc_id", "text", dir, tag = "t1")
+    }
+    assert(ex.getMessage.contains("never committed"), ex.getMessage)
+    // a committed-provenance victim still removes normally
+    TextIndex.remove(docs.filter(col("doc_id") === 3L),
+      "doc_id", "text", dir, tag = "t2")
+    assert(TextIndex.probe(spark, dir,
+      Seq((900L, "midcrash doc 3 with shared boilerplate words"))
+        .toDF("doc_id", "text"), "doc_id", "text").count() == 0L)
+  }
+
   test("MASS-victim remove (join path): 20% of corpus, equals fresh build on survivors") {
     // VERDICT r11 item 1: above the key threshold every victim join
     // (vids/comps semi-joins, the either-endpoint edge delete) must run
