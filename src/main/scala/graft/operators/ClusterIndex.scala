@@ -70,6 +70,14 @@ object ClusterIndex {
   private def sanitize(tag: String): String =
     tag.replaceAll("[^a-zA-Z0-9._-]", "_")
 
+  // remove()'s parallel rewrite legs → their FaultInjection step ids
+  private def legStep(name: String): String = name match {
+    case "assign-rewrite" => "cluster.assign"
+    case "del-postings"   => "cluster.postings"
+    case "del-toks"       => "cluster.toks"
+    case _                => "cluster.edges"
+  }
+
   private def idb(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong))
 
@@ -659,6 +667,15 @@ object ClusterIndex {
             .join(bVids(comps), Seq("component"), "left_semi")
             .select(col("_src"), col("idb").cast("long").as("idb")).distinct()
             .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")
+          // the victims' postings buckets, persisted IN the plan: the
+          // r11 protocol derived them from the live toks table at
+          // rewrite time, which forced postings-before-toks ordering
+          // (a replay after del-toks would find no tokens and strand
+          // victim postings rows); plan-resident buckets make all four
+          // rewrites order-free — and therefore parallel.
+          vToks.select(explode(col("_toks")).as("_tok"))
+            .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+            .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")
           // target fingerprint: computed ONCE, here; a replay whose
           // subtraction already committed records "leave meta alone"
           val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
@@ -688,8 +705,16 @@ object ClusterIndex {
       FaultInjection.maybeCrash("cluster.meta")
       if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
       FaultInjection.maybeCrash("cluster.record")
-      // ---- 3. rewrites, driven from the plan ----
-      // ONE combined assign rewrite: drop victim rows AND remap the
+      // ---- 3. rewrites, driven from the plan — in PARALLEL ----
+      // Every rewrite touches a DISTINCT table, every prune input lives
+      // in the persisted plan (never in another rewrite's table), and
+      // every rewrite is an idempotent pruned dynamic overwrite — so a
+      // replay converges from ANY completed subset, and the legs run
+      // concurrently (r12: they were 6.5 of the 8.5 leg-seconds at
+      // sf0.1 sequentially; on a cluster, concurrent jobs also overlap
+      // their scan/shuffle phases across executor slots).
+      //
+      // assign: ONE combined rewrite drops victim rows AND remaps the
       // surviving members of affected components (two passes would
       // rewrite overlapping partitions twice). Partitions flip whole
       // (per-partition dynamic-overwrite commit); the plan-driven mark
@@ -697,49 +722,72 @@ object ClusterIndex {
       // a crash mid-flip re-rewrites the stragglers — already-flipped
       // partitions pass through keep unchanged (victims already gone,
       // the remap joins by id and is idempotent).
+      //
+      // edges: adjacency-log hygiene — a removed id MUST leave the log,
+      // or a later re-ingest under the same id would inherit the old
+      // text's edges and falsely merge clusters. One combined
+      // either-endpoint pass through equi semi/anti joins — no
+      // collected literal list (ADVICE r11). Dead set nodes keep their
+      // set-set rows: consumers drop them at read time via the
+      // member-row liveness rule; compaction folds them away.
       val parts = s.read.parquet(s"$stateDir/parts")
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      if (parts.nonEmpty) {
-        val newAssign = s.read.parquet(s"$stateDir/newassign")
-        val partsDf = parts.toDF("_psrc", "_pidb")
-        rleg("assign-rewrite")(TargetedDelete.rewriteWhere(
-          s, s"$root/assign", Seq("_src", "idb"),
-          mark = df => df.join(broadcast(partsDf),
-            col("_src") === col("_psrc") &&
-              col("idb").cast("long") === col("_pidb"), "left_semi"),
-          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
-            .join(newAssign, Seq(idCol), "left")
-            .withColumn("component",
-              coalesce(col("_newcomp"), col("component")))
-            .drop("_newcomp"),
-          prePrune = col("idb").isin(parts.map(_._2).distinct: _*)))
-      }
-      FaultInjection.maybeCrash("cluster.assign")
-      // victim-row removal, dependency order: postings prune needs vToks
-      // (kept until toks goes last); each is an idempotent pruned
-      // rewrite with emptied-partition cleanup (TargetedDelete mechanics)
-      val vTb = vToks.select(explode(col("_toks")).as("_tok"))
-        .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+      val vTb = s.read.parquet(s"$stateDir/vtb")
         .collect().map(_.getLong(0)).toSeq
-      if (vTb.nonEmpty)
-        rleg("del-postings")(TargetedDelete.delete(s, s"$root/postings",
-          Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*)))
-      rleg("del-toks")(TargetedDelete.delete(s, s"$root/toks",
-        Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*)))
-      FaultInjection.maybeCrash("cluster.toks")
-      // adjacency-log hygiene: a removed id MUST leave the log, or a
-      // later re-ingest under the same id would inherit the old text's
-      // edges and falsely merge clusters. One combined either-endpoint
-      // pass (two keyed deletes would rewrite overlapping partitions
-      // twice) through equi semi/anti joins — no collected literal
-      // list, so a mass-victim sweep neither blows the plan nor the
-      // driver (ADVICE r11); below the key threshold the join
-      // broadcasts exactly like the old fast path. Dead set nodes (all
-      // members gone) keep their set-set rows: every consumer drops
-      // them at read time via the member-row liveness rule above;
-      // compaction folds them away with the generations.
-      rleg("del-edges")(TargetedDelete.deleteAnyKey(s, s"$root/edges",
-        Seq("_src", "eb"), Seq("u", "v"), idCol, vids))
+      val legs: Seq[(String, () => Unit)] = Seq(
+        "assign-rewrite" -> (() => if (parts.nonEmpty) {
+          val newAssign = s.read.parquet(s"$stateDir/newassign")
+          val partsDf = parts.toDF("_psrc", "_pidb")
+          TargetedDelete.rewriteWhere(
+            s, s"$root/assign", Seq("_src", "idb"),
+            mark = df => df.join(broadcast(partsDf),
+              col("_src") === col("_psrc") &&
+                col("idb").cast("long") === col("_pidb"), "left_semi"),
+            keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
+              .join(newAssign, Seq(idCol), "left")
+              .withColumn("component",
+                coalesce(col("_newcomp"), col("component")))
+              .drop("_newcomp"),
+            prePrune = col("idb").isin(parts.map(_._2).distinct: _*))
+          (): Unit
+        }),
+        "del-postings" -> (() => if (vTb.nonEmpty) {
+          TargetedDelete.delete(s, s"$root/postings",
+            Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*))
+          (): Unit
+        }),
+        "del-toks" -> (() => {
+          TargetedDelete.delete(s, s"$root/toks",
+            Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*))
+          (): Unit
+        }),
+        "del-edges" -> (() => {
+          TargetedDelete.deleteAnyKey(s, s"$root/edges",
+            Seq("_src", "eb"), Seq("u", "v"), idCol, vids)
+          (): Unit
+        }))
+      // await ALL legs before surfacing the first failure: an injected
+      // or real mid-leg crash must never leave sibling jobs racing the
+      // caller's next move (a replaying remove, a test assertion)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+      val outcomes =
+        try legs.map { case (name, run) =>
+          name -> pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = rleg(name) {
+              run()
+              FaultInjection.maybeCrash(legStep(name))
+            }
+          })
+        }.map { case (name, fut) =>
+          name -> scala.util.Try(fut.get())
+        }
+        finally pool.shutdown()
+      outcomes.collectFirst { case (_, scala.util.Failure(t)) =>
+        throw (t match {
+          case e: java.util.concurrent.ExecutionException => e.getCause
+          case e => e
+        })
+      }
       // the corpus of record changed: freshness reverts to the
       // content-hash authority (recordCorpusStatus re-arms it)
       Fingerprint.clearSourceStatus(conf, indexDir)
