@@ -562,7 +562,7 @@ object ClusterIndex {
         // ---- 1. DISCOVERY: every table still pristine (rewrites only
         // ever start after PLAN_READY commits) ----
         if (!replay) {
-          val known = vToks.select(col(idCol)).distinct().count()
+          val known = rleg("known-check")(vToks.select(col(idCol)).distinct().count())
           require(known == nV,
             s"ClusterIndex.remove: only $known of $nV victims are indexed; " +
               "the fingerprint subtraction needs exactly the ingested rows — " +
@@ -572,12 +572,12 @@ object ClusterIndex {
           // subtract — its delta was never added. Pruned provenance read,
           // bounded by |tags|.
           if (oldFp.isDefined) {
-            val vSrcs = s.read.parquet(s"$root/assign")
+            val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")
               .filter(col("idb").isin(vIdb: _*))
               .join(bVids(vids), Seq(idCol), "leftsemi")
               .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
-            .distinct().collect().map(_.getString(0))
-              .toSet - "build"
+              .distinct().collect().map(_.getString(0))
+              .toSet) - "build"
             val unrecorded = vSrcs -- Fingerprint.recordedTags(conf, indexDir)
             require(unrecorded.isEmpty,
               s"ClusterIndex.remove: victims were ingested by append " +
@@ -698,9 +698,9 @@ object ClusterIndex {
       // ---- 2. idempotent fingerprint commit: recomputed from the
       // persisted record, so replaying this write can never re-subtract
       target.foreach { fp =>
-        Seq((thr, nBuckets, fp._1, fp._2))
+        rleg("meta-commit")(Seq((thr, nBuckets, fp._1, fp._2))
           .toDF("threshold", "n_buckets", "n_rows", "content_hash")
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta"))
       }
       FaultInjection.maybeCrash("cluster.meta")
       if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
@@ -794,7 +794,8 @@ object ClusterIndex {
       // retired GC-grace generations hold the victims' rows too —
       // right-to-be-forgotten beats reader grace (see
       // IndexMaintenance.purgeRetired)
-      IndexMaintenance.purgeRetired(conf, indexDir, Seq("assign", "toks", "postings", "df", "edges", "meta"))
+      rleg("bookkeeping")(IndexMaintenance.purgeRetired(conf, indexDir,
+        Seq("assign", "toks", "postings", "df", "edges", "meta")))
       // ---- 4. state cleanup LAST: everything before here replays from
       // the persisted plan; a replay arriving after this point no-ops
       // through empty discovery under its applied record
