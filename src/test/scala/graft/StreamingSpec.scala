@@ -636,6 +636,89 @@ class StreamingSpec extends SparkSpec {
       "fingerprint must subtract the victim exactly")
   }
 
+  test("vector tombstones: crashed-unmarkered semantic ingest replay cannot resurrect") {
+    // the text-loop resurrection scenario on the VECTOR family — gates
+    // the content-hash tombstone over an array<float> column (xxhash64
+    // on arrays) and the tagUsed append skip in the semantic loop
+    import spark.implicits._
+    val lake = tmp("rsvlake"); val idx = tmp("rsvidx").toString
+    graft.operators.VectorIndex.build(
+      Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)))
+        .toDF("vec_id", "embedding"), idx, nlist = 2)
+    val vA = Seq(0.1f, 0.95f, 0.2f, 0f); val vB = Seq(0.9f, 0.1f, 0.1f, 0f)
+    val b0 = Seq((101L, vA), (102L, vB)).toDF("vec_id", "embedding")
+    S4Stream.processIndexedSemanticBatch(b0, 0L, "vec_id", "embedding",
+      idx, lake.toString, 0.99, "rvin")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/applied/ckrvin_b0"), false))
+    S4Stream.processVectorTakedownBatch(Seq(101L).toDF("vec_id"), 0L,
+      "vec_id", "embedding", idx, lake.toString, "rvtk")
+    def lakeIds = spark.read.parquet(lake.toString)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    def probeA = graft.operators.VectorIndex.probeDups(spark, idx,
+      Seq((900L, vA)).toDF("vec_id", "embedding"), tau = 0.999).count()
+    assert(lakeIds === Set(102L) && probeA == 0L)
+    // the semantic ingest REPLAY must not resurrect the victim
+    S4Stream.processIndexedSemanticBatch(b0, 0L, "vec_id", "embedding",
+      idx, lake.toString, 0.99, "rvin")
+    assert(lakeIds === Set(102L), "replay resurrected the victim in the lake")
+    assert(probeA == 0L, "replay resurrected the victim in the IVF index")
+    // a CHANGED embedding under the same id is a new vector and ingests
+    val vC = Seq(0.05f, 0f, 0.99f, 0f)
+    S4Stream.processIndexedSemanticBatch(
+      Seq((101L, vC)).toDF("vec_id", "embedding"), 1L, "vec_id", "embedding",
+      idx, lake.toString, 0.99, "rvin")
+    assert(lakeIds === Set(102L, 101L),
+      "content-scoped tombstones must admit a changed re-ingest")
+    val corpus = Seq((1L, Seq(1f, 0f, 0f, 0f)), (2L, Seq(0f, 1f, 0f, 0f)),
+      (102L, vB), (101L, vC)).toDF("vec_id", "embedding")
+    assert(graft.operators.VectorIndex.isFresh(spark, idx, corpus),
+      "fingerprint must track the corpus of record across the replay")
+  }
+
+  test("cluster tombstones: batch RTBF + recordTombstones blocks the cluster replay") {
+    // the CLUSTER loop's resurrection guard and its recorded-tag replay
+    // branch: a batch ClusterIndex.remove against a live streaming lake
+    // calls recordTombstones (per its doc); the crashed-unmarkered
+    // ingest replay must drop the victim AND rebuild its batch feed
+    // from the live assignment map (append would refuse the shrunken
+    // delta under the used tag).
+    import spark.implicits._
+    val lake = tmp("rsclake"); val idx = tmp("rscidx").toString
+    def t(seed: Int) = (0 until 20).map(i => s"rstok${seed}_$i").mkString(" ")
+    graft.operators.ClusterIndex.build(
+      Seq((1L, t(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    val b0 = Seq((2L, t(2)), (3L, t(3))).toDF("doc_id", "text")
+    S4Stream.processIndexedClusterBatch(b0, 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "ctb")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/applied/ckctb_b0"), false))
+    // batch RTBF flow: tombstone FIRST, then the index remove
+    val victims = Seq((2L, t(2))).toDF("doc_id", "text")
+    S4Stream.recordTombstones(victims, "doc_id", "text", idx, "ctake")
+    graft.operators.ClusterIndex.remove(victims, "doc_id", "text", idx,
+      tag = "ctake")
+    // the ingest replay: victim tombstoned out, tag already recorded →
+    // feed rebuilt from assignments, no append
+    S4Stream.processIndexedClusterBatch(b0, 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "ctb")
+    val assigns = graft.operators.ClusterIndex.assignments(spark, idx, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assigns === Map(1L -> 1L, 3L -> 3L),
+      s"replay resurrected the victim in the cluster index: $assigns")
+    val feed = spark.read.parquet(s"$lake/batch=0")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(feed === Map(3L -> 3L),
+      s"replayed feed must rebuild from live assignments: $feed")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx,
+      Seq((1L, t(1)), (3L, t(3))).toDF("doc_id", "text"), "doc_id", "text"),
+      "fingerprint must track the surviving corpus")
+  }
+
   test("cluster compaction GCs dangling set-set edges after a whole-set removal") {
     import spark.implicits._
     // Set 1: docs 10/20 IDENTICAL (24 tokens); set 2: doc 30 = set 1
