@@ -265,7 +265,16 @@ object TextIndex {
             "DIFFERENT victim set — re-run that removal with its original " +
             "victims first, or clear its rmstate dir after verifying it")
       }
+      val stateDir = Fingerprint.removeStatePath(normDir, rmTag)
       if (state0.isEmpty) {
+        // the victims' band buckets join the commit record as plan
+        // state (computed from the still-pristine toks table): the
+        // bands prune no longer depends on another rewrite's table, so
+        // the two deletes are order-free — and parallel (the same
+        // protocol as ClusterIndex.remove's four legs)
+        import s.implicits._
+        vHb.toDF("hb").coalesce(1)
+          .write.mode("overwrite").parquet(s"$stateDir/vhb")
         val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
         Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
       }
@@ -279,13 +288,36 @@ object TextIndex {
       FaultInjection.maybeCrash("text.meta")
       if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
       FaultInjection.maybeCrash("text.record")
-      // bands first (its prune depends on toks), toks last — a crash at
-      // the boundary replays with vToks intact
-      TargetedDelete.delete(s, s"$root/bands", Seq("hb"), idCol, vids,
-        col("hb").isin(vHb: _*))
-      FaultInjection.maybeCrash("text.bands")
-      TargetedDelete.delete(s, s"$root/toks", Seq("idb"), idCol, vids,
-        col("idb").isin(vIdb: _*))
+      // both rewrites plan-driven and idempotent: run concurrently,
+      // surface the first failure only after both settle (a mid-leg
+      // crash must never leave a sibling job racing the replay)
+      val vHbPlan = s.read.parquet(s"$stateDir/vhb")
+        .collect().map(_.getLong(0)).toSeq
+      val legs: Seq[(String, () => Unit)] = Seq(
+        "text.bands" -> (() => {
+          TargetedDelete.delete(s, s"$root/bands", Seq("hb"), idCol, vids,
+            col("hb").isin(vHbPlan: _*))
+          (): Unit
+        }),
+        "text.toks" -> (() => {
+          TargetedDelete.delete(s, s"$root/toks", Seq("idb"), idCol, vids,
+            col("idb").isin(vIdb: _*))
+          (): Unit
+        }))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+      val outcomes =
+        try legs.map { case (step, run) =>
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = { run(); FaultInjection.maybeCrash(step) }
+          })
+        }.map(fut => scala.util.Try(fut.get()))
+        finally pool.shutdown()
+      outcomes.collectFirst { case scala.util.Failure(t) =>
+        throw (t match {
+          case e: java.util.concurrent.ExecutionException => e.getCause
+          case e => e
+        })
+      }
       Fingerprint.clearSourceStatus(conf, indexDir)
       // retired GC-grace generations hold the victims' rows too —
       // right-to-be-forgotten beats reader grace (see

@@ -184,11 +184,12 @@ class QuiesceSpec extends SparkSpec {
 
   test("a LIVE holder is never fenced mid-write: heartbeat outlasts any TTL") {
     val dir = freshTextIndex()
-    System.setProperty("graft.lease.ttlMs", "1000") // heartbeat at ~333ms
+    System.setProperty("graft.lease.ttlMs", "1500") // heartbeat at 500ms
     try {
       val refusals = IndexMaintenance.withLease(conf, dir, "write") {
         // hold well past the TTL; renewals must keep every acquirer out
-        val deadline = System.currentTimeMillis() + 2500
+        // (ttl - hb = 1 s of scheduler-stall tolerance under suite load)
+        val deadline = System.currentTimeMillis() + 3500
         var n = 0
         while (System.currentTimeMillis() < deadline) {
           intercept[IllegalStateException] {
@@ -199,7 +200,7 @@ class QuiesceSpec extends SparkSpec {
         }
         n
       } // withLease's own fencing check must pass: the lease was never lost
-      assert(refusals >= 5, s"only $refusals refusals across the hold window")
+      assert(refusals >= 8, s"only $refusals refusals across the hold window")
     } finally System.clearProperty("graft.lease.ttlMs")
   }
 }
