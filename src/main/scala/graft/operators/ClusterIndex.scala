@@ -70,14 +70,6 @@ object ClusterIndex {
   private def sanitize(tag: String): String =
     tag.replaceAll("[^a-zA-Z0-9._-]", "_")
 
-  // remove()'s parallel rewrite legs → their FaultInjection step ids
-  private def legStep(name: String): String = name match {
-    case "assign-rewrite" => "cluster.assign"
-    case "del-postings"   => "cluster.postings"
-    case "del-toks"       => "cluster.toks"
-    case _                => "cluster.edges"
-  }
-
   private def idb(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong))
 
@@ -431,10 +423,15 @@ object ClusterIndex {
       // Pre-r11 indexes have no edges table (ADVICE r11): skip the fold
       // — mirroring ensure()'s edgesOk handling, which already treats
       // such trees as rebuild-needed for remove() purposes — instead of
-      // hard-failing a compaction of an otherwise-valid index.
-      val legacyNoEdges = !new org.apache.hadoop.fs.Path(
-        s"${ctx.fromRoot}/edges/_SUCCESS").getFileSystem(conf)
-        .exists(new org.apache.hadoop.fs.Path(s"${ctx.fromRoot}/edges/_SUCCESS"))
+      // hard-failing a compaction of an otherwise-valid index. Detection
+      // is by DIRECTORY, not the _SUCCESS marker: a deployment that
+      // disables marksuccessfuljobs (common object-store tuning) must
+      // not get its healthy edges table silently dropped — and then
+      // GC'd with the retired generations — by a marker-only probe.
+      val edgesDir = new org.apache.hadoop.fs.Path(s"${ctx.fromRoot}/edges")
+      val edgesFs = edgesDir.getFileSystem(conf)
+      val legacyNoEdges =
+        !edgesFs.exists(edgesDir) || edgesFs.listStatus(edgesDir).isEmpty
       if (!legacyNoEdges)
       IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "edges",
         Seq("_src", "eb"), remap = Map("_src" -> foldSrc),
@@ -532,6 +529,11 @@ object ClusterIndex {
       s"ClusterIndex.remove: tag '$tag' was already used by a different " +
         "removal batch — pass a batch-unique tag (the same (tag, victims) " +
         "pair is the legitimate crash-replay and is re-admitted)")
+    // a DIFFERENT removal's surviving state means half-rewritten tables:
+    // discovery here would violate the pristine premise and the crashed
+    // legs would never replay — refuse until that removal completes
+    Fingerprint.requireNoOtherPendingRemoval(
+      conf, IndexMaintenance.normalize(indexDir), rmTag, "ClusterIndex.remove")
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
     // mass-victim regime (VERDICT r11 item 1): every vids/comps join
@@ -576,14 +578,9 @@ object ClusterIndex {
               .filter(col("idb").isin(vIdb: _*))
               .join(bVids(vids), Seq(idCol), "leftsemi")
               .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
-              .distinct().collect().map(_.getString(0))
-              .toSet) - "build"
-            val unrecorded = vSrcs -- Fingerprint.recordedTags(conf, indexDir)
-            require(unrecorded.isEmpty,
-              s"ClusterIndex.remove: victims were ingested by append " +
-                s"batch(es) ${unrecorded.mkString(", ")} whose fingerprint " +
-                "merge never committed (a crash mid-append) — let the " +
-                "ingest replay complete, or rebuild, before taking these down")
+              .distinct().collect().map(_.getString(0)).toSet)
+            Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+              "ClusterIndex.remove")
           }
         }
         // the components the victims belong to, and those components'
@@ -734,8 +731,8 @@ object ClusterIndex {
         .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
       val vTb = s.read.parquet(s"$stateDir/vtb")
         .collect().map(_.getLong(0)).toSeq
-      val legs: Seq[(String, () => Unit)] = Seq(
-        "assign-rewrite" -> (() => if (parts.nonEmpty) {
+      IndexMaintenance.runLegs(Seq(
+        "cluster.assign" -> (() => rleg("assign-rewrite")(if (parts.nonEmpty) {
           val newAssign = s.read.parquet(s"$stateDir/newassign")
           val partsDf = parts.toDF("_psrc", "_pidb")
           TargetedDelete.rewriteWhere(
@@ -750,44 +747,22 @@ object ClusterIndex {
               .drop("_newcomp"),
             prePrune = col("idb").isin(parts.map(_._2).distinct: _*))
           (): Unit
-        }),
-        "del-postings" -> (() => if (vTb.nonEmpty) {
+        })),
+        "cluster.postings" -> (() => rleg("del-postings")(if (vTb.nonEmpty) {
           TargetedDelete.delete(s, s"$root/postings",
             Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*))
           (): Unit
-        }),
-        "del-toks" -> (() => {
+        })),
+        "cluster.toks" -> (() => rleg("del-toks") {
           TargetedDelete.delete(s, s"$root/toks",
             Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*))
           (): Unit
         }),
-        "del-edges" -> (() => {
+        "cluster.edges" -> (() => rleg("del-edges") {
           TargetedDelete.deleteAnyKey(s, s"$root/edges",
             Seq("_src", "eb"), Seq("u", "v"), idCol, vids)
           (): Unit
-        }))
-      // await ALL legs before surfacing the first failure: an injected
-      // or real mid-leg crash must never leave sibling jobs racing the
-      // caller's next move (a replaying remove, a test assertion)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
-      val outcomes =
-        try legs.map { case (name, run) =>
-          name -> pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = rleg(name) {
-              run()
-              FaultInjection.maybeCrash(legStep(name))
-            }
-          })
-        }.map { case (name, fut) =>
-          name -> scala.util.Try(fut.get())
-        }
-        finally pool.shutdown()
-      outcomes.collectFirst { case (_, scala.util.Failure(t)) =>
-        throw (t match {
-          case e: java.util.concurrent.ExecutionException => e.getCause
-          case e => e
-        })
-      }
+        })))
       // the corpus of record changed: freshness reverts to the
       // content-hash authority (recordCorpusStatus re-arms it)
       Fingerprint.clearSourceStatus(conf, indexDir)

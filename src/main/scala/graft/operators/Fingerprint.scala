@@ -175,9 +175,19 @@ object Fingerprint {
     val fs = p.getFileSystem(conf)
     val txt = s"vfp=${vfp._1},${vfp._2}\n" +
       target.fold("target=none")(t => s"target=${t._1},${t._2}")
-    val out = fs.create(p, true)
+    // write-then-RENAME: on rename-capable filesystems a crash between
+    // create and write can never leave a torn `commit` (the families
+    // read this file as their replay marker); on object stores the
+    // final PUT is atomic anyway and the rename degrades to copy+delete
+    // of a 40-byte object
+    val tmp = new org.apache.hadoop.fs.Path(rmStateDir(indexDir, rmTag),
+      "commit.tmp")
+    val out = fs.create(tmp, true)
     try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+    if (fs.exists(p)) fs.delete(p, false) // re-write path (replays)
+    require(fs.rename(tmp, p),
+      s"could not commit removal state at $p (rename refused)")
   }
 
   /** Read back the removal-commit record — None when no state survives
@@ -191,14 +201,23 @@ object Fingerprint {
       val in = fs.open(p)
       val txt = try new String(in.readAllBytes(),
         java.nio.charset.StandardCharsets.UTF_8) finally in.close()
-      val kv = txt.split("\n").map(_.split("=", 2)).collect {
-        case Array(k, v) => k -> v
-      }.toMap
-      def pair(v: String) = {
-        val Array(a, b) = v.split(","); (a.toLong, b.toLong)
+      try {
+        val kv = txt.split("\n").map(_.split("=", 2)).collect {
+          case Array(k, v) => k -> v
+        }.toMap
+        def pair(v: String) = {
+          val Array(a, b) = v.split(","); (a.toLong, b.toLong)
+        }
+        Some((pair(kv("vfp")),
+          kv.get("target").filter(_ != "none").map(pair)))
+      } catch {
+        case e @ (_: MatchError | _: NoSuchElementException |
+                  _: NumberFormatException) =>
+          throw new IllegalStateException(
+            s"unreadable removal-state record at $p (content: '$txt') — " +
+              "a legacy pre-rename writer may have torn it; verify the " +
+              "index, clear the rmstate dir, and re-run the removal", e)
       }
-      Some((pair(kv("vfp")),
-        kv.get("target").filter(_ != "none").map(pair)))
     }
   }
 
@@ -208,6 +227,50 @@ object Fingerprint {
     val d = rmStateDir(indexDir, rmTag)
     val fs = d.getFileSystem(conf)
     if (fs.exists(d)) fs.delete(d, true)
+  }
+
+  /** Sanitized tags of removals whose state dir survives — i.e. crashed
+    * removals that never completed. A NEW removal under a different tag
+    * must refuse while any of these exist: its discovery would read
+    * tables the crashed removal half-rewrote (the plan-first protocol's
+    * pristine-tables premise), and nothing would ever replay the
+    * crashed legs — victims lingering physically while meta already
+    * shows them subtracted. */
+  def pendingRemovals(conf: org.apache.hadoop.conf.Configuration,
+                      indexDir: String): Set[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$indexDir/rmstate")
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) Set.empty
+    else fs.listStatus(d).map(_.getPath.getName).toSet
+  }
+
+  /** The mid-append-crash guard tail shared by the three remove()
+    * families: given the victims' row-provenance `_src` values, refuse
+    * when any belongs to an append whose merge never recorded — its
+    * fingerprint was never added, so subtracting it would drift meta
+    * from the corpus of record permanently. */
+  def requireRecordedProvenance(conf: org.apache.hadoop.conf.Configuration,
+                                indexDir: String, vSrcs: Set[String],
+                                opName: String): Unit = {
+    val unrecorded = vSrcs - "build" -- recordedTags(conf, indexDir)
+    require(unrecorded.isEmpty,
+      s"$opName: victims were ingested by append batch(es) " +
+        s"${unrecorded.mkString(", ")} whose fingerprint merge never " +
+        "committed (a crash mid-append) — let the ingest replay " +
+        "complete, or rebuild the index, before taking these down")
+  }
+
+  /** The cross-tag refusal shared by the three remove() families. */
+  def requireNoOtherPendingRemoval(conf: org.apache.hadoop.conf.Configuration,
+                                   indexDir: String, rmTag: String,
+                                   opName: String): Unit = {
+    val own = rmTag.replaceAll("[^a-zA-Z0-9._-]", "_")
+    val others = pendingRemovals(conf, indexDir) - own
+    require(others.isEmpty,
+      s"$opName: crashed removal(s) ${others.mkString(", ")} never " +
+        s"completed (state under $indexDir/rmstate/) — re-run each with " +
+        "its original tag and victims to let it replay to completion " +
+        "before starting a new removal")
   }
 
   // ---- FS-metadata freshness fast-path (VERDICT r9 item 2) -------------

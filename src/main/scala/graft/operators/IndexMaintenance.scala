@@ -180,16 +180,38 @@ private[graft] object IndexMaintenance {
     val fs = own.getFileSystem(conf)
     writeLeaseFile(fs, own)
     val deadline = System.currentTimeMillis() - leaseTtlMs
-    val conflicts = listLeases(fs, indexDir)
+    val all = listLeases(fs, indexDir)
+    // GC reclaim markers whose lease is gone and which are older than a
+    // TTL themselves (the reclaimer's session ended; nothing can race)
+    all.filter(_.endsWith(".reclaimed")).foreach { m =>
+      val mp = new Path(leaseDir(indexDir), m)
+      if (!all.contains(m.stripSuffix(".reclaimed")) &&
+          leaseHeartbeat(fs, mp).forall(_ < deadline))
+        fs.delete(mp, false)
+    }
+    val conflicts = all
+      .filterNot(_.endsWith(".reclaimed"))
       .filterNot(_ == own.getName)
       .filter(other => kind != "write" ||
         other.startsWith("compact") || other.startsWith("remove"))
       .filterNot { other =>
         // expired => the holder crashed (a live one renews at ttl/3):
-        // clear it and move on
+        // mark-then-delete. The MARKER makes the reclaim visible to a
+        // stalled-but-alive holder whose renew races this delete (the
+        // exists-then-rewrite in renew could otherwise resurrect the
+        // file and dodge the fence): renew checks the marker first, and
+        // the marker is written before the delete, so by the time the
+        // holder's commit-point renew runs it either sees the marker or
+        // the missing file — fenced either way.
         val p = new Path(leaseDir(indexDir), other)
-        val expired = leaseHeartbeat(fs, p).forall(_ < deadline)
-        if (expired) fs.delete(p, false)
+        val marker = new Path(leaseDir(indexDir), other + ".reclaimed")
+        val alreadyReclaimed = all.contains(marker.getName)
+        val expired = alreadyReclaimed ||
+          leaseHeartbeat(fs, p).forall(_ < deadline)
+        if (expired) {
+          if (!alreadyReclaimed) fs.create(marker, true).close()
+          fs.delete(p, false)
+        }
         expired
       }
     if (conflicts.nonEmpty) {
@@ -220,15 +242,23 @@ private[graft] object IndexMaintenance {
         () => renew(), heartbeatMs, heartbeatMs,
         java.util.concurrent.TimeUnit.MILLISECONDS)
     /** Check-then-touch; also callable synchronously at a commit point.
-      * Any unexpected throwable trips the fence rather than silently
-      * killing the scheduled task (scheduleAtFixedRate suppresses
-      * later runs after an uncaught exception). */
+      * Fences only on OBSERVED loss (reclaim marker present, or file
+      * gone — the acquirer writes the marker BEFORE deleting, closing
+      * the race where this rewrite resurrects a just-reclaimed file).
+      * A transient probe failure skips the beat instead of latching a
+      * false fence that would abort hours of compaction: a truly dead
+      * heartbeat still expires the lease, whose reclaim the next
+      * successful renew — including assertHeld's synchronous one at
+      * the commit point — then observes. The catch also keeps the
+      * scheduled task alive (scheduleAtFixedRate suppresses later runs
+      * after an uncaught exception). */
     private[IndexMaintenance] def renew(): Unit = synchronized {
       if (!fenced) {
         try {
-          if (fs.exists(lease)) writeLeaseFile(fs, lease)
-          else fenced = true // reclaimed or cleared: stop renewing
-        } catch { case _: Throwable => fenced = true }
+          val marker = new Path(lease.getParent, lease.getName + ".reclaimed")
+          if (fs.exists(marker) || !fs.exists(lease)) fenced = true
+          else writeLeaseFile(fs, lease)
+        } catch { case _: Throwable => () }
       }
     }
     /** Loud fencing check for the holder's commit point. */
@@ -254,6 +284,32 @@ private[graft] object IndexMaintenance {
   /** Start the renewal heartbeat for an acquired lease. */
   private def startBeat(conf: Configuration, lease: Path): LeaseBeat =
     new LeaseBeat(lease.getFileSystem(conf), lease)
+
+  /** Run independent, idempotent maintenance legs CONCURRENTLY,
+    * surfacing the first failure only after every sibling leg settles —
+    * a mid-leg crash (injected or real) must never leave another leg's
+    * Spark jobs racing the caller's next move (a replaying remove, a
+    * test assertion). Each leg carries its [[FaultInjection]] step id,
+    * fired after the leg's work; the replay contract is the caller's:
+    * every leg must converge from any completed subset. Shared by
+    * ClusterIndex.remove (4 legs) and TextIndex.remove (2 legs). */
+  private[operators] def runLegs(legs: Seq[(String, () => Unit)]): Unit = {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
+    val outcomes =
+      try legs.map { case (step, run) =>
+        pool.submit(new java.util.concurrent.Callable[Unit] {
+          def call(): Unit = { run(); FaultInjection.maybeCrash(step) }
+        })
+      }.map(f => scala.util.Try(f.get()))
+      finally pool.shutdown()
+    outcomes.collectFirst { case scala.util.Failure(t) =>
+      throw (t match {
+        case e: java.util.concurrent.ExecutionException => e.getCause
+        case e => e
+      })
+    }
+    ()
+  }
 
   /** Operator escape hatch: clear ALL leases after independently
     * verifying no maintenance is actually running (a crashed holder

@@ -210,6 +210,9 @@ object TextIndex {
     require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
       s"TextIndex.remove: tag '$tag' was already used by a different " +
         "removal batch — pass a batch-unique tag")
+    // cross-tag leftover state refusal, see ClusterIndex.remove
+    Fingerprint.requireNoOtherPendingRemoval(
+      conf, IndexMaintenance.normalize(indexDir), rmTag, "TextIndex.remove")
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
     if (nV > 0L) {
@@ -244,14 +247,9 @@ object TextIndex {
           .filter(col("hb").isin(vHb: _*))
           .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
           .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
-            .distinct().collect().map(_.getString(0))
-          .toSet - "build"
-        val unrecorded = vSrcs -- Fingerprint.recordedTags(conf, indexDir)
-        require(unrecorded.isEmpty,
-          s"TextIndex.remove: victims were ingested by append batch(es) " +
-            s"${unrecorded.mkString(", ")} whose fingerprint merge never " +
-            "committed (a crash mid-append) — let the ingest replay " +
-            "complete, or rebuild the index, before taking these down")
+          .distinct().collect().map(_.getString(0)).toSet
+        Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+          "TextIndex.remove")
       }
       // idempotent fingerprint commit (ADVICE r11): the TARGET meta
       // fingerprint is persisted BEFORE the meta overwrite, so a crash
@@ -293,7 +291,7 @@ object TextIndex {
       // crash must never leave a sibling job racing the replay)
       val vHbPlan = s.read.parquet(s"$stateDir/vhb")
         .collect().map(_.getLong(0)).toSeq
-      val legs: Seq[(String, () => Unit)] = Seq(
+      IndexMaintenance.runLegs(Seq(
         "text.bands" -> (() => {
           TargetedDelete.delete(s, s"$root/bands", Seq("hb"), idCol, vids,
             col("hb").isin(vHbPlan: _*))
@@ -303,21 +301,7 @@ object TextIndex {
           TargetedDelete.delete(s, s"$root/toks", Seq("idb"), idCol, vids,
             col("idb").isin(vIdb: _*))
           (): Unit
-        }))
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(legs.size)
-      val outcomes =
-        try legs.map { case (step, run) =>
-          pool.submit(new java.util.concurrent.Callable[Unit] {
-            def call(): Unit = { run(); FaultInjection.maybeCrash(step) }
-          })
-        }.map(fut => scala.util.Try(fut.get()))
-        finally pool.shutdown()
-      outcomes.collectFirst { case scala.util.Failure(t) =>
-        throw (t match {
-          case e: java.util.concurrent.ExecutionException => e.getCause
-          case e => e
-        })
-      }
+        })))
       Fingerprint.clearSourceStatus(conf, indexDir)
       // retired GC-grace generations hold the victims' rows too —
       // right-to-be-forgotten beats reader grace (see

@@ -261,6 +261,9 @@ object VectorIndex {
     require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
       s"VectorIndex.remove: tag '$tag' was already used by a different " +
         "removal batch — pass a batch-unique tag")
+    // cross-tag leftover state refusal, see ClusterIndex.remove
+    Fingerprint.requireNoOtherPendingRemoval(
+      conf, IndexMaintenance.normalize(indexDir), rmTag, "VectorIndex.remove")
     val pinned = victims
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .select(col(corpusId), col("cell")).distinct().localCheckpoint()
@@ -285,14 +288,9 @@ object VectorIndex {
             .filter(col("cell").isInCollection(vCells))
             .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
             .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
-            .distinct().collect().map(_.getString(0))
-            .toSet - "build"
-          val unrecorded = vSrcs -- Fingerprint.recordedTags(conf, indexDir)
-          require(unrecorded.isEmpty,
-            s"VectorIndex.remove: victims were ingested by append batch(es) " +
-              s"${unrecorded.mkString(", ")} whose fingerprint merge never " +
-              "committed (a crash mid-append) — let the ingest replay " +
-              "complete, or rebuild the index, before taking these down")
+            .distinct().collect().map(_.getString(0)).toSet
+          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+            "VectorIndex.remove")
         }
       }
       // idempotent fingerprint commit (ADVICE r11): the TARGET meta

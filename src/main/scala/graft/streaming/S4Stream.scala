@@ -825,7 +825,19 @@ object S4Stream {
     // exists() — the isEmpty action (a job over the batch source) only
     // runs for batches that still need applying
     appliedOnce(s, indexDir, runKey, batchId) {
-      if (!batch.isEmpty) {
+      // recordMerge is append's LAST meta action and the lake write
+      // precedes the append, so a RECORDED tag proves this batch fully
+      // committed everything except its marker. The replay must then be
+      // a pure no-op to the marker: the index may have changed since
+      // (a takedown removed rows), and re-deciding the batch's novelty
+      // against TODAY's index would either resurrect scrubbed lake rows
+      // (tombstones close that) or admit rows the original run dropped
+      // as dups of a since-removed doc — landing them in the lake but
+      // never in the index or its fingerprint. Yesterday's dedup
+      // decision stands.
+      val committed = graft.operators.Fingerprint.tagUsed(
+        s.sparkContext.hadoopConfiguration, indexDir, tag)
+      if (!committed && !batch.isEmpty) {
         // resurrection guard FIRST: a replay of this batch after a
         // takedown removed some of its rows must not re-admit them
         val live = exceptTombstoned(batch, idCol, textCol, indexDir)
@@ -838,15 +850,7 @@ object S4Stream {
         // batchId-keyed overwrite (the pushBatch recipe): a replayed
         // batch rewrites its own subtree, so the LAKE is exactly-once.
         novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-        // recordMerge is append's LAST meta action, so a recorded tag
-        // proves the original append fully committed rows+fingerprint —
-        // the replay skips it rather than appending duplicate rows and
-        // (when a takedown shrank `novel` via tombstones between crash
-        // and replay) re-merging a now-different delta fingerprint,
-        // which would drift meta from the corpus of record.
-        if (!graft.operators.Fingerprint.tagUsed(
-            s.sparkContext.hadoopConfiguration, indexDir, tag))
-          graft.operators.TextIndex.append(novel, idCol, textCol, indexDir, tag)
+        graft.operators.TextIndex.append(novel, idCol, textCol, indexDir, tag)
       }
     }
   }
@@ -925,8 +929,32 @@ object S4Stream {
           // re-admit it as novel — the tombstone must already be
           // visible. Batch-tag-keyed overwrite => replay-idempotent.
           recordTombstones(victims, idCol, valueCol, indexDir, tag)
-          // INDEX FIRST (see the crash-boundary walkthrough above)
-          removeFn(victims, tag)
+          // INDEX FIRST (see the crash-boundary walkthrough above).
+          // A PRE-MUTATION refusal (victims not indexed — their ingest
+          // batch crashed before/inside its append — or leftover
+          // removal state) must ROLL the tombstones BACK before
+          // surfacing: leaving them would poison the crashed ingest
+          // batch's replay — it would drop the victim, record its tag
+          // WITHOUT the victim's fingerprint while the crashed
+          // append's physical rows linger, and the takedown retry
+          // would then subtract a fingerprint that was never added.
+          // Rolled back, the ingest replay completes the append
+          // verbatim and the takedown retry runs clean. (Residual
+          // window: a crash right here, between the tombstone write
+          // and the refusal rollback, with the ingest replay landing
+          // before the takedown stream restarts — a double-crash
+          // interleave; the takedown replay rewrites and re-refuses
+          // loudly, so the condition is surfaced, not silent.)
+          // only IllegalArgumentException: every PRE-mutation refusal
+          // is a require(); an IllegalStateException can also be the
+          // post-mutation fencing failure, where victims may already
+          // be half-removed and the tombstones must stay
+          try removeFn(victims, tag)
+          catch {
+            case e: IllegalArgumentException =>
+              clearTombstones(s, indexDir, tag)
+              throw e
+          }
           graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
             idCol, victims.select(col(idCol)))
         }
@@ -952,6 +980,20 @@ object S4Stream {
       .write.mode("overwrite").parquet(s"$indexDir/removed/batch=$safe")
   }
 
+  /** Drop one takedown batch's tombstones — the rollback leg of a
+    * refused (pre-mutation) index remove, see [[recordTombstones]]. */
+  private def clearTombstones(s: org.apache.spark.sql.SparkSession,
+                              indexDir: String, tag: String): Unit = {
+    val safe = tag.replaceAll("[^a-zA-Z0-9._-]", "_")
+    val p = new org.apache.hadoop.fs.Path(s"$indexDir/removed/batch=$safe")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+    // prune an emptied parent so the ingest guard's existence fast path
+    // stays meaningful (it also tolerates the empty dir directly)
+    if (fs.exists(p.getParent) && fs.listStatus(p.getParent).isEmpty)
+      fs.delete(p.getParent, false)
+  }
+
   /** Drop the rows of `batch` whose (id, content-hash) is tombstoned
     * under `<indexDir>/removed/` — the ingest loops' resurrection
     * guard. No-FS-entry fast path when no takedown ever ran; the join
@@ -963,7 +1005,9 @@ object S4Stream {
     val s = batch.sparkSession
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/removed")
     val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) batch
+    // empty-dir case: a refused takedown rolled its batch back and left
+    // the bare parent — no tombstones, and reading it would throw
+    if (!fs.exists(dir) || fs.listStatus(dir).isEmpty) batch
     else {
       val tomb = s.read.parquet(dir.toString)
         .select(col(idCol).as("_tomb_id"), col("_vh"))
@@ -1142,7 +1186,12 @@ object S4Stream {
     val s = batch.sparkSession
     val tag = s"ck${runKey}_b$batchId" // provenance tag, see text sibling
     appliedOnce(s, indexDir, runKey, batchId) { // marker first, see sibling
-      if (!batch.isEmpty) {
+      // recorded tag => the batch fully committed (lake + rows +
+      // fingerprint); replay is a no-op to the marker — see the text
+      // sibling for why re-deciding novelty would drift
+      val committed = graft.operators.Fingerprint.tagUsed(
+        s.sparkContext.hadoopConfiguration, indexDir, tag)
+      if (!committed && !batch.isEmpty) {
         // resurrection guard first (same contract as the text loop)
         val live = exceptTombstoned(batch, idCol, vecCol, indexDir)
         val flagged = graft.operators.VectorIndex
@@ -1152,11 +1201,7 @@ object S4Stream {
           .join(flagged, live(idCol) === col("inc_id"), "left_anti")
           .localCheckpoint() // consumed twice: lake write + index append
         novel.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
-        // recorded tag => original append fully committed; skip (see
-        // the text sibling for the tombstone-replay drift argument)
-        if (!graft.operators.Fingerprint.tagUsed(
-            s.sparkContext.hadoopConfiguration, indexDir, tag))
-          graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol, tag)
+        graft.operators.VectorIndex.append(novel, indexDir, idCol, vecCol, tag)
       }
     }
   }

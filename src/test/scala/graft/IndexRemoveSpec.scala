@@ -284,6 +284,39 @@ class IndexRemoveSpec extends SparkSpec {
     }
   }
 
+  test("a crashed removal blocks NEW removals under other tags until replayed") {
+    // review-caught: a different tag's surviving rmstate means the
+    // tables are half-rewritten — running a new removal's discovery on
+    // them violates the plan-first pristine premise, and the crashed
+    // legs would never replay (victims lingering while meta already
+    // subtracted them). remove() must refuse until the crashed removal
+    // is replayed to completion under its own tag.
+    import graft.operators.FaultInjection
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(200, 260)); val d = (40L, span(400, 460))
+    val corpus = Seq(a, b, c, d).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_xtag").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("cluster.record")(
+        ClusterIndex.remove(Seq(b).toDF("doc_id", "text"),
+          "doc_id", "text", dir, tag = "t1"))
+    }
+    val ex = intercept[IllegalArgumentException] {
+      ClusterIndex.remove(Seq(c).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "t2")
+    }
+    assert(ex.getMessage.contains("never completed"), ex.getMessage)
+    // replay t1 to completion; t2 then proceeds
+    ClusterIndex.remove(Seq(b).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "t1")
+    ClusterIndex.remove(Seq(c).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "t2")
+    assert(assignMap(dir) === Map(10L -> 10L, 40L -> 40L))
+    assert(ClusterIndex.isFresh(spark, dir,
+      Seq(a, d).toDF("doc_id", "text"), "doc_id", "text"))
+  }
+
   test("remove refuses victims from an append whose merge never recorded") {
     // the MID-append crash window: a batch's rows landed but its
     // fingerprint merge never committed (no tagfp record). Subtracting

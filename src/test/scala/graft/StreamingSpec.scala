@@ -636,6 +636,53 @@ class StreamingSpec extends SparkSpec {
       "fingerprint must subtract the victim exactly")
   }
 
+  test("refused takedown rolls its tombstones back; the pending ingest then completes") {
+    // review-caught poison: a takedown for a victim whose ingest batch
+    // crashed BEFORE its index append (edge (a)) writes tombstones and
+    // then remove() rightly refuses — if the tombstones survived, the
+    // ingest replay would drop the victim while recording its tag, and
+    // the takedown retry would subtract a fingerprint never added.
+    // With rollback, the ingest replay completes the append verbatim
+    // and the takedown retry runs clean.
+    import spark.implicits._
+    val lake = tmp("rblake"); val idx = tmp("rbidx").toString
+    def txt(seed: Int) = (0 until 20).map(i => s"rbtok${seed}_$i").mkString(" ")
+    graft.operators.TextIndex.build(
+      Seq((1L, txt(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    // the crashed ingest: its lake subtree landed, the index append did
+    // not run (crash before append)
+    Seq((101L, txt(2)), (102L, txt(3))).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$lake/batch=0")
+    val ex = intercept[IllegalArgumentException] {
+      S4Stream.processTakedownBatch(Seq(101L).toDF("doc_id"), 0L,
+        "doc_id", "text", idx, lake.toString, "rbtk")
+    }
+    assert(ex.getMessage.contains("indexed"), ex.getMessage)
+    val removedDir = new org.apache.hadoop.fs.Path(s"$idx/removed")
+    val fs = removedDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(removedDir) || fs.listStatus(removedDir).isEmpty,
+      "a refused takedown must roll its tombstones back")
+    // the ingest replay completes the append — the victim must not be
+    // silently dropped by stale tombstones
+    S4Stream.processIndexedDedupBatch(
+      Seq((101L, txt(2)), (102L, txt(3))).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, lake.toString, "rbin")
+    def probeHits(seed: Int) = graft.operators.TextIndex.probe(spark, idx,
+      Seq((900L, txt(seed))).toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(probeHits(2) == 1L, "the completed ingest must index the doc")
+    // the takedown retry (same batch, staged snapshot reused) succeeds
+    S4Stream.processTakedownBatch(Seq(101L).toDF("doc_id"), 0L,
+      "doc_id", "text", idx, lake.toString, "rbtk")
+    assert(spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(102L))
+    assert(probeHits(2) == 0L, "retried takedown must blind the probe")
+    assert(probeHits(3) == 1L, "the survivor must stay probeable")
+    assert(graft.operators.TextIndex.isFresh(spark, idx,
+      Seq((1L, txt(1)), (102L, txt(3))).toDF("doc_id", "text"),
+      "doc_id", "text"),
+      "fingerprint must land exactly on the surviving corpus")
+  }
+
   test("vector tombstones: crashed-unmarkered semantic ingest replay cannot resurrect") {
     // the text-loop resurrection scenario on the VECTOR family — gates
     // the content-hash tombstone over an array<float> column (xxhash64
