@@ -67,8 +67,7 @@ import org.apache.spark.sql.functions._
   */
 object ClusterIndex {
 
-  private def sanitize(tag: String): String =
-    tag.replaceAll("[^a-zA-Z0-9._-]", "_")
+  private def sanitize(tag: String): String = Fingerprint.sanitizeTag(tag)
 
   private def idb(id: Column, nBuckets: Int): Column =
     pmod(xxhash64(id), lit(nBuckets.toLong))
@@ -525,7 +524,7 @@ object ClusterIndex {
     val rmTag = s"rm.$tag"
     val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
-    require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
+    if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"ClusterIndex.remove: tag '$tag' was already used by a different " +
         "removal batch — pass a batch-unique tag (the same (tag, victims) " +
         "pair is the legitimate crash-replay and is re-admitted)")
@@ -565,7 +564,7 @@ object ClusterIndex {
         // ever start after PLAN_READY commits) ----
         if (!replay) {
           val known = rleg("known-check")(vToks.select(col(idCol)).distinct().count())
-          require(known == nV,
+          if (known != nV) Fingerprint.refuse(
             s"ClusterIndex.remove: only $known of $nV victims are indexed; " +
               "the fingerprint subtraction needs exactly the ingested rows — " +
               "pass the (id, text) rows as they entered the index")
@@ -687,7 +686,7 @@ object ClusterIndex {
           s"ClusterIndex.remove: $stateDir has PLAN_READY but no commit " +
             "record — the state dir was partially deleted; clear it and " +
             "re-run"))
-      require(planVfp == vfp,
+      if (planVfp != vfp) Fingerprint.refuse(
         s"ClusterIndex.remove: tag '$tag' has leftover removal state for a " +
           "DIFFERENT victim set (a crashed removal under this tag never " +
           "completed) — re-run that removal with its original victims " +

@@ -70,9 +70,17 @@ object Fingerprint {
   // batch under a reused tag is also recognized (a last-pair-only record
   // would re-merge it and drift meta).
 
+  /** The ONE sanitization shared by every tag-derived namespace —
+    * `_src` partition values, tagfp/ records, rmstate/ dirs, removed/
+    * tombstone batches. These namespaces are compared against each
+    * other (recordedTags vs _src, pending removals vs rmTags), so a
+    * charset drift between copies would silently break the guards. */
+  def sanitizeTag(tag: String): String =
+    tag.replaceAll("[^a-zA-Z0-9._-]", "_")
+
   private def tagPath(indexDir: String, tag: String) =
     new org.apache.hadoop.fs.Path(
-      s"$indexDir/tagfp/${tag.replaceAll("[^a-zA-Z0-9._-]", "_")}")
+      s"$indexDir/tagfp/${sanitizeTag(tag)}")
 
   private def readTagSet(fs: org.apache.hadoop.fs.FileSystem,
                          p: org.apache.hadoop.fs.Path): Set[String] =
@@ -157,7 +165,7 @@ object Fingerprint {
 
   private def rmStateDir(indexDir: String, rmTag: String) =
     new org.apache.hadoop.fs.Path(
-      s"$indexDir/rmstate/${rmTag.replaceAll("[^a-zA-Z0-9._-]", "_")}")
+      s"$indexDir/rmstate/${sanitizeTag(rmTag)}")
 
   /** The state dir path for callers persisting extra plan tables beside
     * the commit record (ClusterIndex's re-split plan). */
@@ -244,6 +252,16 @@ object Fingerprint {
     else fs.listStatus(d).map(_.getPath.getName).toSet
   }
 
+  /** A remove() family's PRE-MUTATION refusal: nothing has been
+    * written when this is thrown, so compensating state a caller
+    * staged for the removal (the takedown loops' tombstones) is safe
+    * to roll back. Post-mutation failures deliberately do NOT use this
+    * type — see S4Stream.takedownBatchImpl's rollback catch. */
+  final class RemovalRefused(msg: String) extends IllegalArgumentException(msg)
+
+  private[operators] def refuse(msg: String): Nothing =
+    throw new RemovalRefused(msg)
+
   /** The mid-append-crash guard tail shared by the three remove()
     * families: given the victims' row-provenance `_src` values, refuse
     * when any belongs to an append whose merge never recorded — its
@@ -253,7 +271,7 @@ object Fingerprint {
                                 indexDir: String, vSrcs: Set[String],
                                 opName: String): Unit = {
     val unrecorded = vSrcs - "build" -- recordedTags(conf, indexDir)
-    require(unrecorded.isEmpty,
+    if (unrecorded.nonEmpty) refuse(
       s"$opName: victims were ingested by append batch(es) " +
         s"${unrecorded.mkString(", ")} whose fingerprint merge never " +
         "committed (a crash mid-append) — let the ingest replay " +
@@ -264,9 +282,9 @@ object Fingerprint {
   def requireNoOtherPendingRemoval(conf: org.apache.hadoop.conf.Configuration,
                                    indexDir: String, rmTag: String,
                                    opName: String): Unit = {
-    val own = rmTag.replaceAll("[^a-zA-Z0-9._-]", "_")
+    val own = sanitizeTag(rmTag)
     val others = pendingRemovals(conf, indexDir) - own
-    require(others.isEmpty,
+    if (others.nonEmpty) refuse(
       s"$opName: crashed removal(s) ${others.mkString(", ")} never " +
         s"completed (state under $indexDir/rmstate/) — re-run each with " +
         "its original tag and victims to let it replay to completion " +

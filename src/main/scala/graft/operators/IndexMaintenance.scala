@@ -216,7 +216,7 @@ private[graft] object IndexMaintenance {
       }
     if (conflicts.nonEmpty) {
       fs.delete(own, false)
-      throw new IllegalStateException(
+      throw new LeaseConflictException(
         s"$kind on $indexDir refused: in-flight maintenance holds lease(s) " +
           s"${conflicts.mkString(", ")} under $indexDir/lease/. If the " +
           s"holder crashed, its lease self-expires after ${leaseTtlMs}ms; " +
@@ -224,6 +224,14 @@ private[graft] object IndexMaintenance {
     }
     own
   }
+
+  /** Refused at ACQUIRE — nothing ran yet; a caller that staged
+    * compensating state for the operation (the takedown loops'
+    * tombstones) can safely roll it back on this type, unlike the
+    * post-body fencing failure which shares the IllegalStateException
+    * parent. */
+  final class LeaseConflictException(msg: String)
+    extends IllegalStateException(msg)
 
   def releaseLease(conf: Configuration, lease: Path): Unit = {
     val fs = lease.getFileSystem(conf)
@@ -254,16 +262,36 @@ private[graft] object IndexMaintenance {
       * after an uncaught exception). */
     private[IndexMaintenance] def renew(): Unit = synchronized {
       if (!fenced) {
-        try {
-          val marker = new Path(lease.getParent, lease.getName + ".reclaimed")
-          if (fs.exists(marker) || !fs.exists(lease)) fenced = true
-          else writeLeaseFile(fs, lease)
-        } catch { case _: Throwable => () }
+        try renewOnce()
+        catch { case _: Throwable => () }
       }
     }
-    /** Loud fencing check for the holder's commit point. */
+    /** One probe+touch, errors propagated (assertHeld's strict path). */
+    private[IndexMaintenance] def renewOnce(): Unit = synchronized {
+      if (!fenced) {
+        val marker = new Path(lease.getParent, lease.getName + ".reclaimed")
+        if (fs.exists(marker) || !fs.exists(lease)) fenced = true
+        else writeLeaseFile(fs, lease)
+      }
+    }
+    /** Loud fencing check for the holder's commit point. Unlike the
+      * background beats, this probe is STRICT: a filesystem error here
+      * must not silently pass the commit (the "stale holder never
+      * reports success" invariant) — it retries twice, then surfaces
+      * the probe failure itself. */
     private[IndexMaintenance] def assertHeld(what: String): Unit = {
-      renew()
+      var probeErr: Throwable = null
+      var ok = false
+      var attempts = 0
+      while (!ok && !fenced && attempts < 3) {
+        attempts += 1
+        try { renewOnce(); ok = true }
+        catch { case t: Throwable => probeErr = t; Thread.sleep(50L * attempts) }
+      }
+      if (!ok && !fenced) throw new IllegalStateException(
+        s"$what: could not verify lease $lease at the commit point " +
+          "(filesystem probe kept failing) — refusing to report success " +
+          "unverified", probeErr)
       if (fenced) throw new IllegalStateException(
         s"$what: this holder's lease $lease expired and was reclaimed by " +
           "another maintenance operation (stalled past the " +
@@ -274,7 +302,10 @@ private[graft] object IndexMaintenance {
   }
 
   private lazy val heartbeatPool = {
-    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(1, (r: Runnable) => {
+    // several threads: concurrent holders on DIFFERENT indexes renew
+    // independently, and one hung filesystem call must not starve the
+    // other holders' beats past the TTL
+    val p = new java.util.concurrent.ScheduledThreadPoolExecutor(4, (r: Runnable) => {
       val t = new Thread(r, "graft-lease-heartbeat"); t.setDaemon(true); t
     })
     p.setRemoveOnCancelPolicy(true)

@@ -207,7 +207,7 @@ object TextIndex {
     val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
     val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
-    require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
+    if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"TextIndex.remove: tag '$tag' was already used by a different " +
         "removal batch — pass a batch-unique tag")
     // cross-tag leftover state refusal, see ClusterIndex.remove
@@ -230,7 +230,7 @@ object TextIndex {
         .localCheckpoint()
       if (!replay) {
         val known = vToks.select(col(idCol)).distinct().count()
-        require(known == nV,
+        if (known != nV) Fingerprint.refuse(
           s"TextIndex.remove: only $known of $nV victims are indexed; the " +
             "fingerprint subtraction needs exactly the ingested rows")
       }
@@ -258,21 +258,30 @@ object TextIndex {
       val normDir = IndexMaintenance.normalize(indexDir)
       val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
       state0.foreach { case (svfp, _) =>
-        require(svfp == vfp,
+        if (svfp != vfp) Fingerprint.refuse(
           s"TextIndex.remove: tag '$tag' has leftover removal state for a " +
             "DIFFERENT victim set — re-run that removal with its original " +
             "victims first, or clear its rmstate dir after verifying it")
       }
       val stateDir = Fingerprint.removeStatePath(normDir, rmTag)
-      if (state0.isEmpty) {
-        // the victims' band buckets join the commit record as plan
-        // state (computed from the still-pristine toks table): the
-        // bands prune no longer depends on another rewrite's table, so
-        // the two deletes are order-free — and parallel (the same
-        // protocol as ClusterIndex.remove's four legs)
+      // the victims' band buckets join the commit record as plan state
+      // (computed from the toks table, pristine on any first attempt):
+      // the bands prune no longer depends on another rewrite's table,
+      // so the two deletes are order-free — and parallel (the same
+      // protocol as ClusterIndex.remove's four legs). Written whenever
+      // ABSENT, not only with a fresh record, so a removal that crashed
+      // under the pre-plan protocol (record exists, no vhb) self-heals:
+      // recomputing from the current toks reproduces exactly the old
+      // protocol's bucket list at every one of its crash boundaries
+      // (toks was always deleted last, and an empty recompute can only
+      // happen after the bands delete already completed).
+      val vhbPath = new org.apache.hadoop.fs.Path(s"$stateDir/vhb/_SUCCESS")
+      if (!vhbPath.getFileSystem(conf).exists(vhbPath)) {
         import s.implicits._
         vHb.toDF("hb").coalesce(1)
           .write.mode("overwrite").parquet(s"$stateDir/vhb")
+      }
+      if (state0.isEmpty) {
         val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
         Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
       }

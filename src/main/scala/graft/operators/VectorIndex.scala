@@ -258,7 +258,7 @@ object VectorIndex {
     val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
     val vfp = Fingerprint.of(victims, Seq(corpusId, corpusVec))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
-    require(replay || !Fingerprint.tagUsed(conf, indexDir, rmTag),
+    if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"VectorIndex.remove: tag '$tag' was already used by a different " +
         "removal batch — pass a batch-unique tag")
     // cross-tag leftover state refusal, see ClusterIndex.remove
@@ -277,7 +277,7 @@ object VectorIndex {
           .filter(col("cell").isInCollection(vCells))
           .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
           .select(col(corpusId)).distinct().count()
-        require(known == nV,
+        if (known != nV) Fingerprint.refuse(
           s"VectorIndex.remove: only $known of $nV victims are indexed; " +
             "the fingerprint subtraction needs exactly the ingested rows")
         // mid-append crash guard (see TextIndex.remove): a victim row
@@ -300,7 +300,7 @@ object VectorIndex {
       val normDir = IndexMaintenance.normalize(indexDir)
       val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
       state0.foreach { case (svfp, _) =>
-        require(svfp == vfp,
+        if (svfp != vfp) Fingerprint.refuse(
           s"VectorIndex.remove: tag '$tag' has leftover removal state for " +
             "a DIFFERENT victim set — re-run that removal with its " +
             "original victims first, or clear its rmstate dir after " +

@@ -945,13 +945,18 @@ object S4Stream {
           // before the takedown stream restarts — a double-crash
           // interleave; the takedown replay rewrites and re-refuses
           // loudly, so the condition is surfaced, not silent.)
-          // only IllegalArgumentException: every PRE-mutation refusal
-          // is a require(); an IllegalStateException can also be the
-          // post-mutation fencing failure, where victims may already
-          // be half-removed and the tombstones must stay
+          // rollback ONLY on the typed pre-mutation refusals: a
+          // RemovalRefused (unknown victims, unrecorded provenance,
+          // leftover state) or a lease conflict at acquire. Any other
+          // failure — including the post-body fencing
+          // IllegalStateException and the end-of-op generation
+          // recheck — may follow real mutation, where the tombstones
+          // must stay (conservative:
+          // they only ever block matching content).
           try removeFn(victims, tag)
           catch {
-            case e: IllegalArgumentException =>
+            case e @ (_: graft.operators.Fingerprint.RemovalRefused |
+                      _: graft.operators.IndexMaintenance.LeaseConflictException) =>
               clearTombstones(s, indexDir, tag)
               throw e
           }
@@ -974,17 +979,42 @@ object S4Stream {
     * CHANGED content is a new document and still ingests. */
   def recordTombstones(victims: DataFrame, idCol: String, valueCol: String,
                        indexDir: String, tag: String): Unit = {
-    val safe = tag.replaceAll("[^a-zA-Z0-9._-]", "_")
+    val safe = graft.operators.Fingerprint.sanitizeTag(tag)
     victims.select(col(idCol), xxhash64(col(valueCol)).as("_vh"))
       .distinct()
       .write.mode("overwrite").parquet(s"$indexDir/removed/batch=$safe")
+  }
+
+  /** Operator RETENTION for the RTBF tombstones: drop batches older
+    * than `olderThanMs`, returning how many were pruned. Tombstones
+    * exist to block the replay of ingest batches that crashed before
+    * their applied/ marker — so pruning one is safe exactly when no
+    * unmarkered ingest batch predates it (every stream sharing the
+    * index has restarted and drained since that takedown). Without
+    * pruning, the set grows one batch dir per takedown forever and
+    * every ingest micro-batch anti-joins against all of it; a periodic
+    * prune bounds the guard to the operational replay horizon. Not
+    * automatic by design: only the operator knows the streams'
+    * restart discipline. */
+  def pruneTombstones(s: org.apache.spark.sql.SparkSession,
+                      indexDir: String, olderThanMs: Long): Int = {
+    val dir = new org.apache.hadoop.fs.Path(s"$indexDir/removed")
+    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) 0
+    else {
+      val cutoff = System.currentTimeMillis() - olderThanMs
+      val old = fs.listStatus(dir).filter(_.getModificationTime < cutoff)
+      old.foreach(st => fs.delete(st.getPath, true))
+      if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
+      old.length
+    }
   }
 
   /** Drop one takedown batch's tombstones — the rollback leg of a
     * refused (pre-mutation) index remove, see [[recordTombstones]]. */
   private def clearTombstones(s: org.apache.spark.sql.SparkSession,
                               indexDir: String, tag: String): Unit = {
-    val safe = tag.replaceAll("[^a-zA-Z0-9._-]", "_")
+    val safe = graft.operators.Fingerprint.sanitizeTag(tag)
     val p = new org.apache.hadoop.fs.Path(s"$indexDir/removed/batch=$safe")
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     fs.delete(p, true)

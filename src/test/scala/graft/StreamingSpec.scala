@@ -600,6 +600,15 @@ class StreamingSpec extends SparkSpec {
       .toDF("doc_id", "text")
     assert(graft.operators.TextIndex.isFresh(spark, idx, corpus,
       "doc_id", "text"))
+    // operator retention: pruning every tombstone unblocks even a
+    // byte-identical re-ingest of the once-forgotten content (the
+    // operator asserts no unmarkered batch predates the prune)
+    assert(S4Stream.pruneTombstones(spark, idx, olderThanMs = 0L) >= 1)
+    S4Stream.processIndexedDedupBatch(
+      Seq((201L, txt(2))).toDF("doc_id", "text"), 2L, "doc_id", "text",
+      idx, lake.toString, "runIn")
+    assert(lakeIds.contains(201L),
+      "after the prune, matching content must ingest again")
   }
 
   test("vector takedown: victims leave the lake and the IVF index; compact GCs edges") {
