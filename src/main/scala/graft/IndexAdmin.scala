@@ -1,0 +1,178 @@
+package graft
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+
+import graft.operators.{Fingerprint, IndexMaintenance}
+
+/** Read-only operations console for a persisted index directory (any of
+  * the three families — text MinHash, IVF vector, cluster — shares the
+  * same control layout). One FS pass answers the questions the crash/
+  * recovery runbooks otherwise make an operator reconstruct by hand:
+  *
+  *  - which generation is live, and do retired GC-grace copies linger;
+  *  - who holds maintenance leases, how stale their heartbeats are, and
+  *    whether the next acquirer would reclaim them;
+  *  - which removals crashed mid-flight (rmstate/ — these must be
+  *    re-run with their original victims before any new removal);
+  *  - which append batches recorded their merge but never reached their
+  *    stream's applied/ marker — the crash-window replay candidates the
+  *    RTBF tombstones exist for, i.e. the set to drain before
+  *    `S4Stream.pruneTombstones` is safe;
+  *  - how many takedown tombstone batches accrete under removed/ and
+  *    how old they are (the retention decision's inputs).
+  *
+  * Deliberately has NO mutating verbs: every recovery action already
+  * has a guarded owner (expired leases self-clear at the next acquire,
+  * crashed removals replay under their original tag, tombstone pruning
+  * is the operator's explicit `pruneTombstones` call) — an admin tool
+  * that "fixes" any of these by deleting state would bypass exactly the
+  * guards that make them safe. Needs no SparkSession: control state is
+  * all small files, so `sbt "runMain graft.IndexAdmin <indexDir>..."`
+  * answers from a cold JVM in seconds.
+  */
+object IndexAdmin {
+
+  /** One data table under the live root: parquet file count + bytes. */
+  final case class TableStat(name: String, files: Long, bytes: Long)
+
+  final case class Report(
+      dir: String,
+      gen: Option[Long],          // None = legacy in-place layout
+      liveRoot: String,
+      retiredGens: Seq[Long],     // GC-grace copies still on disk
+      tables: Seq[TableStat],
+      leases: Seq[(String, Long, Boolean)], // (name, ageMs, expired)
+      leaseTtlMs: Long,
+      pendingRemovals: Set[String],         // crashed remove() tags
+      appendTags: Set[String],              // recorded append merges
+      removalTags: Set[String],             // recorded removal merges
+      appliedMarkers: Set[String],          // stream commit points
+      unmarkeredRecordedTags: Set[String],  // recorded, no applied/ marker
+      tombstones: Seq[(String, Long)],      // (batch dir, ageMs)
+      sourceStatusPresent: Boolean)
+
+  /** Control names that live at the index top level beside the data
+    * tables in the LEGACY (never-compacted) layout; excluded from the
+    * table listing. Generation dirs (`g<N>`) are matched by pattern. */
+  private val controlNames =
+    Set("GEN", "lease", "tagfp", "rmstate", "applied", "removed", "srcstat")
+
+  def report(conf: Configuration, indexDir0: String): Report = {
+    val dir = IndexMaintenance.normalize(indexDir0)
+    val base = new Path(dir)
+    val fs = base.getFileSystem(conf)
+    require(fs.exists(base), s"IndexAdmin: no such index dir: $dir")
+
+    val gen = IndexMaintenance.currentGen(conf, dir)
+    val liveRoot = IndexMaintenance.liveRoot(conf, dir)
+    val children = fs.listStatus(base).toSeq
+    val retired = gen.fold(Seq.empty[Long]) { g =>
+      children.map(_.getPath.getName)
+        .collect { case n if n.matches("g[0-9]+") => n.drop(1).toLong }
+        .filter(_ < g).sorted
+    }
+
+    val rootChildren =
+      if (liveRoot == dir)
+        children.filter(st => st.isDirectory &&
+          !controlNames.contains(st.getPath.getName) &&
+          !st.getPath.getName.matches("g[0-9]+"))
+      else {
+        val lr = new Path(liveRoot)
+        if (fs.exists(lr)) fs.listStatus(lr).toSeq.filter(_.isDirectory)
+        else Seq.empty
+      }
+    val tables = rootChildren.map { st =>
+      val cs = fs.getContentSummary(st.getPath)
+      TableStat(st.getPath.getName, cs.getFileCount, cs.getLength)
+    }.sortBy(_.name)
+
+    val recorded = Fingerprint.recordedTags(conf, dir)
+    val (removalTags, appendTags) = recorded.partition(_.startsWith("rm."))
+    val applied = IndexMaintenance.committedTags(conf, dir)
+    // Only stream-loop tags (ck<runKey>_b<batchId>) ever get applied/
+    // markers; direct build/append tags have no marker by design and
+    // would be noise in the crash-window set.
+    val unmarkered = appendTags.filter(t => t.startsWith("ck") && !applied(t))
+
+    val removedDir = new Path(s"$dir/removed")
+    val now = System.currentTimeMillis()
+    val tombstones =
+      if (!fs.exists(removedDir)) Seq.empty
+      else fs.listStatus(removedDir).toSeq
+        .map(st => (st.getPath.getName,
+          math.max(0L, now - st.getModificationTime)))
+        .sortBy(_._1)
+
+    Report(
+      dir = dir,
+      gen = gen,
+      liveRoot = liveRoot,
+      retiredGens = retired,
+      tables = tables,
+      leases = IndexMaintenance.leaseStatus(conf, dir),
+      leaseTtlMs = IndexMaintenance.leaseTtlMs,
+      pendingRemovals = Fingerprint.pendingRemovals(conf, dir),
+      appendTags = appendTags,
+      removalTags = removalTags,
+      appliedMarkers = applied,
+      unmarkeredRecordedTags = unmarkered,
+      tombstones = tombstones,
+      sourceStatusPresent = fs.exists(new Path(s"$dir/srcstat")))
+  }
+
+  private def fmtAge(ms: Long): String =
+    if (ms < 1000L) s"${ms}ms"
+    else if (ms < 60000L) f"${ms / 1000.0}%.0fs"
+    else if (ms < 3600000L) f"${ms / 60000.0}%.1fm"
+    else f"${ms / 3600000.0}%.1fh"
+
+  def render(r: Report): String = {
+    val sb = new StringBuilder
+    sb ++= s"index: ${r.dir}\n"
+    sb ++= s"  generation: ${r.gen.fold("legacy (in-place)")(g => s"g$g")}" +
+      s"  live root: ${r.liveRoot}\n"
+    if (r.retiredGens.nonEmpty)
+      sb ++= s"  retired GC-grace generations on disk: " +
+        s"${r.retiredGens.map(g => s"g$g").mkString(", ")}\n"
+    sb ++= s"  tables (${r.tables.size}):\n"
+    r.tables.foreach { t =>
+      sb ++= f"    ${t.name}%-12s ${t.files}%6d files ${t.bytes}%12d bytes\n"
+    }
+    if (r.leases.isEmpty) sb ++= "  leases: none\n"
+    else {
+      sb ++= s"  leases (ttl ${fmtAge(r.leaseTtlMs)}):\n"
+      r.leases.foreach { case (n, age, expired) =>
+        val state = if (expired) "EXPIRED (next acquirer reclaims)" else "live"
+        sb ++= s"    $n  heartbeat ${fmtAge(age)} ago  $state\n"
+      }
+    }
+    if (r.pendingRemovals.nonEmpty)
+      sb ++= s"  CRASHED removals (re-run each with its original tag+" +
+        s"victims): ${r.pendingRemovals.mkString(", ")}\n"
+    sb ++= s"  recorded append merges: ${r.appendTags.size}" +
+      s"  removal merges: ${r.removalTags.size}" +
+      s"  applied stream markers: ${r.appliedMarkers.size}\n"
+    if (r.unmarkeredRecordedTags.nonEmpty)
+      sb ++= s"  stream batches recorded but UNMARKERED (replay no-ops " +
+        s"to the marker; drain before pruning tombstones): " +
+        s"${r.unmarkeredRecordedTags.mkString(", ")}\n"
+    if (r.tombstones.nonEmpty) {
+      sb ++= s"  RTBF tombstone batches (${r.tombstones.size}):\n"
+      r.tombstones.foreach { case (n, age) =>
+        sb ++= s"    $n  age ${fmtAge(age)}\n"
+      }
+    }
+    sb ++= s"  source-status fast-path record: " +
+      s"${if (r.sourceStatusPresent) "present" else "absent"}\n"
+    sb.result()
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty,
+      "usage: runMain graft.IndexAdmin <indexDir> [<indexDir>...]")
+    val conf = new Configuration()
+    args.foreach(dir => print(render(report(conf, dir))))
+  }
+}

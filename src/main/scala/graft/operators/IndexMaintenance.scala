@@ -238,6 +238,26 @@ private[graft] object IndexMaintenance {
     fs.delete(lease, false)
   }
 
+  /** Read-only lease listing for ops tooling ([[graft.IndexAdmin]]):
+    * `(name, heartbeat-age ms, expired)` per live lease file. Reclaim
+    * markers are skipped; expiry is judged by the same mtime-vs-TTL
+    * rule acquirers use, so "expired=true" here means the next acquirer
+    * WILL clear it. Purely observational — nothing is deleted. */
+  def leaseStatus(conf: Configuration,
+                  indexDir0: String): Seq[(String, Long, Boolean)] = {
+    val indexDir = normalize(indexDir0)
+    val fs = new Path(indexDir).getFileSystem(conf)
+    val now = System.currentTimeMillis()
+    listLeases(fs, indexDir)
+      .filterNot(_.endsWith(".reclaimed"))
+      .flatMap { n =>
+        leaseHeartbeat(fs, new Path(s"$indexDir/lease/$n")).map { hb =>
+          val age = math.max(0L, now - hb)
+          (n, age, age > leaseTtlMs)
+        }
+      }
+  }
+
   /** A running lease heartbeat: renews the lease file at ttl/3 and trips
     * `fenced` the moment the file is gone (a new acquirer reclaimed it
     * after expiry — filenames are uuid-unique, so existence is

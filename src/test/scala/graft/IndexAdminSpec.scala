@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+
+import graft.operators.{FaultInjection, IndexMaintenance, TextIndex}
+
+/** The read-only ops console must report exactly what the recovery
+  * runbooks need: generation + live root, table stats, lease health
+  * against the TTL, crashed removals, the recorded-but-unmarkered
+  * stream batches (the tombstone-retention decision's input), and the
+  * tombstone batch ages. Built on a real TextIndex lifecycle so every
+  * field is read from state the REAL operators wrote. */
+class IndexAdminSpec extends SparkSpec {
+
+  private def txt(seed: Int) =
+    (0 until 20).map(i => s"adm${seed}_$i").mkString(" ")
+
+  test("report tracks a text index through build, append, marker, tombstone, compact, lease, crash, replay") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files
+      .createTempDirectory("admidx").toString + "/idx"
+    val fs = new Path(dir).getFileSystem(conf)
+
+    TextIndex.build(Seq((1L, txt(1))).toDF("doc_id", "text"),
+      "doc_id", "text", dir)
+    TextIndex.append(Seq((2L, txt(2))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "ckrun_b0")
+    // a second stream batch that DID reach its commit point: marker only
+    // (the marker file is the commit-point artifact appliedOnce writes)
+    fs.mkdirs(new Path(s"$dir/applied"))
+    fs.create(new Path(s"$dir/applied/ckrun_b1"), true).close()
+    // one takedown batch's tombstones
+    graft.streaming.S4Stream.recordTombstones(
+      Seq((9L, txt(9))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "td1")
+
+    val r = IndexAdmin.report(conf, dir)
+    assert(r.gen.isEmpty && r.liveRoot == IndexMaintenance.normalize(dir),
+      s"never-compacted index is the legacy in-place layout: $r")
+    assert(r.tables.map(_.name).toSet == Set("bands", "toks", "meta"),
+      s"legacy-root table listing must exclude control dirs: ${r.tables}")
+    assert(r.tables.forall(t => t.files > 0 && t.bytes > 0))
+    assert(r.appendTags.contains("ckrun_b0"))
+    assert(r.unmarkeredRecordedTags == Set("ckrun_b0"),
+      "b0 recorded its merge but never reached a marker; b1 is markered")
+    assert(r.appliedMarkers == Set("ckrun_b1"))
+    assert(r.tombstones.map(_._1) == Seq("batch=td1"))
+    assert(r.pendingRemovals.isEmpty && r.leases.isEmpty)
+    val text = IndexAdmin.render(r)
+    assert(text.contains("legacy (in-place)") && text.contains("ckrun_b0")
+      && text.contains("batch=td1"), s"render must surface the fields:\n$text")
+
+    // live lease appears un-expired; disappears on release
+    val lease = IndexMaintenance.acquireLease(conf, dir, "write")
+    val rl = IndexAdmin.report(conf, dir)
+    assert(rl.leases.size == 1 && !rl.leases.head._3,
+      s"fresh lease must report live: ${rl.leases}")
+    IndexMaintenance.releaseLease(conf, lease)
+    assert(IndexAdmin.report(conf, dir).leases.isEmpty)
+
+    // generation cutover flips the live root and the table listing moves
+    TextIndex.compact(spark, dir)
+    val rc = IndexAdmin.report(conf, dir)
+    assert(rc.gen.contains(1L) && rc.liveRoot == s"${IndexMaintenance.normalize(dir)}/g1",
+      s"post-compact report must follow the pointer: $rc")
+    assert(rc.tables.map(_.name).toSet == Set("bands", "toks", "meta"))
+
+    // a removal crashed mid-protocol surfaces as pending; replay clears it
+    val victims = Seq((2L, txt(2))).toDF("doc_id", "text")
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("text.meta")(
+        TextIndex.remove(victims, "doc_id", "text", dir, tag = "t9"))
+    }
+    val rp = IndexAdmin.report(conf, dir)
+    assert(rp.pendingRemovals == Set("rm.t9"),
+      s"crashed removal must surface: $rp")
+    assert(IndexAdmin.render(rp).contains("CRASHED removals"))
+    TextIndex.remove(victims, "doc_id", "text", dir, tag = "t9")
+    val rr = IndexAdmin.report(conf, dir)
+    assert(rr.pendingRemovals.isEmpty, "completed replay must clear rmstate")
+    assert(rr.removalTags.contains("rm.t9"),
+      "the removal's merge record is part of the tag ledger")
+  }
+}
