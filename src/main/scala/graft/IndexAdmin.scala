@@ -41,6 +41,8 @@ object IndexAdmin {
       gen: Option[Long],          // None = legacy in-place layout
       liveRoot: String,
       retiredGens: Seq[Long],     // GC-grace copies still on disk
+      legacyGraceDirs: Seq[String], // top-level tables kept as grace after g1
+      stagingGens: Seq[Long],     // g<N> beyond the pointer: crashed compacts
       tables: Seq[TableStat],
       leases: Seq[(String, Long, Boolean)], // (name, ageMs, expired)
       leaseTtlMs: Long,
@@ -64,20 +66,32 @@ object IndexAdmin {
     val fs = base.getFileSystem(conf)
     require(fs.exists(base), s"IndexAdmin: no such index dir: $dir")
 
+    // ONE pointer read: gen and liveRoot derived from the same value,
+    // so a concurrent compaction flip can never yield a report whose
+    // generation, root, and table listing disagree with each other
     val gen = IndexMaintenance.currentGen(conf, dir)
-    val liveRoot = IndexMaintenance.liveRoot(conf, dir)
+    val liveRoot = gen.fold(dir)(g => s"$dir/g$g")
     val children = fs.listStatus(base).toSeq
-    val retired = gen.fold(Seq.empty[Long]) { g =>
-      children.map(_.getPath.getName)
-        .collect { case n if n.matches("g[0-9]+") => n.drop(1).toLong }
-        .filter(_ < g).sorted
-    }
+    val genDirs = children.map(_.getPath.getName)
+      .collect { case n if n.matches("g[0-9]+") => n.drop(1).toLong }.sorted
+    val retired = gen.fold(Seq.empty[Long])(g => genDirs.filter(_ < g))
+    // beyond-the-pointer staging = a crashed compact's partial tree
+    // (inert — the next beginCompact clears it), including a g1 beside
+    // a legacy pointer-less layout
+    val staging = genDirs.filter(_ > gen.getOrElse(0L))
+    val topLevelTables = children.filter(st => st.isDirectory &&
+      !controlNames.contains(st.getPath.getName) &&
+      !st.getPath.getName.matches("g[0-9]+"))
+    // after the FIRST cutover the legacy top-level tables survive as
+    // the one-generation GC-grace copy (finishCompact deletes them only
+    // at the g2 cutover) — without this the report hides exactly the
+    // grace bytes it exists to explain
+    val legacyGrace =
+      if (gen.isEmpty) Seq.empty
+      else topLevelTables.map(_.getPath.getName).sorted
 
     val rootChildren =
-      if (liveRoot == dir)
-        children.filter(st => st.isDirectory &&
-          !controlNames.contains(st.getPath.getName) &&
-          !st.getPath.getName.matches("g[0-9]+"))
+      if (liveRoot == dir) topLevelTables
       else {
         val lr = new Path(liveRoot)
         if (fs.exists(lr)) fs.listStatus(lr).toSeq.filter(_.isDirectory)
@@ -91,18 +105,37 @@ object IndexAdmin {
     val recorded = Fingerprint.recordedTags(conf, dir)
     val (removalTags, appendTags) = recorded.partition(_.startsWith("rm."))
     val applied = IndexMaintenance.committedTags(conf, dir)
-    // Only stream-loop tags (ck<runKey>_b<batchId>) ever get applied/
-    // markers; direct build/append tags have no marker by design and
-    // would be noise in the crash-window set.
-    val unmarkered = appendTags.filter(t => t.startsWith("ck") && !applied(t))
+    // Only stream-loop tags ever get applied/ markers, and their shape
+    // is structural (`ck<runKey>_b<batchId>`) — matched as a pattern,
+    // not a prefix, so a direct append whose operator-chosen tag merely
+    // starts with "ck" is never flagged as a stream batch it can't be.
+    // Takedown batches record under the `rm.` namespace against the
+    // SAME marker name, so a takedown that crashed after its index
+    // remove but before its marker (lake scrub pending!) surfaces here
+    // too, not just crashed appends.
+    val ckPat = "ck.*_b[0-9]+"
+    val unmarkered =
+      appendTags.filter(t => t.matches(ckPat) && !applied(t)) ++
+        removalTags.filter { t =>
+          val bare = t.stripPrefix("rm.")
+          bare.matches(ckPat) && !applied(bare)
+        }
 
     val removedDir = new Path(s"$dir/removed")
     val now = System.currentTimeMillis()
+    // age from the newest FILE inside each batch dir: object-store
+    // "directory" mtimes are synthetic (0, or listing time), and this
+    // age feeds the pruneTombstones retention decision
     val tombstones =
       if (!fs.exists(removedDir)) Seq.empty
       else fs.listStatus(removedDir).toSeq
-        .map(st => (st.getPath.getName,
-          math.max(0L, now - st.getModificationTime)))
+        .map { st =>
+          val files = fs.listStatus(st.getPath).filter(_.isFile)
+          val mtime =
+            if (files.nonEmpty) files.map(_.getModificationTime).max
+            else st.getModificationTime
+          (st.getPath.getName, math.max(0L, now - mtime))
+        }
         .sortBy(_._1)
 
     Report(
@@ -110,6 +143,8 @@ object IndexAdmin {
       gen = gen,
       liveRoot = liveRoot,
       retiredGens = retired,
+      legacyGraceDirs = legacyGrace,
+      stagingGens = staging,
       tables = tables,
       leases = IndexMaintenance.leaseStatus(conf, dir),
       leaseTtlMs = IndexMaintenance.leaseTtlMs,
@@ -136,6 +171,12 @@ object IndexAdmin {
     if (r.retiredGens.nonEmpty)
       sb ++= s"  retired GC-grace generations on disk: " +
         s"${r.retiredGens.map(g => s"g$g").mkString(", ")}\n"
+    if (r.legacyGraceDirs.nonEmpty)
+      sb ++= s"  legacy top-level tables kept as GC grace (deleted at " +
+        s"the next cutover): ${r.legacyGraceDirs.mkString(", ")}\n"
+    if (r.stagingGens.nonEmpty)
+      sb ++= s"  crashed-compact staging trees (inert; cleared by the " +
+        s"next compact): ${r.stagingGens.map(g => s"g$g").mkString(", ")}\n"
     sb ++= s"  tables (${r.tables.size}):\n"
     r.tables.foreach { t =>
       sb ++= f"    ${t.name}%-12s ${t.files}%6d files ${t.bytes}%12d bytes\n"
@@ -148,9 +189,15 @@ object IndexAdmin {
         sb ++= s"    $n  heartbeat ${fmtAge(age)} ago  $state\n"
       }
     }
-    if (r.pendingRemovals.nonEmpty)
-      sb ++= s"  CRASHED removals (re-run each with its original tag+" +
-        s"victims): ${r.pendingRemovals.mkString(", ")}\n"
+    if (r.pendingRemovals.nonEmpty) {
+      // rmstate dirs carry the rm. namespace; the tag the operator
+      // must pass back to remove() is the BARE one — printing rm.t9
+      // with "re-run with this tag" would have them call
+      // remove(tag="rm.t9"), a new removal the pending guard refuses
+      val bare = r.pendingRemovals.map(_.stripPrefix("rm.")).toSeq.sorted
+      sb ++= s"  CRASHED removals (replay each: call remove() with its " +
+        s"ORIGINAL victims and tag): ${bare.mkString(", ")}\n"
+    }
     sb ++= s"  recorded append merges: ${r.appendTags.size}" +
       s"  removal merges: ${r.removalTags.size}" +
       s"  applied stream markers: ${r.appliedMarkers.size}\n"

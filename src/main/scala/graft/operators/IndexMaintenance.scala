@@ -239,21 +239,27 @@ private[graft] object IndexMaintenance {
   }
 
   /** Read-only lease listing for ops tooling ([[graft.IndexAdmin]]):
-    * `(name, heartbeat-age ms, expired)` per live lease file. Reclaim
-    * markers are skipped; expiry is judged by the same mtime-vs-TTL
-    * rule acquirers use, so "expired=true" here means the next acquirer
+    * `(name, heartbeat-age ms, expired)` per live lease file. Expiry is
+    * judged by the same rules acquirers use — mtime-vs-TTL, OR a
+    * surviving `<name>.reclaimed` marker (a stalled holder's in-flight
+    * renew can resurrect a just-reclaimed file with a fresh mtime; the
+    * acquirer's alreadyReclaimed branch still treats it as dead, so
+    * this listing must too). "expired=true" means the next acquirer
     * WILL clear it. Purely observational — nothing is deleted. */
   def leaseStatus(conf: Configuration,
                   indexDir0: String): Seq[(String, Long, Boolean)] = {
     val indexDir = normalize(indexDir0)
     val fs = new Path(indexDir).getFileSystem(conf)
     val now = System.currentTimeMillis()
-    listLeases(fs, indexDir)
+    val names = listLeases(fs, indexDir)
+    val reclaimed = names.filter(_.endsWith(".reclaimed"))
+      .map(_.stripSuffix(".reclaimed")).toSet
+    names
       .filterNot(_.endsWith(".reclaimed"))
       .flatMap { n =>
         leaseHeartbeat(fs, new Path(s"$indexDir/lease/$n")).map { hb =>
           val age = math.max(0L, now - hb)
-          (n, age, age > leaseTtlMs)
+          (n, age, age > leaseTtlMs || reclaimed(n))
         }
       }
   }

@@ -26,6 +26,11 @@ class IndexAdminSpec extends SparkSpec {
       "doc_id", "text", dir)
     TextIndex.append(Seq((2L, txt(2))).toDF("doc_id", "text"),
       "doc_id", "text", dir, tag = "ckrun_b0")
+    // a DIRECT append whose operator-chosen tag merely starts with "ck"
+    // — structurally not a stream batch (no _b<id>), never markered,
+    // and must never be flagged as crash-window work
+    TextIndex.append(Seq((3L, txt(3))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "ckbackfill")
     // a second stream batch that DID reach its commit point: marker only
     // (the marker file is the commit-point artifact appliedOnce writes)
     fs.mkdirs(new Path(s"$dir/applied"))
@@ -41,9 +46,10 @@ class IndexAdminSpec extends SparkSpec {
     assert(r.tables.map(_.name).toSet == Set("bands", "toks", "meta"),
       s"legacy-root table listing must exclude control dirs: ${r.tables}")
     assert(r.tables.forall(t => t.files > 0 && t.bytes > 0))
-    assert(r.appendTags.contains("ckrun_b0"))
+    assert(r.appendTags.contains("ckrun_b0") && r.appendTags.contains("ckbackfill"))
     assert(r.unmarkeredRecordedTags == Set("ckrun_b0"),
-      "b0 recorded its merge but never reached a marker; b1 is markered")
+      "b0 recorded its merge but never reached a marker; b1 is markered; " +
+        "the ck-prefixed direct append is not a stream batch")
     assert(r.appliedMarkers == Set("ckrun_b1"))
     assert(r.tombstones.map(_._1) == Seq("batch=td1"))
     assert(r.pendingRemovals.isEmpty && r.leases.isEmpty)
@@ -65,6 +71,11 @@ class IndexAdminSpec extends SparkSpec {
     assert(rc.gen.contains(1L) && rc.liveRoot == s"${IndexMaintenance.normalize(dir)}/g1",
       s"post-compact report must follow the pointer: $rc")
     assert(rc.tables.map(_.name).toSet == Set("bands", "toks", "meta"))
+    // the FIRST cutover keeps the legacy top-level tables as the
+    // one-generation GC-grace copy — the report must explain those bytes
+    assert(rc.legacyGraceDirs == Seq("bands", "meta", "toks"),
+      s"legacy grace copy must be visible: $rc")
+    assert(rc.stagingGens.isEmpty)
 
     // a removal crashed mid-protocol surfaces as pending; replay clears it
     val victims = Seq((2L, txt(2))).toDF("doc_id", "text")
@@ -75,11 +86,41 @@ class IndexAdminSpec extends SparkSpec {
     val rp = IndexAdmin.report(conf, dir)
     assert(rp.pendingRemovals == Set("rm.t9"),
       s"crashed removal must surface: $rp")
-    assert(IndexAdmin.render(rp).contains("CRASHED removals"))
+    val crashedLine = IndexAdmin.render(rp).linesIterator
+      .find(_.contains("CRASHED removals")).get
+    // the replay instruction must name the BARE tag — telling the
+    // operator to pass "rm.t9" back to remove() would start a NEW
+    // removal the pending guard refuses
+    assert(crashedLine.contains("t9") && !crashedLine.contains("rm.t9"),
+      s"replay instruction must use the bare tag: $crashedLine")
     TextIndex.remove(victims, "doc_id", "text", dir, tag = "t9")
     val rr = IndexAdmin.report(conf, dir)
     assert(rr.pendingRemovals.isEmpty, "completed replay must clear rmstate")
     assert(rr.removalTags.contains("rm.t9"),
       "the removal's merge record is part of the tag ledger")
+
+    // a TAKEDOWN stream batch that crashed after its index remove but
+    // before its applied/ marker: the lake scrub is still pending, so
+    // the crash-window set must surface it (under the rm. namespace)
+    TextIndex.remove(Seq((1L, txt(1))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "ckrun_b7")
+    val rt = IndexAdmin.report(conf, dir)
+    assert(rt.unmarkeredRecordedTags.contains("rm.ckrun_b7"),
+      s"unmarkered takedown batch must surface: ${rt.unmarkeredRecordedTags}")
+    fs.create(new Path(s"$dir/applied/ckrun_b7"), true).close()
+    assert(!IndexAdmin.report(conf, dir)
+      .unmarkeredRecordedTags.contains("rm.ckrun_b7"),
+      "the marker closes the takedown's crash window")
+
+    // a reclaimed-but-resurrected lease (stalled holder's renew beat the
+    // fence) must report expired: the next acquirer treats it as dead
+    val lease2 = IndexMaintenance.acquireLease(conf, dir, "write")
+    fs.create(new Path(lease2.getParent,
+      lease2.getName + ".reclaimed"), true).close()
+    val rlr = IndexAdmin.report(conf, dir)
+    assert(rlr.leases.size == 1 && rlr.leases.head._3,
+      s"lease with a surviving reclaim marker must report expired: ${rlr.leases}")
+    fs.delete(new Path(lease2.getParent, lease2.getName + ".reclaimed"), false)
+    IndexMaintenance.releaseLease(conf, lease2)
   }
 }
