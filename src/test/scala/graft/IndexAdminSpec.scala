@@ -123,4 +123,29 @@ class IndexAdminSpec extends SparkSpec {
     fs.delete(new Path(lease2.getParent, lease2.getName + ".reclaimed"), false)
     IndexMaintenance.releaseLease(conf, lease2)
   }
+
+  test("report is family-agnostic: cluster and vector layouts list their tables, nothing control leaks") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cdir = java.nio.file.Files
+      .createTempDirectory("admcl").toString + "/idx"
+    graft.operators.ClusterIndex.build(
+      Seq((1L, txt(1)), (2L, txt(2))).toDF("doc_id", "text"),
+      "doc_id", "text", cdir)
+    val rc = IndexAdmin.report(conf, cdir)
+    assert(rc.tables.map(_.name).toSet ==
+      Set("assign", "df", "edges", "meta", "postings", "toks"),
+      s"cluster-family table listing: ${rc.tables}")
+    val vdir = java.nio.file.Files
+      .createTempDirectory("admvx").toString + "/idx"
+    graft.operators.VectorIndex.build(
+      Tables.embeddings(spark, sf0001), vdir, nlist = 4)
+    val rv = IndexAdmin.report(conf, vdir)
+    assert(rv.tables.map(_.name).toSet == Set("cells", "centroids", "meta"),
+      s"vector-family table listing: ${rv.tables}")
+    Seq(rc, rv).foreach { r =>
+      assert(r.pendingRemovals.isEmpty && r.leases.isEmpty &&
+        r.stagingGens.isEmpty && r.tombstones.isEmpty, s"pristine index: $r")
+    }
+  }
 }
