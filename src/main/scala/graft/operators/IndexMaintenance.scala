@@ -285,11 +285,27 @@ private[graft] object IndexMaintenance {
       * successful renew — including assertHeld's synchronous one at
       * the commit point — then observes. The catch also keeps the
       * scheduled task alive (scheduleAtFixedRate suppresses later runs
-      * after an uncaught exception). */
+      * after an uncaught exception). Suppressed failures are LOGGED
+      * (rate-limited to one line per TTL) so a permanently failing
+      * heartbeat — persistent FS misconfiguration — is visible long
+      * before the lease silently expires under a live holder; only
+      * NonFatal errors are swallowed, so interrupts and fatal JVM
+      * errors propagate to the scheduler instead of beating on. */
+    @volatile private var lastRenewWarnMs = 0L
     private[IndexMaintenance] def renew(): Unit = synchronized {
       if (!fenced) {
         try renewOnce()
-        catch { case _: Throwable => () }
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            val now = System.currentTimeMillis()
+            if (now - lastRenewWarnMs >= leaseTtlMs) {
+              lastRenewWarnMs = now
+              System.err.println(s"[lease] heartbeat renew failed for " +
+                s"$lease (beat skipped; lease expires in <= ${leaseTtlMs}ms " +
+                s"without a successful renew): ${e.getClass.getName}: " +
+                s"${e.getMessage}")
+            }
+        }
       }
     }
     /** One probe+touch, errors propagated (assertHeld's strict path). */

@@ -275,12 +275,27 @@ object TextIndex {
       // protocol's bucket list at every one of its crash boundaries
       // (toks was always deleted last, and an empty recompute can only
       // happen after the bands delete already completed).
-      val vhbPath = new org.apache.hadoop.fs.Path(s"$stateDir/vhb/_SUCCESS")
-      if (!vhbPath.getFileSystem(conf).exists(vhbPath)) {
+      // Presence is an explicit fs.create'd marker (ClusterIndex's
+      // PLAN_READY protocol) or surviving part files — NOT _SUCCESS,
+      // which deployments disable (mapreduce.fileoutputcommitter
+      // .marksuccessfuljobs=false is common object-store tuning): with
+      // only _SUCCESS probed, a replay after the parallel toks leg
+      // completed would recompute vHb from the now-empty toks table and
+      // overwrite the plan with an empty bucket list, leaving the
+      // victims' band rows alive forever. An existing plan is never
+      // overwritten.
+      val vhbDir = new org.apache.hadoop.fs.Path(s"$stateDir/vhb")
+      val vhbMarker = new org.apache.hadoop.fs.Path(s"$stateDir/VHB_READY")
+      val vhbFs = vhbMarker.getFileSystem(conf)
+      val vhbPresent = vhbFs.exists(vhbMarker) ||
+        (vhbFs.exists(vhbDir) && vhbFs.listStatus(vhbDir)
+          .exists(st => st.isFile && st.getPath.getName.startsWith("part-")))
+      if (!vhbPresent) {
         import s.implicits._
         vHb.toDF("hb").coalesce(1)
-          .write.mode("overwrite").parquet(s"$stateDir/vhb")
+          .write.mode("overwrite").parquet(vhbDir.toString)
       }
+      if (!vhbFs.exists(vhbMarker)) vhbFs.create(vhbMarker, true).close()
       if (state0.isEmpty) {
         val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
         Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)

@@ -1003,7 +1003,19 @@ object S4Stream {
     if (!fs.exists(dir)) 0
     else {
       val cutoff = System.currentTimeMillis() - olderThanMs
-      val old = fs.listStatus(dir).filter(_.getModificationTime < cutoff)
+      // age from the newest FILE inside each batch dir, exactly as
+      // IndexAdmin.report displays it: object-store "directory" mtimes
+      // are synthetic (0, or listing time) — judging by the dir would
+      // read every batch as infinitely old on S3A and delete ALL
+      // tombstones regardless of olderThanMs, silently reopening the
+      // resurrection window they exist to close
+      val old = fs.listStatus(dir).filter { st =>
+        val files = fs.listStatus(st.getPath).filter(_.isFile)
+        val mtime =
+          if (files.nonEmpty) files.map(_.getModificationTime).max
+          else st.getModificationTime
+        mtime < cutoff
+      }
       old.foreach(st => fs.delete(st.getPath, true))
       if (fs.listStatus(dir).isEmpty) fs.delete(dir, false)
       old.length

@@ -284,6 +284,58 @@ class IndexRemoveSpec extends SparkSpec {
     }
   }
 
+  test("text remove replay preserves the vhb plan without _SUCCESS markers") {
+    // ADVICE r12: plan presence was probed via the parquet committer's
+    // _SUCCESS marker. Deployments that disable marksuccessfuljobs
+    // (common object-store tuning) never write one — a replay after the
+    // parallel toks leg completed but bands did not would recompute vHb
+    // from the now-empty toks table and OVERWRITE the plan with an empty
+    // bucket list, leaving the victims' band rows alive forever while
+    // meta already recorded them subtracted. Presence must be the
+    // explicit VHB_READY marker / surviving part files, never _SUCCESS.
+    import graft.operators.FaultInjection
+    val docs = (0 until 12)
+      .map(i => (i.toLong, s"doc $i same shared boilerplate body"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_vhb").toString + "/idx"
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val victims = docs.filter(col("doc_id") === 5L)
+    // crash right after the replay record: plan + commit persisted, no
+    // rewrite leg has run
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("text.record")(
+        TextIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
+    }
+    val root = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, dir)
+    // simulate the toks leg having completed before the crash (the legs
+    // run concurrently, so this interleaving is real)
+    graft.operators.TargetedDelete.delete(spark, s"$root/toks",
+      Seq("idb"), "doc_id", Seq(5L).toDF("doc_id"))
+    // simulate marksuccessfuljobs=false: strip every _SUCCESS under the
+    // removal state dir (the committer would simply never have written
+    // them on such a deployment)
+    val rmstate = new java.io.File(s"$dir/rmstate")
+    def stripSuccess(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(stripSuccess)
+      else if (f.getName == "_SUCCESS") assert(f.delete())
+    }
+    assert(rmstate.isDirectory, "crashed removal must leave its state dir")
+    stripSuccess(rmstate)
+    // the replay must drive the bands prune from the PERSISTED plan —
+    // recomputing from the emptied toks table would prune nothing
+    TextIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+    assert(spark.read.parquet(s"$root/bands")
+      .filter(col("doc_id") === 5L).count() == 0L,
+      "victim band rows survived the replay — the vhb plan was lost")
+    assert(TextIndex.isFresh(spark, dir,
+      docs.filter(col("doc_id") =!= 5L), "doc_id", "text"))
+    // and probes are blind to the victim's content
+    assert(TextIndex.probe(spark, dir,
+      Seq((900L, "doc 5 same shared boilerplate body")).toDF("doc_id", "text"),
+      "doc_id", "text").count() == 0L)
+  }
+
   test("a crashed removal blocks NEW removals under other tags until replayed") {
     // review-caught: a different tag's surviving rmstate means the
     // tables are half-rewritten — running a new removal's discovery on

@@ -611,6 +611,36 @@ class StreamingSpec extends SparkSpec {
       "after the prune, matching content must ingest again")
   }
 
+  test("pruneTombstones ages batches by their files, not the directory") {
+    // ADVICE r12: object-store "directory" mtimes are synthetic (0, or
+    // listing time) — aging by the batch DIR would read every batch as
+    // infinitely old on S3A and delete ALL tombstones regardless of
+    // olderThanMs, silently reopening the resurrection window. The
+    // retention decision must use the newest contained FILE's mtime,
+    // exactly as IndexAdmin.report displays it.
+    import spark.implicits._
+    val idx = tmp("tombage").toString
+    S4Stream.recordTombstones(Seq((1L, "victim one")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, "tkA")
+    S4Stream.recordTombstones(Seq((2L, "victim two")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, "tkB")
+    val removed = new java.io.File(s"$idx/removed")
+    val batches = removed.listFiles().filter(_.isDirectory)
+    assert(batches.length == 2)
+    // simulate the object store: every batch DIR reads as epoch-old
+    // while the contained files stay fresh
+    batches.foreach(d => assert(d.setLastModified(1000L)))
+    assert(S4Stream.pruneTombstones(spark, idx, olderThanMs = 3600000L) == 0,
+      "fresh tombstones were pruned off the synthetic directory mtime")
+    assert(removed.listFiles().count(_.isDirectory) == 2)
+    // genuinely old FILES do prune (age one batch's contents only)
+    val oldBatch = batches.minBy(_.getName)
+    oldBatch.listFiles().foreach(f => assert(f.setLastModified(1000L)))
+    assert(S4Stream.pruneTombstones(spark, idx, olderThanMs = 3600000L) == 1)
+    assert(removed.listFiles().filter(_.isDirectory).map(_.getName).toSeq ===
+      Seq(batches.maxBy(_.getName).getName))
+  }
+
   test("vector takedown: victims leave the lake and the IVF index; compact GCs edges") {
     import spark.implicits._
     val in = tmp("vtkin"); val lake = tmp("vtklake"); val ck = tmp("vtkck")
