@@ -166,6 +166,9 @@ object ClusterIndex {
       .toDF("threshold", "n_buckets", "n_rows", "content_hash")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
     Fingerprint.clearReplayState(conf0, indexDir)
+    // a rebuild wiped the corpus the tombstones were hiding rows of —
+    // surviving entries would wrongly hide the rebuilt corpus' rows
+    LogicalDelete.clear(conf0, indexDir)
     // freshness fast-path: record the corpus file statuses LAST — a
     // crash mid-build degrades to the hash scan, never a false fresh
     Fingerprint.writeSourceStatus(conf0, indexDir, Fingerprint.sourceStatus(docs))
@@ -219,7 +222,12 @@ object ClusterIndex {
     * instead of re-running PPJoin+CC. */
   def assignments(s: SparkSession, indexDir: String, idCol: String): DataFrame = {
     val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
-    s.read.parquet(s"$root/assign").select(col(idCol), col("component"))
+    // logically-deleted docs are invisible from the moment of their
+    // logicalRemove; note component LABELS may still carry a dead id
+    // until compact() reconciles (see [[LogicalDelete]])
+    LogicalDelete.hide(
+      s.read.parquet(s"$root/assign").select(col(idCol), col("component")),
+      idCol, LogicalDelete.ids(s, indexDir))
   }
 
   /** Incoming docs' components under the UNION corpus (exact — see the
@@ -229,7 +237,8 @@ object ClusterIndex {
     * Pure query: mutates nothing. */
   private def probeParts(s: SparkSession, root: String, incoming: DataFrame,
                          idCol: String, textCol: String,
-                         excludeTag: Option[String]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
+                         excludeTag: Option[String],
+                         tomb: Option[DataFrame]): (DataFrame, DataFrame, DataFrame, DataFrame) = {
     val (t, nBuckets) = readMeta(s, root)
     // lazy checkpoints throughout: each frame's FIRST consumer (a bounded
     // collect or append's eager assignD checkpoint) materializes the
@@ -265,9 +274,14 @@ object ClusterIndex {
     val postAll = s.read.parquet(s"$root/postings")
       .filter(col("tb").isin(touchedTb: _*))
     // _src is a PARTITION column (never null): plain =!= is both safe
-    // and pruned at the file level
-    val post = excludeTag.fold(postAll)(tg =>
-      postAll.filter(col("_src") =!= lit(sanitize(tg))))
+    // and pruned at the file level. Logically-deleted docs leave the
+    // candidate pool HERE (the tombstone anti-join) — cands, the toks
+    // verify, and the assign bridge are all keyed by these refs, so one
+    // exclusion point blinds the whole probe.
+    val post = LogicalDelete.hide(
+      excludeTag.fold(postAll)(tg =>
+        postAll.filter(col("_src") =!= lit(sanitize(tg)))),
+      idCol, tomb)
     val cands = dbg("cands")(pref
       .join(post.select(col("_tok"), col(idCol).as("_ref"), col("_sz").as("_szr")), "_tok")
       // size filter: J >= t forces t|x| <= |y| <= |x|/t
@@ -334,7 +348,8 @@ object ClusterIndex {
             excludeTag: Option[String] = None): DataFrame =
     probeParts(s,
       IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir),
-      incoming, idCol, textCol, excludeTag)._1
+      incoming, idCol, textCol, excludeTag,
+      LogicalDelete.ids(s, indexDir))._1
 
   /** Which of `ids` does the index already hold an assignment for?
     * Bounded work: the batch's id-hash buckets (a ≤`nBuckets` collect)
@@ -354,7 +369,11 @@ object ClusterIndex {
       .filter(col("idb").isin(touched: _*))
     val assign = excludeTag.fold(assignAll)(tg =>
       assignAll.filter(col("_src") =!= lit(sanitize(tg))))
-    assign.join(broadcast(pinned), Seq(idCol), "leftsemi").select(col(idCol))
+    // a logically-deleted id is NOT known: its rows are dead pending
+    // reclaim, exactly as if the physical remove had already run
+    LogicalDelete.hide(
+      assign.join(broadcast(pinned), Seq(idCol), "leftsemi").select(col(idCol)),
+      idCol, LogicalDelete.ids(s, indexDir))
   }
 
   /** Fold marker-COMMITTED append generations back into the `build`
@@ -409,12 +428,44 @@ object ClusterIndex {
         else when(col("_src").isin(committed: _*)
             || col("_src") === "build", lit("build"))
           .otherwise(col("_src"))
-      def fold(table: String, bucketCol: String): Unit =
+      // ---- tombstone RECLAIM ([[LogicalDelete]], VERDICT r12 item 1):
+      // the victims' rows ride OUT on the rewrite this fold was doing
+      // anyway (zero extra I/O), and the survivors of the components
+      // they held together are remapped per the same re-split plan the
+      // physical remove computes — discovered here from the from-root,
+      // which the fold never mutates, so a crashed compact replays the
+      // identical plan. Tombstones clear only AFTER the cutover. ----
+      val tomb = LogicalDelete.ids(s, indexDir)
+      val reclaim = tomb.map { t =>
+        // the id column name rides in the tombstone frame itself —
+        // whatever the builder passed to logicalRemove
+        val idCol = LogicalDelete.idColOf(t)
+        val (_, nBuckets) = readMeta(s, ctx.fromRoot)
+        val vids = t.localCheckpoint()
+        val nV = vids.count()
+        val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val (_, newAssign) = resplitPlan(s, ctx.fromRoot, idCol, vids, nV, vIdb)
+        (idCol, vids, nV, newAssign)
+      }
+      def dropVictims(df: DataFrame): DataFrame = reclaim.fold(df) {
+        case (idCol, vids, nV, _) =>
+          df.join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "left_anti")
+      }
+      def fold(table: String, bucketCol: String,
+               transform: DataFrame => DataFrame = identity): Unit =
         IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, table,
-          Seq("_src", bucketCol), remap = Map("_src" -> foldSrc))
-      fold("assign", "idb")
-      fold("toks", "idb")
-      fold("postings", "tb")
+          Seq("_src", bucketCol), remap = Map("_src" -> foldSrc),
+          transform = transform)
+      fold("assign", "idb", df => reclaim.fold(df) {
+        case (idCol, vids, nV, newAssign) =>
+          df.join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "left_anti")
+            .join(newAssign, Seq(idCol), "left")
+            .withColumn("component", coalesce(col("_newcomp"), col("component")))
+            .drop("_newcomp")
+      })
+      fold("toks", "idb", dropVictims)
+      fold("postings", "tb", dropVictims)
       // edges fold also GCs DANGLING set-set rows: a remove() that
       // deleted a set's last member leaves its set-set edges behind
       // (consumers drop them at read via the member-liveness rule);
@@ -434,7 +485,16 @@ object ClusterIndex {
       if (!legacyNoEdges)
       IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "edges",
         Seq("_src", "eb"), remap = Map("_src" -> foldSrc),
-        transform = { df0 =>
+        transform = { dfIn =>
+          // reclaim hygiene first: a tombstoned id must leave the log
+          // (either endpoint), exactly as remove()'s deleteAnyKey pass —
+          // the member-row drop then feeds the dangling-set GC below
+          val df0 = reclaim.fold(dfIn) { case (idCol, vids, nV, _) =>
+            def keysAs(c: String) =
+              TargetedDelete.maybeBroadcast(vids.select(col(idCol).as(c)), nV)
+            dfIn.join(keysAs("u"), Seq("u"), "left_anti")
+              .join(keysAs("v"), Seq("v"), "left_anti")
+          }
           // one physical pass feeds all three branches (same rescan fix
           // as remove()'s survivor-subgraph frames)
           val df = df0.localCheckpoint(eager = false)
@@ -452,9 +512,95 @@ object ClusterIndex {
     }
     IndexMaintenance.finishCompact(conf, ctx,
       legacyTables = Seq("assign", "toks", "postings", "df", "edges", "meta"))
+    // reclaim bookkeeping: the retired generation still holds the
+    // victims' bytes (right-to-be-forgotten beats reader grace), and
+    // the tombstones clear only now that the reclaimed tree is LIVE —
+    // a crash between the flip and here leaves no-op tombstones (their
+    // ids match nothing) that the next compact clears
+    if (LogicalDelete.pendingBatches(conf, indexDir).nonEmpty) {
+      IndexMaintenance.purgeRetired(conf, indexDir,
+        Seq("assign", "toks", "postings", "df", "edges", "meta"))
+      LogicalDelete.clear(conf, indexDir)
+    }
     // the folded tree describes the same corpus of record: re-recording
     // would be wrong only if the corpus moved, which the fingerprint
     // still guards — nothing else to do here
+  }
+
+  /** Victim-scoped component re-split plan, shared by the physical
+    * [[remove]] and [[compact]]'s tombstone reclaim: the components the
+    * victims belong to, and the survivor re-assignment `(idCol,
+    * _newcomp)` recomputed over the survivor subgraph of the persisted
+    * adjacency log. PURE READ — O(affected components' edges) I/O,
+    * never a similarity join (pre-r11 this re-ran PPJoin over the
+    * members: deleting a handful of docs from a 3.7k-member cluster
+    * cost ~a full corpus pass). The log stores build/delta connectivity
+    * in the deletion-safe set-node form (negative ids = virtual
+    * per-token-set nodes; see [[SetSimJoin.jaccardEdgesSetForm]]) plus
+    * append-time doc-doc pairs. Survivor subgraph rules: a doc vertex
+    * survives iff the doc survives; a SET node survives iff >= 1 of its
+    * member docs survives (its member rows define that); set-set edges
+    * hold iff both set nodes survive — exactly when the true pairwise
+    * doc graph retains those paths, because J(S,T) >= t links every
+    * member of S to every member of T directly. */
+  private def resplitPlan(s: SparkSession, root: String, idCol: String,
+                          vids: DataFrame, nV: Long,
+                          vIdb: Seq[Long]): (DataFrame, DataFrame) = {
+    import s.implicits._
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    val comps = rleg("comps")(s.read.parquet(s"$root/assign")
+      .filter(col("idb").isin(vIdb: _*))
+      .join(bVids(vids), Seq(idCol), "leftsemi")
+      .select(col("component")).distinct().localCheckpoint(eager = false))
+    // one column-pruned scan of the (id, component) map restricted to
+    // the affected components (comps is bounded by |victims|)
+    val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
+      .join(bVids(comps), Seq("component"))
+      .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
+      .join(bVids(vids), Seq(idCol), "left_anti")
+      .localCheckpoint(eager = false))
+    val anySurvivors = !survivors.isEmpty
+    val newAssign =
+      if (!anySurvivors)
+        Seq.empty[(Long, Long)].toDF(idCol, "_newcomp")
+      else {
+        val survIds = survivors.select(col(idCol).as("_sid"))
+        // one physical pass over the log: the four survivor-subgraph
+        // frames below share these blocks instead of re-scanning
+        // (review-caught; the log is narrow but scanning it four
+        // times was pure waste). The hygiene rewrite later is its own
+        // necessary pass.
+        val edgesAll = s.read.parquet(s"$root/edges")
+          .localCheckpoint(eager = false)
+        // doc->set membership rows among survivors decide set survival
+        val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+          .join(survIds, col("v") === col("_sid"), "leftsemi")
+          .select(col("u")).distinct().localCheckpoint(eager = false)
+        // a member row whose doc survives has a live set by definition
+        val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+          .join(survIds, col("v") === col("_sid"), "leftsemi")
+        val setSetEdges = edgesAll.filter(col("u") < 0 && col("v") < 0)
+          .join(liveSets.select(col("u")), Seq("u"), "leftsemi")
+          .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi")
+        val docDocEdges = edgesAll.filter(col("u") >= 0 && col("v") >= 0)
+          .join(survIds, col("u") === col("_sid"), "leftsemi")
+          .join(survIds, col("v") === col("_sid"), "leftsemi")
+        val survEdges = memberEdges.unionByName(setSetEdges)
+          .unionByName(docDocEdges).select(col("u"), col("v"))
+        val cc = ConnectedComponents.components(survEdges, "u", "v")
+          .select(col("id").as("_ccid"), col("component").as("_cccomp"))
+        // canonical component ids are the min MEMBER DOC id — the CC
+        // universe contains negative set nodes, whose ids must never
+        // leak into assignments
+        val docCc = survivors.select(col(idCol))
+          .join(cc, col(idCol) === col("_ccid"), "left")
+          .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("_rawcomp"))
+        val canon = docCc.groupBy(col("_rawcomp"))
+          .agg(min(col(idCol)).as("_canon"))
+        docCc.join(canon, Seq("_rawcomp"))
+          .select(col(idCol), col("_canon").as("_newcomp"))
+      }
+    (comps, newAssign)
   }
 
   /** Index-side targeted DELETE (VERDICT r10 item 1 — the
@@ -533,6 +679,9 @@ object ClusterIndex {
     // legs would never replay — refuse until that removal completes
     Fingerprint.requireNoOtherPendingRemoval(
       conf, IndexMaintenance.normalize(indexDir), rmTag, "ClusterIndex.remove")
+    // pending LOGICAL deletions would read as survivors in the re-split
+    // discovery below — reclaim them first (see [[LogicalDelete]])
+    LogicalDelete.requireNonePending(conf, indexDir, "ClusterIndex.remove")
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
     // mass-victim regime (VERDICT r11 item 1): every vids/comps join
@@ -582,73 +731,7 @@ object ClusterIndex {
               "ClusterIndex.remove")
           }
         }
-        // the components the victims belong to, and those components'
-        // surviving members
-        val comps = rleg("comps")(s.read.parquet(s"$root/assign")
-          .filter(col("idb").isin(vIdb: _*))
-          .join(bVids(vids), Seq(idCol), "leftsemi")
-          .select(col("component")).distinct().localCheckpoint(eager = false))
-        // one column-pruned scan of the (id, component) map restricted to
-        // the affected components (comps is bounded by |victims|)
-        val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
-          .join(bVids(comps), Seq("component"))
-          .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
-          .join(bVids(vids), Seq(idCol), "left_anti")
-          .localCheckpoint(eager = false))
-        val anySurvivors = !survivors.isEmpty
-        // Scoped re-split from the PERSISTED adjacency log — O(affected
-        // components' edges) I/O, never a similarity join (pre-r11 this
-        // re-ran PPJoin over the members: deleting a handful of docs from
-        // a 3.7k-member cluster cost ~a full corpus pass). The log stores
-        // build/delta connectivity in the deletion-safe set-node form
-        // (negative ids = virtual per-token-set nodes; see
-        // [[SetSimJoin.jaccardEdgesSetForm]]) plus append-time doc-doc
-        // pairs. Survivor subgraph rules: a doc vertex survives iff the
-        // doc survives; a SET node survives iff >= 1 of its member docs
-        // survives (its member rows define that); set-set edges hold iff
-        // both set nodes survive — exactly when the true pairwise doc
-        // graph retains those paths, because J(S,T) >= t links every
-        // member of S to every member of T directly.
-        val newAssign =
-          if (!anySurvivors)
-            Seq.empty[(Long, Long)].toDF(idCol, "_newcomp")
-          else {
-            val survIds = survivors.select(col(idCol).as("_sid"))
-            // one physical pass over the log: the four survivor-subgraph
-            // frames below share these blocks instead of re-scanning
-            // (review-caught; the log is narrow but scanning it four
-            // times was pure waste). The hygiene rewrite later is its own
-            // necessary pass.
-            val edgesAll = s.read.parquet(s"$root/edges")
-              .localCheckpoint(eager = false)
-            // doc->set membership rows among survivors decide set survival
-            val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
-              .join(survIds, col("v") === col("_sid"), "leftsemi")
-              .select(col("u")).distinct().localCheckpoint(eager = false)
-            // a member row whose doc survives has a live set by definition
-            val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
-              .join(survIds, col("v") === col("_sid"), "leftsemi")
-            val setSetEdges = edgesAll.filter(col("u") < 0 && col("v") < 0)
-              .join(liveSets.select(col("u")), Seq("u"), "leftsemi")
-              .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi")
-            val docDocEdges = edgesAll.filter(col("u") >= 0 && col("v") >= 0)
-              .join(survIds, col("u") === col("_sid"), "leftsemi")
-              .join(survIds, col("v") === col("_sid"), "leftsemi")
-            val survEdges = memberEdges.unionByName(setSetEdges)
-              .unionByName(docDocEdges).select(col("u"), col("v"))
-            val cc = ConnectedComponents.components(survEdges, "u", "v")
-              .select(col("id").as("_ccid"), col("component").as("_cccomp"))
-            // canonical component ids are the min MEMBER DOC id — the CC
-            // universe contains negative set nodes, whose ids must never
-            // leak into assignments
-            val docCc = survivors.select(col(idCol))
-              .join(cc, col(idCol) === col("_ccid"), "left")
-              .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("_rawcomp"))
-            val canon = docCc.groupBy(col("_rawcomp"))
-              .agg(min(col(idCol)).as("_canon"))
-            docCc.join(canon, Seq("_rawcomp"))
-              .select(col(idCol), col("_canon").as("_newcomp"))
-          }
+        val (comps, newAssign) = resplitPlan(s, root, idCol, vids, nV, vIdb)
         // ---- PERSIST the plan. The parquet writes double as the
         // materialization the r11 eager checkpoints provided (everything
         // is fully computed before any table mutates) — and the plan,
@@ -782,6 +865,111 @@ object ClusterIndex {
     }
   }
 
+  /** LOGICAL targeted delete (VERDICT r12 item 1) — the RTBF fast path:
+    * same validation and the same idempotent fingerprint subtraction as
+    * [[remove]], but the only mutation is one small tombstone-batch
+    * write under `<indexDir>/deleted/` — O(victims), no table rewrite,
+    * no re-split pass. Probes, [[assignments]], and [[knownIds]] are
+    * blind to the victims the moment this returns; the rows are
+    * physically reclaimed — and the component structure reconciled —
+    * by the next [[compact]] (see [[LogicalDelete]] for the interim
+    * semantics: tombstoned ids are dead to appends until reclaim, and
+    * a component a victim bridged stays unsplit until reclaim).
+    * `victims` must carry the EXACT `(id, text)` rows as ingested,
+    * like [[remove]]; tags share the remove namespace (a tag can never
+    * be reused across a logical and a physical removal). */
+  def logicalRemove(victims: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val m = s.read.parquet(s"$root/meta").head()
+    val thr = m.getAs[Double]("threshold")
+    val nBuckets = m.getAs[Int]("n_buckets")
+    val oldFp =
+      if (m.schema.fieldNames.contains("n_rows"))
+        Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+      else None
+    val rmTag = s"rm.$tag" // shared namespace with remove(), on purpose
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+    if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
+      s"ClusterIndex.logicalRemove: tag '$tag' was already used by a " +
+        "different removal batch — pass a batch-unique tag")
+    val normDir = IndexMaintenance.normalize(indexDir)
+    Fingerprint.requireNoOtherPendingRemoval(
+      conf, normDir, rmTag, "ClusterIndex.logicalRemove")
+    val vids = victims.select(col(idCol)).distinct().localCheckpoint()
+    val nV = vids.count()
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    if (nV > 0L) {
+      val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      if (!replay) {
+        // a second logical delete of the same id would double-subtract
+        LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
+          "ClusterIndex.logicalRemove")
+        // victims indexed (the fingerprint subtraction needs exactly the
+        // ingested rows) — same pruned read as remove()'s known-check
+        val known = rleg("known-check")(s.read.parquet(s"$root/toks")
+          .filter(col("idb").isin(vIdb: _*))
+          .join(bVids(vids), Seq(idCol), "leftsemi")
+          .select(col(idCol)).distinct().count())
+        if (known != nV) Fingerprint.refuse(
+          s"ClusterIndex.logicalRemove: only $known of $nV victims are " +
+            "indexed; the fingerprint subtraction needs exactly the " +
+            "ingested rows — pass the (id, text) rows as they entered " +
+            "the index")
+        // mid-append crash guard, same as remove()
+        if (oldFp.isDefined) {
+          val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")
+            .filter(col("idb").isin(vIdb: _*))
+            .join(bVids(vids), Seq(idCol), "leftsemi")
+            .select(col("_src")).filter(col("_src").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSet)
+          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+            "ClusterIndex.logicalRemove")
+        }
+      }
+      // idempotent fingerprint commit — the same protocol shape as the
+      // physical families: target persisted BEFORE the meta overwrite,
+      // so every crash boundary replays to the same meta value
+      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+      state0.foreach { case (svfp, _) =>
+        if (svfp != vfp) Fingerprint.refuse(
+          s"ClusterIndex.logicalRemove: tag '$tag' has leftover removal " +
+            "state for a DIFFERENT victim set — re-run that removal with " +
+            "its original victims first")
+      }
+      if (state0.isEmpty) {
+        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
+        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
+      }
+      FaultInjection.maybeCrash("cluster.logical.state")
+      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { fp =>
+        Seq((thr, nBuckets, fp._1, fp._2))
+          .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      }
+      FaultInjection.maybeCrash("cluster.logical.meta")
+      if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      FaultInjection.maybeCrash("cluster.logical.record")
+      // the one "leg": the tombstone batch (idempotent overwrite) —
+      // probes are blind from here
+      LogicalDelete.write(vids, idCol, normDir, rmTag)
+      Fingerprint.clearSourceStatus(conf, indexDir)
+      // state cleanup LAST — every step above replays from the record
+      Fingerprint.clearRemoveState(conf, normDir, rmTag)
+    }
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"ClusterIndex.logicalRemove on $indexDir: the index was compacted " +
+        "during the removal — re-run it after verifying no maintenance " +
+        "is racing")
+    }
+  }
+
   /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE (the streaming
     * loops use ck<runKey>_b<batchId>): writes are tag-scoped dynamic
     * overwrites, so a DIFFERENT batch under a used tag would destroy the
@@ -839,8 +1027,16 @@ object ClusterIndex {
         "tag would destroy the earlier batch's rows — pass a batch-unique " +
         "tag (the streaming loops use ck<runKey>_b<batchId>)")
     val tagS = sanitize(tag)
+    // a tombstoned id is dead until compact() reclaims it: re-ingesting
+    // it here would hide the new rows behind the id-scoped tombstone
+    // and then wrongly drop them in the reclaim filter (no-op fast path
+    // when the index never saw a logical delete)
+    val tomb = LogicalDelete.ids(s, indexDir)
+    if (tomb.isDefined)
+      LogicalDelete.requireNotTombstoned(s, indexDir,
+        delta.select(col(idCol)), idCol, "ClusterIndex.append")
     val (assignInc, merges, toksD, matchPairs) = probeParts(s, root, delta,
-      idCol, textCol, excludeTag = Some(tag))
+      idCol, textCol, excludeTag = Some(tag), tomb)
     // id-sign guard BEFORE any write (review-caught twice: a post-write
     // check would leave a rejected delta's rows committed, and an EMPTY
     // delta — a re-crawl-only streaming batch — aggregates min to null,

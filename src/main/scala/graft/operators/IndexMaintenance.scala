@@ -432,6 +432,17 @@ private[graft] object IndexMaintenance {
     val indexDir = normalize(indexDir0)
     val lease = acquireLease(conf, indexDir, "compact")
     try {
+      // a crashed removal's persisted plan references THIS generation's
+      // (_src, bucket) partitions; folding would remap _src values and
+      // orphan the replay — victims lingering physically while meta
+      // already subtracted them. Refuse until each replays to
+      // completion under its own tag (r13; previously only the remove
+      // family cross-checked itself).
+      val pending = Fingerprint.pendingRemovals(conf, indexDir)
+      if (pending.nonEmpty) Fingerprint.refuse(
+        s"compact on $indexDir: crashed removal(s) ${pending.mkString(", ")} " +
+          s"never completed (state under $indexDir/rmstate/) — re-run each " +
+          "with its original tag and victims before compacting")
       val fromGen = currentGen(conf, indexDir)
       val newGen = fromGen.getOrElse(0L) + 1
       val staging = new Path(s"$indexDir/g$newGen")

@@ -1,0 +1,152 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Row-level LOGICAL deletion for the persisted indexes (VERDICT r12
+  * item 1) — the fast path that makes the marginal takedown cost
+  * O(victims) instead of the physical remove()'s full-bucket-rewrite
+  * floor. The design is the classic deletion-vector split:
+  *
+  *  - `logicalRemove` (per family) validates exactly like the physical
+  *    remove and commits the same idempotent fingerprint subtraction,
+  *    but its only mutation is ONE small parquet write: the victims'
+  *    ids under `<indexDir>/deleted/batch=<tag>`. Probes go blind
+  *    immediately (every index read anti-joins this set); no table is
+  *    rewritten.
+  *  - `compact()` physically RECLAIMS: the fold it already performs
+  *    filters tombstoned rows out (zero extra I/O — the rows ride the
+  *    rewrite the fold was doing anyway), then purges retired
+  *    generations (right-to-be-forgotten beats reader grace) and
+  *    clears the tombstone set.
+  *
+  * The tombstone set lives at the index TOP level, outside the data
+  * generations (like `rmstate/` and the replay markers), so a
+  * generation-pointer flip never moves it; it is bounded by design —
+  * every compaction empties it — so the read-side anti-join stays a
+  * broadcast-sized equi join (Spark auto-broadcasts off the parquet
+  * size stats, the same posture as S4Stream's ingest tombstones).
+  *
+  * Semantics between the logical step and the reclaim (documented, and
+  * pinned by IndexRemoveSpec):
+  *
+  *  - every probe/top-k/assignment read EXCLUDES tombstoned ids — the
+  *    RTBF contract holds from the moment logicalRemove returns;
+  *  - a tombstoned id is DEAD until reclaim: appends refuse deltas that
+  *    carry one (re-ingesting it would be hidden by the id-scoped
+  *    anti-join and then wrongly dropped by the reclaim filter), and
+  *    physical remove() refuses while any tombstone pends (its
+  *    component re-split discovery would treat logically-deleted rows
+  *    as survivors);
+  *  - the cluster family's component STRUCTURE is reconciled at
+  *    reclaim: a logically removed bridge doc stops matching probes
+  *    immediately, but the split of the component it bridged — and the
+  *    retirement of its id as a component label — lands with compact()
+  *    (which recomputes the survivor subgraph exactly as the physical
+  *    remove does). After reclaim the index is bit-equal to a physical
+  *    remove and to a fresh build on the survivors.
+  *
+  * Not to be confused with S4Stream's `removed/` tombstones: those are
+  * CONTENT-scoped ingest-replay guards owned by the streaming loops;
+  * these are ID-scoped deletion vectors owned by the index families.
+  */
+private[graft] object LogicalDelete {
+
+  def dir(indexDir: String): String =
+    IndexMaintenance.normalize(indexDir) + "/deleted"
+
+  private def dirPath(indexDir: String) =
+    new org.apache.hadoop.fs.Path(dir(indexDir))
+
+  /** Pending tombstone batch names (sanitized tags) — ops visibility. */
+  def pendingBatches(conf: org.apache.hadoop.conf.Configuration,
+                     indexDir: String): Seq[String] = {
+    val d = dirPath(indexDir)
+    val fs = d.getFileSystem(conf)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).map(_.getPath.getName)
+      .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=")).sorted.toSeq
+  }
+
+  /** The union of pending tombstoned ids as a one-column frame, or None
+    * when no logical deletion pends — the no-FS-entry fast path every
+    * read takes on an index that never saw one. The column keeps the id
+    * column's ORIGINAL name (as the builder passed it), so [[idColOf]]
+    * can recover it at compact time without schema guessing. */
+  def ids(s: SparkSession, indexDir: String): Option[DataFrame] = {
+    val d = dirPath(indexDir)
+    val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d) || !fs.listStatus(d).exists(_.getPath.getName.startsWith("batch=")))
+      None
+    else {
+      val raw = s.read.parquet(d.toString)
+      Some(raw.select(col(idColOf(raw))).distinct())
+    }
+  }
+
+  /** The index's id column name, recovered from a pending tombstone
+    * frame (its only non-partition column). */
+  def idColOf(tomb: DataFrame): String =
+    tomb.columns.filterNot(_ == "batch").head
+
+  /** Persist one removal batch's victim ids — the logical remove's only
+    * mutation. Idempotent per batch (mode=overwrite into the tag's own
+    * dir), so the crash-replay protocol can re-run it freely. */
+  def write(vids: DataFrame, idCol: String, indexDir: String,
+            rmTag: String): Unit =
+    vids.select(col(idCol)).distinct()
+      .coalesce(1) // a deletion batch is driver-small by nature
+      .write.mode("overwrite")
+      .parquet(s"${dir(indexDir)}/batch=${Fingerprint.sanitizeTag(rmTag)}")
+
+  /** Hide tombstoned rows at read: anti-join `df` against the pending
+    * set on `idCol`. No broadcast hint on purpose — the tombstone side
+    * reads straight from its (small, compaction-bounded) parquet, so
+    * Spark's size stats pick the broadcast; a bulk-sweep-sized set
+    * degrades to a shuffle join instead of straining the driver. */
+  def hide(df: DataFrame, idCol: String, tomb: Option[DataFrame]): DataFrame =
+    tomb.fold(df)(t =>
+      df.join(t.select(col(idColOf(t)).as(idCol)), Seq(idCol), "left_anti"))
+
+  /** Refusal shared by the appends and the first run of a logical
+    * remove: `keys` must not contain an id that is already tombstoned.
+    * For appends, re-ingesting a dead id would be hidden by the
+    * id-scoped anti-join and then wrongly dropped by the reclaim
+    * filter; for a second logical remove it would double-subtract the
+    * fingerprint. */
+  def requireNotTombstoned(s: SparkSession, indexDir: String,
+                           keys: DataFrame, idCol: String,
+                           opName: String): Unit =
+    ids(s, indexDir).foreach { t =>
+      val n = keys.select(col(idCol)).distinct()
+        .join(t.select(col(idColOf(t)).as(idCol)), Seq(idCol), "left_semi").count()
+      if (n > 0L) Fingerprint.refuse(
+        s"$opName: $n of the ids are logically deleted (tombstoned under " +
+          s"${dir(indexDir)}) and awaiting physical reclaim — compact() the " +
+          "index first")
+    }
+
+  /** Refusal for the physical remove(): while ANY tombstone pends, its
+    * re-split discovery would count logically-deleted rows as survivors
+    * and the post-remove fingerprint equality would break. Reclaim via
+    * compact() first. */
+  def requireNonePending(conf: org.apache.hadoop.conf.Configuration,
+                         indexDir: String, opName: String): Unit = {
+    val pending = pendingBatches(conf, indexDir)
+    if (pending.nonEmpty) Fingerprint.refuse(
+      s"$opName: logical deletion batch(es) ${pending.mkString(", ")} are " +
+        s"pending reclaim under ${dir(indexDir)} — run compact() to reclaim " +
+        "them before a physical remove")
+  }
+
+  /** Drop the whole tombstone set — called by compact() after its fold
+    * physically reclaimed the rows, and by build() (a rebuild wipes the
+    * corpus the tombstones were hiding rows of; surviving entries would
+    * wrongly hide the REBUILT corpus' rows under recycled ids). */
+  def clear(conf: org.apache.hadoop.conf.Configuration,
+            indexDir: String): Unit = {
+    val d = dirPath(indexDir)
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+  }
+}

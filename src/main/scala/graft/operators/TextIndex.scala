@@ -78,6 +78,9 @@ object TextIndex {
     // a rebuild wiped the indexed rows: batch markers / merge records
     // from the previous build generation must not survive it
     Fingerprint.clearReplayState(conf, indexDir)
+    // nor may pending tombstones — they would hide the rebuilt corpus'
+    // rows under recycled ids (see [[LogicalDelete.clear]])
+    LogicalDelete.clear(conf, indexDir)
     // freshness fast-path: record the corpus file statuses LAST — a
     // crash mid-build degrades to the hash scan, never a false fresh
     Fingerprint.writeSourceStatus(conf, indexDir, Fingerprint.sourceStatus(docs))
@@ -148,6 +151,11 @@ object TextIndex {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val (numHashes, bands, nBuckets, seed) = readMeta(s, root)
     val old = readFingerprint(s, root)
+    // a tombstoned id is dead until compact() reclaims: re-ingesting it
+    // would be hidden by the id-scoped anti-join and then wrongly
+    // dropped by the reclaim filter (see [[LogicalDelete]])
+    LogicalDelete.requireNotTombstoned(s, indexDir,
+      delta.select(col(idCol)), idCol, "TextIndex.append")
     val toks = delta
       .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_toks"))
       .localCheckpoint()
@@ -213,6 +221,9 @@ object TextIndex {
     // cross-tag leftover state refusal, see ClusterIndex.remove
     Fingerprint.requireNoOtherPendingRemoval(
       conf, IndexMaintenance.normalize(indexDir), rmTag, "TextIndex.remove")
+    // pending logical deletions must reclaim first (their victims would
+    // read as indexed rows here) — see [[LogicalDelete]]
+    LogicalDelete.requireNonePending(conf, indexDir, "TextIndex.remove")
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
     if (nV > 0L) {
@@ -340,28 +351,136 @@ object TextIndex {
     }
   }
 
+  /** LOGICAL targeted delete (VERDICT r12 item 1) — the RTBF fast path:
+    * same validation and the same idempotent fingerprint subtraction as
+    * [[remove]], but the only mutation is one small tombstone-batch
+    * write under `<indexDir>/deleted/` — O(victims), no band/toks
+    * rewrite. [[probe]] is blind to the victims the moment this
+    * returns; the rows are physically reclaimed by the next [[compact]]
+    * (see [[LogicalDelete]] — tombstoned ids are dead to appends until
+    * then). `victims` must carry the EXACT `(id, text)` rows as
+    * ingested; tags share the remove namespace. */
+  def logicalRemove(victims: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
+    val oldFp = readFingerprint(s, root)
+    val rmTag = s"rm.$tag"
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+    if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
+      s"TextIndex.logicalRemove: tag '$tag' was already used by a " +
+        "different removal batch — pass a batch-unique tag")
+    val normDir = IndexMaintenance.normalize(indexDir)
+    Fingerprint.requireNoOtherPendingRemoval(
+      conf, normDir, rmTag, "TextIndex.logicalRemove")
+    val vids = victims.select(col(idCol)).distinct().localCheckpoint()
+    val nV = vids.count()
+    if (nV > 0L) {
+      val vIdb = vids
+        .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("idb"))
+        .distinct().collect().map(_.getLong(0)).toSeq
+      if (!replay) {
+        LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
+          "TextIndex.logicalRemove")
+        val known = s.read.parquet(s"$root/toks")
+          .filter(col("idb").isin(vIdb: _*))
+          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+          .select(col(idCol)).distinct().count()
+        if (known != nV) Fingerprint.refuse(
+          s"TextIndex.logicalRemove: only $known of $nV victims are " +
+            "indexed; the fingerprint subtraction needs exactly the " +
+            "ingested rows")
+        // mid-append crash guard, same pruned provenance read as remove()
+        if (oldFp.isDefined &&
+            s.read.parquet(s"$root/bands").schema.fieldNames.contains("_src")) {
+          val vToks = s.read.parquet(s"$root/toks")
+            .filter(col("idb").isin(vIdb: _*))
+            .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+            .select(col(idCol), col("_toks"))
+          val vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
+            .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
+          val vSrcs = s.read.parquet(s"$root/bands")
+            .filter(col("hb").isin(vHb: _*))
+            .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+            .select(col("_src")).filter(col("_src").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSet
+          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+            "TextIndex.logicalRemove")
+        }
+      }
+      // idempotent fingerprint commit — remove()'s protocol shape
+      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+      state0.foreach { case (svfp, _) =>
+        if (svfp != vfp) Fingerprint.refuse(
+          s"TextIndex.logicalRemove: tag '$tag' has leftover removal " +
+            "state for a DIFFERENT victim set — re-run that removal " +
+            "with its original victims first")
+      }
+      if (state0.isEmpty) {
+        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
+        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
+      }
+      FaultInjection.maybeCrash("text.logical.state")
+      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { fp =>
+        Seq((numHashes, bandCount, nBuckets, seed, fp._1, fp._2))
+          .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
+          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      }
+      FaultInjection.maybeCrash("text.logical.meta")
+      if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      FaultInjection.maybeCrash("text.logical.record")
+      // the one "leg": the tombstone batch — probes blind from here
+      LogicalDelete.write(vids, idCol, normDir, rmTag)
+      Fingerprint.clearSourceStatus(conf, indexDir)
+      Fingerprint.clearRemoveState(conf, normDir, rmTag)
+    }
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"TextIndex.logicalRemove on $indexDir: index compacted during the " +
+        "removal — re-run it after verifying no maintenance is racing")
+    }
+  }
+
   /** Fold the accreted append files: rewrite `bands`/`toks` as one file
     * per partition directory with pure I/O (no re-tokenize, no
     * re-sign). Ingest-provenance `_src` values are a DATA column here
     * and are preserved verbatim, so probe's excludeTag replay guard
     * keeps working; meta carries over unchanged and the
     * replay-protection state lives at the index top level, outside the
-    * data generations. Cutover is a generation-pointer flip
-    * (object-store safe, no renames) under the compact lease — see
-    * [[IndexMaintenance]]. */
+    * data generations. Tombstoned rows ([[logicalRemove]]) are
+    * RECLAIMED here: they ride out on the rewrite the fold was doing
+    * anyway, retired generations purge (RTBF beats reader grace), and
+    * the tombstone set clears after the cutover. Cutover is a
+    * generation-pointer flip (object-store safe, no renames) under the
+    * compact lease — see [[IndexMaintenance]]. */
   def compact(s: SparkSession, indexDir0: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
     val ctx = IndexMaintenance.beginCompact(conf, indexDir)
     try {
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "bands", Seq("hb"))
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "toks", Seq("idb"))
+      val tomb = LogicalDelete.ids(s, indexDir)
+      def dropVictims(df: DataFrame): DataFrame = tomb.fold(df) { t =>
+        // the id column name rides in the tombstone frame itself
+        df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")
+      }
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "bands",
+        Seq("hb"), transform = dropVictims)
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "toks",
+        Seq("idb"), transform = dropVictims)
       IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
     } catch {
       case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
     }
     IndexMaintenance.finishCompact(conf, ctx,
       legacyTables = Seq("bands", "toks", "meta"))
+    if (LogicalDelete.pendingBatches(conf, indexDir).nonEmpty) {
+      IndexMaintenance.purgeRetired(conf, indexDir, Seq("bands", "toks", "meta"))
+      LogicalDelete.clear(conf, indexDir)
+    }
   }
 
   /** Flag incoming docs that near-duplicate the INDEXED corpus: the
@@ -413,9 +532,14 @@ object TextIndex {
       else refBandsRead.withColumn("_src", lit(null).cast("string"))
     // null-safe (ADVICE r9): on an index mixing pre-_src files with tagged
     // appends, legacy rows read _src = null; `=!=` would evaluate NULL and
-    // silently drop the whole pre-upgrade corpus from the probe
-    val refBands = excludeTag.fold(refBandsAll)(t =>
-        refBandsAll.filter(!(col("_src") <=> lit(t))))
+    // silently drop the whole pre-upgrade corpus from the probe.
+    // Logically-deleted docs leave the reference side HERE (tombstone
+    // anti-join): cands and the toks verify are keyed by these refs, so
+    // one exclusion point blinds the whole probe.
+    val refBands = LogicalDelete.hide(
+        excludeTag.fold(refBandsAll)(t =>
+          refBandsAll.filter(!(col("_src") <=> lit(t)))),
+        idCol, LogicalDelete.ids(s, indexDir))
       .select(col("band"), col("band_hash"),
         col(idCol).as("ref_id"), col("_bh").as("_bh1"))
     val cands = refBands

@@ -63,6 +63,9 @@ object VectorIndex {
     // a rebuild wiped the indexed rows: batch markers / merge records
     // from the previous build generation must not survive it
     Fingerprint.clearReplayState(conf, indexDir)
+    // nor may pending tombstones — they would hide the rebuilt corpus'
+    // rows under recycled ids (see [[LogicalDelete.clear]])
+    LogicalDelete.clear(conf, indexDir)
     // freshness fast-path: record the corpus file statuses LAST — a
     // crash mid-build degrades to the hash scan, never a false fresh
     Fingerprint.writeSourceStatus(conf, indexDir, Fingerprint.sourceStatus(corpus))
@@ -137,6 +140,11 @@ object VectorIndex {
     IndexMaintenance.withLease(conf, indexDir, "write") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val centroids = loadCentroidsFromRoot(s, root)
+    // a tombstoned id is dead until compact() reclaims: re-ingesting it
+    // would be hidden by the id-scoped anti-join and then wrongly
+    // dropped by the reclaim filter (see [[LogicalDelete]])
+    LogicalDelete.requireNotTombstoned(s, indexDir,
+      delta.select(col(corpusId)), corpusId, "VectorIndex.append")
     delta
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .withColumn("norm", VectorOps.norm(col(corpusVec)))
@@ -222,9 +230,13 @@ object VectorIndex {
       if (cellsRead.columns.contains("_src")) cellsRead
       else cellsRead.withColumn("_src", lit(null).cast("string"))
     // null-safe (ADVICE r9): pre-_src rows read _src = null; `=!=` would
-    // evaluate NULL and silently drop them from the probe
-    val cells = excludeTag.fold(cells0)(t =>
-      cells0.filter(!(col("_src") <=> lit(t))))
+    // evaluate NULL and silently drop them from the probe.
+    // Logically-deleted vectors leave the reference side here (tombstone
+    // anti-join — no-op fast path when no logical delete pends).
+    val cells = LogicalDelete.hide(
+      excludeTag.fold(cells0)(t =>
+        cells0.filter(!(col("_src") <=> lit(t)))),
+      corpusId, LogicalDelete.ids(s, indexDir))
     cells
       .select(col("cell"), col(corpusId).as("ref_id"),
         col(corpusVec).as("_er"), col("norm").as("_nr"))
@@ -264,6 +276,8 @@ object VectorIndex {
     // cross-tag leftover state refusal, see ClusterIndex.remove
     Fingerprint.requireNoOtherPendingRemoval(
       conf, IndexMaintenance.normalize(indexDir), rmTag, "VectorIndex.remove")
+    // pending logical deletions must reclaim first — see [[LogicalDelete]]
+    LogicalDelete.requireNonePending(conf, indexDir, "VectorIndex.remove")
     val pinned = victims
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .select(col(corpusId), col("cell")).distinct().localCheckpoint()
@@ -331,6 +345,95 @@ object VectorIndex {
     }
   }
 
+  /** LOGICAL targeted delete (VERDICT r12 item 1) — the RTBF fast path:
+    * same validation and the same idempotent fingerprint subtraction as
+    * [[remove]], but the only mutation is one small tombstone-batch
+    * write under `<indexDir>/deleted/` — O(victims), no cell rewrite.
+    * [[topK]] and [[probeDups]] are blind to the victims the moment
+    * this returns; the rows are physically reclaimed by the next
+    * [[compact]] (see [[LogicalDelete]] — tombstoned ids are dead to
+    * appends until then). `victims` must carry the EXACT
+    * `(id, embedding)` rows as ingested; tags share the remove
+    * namespace. */
+  def logicalRemove(victims: DataFrame, indexDir: String,
+                    corpusId: String = "vec_id",
+                    corpusVec: String = "embedding",
+                    tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val centroids = loadCentroidsFromRoot(s, root)
+    val oldFp = readMeta(s, root)
+    val rmTag = s"rm.$tag"
+    val vfp = Fingerprint.of(victims, Seq(corpusId, corpusVec))
+    val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+    if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
+      s"VectorIndex.logicalRemove: tag '$tag' was already used by a " +
+        "different removal batch — pass a batch-unique tag")
+    val normDir = IndexMaintenance.normalize(indexDir)
+    Fingerprint.requireNoOtherPendingRemoval(
+      conf, normDir, rmTag, "VectorIndex.logicalRemove")
+    val pinned = victims
+      .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
+      .select(col(corpusId), col("cell")).distinct().localCheckpoint()
+    val vids = pinned.select(col(corpusId)).distinct()
+    val nV = vids.count()
+    if (nV > 0L) {
+      if (!replay) {
+        LogicalDelete.requireNotTombstoned(s, indexDir, vids, corpusId,
+          "VectorIndex.logicalRemove")
+        val vCells = pinned.select(col("cell")).distinct()
+          .collect().map(_.getInt(0)).toSeq // bounded by nlist
+        val known = s.read.parquet(s"$root/cells")
+          .filter(col("cell").isInCollection(vCells))
+          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
+          .select(col(corpusId)).distinct().count()
+        if (known != nV) Fingerprint.refuse(
+          s"VectorIndex.logicalRemove: only $known of $nV victims are " +
+            "indexed; the fingerprint subtraction needs exactly the " +
+            "ingested rows")
+        // mid-append crash guard, same pruned provenance read as remove()
+        if (oldFp.isDefined &&
+            s.read.parquet(s"$root/cells").schema.fieldNames.contains("_src")) {
+          val vSrcs = s.read.parquet(s"$root/cells")
+            .filter(col("cell").isInCollection(vCells))
+            .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
+            .select(col("_src")).filter(col("_src").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSet
+          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+            "VectorIndex.logicalRemove")
+        }
+      }
+      // idempotent fingerprint commit — remove()'s protocol shape
+      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+      state0.foreach { case (svfp, _) =>
+        if (svfp != vfp) Fingerprint.refuse(
+          s"VectorIndex.logicalRemove: tag '$tag' has leftover removal " +
+            "state for a DIFFERENT victim set — re-run that removal " +
+            "with its original victims first")
+      }
+      if (state0.isEmpty) {
+        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
+        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
+      }
+      FaultInjection.maybeCrash("vector.logical.state")
+      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2
+        .foreach(fp => writeMeta(s, root, fp))
+      FaultInjection.maybeCrash("vector.logical.meta")
+      if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+      FaultInjection.maybeCrash("vector.logical.record")
+      // the one "leg": the tombstone batch — reads blind from here
+      LogicalDelete.write(vids, corpusId, normDir, rmTag)
+      Fingerprint.clearSourceStatus(conf, indexDir)
+      Fingerprint.clearRemoveState(conf, normDir, rmTag)
+    }
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"VectorIndex.logicalRemove on $indexDir: index compacted during " +
+        "the removal — re-run it after verifying no maintenance is racing")
+    }
+  }
+
   /** Fold the accreted append files: rewrite `cells` as one file per
     * cell partition with pure I/O (no re-training, no re-assignment —
     * the quantizer and every vector's cell are unchanged). The
@@ -338,14 +441,24 @@ object VectorIndex {
     * verbatim, so probeDups' excludeTag replay guard keeps working;
     * centroids and meta copy unchanged; the replay-protection state
     * lives at the index top level, outside the data generations.
-    * Cutover is a generation-pointer flip (object-store safe, no
-    * renames) under the compact lease — see [[IndexMaintenance]]. */
+    * Tombstoned rows ([[logicalRemove]]) are RECLAIMED here: they ride
+    * out on the rewrite the fold was doing anyway, retired generations
+    * purge (RTBF beats reader grace), and the tombstone set clears
+    * after the cutover. Cutover is a generation-pointer flip
+    * (object-store safe, no renames) under the compact lease — see
+    * [[IndexMaintenance]]. */
   def compact(s: SparkSession, indexDir0: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
     val ctx = IndexMaintenance.beginCompact(conf, indexDir)
     try {
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "cells", Seq("cell"))
+      val tomb = LogicalDelete.ids(s, indexDir)
+      val dropVictims: DataFrame => DataFrame = df => tomb.fold(df) { t =>
+        // the id column name rides in the tombstone frame itself
+        df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")
+      }
+      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "cells",
+        Seq("cell"), transform = dropVictims)
       IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "centroids")
       IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
     } catch {
@@ -353,6 +466,11 @@ object VectorIndex {
     }
     IndexMaintenance.finishCompact(conf, ctx,
       legacyTables = Seq("cells", "centroids", "meta"))
+    if (LogicalDelete.pendingBatches(conf, indexDir).nonEmpty) {
+      IndexMaintenance.purgeRetired(conf, indexDir,
+        Seq("cells", "centroids", "meta"))
+      LogicalDelete.clear(conf, indexDir)
+    }
   }
 
   /** ANN top-k against the PERSISTED index: identical semantics to
@@ -378,8 +496,10 @@ object VectorIndex {
     // turned into a STATIC partition filter so the file scan prunes
     val touched = probed.select(col("_cid")).distinct()
       .collect().map(_.getInt(0)).toSeq
-    val cells = s.read.parquet(s"$root/cells")
-      .filter(col("cell").isInCollection(touched))
+    val cells = LogicalDelete.hide(
+      s.read.parquet(s"$root/cells")
+        .filter(col("cell").isInCollection(touched)),
+      corpusId, LogicalDelete.ids(s, indexDir))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("cosine").desc, col(corpusId))
     cells

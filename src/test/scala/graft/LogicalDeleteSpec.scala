@@ -1,0 +1,280 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{ClusterIndex, Fingerprint, LogicalDelete, TextIndex,
+  VectorIndex}
+
+/** Logical deletion (VERDICT r12 item 1): the tombstone-row fast path
+  * must (a) blind every probe/top-k/assignment read the moment
+  * logicalRemove returns, (b) subtract the fingerprint exactly once
+  * across every crash boundary, and (c) after the next compact() be
+  * INDISTINGUISHABLE from the physical remove — which itself equals a
+  * fresh build on the survivors (IndexRemoveSpec holds that leg). The
+  * interim semantics are pinned too: tombstoned ids are dead to appends
+  * and physical removes until reclaim, and a double logical delete is
+  * refused. */
+class LogicalDeleteSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Tokens [a, b) — Jaccard(span(0,50), span(5,55)) = 45/55 ≈ 0.818. */
+  private def span(a: Int, b: Int): String =
+    (a until b).map(i => s"w$i").mkString(" ")
+
+  private def assignMap(dir: String): Map[Long, Long] =
+    ClusterIndex.assignments(spark, dir, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  private def tmpIdx(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  test("cluster: blind immediately, logical-then-compact == physical remove == fresh build") {
+    // the IndexRemoveSpec bridge fixture: A(10)-B(20)-C(30) chain, D(40)
+    // singleton, E(50) unrelated victim
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(10, 60)); val d = (40L, span(200, 260))
+    val e = (50L, span(300, 360))
+    val corpus = Seq(a, b, c, d, e).toDF("doc_id", "text")
+    val dir = tmpIdx("ld_cl")
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    val victims = Seq(b, e).toDF("doc_id", "text")
+    ClusterIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1")
+    // ---- IMMEDIATELY after the logical step ----
+    // assignments hide the victims (component labels may lag — that's
+    // the documented interim semantic, reconciled at compact)
+    assert(!assignMap(dir).keySet.exists(Set(20L, 50L)),
+      "victims visible in assignments after logicalRemove")
+    // probes are blind: a clone of E is a singleton, a clone of B may
+    // still bridge A and C ONLY through live docs — it must match them,
+    // never B itself
+    val probedE = ClusterIndex.probe(spark, dir,
+        Seq((60L, span(300, 360))).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(probedE === Map(60L -> 60L),
+      s"a clone of a logically removed doc must match nothing: $probedE")
+    // knownIds: the victims are not known
+    val known = ClusterIndex.knownIds(spark, dir,
+        Seq(10L, 20L, 50L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(known === Set(10L), s"tombstoned ids must not be known: $known")
+    // fingerprint tracks the survivors already
+    val survivors = Seq(a, c, d).toDF("doc_id", "text")
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+    assert(!ClusterIndex.isFresh(spark, dir, corpus, "doc_id", "text"))
+    // replay of the same (tag, victims): no double subtraction
+    ClusterIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1")
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+    // ---- interim guards ----
+    val exApp = intercept[IllegalArgumentException] {
+      ClusterIndex.append(Seq((20L, "brand new text under the dead id"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "ap1")
+    }
+    assert(exApp.getMessage.contains("logically deleted"), exApp.getMessage)
+    val exPhys = intercept[IllegalArgumentException] {
+      ClusterIndex.remove(Seq(d).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "t9")
+    }
+    assert(exPhys.getMessage.contains("pending reclaim"), exPhys.getMessage)
+    val exDouble = intercept[IllegalArgumentException] {
+      ClusterIndex.logicalRemove(Seq(b).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "ld2")
+    }
+    assert(exDouble.getMessage.contains("logically deleted"), exDouble.getMessage)
+    // ---- RECLAIM: compact makes it physical ----
+    ClusterIndex.compact(spark, dir)
+    val after = assignMap(dir)
+    assert(after === Map(10L -> 10L, 30L -> 30L, 40L -> 40L),
+      s"reclaim must split the bridged component exactly like remove(): $after")
+    val freshDir = java.nio.file.Files.createTempDirectory("ld_cl_f").toString
+    ClusterIndex.build(survivors, "doc_id", "text", freshDir)
+    assert(after === assignMap(freshDir))
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+    // no victim row survives in any table, edges included; tombstones gone
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    Seq("toks", "postings", "assign").foreach { t =>
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id").isin(20L, 50L)).count() == 0L,
+        s"$t still holds victim rows after reclaim")
+    }
+    assert(spark.read.parquet(s"$root/edges")
+      .filter(col("u").isin(20L, 50L) || col("v").isin(20L, 50L)).count() == 0L,
+      "edge log still holds victim endpoints after reclaim")
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "tombstones must clear after reclaim")
+    // the id is live again: the append that was refused now ingests
+    ClusterIndex.append(Seq((20L, "brand new text under the recycled id"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "ap2")
+    assert(assignMap(dir).get(20L) === Some(20L),
+      "a reclaimed id must re-ingest as a fresh document")
+  }
+
+  test("cluster logical remove crash matrix: every boundary converges") {
+    import graft.operators.FaultInjection
+    Seq("cluster.logical.state", "cluster.logical.meta",
+        "cluster.logical.record").foreach { step =>
+      val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+      val c = (30L, span(10, 60))
+      val corpus = Seq(a, b, c).toDF("doc_id", "text")
+      val dir = tmpIdx("ld_crash")
+      ClusterIndex.build(corpus, "doc_id", "text", dir)
+      val victims = Seq(b).toDF("doc_id", "text")
+      intercept[FaultInjection.InjectedCrash] {
+        FaultInjection.armed(step)(
+          ClusterIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "t1"))
+      }
+      // a DIFFERENT removal is refused while the crashed one pends
+      val ex = intercept[IllegalArgumentException] {
+        ClusterIndex.logicalRemove(Seq(c).toDF("doc_id", "text"),
+          "doc_id", "text", dir, tag = "t2")
+      }
+      assert(ex.getMessage.contains("never completed"), s"[$step] ${ex.getMessage}")
+      // and so is compact — reclaim must never fold half-committed state
+      val exC = intercept[IllegalArgumentException] {
+        ClusterIndex.compact(spark, dir)
+      }
+      assert(exC.getMessage.contains("never completed"), s"[$step] ${exC.getMessage}")
+      // the replay converges
+      ClusterIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "t1")
+      assert(!assignMap(dir).contains(20L), s"[$step] victim still visible")
+      assert(ClusterIndex.isFresh(spark, dir,
+        Seq(a, c).toDF("doc_id", "text"), "doc_id", "text"),
+        s"[$step] fingerprint drifted across the crash window")
+      ClusterIndex.compact(spark, dir)
+      assert(assignMap(dir) === Map(10L -> 10L, 30L -> 30L),
+        s"[$step] reclaim after replay must split the component")
+    }
+  }
+
+  test("text: blind immediately, logical-then-compact == physical remove") {
+    import graft.operators.FaultInjection
+    val docs = (0 until 20)
+      .map(i => (i.toLong, s"document number $i with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    val dir = tmpIdx("ld_tx")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val clone7 = Seq((900L, "document number 7 with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    assert(TextIndex.probe(spark, dir, clone7, "doc_id", "text").count() == 1L)
+    val victims = docs.filter(col("doc_id") === 7L)
+    // crash boundaries converge for the text family too
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("text.logical.record")(
+        TextIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1"))
+    }
+    TextIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1")
+    // blind immediately; survivors still match
+    assert(TextIndex.probe(spark, dir, clone7, "doc_id", "text").count() == 0L,
+      "probe must be blind right after the logical step")
+    val clone3 = Seq((901L, "document number 3 with some shared boilerplate text"))
+      .toDF("doc_id", "text")
+    assert(TextIndex.probe(spark, dir, clone3, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap === Map(901L -> 3L))
+    val survivors = docs.filter(col("doc_id") =!= 7L)
+    assert(TextIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+    // appends of the dead id are refused; other appends proceed
+    val exApp = intercept[IllegalArgumentException] {
+      TextIndex.append(Seq((7L, "new content under the dead id"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "ap1")
+    }
+    assert(exApp.getMessage.contains("logically deleted"), exApp.getMessage)
+    TextIndex.append(Seq((100L, "a wholly novel appended document"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "ap2")
+    // reclaim: rows physically gone, probe still blind, tombstones cleared
+    TextIndex.compact(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    Seq("bands", "toks").foreach { t =>
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id") === 7L).count() == 0L,
+        s"$t still holds victim rows after reclaim")
+    }
+    assert(TextIndex.probe(spark, dir, clone7, "doc_id", "text").count() == 0L)
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty)
+    assert(TextIndex.isFresh(spark, dir,
+      survivors.unionByName(Seq((100L, "a wholly novel appended document"))
+        .toDF("doc_id", "text")), "doc_id", "text"),
+      "fingerprint must track survivors + the interleaved append")
+  }
+
+  test("vector: top-k and dup-probe blind immediately, compact reclaims") {
+    import graft.operators.FaultInjection
+    val corpus = Tables.embeddings(spark, sf0001)
+    val dir = tmpIdx("ld_vx")
+    VectorIndex.build(corpus, dir, nlist = 8)
+    val victims = corpus.filter(col("vec_id") === 7L).localCheckpoint()
+    val probe7 = victims
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assert(VectorIndex.topK(spark, dir, probe7, k = 1).collect()
+      .head.getAs[Long]("vec_id") == 7L, "pre-remove: self is nearest")
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("vector.logical.meta")(
+        VectorIndex.logicalRemove(victims, dir, tag = "ld1"))
+    }
+    VectorIndex.logicalRemove(victims, dir, tag = "ld1")
+    // blind immediately
+    assert(VectorIndex.topK(spark, dir, probe7, k = 5).collect()
+      .forall(_.getAs[Long]("vec_id") != 7L),
+      "top-k must not return a logically removed vector")
+    assert(VectorIndex.probeDups(spark, dir, victims, tau = 0.999)
+      .filter(col("dup_of") === 7L).count() == 0L,
+      "dup-probe must not witness a logically removed vector")
+    assert(VectorIndex.isFresh(spark, dir, corpus.filter(col("vec_id") =!= 7L)))
+    // appends of the dead id refuse
+    val exApp = intercept[IllegalArgumentException] {
+      VectorIndex.append(victims, dir, tag = "ap1")
+    }
+    assert(exApp.getMessage.contains("logically deleted"), exApp.getMessage)
+    // reclaim == the physical remove's table state
+    VectorIndex.compact(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    assert(spark.read.parquet(s"$root/cells")
+      .filter(col("vec_id") === 7L).count() == 0L)
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty)
+    assert(VectorIndex.topK(spark, dir, probe7, k = 5).collect()
+      .forall(_.getAs[Long]("vec_id") != 7L))
+  }
+
+  test("compact refuses while a crashed PHYSICAL removal pends") {
+    // the r13 beginCompact guard: a crashed physical remove's persisted
+    // plan references this generation's (_src, bucket) partitions;
+    // folding would remap _src values and orphan the replay
+    import graft.operators.FaultInjection
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val corpus = Seq(a, b).toDF("doc_id", "text")
+    val dir = tmpIdx("ld_cpr")
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("cluster.record")(
+        ClusterIndex.remove(Seq(b).toDF("doc_id", "text"),
+          "doc_id", "text", dir, tag = "t1"))
+    }
+    val ex = intercept[IllegalArgumentException] { ClusterIndex.compact(spark, dir) }
+    assert(ex.getMessage.contains("never completed"), ex.getMessage)
+    // replay, then compact proceeds
+    ClusterIndex.remove(Seq(b).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "t1")
+    ClusterIndex.compact(spark, dir)
+    assert(assignMap(dir) === Map(10L -> 10L))
+  }
+
+  test("rebuild clears pending tombstones (recycled ids must not stay hidden)") {
+    val docs = (0 until 8)
+      .map(i => (i.toLong, s"rebuild fixture doc $i shared boilerplate"))
+      .toDF("doc_id", "text")
+    val dir = tmpIdx("ld_rb")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    TextIndex.logicalRemove(docs.filter(col("doc_id") === 2L),
+      "doc_id", "text", dir, tag = "ld1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(LogicalDelete.pendingBatches(conf, dir).nonEmpty)
+    // a full rebuild over a corpus that RECYCLES id 2
+    TextIndex.build(docs, "doc_id", "text", dir)
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "build must clear tombstones")
+    assert(TextIndex.probe(spark, dir,
+      Seq((900L, "rebuild fixture doc 2 shared boilerplate"))
+        .toDF("doc_id", "text"), "doc_id", "text").count() == 1L,
+      "the rebuilt corpus' rows must be visible under the recycled id")
+  }
+}
