@@ -134,6 +134,9 @@ object Bench {
       selected.view.filterKeys(_.startsWith("scan_")).values
         .foreach(fn => fn(spark, sfDir).count()))
     dropPersistedBlocks()
+    // takedown leg attribution (VERDICT r12 item 4): drop warmup
+    // entries so the per-run leg maps align 1:1 with the timed runs
+    graft.queries.TextPipeline.removeLegRuns.clear()
 
     // bench-noise attribution (VERDICT r6 item 8, widened to EVERY query
     // by r9 item 5): this box's run-to-run variance is ±20-40%, and
@@ -198,6 +201,31 @@ object Bench {
       f"""{"write_s":$wS%.3f,"read_s":$rS%.3f}"""
     } catch { case _: Throwable => """{}""" }
 
+    // takedown leg split (VERDICT r12 item 4): min-of-3 PER LEG of the
+    // composed doc_cluster_index_remove — {ensure, snapshot, lake_stage,
+    // victims, lake_scrub, index_remove} from the query body, plus
+    // "serve" = run total minus the recorded legs (the assignments
+    // semi-join count). Same runs as the headline number, so a
+    // driver-side regression names its leg instead of hiding in one
+    // conflated second count. bench_result.json only (stdout stays
+    // compact).
+    val takedownLegs = {
+      import scala.jdk.CollectionConverters._
+      val legRuns = graft.queries.TextPipeline.removeLegRuns.asScala.toSeq
+      if (legRuns.isEmpty) "{}"
+      else {
+        val keys = legRuns.head.keys.toSeq
+        val totals = results.find(_._1 == "doc_cluster_index_remove")
+          .map(_._3).getOrElse(Seq.empty)
+        val serveRuns = totals.zip(legRuns)
+          .map { case (t, m) => math.max(0.0, t - m.values.sum) }
+        (keys.map(k => k -> legRuns.map(_(k)).min) ++
+          (if (serveRuns.nonEmpty) Seq("serve" -> serveRuns.min) else Nil))
+          .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+          .mkString("{", ",", "}")
+      }
+    }
+
     // driver contract: queries maps name -> seconds (plain numbers; the
     // per-query MIN of 3 runs since r10 — "timing" says so); failures
     // are excluded from the total and listed in "failed" so a broken
@@ -221,7 +249,8 @@ object Bench {
         s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
     val detail =
       line.dropRight(1) + s""","peak_exec_mb":$mem,"gc_ms":$gc,"storage_mb":$stor,""" +
-        s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit,"repeats":$repJson}"""
+        s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit,""" +
+        s""""takedown_legs":$takedownLegs,"repeats":$repJson}"""
     Files.writeString(Paths.get("bench_result.json"), detail)
     println(line)
     spark.stop()

@@ -577,58 +577,108 @@ object TextPipeline {
     * scrub leg is an idempotent pruned no-op scan (the lake-delete cost
     * has its own bench row, `s4_targeted_delete`); the remove stays the
     * honest headline. */
-  def clusterIndexRemove(s: SparkSession, dir: String): DataFrame = {
+  /** Per-run leg timings of [[clusterIndexRemove]] (VERDICT r12 item 4):
+    * each invocation appends {ensure, snapshot, lake_stage, victims,
+    * lake_scrub, index_remove} seconds; Bench clears this after its
+    * warmups and publishes the min-of-3 per leg beside the headline
+    * total, so a driver-side regression in the composed takedown is
+    * attributable to its leg instead of vanishing into one number. */
+  private[graft] val removeLegRuns =
+    new java.util.concurrent.CopyOnWriteArrayList[Map[String, Double]]()
+
+  /** Parallel index snapshot: FileUtil.copy walks the index's few
+    * hundred bucket files serially (~3 s of the timed path at sf0.1); a
+    * small driver pool copies them concurrently — pure I/O either way.
+    * Bench harness only: a PRODUCTION snapshot at 100 TB must be a
+    * distributed copy (or an object-store server-side copy), never a
+    * driver-side loop like this. */
+  private def snapshotIndex(s: SparkSession, base: String, scratch: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
-    val base = ensureClusterIndex(s, dir)
+    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
+    val basePath = new org.apache.hadoop.fs.Path(base)
+    val files = {
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
+        fs.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
+      walk(basePath)
+    }
+    val baseUri = basePath.toUri.getPath
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
+    try {
+      val futures = files.map { f =>
+        pool.submit(new Runnable {
+          def run(): Unit = {
+            val rel = f.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
+            org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
+              new org.apache.hadoop.fs.Path(s"$scratch/$rel"), false, conf)
+          }
+        })
+      }
+      futures.foreach(_.get())
+    } finally pool.shutdown()
+  }
+
+  def clusterIndexRemove(s: SparkSession, dir: String): DataFrame = {
+    val legs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def leg[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      legs(name) = (System.nanoTime() - t0) / 1e9; r
+    }
+    val base = leg("ensure") { ensureClusterIndex(s, dir) }
     val key = Tables.fixtureKey(dir)
     val tmp = System.getProperty("java.io.tmpdir")
     val scratch = s"$tmp/graft_clusteridx_rm/$key"
-    val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
-    fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
-    // parallel snapshot: FileUtil.copy walks the index's few hundred
-    // bucket files serially (~3 s of the timed path at sf0.1); a small
-    // driver pool copies them concurrently — pure I/O either way. Bench
-    // harness only: a PRODUCTION snapshot at 100 TB must be a
-    // distributed copy (or an object-store server-side copy), never a
-    // driver-side loop like this.
-    locally {
-      val basePath = new org.apache.hadoop.fs.Path(base)
-      val files = {
-        def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.Path] =
-          fs.listStatus(p).toSeq.flatMap(st =>
-            if (st.isDirectory) walk(st.getPath) else Seq(st.getPath))
-        walk(basePath)
-      }
-      val baseUri = basePath.toUri.getPath
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(16)
-      try {
-        val futures = files.map { f =>
-          pool.submit(new Runnable {
-            def run(): Unit = {
-              val rel = f.toUri.getPath.stripPrefix(baseUri).stripPrefix("/")
-              org.apache.hadoop.fs.FileUtil.copy(fs, f, fs,
-                new org.apache.hadoop.fs.Path(s"$scratch/$rel"), false, conf)
-            }
-          })
-        }
-        futures.foreach(_.get())
-      } finally pool.shutdown()
-    }
+    leg("snapshot") { snapshotIndex(s, base, scratch) }
     val lake = s"$tmp/graft_rmlake/$key"
     val docs = Tables.documents(s, dir)
-    Staging.stageOnce(docs, lake)(
-      docs.write.mode("overwrite").partitionBy("source").parquet(lake))
+    leg("lake_stage") {
+      Staging.stageOnce(docs, lake)(
+        docs.write.mode("overwrite").partitionBy("source").parquet(lake))
+    }
     // victims read out of the FIXTURE (the lake may already be scrubbed
     // on a warm run) — remove() needs the exact ingested (id, text) rows
     // for its fingerprint subtraction
-    val victims = docs.filter(col("doc_id") % 37 === 0)
-      .select(col("doc_id"), col("text")).localCheckpoint()
-    graft.operators.TargetedDelete.delete(s, lake, Seq("source"), "doc_id",
-      victims.select(col("doc_id")))
-    graft.operators.ClusterIndex.remove(victims, "doc_id", "text", scratch,
-      tag = "takedown")
+    val victims = leg("victims") {
+      docs.filter(col("doc_id") % 37 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+    }
+    leg("lake_scrub") {
+      graft.operators.TargetedDelete.delete(s, lake, Seq("source"), "doc_id",
+        victims.select(col("doc_id")))
+    }
+    leg("index_remove") {
+      graft.operators.ClusterIndex.remove(victims, "doc_id", "text", scratch,
+        tag = "takedown")
+    }
+    removeLegRuns.add(legs.toMap)
     graft.operators.ClusterIndex.assignments(s, scratch, "doc_id")
       .join(s.read.parquet(lake).select(col("doc_id")), Seq("doc_id"), "leftsemi")
+      .orderBy(col("doc_id"))
+  }
+
+  /** The LOGICAL right-to-be-forgotten flow as a first-class query
+    * (VERDICT r12 item 1): snapshot the persisted cluster index,
+    * tombstone a victim set ([[graft.operators.ClusterIndex
+    * .logicalRemove]] — O(victims), probes blind immediately), then
+    * RECLAIM via compact() and serve the assignments. The oracle is the
+    * same full-strength recursive-CTE CC over the surviving corpus as
+    * `doc_cluster_index_remove` — proving logical-then-compact equals a
+    * fresh build without the victims, bridge-splits included. The
+    * marginal (pre-reclaim) takedown cost has its own evidence channel:
+    * the RemoveProfile sweep's `logical` rows. */
+  def clusterIndexLogicalRemove(s: SparkSession, dir: String): DataFrame = {
+    val base = ensureClusterIndex(s, dir)
+    val key = Tables.fixtureKey(dir)
+    val scratch =
+      s"${System.getProperty("java.io.tmpdir")}/graft_clusteridx_lrm/$key"
+    snapshotIndex(s, base, scratch)
+    val victims = Tables.documents(s, dir).filter(col("doc_id") % 41 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    graft.operators.ClusterIndex.logicalRemove(victims, "doc_id", "text",
+      scratch, tag = "rtbf")
+    graft.operators.ClusterIndex.compact(s, scratch)
+    graft.operators.ClusterIndex.assignments(s, scratch, "doc_id")
       .orderBy(col("doc_id"))
   }
 
@@ -1582,6 +1632,7 @@ object TextPipeline {
     "doc_dedup_clusters" -> (dedupClusters _),
     "doc_cluster_index_probe" -> (clusterIndexProbe _),
     "doc_cluster_index_remove" -> (clusterIndexRemove _),
+    "doc_cluster_index_logical_remove" -> (clusterIndexLogicalRemove _),
     "doc_repetition_score" -> (repetitionScore _),
     "doc_vocab_build" -> (vocabBuild _),
     "doc_bigram_lm" -> (bigramLm _),
@@ -2150,6 +2201,26 @@ object TextPipeline {
     "doc_cluster_index_remove" ->
       """WITH RECURSIVE surv AS (
         |  SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+        |), tok AS (
+        |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM surv
+        |), e AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2
+        |  FROM tok a JOIN tok b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+        |        / len(list_distinct(list_concat(a.toks, b.toks))) >= 0.8
+        |), und AS (
+        |  SELECT id1 AS u, id2 AS v FROM e UNION SELECT id2, id1 FROM e
+        |), cc(id, r) AS (
+        |  SELECT doc_id, doc_id FROM surv
+        |  UNION
+        |  SELECT und.v, cc.r FROM cc JOIN und ON und.u = cc.id
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS component FROM cc GROUP BY id
+        |)
+        |SELECT doc_id, component FROM comp ORDER BY doc_id""".stripMargin,
+    "doc_cluster_index_logical_remove" ->
+      """WITH RECURSIVE surv AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 41 <> 0
         |), tok AS (
         |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks FROM surv
         |), e AS (

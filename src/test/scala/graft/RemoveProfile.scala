@@ -81,7 +81,12 @@ object RemoveProfile {
     println(s"[rmsweep] corpus=$n docs, index=$base")
     println("fraction,victims,mode,remove_s")
     val tmp = System.getProperty("java.io.tmpdir")
-    for (frac <- Seq(0.0001, 0.001, 0.01, 0.1); mode <- Seq("fast", "join")) {
+    // mode "logical" (r13) is the tombstone fast path: its row is the
+    // marginal takedown cost (sub-second target), and the paired
+    // "reclaim" row is the compact() that physically reclaims —
+    // amortized across every takedown since the last compaction
+    for (frac <- Seq(0.0001, 0.001, 0.01, 0.1);
+         mode <- Seq("fast", "join", "logical")) {
       val k = math.max(1L, (n * frac).toLong).toInt
       // deterministic pseudo-random victim spread across components
       val victims = docs.orderBy(xxhash64(col("doc_id"))).limit(k)
@@ -94,9 +99,18 @@ object RemoveProfile {
       if (mode == "join") System.setProperty("graft.delete.broadcastKeys", "1")
       else System.clearProperty("graft.delete.broadcastKeys")
       val t0 = System.nanoTime()
-      graft.operators.ClusterIndex.remove(victims, "doc_id", "text",
-        scratch, tag = s"sw_${frac}_$mode")
-      println(f"$frac%,.4f,$k,$mode,${(System.nanoTime() - t0) / 1e9}%.2f")
+      if (mode == "logical") {
+        graft.operators.ClusterIndex.logicalRemove(victims, "doc_id", "text",
+          scratch, tag = s"sw_${frac}_$mode")
+        println(f"$frac%,.4f,$k,logical,${(System.nanoTime() - t0) / 1e9}%.2f")
+        val t1 = System.nanoTime()
+        graft.operators.ClusterIndex.compact(spark, scratch)
+        println(f"$frac%,.4f,$k,reclaim,${(System.nanoTime() - t1) / 1e9}%.2f")
+      } else {
+        graft.operators.ClusterIndex.remove(victims, "doc_id", "text",
+          scratch, tag = s"sw_${frac}_$mode")
+        println(f"$frac%,.4f,$k,$mode,${(System.nanoTime() - t0) / 1e9}%.2f")
+      }
     }
     System.clearProperty("graft.delete.broadcastKeys")
     spark.stop()
