@@ -435,12 +435,12 @@ object ClusterIndex {
       // physical remove computes — discovered here from the from-root,
       // which the fold never mutates, so a crashed compact replays the
       // identical plan. Tombstones clear only AFTER the cutover. ----
+      val (_, nBuckets) = readMeta(s, ctx.fromRoot)
       val tomb = LogicalDelete.ids(s, indexDir)
       val reclaim = tomb.map { t =>
         // the id column name rides in the tombstone frame itself —
         // whatever the builder passed to logicalRemove
         val idCol = LogicalDelete.idColOf(t)
-        val (_, nBuckets) = readMeta(s, ctx.fromRoot)
         val vids = t.localCheckpoint()
         val nV = vids.count()
         val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
@@ -466,10 +466,26 @@ object ClusterIndex {
       })
       fold("toks", "idb", dropVictims)
       fold("postings", "tb", dropVictims)
-      // edges fold also GCs DANGLING set-set rows: a remove() that
-      // deleted a set's last member leaves its set-set edges behind
-      // (consumers drop them at read via the member-liveness rule);
-      // compaction is the natural point to drop them physically.
+      // edges fold COLLAPSES the log to the live graph (VERDICT r12
+      // item 3): on continuous ingest the raw log grows with HISTORY —
+      // every batch adds its own salted set nodes plus one verified
+      // doc-doc row per (delta doc x indexed near-dup), so the re-split
+      // leg's cost creeps with ingest count, not corpus size. The fold
+      // re-keys every folding set node by its token-set CONTENT
+      // (recomputed from the toks table — all members of a node share
+      // one set by construction), merges equivalent nodes across
+      // batches, and converts the accumulated doc-doc pairs into
+      // canonical set-set edges: J(x, ref) >= t IS J(S_x, S_ref) >= t
+      // on their token sets, so the conversion preserves exact
+      // connectivity AND the deletion-safe one-sided layout (a set is
+      // live iff >= 1 member row survives; a set-set edge links every
+      // member pair directly). A corpus built+appended N times folds to
+      // the SAME edge count as one fresh build (ClusterIndexSpec).
+      // Dangling-set GC is subsumed: a set with no surviving member has
+      // no canonical mapping and its edges drop in the joins.
+      // UNMARKERED batches keep their rows verbatim (minus their own
+      // dangling set-set rows) — a crash-window replay dynamic-
+      // overwrites its _src partitions, so folding them would be wrong.
       // Pre-r11 indexes have no edges table (ADVICE r11): skip the fold
       // — mirroring ensure()'s edgesOk handling, which already treats
       // such trees as rebuild-needed for remove() purposes — instead of
@@ -488,22 +504,79 @@ object ClusterIndex {
         transform = { dfIn =>
           // reclaim hygiene first: a tombstoned id must leave the log
           // (either endpoint), exactly as remove()'s deleteAnyKey pass —
-          // the member-row drop then feeds the dangling-set GC below
+          // the member-row drop then feeds the canonicalization below
           val df0 = reclaim.fold(dfIn) { case (idCol, vids, nV, _) =>
             def keysAs(c: String) =
               TargetedDelete.maybeBroadcast(vids.select(col(idCol).as(c)), nV)
             dfIn.join(keysAs("u"), Seq("u"), "left_anti")
               .join(keysAs("v"), Seq("v"), "left_anti")
           }
-          // one physical pass feeds all three branches (same rescan fix
-          // as remove()'s survivor-subgraph frames)
+          // one physical pass feeds every branch (same rescan fix as
+          // remove()'s survivor-subgraph frames)
           val df = df0.localCheckpoint(eager = false)
-          val liveSets = df.filter(col("u") < 0 && col("v") >= 0)
+          val foldsToBuild =
+            if (foldUnmarkedTags) lit(true)
+            else col("_src").isin(committed: _*) || col("_src") === "build"
+          val folding = df.filter(foldsToBuild)
+          val kept = df.filter(!foldsToBuild)
+          // canonical node id = content hash of the members' token set;
+          // "fold"-salted, so a SECOND compact maps them to themselves
+          // (idempotent) and a removed-then-reingested id still never
+          // aliases (the new text hashes differently)
+          val toksTable = s.read.parquet(s"${ctx.fromRoot}/toks")
+          val tokId = toksTable.schema.fieldNames
+            .filterNot(Set("_toks", "_src", "idb")).head
+          val docHash = toksTable.select(col(tokId).as("v"),
+            xxhash64(col("_toks")).as("_th"))
+          val members0 = folding.filter(col("u") < 0 && col("v") >= 0)
+          val canon = members0.join(docHash, Seq("v"))
+            .select(col("u"),
+              (-(xxhash64(lit("fold"), col("_th"))
+                .bitwiseAND(lit(Long.MaxValue))) - 1).as("_cn"))
+            .distinct().localCheckpoint(eager = false)
+          val members = members0.join(canon, Seq("u"))
+            .select(col("_cn").as("u"), col("v")).distinct()
+            .localCheckpoint(eager = false) // feeds the union AND docCn
+          val setSet = folding.filter(col("u") < 0 && col("v") < 0)
+            .join(canon, Seq("u"))
+            .join(canon.select(col("u").as("v"), col("_cn").as("_cnv")), Seq("v"))
+            .select(least(col("_cn"), col("_cnv")).as("u"),
+              greatest(col("_cn"), col("_cnv")).as("v"))
+          val docCn = members.select(col("v").as("_doc"), col("u").as("_dcn"))
+          val dd = folding.filter(col("u") >= 0 && col("v") >= 0)
+            .join(docCn.select(col("_doc").as("u"), col("_dcn").as("_cu")),
+              Seq("u"), "left")
+            .join(docCn.select(col("_doc").as("v"), col("_dcn").as("_cv")),
+              Seq("v"), "left")
+            .localCheckpoint(eager = false) // feeds converted + kept legs
+          val ddAsSet = dd
+            .filter(col("_cu").isNotNull && col("_cv").isNotNull)
+            .select(least(col("_cu"), col("_cv")).as("u"),
+              greatest(col("_cu"), col("_cv")).as("v"))
+          // co-members (same canonical set) are already connected by
+          // their member rows; cross-set pairs dedup with the remapped
+          // set-set edges in ONE distinct
+          val pairEdges = setSet.unionByName(ddAsSet)
+            .filter(col("u") =!= col("v")).distinct()
+          // a doc-doc endpoint without a member row cannot occur for a
+          // verified J>=t pair (empty sets never verify), but a left
+          // join + verbatim keep is cheaper than proving it forever
+          val ddKept = dd.filter(col("_cu").isNull || col("_cv").isNull)
+            .select(col("u"), col("v"))
+          val canonEdges = members.unionByName(pairEdges).unionByName(ddKept)
+            .withColumn("_src", lit("build"))
+            .withColumn("eb", idb(col("u"), nBuckets))
+          // kept (unmarkered) side: verbatim minus its own dangling
+          // set-set rows — its salted nodes are batch-local, so the
+          // liveness rule closes over the kept rows alone
+          val keptLive = kept.filter(col("u") < 0 && col("v") >= 0)
             .select(col("u")).distinct().localCheckpoint(eager = false)
-          df.filter(!(col("u") < 0 && col("v") < 0))
-            .unionByName(df.filter(col("u") < 0 && col("v") < 0)
-              .join(liveSets, Seq("u"), "leftsemi")
-              .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi"))
+          val keptClean = kept.filter(!(col("u") < 0 && col("v") < 0))
+            .unionByName(kept.filter(col("u") < 0 && col("v") < 0)
+              .join(keptLive, Seq("u"), "leftsemi")
+              .join(keptLive.select(col("u").as("v")), Seq("v"), "leftsemi"))
+          canonEdges.unionByName(
+            keptClean.select(canonEdges.columns.map(col): _*))
         })
       IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "df", Seq("tb"))
       IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")

@@ -384,4 +384,59 @@ class ClusterIndexSpec extends SparkSpec {
     ClusterIndex.build(docs, "doc_id", "text", dir)
     assert(assignMap(dir) === freshCC(docs))
   }
+
+  test("compact collapses the edge log to the live graph (VERDICT r12 item 3)") {
+    // Continuous ingest accretes HISTORY in the log: every batch adds
+    // its own salted set nodes plus one doc-doc row per (delta doc x
+    // indexed near-dup). The fold must collapse all of it to the live
+    // graph: build+append+append folds to the SAME edge count as one
+    // fresh build over the union — including a cross-batch re-crawl
+    // with identical text (its set node merges by content) and a hot
+    // near-dup family (its doc-doc fan-in converts to one canonical
+    // set-set edge per set pair).
+    val corpus = Seq(
+      (10L, txt(1)), (11L, txt(1, 2)),   // cluster A
+      (20L, txt(2)),                      // singleton B
+      (30L, txt(3)))                      // singleton C
+      .toDF("doc_id", "text")
+    val d1 = Seq(
+      (40L, txt(1, 1)),                   // joins A: fans doc-doc to 10+11
+      (50L, txt(2)))                      // re-crawl of 20's exact text
+      .toDF("doc_id", "text")
+    val d2 = Seq(
+      (60L, txt(1)),                      // ANOTHER re-crawl, of 10's text
+      (70L, txt(9)))                      // novel singleton
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("clidx_fold").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    ClusterIndex.append(d1, "doc_id", "text", dir, tag = "a1")
+    ClusterIndex.append(d2, "doc_id", "text", dir, tag = "a2")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def edgeCount(d: String): Long = {
+      val root = graft.operators.IndexMaintenance.liveRoot(conf, d)
+      spark.read.parquet(s"$root/edges").count()
+    }
+    val rawCount = edgeCount(dir)
+    ClusterIndex.compact(spark, dir, foldUnmarkedTags = true)
+    val union = corpus.unionAll(d1).unionAll(d2)
+    val freshDir = java.nio.file.Files.createTempDirectory("clidx_fold_f").toString
+    ClusterIndex.build(union, "doc_id", "text", freshDir)
+    assert(edgeCount(dir) == edgeCount(freshDir),
+      s"folded log (${edgeCount(dir)} rows, raw $rawCount) must equal a " +
+        s"fresh build's (${edgeCount(freshDir)} rows)")
+    assert(edgeCount(dir) < rawCount, "the fold must actually collapse rows")
+    assert(assignMap(dir) === freshCC(union))
+    // a SECOND compact is idempotent on the canonical log
+    ClusterIndex.compact(spark, dir, foldUnmarkedTags = true)
+    assert(edgeCount(dir) == edgeCount(freshDir))
+    // the collapsed log still drives removals exactly: take out the
+    // re-crawled pair {20, 50} AND bridge 40 — the A cluster must split
+    // per a fresh build on the survivors
+    val victims = union.filter(col("doc_id").isin(20L, 50L, 40L))
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+    val survivors = union.filter(!col("doc_id").isin(20L, 50L, 40L))
+    assert(assignMap(dir) === freshCC(survivors),
+      "remove() over the canonicalized log must equal a fresh build on survivors")
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"))
+  }
 }

@@ -246,4 +246,100 @@ class VectorIndexSpec extends SparkSpec {
       p.replaceAll("\\s+", " ").matches(".*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
       s"cell restriction did not reach the scan's partition filters:\n$p")
   }
+
+  test("retrain restores recall after distribution drift; state survives the cutover") {
+    // VERDICT r12 item 2: the quantizer is the one distribution
+    // assumption in the index families. Fixture: 16 near-orthogonal
+    // planted clusters (the SimilaritySpec IVF-gate construction);
+    // build on clusters 0-7 (nlist=8 — the quantizer learns exactly
+    // those centers), then append clusters 8-15 under the FROZEN
+    // quantizer. Each appended cluster sits on the MIDPOINT of two
+    // UNIT-NORM old centers (the boundary-straddling drift case): a
+    // member's frozen argmax flips between the two parent cells on its
+    // own tiny jitter, so every drifted cluster splits ~50/50 across
+    // two cells and same-visit-fraction recall collapses.
+    // retrain(nlist=16) gives the drifted clusters their own cells,
+    // from the INDEXED rows alone, and restores it. (A plain
+    // far-from-all-centers drift does NOT degrade recall here: the same
+    // noise that picks a member's cell also makes it a near neighbor,
+    // so mates co-locate — that construction measured 0.92-1.0 and
+    // gates nothing. Centers must be unit-norm or norm differences
+    // decide the argmax deterministically and nothing splits.)
+    import org.apache.spark.sql.DataFrame
+    // java.util.Random's first draws CORRELATE across sequential seeds
+    // (weak scrambler) — every member would get near-identical jitter
+    // and nothing would split; golden-ratio-multiply the seed first
+    def rng(seed: Long) =
+      new java.util.Random(seed * 0x9E3779B97F4A7C15L + (seed >>> 17))
+    def unitCenter(c: Int): Array[Double] = {
+      val r = rng(1000L + c)
+      val v = Array.fill(64)(r.nextDouble() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = (0 until 8).map(unitCenter)
+    val fixture = (0L until 1600L).map { id =>
+      val m = (id % 16).toInt
+      val r = rng(50000L + id)
+      val base =
+        if (m < 8) centers(m)
+        else centers(m - 8).zip(centers((m - 7) % 8))
+          .map { case (x, y) => (x + y) / 2 }
+      (id, base.map(b => (b + (r.nextDouble() * 2 - 1) * 0.02).toFloat).toSeq)
+    }
+    import spark.implicits._
+    val all = fixture.toDF("vec_id", "embedding").localCheckpoint()
+    val oldCorpus = all.filter(pmod(col("vec_id"), lit(16)) < 8)
+    val delta = all.filter(pmod(col("vec_id"), lit(16)) >= 8)
+    val dir = java.nio.file.Files.createTempDirectory("vecretrain").toString + "/idx"
+    VectorIndex.build(oldCorpus, dir, nlist = 8, iters = 2, seed = 42L)
+    VectorIndex.append(delta, dir, tag = "drift1")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val rootBefore = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    // probes from the DRIFTED part of the corpus
+    val probes = all.filter(col("vec_id").isInCollection(
+        Seq(8L, 137L, 522L, 1005L, 1598L, 44L, 301L, 777L, 1203L, 1444L)))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def hits(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // k = half the cluster size: the very nearest mates co-locate with
+    // the probe by construction (aligned jitter picks the same side),
+    // so recall@small-k survives any quantizer — the drift damage shows
+    // where it really lands at scale, in the mates across the boundary
+    val truth = hits(Similarity.bruteForceTopK(all, probes, k = 50))
+    def recall(nprobe: Int): Double =
+      (truth & hits(VectorIndex.topK(spark, dir, probes, k = 50,
+        nprobe = nprobe))).size.toDouble / truth.size
+    // equal visit FRACTION in both measurements: 1 of 8 cells frozen,
+    // 2 of 16 retrained — same work, so the delta is pure quantizer fit
+    val degraded = recall(1)
+    assert(degraded < 0.8,
+      s"fixture must degrade under the frozen quantizer (got $degraded) — " +
+        "otherwise this test gates nothing")
+    VectorIndex.retrain(spark, dir, nlist = 16)
+    val restored = recall(2)
+    assert(restored >= 0.8,
+      s"retrain must restore recall@50 above 0.8 (degraded $degraded -> $restored)")
+    // cutover hygiene: new generation live, the old one retained for
+    // in-flight readers (one-generation grace — probes during the
+    // retrain keep serving it), replay state + fingerprint survive
+    val rootAfter = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    assert(rootAfter != rootBefore, "retrain must cut over a new generation")
+    val oldFs = new org.apache.hadoop.fs.Path(rootBefore).getFileSystem(conf)
+    assert(oldFs.exists(new org.apache.hadoop.fs.Path(s"$rootBefore/cells")),
+      "the retired generation must survive the cutover (reader grace)")
+    assert(VectorIndex.isFresh(spark, dir, all),
+      "the meta fingerprint must survive the retrain")
+    // the append replay record survives too (it lives outside the data
+    // generations): a replayed drift batch would still skip its merge
+    assert(graft.operators.Fingerprint.wasApplied(conf, dir, "drift1",
+      graft.operators.Fingerprint.of(delta, Seq("vec_id", "embedding"))),
+      "the append's merge record must survive the retrain cutover")
+    // default nlist (-1) keeps the current cell count
+    VectorIndex.retrain(spark, dir)
+    assert(VectorIndex.loadCentroids(spark, dir).size == 16,
+      "retrain without nlist must keep the current cell count")
+    assert(recall(4) >= 0.8, "an idempotent re-retrain must not hurt recall")
+  }
 }
