@@ -98,6 +98,30 @@ object TextOps {
     votes.select(col(idCol), sig.as("simhash"))
   }
 
+  /** Engine-NEUTRAL SimHash: same bit-vote aggregate as [[simhash]] but
+    * over 60-bit md5-derived token hashes (first 15 hex chars — the
+    * [[fingerprint]] recipe), so a DuckDB oracle replays the signature
+    * bit-identically: per-bit votes are exact integer sums, the
+    * signature folds votes with exact bit arithmetic, and md5 is
+    * byte-identical across engines. Returns (idCol, simhash: long)
+    * with bits 60-63 always zero. */
+  def simhashPortable(df: DataFrame, idCol: String, toksCol: Column): DataFrame = {
+    val hashed = df
+      .select(col(idCol), explode(toksCol).as("_tok"))
+      .select(col(idCol),
+        conv(substring(md5(col("_tok").cast("binary")), 1, 15), 16, 10)
+          .cast("long").as("_h"))
+    val voteCols = (0 until 60).map { j =>
+      sum(when(shiftrightunsigned(col("_h"), j).bitwiseAND(lit(1L)) === 1L, 1L)
+        .otherwise(-1L)).as(s"_b$j")
+    }
+    val votes = hashed.groupBy(col(idCol)).agg(voteCols.head, voteCols.tail: _*)
+    val sig = (0 until 60).foldLeft(lit(0L)) { (acc, j) =>
+      acc.bitwiseOR(when(col(s"_b$j") > 0, lit(1L << j)).otherwise(0L))
+    }
+    votes.select(col(idCol), sig.as("simhash"))
+  }
+
   /** Hamming distance between two 64-bit signatures via bit_count(xor). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 

@@ -259,6 +259,75 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Engine-NEUTRAL hashed token set: one md5 per token, first 15 hex
+    * chars as a 60-bit long (the [[TextOps.fingerprint]] recipe — md5
+    * is the one hash both engines compute bit-identically), sorted
+    * distinct so [[jaccardVerifySorted]] applies. One md5 per token is
+    * the whole portability cost; the 128 permutations on top are the
+    * exact-integer LCG family ([[graft.functions.MinHashSig.lcg]]).
+    * Fused single-pass expression, not the interpreted HOF chain —
+    * see [[graft.functions.Md5ShingleSet]]. */
+  def portableHashedTokenSet(text: Column): Column =
+    graft.functions.Md5ShingleSet(text, 1)
+
+  /** [[minhashNearDups]] with the engine-neutral hash family (VERDICT
+    * r12 item 6): md5-derived element hashes + the a·x+b mod P
+    * signature family, so a DuckDB oracle replays the banding
+    * bit-identically — band agreement is slice equality, and every
+    * slice value is exact integer arithmetic over md5 output on both
+    * engines. Same pipeline shape, same banding theory (the LCG family
+    * is a true permutation family over Z_P), same verified-Jaccard
+    * output contract; DedupSpec gates recall against brute force like
+    * the default family. */
+  def minhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              numHashes: Int = 128, bands: Int = 16,
+                              threshold: Double = 0.8,
+                              maxBucket: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    val toks = docs.select(col(idCol), portableHashedTokenSet(col(textCol)).as("_toks"))
+      .localCheckpoint()
+    val withBh = toks.select(col(idCol),
+      bandHashes(graft.functions.MinHashSig.lcg(col("_toks"), numHashes),
+        bands, rows).as("_bh"))
+    val cands = candidatePairsFirstBand(withBh, idCol, maxBucket)
+    jaccardVerifySorted(cands, toks, idCol, "_toks")
+      .filter(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
+  /** [[simhashNearDups]] with the engine-neutral hash family (VERDICT
+    * r12 item 6): 60-bit md5-derived token hashes feed the bit-vote
+    * aggregate ([[TextOps.simhashPortable]]), the pigeonhole join uses
+    * four 15-bit bands, and the output contract (pairs at hamming <=
+    * maxHamming, which must be < 4 for the pigeonhole to be exact) is
+    * unchanged — every step replayable in DuckDB. */
+  def simhashNearDupsPortable(docs: DataFrame, idCol: String, textCol: String,
+                              maxHamming: Int = 3): DataFrame = {
+    require(maxHamming < 4,
+      "four-band pigeonhole is exact only for hamming <= 3")
+    val sigs = TextOps.simhashPortable(docs, idCol, TextOps.tokens(col(textCol)))
+      .localCheckpoint()
+    val banded = sigs.select(col(idCol), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("simhash"), b * 15).bitwiseAND(lit(0x7FFFL))): _*))
+        .as(Seq("band", "band_hash")))
+    val a = banded.select(col("band"), col("band_hash"),
+      col(idCol).as("id1"), col("simhash").as("sh1"))
+    val b = banded.select(col("band"), col("band_hash"),
+      col(idCol).as("id2"), col("simhash").as("sh2"))
+    val diff = col("sh1").bitwiseXOR(col("sh2"))
+    val firstMatchingBand = (0 until 3).foldLeft(lit(true)) { (acc, bp) =>
+      acc && (col("band") <= bp ||
+        shiftrightunsigned(diff, bp * 15).bitwiseAND(lit(0x7FFFL)) =!= 0L)
+    }
+    a.join(b, Seq("band", "band_hash"))
+      .filter(col("id1") < col("id2") && firstMatchingBand)
+      .select(col("id1"), col("id2"),
+        TextOps.hamming(col("sh1"), col("sh2")).as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** ASYMMETRIC MinHash-LSH near-dup — flag INCOMING docs that
     * near-duplicate any REFERENCE doc: the incremental-ingest shape
     * (dedup this month's crawl dump against the standing corpus)

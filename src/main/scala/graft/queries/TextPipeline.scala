@@ -173,12 +173,16 @@ object TextPipeline {
     val numHashes = 128
     val mergeSig = udaf(new graft.functions.MinHashMerge(numHashes))
     val toks = TextOps.tokens(col("text"))
+    // engine-neutral family (VERDICT r12 item 6): md5-derived shingle
+    // hashes + the exact-integer LCG permutations, so the DuckDB oracle
+    // replays every signature slot bit-identically (the r11
+    // doc_langid_fingerprint recipe, widened to the full sketch).
+    // MinHashMerge is family-agnostic — elementwise min.
+    val elems = graft.functions.Md5ShingleSet(col("text"), 3)
     val srcSigs = Tables.documents(s, dir)
       .filter(size(toks) >= 3) // same universe as the exact matrix
       .select(col("source"),
-        Dedup.minhashSignature(
-          graft.functions.ShingleHashSet(col("text"), 3), numHashes, seed = 42)
-          .as("sig"))
+        graft.functions.MinHashSig.lcg(elems, numHashes).as("sig"))
       .groupBy(col("source")).agg(mergeSig(col("sig")).as("sig"))
     srcSigs.as("a")
       .join(broadcast(srcSigs.as("b")), col("a.source") < col("b.source"))
@@ -423,13 +427,17 @@ object TextPipeline {
   /** MinHash-LSH near-dup pairs (engine-only; DedupSpec gates recall
     * >= 0.9 against jaccardPairs ground truth). */
   def minhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.minhashNearDups(Tables.documents(s, dir), "doc_id", "text",
+    Dedup.minhashNearDupsPortable(Tables.documents(s, dir), "doc_id", "text",
         numHashes = 128, bands = 16, threshold = 0.8)
       .orderBy(col("id1"), col("id2"))
 
-  /** SimHash near-dup pairs (engine-only). */
+  /** SimHash near-dup pairs — the engine-neutral family, so the DuckDB
+    * oracle replays the 60-bit signature and the hamming pairs exactly
+    * (VERDICT r12 item 6). */
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
-    Dedup.simhashNearDups(Tables.documents(s, dir), "doc_id", "text", maxHamming = 3)
+    Dedup.simhashNearDupsPortable(Tables.documents(s, dir), "doc_id", "text",
+        maxHamming = 3)
+      .withColumn("hamming", col("hamming").cast("long"))
       .orderBy(col("id1"), col("id2"))
 
   /** Language-ID heuristic + rolling-hash fingerprint (engine-only). */
@@ -2394,6 +2402,79 @@ object TextPipeline {
     // MinHash fingerprint (min over 3-token shingles of the first 15
     // md5 hex chars — md5 is engine-neutral, which is why the engine
     // uses it here)
+    "doc_minhash_pairs" ->
+      // full LSH replay (VERDICT r12 item 6): md5-derived 60-bit element
+      // hashes, the a·x+b mod P signature family (exact 64-bit integer
+      // arithmetic, no overflow at a,v < 2^31), band agreement as SLICE
+      // equality (the engine's xxhash64 band buckets key the same
+      // slices), then the exact hashed-set Jaccard the engine verifies
+      """WITH tok AS (
+        |  SELECT doc_id, list_sort(list_distinct(list_transform(
+        |    string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)))) AS es
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id, es,
+        |    list_transform(range(128), i -> list_min(list_transform(es, v ->
+        |      ((2654435761 * (i + 1)) % 2147483647 * (v % 2147483647) +
+        |       (40503 * (i + 1) + 7) % 2147483647) % 2147483647))) AS sg
+        |  FROM tok
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  round(CAST(len(list_intersect(a.es, b.es)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(a.es, b.es))), 3) AS jaccard
+        |FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+        |WHERE len(list_filter(range(16), bb ->
+        |        a.sg[bb*8+1:bb*8+8] = b.sg[bb*8+1:bb*8+8])) > 0
+        |  AND CAST(len(list_intersect(a.es, b.es)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(a.es, b.es))) >= 0.8
+        |ORDER BY id1, id2""".stripMargin,
+    "doc_simhash_pairs" ->
+      // 60-bit md5 SimHash replay: per-bit majority votes over token
+      // OCCURRENCES (not distinct — repetition weights the vote), then
+      // all pairs at hamming <= 3 (the engine's 4-band pigeonhole is
+      // exact below 4, so the candidate stage drops out of the oracle)
+      """WITH tok AS (
+        |  SELECT doc_id, list_transform(string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hs
+        |  FROM documents
+        |), fp AS (
+        |  SELECT doc_id,
+        |    list_sum(list_transform(range(60), j ->
+        |      CASE WHEN 2 * len(list_filter(hs, h -> (h >> j) & 1 = 1)) > len(hs)
+        |           THEN CAST(1 AS BIGINT) << j ELSE 0 END)) AS simhash
+        |  FROM tok
+        |)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+        |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        |ORDER BY id1, id2""".stripMargin,
+    "doc_source_overlap_minhash" ->
+      // merged per-source signatures = min over the UNION of shingle
+      // hashes (MinHashMerge is elementwise min), replayed as one
+      // group-by over (source, shingle-hash) x 128 permutations
+      """WITH tok AS (
+        |  SELECT source, string_split(text, ' ') AS toks FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 3
+        |), sh AS (
+        |  SELECT DISTINCT source, v FROM (
+        |    SELECT source, UNNEST(list_transform(range(1, len(toks) - 1), i ->
+        |      CAST('0x' || substr(md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]), 1, 15)
+        |        AS BIGINT) % 2147483647)) AS v
+        |    FROM tok)
+        |), sig AS (
+        |  SELECT source, i,
+        |    min(((2654435761 * (i + 1)) % 2147483647 * v +
+        |         (40503 * (i + 1) + 7) % 2147483647) % 2147483647) AS m
+        |  FROM sh CROSS JOIN range(128) AS r(i)
+        |  GROUP BY source, i
+        |)
+        |SELECT a.source AS src_a, b.source AS src_b,
+        |  round(CAST(sum(CASE WHEN a.m = b.m THEN 1 ELSE 0 END) AS DOUBLE) / 128, 4)
+        |    AS jaccard_est
+        |FROM sig a JOIN sig b ON a.i = b.i AND a.source < b.source
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "doc_langid_fingerprint" ->
       """WITH t AS (
         |  SELECT doc_id, lang AS labeled_lang,

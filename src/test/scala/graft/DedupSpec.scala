@@ -24,6 +24,50 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"recall $recall < 0.9 (${found.size}/${truth.size})")
   }
 
+  test("DEFAULT-family minhash keeps its own recall gate (portable took the query)") {
+    // doc_minhash_pairs now runs the engine-neutral family; the xxhash64
+    // default still powers the index/streaming paths and must hold the
+    // same recall bar on its own
+    val truth = pairSet(TextPipeline.jaccardPairs(spark, sf0001))
+    val found = pairSet(Dedup.minhashNearDups(
+      Tables.documents(spark, sf0001), "doc_id", "text",
+      numHashes = 128, bands = 16, threshold = 0.8))
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(found.subsetOf(truth) && recall >= 0.9,
+      s"default-family recall $recall < 0.9")
+  }
+
+  test("Md5ShingleSet == the builtin md5/conv HOF chain, bit for bit") {
+    // the fused expression must produce exactly what the oracle-visible
+    // builtin recipe produces — this equality is what makes the DuckDB
+    // replay of the portable minhash family sound
+    val docs = Tables.documents(spark, sf0001)
+    for (n <- Seq(1, 3)) {
+      val hof = array_sort(array_distinct(transform(
+        TextOps.shingles(TextOps.tokens(col("text")), n),
+        x => conv(substring(md5(x.cast("binary")), 1, 15), 16, 10).cast("long"))))
+      val mismatch = docs.select(
+          graft.functions.Md5ShingleSet(col("text"), n).as("fused"), hof.as("hof"))
+        .filter(col("fused") =!= col("hof")).count()
+      assert(mismatch == 0L, s"n=$n: fused md5 shingle set diverged from the HOF chain")
+    }
+  }
+
+  test("portable simhash: hamming bound holds and the 4x15-bit pigeonhole is lossless") {
+    val docs = Tables.documents(spark, sf0001)
+    val found = Dedup.simhashNearDupsPortable(docs, "doc_id", "text", maxHamming = 3)
+    assert(found.filter(col("hamming") > 3).count() === 0)
+    val sigs = TextOps.simhashPortable(docs, "doc_id", TextOps.tokens(col("text")))
+    val a = sigs.select(col("doc_id").as("id1"), col("simhash").as("h1"))
+    val b = sigs.select(col("doc_id").as("id2"), col("simhash").as("h2"))
+    val truth = pairSet(
+      a.crossJoin(b).filter(col("id1") < col("id2"))
+        .filter(TextOps.hamming(col("h1"), col("h2")) <= 3))
+    assert(pairSet(found) === truth)
+    // the signature really is 60-bit: the top 4 bits never set
+    assert(sigs.filter(shiftrightunsigned(col("simhash"), 60) =!= 0L).count() === 0)
+  }
+
   test("asymmetric near-dup flags incoming-vs-ref only, never within a side") {
     import spark.implicits._
     def words(seed: Int) =
