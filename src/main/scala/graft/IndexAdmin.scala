@@ -52,13 +52,15 @@ object IndexAdmin {
       appliedMarkers: Set[String],          // stream commit points
       unmarkeredRecordedTags: Set[String],  // recorded, no applied/ marker
       tombstones: Seq[(String, Long)],      // (batch dir, ageMs)
+      logicalDeletes: Seq[String],          // pending LogicalDelete batches
       sourceStatusPresent: Boolean)
 
   /** Control names that live at the index top level beside the data
     * tables in the LEGACY (never-compacted) layout; excluded from the
     * table listing. Generation dirs (`g<N>`) are matched by pattern. */
   private val controlNames =
-    Set("GEN", "lease", "tagfp", "rmstate", "applied", "removed", "srcstat")
+    Set("GEN", "lease", "tagfp", "rmstate", "applied", "removed", "srcstat",
+      "deleted") // r13: LogicalDelete's pending tombstone batches
 
   def report(conf: Configuration, indexDir0: String): Report = {
     val dir = IndexMaintenance.normalize(indexDir0)
@@ -154,6 +156,7 @@ object IndexAdmin {
       appliedMarkers = applied,
       unmarkeredRecordedTags = unmarkered,
       tombstones = tombstones,
+      logicalDeletes = operators.LogicalDelete.pendingBatches(conf, dir),
       sourceStatusPresent = fs.exists(new Path(s"$dir/srcstat")))
   }
 
@@ -211,6 +214,9 @@ object IndexAdmin {
         sb ++= s"    $n  age ${fmtAge(age)}\n"
       }
     }
+    if (r.logicalDeletes.nonEmpty)
+      sb ++= s"  LOGICAL deletions pending reclaim (probes already blind; " +
+        s"compact() reclaims the rows): ${r.logicalDeletes.mkString(", ")}\n"
     sb ++= s"  source-status fast-path record: " +
       s"${if (r.sourceStatusPresent) "present" else "absent"}\n"
     sb.result()

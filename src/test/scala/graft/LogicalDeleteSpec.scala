@@ -79,6 +79,12 @@ class LogicalDeleteSpec extends SparkSpec {
         "doc_id", "text", dir, tag = "ld2")
     }
     assert(exDouble.getMessage.contains("logically deleted"), exDouble.getMessage)
+    // the ops console reports the pending batch (and not as a table)
+    val rep = IndexAdmin.report(spark.sparkContext.hadoopConfiguration, dir)
+    assert(rep.logicalDeletes == Seq("rm.ld1"),
+      s"IndexAdmin must surface pending logical deletes: ${rep.logicalDeletes}")
+    assert(!rep.tables.exists(_.name == "deleted"),
+      "the tombstone dir must not be listed as a data table")
     // ---- RECLAIM: compact makes it physical ----
     ClusterIndex.compact(spark, dir)
     val after = assignMap(dir)
