@@ -217,8 +217,15 @@ object Bench {
         val keys = legRuns.head.keys.toSeq
         val totals = results.find(_._1 == "doc_cluster_index_remove")
           .map(_._3).getOrElse(Seq.empty)
-        val serveRuns = totals.zip(legRuns)
-          .map { case (t, m) => math.max(0.0, t - m.values.sum) }
+        // serve = total minus recorded legs, but ONLY when runs and leg
+        // maps align 1:1 — a re-run that failed at the count() recorded
+        // its legs without contributing a total, and zipping the
+        // shortened list would attribute one run's legs to another's
+        // total (review-caught r13); the failure is already loud
+        val serveRuns =
+          if (totals.size == legRuns.size)
+            totals.zip(legRuns).map { case (t, m) => math.max(0.0, t - m.values.sum) }
+          else Seq.empty
         (keys.map(k => k -> legRuns.map(_(k)).min) ++
           (if (serveRuns.nonEmpty) Seq("serve" -> serveRuns.min) else Nil))
           .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }

@@ -418,6 +418,11 @@ object ClusterIndex {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
     val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    // snapshot the pending tombstone set ONCE, under the compact lease:
+    // the trailing cleanup clears exactly these batches, never a batch a
+    // post-flip logicalRemove added after the lease freed
+    // (review-caught r13)
+    val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
     try {
       // marker names are raw tags; _src partition values are sanitized —
       // compare in sanitized space (identical for streaming-loop tags)
@@ -436,7 +441,8 @@ object ClusterIndex {
       // which the fold never mutates, so a crashed compact replays the
       // identical plan. Tombstones clear only AFTER the cutover. ----
       val (_, nBuckets) = readMeta(s, ctx.fromRoot)
-      val tomb = LogicalDelete.ids(s, indexDir)
+      val tomb =
+        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
       val reclaim = tomb.map { t =>
         // the id column name rides in the tombstone frame itself —
         // whatever the builder passed to logicalRemove
@@ -589,11 +595,13 @@ object ClusterIndex {
     // victims' bytes (right-to-be-forgotten beats reader grace), and
     // the tombstones clear only now that the reclaimed tree is LIVE —
     // a crash between the flip and here leaves no-op tombstones (their
-    // ids match nothing) that the next compact clears
-    if (LogicalDelete.pendingBatches(conf, indexDir).nonEmpty) {
+    // ids match nothing) that the next compact clears. Clears ONLY the
+    // lease-time snapshot: a logicalRemove racing in after finishCompact
+    // freed the lease keeps its new batch pending.
+    if (reclaimBatches.nonEmpty) {
       IndexMaintenance.purgeRetired(conf, indexDir,
         Seq("assign", "toks", "postings", "df", "edges", "meta"))
-      LogicalDelete.clear(conf, indexDir)
+      LogicalDelete.clearBatches(conf, indexDir, reclaimBatches)
     }
     // the folded tree describes the same corpus of record: re-recording
     // would be wrong only if the corpus moved, which the fingerprint
@@ -978,6 +986,17 @@ object ClusterIndex {
     val nV = vids.count()
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
     if (nV > 0L) {
+      // a pre-r11 index has no adjacency log: compact's reclaim re-split
+      // reads it, so refusing HERE — nothing mutated yet — beats a
+      // tombstone that bricks every later compact (review-caught r13;
+      // same edgesOk rule as ensure())
+      val edgesDir = new org.apache.hadoop.fs.Path(s"$root/edges")
+      val edgesFs = edgesDir.getFileSystem(conf)
+      if (!edgesFs.exists(edgesDir) || edgesFs.listStatus(edgesDir).isEmpty)
+        Fingerprint.refuse(
+          "ClusterIndex.logicalRemove: this index has no adjacency log " +
+            "(pre-r11 layout) — rebuild it (ensure()) first; compact's " +
+            "reclaim needs the log to re-split the victims' components")
       val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
         .distinct().collect().map(_.getLong(0)).toSeq
       if (!replay) {
@@ -1105,9 +1124,8 @@ object ClusterIndex {
     // and then wrongly drop them in the reclaim filter (no-op fast path
     // when the index never saw a logical delete)
     val tomb = LogicalDelete.ids(s, indexDir)
-    if (tomb.isDefined)
-      LogicalDelete.requireNotTombstoned(s, indexDir,
-        delta.select(col(idCol)), idCol, "ClusterIndex.append")
+    LogicalDelete.requireNotTombstoned(s, indexDir,
+      delta.select(col(idCol)), idCol, "ClusterIndex.append", tomb)
     val (assignInc, merges, toksD, matchPairs) = probeParts(s, root, delta,
       idCol, textCol, excludeTag = Some(tag), tomb)
     // id-sign guard BEFORE any write (review-caught twice: a post-write

@@ -117,7 +117,14 @@ private[graft] object LogicalDelete {
   def requireNotTombstoned(s: SparkSession, indexDir: String,
                            keys: DataFrame, idCol: String,
                            opName: String): Unit =
-    ids(s, indexDir).foreach { t =>
+    requireNotTombstoned(s, indexDir, keys, idCol, opName, ids(s, indexDir))
+
+  /** Overload for callers that already resolved the pending set — the
+    * hot ingest path must not pay a second FS probe + parquet read. */
+  def requireNotTombstoned(s: SparkSession, indexDir: String,
+                           keys: DataFrame, idCol: String,
+                           opName: String, tomb: Option[DataFrame]): Unit =
+    tomb.foreach { t =>
       val n = keys.select(col(idCol)).distinct()
         .join(t.select(col(idColOf(t)).as(idCol)), Seq(idCol), "left_semi").count()
       if (n > 0L) Fingerprint.refuse(
@@ -139,14 +146,33 @@ private[graft] object LogicalDelete {
         "them before a physical remove")
   }
 
-  /** Drop the whole tombstone set — called by compact() after its fold
-    * physically reclaimed the rows, and by build() (a rebuild wipes the
-    * corpus the tombstones were hiding rows of; surviving entries would
-    * wrongly hide the REBUILT corpus' rows under recycled ids). */
+  /** Drop the whole tombstone set — build()'s rebuild path only (a
+    * rebuild wipes the corpus the tombstones were hiding rows of;
+    * surviving entries would wrongly hide the REBUILT corpus' rows
+    * under recycled ids). Reclaim paths must use [[clearBatches]] with
+    * the batch list they actually folded — see its doc. */
   def clear(conf: org.apache.hadoop.conf.Configuration,
             indexDir: String): Unit = {
     val d = dirPath(indexDir)
     val fs = d.getFileSystem(conf)
     if (fs.exists(d)) fs.delete(d, true)
+  }
+
+  /** Drop EXACTLY the named tombstone batches — the reclaim paths'
+    * cleanup (review-caught r13): compact()/retrain() clear AFTER
+    * finishCompact released the compact lease, so a logicalRemove that
+    * acquired the freed remove lease in that window may already have
+    * written a NEW batch; a whole-set clear would delete it — its
+    * victims would resurrect in every probe while meta permanently
+    * records them subtracted. Clearing only the fold's own snapshot
+    * leaves the newcomer pending for the next reclaim. */
+  def clearBatches(conf: org.apache.hadoop.conf.Configuration,
+                   indexDir: String, batches: Seq[String]): Unit = {
+    val d = dirPath(indexDir)
+    val fs = d.getFileSystem(conf)
+    batches.foreach { b =>
+      fs.delete(new org.apache.hadoop.fs.Path(d, s"batch=$b"), true)
+    }
+    if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
   }
 }

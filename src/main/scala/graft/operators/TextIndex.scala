@@ -461,8 +461,12 @@ object TextIndex {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
     val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    // lease-time snapshot; the trailing cleanup clears exactly these
+    // batches, never one a post-flip logicalRemove adds (r13 review)
+    val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
     try {
-      val tomb = LogicalDelete.ids(s, indexDir)
+      val tomb =
+        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
       def dropVictims(df: DataFrame): DataFrame = tomb.fold(df) { t =>
         // the id column name rides in the tombstone frame itself
         df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")
@@ -477,9 +481,9 @@ object TextIndex {
     }
     IndexMaintenance.finishCompact(conf, ctx,
       legacyTables = Seq("bands", "toks", "meta"))
-    if (LogicalDelete.pendingBatches(conf, indexDir).nonEmpty) {
+    if (reclaimBatches.nonEmpty) {
       IndexMaintenance.purgeRetired(conf, indexDir, Seq("bands", "toks", "meta"))
-      LogicalDelete.clear(conf, indexDir)
+      LogicalDelete.clearBatches(conf, indexDir, reclaimBatches)
     }
   }
 

@@ -469,8 +469,12 @@ object VectorIndex {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
     val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    // lease-time snapshot; the trailing cleanup clears exactly these
+    // batches, never one a post-flip logicalRemove adds (r13 review)
+    val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
     try {
-      val tomb = LogicalDelete.ids(s, indexDir)
+      val tomb =
+        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
       val live = tomb.fold(
           s.read.option("mergeSchema", "true").parquet(s"${ctx.fromRoot}/cells"))(
           t => s.read.option("mergeSchema", "true").parquet(s"${ctx.fromRoot}/cells")
@@ -501,10 +505,10 @@ object VectorIndex {
     }
     IndexMaintenance.finishCompact(conf, ctx,
       legacyTables = Seq("cells", "centroids", "meta"))
-    if (LogicalDelete.pendingBatches(conf, indexDir).nonEmpty) {
+    if (reclaimBatches.nonEmpty) {
       IndexMaintenance.purgeRetired(conf, indexDir,
         Seq("cells", "centroids", "meta"))
-      LogicalDelete.clear(conf, indexDir)
+      LogicalDelete.clearBatches(conf, indexDir, reclaimBatches)
     }
   }
 
@@ -525,8 +529,12 @@ object VectorIndex {
     val conf = s.sparkContext.hadoopConfiguration
     val indexDir = IndexMaintenance.normalize(indexDir0)
     val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    // lease-time snapshot; the trailing cleanup clears exactly these
+    // batches, never one a post-flip logicalRemove adds (r13 review)
+    val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
     try {
-      val tomb = LogicalDelete.ids(s, indexDir)
+      val tomb =
+        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
       val dropVictims: DataFrame => DataFrame = df => tomb.fold(df) { t =>
         // the id column name rides in the tombstone frame itself
         df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")
@@ -540,10 +548,10 @@ object VectorIndex {
     }
     IndexMaintenance.finishCompact(conf, ctx,
       legacyTables = Seq("cells", "centroids", "meta"))
-    if (LogicalDelete.pendingBatches(conf, indexDir).nonEmpty) {
+    if (reclaimBatches.nonEmpty) {
       IndexMaintenance.purgeRetired(conf, indexDir,
         Seq("cells", "centroids", "meta"))
-      LogicalDelete.clear(conf, indexDir)
+      LogicalDelete.clearBatches(conf, indexDir, reclaimBatches)
     }
   }
 

@@ -839,8 +839,10 @@ object S4Stream {
         s.sparkContext.hadoopConfiguration, indexDir, tag)
       if (!committed && !batch.isEmpty) {
         // resurrection guard FIRST: a replay of this batch after a
-        // takedown removed some of its rows must not re-admit them
-        val live = exceptTombstoned(batch, idCol, textCol, indexDir)
+        // takedown removed some of its rows must not re-admit them —
+        // content-scoped tombstones AND dead-until-reclaim logical ids
+        val live = exceptLogicallyDeleted(
+          exceptTombstoned(batch, idCol, textCol, indexDir), idCol, indexDir)
         val flagged = graft.operators.TextIndex
           .probe(s, indexDir, live, idCol, textCol, excludeTag = Some(tag))
           .select(col("inc_id"))
@@ -1058,6 +1060,20 @@ object S4Stream {
     }
   }
 
+  /** Drop batch rows whose id is LOGICALLY deleted in the index
+    * (review-caught r13): a tombstoned id is dead until compact()
+    * reclaims it — the index appends REFUSE it (re-ingested rows would
+    * be hidden by the id-scoped anti-join and then wrongly reclaimed),
+    * so without this filter a re-crawl of a taken-down id would wedge
+    * the whole micro-batch in an infinite replay-and-refuse loop.
+    * Dropping is the documented dead-until-reclaim semantic; after the
+    * next compact() the id is free and a later re-crawl ingests
+    * normally. No-FS-entry fast path when no logical delete pends. */
+  private def exceptLogicallyDeleted(batch: DataFrame, idCol: String,
+      indexDir: String): DataFrame =
+    graft.operators.LogicalDelete.hide(batch, idCol,
+      graft.operators.LogicalDelete.ids(batch.sparkSession, indexDir))
+
   /** STREAMING right-to-be-forgotten against the text ingest loop — the
     * continuous takedown queue a production curation lake runs beside
     * [[indexedDedupStream]]: per micro-batch of victim DOC IDS, snapshot
@@ -1153,8 +1169,10 @@ object S4Stream {
         // masking its replay). The content-dedup loops don't need this —
         // their indexes are multisets of token/vector rows, where a
         // changed re-crawl is legitimately a new version to dedup against.
-        // resurrection guard first (same contract as the dedup loops)
-        val pinned = exceptTombstoned(batch, idCol, textCol, indexDir)
+        // resurrection guard first (same contract as the dedup loops),
+        // plus the dead-until-reclaim logical-id filter
+        val pinned = exceptLogicallyDeleted(
+            exceptTombstoned(batch, idCol, textCol, indexDir), idCol, indexDir)
           .localCheckpoint() // consumed by filter + append
         val known = graft.operators.ClusterIndex.knownIds(
           s, indexDir, pinned.select(col(idCol)), idCol,
@@ -1234,8 +1252,10 @@ object S4Stream {
       val committed = graft.operators.Fingerprint.tagUsed(
         s.sparkContext.hadoopConfiguration, indexDir, tag)
       if (!committed && !batch.isEmpty) {
-        // resurrection guard first (same contract as the text loop)
-        val live = exceptTombstoned(batch, idCol, vecCol, indexDir)
+        // resurrection guard first (same contract as the text loop),
+        // plus the dead-until-reclaim logical-id filter
+        val live = exceptLogicallyDeleted(
+          exceptTombstoned(batch, idCol, vecCol, indexDir), idCol, indexDir)
         val flagged = graft.operators.VectorIndex
           .probeDups(s, indexDir, live, tau, idCol, vecCol, excludeTag = Some(tag))
           .select(col("inc_id"))

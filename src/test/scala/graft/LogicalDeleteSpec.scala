@@ -264,6 +264,65 @@ class LogicalDeleteSpec extends SparkSpec {
     assert(assignMap(dir) === Map(10L -> 10L))
   }
 
+  test("ingest loops drop dead ids instead of wedging on the append refusal") {
+    // review-caught r13: appends REFUSE tombstoned ids, so a re-crawl of
+    // a logically deleted id arriving in a streaming micro-batch would
+    // throw past the applied/ marker and replay-fail forever, taking
+    // every other doc in the batch down with it. The loops must filter
+    // dead ids up front (dead-until-reclaim), ingest the rest, and admit
+    // the id again after compact() frees it.
+    import graft.streaming.S4Stream
+    val docs = (0 until 10)
+      .map(i => (i.toLong, s"stream doc $i with shared boilerplate body"))
+      .toDF("doc_id", "text")
+    val dir = tmpIdx("ld_loop")
+    val lake = java.nio.file.Files.createTempDirectory("ld_loop_lake").toString
+    TextIndex.build(docs, "doc_id", "text", dir)
+    TextIndex.logicalRemove(docs.filter(col("doc_id") === 4L),
+      "doc_id", "text", dir, tag = "ld1")
+    // batch: a re-crawl of dead id 4 (changed content) + a novel doc
+    val batch = Seq(
+      (4L, "completely new content under the dead id"),
+      (100L, "a wholly novel streamed document")).toDF("doc_id", "text")
+    S4Stream.processIndexedDedupBatch(batch, 0L, "doc_id", "text",
+      dir, lake, "runA") // must NOT throw
+    val lakeIds = spark.read.parquet(lake)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(lakeIds === Set(100L),
+      s"novel doc ingests, dead id drops until reclaim: $lakeIds")
+    // after reclaim the id is free: the re-crawl ingests on its next visit
+    TextIndex.compact(spark, dir)
+    S4Stream.processIndexedDedupBatch(
+      Seq((4L, "completely new content under the dead id")).toDF("doc_id", "text"),
+      1L, "doc_id", "text", dir, lake, "runA")
+    assert(spark.read.parquet(lake).select("doc_id")
+      .collect().map(_.getLong(0)).toSet === Set(100L, 4L))
+  }
+
+  test("logicalRemove refuses on a pre-r11 index without an adjacency log") {
+    // review-caught r13: compact's reclaim re-split reads the edges
+    // table; accepting a tombstone on a legacy tree would brick every
+    // later compact (and remove() refuses while tombstones pend) —
+    // refuse up front, before anything mutates
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val corpus = Seq(a, b).toDF("doc_id", "text")
+    val dir = tmpIdx("ld_legacy")
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    val edges = new org.apache.hadoop.fs.Path(s"$root/edges")
+    assert(edges.getFileSystem(conf).delete(edges, true))
+    val ex = intercept[IllegalArgumentException] {
+      ClusterIndex.logicalRemove(Seq(b).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "t1")
+    }
+    assert(ex.getMessage.contains("adjacency log"), ex.getMessage)
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "refusal must leave no tombstone behind")
+    assert(ClusterIndex.isFresh(spark, dir, corpus, "doc_id", "text"),
+      "refusal must not touch the fingerprint")
+  }
+
   test("rebuild clears pending tombstones (recycled ids must not stay hidden)") {
     val docs = (0 until 8)
       .map(i => (i.toLong, s"rebuild fixture doc $i shared boilerplate"))
