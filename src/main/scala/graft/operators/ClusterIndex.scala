@@ -463,15 +463,6 @@ object ClusterIndex {
         IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, table,
           Seq("_src", bucketCol), remap = Map("_src" -> foldSrc),
           transform = transform)
-      fold("assign", "idb", df => reclaim.fold(df) {
-        case (idCol, vids, nV, newAssign) =>
-          df.join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "left_anti")
-            .join(newAssign, Seq(idCol), "left")
-            .withColumn("component", coalesce(col("_newcomp"), col("component")))
-            .drop("_newcomp")
-      })
-      fold("toks", "idb", dropVictims)
-      fold("postings", "tb", dropVictims)
       // edges fold COLLAPSES the log to the live graph (VERDICT r12
       // item 3): on continuous ingest the raw log grows with HISTORY —
       // every batch adds its own salted set nodes plus one verified
@@ -504,10 +495,7 @@ object ClusterIndex {
       val edgesFs = edgesDir.getFileSystem(conf)
       val legacyNoEdges =
         !edgesFs.exists(edgesDir) || edgesFs.listStatus(edgesDir).isEmpty
-      if (!legacyNoEdges)
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "edges",
-        Seq("_src", "eb"), remap = Map("_src" -> foldSrc),
-        transform = { dfIn =>
+      val edgesTransform: DataFrame => DataFrame = { dfIn =>
           // reclaim hygiene first: a tombstoned id must leave the log
           // (either endpoint), exactly as remove()'s deleteAnyKey pass —
           // the member-row drop then feeds the canonicalization below
@@ -583,9 +571,32 @@ object ClusterIndex {
               .join(keptLive.select(col("u").as("v")), Seq("v"), "leftsemi"))
           canonEdges.unionByName(
             keptClean.select(canonEdges.columns.map(col): _*))
-        })
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "df", Seq("tb"))
-      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
+        }
+      // the six staged-table writes are INDEPENDENT — each reads only
+      // the immutable from-root (plus its own plan frames) and writes
+      // its own staging subdir — so they run concurrently (r13, the
+      // same shape as remove()'s parallel legs): the fold's wall drops
+      // from the sum of six table rewrites to the slowest one, which is
+      // exactly what the reclaim path of
+      // doc_cluster_index_logical_remove clocks.
+      IndexMaintenance.runLegs(Seq(
+        "compact.assign" -> (() => fold("assign", "idb", df => reclaim.fold(df) {
+          case (idCol, vids, nV, newAssign) =>
+            df.join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "left_anti")
+              .join(newAssign, Seq(idCol), "left")
+              .withColumn("component", coalesce(col("_newcomp"), col("component")))
+              .drop("_newcomp")
+        })),
+        "compact.toks" -> (() => fold("toks", "idb", dropVictims)),
+        "compact.postings" -> (() => fold("postings", "tb", dropVictims)),
+        "compact.edges" -> (() => if (!legacyNoEdges)
+          IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "edges",
+            Seq("_src", "eb"), remap = Map("_src" -> foldSrc),
+            transform = edgesTransform)),
+        "compact.df" -> (() =>
+          IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "df", Seq("tb"))),
+        "compact.meta" -> (() =>
+          IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta"))))
     } catch {
       case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
     }

@@ -380,6 +380,52 @@ object Dedup {
       .select(col("inc_id"), col("ref_id"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** [[minhashNearDupsAgainst]] with the engine-neutral hash family
+    * (VERDICT r12 item 6, widened r13): md5-derived element hashes +
+    * the a·x+b mod P signature family, so the DuckDB oracle replays the
+    * asymmetric banding bit-identically — same ref×incoming-only pair
+    * space, same best-match contract (highest verified Jaccard, lowest
+    * ref id). */
+  def minhashNearDupsAgainstPortable(ref: DataFrame, incoming: DataFrame,
+                                     idCol: String, textCol: String,
+                                     numHashes: Int = 128, bands: Int = 16,
+                                     threshold: Double = 0.8,
+                                     maxBucket: Int = 100000): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    val rows = numHashes / bands
+    def prep(df: DataFrame): DataFrame =
+      df.select(col(idCol), portableHashedTokenSet(col(textCol)).as("_toks"))
+        .localCheckpoint() // reused by the band join AND verification
+    def banded(toks: DataFrame): DataFrame = maskedSurvivingBands(
+      toks.select(col(idCol),
+        bandHashes(graft.functions.MinHashSig.lcg(col("_toks"), numHashes),
+          bands, rows).as("_bh")),
+      idCol, maxBucket)
+    val refToks = prep(ref)
+    val incToks = prep(incoming)
+    val r = banded(refToks).select(col("band"), col("band_hash"),
+      col(idCol).as("ref_id"), col("_bh").as("_bh1"))
+    val i = banded(incToks).select(col("band"), col("band_hash"),
+      col(idCol).as("inc_id"), col("_bh").as("_bh2"))
+    val cands = r.join(i, Seq("band", "band_hash"))
+      .filter(graft.functions.FirstBandMatch(col("_bh1"), col("_bh2")) === col("band"))
+      .select(col("inc_id"), col("ref_id"))
+    val verified = cands
+      .join(incToks.select(col(idCol).as("inc_id"), col("_toks").as("_ti")), "inc_id")
+      .join(refToks.select(col(idCol).as("ref_id"), col("_toks").as("_tr")), "ref_id")
+      .withColumn("_inter",
+        graft.functions.SortedIntersectSize(col("_ti"), col("_tr")))
+      .withColumn("jaccard", col("_inter").cast("double") /
+        (size(col("_ti")) + size(col("_tr")) - col("_inter")))
+      .filter(col("jaccard") >= threshold)
+    verified
+      .withColumn("_rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("inc_id"))
+          .orderBy(col("jaccard").desc, col("ref_id"))))
+      .filter(col("_rn") === 1)
+      .select(col("inc_id"), col("ref_id"), round(col("jaccard"), 3).as("jaccard"))
+  }
+
   /** SimHash near-dup: docs whose 64-bit simhash differs by <= maxHamming
     * bits. Candidate generation buckets on 4 × 16-bit simhash bands
     * (guarantees recall for hamming <= 3); verification checks the true

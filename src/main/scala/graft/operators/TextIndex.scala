@@ -471,11 +471,17 @@ object TextIndex {
         // the id column name rides in the tombstone frame itself
         df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")
       }
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "bands",
-        Seq("hb"), transform = dropVictims)
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "toks",
-        Seq("idb"), transform = dropVictims)
-      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
+      // independent staged-table writes run concurrently (r13 — the
+      // remove()-legs shape; see ClusterIndex.compact)
+      IndexMaintenance.runLegs(Seq(
+        "compact.bands" -> (() =>
+          IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "bands",
+            Seq("hb"), transform = dropVictims)),
+        "compact.toks" -> (() =>
+          IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "toks",
+            Seq("idb"), transform = dropVictims)),
+        "compact.meta" -> (() =>
+          IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta"))))
     } catch {
       case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
     }

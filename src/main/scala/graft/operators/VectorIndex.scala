@@ -539,10 +539,16 @@ object VectorIndex {
         // the id column name rides in the tombstone frame itself
         df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")
       }
-      IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "cells",
-        Seq("cell"), transform = dropVictims)
-      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "centroids")
-      IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta")
+      // independent staged-table writes run concurrently (r13 — the
+      // remove()-legs shape; see ClusterIndex.compact)
+      IndexMaintenance.runLegs(Seq(
+        "compact.cells" -> (() =>
+          IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot, "cells",
+            Seq("cell"), transform = dropVictims)),
+        "compact.centroids" -> (() =>
+          IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "centroids")),
+        "compact.meta" -> (() =>
+          IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta"))))
     } catch {
       case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
     }

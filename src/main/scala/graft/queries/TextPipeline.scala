@@ -102,13 +102,15 @@ object TextPipeline {
   /** Incremental-ingest dedup: treat `src19` as the NEWLY ARRIVED dump
     * and flag its documents that near-duplicate the STANDING corpus
     * (every other source) — the monthly-crawl shape where the corpus
-    * must never be re-paired against itself. Engine-only (LSH candidate
-    * generation); DedupSpec gates the asymmetric operator against a
-    * brute-force cross-side scan on planted fixtures, including that
-    * within-side duplicates never flag. */
+    * must never be re-paired against itself. Engine-neutral hash family
+    * (r13), so the DuckDB oracle replays the asymmetric banding and the
+    * best-match rule exactly; DedupSpec additionally gates the
+    * asymmetric operator against a brute-force cross-side scan on
+    * planted fixtures, including that within-side duplicates never
+    * flag. */
   def incrementalDedup(s: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(s, dir)
-    Dedup.minhashNearDupsAgainst(
+    Dedup.minhashNearDupsAgainstPortable(
       docs.filter(col("source") =!= "src19"),
       docs.filter(col("source") === "src19"),
       "doc_id", "text")
@@ -2429,6 +2431,38 @@ object TextPipeline {
         |  AND CAST(len(list_intersect(a.es, b.es)) AS DOUBLE) /
         |      len(list_distinct(list_concat(a.es, b.es))) >= 0.8
         |ORDER BY id1, id2""".stripMargin,
+    "doc_incremental_dedup" ->
+      // asymmetric LSH replay (r13): ref x incoming band agreement as
+      // signature slice equality, exact hashed-set Jaccard, best match
+      // ranked by the UNROUNDED jaccard then lowest ref id — exactly
+      // the engine's window rule
+      """WITH tok AS (
+        |  SELECT doc_id, source, list_sort(list_distinct(list_transform(
+        |    string_split(text, ' '),
+        |    t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)))) AS es
+        |  FROM documents
+        |), sig AS (
+        |  SELECT doc_id, source, es,
+        |    list_transform(range(128), i -> list_min(list_transform(es, v ->
+        |      ((2654435761 * (i + 1)) % 2147483647 * (v % 2147483647) +
+        |       (40503 * (i + 1) + 7) % 2147483647) % 2147483647))) AS sg
+        |  FROM tok
+        |), ver AS (
+        |  SELECT i.doc_id AS inc_id, r.doc_id AS ref_id,
+        |    CAST(len(list_intersect(i.es, r.es)) AS DOUBLE) /
+        |      len(list_distinct(list_concat(i.es, r.es))) AS jraw
+        |  FROM sig i JOIN sig r
+        |    ON i.source = 'src19' AND r.source <> 'src19'
+        |  WHERE len(list_filter(range(16), bb ->
+        |          i.sg[bb*8+1:bb*8+8] = r.sg[bb*8+1:bb*8+8])) > 0
+        |    AND CAST(len(list_intersect(i.es, r.es)) AS DOUBLE) /
+        |        len(list_distinct(list_concat(i.es, r.es))) >= 0.8
+        |)
+        |SELECT inc_id, ref_id, round(jraw, 3) AS jaccard FROM (
+        |  SELECT inc_id, ref_id, jraw,
+        |    row_number() OVER (PARTITION BY inc_id ORDER BY jraw DESC, ref_id) AS rn
+        |  FROM ver)
+        |WHERE rn = 1 ORDER BY inc_id""".stripMargin,
     "doc_simhash_pairs" ->
       // 60-bit md5 SimHash replay: per-bit majority votes over token
       // OCCURRENCES (not distinct — repetition weights the vote), then

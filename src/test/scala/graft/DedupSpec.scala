@@ -100,6 +100,26 @@ class DedupSpec extends SparkSpec {
     assert(got.keySet == truth, s"asymmetric flags must equal brute force: $truth")
   }
 
+  test("portable asymmetric near-dup equals brute force; within-side never flags") {
+    import spark.implicits._
+    def words(seed: Int) =
+      (0 until 20).map(i => s"w${seed}_$i").mkString(" ")
+    val ref = Seq(
+      (1L, words(1)), (2L, words(2)), (3L, words(3))).toDF("doc_id", "text")
+    val nearOf2 = words(2).split(" ").updated(0, "CHANGED").mkString(" ")
+    val twin = words(9)
+    val incoming = Seq(
+      (101L, words(1)), (102L, nearOf2), (103L, words(7)),
+      (104L, twin), (105L, twin)).toDF("doc_id", "text")
+    val got = Dedup.minhashNearDupsAgainstPortable(ref, incoming, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("inc_id") ->
+        (r.getAs[Long]("ref_id"), r.getAs[Double]("jaccard"))).toMap
+    assert(got.keySet == Set(101L, 102L),
+      s"portable family must flag exactly the cross-side near-dups: $got")
+    assert(got(101L) == (1L, 1.0))
+    assert(got(102L)._1 == 2L && got(102L)._2 >= 0.9)
+  }
+
   test("exact dedup is idempotent and keeps lowest id") {
     val docs = Tables.documents(spark, sf0001)
     val deduped = Dedup.exactKeepFirst(docs, "doc_id", "text")
