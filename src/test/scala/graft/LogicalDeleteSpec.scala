@@ -323,6 +323,32 @@ class LogicalDeleteSpec extends SparkSpec {
       "refusal must not touch the fingerprint")
   }
 
+  test("reclaim cleanup clears only its lease-time batch snapshot") {
+    // direct pin of the r13 review fix: compact()/retrain() clear
+    // tombstones AFTER finishCompact released the lease, so a
+    // logicalRemove racing into that window may have added a new batch
+    // — clearBatches must leave it pending instead of deleting the
+    // whole set (which would resurrect its victims while meta records
+    // them subtracted)
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ld_snap").toString + "/idx"
+    val conf = spark.sparkContext.hadoopConfiguration
+    LogicalDelete.write(Seq(1L, 2L).toDF("doc_id"), "doc_id", dir, "rm.a")
+    val snapshot = LogicalDelete.pendingBatches(conf, dir)
+    assert(snapshot === Seq("rm.a"))
+    // the race: a new batch lands after the snapshot
+    LogicalDelete.write(Seq(9L).toDF("doc_id"), "doc_id", dir, "rm.b")
+    LogicalDelete.clearBatches(conf, dir, snapshot)
+    assert(LogicalDelete.pendingBatches(conf, dir) === Seq("rm.b"),
+      "a batch written after the snapshot must survive the cleanup")
+    // and ids() still serves the survivor
+    assert(LogicalDelete.ids(spark, dir).get.collect().map(_.getLong(0)).toSet
+      === Set(9L))
+    // clearing the remainder empties the dir entirely (fast path restored)
+    LogicalDelete.clearBatches(conf, dir, Seq("rm.b"))
+    assert(LogicalDelete.ids(spark, dir).isEmpty)
+  }
+
   test("rebuild clears pending tombstones (recycled ids must not stay hidden)") {
     val docs = (0 until 8)
       .map(i => (i.toLong, s"rebuild fixture doc $i shared boilerplate"))
