@@ -880,10 +880,14 @@ object S4Stream {
     * crash forever. */
   private[graft] def processTakedownBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, indexDir: String, lakeDir: String,
-      runKey: String): Unit =
+      runKey: String, logical: Boolean = false): Unit =
     takedownBatchImpl(batch, batchId, idCol, textCol, indexDir, lakeDir,
       runKey) { (victims, tag) =>
-      graft.operators.TextIndex.remove(victims, idCol, textCol, indexDir, tag)
+      if (logical)
+        graft.operators.TextIndex.logicalRemove(victims, idCol, textCol,
+          indexDir, tag)
+      else
+        graft.operators.TextIndex.remove(victims, idCol, textCol, indexDir, tag)
     }
 
   /** The staged-snapshot takedown protocol shared by the text and
@@ -1092,6 +1096,12 @@ object S4Stream {
     * takedown batch that overlaps an ingest batch on the SAME index
     * fails loudly — schedule the two loops non-overlapping (trigger
     * offsets or AvailableNow turns), exactly as compaction requires.
+    * Under CONTINUOUS ingest pass `logical = true` (r13): the index leg
+    * becomes [[graft.operators.TextIndex.logicalRemove]] — probes are
+    * blind just the same and the lake still scrubs physically, but the
+    * exclusive lease is held ~2 s instead of the full rewrite wall
+    * (SCALING.md r13), with the index bytes reclaimed by the next
+    * compact().
     * The third edge is SILENT without the tombstones and closed by
     * them: an ingest batch that crashed after its index append but
     * before its applied/ marker replays AFTER a takedown already
@@ -1101,11 +1111,12 @@ object S4Stream {
   def indexedTakedownStream(victimIds: DataFrame, idCol: String,
                             textCol: String, indexDir: String,
                             lakeDir: String, checkpointDir: String,
-                            availableNow: Boolean = false): StreamingQuery = {
+                            availableNow: Boolean = false,
+                            logical: Boolean = false): StreamingQuery = {
     lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
     startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
       processTakedownBatch(batch, batchId, idCol, textCol,
-        indexDir, lakeDir, runKey)
+        indexDir, lakeDir, runKey, logical)
     }
   }
 
@@ -1115,11 +1126,15 @@ object S4Stream {
     * semantic ingest loop's lake stores `(id, embedding)`). */
   private[graft] def processVectorTakedownBatch(batch: DataFrame, batchId: Long,
       idCol: String, vecCol: String, indexDir: String, lakeDir: String,
-      runKey: String): Unit =
+      runKey: String, logical: Boolean = false): Unit =
     takedownBatchImpl(batch, batchId, idCol, vecCol, indexDir, lakeDir,
       runKey) { (victims, tag) =>
-      graft.operators.VectorIndex.remove(victims, indexDir,
-        corpusId = idCol, corpusVec = vecCol, tag = tag)
+      if (logical)
+        graft.operators.VectorIndex.logicalRemove(victims, indexDir,
+          corpusId = idCol, corpusVec = vecCol, tag = tag)
+      else
+        graft.operators.VectorIndex.remove(victims, indexDir,
+          corpusId = idCol, corpusVec = vecCol, tag = tag)
     }
 
   /** STREAMING right-to-be-forgotten against the SEMANTIC ingest loop
@@ -1130,11 +1145,12 @@ object S4Stream {
   def indexedVectorTakedownStream(victimIds: DataFrame, idCol: String,
                                   vecCol: String, indexDir: String,
                                   lakeDir: String, checkpointDir: String,
-                                  availableNow: Boolean = false): StreamingQuery = {
+                                  availableNow: Boolean = false,
+                                  logical: Boolean = false): StreamingQuery = {
     lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
     startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
       processVectorTakedownBatch(batch, batchId, idCol, vecCol,
-        indexDir, lakeDir, runKey)
+        indexDir, lakeDir, runKey, logical)
     }
   }
 

@@ -554,6 +554,57 @@ class StreamingSpec extends SparkSpec {
       "replay must clean its staging")
   }
 
+  test("LOGICAL takedown loop: blind + scrubbed with the ~2s lease, reclaimed at compact") {
+    // r13: the continuous-ingest RTBF route — same staged-snapshot
+    // protocol, but the index leg is TextIndex.logicalRemove (tombstone
+    // write, no table rewrite). Probes must be blind and the lake
+    // scrubbed the moment the batch commits; replay converges; the next
+    // compact() physically reclaims and frees the id.
+    import spark.implicits._
+    val lake = tmp("ltklake"); val idx = tmp("ltkidx").toString
+    def txt(seed: Int) = (0 until 20).map(i => s"ltok${seed}_$i").mkString(" ")
+    graft.operators.TextIndex.build(
+      Seq((1L, txt(1))).toDF("doc_id", "text"), "doc_id", "text", idx)
+    S4Stream.processIndexedDedupBatch(
+      Seq((101L, txt(2)), (102L, txt(3))).toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, lake.toString, "runIn")
+    S4Stream.processTakedownBatch(Seq(101L).toDF("doc_id"), 0L,
+      "doc_id", "text", idx, lake.toString, "runTk", logical = true)
+    def lakeIds = spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def probeHits(seed: Int) = graft.operators.TextIndex.probe(spark, idx,
+      Seq((900L, txt(seed))).toDF("doc_id", "text"), "doc_id", "text").count()
+    assert(lakeIds === Set(102L), "lake must scrub physically")
+    assert(probeHits(2) == 0L, "probe must be blind after the logical leg")
+    assert(probeHits(3) == 1L, "survivors still match")
+    assert(graft.operators.TextIndex.isFresh(spark, idx,
+      Seq((1L, txt(1)), (102L, txt(3))).toDF("doc_id", "text"),
+      "doc_id", "text"), "fingerprint tracks survivors immediately")
+    // replay (marker lost) converges without double subtraction
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/applied/ckrunTk_b0"), false))
+    S4Stream.processTakedownBatch(Seq(101L).toDF("doc_id"), 0L,
+      "doc_id", "text", idx, lake.toString, "runTk", logical = true)
+    assert(graft.operators.TextIndex.isFresh(spark, idx,
+      Seq((1L, txt(1)), (102L, txt(3))).toDF("doc_id", "text"),
+      "doc_id", "text"), "replay must not double-subtract")
+    // reclaim: rows leave disk, tombstones clear, the id is free again
+    graft.operators.TextIndex.compact(spark, idx)
+    val root = graft.operators.IndexMaintenance.liveRoot(
+      spark.sparkContext.hadoopConfiguration, idx)
+    assert(spark.read.parquet(s"$root/toks")
+      .filter(col("doc_id") === 101L).count() == 0L)
+    assert(graft.operators.LogicalDelete.pendingBatches(
+      spark.sparkContext.hadoopConfiguration, idx).isEmpty)
+    S4Stream.processIndexedDedupBatch(
+      Seq((101L, txt(9))).toDF("doc_id", "text"),
+      1L, "doc_id", "text", idx, lake.toString, "runIn")
+    assert(lakeIds === Set(102L, 101L),
+      "a reclaimed id must re-ingest as a fresh document")
+  }
+
   test("takedown tombstones: a crashed-unmarkered ingest replay cannot resurrect victims") {
     // ADVICE r11 (S4Stream silent window): ingest batch appends, crashes
     // BEFORE its applied/ marker; a takedown removes one of its docs;
