@@ -30,6 +30,62 @@ import java.nio.file.{Files, Paths}
   */
 object Bench {
 
+  /** Self-defending archive (VERDICT r13 item 1): the r13 headline
+    * shipped 40% slow because a contaminated measurement window inflated
+    * queries whose source was untouched, and nothing in the pipeline
+    * flagged it. Before overwriting `bench_result.json`, the previous
+    * artifact's per-query mins are parsed and any query that moved >2×
+    * in either direction (above a 0.5 s floor — ratio noise on
+    * millisecond queries is meaningless) is listed under
+    * `"suspect_noise"` with both values, so a loaded box reads as
+    * "suspect" in the artifact itself instead of as a silent regression.
+    * Pure functions, unit-gated by BenchArchiveSpec with a planted
+    * prior archive. */
+  private[graft] def parseQueryMins(json: String): Map[String, Double] = {
+    // the artifact's "queries" object is flat ("name":sec,...) by the
+    // driver contract; a tolerant regex scan beats a JSON dependency
+    val start = json.indexOf("\"queries\":{")
+    if (start < 0) Map.empty
+    else {
+      val body = json.substring(start + "\"queries\":{".length,
+        json.indexOf('}', start))
+      raw""""([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
+        .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
+        .toMap
+    }
+  }
+
+  private[graft] def suspectNoise(prev: Map[String, Double],
+                                  now: Map[String, Double]): String = {
+    val sus = now.toSeq.sorted.flatMap { case (k, n) =>
+      prev.get(k).collect {
+        case p if math.max(p, n) >= 0.5 && (n > 2 * p || n < p / 2) =>
+          s""""$k":{"prev":${f"$p%.3f"},"now":${f"$n%.3f"}}"""
+      }
+    }
+    sus.mkString("{", ",", "}")
+  }
+
+  /** Min-of-3 per leg for a composed takedown query, plus "serve" = run
+    * total minus recorded legs — only when runs and leg maps align 1:1
+    * (a re-run that failed at the count() recorded its legs without
+    * contributing a total; zipping the shortened list would attribute
+    * one run's legs to another's total — review-caught r13). */
+  private def legSplitJson(legRuns: Seq[Map[String, Double]],
+                           totals: Seq[Double]): String =
+    if (legRuns.isEmpty) "{}"
+    else {
+      val keys = legRuns.head.keys.toSeq
+      val serveRuns =
+        if (totals.size == legRuns.size)
+          totals.zip(legRuns).map { case (t, m) => math.max(0.0, t - m.values.sum) }
+        else Seq.empty
+      (keys.map(k => k -> legRuns.map(_(k)).min) ++
+        (if (serveRuns.nonEmpty) Seq("serve" -> serveRuns.min) else Nil))
+        .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
+        .mkString("{", ",", "}")
+    }
+
   /** Per-query task metrics: max single-task peak execution memory and
     * summed JVM GC time across the query's tasks. */
   private final class MetricsListener extends SparkListener {
@@ -134,9 +190,20 @@ object Bench {
       selected.view.filterKeys(_.startsWith("scan_")).values
         .foreach(fn => fn(spark, sfDir).count()))
     dropPersistedBlocks()
-    // takedown leg attribution (VERDICT r12 item 4): drop warmup
-    // entries so the per-run leg maps align 1:1 with the timed runs
+    // takedown leg attribution (VERDICT r12 item 4, r13 item 2): drop
+    // warmup entries so the per-run leg maps align 1:1 with timed runs
     graft.queries.TextPipeline.removeLegRuns.clear()
+    graft.queries.TextPipeline.logicalLegRuns.clear()
+    // prior artifact's per-query mins, read BEFORE this run overwrites
+    // it — feeds the suspect_noise annotation (VERDICT r13 item 1).
+    // Only comparable at the SAME scale factor: a dev smoke at sf0.001
+    // against an sf0.1 archive would flag everything.
+    val priorMins =
+      try {
+        val prior = Files.readString(Paths.get("bench_result.json"))
+        if (prior.contains(s""""sf":"$sfDir"""")) parseQueryMins(prior)
+        else Map.empty[String, Double]
+      } catch { case _: Exception => Map.empty[String, Double] }
 
     // bench-noise attribution (VERDICT r6 item 8, widened to EVERY query
     // by r9 item 5): this box's run-to-run variance is ±20-40%, and
@@ -201,37 +268,24 @@ object Bench {
       f"""{"write_s":$wS%.3f,"read_s":$rS%.3f}"""
     } catch { case _: Throwable => """{}""" }
 
-    // takedown leg split (VERDICT r12 item 4): min-of-3 PER LEG of the
-    // composed doc_cluster_index_remove — {ensure, snapshot, lake_stage,
-    // victims, lake_scrub, index_remove} from the query body, plus
-    // "serve" = run total minus the recorded legs (the assignments
-    // semi-join count). Same runs as the headline number, so a
-    // driver-side regression names its leg instead of hiding in one
-    // conflated second count. bench_result.json only (stdout stays
-    // compact).
-    val takedownLegs = {
-      import scala.jdk.CollectionConverters._
-      val legRuns = graft.queries.TextPipeline.removeLegRuns.asScala.toSeq
-      if (legRuns.isEmpty) "{}"
-      else {
-        val keys = legRuns.head.keys.toSeq
-        val totals = results.find(_._1 == "doc_cluster_index_remove")
-          .map(_._3).getOrElse(Seq.empty)
-        // serve = total minus recorded legs, but ONLY when runs and leg
-        // maps align 1:1 — a re-run that failed at the count() recorded
-        // its legs without contributing a total, and zipping the
-        // shortened list would attribute one run's legs to another's
-        // total (review-caught r13); the failure is already loud
-        val serveRuns =
-          if (totals.size == legRuns.size)
-            totals.zip(legRuns).map { case (t, m) => math.max(0.0, t - m.values.sum) }
-          else Seq.empty
-        (keys.map(k => k -> legRuns.map(_(k)).min) ++
-          (if (serveRuns.nonEmpty) Seq("serve" -> serveRuns.min) else Nil))
-          .map { case (k, v) => s""""$k":${f"$v%.3f"}""" }
-          .mkString("{", ",", "}")
-      }
-    }
+    // takedown leg splits (VERDICT r12 item 4 / r13 item 2): min-of-3
+    // PER LEG of both composed takedown queries — physical
+    // doc_cluster_index_remove {ensure, snapshot, lake_stage, victims,
+    // lake_scrub, index_remove} and logical
+    // doc_cluster_index_logical_remove {ensure, snapshot, victims,
+    // logical, reclaim} — plus "serve" = run total minus recorded legs.
+    // Same runs as the headline numbers, so a driver-side regression
+    // names its leg instead of hiding in one conflated second count.
+    // bench_result.json only (stdout stays compact).
+    import scala.jdk.CollectionConverters._
+    def runTotals(name: String): Seq[Double] =
+      results.find(_._1 == name).map(_._3).getOrElse(Seq.empty)
+    val takedownLegs = legSplitJson(
+      graft.queries.TextPipeline.removeLegRuns.asScala.toSeq,
+      runTotals("doc_cluster_index_remove"))
+    val takedownLegsLogical = legSplitJson(
+      graft.queries.TextPipeline.logicalLegRuns.asScala.toSeq,
+      runTotals("doc_cluster_index_logical_remove"))
 
     // driver contract: queries maps name -> seconds (plain numbers; the
     // per-query MIN of 3 runs since r10 — "timing" says so); failures
@@ -254,10 +308,16 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","timing":"min_of_3",""" +
         s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val nowMins = results.map { case (k, _, runs, _, _, _, _) => k -> runs.min }.toMap
+    val suspect = suspectNoise(priorMins, nowMins)
+    if (suspect != "{}") System.err.println(
+      s"[bench] SUSPECT NOISE vs prior bench_result.json (>2x moves): $suspect")
     val detail =
       line.dropRight(1) + s""","peak_exec_mb":$mem,"gc_ms":$gc,"storage_mb":$stor,""" +
         s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit,""" +
-        s""""takedown_legs":$takedownLegs,"repeats":$repJson}"""
+        s""""takedown_legs":$takedownLegs,""" +
+        s""""takedown_legs_logical":$takedownLegsLogical,""" +
+        s""""suspect_noise":$suspect,"repeats":$repJson}"""
     Files.writeString(Paths.get("bench_result.json"), detail)
     println(line)
     spark.stop()

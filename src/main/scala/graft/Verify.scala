@@ -15,6 +15,10 @@ object Verify {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // portable-dedup cap audit (ADVICE r13): if the maxBucket valve
+      // fires during an oracle run, fail loudly naming the cap instead
+      // of surfacing as an unattributable DuckDB hash mismatch
+      .config("graft.dedup.capAudit", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

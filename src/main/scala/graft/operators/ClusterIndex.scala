@@ -442,7 +442,7 @@ object ClusterIndex {
       // identical plan. Tombstones clear only AFTER the cutover. ----
       val (_, nBuckets) = readMeta(s, ctx.fromRoot)
       val tomb =
-        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
+        LogicalDelete.idsOf(s, indexDir, reclaimBatches)
       val reclaim = tomb.map { t =>
         // the id column name rides in the tombstone frame itself —
         // whatever the builder passed to logicalRemove
@@ -996,7 +996,15 @@ object ClusterIndex {
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
-    if (nV > 0L) {
+    // Replay of a COMPLETED run: the applied record exists but no removal
+    // state pends — the prior invocation ran through its state cleanup
+    // (the last step), so meta, record, and tombstone all landed and a
+    // later compact() may already have reclaimed the batch. Re-writing
+    // the tombstone here would re-hide ids legitimately re-ingested
+    // after that reclaim (ADVICE r13) — the replay is a no-op.
+    val completedReplay = replay &&
+      Fingerprint.readRemoveState(conf, normDir, rmTag).isEmpty
+    if (nV > 0L && !completedReplay) {
       // a pre-r11 index has no adjacency log: compact's reclaim re-split
       // reads it, so refusing HERE — nothing mutated yet — beats a
       // tombstone that bricks every later compact (review-caught r13;

@@ -259,6 +259,32 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
   }
 
+  /** Opt-in cap audit for the PORTABLE pipelines (ADVICE r13): their
+    * DuckDB oracles model banding as pure slice equality — the maxBucket
+    * valve is deliberately absent from the SQL, so if the cap ever fires
+    * at a larger fixture the oracle and the engine legitimately diverge
+    * and the hash mismatch would be hunted as a hash-family bug. With
+    * `graft.dedup.capAudit=true` in the session conf (Verify sets it;
+    * Bench leaves it off — the audit is one extra count job per call),
+    * refuse loudly when any band bucket exceeds the cap, naming the cap
+    * as the cause. Input is the pre-masking (id, _bh) frame. */
+  private def auditPortableCap(withBh: DataFrame, maxBucket: Int,
+                               opName: String): Unit = {
+    val s = withBh.sparkSession
+    if (s.conf.get("graft.dedup.capAudit", "false").toBoolean) {
+      val over = withBh
+        .select(posexplode(col("_bh")).as(Seq("band", "band_hash")))
+        .groupBy(col("band"), col("band_hash"))
+        .agg(count(lit(1)).as("n"))
+        .filter(col("n") > maxBucket).count()
+      if (over > 0L) throw new IllegalStateException(
+        s"$opName: $over LSH band bucket(s) exceed maxBucket=$maxBucket — " +
+          "the valve masked bands that the DuckDB oracle does not model, " +
+          "so an oracle hash mismatch on this run is the cap firing, NOT " +
+          "a hash-family bug. Exact-dedup the input or raise maxBucket.")
+    }
+  }
+
   /** Engine-NEUTRAL hashed token set: one md5 per token, first 15 hex
     * chars as a 60-bit long (the [[TextOps.fingerprint]] recipe — md5
     * is the one hash both engines compute bit-identically), sorted
@@ -290,6 +316,7 @@ object Dedup {
     val withBh = toks.select(col(idCol),
       bandHashes(graft.functions.MinHashSig.lcg(col("_toks"), numHashes),
         bands, rows).as("_bh"))
+    auditPortableCap(withBh, maxBucket, "Dedup.minhashNearDupsPortable")
     val cands = candidatePairsFirstBand(withBh, idCol, maxBucket)
     jaccardVerifySorted(cands, toks, idCol, "_toks")
       .filter(col("jaccard") >= threshold)
@@ -396,11 +423,14 @@ object Dedup {
     def prep(df: DataFrame): DataFrame =
       df.select(col(idCol), portableHashedTokenSet(col(textCol)).as("_toks"))
         .localCheckpoint() // reused by the band join AND verification
-    def banded(toks: DataFrame): DataFrame = maskedSurvivingBands(
-      toks.select(col(idCol),
+    def banded(toks: DataFrame): DataFrame = {
+      val withBh = toks.select(col(idCol),
         bandHashes(graft.functions.MinHashSig.lcg(col("_toks"), numHashes),
-          bands, rows).as("_bh")),
-      idCol, maxBucket)
+          bands, rows).as("_bh"))
+      auditPortableCap(withBh, maxBucket,
+        "Dedup.minhashNearDupsAgainstPortable")
+      maskedSurvivingBands(withBh, idCol, maxBucket)
+    }
     val refToks = prep(ref)
     val incToks = prep(incoming)
     val r = banded(refToks).select(col("band"), col("band_hash"),

@@ -58,31 +58,42 @@ private[graft] object LogicalDelete {
   private def dirPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(dir(indexDir))
 
-  /** Pending tombstone batch names (sanitized tags) — ops visibility. */
+  /** Pending tombstone batch names (sanitized tags) — ops visibility and
+    * the compact paths' lease-time snapshot. ONE FS metadata call on
+    * every path (ADVICE r13): `exists` + `listStatus` was two LIST
+    * round-trips per index read on S3; a missing dir is the common case
+    * (no deletion ever pended) and surfaces as FileNotFoundException
+    * from the single listStatus instead. */
   def pendingBatches(conf: org.apache.hadoop.conf.Configuration,
                      indexDir: String): Seq[String] = {
     val d = dirPath(indexDir)
     val fs = d.getFileSystem(conf)
-    if (!fs.exists(d)) Seq.empty
-    else fs.listStatus(d).map(_.getPath.getName)
+    try fs.listStatus(d).map(_.getPath.getName)
       .filter(_.startsWith("batch=")).map(_.stripPrefix("batch=")).sorted.toSeq
+    catch { case _: java.io.FileNotFoundException => Seq.empty }
   }
 
   /** The union of pending tombstoned ids as a one-column frame, or None
-    * when no logical deletion pends — the no-FS-entry fast path every
-    * read takes on an index that never saw one. The column keeps the id
+    * when no logical deletion pends — the fast path every read takes on
+    * an index that never saw one costs exactly ONE FS metadata call
+    * (the [[pendingBatches]] listStatus). The column keeps the id
     * column's ORIGINAL name (as the builder passed it), so [[idColOf]]
     * can recover it at compact time without schema guessing. */
-  def ids(s: SparkSession, indexDir: String): Option[DataFrame] = {
-    val d = dirPath(indexDir)
-    val fs = d.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(d) || !fs.listStatus(d).exists(_.getPath.getName.startsWith("batch=")))
-      None
+  def ids(s: SparkSession, indexDir: String): Option[DataFrame] =
+    idsOf(s, indexDir,
+      pendingBatches(s.sparkContext.hadoopConfiguration, indexDir))
+
+  /** [[ids]] for callers that already hold the pending-batch listing
+    * (the compact/retrain paths snapshot it under the lease) — zero
+    * additional FS metadata calls. */
+  def idsOf(s: SparkSession, indexDir: String,
+            batches: Seq[String]): Option[DataFrame] =
+    if (batches.isEmpty) None
     else {
-      val raw = s.read.parquet(d.toString)
+      val d = dir(indexDir)
+      val raw = s.read.parquet(batches.map(b => s"$d/batch=$b"): _*)
       Some(raw.select(col(idColOf(raw))).distinct())
     }
-  }
 
   /** The index's id column name, recovered from a pending tombstone
     * frame (its only non-partition column). */
@@ -130,7 +141,9 @@ private[graft] object LogicalDelete {
       if (n > 0L) Fingerprint.refuse(
         s"$opName: $n of the ids are logically deleted (tombstoned under " +
           s"${dir(indexDir)}) and awaiting physical reclaim — compact() the " +
-          "index first")
+          "index first. (If a compact() just completed, these tombstones " +
+          "survived a crash between its cutover and its cleanup and match " +
+          "nothing — re-running compact() clears them.)")
     }
 
   /** Refusal for the physical remove(): while ANY tombstone pends, its
@@ -143,7 +156,9 @@ private[graft] object LogicalDelete {
     if (pending.nonEmpty) Fingerprint.refuse(
       s"$opName: logical deletion batch(es) ${pending.mkString(", ")} are " +
         s"pending reclaim under ${dir(indexDir)} — run compact() to reclaim " +
-        "them before a physical remove")
+        "them before a physical remove. (If a compact() just completed, " +
+        "these batches survived a crash between its cutover and its " +
+        "cleanup and match nothing — re-running compact() clears them.)")
   }
 
   /** Drop the whole tombstone set — build()'s rebuild path only (a
@@ -173,6 +188,14 @@ private[graft] object LogicalDelete {
     batches.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(d, s"batch=$b"), true)
     }
-    if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+    // Tidy the now-empty parent, but NEVER fail the compact over it: a
+    // logicalRemove that acquired the freed remove lease may be writing
+    // a new batch dir between our listStatus and the delete — the
+    // non-recursive delete then throws on HDFS/object stores after the
+    // cutover already committed (ADVICE r13). An undeleted empty
+    // deleted/ dir is harmless; the next write recreates its children.
+    try {
+      if (fs.exists(d) && fs.listStatus(d).isEmpty) fs.delete(d, false)
+    } catch { case scala.util.control.NonFatal(_) => () }
   }
 }

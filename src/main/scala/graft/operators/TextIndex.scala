@@ -380,7 +380,12 @@ object TextIndex {
       conf, normDir, rmTag, "TextIndex.logicalRemove")
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
-    if (nV > 0L) {
+    // applied record + no pending removal state ⟺ the prior run fully
+    // completed; re-writing the tombstone would re-hide ids re-ingested
+    // after a compact() reclaim (ADVICE r13) — no-op the replay
+    val completedReplay = replay &&
+      Fingerprint.readRemoveState(conf, normDir, rmTag).isEmpty
+    if (nV > 0L && !completedReplay) {
       val vIdb = vids
         .select(pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)).as("idb"))
         .distinct().collect().map(_.getLong(0)).toSeq
@@ -466,7 +471,7 @@ object TextIndex {
     val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
     try {
       val tomb =
-        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
+        LogicalDelete.idsOf(s, indexDir, reclaimBatches)
       def dropVictims(df: DataFrame): DataFrame = tomb.fold(df) { t =>
         // the id column name rides in the tombstone frame itself
         df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")

@@ -379,7 +379,12 @@ object VectorIndex {
       .select(col(corpusId), col("cell")).distinct().localCheckpoint()
     val vids = pinned.select(col(corpusId)).distinct()
     val nV = vids.count()
-    if (nV > 0L) {
+    // applied record + no pending removal state ⟺ the prior run fully
+    // completed; re-writing the tombstone would re-hide ids re-ingested
+    // after a compact() reclaim (ADVICE r13) — no-op the replay
+    val completedReplay = replay &&
+      Fingerprint.readRemoveState(conf, normDir, rmTag).isEmpty
+    if (nV > 0L && !completedReplay) {
       if (!replay) {
         LogicalDelete.requireNotTombstoned(s, indexDir, vids, corpusId,
           "VectorIndex.logicalRemove")
@@ -474,7 +479,7 @@ object VectorIndex {
     val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
     try {
       val tomb =
-        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
+        LogicalDelete.idsOf(s, indexDir, reclaimBatches)
       val live = tomb.fold(
           s.read.option("mergeSchema", "true").parquet(s"${ctx.fromRoot}/cells"))(
           t => s.read.option("mergeSchema", "true").parquet(s"${ctx.fromRoot}/cells")
@@ -534,7 +539,7 @@ object VectorIndex {
     val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
     try {
       val tomb =
-        if (reclaimBatches.isEmpty) None else LogicalDelete.ids(s, indexDir)
+        LogicalDelete.idsOf(s, indexDir, reclaimBatches)
       val dropVictims: DataFrame => DataFrame = df => tomb.fold(df) { t =>
         // the id column name rides in the tombstone frame itself
         df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")

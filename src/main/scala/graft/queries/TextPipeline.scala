@@ -677,17 +677,39 @@ object TextPipeline {
     * fresh build without the victims, bridge-splits included. The
     * marginal (pre-reclaim) takedown cost has its own evidence channel:
     * the RemoveProfile sweep's `logical` rows. */
+  /** Per-run leg timings of [[clusterIndexLogicalRemove]] (VERDICT r13
+    * item 2 — the heaviest query in the suite was one conflated number):
+    * each invocation appends {ensure, snapshot, victims, logical,
+    * reclaim} seconds; Bench clears this after its warmups and publishes
+    * the min-of-3 per leg as `takedown_legs_logical` beside the physical
+    * `takedown_legs`, with "serve" derived as run total minus legs. The
+    * composition is deliberate — the full-strength CC oracle needs the
+    * in-path compact() reclaim for bridge-splits — so the reclaim's cost
+    * must be attributable, not hidden in the headline. */
+  private[graft] val logicalLegRuns =
+    new java.util.concurrent.CopyOnWriteArrayList[Map[String, Double]]()
+
   def clusterIndexLogicalRemove(s: SparkSession, dir: String): DataFrame = {
-    val base = ensureClusterIndex(s, dir)
+    val legs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def leg[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      legs(name) = (System.nanoTime() - t0) / 1e9; r
+    }
+    val base = leg("ensure") { ensureClusterIndex(s, dir) }
     val key = Tables.fixtureKey(dir)
     val scratch =
       s"${System.getProperty("java.io.tmpdir")}/graft_clusteridx_lrm/$key"
-    snapshotIndex(s, base, scratch)
-    val victims = Tables.documents(s, dir).filter(col("doc_id") % 41 === 0)
-      .select(col("doc_id"), col("text")).localCheckpoint()
-    graft.operators.ClusterIndex.logicalRemove(victims, "doc_id", "text",
-      scratch, tag = "rtbf")
-    graft.operators.ClusterIndex.compact(s, scratch)
+    leg("snapshot") { snapshotIndex(s, base, scratch) }
+    val victims = leg("victims") {
+      Tables.documents(s, dir).filter(col("doc_id") % 41 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+    }
+    leg("logical") {
+      graft.operators.ClusterIndex.logicalRemove(victims, "doc_id", "text",
+        scratch, tag = "rtbf")
+    }
+    leg("reclaim") { graft.operators.ClusterIndex.compact(s, scratch) }
+    logicalLegRuns.add(legs.toMap)
     graft.operators.ClusterIndex.assignments(s, scratch, "doc_id")
       .orderBy(col("doc_id"))
   }

@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The self-defending bench archive (VERDICT r13 item 1): r13 shipped a
+  * 40% inflated headline because nothing diffed the new artifact
+  * against the previous one. These gates plant a fake prior archive and
+  * assert the annotation actually fires — and stays quiet on in-band
+  * wobble — so the defense itself can't silently rot. Pure-function
+  * tests; no SparkSession. */
+class BenchArchiveSpec extends AnyFunSuite {
+
+  private val prior =
+    """{"metric":"total","value":84.5,"unit":"sec","timing":"min_of_3",""" +
+      """"queries":{"doc_heavy_terms":0.480,"vec_knn_join":1.720,""" +
+      """"q01_agg":0.210,"doc_jaccard_pairs":3.500},""" +
+      """"failed":[],"sf":"/root/testdata/sf0.1"}"""
+
+  test("parseQueryMins recovers the flat per-query map") {
+    val m = Bench.parseQueryMins(prior)
+    assert(m === Map("doc_heavy_terms" -> 0.48, "vec_knn_join" -> 1.72,
+      "q01_agg" -> 0.21, "doc_jaccard_pairs" -> 3.5))
+    assert(Bench.parseQueryMins("""{"no_queries_here":1}""") === Map.empty)
+  }
+
+  test("a planted 10x slowdown on an untouched query fires the annotation") {
+    // the exact r13 contamination shape: doc_heavy_terms 0.48 -> 5.03
+    val now = Map("doc_heavy_terms" -> 5.03, "vec_knn_join" -> 1.75,
+      "q01_agg" -> 0.24, "doc_jaccard_pairs" -> 3.4)
+    val sus = Bench.suspectNoise(Bench.parseQueryMins(prior), now)
+    assert(sus.contains("\"doc_heavy_terms\""), sus)
+    assert(sus.contains("\"prev\":0.480") && sus.contains("\"now\":5.030"), sus)
+    assert(!sus.contains("vec_knn_join"), s"in-band wobble flagged: $sus")
+  }
+
+  test("quiet on in-band wobble, and on sub-floor ratio noise") {
+    // +/-40% moves (the box's documented wobble) must NOT flag
+    val wobble = Map("doc_heavy_terms" -> 0.65, "vec_knn_join" -> 1.25,
+      "doc_jaccard_pairs" -> 4.6)
+    assert(Bench.suspectNoise(Bench.parseQueryMins(prior), wobble) === "{}")
+    // a 3x move on a 0.05s query is ratio noise below the 0.5s floor
+    assert(Bench.suspectNoise(Map("tiny" -> 0.05), Map("tiny" -> 0.15)) === "{}")
+    // ...but a genuine 2x+ move above the floor flags in BOTH directions
+    assert(Bench.suspectNoise(Map("q" -> 4.0), Map("q" -> 1.2)) !== "{}")
+  }
+
+  test("new and vanished queries never flag (no prior baseline to compare)") {
+    val sus = Bench.suspectNoise(Bench.parseQueryMins(prior),
+      Map("brand_new_query" -> 20.0))
+    assert(sus === "{}")
+  }
+}

@@ -349,6 +349,59 @@ class LogicalDeleteSpec extends SparkSpec {
     assert(LogicalDelete.ids(spark, dir).isEmpty)
   }
 
+  test("tombstone probe: ONE FS metadata call on the no-pending path") {
+    // ADVICE r13: exists() + listStatus() was two LIST round-trips per
+    // index read on an object store; the fast path must cost exactly one
+    CountingMockFs.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("ld_meta").toString
+    val dir = s"mock://$base/idx"
+    val conf = spark.sparkContext.hadoopConfiguration
+    // no-pending path (deleted/ never existed)
+    CountingMockFs.reset()
+    assert(LogicalDelete.ids(spark, dir).isEmpty)
+    assert(CountingMockFs.metaCallsUnder(s"$base/idx/deleted") == 1,
+      s"no-pending ids() must cost exactly one metadata call, saw " +
+        s"${CountingMockFs.metaCallsUnder(s"$base/idx/deleted")}")
+    // same bound for the batch-name listing the ops console uses
+    CountingMockFs.reset()
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty)
+    assert(CountingMockFs.metaCallsUnder(s"$base/idx/deleted") == 1)
+    // positive control: a pending batch IS still found through the same
+    // single-listStatus path
+    LogicalDelete.write(Seq(7L).toDF("doc_id"), "doc_id", dir, "rm.x")
+    assert(LogicalDelete.ids(spark, dir).get.collect()
+      .map(_.getLong(0)).toSet === Set(7L))
+  }
+
+  test("replay of a COMPLETED logical remove is a no-op (post-reclaim re-ingest stays visible)") {
+    // ADVICE r13 (medium): wasApplied=true + empty removal state proves
+    // the prior run finished; rewriting the tombstone batch would
+    // re-hide an id legitimately re-ingested after compact() reclaimed
+    // it — and the next compact would physically drop the NEW document
+    val docs = (0 until 8)
+      .map(i => (i.toLong, s"completed replay fixture doc $i boilerplate"))
+      .toDF("doc_id", "text")
+    val dir = tmpIdx("ld_cr")
+    val conf = spark.sparkContext.hadoopConfiguration
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val victims = docs.filter(col("doc_id") === 3L)
+    TextIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1")
+    TextIndex.compact(spark, dir) // reclaim: tombstone cleared
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty)
+    // id 3 is legitimately re-ingested with NEW content after reclaim
+    TextIndex.append(Seq((3L, "completely new post-reclaim content three"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "re3")
+    // an at-least-once orchestrator re-fires the old, completed removal
+    TextIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1")
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "a completed replay must not rewrite the tombstone batch")
+    // the re-ingested doc is still probe-visible
+    assert(TextIndex.probe(spark, dir,
+      Seq((900L, "completely new post-reclaim content three"))
+        .toDF("doc_id", "text"), "doc_id", "text").count() == 1L,
+      "re-ingested id must stay visible after the completed replay")
+  }
+
   test("rebuild clears pending tombstones (recycled ids must not stay hidden)") {
     val docs = (0 until 8)
       .map(i => (i.toLong, s"rebuild fixture doc $i shared boilerplate"))

@@ -25,6 +25,18 @@ class CountingMockFs extends RawLocalFileSystem {
     CountingMockFs.record(f)
     super.open(f, bufferSize)
   }
+  // Metadata-call counting (r14): every remote LIST/HEAD-shaped API the
+  // index read paths can issue. Counted at the public-API boundary —
+  // RawLocalFileSystem's listStatus does not re-enter getFileStatus for
+  // a missing dir, so a single-probe fast path records exactly one call.
+  override def listStatus(f: Path): Array[org.apache.hadoop.fs.FileStatus] = {
+    CountingMockFs.recordMeta(f)
+    super.listStatus(f)
+  }
+  override def getFileStatus(f: Path): org.apache.hadoop.fs.FileStatus = {
+    CountingMockFs.recordMeta(f)
+    super.getFileStatus(f)
+  }
 }
 
 object CountingMockFs {
@@ -37,7 +49,18 @@ object CountingMockFs {
       .set("fs.mock.impl", classOf[CountingMockFs].getName)
 
   private[graft] def record(p: Path): Unit = opened.add(p.toUri.getPath)
-  def reset(): Unit = opened.clear()
+  private val meta = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+  private[graft] def recordMeta(p: Path): Unit = meta.add(p.toUri.getPath)
+  def reset(): Unit = { opened.clear(); meta.clear() }
+
+  /** Metadata calls (listStatus/getFileStatus, incl. exists) under this
+    * local-path prefix since the last [[reset]]. */
+  def metaCallsUnder(prefix: String): Int = {
+    val it = meta.iterator()
+    var n = 0
+    while (it.hasNext) if (it.next().startsWith(prefix)) n += 1
+    n
+  }
 
   /** How many file opens landed under this local-path prefix since the
     * last [[reset]] (local[*] runs tasks in this JVM, so task-side opens
