@@ -138,6 +138,11 @@ object KMeans {
     * posexplode per-dimension mean; partial aggregation applies; only
     * k × dim doubles reach the driver). Empty cells keep their previous
     * centroid (the trainCentroids rule). */
+  /** Last model fit per (k, iters, seed) in this JVM — the oracle-literal
+    * export channel (VERDICT r13 item 3; see Similarity.lastTrained). */
+  private[graft] val lastFit =
+    new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Double]]]()
+
   def fit(corpus: DataFrame, k: Int, iters: Int = 5, seed: Long = 42L,
           idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val cands = oversample(corpus, l = 2 * k, rounds = 4, seed, idCol, vecCol)
@@ -156,6 +161,7 @@ object KMeans {
       }
       centroids = centroids.indices.map(i => byCid.getOrElse(i, centroids(i)))
     }
+    lastFit.put((k, iters, seed), centroids)
     centroids
   }
 

@@ -95,6 +95,11 @@ object Similarity {
     * the standard practice (a codebook summarizes geometry, not rows);
     * deterministic init = first k sample subvectors in hash order, empty
     * cells keep their previous centroid. */
+  /** Last PQ codebooks trained per (m, kCents, seed) — oracle-literal
+    * export channel (see [[lastTrained]]). */
+  private[graft] val lastCodebooks =
+    new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Seq[Double]]]]()
+
   def trainPqCodebooks(corpus: DataFrame, m: Int, kCents: Int,
                        sampleN: Int = 512, iters: Int = 8, seed: Long = 42L,
                        corpusId: String = "vec_id",
@@ -108,7 +113,7 @@ object Similarity {
     val dim = sample.head.length
     require(dim % m == 0, s"dim $dim must divide into $m subspaces")
     val ds = dim / m
-    (0 until m).map { sub =>
+    val cbs = (0 until m).map { sub =>
       val pts = sample.map(v => java.util.Arrays.copyOfRange(v, sub * ds, (sub + 1) * ds))
       // distinct BY VALUE (Array equality is reference identity) — else
       // equal-content subvectors seed duplicate centroids that the
@@ -139,6 +144,8 @@ object Similarity {
       }
       cents.map(_.toSeq).toSeq
     }
+    lastCodebooks.put((m, kCents, seed), cbs)
+    cbs
   }
 
   /** ANN top-k over PRODUCT-QUANTIZED codes (the memory-bandwidth scale
@@ -224,9 +231,18 @@ object Similarity {
   }
 
   /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */
+  /** Last plane set generated per (count, seed) — the oracle-literal
+    * export channel for the LSH family (see [[lastTrained]]); the
+    * generator is a pure function of (count, dim, seed) and dim is
+    * corpus-derived, so recording at generation time is exact. */
+  private[graft] val lastPlanes =
+    new scala.collection.concurrent.TrieMap[(Int, Long), Seq[Seq[Double]]]()
+
   def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
-    Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    val planes = Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
+    lastPlanes.put((bits, seed), planes)
+    planes
   }
 
   /** Embedding dimensionality read from the data (one-row action — NOT a
@@ -298,6 +314,15 @@ object Similarity {
     * to its max-cosine centroid, recompute centroids as per-dimension
     * means via posexplode + two-level agg (partial aggregation applies;
     * only nlist × dim doubles ever reach the driver). */
+  /** Last centroid model trained per (nlist, iters, seed) in this JVM —
+    * the oracle-literal export channel (VERDICT r13 item 3): the trainer
+    * is deterministic in (corpus, params), so Verify can unroll the
+    * recorded model into DuckDB CTE literals after the queries ran and
+    * the oracle replays assignment + scoring as plain SQL. Recording is
+    * a driver-side map put — no effect on the query path. */
+  private[graft] val lastTrained =
+    new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Double]]]()
+
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
                      seed: Long = 42L, corpusId: String = "vec_id",
                      corpusVec: String = "embedding"): Seq[Seq[Double]] = {
@@ -319,6 +344,7 @@ object Similarity {
       // empty cells keep their previous centroid (standard k-means fix)
       centroids = centroids.indices.map(i => byCid.getOrElse(i, centroids(i)))
     }
+    lastTrained.put((nlist, iters, seed), centroids)
     centroids
   }
 

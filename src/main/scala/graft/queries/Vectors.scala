@@ -279,7 +279,314 @@ object Vectors {
 
   private val probeList = probeIds.mkString("(", ", ", ")")
 
-  val oracles: Map[String, String] = Map(
+  // ---------------------------------------------------------------------
+  // Model-literal oracles (VERDICT r13 item 3). The IVF / k-means family
+  // was no_oracle because the trained model is not SQL-expressible — but
+  // the model itself is DETERMINISTIC in (corpus, params) (KMeansSpec /
+  // SimilaritySpec pin it across partitionings), so after the queries
+  // ran, the recorded centroids unroll into DuckDB CTE literals (the
+  // ev_pagerank IEEE-constant precedent) and everything DOWNSTREAM of
+  // training — assignment, probed-cell selection, scoring, ranking —
+  // replays as plain SQL. Double.toString round-trips bit-exactly
+  // through DuckDB's literal parser, and every fold below runs in the
+  // same index order as the fused Spark expressions (MatVec.scala),
+  // so the compare is value-exact, not approximate.
+  // ---------------------------------------------------------------------
+
+  private def dlit(d: Double): String = {
+    val s = java.lang.Double.toString(d)
+    if (s.contains("E") || s.contains(".")) s else s + ".0"
+  }
+
+  /** `cent(cid, c)` CTE body: one row per centroid, DOUBLE[] literal. */
+  private def centValues(cents: Seq[Seq[Double]]): String =
+    cents.zipWithIndex.map { case (c, i) =>
+      s"($i, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  /** Euclidean k-means replay: assign via min-sq-dist (first-min tie on
+    * cid, matching SqDistances + array_position), then the per-cluster
+    * stats. */
+  private def kmeansSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH cent(cid, c) AS (VALUES ${centValues(cents)}),
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |d AS (SELECT e.vec_id, cent.cid,
+       |        list_aggregate(list_transform(range(1, len(v) + 1),
+       |          i -> (v[i] - c[i]) * (v[i] - c[i])), 'sum') AS sqd
+       |      FROM e CROSS JOIN cent),
+       |a AS (SELECT vec_id, cid, sqd,
+       |        row_number() OVER (PARTITION BY vec_id ORDER BY sqd, cid) AS rk
+       |      FROM d)
+       |SELECT CAST(cid AS INTEGER) AS cluster_id, count(*) AS n_points,
+       |  round(sum(sqd), 4) AS inertia, round(avg(sqd), 6) AS mean_sq_dist
+       |FROM a WHERE rk = 1
+       |GROUP BY cid ORDER BY cluster_id""".stripMargin
+
+  /** Shared IVF replay: corpus assigned to its max-cosine cell
+    * (first-max tie on cid — NearestCentroid semantics), probes visit
+    * their nprobe best-scoring cells, candidates score rounded cosine
+    * with (cosine DESC, vec_id) ranking — the exact ivfTopK / knnJoin /
+    * VectorIndex.topK pipeline downstream of training. */
+  private def ivfFamilySql(cents: Seq[Seq[Double]], probeWhere: String,
+                           nprobe: Int, k: Int, excludeSelf: Boolean): String =
+    s"""WITH cent(cid, c) AS (VALUES ${centValues(cents)}),
+       |nc AS (SELECT cid, c,
+       |         sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum')) AS cn
+       |       FROM cent),
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |en AS (SELECT vec_id, v,
+       |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+       |       FROM e),
+       |scored AS (SELECT en.vec_id, v, nrm, nc.cid,
+       |        row_number() OVER (PARTITION BY en.vec_id ORDER BY
+       |          list_aggregate(list_transform(range(1, len(v) + 1),
+       |            i -> v[i] * c[i]), 'sum') / (nrm * cn) DESC, cid) AS rk
+       |      FROM en CROSS JOIN nc),
+       |cells AS (SELECT vec_id, v, nrm, cid FROM scored WHERE rk = 1),
+       |p AS (SELECT vec_id AS q_id, v AS qv, nrm AS np, cid
+       |      FROM scored $probeWhere${if (probeWhere.isEmpty) "" else " AND"}
+       |      ${if (probeWhere.isEmpty) "WHERE" else ""} rk <= $nprobe),
+       |cand AS (SELECT p.q_id, cells.vec_id,
+       |        round(list_aggregate(list_transform(range(1, len(qv) + 1),
+       |          i -> qv[i] * cells.v[i]), 'sum') / (np * cells.nrm), 4) AS cosine
+       |      FROM p JOIN cells ON p.cid = cells.cid
+       |      ${if (excludeSelf) "WHERE p.q_id <> cells.vec_id" else ""})
+       |SELECT q_id, rn, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM cand) t
+       |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+
+  /** SemDeDup replay: same-cell smaller-id witness with dot > tau·|a||b|
+    * (strict — the boundary verdict VectorIndexSpec pins), min witness. */
+  private def semanticDedupSql(cents: Seq[Seq[Double]], tau: Double): String =
+    s"""WITH cent(cid, c) AS (VALUES ${centValues(cents)}),
+       |nc AS (SELECT cid, c,
+       |         sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum')) AS cn
+       |       FROM cent),
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |en AS (SELECT vec_id, v,
+       |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+       |       FROM e),
+       |cells AS (SELECT vec_id, v, nrm, cid FROM (
+       |        SELECT en.vec_id, v, nrm, nc.cid,
+       |          row_number() OVER (PARTITION BY en.vec_id ORDER BY
+       |            list_aggregate(list_transform(range(1, len(v) + 1),
+       |              i -> v[i] * c[i]), 'sum') / (nrm * cn) DESC, cid) AS rk
+       |        FROM en CROSS JOIN nc) t WHERE rk = 1),
+       |w AS (SELECT a.vec_id AS ida, min(b.vec_id) AS dup_of
+       |      FROM cells a JOIN cells b
+       |        ON a.cid = b.cid AND b.vec_id < a.vec_id
+       |      WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
+       |              i -> a.v[i] * b.v[i]), 'sum')
+            > CAST($tau AS DOUBLE) * a.nrm * b.nrm
+       |      GROUP BY a.vec_id)
+       |SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cell,
+       |  (w.dup_of IS NOT NULL) AS is_dup, w.dup_of
+       |FROM cells c LEFT JOIN w ON c.vec_id = w.ida
+       |ORDER BY c.vec_id""".stripMargin
+
+  /** Sign-random-projection replay shared by the LSH oracles: plane
+    * literals -> per-(vector, table) bucket = Σ 2^bit over non-negative
+    * plane dots (LshBuckets semantics: dot >= 0 sets the bit, folds in
+    * index order). */
+  private def planeValues(planes: Seq[Seq[Double]], bits: Int): String =
+    planes.zipWithIndex.map { case (p, i) =>
+      s"(${i / bits}, ${i % bits}, [${p.map(dlit).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+
+  private def lshBucketsCte(planes: Seq[Seq[Double]], bits: Int): String =
+    s"""pl(tbl, bit, p) AS (VALUES ${planeValues(planes, bits)}),
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |en AS (SELECT vec_id, v,
+       |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+       |       FROM e),
+       |bv AS (SELECT en.vec_id, pl.tbl, pl.bit,
+       |        CASE WHEN list_aggregate(list_transform(range(1, len(v) + 1),
+       |               i -> v[i] * p[i]), 'sum') >= 0
+       |             THEN (1 << pl.bit) ELSE 0 END AS b
+       |      FROM en CROSS JOIN pl),
+       |bk AS (SELECT vec_id, tbl, CAST(sum(b) AS INTEGER) AS bkt
+       |       FROM bv GROUP BY vec_id, tbl)""".stripMargin
+
+  /** Multi-table LSH top-k replay (lshTopK: 8 tables x 6 bits, 1-bit
+    * multiprobe, dedup before ranking). */
+  private def lshTopKSql(planes: Seq[Seq[Double]], bits: Int, k: Int): String =
+    s"""WITH ${lshBucketsCte(planes, bits)},
+       |pb AS (SELECT vec_id AS q_id, tbl, bkt FROM bk
+       |       WHERE vec_id IN $probeList),
+       |pexp AS (SELECT q_id, tbl, bkt FROM pb
+       |         UNION ALL
+       |         SELECT q_id, tbl, xor(bkt, (1 << CAST(f.i AS INTEGER)))
+       |         FROM pb CROSS JOIN (SELECT unnest(range($bits)) AS i) f),
+       |cand AS (SELECT DISTINCT x.q_id, c.vec_id
+       |         FROM pexp x JOIN bk c ON x.tbl = c.tbl AND x.bkt = c.bkt),
+       |sc AS (SELECT cand.q_id, cand.vec_id,
+       |        round(list_aggregate(list_transform(range(1, len(q.v) + 1),
+       |          i -> q.v[i] * cv.v[i]), 'sum') / (q.nrm * cv.nrm), 4) AS cosine
+       |      FROM cand JOIN en q ON cand.q_id = q.vec_id
+       |                JOIN en cv ON cand.vec_id = cv.vec_id)
+       |SELECT q_id, rn, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sc) t
+       |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+
+  /** Single-table LSH near-dup replay (lshNearDups: 8-bit buckets,
+    * hamming <= 1 pair space, rounded-cosine threshold). */
+  private def lshNearDupsSql(planes: Seq[Seq[Double]], bits: Int,
+                             threshold: Double): String =
+    s"""WITH ${lshBucketsCte(planes, bits)},
+       |fl AS (SELECT vec_id, bkt FROM bk
+       |       UNION ALL
+       |       SELECT vec_id, xor(bkt, (1 << CAST(f.i AS INTEGER)))
+       |       FROM bk CROSS JOIN (SELECT unnest(range($bits)) AS i) f),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, f.vec_id AS id2
+       |         FROM bk a JOIN fl f ON a.bkt = f.bkt
+       |         WHERE a.vec_id < f.vec_id),
+       |sc AS (SELECT id1, id2,
+       |        round(list_aggregate(list_transform(range(1, len(a.v) + 1),
+       |          i -> a.v[i] * b.v[i]), 'sum') / (a.nrm * b.nrm), 4) AS cosine
+       |      FROM cand JOIN en a ON cand.id1 = a.vec_id
+       |                JOIN en b ON cand.id2 = b.vec_id)
+       |SELECT id1, id2, cosine FROM sc
+       |WHERE cosine >= CAST($threshold AS DOUBLE)
+       |ORDER BY id1, id2""".stripMargin
+
+  /** int8-quantized brute top-k replay — fully static (the quantizer is
+    * scale = max|x|/127, q = round(x/scale): plain SQL on both engines;
+    * integer dots are exact, so only the final rounded ratio is FP). */
+  private def quantizedTopKSql(k: Int): String =
+    s"""WITH e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |q AS (SELECT vec_id, v,
+       |        CASE WHEN list_max(list_transform(v, x -> abs(x))) = 0 THEN 1.0
+       |             ELSE list_max(list_transform(v, x -> abs(x))) / 127.0
+       |        END AS scale
+       |      FROM e),
+       |qq AS (SELECT vec_id,
+       |         list_transform(v, x -> CAST(round(x / scale) AS BIGINT)) AS qv
+       |       FROM q),
+       |qn AS (SELECT vec_id, qv,
+       |         sqrt(CAST(list_aggregate(list_transform(qv, x -> x * x),
+       |           'sum') AS DOUBLE)) AS qnrm
+       |       FROM qq),
+       |sc AS (SELECT p.vec_id AS q_id, c.vec_id,
+       |        round(CAST(list_aggregate(list_transform(range(1, len(p.qv) + 1),
+       |          i -> p.qv[i] * c.qv[i]), 'sum') AS DOUBLE)
+       |          / (p.qnrm * c.qnrm), 4) AS qcosine
+       |      FROM qn p CROSS JOIN qn c WHERE p.vec_id IN $probeList)
+       |SELECT q_id, rn, vec_id, qcosine FROM (
+       |  SELECT q_id, vec_id, qcosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY qcosine DESC, vec_id) AS rn
+       |  FROM sc) t
+       |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+
+  /** PQ two-stage replay (pqTopK m=8, K=16, ds=8, rerank=50): codebook
+    * literals -> per-subspace first-min L2 encode, ADC score with
+    * sub-ordered addend folds (PqAdc accumulates in subspace order —
+    * `list(x ORDER BY sub)` + list_aggregate reproduces the fold, a bare
+    * SUM() would not), reconstructed-norm cosine, rounded-score rank to
+    * `rerank` candidates, exact-cosine rerank to k. */
+  private def pqTopKSql(cbs: Seq[Seq[Seq[Double]]], rerank: Int,
+                        k: Int): String = {
+    val ds = cbs.head.head.length
+    val cbVals = cbs.zipWithIndex.flatMap { case (sub, s) =>
+      sub.zipWithIndex.map { case (c, cid) =>
+        s"($s, $cid, [${c.map(dlit).mkString(", ")}]::DOUBLE[])"
+      }
+    }.mkString(", ")
+    s"""WITH cb(sub, cid, c) AS (VALUES $cbVals),
+       |e AS (SELECT vec_id,
+       |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       |      FROM embeddings),
+       |en AS (SELECT vec_id, v,
+       |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
+       |       FROM e),
+       |enc AS (SELECT vec_id, sub, cid FROM (
+       |        SELECT en.vec_id, cb.sub, cb.cid,
+       |          row_number() OVER (PARTITION BY en.vec_id, cb.sub ORDER BY
+       |            list_aggregate(list_transform(range(1, $ds + 1),
+       |              i -> (v[sub * $ds + i] - c[i]) * (v[sub * $ds + i] - c[i])),
+       |              'sum') ASC, cb.cid) AS rk
+       |        FROM en CROSS JOIN cb) t WHERE rk = 1),
+       |nsq AS (SELECT sub, cid,
+       |          list_aggregate(list_transform(c, x -> x * x), 'sum') AS cn2
+       |        FROM cb),
+       |rnsq AS (SELECT enc.vec_id,
+       |           list_aggregate(list(cn2 ORDER BY enc.sub), 'sum') AS r2
+       |         FROM enc JOIN nsq ON enc.sub = nsq.sub AND enc.cid = nsq.cid
+       |         GROUP BY enc.vec_id),
+       |lut AS (SELECT en.vec_id AS q_id, cb.sub, cb.cid,
+       |          list_aggregate(list_transform(range(1, $ds + 1),
+       |            i -> v[sub * $ds + i] * c[i]), 'sum') AS dv
+       |        FROM en CROSS JOIN cb WHERE en.vec_id IN $probeList),
+       |adc AS (SELECT lut.q_id, enc.vec_id,
+       |          list_aggregate(list(dv ORDER BY enc.sub), 'sum') AS s
+       |        FROM enc JOIN lut ON enc.sub = lut.sub AND enc.cid = lut.cid
+       |        GROUP BY lut.q_id, enc.vec_id),
+       |st1 AS (SELECT q_id, vec_id FROM (
+       |        SELECT adc.q_id, adc.vec_id,
+       |          row_number() OVER (PARTITION BY adc.q_id ORDER BY
+       |            round(adc.s / (q.nrm * sqrt(r.r2)), 4) DESC,
+       |            adc.vec_id) AS rk
+       |        FROM adc JOIN en q ON adc.q_id = q.vec_id
+       |                 JOIN rnsq r ON adc.vec_id = r.vec_id) t
+       |        WHERE rk <= $rerank),
+       |sc AS (SELECT st1.q_id, st1.vec_id,
+       |        round(list_aggregate(list_transform(range(1, len(q.v) + 1),
+       |          i -> q.v[i] * cv.v[i]), 'sum') / (q.nrm * cv.nrm), 4) AS cosine
+       |      FROM st1 JOIN en q ON st1.q_id = q.vec_id
+       |               JOIN en cv ON st1.vec_id = cv.vec_id)
+       |SELECT q_id, rn, vec_id, cosine FROM (
+       |  SELECT q_id, vec_id, cosine,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
+       |  FROM sc) t
+       |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+  }
+
+  /** The model-literal entries, present once the queries RAN in this JVM
+    * (Verify runs every query before dumping oracle SQL; a BENCH_ONLY /
+    * `only` subset that skipped the vec family simply keeps these rows
+    * at their old rows-only strength). */
+  private def modelOracles: Map[String, String] = {
+    val ivf = graft.operators.Similarity.lastTrained.get((16, 2, 42L))
+    val km = graft.operators.KMeans.lastFit.get((8, 4, 42L))
+    val topkPlanes = graft.operators.Similarity.lastPlanes.get((48, 42L))
+    val dupPlanes = graft.operators.Similarity.lastPlanes.get((8, 42L))
+    val probeWhere = s"WHERE vec_id IN $probeList"
+    km.map(c => "vec_kmeans" -> kmeansSql(c)).toMap ++
+      ivf.map(c => Map(
+        "vec_ivf_topk" -> ivfFamilySql(c, probeWhere, nprobe = 8, k = 5,
+          excludeSelf = false),
+        "vec_index_topk" -> ivfFamilySql(c, probeWhere, nprobe = 8, k = 5,
+          excludeSelf = false),
+        "vec_knn_join" -> ivfFamilySql(c, "", nprobe = 4, k = 3,
+          excludeSelf = true),
+        "vec_semantic_dedup" -> semanticDedupSql(c, tau = 0.9),
+      )).getOrElse(Map.empty) ++
+      topkPlanes.map(p =>
+        "vec_lsh_topk" -> lshTopKSql(p, bits = 6, k = 5)).toMap ++
+      dupPlanes.map(p =>
+        "vec_lsh_near_dups" -> lshNearDupsSql(p, bits = 8,
+          threshold = 0.40)).toMap ++
+      graft.operators.Similarity.lastCodebooks.get((8, 16, 42L)).map(cbs =>
+        "vec_pq_topk" -> pqTopKSql(cbs, rerank = 50, k = 5)).toMap ++
+      Map("vec_quantized_topk" -> quantizedTopKSql(k = 5))
+  }
+
+  def oracles: Map[String, String] = staticOracles ++ modelOracles
+
+  private val staticOracles: Map[String, String] = Map(
     "vec_norms" ->
       """SELECT vec_id, label,
         | round(sqrt(list_aggregate(list_transform(embedding,
