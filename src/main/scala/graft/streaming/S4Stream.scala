@@ -1154,6 +1154,115 @@ object S4Stream {
     }
   }
 
+  /** Cluster-family takedown micro-batch (VERDICT r13 item 4 — the third
+    * index family's continuous RTBF leg, so all three of text, vector,
+    * and cluster are now maintainable by stream). Unlike the text/vector
+    * loops, [[indexedClusterStream]]'s lake is an ASSIGNMENTS audit feed
+    * — it holds no text — so the victim stream itself must carry the
+    * exact `(id, text)` rows as ingested (the ClusterIndex removal
+    * contract; the batch query doc_cluster_index_logical_remove reads
+    * them out of the corpus the same way). Protocol per batch, in the
+    * sibling order:
+    *
+    *  1. STAGE the effective victim set once: the batch's rows
+    *     semi-joined against [[graft.operators.ClusterIndex.knownIds]]
+    *     (ids never ingested, or already taken down, simply do not
+    *     match); a replay reuses the staged set verbatim, so the removal
+    *     fingerprint can never shift between attempts;
+    *  2. TOMBSTONE every requested victim's content (id, hash) — also
+    *     the ones not yet indexed: an ingest batch sitting in the
+    *     crashed-before-append window replays AFTER this takedown, hits
+    *     the content anti-join, and the forgotten rows never land — the
+    *     same end state as a completed remove, without the loud refusal
+    *     the lake-snapshot siblings surface for that window (their
+    *     snapshot can name victims the index doesn't hold; ours is
+    *     known-filtered, so the refusal path is unreachable by
+    *     construction and the tombstone carries the guarantee instead);
+    *  3. the INDEX leg — [[graft.operators.ClusterIndex.logicalRemove]]
+    *     (`logical = true`: O(victims) tombstone write, ~2 s lease hold,
+    *     bridge-splits reconciled by the next compact()) or the physical
+    *     [[graft.operators.ClusterIndex.remove]] — with the sibling
+    *     rollback contract on typed pre-mutation refusals;
+    *  4. SCRUB the assignments feed for the victim ids
+    *     ([[graft.operators.TargetedDelete]] over the batch= subtrees);
+    *  5. clean the staging; the applied/ marker commits last.
+    *
+    * Crash-boundary convergence mirrors [[takedownBatchImpl]]: a replay
+    * after the index leg finds the staged set and no-ops through the
+    * applied removal record (a COMPLETED replay is a pure no-op since
+    * r14); a replay after the staging cleanup re-stages an empty set —
+    * the ids are no longer known — and falls through to the marker. */
+  private[graft] def processClusterTakedownBatch(batch: DataFrame,
+      batchId: Long, idCol: String, textCol: String, indexDir: String,
+      lakeDir: String, runKey: String, logical: Boolean = false): Unit = {
+    val s = batch.sparkSession
+    val tag = s"ck${runKey}_b$batchId"
+    appliedOnce(s, indexDir, runKey, batchId) {
+      if (!batch.isEmpty) {
+        val conf = s.sparkContext.hadoopConfiguration
+        val staging = s"$lakeDir/.takedown/batch=$batchId"
+        val stagingSuccess = new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")
+        val fs = stagingSuccess.getFileSystem(conf)
+        if (!fs.exists(stagingSuccess)) {
+          val vids = batch.select(col(idCol)).distinct().localCheckpoint()
+          val known = graft.operators.ClusterIndex.knownIds(
+            s, indexDir, vids, idCol)
+          batch.select(col(idCol), col(textCol))
+            // |known| <= |vids|: the batch's victim count is the honest
+            // broadcast threshold proxy (bulk purges shuffle instead)
+            .join(graft.operators.TargetedDelete.maybeBroadcast(
+              known, vids.count()), Seq(idCol), "leftsemi")
+            .write.mode("overwrite").parquet(staging)
+        }
+        val victims = s.read.parquet(staging).localCheckpoint()
+        // content tombstones for ALL requested victims (step 2 above) —
+        // batch-tag-keyed overwrite, replay-idempotent
+        recordTombstones(batch, idCol, textCol, indexDir, tag)
+        if (!victims.isEmpty) {
+          try {
+            if (logical)
+              graft.operators.ClusterIndex.logicalRemove(victims, idCol,
+                textCol, indexDir, tag)
+            else
+              graft.operators.ClusterIndex.remove(victims, idCol, textCol,
+                indexDir, tag)
+          } catch {
+            case e @ (_: graft.operators.Fingerprint.RemovalRefused |
+                      _: graft.operators.IndexMaintenance.LeaseConflictException) =>
+              clearTombstones(s, indexDir, tag)
+              throw e
+          }
+          graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
+            idCol, victims.select(col(idCol)))
+        }
+        fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+      }
+    }
+  }
+
+  /** STREAMING right-to-be-forgotten against the CLUSTER ingest loop
+    * ([[indexedClusterStream]]'s assignments feed + the persisted
+    * cluster index) — victims stop matching probes/assignments the
+    * moment their batch commits its index leg and leave the audit feed,
+    * with the staged-snapshot replay contract of the text/vector
+    * siblings (see [[processClusterTakedownBatch]]). The victim stream
+    * carries `(id, text)` rows as ingested. Under continuous ingest pass
+    * `logical = true`: the index leg holds the exclusive lease for the
+    * tombstone write only (~2 s), and the next
+    * [[graft.operators.ClusterIndex.compact]] reclaims rows and
+    * reconciles bridge-splits. */
+  def indexedClusterTakedownStream(victims: DataFrame, idCol: String,
+                                   textCol: String, indexDir: String,
+                                   lakeDir: String, checkpointDir: String,
+                                   availableNow: Boolean = false,
+                                   logical: Boolean = false): StreamingQuery = {
+    lazy val runKey = checkpointRunKey(victims.sparkSession, checkpointDir)
+    startIndexedLoop(victims, checkpointDir, availableNow) { (batch, batchId) =>
+      processClusterTakedownBatch(batch, batchId, idCol, textCol,
+        indexDir, lakeDir, runKey, logical)
+    }
+  }
+
   def indexedDedupStream(docs: DataFrame, idCol: String, textCol: String,
                          indexDir: String, lakeDir: String,
                          checkpointDir: String,

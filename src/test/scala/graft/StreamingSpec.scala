@@ -1860,4 +1860,109 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.ClusterIndex.isFresh(spark, idx, rec, "doc_id", "text"),
       "corpus of record is first-write-wins")
   }
+
+  test("cluster takedown stream: blind + feed-scrubbed immediately, bridge-split at compact, replay converges") {
+    // VERDICT r13 item 4: the third index family's continuous RTBF leg.
+    // Bridge fixture: docs 10/20 are separate clusters (J ≈ 0.67), the
+    // stream-ingested doc 15 carries the unmodified base text (J ≈ 0.82
+    // with both) and merges them — then a streaming LOGICAL takedown of
+    // 15 must blind probes/assignments at once, scrub the audit feed,
+    // tombstone a never-ingested victim's content, and leave the
+    // bridge-split to compact()'s reclaim.
+    import spark.implicits._
+    val in = tmp("cktin"); val lake = tmp("cktlake"); val ck = tmp("cktck")
+    val idx = tmp("cktidx").toString
+    val base = (0 until 20).map(i => s"ckttok_$i")
+    def swapped(tag: String, at: Seq[Int]) =
+      base.zipWithIndex.map { case (t, i) =>
+        if (at.contains(i)) s"x${tag}_$i" else t }.mkString(" ")
+    val txt10 = swapped("a", Seq(0, 1)); val txt20 = swapped("b", Seq(2, 3))
+    val bridge = base.mkString(" ")
+    val never = (0 until 20).map(i => s"nvr_$i").mkString(" ")
+    graft.operators.ClusterIndex.build(
+      Seq((10L, txt10), (20L, txt20)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // ingest the bridge through the production cluster loop
+    S4Stream.processIndexedClusterBatch(
+      Seq((15L, bridge)).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "cin")
+    def assign(): Map[Long, Long] =
+      graft.operators.ClusterIndex.assignments(spark, idx, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign() === Map(10L -> 10L, 15L -> 10L, 20L -> 10L))
+    // the takedown QUEUE through the real streaming wiring: the victim
+    // stream carries (id, text) as ingested; id 99 was never ingested
+    writeLines(in, "t1.json", Seq(
+      s"""{"doc_id": 15, "text": "$bridge"}""",
+      s"""{"doc_id": 99, "text": "$never"}"""))
+    val src = spark.readStream.schema("doc_id LONG, text STRING").json(in.toString)
+    S4Stream.indexedClusterTakedownStream(src, "doc_id", "text", idx,
+      lake.toString, ck.toString, availableNow = true, logical = true)
+      .awaitTermination()
+    // blind immediately: 15 leaves assignments/knownIds; the component
+    // stays MERGED until reclaim (the documented interim semantic)
+    assert(assign() === Map(10L -> 10L, 20L -> 10L),
+      s"victim blind, bridge-split deferred to compact: ${assign()}")
+    val known = graft.operators.ClusterIndex.knownIds(spark, idx,
+      Seq(10L, 15L, 99L).toDF("doc_id"), "doc_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(known === Set(10L), s"tombstoned id must not be known: $known")
+    // audit feed scrubbed (the victim was the partition's only row, so
+    // the scrub may have dropped the emptied batch=0 dir outright)
+    val feedDir = new java.io.File(s"$lake/batch=0")
+    val feed =
+      if (!feedDir.isDirectory) Set.empty[Long]
+      else spark.read.parquet(s"$lake/batch=0")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(feed === Set.empty[Long], s"victim must leave the audit feed: $feed")
+    // the never-ingested victim's CONTENT is tombstoned: a late ingest
+    // of the same (id, text) — e.g. an unmarkered batch replaying after
+    // the takedown — is dropped, converging to the forgotten state
+    S4Stream.processIndexedClusterBatch(
+      Seq((99L, never)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, lake.toString, runKey = "cin")
+    assert(!assign().contains(99L),
+      "tombstoned content must not ingest after the takedown")
+    // reclaim: compact splits the bridged component and the index equals
+    // a fresh build on the survivors
+    graft.operators.ClusterIndex.compact(spark, idx)
+    assert(assign() === Map(10L -> 10L, 20L -> 20L),
+      s"compact must reconcile the bridge-split: ${assign()}")
+    val survivors = Seq((10L, txt10), (20L, txt20)).toDF("doc_id", "text")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx, survivors,
+      "doc_id", "text"), "fingerprint must track the survivors exactly")
+    // crash window 1: marker lost after full completion — the replay
+    // re-stages an EMPTY set (ids no longer known) and no-ops through
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/applied"))
+      .map(_.getPath)
+      .find(p => p.getName.endsWith("_b0") && !p.getName.contains("cin")).get
+    val runKey = marker.getName.stripPrefix("ck").split("_b0").head
+    assert(fs.delete(marker, false))
+    S4Stream.processClusterTakedownBatch(
+      Seq((15L, bridge), (99L, never)).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", idx, lake.toString, runKey, logical = true)
+    assert(assign() === Map(10L -> 10L, 20L -> 20L))
+    // crash window 2: staging survived (crash between the index leg and
+    // cleanup, with a compact() reclaim in between) — the replay
+    // re-presents the ORIGINAL victim rows and must be a COMPLETED-run
+    // no-op (r14: no tombstone rewrite, or the reclaim-freed id would be
+    // re-hidden) — the streaming face of the ADVICE r13 medium fix
+    assert(fs.delete(marker, false))
+    Seq((15L, bridge)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$lake/.takedown/batch=0")
+    S4Stream.processClusterTakedownBatch(
+      Seq((15L, bridge), (99L, never)).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", idx, lake.toString, runKey, logical = true)
+    assert(assign() === Map(10L -> 10L, 20L -> 20L),
+      "staged replay of a completed takedown must not mutate the index")
+    assert(graft.operators.LogicalDelete.pendingBatches(
+      spark.sparkContext.hadoopConfiguration, idx).isEmpty,
+      "completed replay must not rewrite the logical tombstone batch")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$lake/.takedown/batch=0")),
+      "replay must clean its staging")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx, survivors,
+      "doc_id", "text"), "replay must not drift the fingerprint")
+  }
 }
