@@ -201,6 +201,9 @@ object Bench {
     val priorMins =
       try {
         val prior = Files.readString(Paths.get("bench_result.json"))
+        // the pattern includes the CLOSING quote (the 4-quote run ends
+        // the interpolation with a literal "), so an sf10 archive can
+        // never prefix-match a run at sf1
         if (prior.contains(s""""sf":"$sfDir"""")) parseQueryMins(prior)
         else Map.empty[String, Double]
       } catch { case _: Exception => Map.empty[String, Double] }
@@ -308,7 +311,12 @@ object Bench {
     val line =
       s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","timing":"min_of_3",""" +
         s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    val nowMins = results.map { case (k, _, runs, _, _, _, _) => k -> runs.min }.toMap
+    // ok-only: a failed query's time-to-failure is not a min, and
+    // flagging it as a >2x "speedup" would conflate breakage with the
+    // measurement noise this annotation isolates (review-caught r14)
+    val nowMins = results.collect {
+      case (k, true, runs, _, _, _, _) => k -> runs.min
+    }.toMap
     val suspect = suspectNoise(priorMins, nowMins)
     if (suspect != "{}") System.err.println(
       s"[bench] SUSPECT NOISE vs prior bench_result.json (>2x moves): $suspect")

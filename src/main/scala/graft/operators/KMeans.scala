@@ -133,16 +133,16 @@ object KMeans {
     s
   }
 
-  /** Fit k Euclidean centroids: k-means|| init + `iters` Lloyd rounds.
-    * Each Lloyd round is one distributed pass (argmin assign →
-    * posexplode per-dimension mean; partial aggregation applies; only
-    * k × dim doubles reach the driver). Empty cells keep their previous
-    * centroid (the trainCentroids rule). */
   /** Last model fit per (k, iters, seed) in this JVM — the oracle-literal
     * export channel (VERDICT r13 item 3; see Similarity.lastTrained). */
   private[graft] val lastFit =
     new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Double]]]()
 
+  /** Fit k Euclidean centroids: k-means|| init + `iters` Lloyd rounds.
+    * Each Lloyd round is one distributed pass (argmin assign →
+    * posexplode per-dimension mean; partial aggregation applies; only
+    * k × dim doubles reach the driver). Empty cells keep their previous
+    * centroid (the trainCentroids rule). */
   def fit(corpus: DataFrame, k: Int, iters: Int = 5, seed: Long = 42L,
           idCol: String = "vec_id", vecCol: String = "embedding"): Seq[Seq[Double]] = {
     val cands = oversample(corpus, l = 2 * k, rounds = 4, seed, idCol, vecCol)

@@ -88,6 +88,11 @@ object Similarity {
     rankTopK(scored, "qcosine", k, probeId, corpusId)
   }
 
+  /** Last PQ codebooks trained per (m, kCents, seed) — oracle-literal
+    * export channel (see [[lastTrained]]). */
+  private[graft] val lastCodebooks =
+    new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Seq[Double]]]]()
+
   /** PQ codebooks trained on a bounded sample, driver-side: the sample
     * is `sampleN` rows by deterministic hash order (collect is bounded
     * by construction — sampleN * dim doubles, never the corpus), then
@@ -95,11 +100,6 @@ object Similarity {
     * the standard practice (a codebook summarizes geometry, not rows);
     * deterministic init = first k sample subvectors in hash order, empty
     * cells keep their previous centroid. */
-  /** Last PQ codebooks trained per (m, kCents, seed) — oracle-literal
-    * export channel (see [[lastTrained]]). */
-  private[graft] val lastCodebooks =
-    new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Seq[Double]]]]()
-
   def trainPqCodebooks(corpus: DataFrame, m: Int, kCents: Int,
                        sampleN: Int = 512, iters: Int = 8, seed: Long = 42L,
                        corpusId: String = "vec_id",
@@ -230,7 +230,6 @@ object Similarity {
     rankTopK(scored, "dot", k, probeId, corpusId)
   }
 
-  /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */
   /** Last plane set generated per (count, seed) — the oracle-literal
     * export channel for the LSH family (see [[lastTrained]]); the
     * generator is a pure function of (count, dim, seed) and dim is
@@ -238,6 +237,7 @@ object Similarity {
   private[graft] val lastPlanes =
     new scala.collection.concurrent.TrieMap[(Int, Long), Seq[Seq[Double]]]()
 
+  /** Deterministic random hyperplanes: `bits` rows of `dim` doubles. */
   def hyperplanes(bits: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
     val rng = new scala.util.Random(seed)
     val planes = Seq.fill(bits)(Seq.fill(dim)(rng.nextGaussian()))
@@ -307,13 +307,6 @@ object Similarity {
       .select(col(probeId), col("rn"), col(corpusId), col("cosine"))
   }
 
-  /** Deterministic spherical-k-means-lite centroids for [[ivfTopK]]:
-    * init = the nlist corpus vectors with the smallest xxhash64(id)
-    * (a seeded pseudo-random sample that plans as TakeOrderedAndProject,
-    * not a global sort), then `iters` Lloyd rounds — assign every vector
-    * to its max-cosine centroid, recompute centroids as per-dimension
-    * means via posexplode + two-level agg (partial aggregation applies;
-    * only nlist × dim doubles ever reach the driver). */
   /** Last centroid model trained per (nlist, iters, seed) in this JVM —
     * the oracle-literal export channel (VERDICT r13 item 3): the trainer
     * is deterministic in (corpus, params), so Verify can unroll the
@@ -323,6 +316,13 @@ object Similarity {
   private[graft] val lastTrained =
     new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Double]]]()
 
+  /** Deterministic spherical-k-means-lite centroids for [[ivfTopK]]:
+    * init = the nlist corpus vectors with the smallest xxhash64(id)
+    * (a seeded pseudo-random sample that plans as TakeOrderedAndProject,
+    * not a global sort), then `iters` Lloyd rounds — assign every vector
+    * to its max-cosine centroid, recompute centroids as per-dimension
+    * means via posexplode + two-level agg (partial aggregation applies;
+    * only nlist × dim doubles ever reach the driver). */
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
                      seed: Long = 42L, corpusId: String = "vec_id",
                      corpusVec: String = "embedding"): Seq[Seq[Double]] = {

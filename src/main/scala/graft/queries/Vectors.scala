@@ -385,7 +385,7 @@ object Vectors {
        |        ON a.cid = b.cid AND b.vec_id < a.vec_id
        |      WHERE list_aggregate(list_transform(range(1, len(a.v) + 1),
        |              i -> a.v[i] * b.v[i]), 'sum')
-            > CAST($tau AS DOUBLE) * a.nrm * b.nrm
+       |            > CAST($tau AS DOUBLE) * a.nrm * b.nrm
        |      GROUP BY a.vec_id)
        |SELECT c.vec_id, CAST(c.cid AS INTEGER) AS cell,
        |  (w.dup_of IS NOT NULL) AS is_dup, w.dup_of

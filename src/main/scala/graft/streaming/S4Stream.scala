@@ -1205,14 +1205,30 @@ object S4Stream {
         val fs = stagingSuccess.getFileSystem(conf)
         if (!fs.exists(stagingSuccess)) {
           val vids = batch.select(col(idCol)).distinct().localCheckpoint()
-          val known = graft.operators.ClusterIndex.knownIds(
-            s, indexDir, vids, idCol)
-          batch.select(col(idCol), col(textCol))
+          // distinct BEFORE the fingerprint sees the rows: an
+          // at-least-once upstream delivering the same RTBF request
+          // twice in one micro-batch would otherwise double-subtract
+          // the victim from meta (the siblings stage from the
+          // exactly-once lake and are immune; this loop feeds raw
+          // stream rows — review-caught r14). Conflicting texts for
+          // one id survive the distinct and must REFUSE: the removal
+          // fingerprint needs THE row as ingested, and picking one
+          // silently would corrupt meta just the same.
+          val rows = batch.select(col(idCol), col(textCol)).distinct()
             // |known| <= |vids|: the batch's victim count is the honest
             // broadcast threshold proxy (bulk purges shuffle instead)
             .join(graft.operators.TargetedDelete.maybeBroadcast(
-              known, vids.count()), Seq(idCol), "leftsemi")
-            .write.mode("overwrite").parquet(staging)
+              graft.operators.ClusterIndex.knownIds(s, indexDir, vids, idCol),
+              vids.count()), Seq(idCol), "leftsemi")
+            .localCheckpoint()
+          val conflicted = rows.groupBy(col(idCol))
+            .agg(count(lit(1)).as("_n")).filter(col("_n") > 1L).count()
+          require(conflicted == 0L,
+            s"cluster takedown batch $batchId: $conflicted victim id(s) " +
+              "arrive with CONFLICTING text — the removal fingerprint " +
+              "needs exactly the (id, text) row as ingested; fix the " +
+              "victim feed and restart the stream")
+          rows.write.mode("overwrite").parquet(staging)
         }
         val victims = s.read.parquet(staging).localCheckpoint()
         // content tombstones for ALL requested victims (step 2 above) —
@@ -1232,8 +1248,14 @@ object S4Stream {
               clearTombstones(s, indexDir, tag)
               throw e
           }
-          graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
-            idCol, victims.select(col(idCol)))
+          // the feed may legitimately be empty (takedown before any
+          // ingest landed a batch subtree) — reading it would throw
+          val lakePath = new org.apache.hadoop.fs.Path(lakeDir)
+          val hasFeed = fs.exists(lakePath) && fs.listStatus(lakePath)
+            .exists(_.getPath.getName.startsWith("batch="))
+          if (hasFeed)
+            graft.operators.TargetedDelete.delete(s, lakeDir, Seq("batch"),
+              idCol, victims.select(col(idCol)))
         }
         fs.delete(new org.apache.hadoop.fs.Path(staging), true)
       }

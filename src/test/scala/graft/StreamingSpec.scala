@@ -1965,4 +1965,37 @@ class StreamingSpec extends SparkSpec {
     assert(graft.operators.ClusterIndex.isFresh(spark, idx, survivors,
       "doc_id", "text"), "replay must not drift the fingerprint")
   }
+
+  test("cluster takedown: duplicate victim rows dedupe, conflicting texts refuse") {
+    // review-caught r14: an at-least-once upstream can deliver the same
+    // RTBF request twice in one micro-batch — without the staging
+    // distinct, the removal fingerprint would subtract the victim TWICE
+    // and isFresh() would be permanently false (full-rebuild storms).
+    // Conflicting texts for one id are ambiguous and must refuse.
+    import spark.implicits._
+    val lake = tmp("cktd"); val idx = tmp("cktdidx").toString
+    def t(seed: Int) = (0 until 20).map(i => s"tdtok${seed}_$i").mkString(" ")
+    graft.operators.ClusterIndex.build(
+      Seq((1L, t(1)), (2L, t(2)), (3L, t(3))).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // the same victim row delivered twice: fingerprint subtracts ONCE
+    S4Stream.processClusterTakedownBatch(
+      Seq((2L, t(2)), (2L, t(2))).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", idx, lake.toString, runKey = "td", logical = true)
+    graft.operators.ClusterIndex.compact(spark, idx)
+    val survivors = Seq((1L, t(1)), (3L, t(3))).toDF("doc_id", "text")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx, survivors,
+      "doc_id", "text"),
+      "a duplicated victim row must subtract the fingerprint exactly once")
+    // conflicting texts for one id: loud refusal, nothing mutated
+    val ex = intercept[IllegalArgumentException] {
+      S4Stream.processClusterTakedownBatch(
+        Seq((3L, t(3)), (3L, t(9))).toDF("doc_id", "text"), 1L,
+        "doc_id", "text", idx, lake.toString, runKey = "td", logical = true)
+    }
+    assert(ex.getMessage.contains("CONFLICTING text"), ex.getMessage)
+    assert(graft.operators.ClusterIndex.knownIds(spark, idx,
+      Seq(3L).toDF("doc_id"), "doc_id").count() == 1L,
+      "a refused batch must not have tombstoned or removed the victim")
+  }
 }
