@@ -1998,4 +1998,39 @@ class StreamingSpec extends SparkSpec {
       Seq(3L).toDF("doc_id"), "doc_id").count() == 1L,
       "a refused batch must not have tombstoned or removed the victim")
   }
+
+  test("cluster takedown: PHYSICAL mode splits the bridge without waiting for compact") {
+    // logical=false routes the index leg through ClusterIndex.remove —
+    // bytes leave disk and the bridged component splits inside the
+    // batch, at the documented full-rewrite lease cost
+    import spark.implicits._
+    val lake = tmp("cktp"); val idx = tmp("cktpidx").toString
+    val base = (0 until 20).map(i => s"cptok_$i")
+    def swapped(tag: String, at: Seq[Int]) =
+      base.zipWithIndex.map { case (t, i) =>
+        if (at.contains(i)) s"x${tag}_$i" else t }.mkString(" ")
+    val txt10 = swapped("a", Seq(0, 1)); val txt20 = swapped("b", Seq(2, 3))
+    val bridge = base.mkString(" ")
+    graft.operators.ClusterIndex.build(
+      Seq((10L, txt10), (20L, txt20)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    S4Stream.processIndexedClusterBatch(
+      Seq((15L, bridge)).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "cp")
+    def assign(): Map[Long, Long] =
+      graft.operators.ClusterIndex.assignments(spark, idx, "doc_id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(assign() === Map(10L -> 10L, 15L -> 10L, 20L -> 10L))
+    S4Stream.processClusterTakedownBatch(
+      Seq((15L, bridge)).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "cptk", logical = false)
+    assert(assign() === Map(10L -> 10L, 20L -> 20L),
+      s"physical takedown must split the bridge in-batch: ${assign()}")
+    assert(graft.operators.LogicalDelete.pendingBatches(
+      spark.sparkContext.hadoopConfiguration, idx).isEmpty,
+      "the physical path must leave no logical tombstones behind")
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx,
+      Seq((10L, txt10), (20L, txt20)).toDF("doc_id", "text"),
+      "doc_id", "text"), "fingerprint must track the survivors")
+  }
 }

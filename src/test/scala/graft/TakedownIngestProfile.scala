@@ -76,16 +76,30 @@ object TakedownIngestProfile {
       val (w, r) = appendOnceWithRetry(sBase, s"b$i")
       println(f"baseline,$w%.2f,$r")
     }
-    // takedown-under-ingest: physical vs logical
-    for (mode <- Seq("physical", "logical")) {
+    // takedown-under-ingest: physical vs logical operator calls, plus
+    // the r14 STREAMING cluster loop's full micro-batch (staging +
+    // content tombstones + logicalRemove + feed scrub + marker) — what
+    // a production takedown queue actually costs the ingest side
+    for (mode <- Seq("physical", "logical", "streaming")) {
       val idx = snapshot(mode)
+      if (mode == "streaming") { // stale staging would replay old victims
+        val lp = new org.apache.hadoop.fs.Path(s"$tmp/graft_tkingest/lake_stream")
+        lp.getFileSystem(conf).delete(lp, true)
+      }
       val started = new java.util.concurrent.CountDownLatch(1)
       val tk = new Thread(() => {
         started.countDown()
-        if (mode == "physical")
-          graft.operators.ClusterIndex.remove(victims, "doc_id", "text", idx, tag = "tk")
-        else
-          graft.operators.ClusterIndex.logicalRemove(victims, "doc_id", "text", idx, tag = "tk")
+        mode match {
+          case "physical" =>
+            graft.operators.ClusterIndex.remove(victims, "doc_id", "text", idx, tag = "tk")
+          case "logical" =>
+            graft.operators.ClusterIndex.logicalRemove(victims, "doc_id", "text", idx, tag = "tk")
+          case _ =>
+            graft.streaming.S4Stream.processClusterTakedownBatch(
+              victims, 0L, "doc_id", "text", idx,
+              s"$tmp/graft_tkingest/lake_stream", runKey = "prof",
+              logical = true)
+        }
       })
       tk.start()
       started.await()
