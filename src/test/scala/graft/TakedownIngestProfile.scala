@@ -95,10 +95,24 @@ object TakedownIngestProfile {
           case "logical" =>
             graft.operators.ClusterIndex.logicalRemove(victims, "doc_id", "text", idx, tag = "tk")
           case _ =>
-            graft.streaming.S4Stream.processClusterTakedownBatch(
-              victims, 0L, "doc_id", "text", idx,
-              s"$tmp/graft_tkingest/lake_stream", runKey = "prof",
-              logical = true)
+            // the loop's index leg does pre-lease work (staging, known
+            // filter, tombstones), so a hammering ingest can win the
+            // lease first — the batch then fails with the TYPED refusal
+            // (tombstones rolled back) and the stream replays it, which
+            // is exactly what this retry models
+            var done = false
+            while (!done) {
+              try {
+                graft.streaming.S4Stream.processClusterTakedownBatch(
+                  victims, 0L, "doc_id", "text", idx,
+                  s"$tmp/graft_tkingest/lake_stream", runKey = "prof",
+                  logical = true)
+                done = true
+              } catch {
+                case _: graft.operators.IndexMaintenance.LeaseConflictException =>
+                  Thread.sleep(250L)
+              }
+            }
         }
       })
       tk.start()
