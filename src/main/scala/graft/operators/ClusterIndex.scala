@@ -804,11 +804,21 @@ object ClusterIndex {
         // ---- 1. DISCOVERY: every table still pristine (rewrites only
         // ever start after PLAN_READY commits) ----
         if (!replay) {
-          val known = rleg("known-check")(vToks.select(col(idCol)).distinct().count())
+          // content-aware known-check (r14) — see TextIndex.remove: the
+          // stored token set must equal the victim text's, or a
+          // wrong-text row would silently poison the subtraction
+          val vWant = victims
+            .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
+            .distinct()
+          val known = rleg("known-check")(vToks
+            .join(bVids(vWant), Seq(idCol))
+            .filter(col("_toks") === col("_want"))
+            .select(col(idCol)).distinct().count())
           if (known != nV) Fingerprint.refuse(
-            s"ClusterIndex.remove: only $known of $nV victims are indexed; " +
-              "the fingerprint subtraction needs exactly the ingested rows — " +
-              "pass the (id, text) rows as they entered the index")
+            s"ClusterIndex.remove: only $known of $nV victims are indexed " +
+              "with matching content; the fingerprint subtraction needs " +
+              "exactly the ingested rows — pass the (id, text) rows as " +
+              "they entered the index")
           // mid-append crash guard (see TextIndex.remove): a victim from
           // an append whose fingerprint merge never recorded must not
           // subtract — its delta was never added. Pruned provenance read,
@@ -1022,17 +1032,22 @@ object ClusterIndex {
         // a second logical delete of the same id would double-subtract
         LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
           "ClusterIndex.logicalRemove")
-        // victims indexed (the fingerprint subtraction needs exactly the
-        // ingested rows) — same pruned read as remove()'s known-check
+        // victims indexed WITH matching content (the fingerprint
+        // subtraction needs exactly the ingested rows) — same pruned
+        // read as remove()'s content-aware known-check (r14)
+        val vWant = victims
+          .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
+          .distinct()
         val known = rleg("known-check")(s.read.parquet(s"$root/toks")
           .filter(col("idb").isin(vIdb: _*))
-          .join(bVids(vids), Seq(idCol), "leftsemi")
+          .join(bVids(vWant), Seq(idCol))
+          .filter(col("_toks") === col("_want"))
           .select(col(idCol)).distinct().count())
         if (known != nV) Fingerprint.refuse(
           s"ClusterIndex.logicalRemove: only $known of $nV victims are " +
-            "indexed; the fingerprint subtraction needs exactly the " +
-            "ingested rows — pass the (id, text) rows as they entered " +
-            "the index")
+            "indexed with matching content; the fingerprint subtraction " +
+            "needs exactly the ingested rows — pass the (id, text) rows " +
+            "as they entered the index")
         // mid-append crash guard, same as remove()
         if (oldFp.isDefined) {
           val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")

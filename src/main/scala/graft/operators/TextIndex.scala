@@ -240,10 +240,25 @@ object TextIndex {
         .select(col(idCol), col("_toks"))
         .localCheckpoint()
       if (!replay) {
-        val known = vToks.select(col(idCol)).distinct().count()
+        // CONTENT-aware known-check (r14): an id-only match would let a
+        // wrong-text victim row subtract a fingerprint the index never
+        // merged (silently poisoning isFresh forever) — require the
+        // STORED token set to equal the victim text's, the strongest
+        // equality the index holds (token-set level: a raw-text
+        // difference that tokenizes identically still passes, and still
+        // subtracts a wrong fingerprint — the contract remains "the
+        // exact rows as ingested"; this check catches everything else)
+        val vWant = victims
+          .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
+          .distinct()
+        val known = vToks
+          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(idCol))
+          .filter(col("_toks") === col("_want"))
+          .select(col(idCol)).distinct().count()
         if (known != nV) Fingerprint.refuse(
-          s"TextIndex.remove: only $known of $nV victims are indexed; the " +
-            "fingerprint subtraction needs exactly the ingested rows")
+          s"TextIndex.remove: only $known of $nV victims are indexed with " +
+            "matching content; the fingerprint subtraction needs exactly " +
+            "the ingested (id, text) rows")
       }
       val vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
         .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
@@ -392,14 +407,19 @@ object TextIndex {
       if (!replay) {
         LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
           "TextIndex.logicalRemove")
+        // content-aware, like remove() — see the r14 note there
+        val vWant = victims
+          .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
+          .distinct()
         val known = s.read.parquet(s"$root/toks")
           .filter(col("idb").isin(vIdb: _*))
-          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(idCol))
+          .filter(col("_toks") === col("_want"))
           .select(col(idCol)).distinct().count()
         if (known != nV) Fingerprint.refuse(
           s"TextIndex.logicalRemove: only $known of $nV victims are " +
-            "indexed; the fingerprint subtraction needs exactly the " +
-            "ingested rows")
+            "indexed with matching content; the fingerprint subtraction " +
+            "needs exactly the ingested (id, text) rows")
         // mid-append crash guard, same pruned provenance read as remove()
         if (oldFp.isDefined &&
             s.read.parquet(s"$root/bands").schema.fieldNames.contains("_src")) {

@@ -287,13 +287,20 @@ object VectorIndex {
         .collect().map(_.getInt(0)).toSeq // bounded by nlist
       val vids = pinned.select(col(corpusId)).distinct()
       if (!replay) {
+        // content-aware known-check (r14) — see TextIndex.remove; this
+        // family stores the ingested embedding itself, so the equality
+        // is EXACT (float-array match), not token-set-level
+        val vWant = victims
+          .select(col(corpusId), col(corpusVec).as("_want")).distinct()
         val known = s.read.parquet(s"$root/cells")
           .filter(col("cell").isInCollection(vCells))
-          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
+          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(corpusId))
+          .filter(col(corpusVec) === col("_want"))
           .select(col(corpusId)).distinct().count()
         if (known != nV) Fingerprint.refuse(
-          s"VectorIndex.remove: only $known of $nV victims are indexed; " +
-            "the fingerprint subtraction needs exactly the ingested rows")
+          s"VectorIndex.remove: only $known of $nV victims are indexed " +
+            "with matching content; the fingerprint subtraction needs " +
+            "exactly the ingested (id, embedding) rows")
         // mid-append crash guard (see TextIndex.remove): a victim row
         // from an append whose merge never recorded must not subtract
         if (oldFp.isDefined &&
@@ -390,14 +397,18 @@ object VectorIndex {
           "VectorIndex.logicalRemove")
         val vCells = pinned.select(col("cell")).distinct()
           .collect().map(_.getInt(0)).toSeq // bounded by nlist
+        // content-aware (r14) — exact float-array match, see remove()
+        val vWant = victims
+          .select(col(corpusId), col(corpusVec).as("_want")).distinct()
         val known = s.read.parquet(s"$root/cells")
           .filter(col("cell").isInCollection(vCells))
-          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
+          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(corpusId))
+          .filter(col(corpusVec) === col("_want"))
           .select(col(corpusId)).distinct().count()
         if (known != nV) Fingerprint.refuse(
           s"VectorIndex.logicalRemove: only $known of $nV victims are " +
-            "indexed; the fingerprint subtraction needs exactly the " +
-            "ingested rows")
+            "indexed with matching content; the fingerprint subtraction " +
+            "needs exactly the ingested (id, embedding) rows")
         // mid-append crash guard, same pruned provenance read as remove()
         if (oldFp.isDefined &&
             s.read.parquet(s"$root/cells").schema.fieldNames.contains("_src")) {

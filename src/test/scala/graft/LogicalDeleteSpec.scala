@@ -402,6 +402,64 @@ class LogicalDeleteSpec extends SparkSpec {
       "re-ingested id must stay visible after the completed replay")
   }
 
+  test("wrong-content victims refuse in all three families (r14 content-aware known-check)") {
+    // an id-only known-check would let a victim row with the right id
+    // but WRONG content subtract a fingerprint the index never merged —
+    // isFresh would read false forever with no signal. The r14 check
+    // requires the stored content (token set / exact embedding) to match.
+    import spark.implicits._
+    // text family
+    val tDocs = (0 until 6)
+      .map(i => (i.toLong, s"content gate text fixture doc $i body"))
+      .toDF("doc_id", "text")
+    val tIdx = tmpIdx("cg_tx")
+    TextIndex.build(tDocs, "doc_id", "text", tIdx)
+    val wrongText = Seq((2L, "entirely different words here")).toDF("doc_id", "text")
+    val exT = intercept[IllegalArgumentException] {
+      TextIndex.logicalRemove(wrongText, "doc_id", "text", tIdx, tag = "cg1")
+    }
+    assert(exT.getMessage.contains("matching content"), exT.getMessage)
+    val exT2 = intercept[IllegalArgumentException] {
+      TextIndex.remove(wrongText, "doc_id", "text", tIdx, tag = "cg2")
+    }
+    assert(exT2.getMessage.contains("matching content"), exT2.getMessage)
+    // the exact row still removes fine
+    TextIndex.logicalRemove(tDocs.filter(col("doc_id") === 2L),
+      "doc_id", "text", tIdx, tag = "cg3")
+    assert(LogicalDelete.pendingBatches(
+      spark.sparkContext.hadoopConfiguration, tIdx).nonEmpty)
+    // cluster family
+    val cDocs = Seq((10L, span(0, 50)), (20L, span(200, 260)))
+      .toDF("doc_id", "text")
+    val cIdx = tmpIdx("cg_cl")
+    ClusterIndex.build(cDocs, "doc_id", "text", cIdx)
+    val exC = intercept[IllegalArgumentException] {
+      ClusterIndex.logicalRemove(Seq((10L, span(300, 360)))
+        .toDF("doc_id", "text"), "doc_id", "text", cIdx, tag = "cg1")
+    }
+    assert(exC.getMessage.contains("matching content"), exC.getMessage)
+    // vector family: exact embedding match
+    val vecs = (0 until 8).map(i =>
+      (i.toLong, (0 until 4).map(d => math.sin(i * 31 + d).toFloat)))
+      .toDF("vec_id", "embedding")
+    val vIdx = tmpIdx("cg_vec")
+    VectorIndex.build(vecs, vIdx, nlist = 2)
+    val wrongVec = Seq((3L, Seq(9.9f, 9.9f, 9.9f, 9.9f)))
+      .toDF("vec_id", "embedding")
+    val exV = intercept[IllegalArgumentException] {
+      VectorIndex.logicalRemove(wrongVec, vIdx, tag = "cg1")
+    }
+    assert(exV.getMessage.contains("matching content"), exV.getMessage)
+    // the exact row still removes fine
+    VectorIndex.logicalRemove(vecs.filter(col("vec_id") === 3L), vIdx,
+      tag = "cg2")
+    assert(VectorIndex.topK(spark, vIdx,
+      vecs.filter(col("vec_id") === 3L)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+      k = 8).filter(col("vec_id") === 3L).count() == 0L,
+      "the correctly-removed vector must be blind in topK")
+  }
+
   test("rebuild clears pending tombstones (recycled ids must not stay hidden)") {
     val docs = (0 until 8)
       .map(i => (i.toLong, s"rebuild fixture doc $i shared boilerplate"))
