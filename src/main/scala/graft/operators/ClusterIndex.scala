@@ -760,7 +760,10 @@ object ClusterIndex {
     // operations — sharing a record would make the remove read as a
     // replay and skip its fingerprint subtraction forever
     val rmTag = s"rm.$tag"
-    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    // duplicate rows subtract once; conflicting content refuses
+    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
+      textCol, "ClusterIndex.remove")
+    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"ClusterIndex.remove: tag '$tag' was already used by a different " +
@@ -995,7 +998,10 @@ object ClusterIndex {
         Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
       else None
     val rmTag = s"rm.$tag" // shared namespace with remove(), on purpose
-    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    // duplicate rows subtract once; conflicting content refuses
+    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
+      textCol, "ClusterIndex.logicalRemove")
+    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"ClusterIndex.logicalRemove: tag '$tag' was already used by a " +

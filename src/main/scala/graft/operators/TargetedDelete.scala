@@ -39,6 +39,28 @@ object TargetedDelete {
   private[graft] def broadcastKeyLimit: Long =
     sys.props.get("graft.delete.broadcastKeys").map(_.toLong).getOrElse(1000000L)
 
+  /** Victim-frame normalization shared by the six removal protocols
+    * (r14): EXACT duplicate (id, content) rows collapse to one — an
+    * at-least-once takedown feed must subtract each victim ONCE, not
+    * once per delivery — and conflicting content under one id REFUSES
+    * pre-mutation (ambiguous: the fingerprint subtraction needs THE row
+    * as ingested, and subtracting both candidates would silently poison
+    * meta). Returns the deduplicated (id, content) projection; callers
+    * feed it to the fingerprint — their id/content derivations are
+    * already distinct-based and need no change. */
+  private[graft] def normalizeVictims(victims: DataFrame, idCol: String,
+      contentCol: String, opName: String): DataFrame = {
+    val v = victims.select(col(idCol), col(contentCol))
+      .dropDuplicates(Seq(idCol, contentCol)).localCheckpoint()
+    val conflicted = v.groupBy(col(idCol))
+      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1L).count()
+    if (conflicted > 0L) Fingerprint.refuse(
+      s"$opName: $conflicted victim id(s) carry CONFLICTING content — " +
+        "the fingerprint subtraction needs exactly the (id, content) row " +
+        "as ingested; pass one row per victim id")
+    v
+  }
+
   /** Broadcast only below the key-count threshold — shared by every
     * victim-keyed join in the delete/remove family. */
   private[graft] def maybeBroadcast(df: DataFrame, nKeys: Long): DataFrame =

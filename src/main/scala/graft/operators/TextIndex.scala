@@ -213,7 +213,10 @@ object TextIndex {
     val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
     val oldFp = readFingerprint(s, root)
     val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
-    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    // duplicate rows subtract once; conflicting content refuses
+    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
+      textCol, "TextIndex.remove")
+    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"TextIndex.remove: tag '$tag' was already used by a different " +
@@ -385,7 +388,10 @@ object TextIndex {
     val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
     val oldFp = readFingerprint(s, root)
     val rmTag = s"rm.$tag"
-    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+    // duplicate rows subtract once; conflicting content refuses
+    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
+      textCol, "TextIndex.logicalRemove")
+    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"TextIndex.logicalRemove: tag '$tag' was already used by a " +

@@ -268,7 +268,10 @@ object VectorIndex {
     val centroids = loadCentroidsFromRoot(s, root)
     val oldFp = readMeta(s, root)
     val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
-    val vfp = Fingerprint.of(victims, Seq(corpusId, corpusVec))
+    // duplicate rows subtract once; conflicting content refuses
+    val vNorm = TargetedDelete.normalizeVictims(victims, corpusId,
+      corpusVec, "VectorIndex.remove")
+    val vfp = Fingerprint.of(vNorm, Seq(corpusId, corpusVec))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"VectorIndex.remove: tag '$tag' was already used by a different " +
@@ -373,7 +376,10 @@ object VectorIndex {
     val centroids = loadCentroidsFromRoot(s, root)
     val oldFp = readMeta(s, root)
     val rmTag = s"rm.$tag"
-    val vfp = Fingerprint.of(victims, Seq(corpusId, corpusVec))
+    // duplicate rows subtract once; conflicting content refuses
+    val vNorm = TargetedDelete.normalizeVictims(victims, corpusId,
+      corpusVec, "VectorIndex.logicalRemove")
+    val vfp = Fingerprint.of(vNorm, Seq(corpusId, corpusVec))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"VectorIndex.logicalRemove: tag '$tag' was already used by a " +
