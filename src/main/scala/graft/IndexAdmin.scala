@@ -53,6 +53,7 @@ object IndexAdmin {
       unmarkeredRecordedTags: Set[String],  // recorded, no applied/ marker
       tombstones: Seq[(String, Long)],      // (batch dir, ageMs)
       logicalDeletes: Seq[String],          // pending LogicalDelete batches
+      logicalDeleteAges: Seq[(String, Long)], // same batches with ageMs
       sourceStatusPresent: Boolean)
 
   /** Control names that live at the index top level beside the data
@@ -127,10 +128,12 @@ object IndexAdmin {
     val now = System.currentTimeMillis()
     // age from the newest FILE inside each batch dir: object-store
     // "directory" mtimes are synthetic (0, or listing time), and this
-    // age feeds the pruneTombstones retention decision
-    val tombstones =
-      if (!fs.exists(removedDir)) Seq.empty
-      else fs.listStatus(removedDir).toSeq
+    // batch ages from the newest contained FILE (dir mtimes are synthetic
+    // on object stores) — feeds the pruneTombstones retention decision
+    // and the advise() deletion-SLA rule
+    def batchAges(d: Path): Seq[(String, Long)] =
+      if (!fs.exists(d)) Seq.empty
+      else fs.listStatus(d).toSeq
         .map { st =>
           val files = fs.listStatus(st.getPath).filter(_.isFile)
           val mtime =
@@ -139,6 +142,7 @@ object IndexAdmin {
           (st.getPath.getName, math.max(0L, now - mtime))
         }
         .sortBy(_._1)
+    val tombstones = batchAges(removedDir)
 
     Report(
       dir = dir,
@@ -157,6 +161,9 @@ object IndexAdmin {
       unmarkeredRecordedTags = unmarkered,
       tombstones = tombstones,
       logicalDeletes = operators.LogicalDelete.pendingBatches(conf, dir),
+      logicalDeleteAges =
+        batchAges(new Path(operators.LogicalDelete.dir(dir)))
+          .map { case (n, a) => (n.stripPrefix("batch="), a) },
       sourceStatusPresent = fs.exists(new Path(s"$dir/srcstat")))
   }
 
@@ -222,10 +229,74 @@ object IndexAdmin {
     sb.result()
   }
 
+  /** Read-only maintenance recommendations — the README cadence table
+    * as code, derived purely from a [[Report]] so the rules are
+    * spec-testable without a filesystem. Nothing here mutates; every
+    * line names the guarded verb the operator would run.
+    * `deletionSlaMs`: how long a logical deletion may pend before the
+    * unreclaimed bytes violate your RTBF window (compact() is the
+    * reclaim verb; probes are blind from the logicalRemove itself). */
+  def advise(r: Report, deletionSlaMs: Long = 24L * 3600 * 1000L): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    if (r.pendingRemovals.nonEmpty)
+      out += "BLOCKING: crashed removal(s) " +
+        r.pendingRemovals.map(_.stripPrefix("rm.")).toSeq.sorted.mkString(", ") +
+        " — re-run each with its ORIGINAL victims and tag; new removals " +
+        "and compact() refuse until these replay to completion"
+    if (r.logicalDeleteAges.nonEmpty && r.pendingRemovals.isEmpty) {
+      val oldest = r.logicalDeleteAges.map(_._2).max
+      val n = r.logicalDeleteAges.size
+      if (oldest >= deletionSlaMs)
+        out += s"compact() OVERDUE: $n logical-deletion batch(es) pending, " +
+          s"oldest ${fmtAge(oldest)} exceeds the ${fmtAge(deletionSlaMs)} " +
+          "deletion SLA — reclaim now"
+      else
+        out += s"compact() recommended within ${fmtAge(deletionSlaMs - oldest)}: " +
+          s"$n logical-deletion batch(es) pending (oldest ${fmtAge(oldest)}); " +
+          "probes are already blind, the reclaim bounds the deletion SLA"
+    }
+    if (r.tombstones.nonEmpty) {
+      if (r.unmarkeredRecordedTags.nonEmpty)
+        out += "do NOT pruneTombstones: recorded-but-unmarkered stream " +
+          s"batch(es) ${r.unmarkeredRecordedTags.toSeq.sorted.mkString(", ")} " +
+          "have not drained — the tombstones are what keep their replays " +
+          "from resurrecting removed rows"
+      else
+        out += s"pruneTombstones eligible: ${r.tombstones.size} batch(es), " +
+          s"oldest ${fmtAge(r.tombstones.map(_._2).max)}; safe once every " +
+          "stream sharing the index has restarted+drained (no unmarkered " +
+          "batches are visible)"
+    }
+    r.leases.filter(_._3).foreach { case (n, age, _) =>
+      out += s"lease $n EXPIRED (${fmtAge(age)} since heartbeat): the next " +
+        "acquirer reclaims it automatically — no action needed"
+    }
+    if (!r.sourceStatusPresent)
+      out += "freshness fast-path record absent: isFresh/ensure fall back " +
+        "to the content-hash scan (correct, slower); the next build() " +
+        "re-arms it"
+    out.result()
+  }
+
   def main(args: Array[String]): Unit = {
-    require(args.nonEmpty,
-      "usage: runMain graft.IndexAdmin <indexDir> [<indexDir>...]")
+    val (flags, dirs) = args.partition(_.startsWith("--"))
+    require(dirs.nonEmpty,
+      "usage: runMain graft.IndexAdmin [--advise] <indexDir> [<indexDir>...]")
+    val unknown = flags.filterNot(_ == "--advise")
+    require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(", ")}")
+    val doAdvise = flags.contains("--advise")
+    // deletion-SLA override for the advise rules (default 24h)
+    val sla = sys.props.get("graft.admin.deletionSlaMs").map(_.toLong)
+      .getOrElse(24L * 3600 * 1000L)
     val conf = new Configuration()
-    args.foreach(dir => print(render(report(conf, dir))))
+    dirs.foreach { dir =>
+      val r = report(conf, dir)
+      print(render(r))
+      if (doAdvise) {
+        val a = advise(r, sla)
+        if (a.isEmpty) println("  advise: all clear — no maintenance indicated")
+        else a.foreach(l => println(s"  advise: $l"))
+      }
+    }
   }
 }

@@ -148,4 +148,76 @@ class IndexAdminSpec extends SparkSpec {
         r.stagingGens.isEmpty && r.tombstones.isEmpty, s"pristine index: $r")
     }
   }
+
+  test("advise: the README cadence table as code (pure-report rules)") {
+    // r14: --advise derives read-only recommendations from a report; the
+    // rules are pure so they gate without FS setup
+    val base = IndexAdmin.Report(
+      dir = "/idx", gen = Some(1L), liveRoot = "/idx/g1",
+      retiredGens = Nil, legacyGraceDirs = Nil, stagingGens = Nil,
+      tables = Nil, leases = Nil, leaseTtlMs = 600000L,
+      pendingRemovals = Set.empty, appendTags = Set.empty,
+      removalTags = Set.empty, appliedMarkers = Set.empty,
+      unmarkeredRecordedTags = Set.empty, tombstones = Nil,
+      logicalDeletes = Nil, logicalDeleteAges = Nil,
+      sourceStatusPresent = true)
+    assert(IndexAdmin.advise(base).isEmpty, "pristine index: all clear")
+    // pending logical deletions: within SLA -> scheduled; beyond -> overdue
+    val hour = 3600 * 1000L
+    val within = base.copy(logicalDeletes = Seq("rm.a"),
+      logicalDeleteAges = Seq(("rm.a", 2 * hour)))
+    val aWithin = IndexAdmin.advise(within, deletionSlaMs = 24 * hour)
+    assert(aWithin.exists(_.contains("compact() recommended within 22.0h")),
+      aWithin.mkString("; "))
+    val overdue = IndexAdmin.advise(
+      within.copy(logicalDeleteAges = Seq(("rm.a", 30 * hour))),
+      deletionSlaMs = 24 * hour)
+    assert(overdue.exists(_.contains("compact() OVERDUE")),
+      overdue.mkString("; "))
+    // a crashed removal BLOCKS and suppresses the compact advice (it
+    // would refuse anyway); the bare tag is printed, never rm.-prefixed
+    val crashed = IndexAdmin.advise(
+      within.copy(pendingRemovals = Set("rm.t9")))
+    assert(crashed.exists(l => l.contains("BLOCKING") && l.contains("t9")
+      && !l.contains("rm.t9")), crashed.mkString("; "))
+    assert(!crashed.exists(l => l.contains("compact() recommended") ||
+      l.contains("compact() OVERDUE")), crashed.mkString("; "))
+    // tombstone pruning: blocked while unmarkered batches pend, eligible
+    // once they drain
+    val tomb = base.copy(tombstones = Seq(("batch=tk1", 5 * hour)))
+    val blocked = IndexAdmin.advise(
+      tomb.copy(unmarkeredRecordedTags = Set("ckr_b3")))
+    assert(blocked.exists(l => l.contains("do NOT pruneTombstones")
+      && l.contains("ckr_b3")), blocked.mkString("; "))
+    val eligible = IndexAdmin.advise(tomb)
+    assert(eligible.exists(_.contains("pruneTombstones eligible")),
+      eligible.mkString("; "))
+    // expired lease + absent srcstat are informational
+    val info = IndexAdmin.advise(base.copy(
+      leases = Seq(("write_x", 900000L, true)), sourceStatusPresent = false))
+    assert(info.exists(_.contains("EXPIRED")) &&
+      info.exists(_.contains("fast-path record absent")),
+      info.mkString("; "))
+  }
+
+  test("advise end-to-end: a real index with a pending logical deletion recommends compact") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files
+      .createTempDirectory("admadvise").toString + "/idx"
+    val docs = (0 until 5)
+      .map(i => (i.toLong, s"advise fixture doc $i words")).toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    TextIndex.logicalRemove(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L),
+      "doc_id", "text", dir, tag = "adv1")
+    val r = IndexAdmin.report(conf, dir)
+    assert(r.logicalDeleteAges.map(_._1) == Seq("rm.adv1"),
+      s"ages must cover the pending batch: ${r.logicalDeleteAges}")
+    val a = IndexAdmin.advise(r)
+    assert(a.exists(_.contains("compact() recommended")), a.mkString("; "))
+    graft.operators.TextIndex.compact(spark, dir)
+    assert(IndexAdmin.advise(IndexAdmin.report(conf, dir))
+      .forall(!_.contains("compact()")), "reclaim clears the advice")
+  }
 }
