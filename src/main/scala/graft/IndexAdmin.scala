@@ -130,16 +130,22 @@ object IndexAdmin {
     // "directory" mtimes are synthetic (0, or listing time), and this
     // batch ages from the newest contained FILE (dir mtimes are synthetic
     // on object stores) — feeds the pruneTombstones retention decision
-    // and the advise() deletion-SLA rule
+    // and the advise() deletion-SLA rule. A FILE-LESS batch dir (a write
+    // crashed before any data file committed) reports age 0: the
+    // synthetic dir mtime can read as epoch on object stores, which
+    // would make advise() cry "compact() OVERDUE by 50 years" for a
+    // batch written seconds ago — fresh is the conservative direction
+    // for both the SLA and the prune decision (r14 review).
     def batchAges(d: Path): Seq[(String, Long)] =
       if (!fs.exists(d)) Seq.empty
       else fs.listStatus(d).toSeq
         .map { st =>
           val files = fs.listStatus(st.getPath).filter(_.isFile)
-          val mtime =
-            if (files.nonEmpty) files.map(_.getModificationTime).max
-            else st.getModificationTime
-          (st.getPath.getName, math.max(0L, now - mtime))
+          val age =
+            if (files.nonEmpty)
+              math.max(0L, now - files.map(_.getModificationTime).max)
+            else 0L
+          (st.getPath.getName, age)
         }
         .sortBy(_._1)
     val tombstones = batchAges(removedDir)

@@ -376,6 +376,35 @@ object ClusterIndex {
       idCol, LogicalDelete.ids(s, indexDir))
   }
 
+  /** The victim rows that ARE this index's rows of record — id known
+    * AND the text token-matches the ingested version (r14, the
+    * streaming takedown's staging filter). Ids never ingested, already
+    * taken down, or rows whose text does not match the indexed document
+    * simply drop out — the same "does not match, nothing to forget"
+    * semantic the lake-snapshot takedown siblings get from their lake
+    * join — so the removal protocols' content-set refusal stays
+    * unreachable from the staged set by construction. Same bounded
+    * shape as [[knownIds]]: bucket-pruned toks scan, ≤ |victims| out. */
+  def matchingRows(s: SparkSession, indexDir: String, victims: DataFrame,
+                   idCol: String, textCol: String): DataFrame = {
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val (_, nBuckets) = readMeta(s, root)
+    val pinned = victims.select(col(idCol), col(textCol))
+      .distinct().localCheckpoint()
+    val touched = pinned.select(idb(col(idCol), nBuckets).as("idb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val stored = LogicalDelete.hide(
+        s.read.parquet(s"$root/toks").filter(col("idb").isin(touched: _*)),
+        idCol, LogicalDelete.ids(s, indexDir))
+      .select(col(idCol).as("_mid"), xxhash64(col("_toks")).as("_sh"))
+    pinned
+      .withColumn("_vh", xxhash64(Dedup.hashedTokenSet(col(textCol))))
+      .join(stored,
+        col(idCol) === col("_mid") && col("_vh") === col("_sh"),
+        "leftsemi")
+      .drop("_vh")
+  }
+
   /** Fold marker-COMMITTED append generations back into the `build`
     * generation — the small-files lifecycle valve for a long-running
     * ingest stream. Each streaming batch appends its own `_src=<tag>`
@@ -760,10 +789,7 @@ object ClusterIndex {
     // operations — sharing a record would make the remove read as a
     // replay and skip its fingerprint subtraction forever
     val rmTag = s"rm.$tag"
-    // duplicate rows subtract once; conflicting content refuses
-    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
-      textCol, "ClusterIndex.remove")
-    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"ClusterIndex.remove: tag '$tag' was already used by a different " +
@@ -807,21 +833,25 @@ object ClusterIndex {
         // ---- 1. DISCOVERY: every table still pristine (rewrites only
         // ever start after PLAN_READY commits) ----
         if (!replay) {
-          // content-aware known-check (r14) — see TextIndex.remove: the
-          // stored token set must equal the victim text's, or a
-          // wrong-text row would silently poison the subtraction
-          val vWant = victims
-            .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
-            .distinct()
-          val known = rleg("known-check")(vToks
-            .join(bVids(vWant), Seq(idCol))
-            .filter(col("_toks") === col("_want"))
-            .select(col(idCol)).distinct().count())
+          // content-set known-check (r14) — see TextIndex.remove:
+          // per victim id, stored token-set hashes must equal the victim
+          // rows' (this family holds one row per id, so the multiset
+          // degenerates to single-content equality — but a duplicated or
+          // conflicting victim feed still mismatches and refuses)
+          val vAgg = TargetedDelete.contentSet(victims, idCol,
+            xxhash64(Dedup.hashedTokenSet(col(textCol))))
+            .withColumnRenamed("_chs", "_vchs")
+          val known = rleg("known-check")(
+            TargetedDelete.contentSet(vToks, idCol,
+              xxhash64(col("_toks")))
+            .join(bVids(vAgg), Seq(idCol))
+            .filter(col("_chs") === col("_vchs"))
+            .count())
           if (known != nV) Fingerprint.refuse(
-            s"ClusterIndex.remove: only $known of $nV victims are indexed " +
-              "with matching content; the fingerprint subtraction needs " +
-              "exactly the ingested rows — pass the (id, text) rows as " +
-              "they entered the index")
+            s"ClusterIndex.remove: only $known of $nV victim ids are " +
+              "indexed with matching content; the fingerprint subtraction " +
+              "needs exactly the ingested rows — pass the (id, text) rows " +
+              "as they entered the index")
           // mid-append crash guard (see TextIndex.remove): a victim from
           // an append whose fingerprint merge never recorded must not
           // subtract — its delta was never added. Pruned provenance read,
@@ -998,10 +1028,7 @@ object ClusterIndex {
         Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
       else None
     val rmTag = s"rm.$tag" // shared namespace with remove(), on purpose
-    // duplicate rows subtract once; conflicting content refuses
-    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
-      textCol, "ClusterIndex.logicalRemove")
-    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"ClusterIndex.logicalRemove: tag '$tag' was already used by a " +
@@ -1038,22 +1065,26 @@ object ClusterIndex {
         // a second logical delete of the same id would double-subtract
         LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
           "ClusterIndex.logicalRemove")
-        // victims indexed WITH matching content (the fingerprint
-        // subtraction needs exactly the ingested rows) — same pruned
-        // read as remove()'s content-aware known-check (r14)
-        val vWant = victims
-          .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
-          .distinct()
-        val known = rleg("known-check")(s.read.parquet(s"$root/toks")
-          .filter(col("idb").isin(vIdb: _*))
-          .join(bVids(vWant), Seq(idCol))
-          .filter(col("_toks") === col("_want"))
-          .select(col(idCol)).distinct().count())
+        // victims indexed WITH matching content set (the
+        // fingerprint subtraction needs exactly the ingested rows) —
+        // same pruned read as remove()'s known-check (r14)
+        val vAgg = TargetedDelete.contentSet(victims, idCol,
+          xxhash64(Dedup.hashedTokenSet(col(textCol))))
+          .withColumnRenamed("_chs", "_vchs")
+        val known = rleg("known-check")(
+          TargetedDelete.contentSet(
+            s.read.parquet(s"$root/toks")
+              .filter(col("idb").isin(vIdb: _*))
+              .join(bVids(vids), Seq(idCol), "leftsemi"),
+            idCol, xxhash64(col("_toks")))
+          .join(bVids(vAgg), Seq(idCol))
+          .filter(col("_chs") === col("_vchs"))
+          .count())
         if (known != nV) Fingerprint.refuse(
-          s"ClusterIndex.logicalRemove: only $known of $nV victims are " +
-            "indexed with matching content; the fingerprint subtraction " +
-            "needs exactly the ingested rows — pass the (id, text) rows " +
-            "as they entered the index")
+          s"ClusterIndex.logicalRemove: only $known of $nV victim ids " +
+            "are indexed with matching content; the fingerprint " +
+            "subtraction needs exactly the ingested rows — pass the " +
+            "(id, text) rows as they entered the index")
         // mid-append crash guard, same as remove()
         if (oldFp.isDefined) {
           val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")

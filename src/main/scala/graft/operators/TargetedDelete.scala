@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Targeted key DELETION from a partitioned parquet lake — the
@@ -39,27 +39,42 @@ object TargetedDelete {
   private[graft] def broadcastKeyLimit: Long =
     sys.props.get("graft.delete.broadcastKeys").map(_.toLong).getOrElse(1000000L)
 
-  /** Victim-frame normalization shared by the six removal protocols
-    * (r14): EXACT duplicate (id, content) rows collapse to one — an
-    * at-least-once takedown feed must subtract each victim ONCE, not
-    * once per delivery — and conflicting content under one id REFUSES
-    * pre-mutation (ambiguous: the fingerprint subtraction needs THE row
-    * as ingested, and subtracting both candidates would silently poison
-    * meta). Returns the deduplicated (id, content) projection; callers
-    * feed it to the fingerprint — their id/content derivations are
-    * already distinct-based and need no change. */
-  private[graft] def normalizeVictims(victims: DataFrame, idCol: String,
-      contentCol: String, opName: String): DataFrame = {
-    val v = victims.select(col(idCol), col(contentCol))
-      .dropDuplicates(Seq(idCol, contentCol)).localCheckpoint()
-    val conflicted = v.groupBy(col(idCol))
-      .agg(count(lit(1)).as("_n")).filter(col("_n") > 1L).count()
-    if (conflicted > 0L) Fingerprint.refuse(
-      s"$opName: $conflicted victim id(s) carry CONFLICTING content — " +
-        "the fingerprint subtraction needs exactly the (id, content) row " +
-        "as ingested; pass one row per victim id")
-    v
-  }
+  /** Per-victim-id DISTINCT content set for the removal known-checks
+    * (r14): `(id, sorted set of content hashes)`. The removal protocols
+    * require this set to EQUAL the stored rows' per-id set, because the
+    * physical delete is id-keyed (every stored version of the id goes)
+    * while the fingerprint subtracts exactly the rows the caller passed:
+    *
+    *  - a wrong-content victim row refuses (nothing stored matches);
+    *  - a PARTIAL-version takedown of a re-crawled id refuses — passing
+    *    only (7, textB) when the index holds textA AND textB would
+    *    delete both but subtract one, drifting meta silently (this was
+    *    reachable pre-r14);
+    *  - a FULL multi-version takedown (all of an id's ingested rows —
+    *    exactly what the lake-snapshot takedown streams stage) passes
+    *    and subtracts every version;
+    *  - a victim whose ingest crashed between the lake write and the
+    *    index append refuses loudly (stored side lacks the new version)
+    *    instead of silently subtracting a never-merged fingerprint —
+    *    the ingest replay completes the append, the takedown retries.
+    *
+    * SET, not multiset, on purpose: a crashed-append REPLAY leaves
+    * duplicate physical rows in the index while the fingerprint merged
+    * once (IndexRemoveSpec pins that a single victim row then removes
+    * them all and subtracts once), so stored physical multiplicity is
+    * not the merged multiplicity and must not be matched against.
+    * Residual trust (unchanged from the pre-r14 contract): a direct
+    * caller who duplicates a victim ROW beyond the record subtracts it
+    * per copy — the streams cannot produce this (their staged sets are
+    * exactly-once by construction). Hash-level compare on purpose: the
+    * joined frames carry ids + small hash arrays, never token sets or
+    * embeddings, so the victim-side broadcast stays id-scale bytes at
+    * any document size. */
+  private[graft] def contentSet(rows: DataFrame, idCol: String,
+                                contentHash: Column): DataFrame =
+    rows.select(col(idCol), contentHash.as("_ch"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_set(col("_ch"))).as("_chs"))
 
   /** Broadcast only below the key-count threshold — shared by every
     * victim-keyed join in the delete/remove family. */

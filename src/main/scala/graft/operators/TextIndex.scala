@@ -213,10 +213,7 @@ object TextIndex {
     val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
     val oldFp = readFingerprint(s, root)
     val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
-    // duplicate rows subtract once; conflicting content refuses
-    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
-      textCol, "TextIndex.remove")
-    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"TextIndex.remove: tag '$tag' was already used by a different " +
@@ -243,25 +240,26 @@ object TextIndex {
         .select(col(idCol), col("_toks"))
         .localCheckpoint()
       if (!replay) {
-        // CONTENT-aware known-check (r14): an id-only match would let a
-        // wrong-text victim row subtract a fingerprint the index never
-        // merged (silently poisoning isFresh forever) — require the
-        // STORED token set to equal the victim text's, the strongest
-        // equality the index holds (token-set level: a raw-text
-        // difference that tokenizes identically still passes, and still
-        // subtracts a wrong fingerprint — the contract remains "the
-        // exact rows as ingested"; this check catches everything else)
-        val vWant = victims
-          .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
-          .distinct()
-        val known = vToks
-          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(idCol))
-          .filter(col("_toks") === col("_want"))
-          .select(col(idCol)).distinct().count()
+        // CONTENT-MULTISET known-check (r14, see
+        // [[TargetedDelete.contentSet]]): per victim id, the stored
+        // rows' token-set hashes must EQUAL the victim rows' — the
+        // delete is id-keyed (every stored version goes), so the caller
+        // must pass ALL of an id's ingested versions, or a wrong/partial
+        // victim set would subtract a fingerprint that diverges from the
+        // rows actually removed, silently poisoning isFresh forever
+        val vAgg = TargetedDelete.contentSet(victims, idCol,
+          xxhash64(Dedup.hashedTokenSet(col(textCol))))
+          .withColumnRenamed("_chs", "_vchs")
+        val known = TargetedDelete.contentSet(vToks, idCol,
+            xxhash64(col("_toks")))
+          .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(idCol))
+          .filter(col("_chs") === col("_vchs"))
+          .count()
         if (known != nV) Fingerprint.refuse(
-          s"TextIndex.remove: only $known of $nV victims are indexed with " +
-            "matching content; the fingerprint subtraction needs exactly " +
-            "the ingested (id, text) rows")
+          s"TextIndex.remove: only $known of $nV victim ids are indexed " +
+            "with matching content (ALL stored versions of each id — the " +
+            "delete is id-keyed); the fingerprint subtraction needs " +
+            "exactly the ingested (id, text) rows")
       }
       val vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
         .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
@@ -388,10 +386,7 @@ object TextIndex {
     val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
     val oldFp = readFingerprint(s, root)
     val rmTag = s"rm.$tag"
-    // duplicate rows subtract once; conflicting content refuses
-    val vNorm = TargetedDelete.normalizeVictims(victims, idCol,
-      textCol, "TextIndex.logicalRemove")
-    val vfp = Fingerprint.of(vNorm, Seq(idCol, textCol))
+    val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"TextIndex.logicalRemove: tag '$tag' was already used by a " +
@@ -413,19 +408,24 @@ object TextIndex {
       if (!replay) {
         LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
           "TextIndex.logicalRemove")
-        // content-aware, like remove() — see the r14 note there
-        val vWant = victims
-          .select(col(idCol), Dedup.hashedTokenSet(col(textCol)).as("_want"))
-          .distinct()
-        val known = s.read.parquet(s"$root/toks")
-          .filter(col("idb").isin(vIdb: _*))
-          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(idCol))
-          .filter(col("_toks") === col("_want"))
-          .select(col(idCol)).distinct().count()
+        // content-set, like remove() — see the r14 note there
+        val vAgg = TargetedDelete.contentSet(victims, idCol,
+          xxhash64(Dedup.hashedTokenSet(col(textCol))))
+          .withColumnRenamed("_chs", "_vchs")
+        val known = TargetedDelete.contentSet(
+            s.read.parquet(s"$root/toks")
+              .filter(col("idb").isin(vIdb: _*))
+              .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol),
+                "leftsemi"),
+            idCol, xxhash64(col("_toks")))
+          .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(idCol))
+          .filter(col("_chs") === col("_vchs"))
+          .count()
         if (known != nV) Fingerprint.refuse(
-          s"TextIndex.logicalRemove: only $known of $nV victims are " +
-            "indexed with matching content; the fingerprint subtraction " +
-            "needs exactly the ingested (id, text) rows")
+          s"TextIndex.logicalRemove: only $known of $nV victim ids are " +
+            "indexed with matching content (ALL stored versions of each " +
+            "id); the fingerprint subtraction needs exactly the ingested " +
+            "(id, text) rows")
         // mid-append crash guard, same pruned provenance read as remove()
         if (oldFp.isDefined &&
             s.read.parquet(s"$root/bands").schema.fieldNames.contains("_src")) {

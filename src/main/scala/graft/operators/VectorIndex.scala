@@ -268,10 +268,7 @@ object VectorIndex {
     val centroids = loadCentroidsFromRoot(s, root)
     val oldFp = readMeta(s, root)
     val rmTag = s"rm.$tag" // own namespace, see ClusterIndex.remove
-    // duplicate rows subtract once; conflicting content refuses
-    val vNorm = TargetedDelete.normalizeVictims(victims, corpusId,
-      corpusVec, "VectorIndex.remove")
-    val vfp = Fingerprint.of(vNorm, Seq(corpusId, corpusVec))
+    val vfp = Fingerprint.of(victims, Seq(corpusId, corpusVec))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"VectorIndex.remove: tag '$tag' was already used by a different " +
@@ -290,20 +287,25 @@ object VectorIndex {
         .collect().map(_.getInt(0)).toSeq // bounded by nlist
       val vids = pinned.select(col(corpusId)).distinct()
       if (!replay) {
-        // content-aware known-check (r14) — see TextIndex.remove; this
-        // family stores the ingested embedding itself, so the equality
-        // is EXACT (float-array match), not token-set-level
-        val vWant = victims
-          .select(col(corpusId), col(corpusVec).as("_want")).distinct()
-        val known = s.read.parquet(s"$root/cells")
-          .filter(col("cell").isInCollection(vCells))
-          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(corpusId))
-          .filter(col(corpusVec) === col("_want"))
-          .select(col(corpusId)).distinct().count()
+        // content-set known-check (r14) — see TextIndex.remove;
+        // this family stores the ingested embedding itself, so the
+        // hashed equality is over EXACT float arrays, not token sets
+        val vAgg = TargetedDelete.contentSet(victims, corpusId,
+          xxhash64(col(corpusVec))).withColumnRenamed("_chs", "_vchs")
+        val known = TargetedDelete.contentSet(
+            s.read.parquet(s"$root/cells")
+              .filter(col("cell").isInCollection(vCells))
+              .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId),
+                "leftsemi"),
+            corpusId, xxhash64(col(corpusVec)))
+          .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(corpusId))
+          .filter(col("_chs") === col("_vchs"))
+          .count()
         if (known != nV) Fingerprint.refuse(
-          s"VectorIndex.remove: only $known of $nV victims are indexed " +
-            "with matching content; the fingerprint subtraction needs " +
-            "exactly the ingested (id, embedding) rows")
+          s"VectorIndex.remove: only $known of $nV victim ids are " +
+            "indexed with matching content (ALL stored versions of each " +
+            "id); the fingerprint subtraction needs exactly the ingested " +
+            "(id, embedding) rows")
         // mid-append crash guard (see TextIndex.remove): a victim row
         // from an append whose merge never recorded must not subtract
         if (oldFp.isDefined &&
@@ -376,10 +378,7 @@ object VectorIndex {
     val centroids = loadCentroidsFromRoot(s, root)
     val oldFp = readMeta(s, root)
     val rmTag = s"rm.$tag"
-    // duplicate rows subtract once; conflicting content refuses
-    val vNorm = TargetedDelete.normalizeVictims(victims, corpusId,
-      corpusVec, "VectorIndex.logicalRemove")
-    val vfp = Fingerprint.of(vNorm, Seq(corpusId, corpusVec))
+    val vfp = Fingerprint.of(victims, Seq(corpusId, corpusVec))
     val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
     if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
       s"VectorIndex.logicalRemove: tag '$tag' was already used by a " +
@@ -403,18 +402,23 @@ object VectorIndex {
           "VectorIndex.logicalRemove")
         val vCells = pinned.select(col("cell")).distinct()
           .collect().map(_.getInt(0)).toSeq // bounded by nlist
-        // content-aware (r14) — exact float-array match, see remove()
-        val vWant = victims
-          .select(col(corpusId), col(corpusVec).as("_want")).distinct()
-        val known = s.read.parquet(s"$root/cells")
-          .filter(col("cell").isInCollection(vCells))
-          .join(TargetedDelete.maybeBroadcast(vWant, nV), Seq(corpusId))
-          .filter(col(corpusVec) === col("_want"))
-          .select(col(corpusId)).distinct().count()
+        // content-set (r14) — exact float arrays, see remove()
+        val vAgg = TargetedDelete.contentSet(victims, corpusId,
+          xxhash64(col(corpusVec))).withColumnRenamed("_chs", "_vchs")
+        val known = TargetedDelete.contentSet(
+            s.read.parquet(s"$root/cells")
+              .filter(col("cell").isInCollection(vCells))
+              .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId),
+                "leftsemi"),
+            corpusId, xxhash64(col(corpusVec)))
+          .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(corpusId))
+          .filter(col("_chs") === col("_vchs"))
+          .count()
         if (known != nV) Fingerprint.refuse(
-          s"VectorIndex.logicalRemove: only $known of $nV victims are " +
-            "indexed with matching content; the fingerprint subtraction " +
-            "needs exactly the ingested (id, embedding) rows")
+          s"VectorIndex.logicalRemove: only $known of $nV victim ids are " +
+            "indexed with matching content (ALL stored versions of each " +
+            "id); the fingerprint subtraction needs exactly the ingested " +
+            "(id, embedding) rows")
         // mid-append crash guard, same pruned provenance read as remove()
         if (oldFp.isDefined &&
             s.read.parquet(s"$root/cells").schema.fieldNames.contains("_src")) {

@@ -1164,19 +1164,23 @@ object S4Stream {
     * them out of the corpus the same way). Protocol per batch, in the
     * sibling order:
     *
-    *  1. STAGE the effective victim set once: the batch's rows
-    *     semi-joined against [[graft.operators.ClusterIndex.knownIds]]
-    *     (ids never ingested, or already taken down, simply do not
-    *     match); a replay reuses the staged set verbatim, so the removal
-    *     fingerprint can never shift between attempts;
+    *  1. STAGE the effective victim set once: the batch's ROWS OF
+    *     RECORD via [[graft.operators.ClusterIndex.matchingRows]] —
+    *     ids never ingested, already taken down, or rows whose text
+    *     does not token-match the indexed document simply do not match
+    *     (r14: the filter is content-level, so a wrong-text request
+    *     cannot reach the index leg's content-multiset refusal and
+    *     crash-loop the stream on its own staged set); a replay reuses
+    *     the staged set verbatim, so the removal fingerprint can never
+    *     shift between attempts;
     *  2. TOMBSTONE every requested victim's content (id, hash) — also
-    *     the ones not yet indexed: an ingest batch sitting in the
+    *     the ones not staged: an ingest batch sitting in the
     *     crashed-before-append window replays AFTER this takedown, hits
     *     the content anti-join, and the forgotten rows never land — the
     *     same end state as a completed remove, without the loud refusal
     *     the lake-snapshot siblings surface for that window (their
     *     snapshot can name victims the index doesn't hold; ours is
-    *     known-filtered, so the refusal path is unreachable by
+    *     match-filtered, so the refusal path is unreachable by
     *     construction and the tombstone carries the guarantee instead);
     *  3. the INDEX leg — [[graft.operators.ClusterIndex.logicalRemove]]
     *     (`logical = true`: O(victims) tombstone write, ~2 s lease hold,
@@ -1204,30 +1208,28 @@ object S4Stream {
         val stagingSuccess = new org.apache.hadoop.fs.Path(s"$staging/_SUCCESS")
         val fs = stagingSuccess.getFileSystem(conf)
         if (!fs.exists(stagingSuccess)) {
-          val vids = batch.select(col(idCol)).distinct().localCheckpoint()
-          // distinct BEFORE the fingerprint sees the rows: an
-          // at-least-once upstream delivering the same RTBF request
-          // twice in one micro-batch would otherwise double-subtract
-          // the victim from meta (the siblings stage from the
-          // exactly-once lake and are immune; this loop feeds raw
-          // stream rows — review-caught r14). Conflicting texts for
-          // one id survive the distinct and must REFUSE: the removal
-          // fingerprint needs THE row as ingested, and picking one
-          // silently would corrupt meta just the same.
-          val rows = batch.select(col(idCol), col(textCol)).distinct()
-            // |known| <= |vids|: the batch's victim count is the honest
-            // broadcast threshold proxy (bulk purges shuffle instead)
-            .join(graft.operators.TargetedDelete.maybeBroadcast(
-              graft.operators.ClusterIndex.knownIds(s, indexDir, vids, idCol),
-              vids.count()), Seq(idCol), "leftsemi")
+          // stage the ROWS OF RECORD (r14): matchingRows keeps exactly
+          // the victim rows whose (id, token-set) matches an indexed
+          // document — never-ingested ids, already-taken-down ids, and
+          // wrong-text rows all drop out (their content tombstones below
+          // still block a late ingest), and at-least-once duplicate
+          // deliveries collapse in its distinct. The staged set is
+          // therefore match-complete by construction, so the index
+          // leg's content-multiset refusal is unreachable from this
+          // loop. Conflicting texts that BOTH token-match one id (only
+          // possible for reordered-token twins) remain ambiguous and
+          // refuse loudly before anything is written.
+          val rows = graft.operators.ClusterIndex.matchingRows(
+              s, indexDir, batch.select(col(idCol), col(textCol)),
+              idCol, textCol)
             .localCheckpoint()
           val conflicted = rows.groupBy(col(idCol))
             .agg(count(lit(1)).as("_n")).filter(col("_n") > 1L).count()
           require(conflicted == 0L,
             s"cluster takedown batch $batchId: $conflicted victim id(s) " +
-              "arrive with CONFLICTING text — the removal fingerprint " +
-              "needs exactly the (id, text) row as ingested; fix the " +
-              "victim feed and restart the stream")
+              "arrive with multiple token-matching texts — the removal " +
+              "fingerprint needs exactly the (id, text) row as ingested; " +
+              "fix the victim feed and restart the stream")
           rows.write.mode("overwrite").parquet(staging)
         }
         val victims = s.read.parquet(staging).localCheckpoint()

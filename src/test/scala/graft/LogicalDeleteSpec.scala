@@ -428,24 +428,36 @@ class LogicalDeleteSpec extends SparkSpec {
       "doc_id", "text", tIdx, tag = "cg3")
     assert(LogicalDelete.pendingBatches(
       spark.sparkContext.hadoopConfiguration, tIdx).nonEmpty)
-    // batch API normalization (r14): duplicated victim rows subtract
-    // ONCE — an at-least-once feed calling the operator directly must
-    // not poison the fingerprint
+    // CONTENT-SET semantics (r14): per victim id, the distinct victim
+    // contents must equal the stored distinct contents. Conflicting
+    // content (one right row, one wrong) mismatches and refuses
     val tIdx2 = tmpIdx("cg_tx2")
     TextIndex.build(tDocs, "doc_id", "text", tIdx2)
     val v3 = tDocs.filter(col("doc_id") === 3L)
-    TextIndex.logicalRemove(v3.union(v3), "doc_id", "text", tIdx2, tag = "dup1")
-    TextIndex.compact(spark, tIdx2)
-    assert(TextIndex.isFresh(spark, tIdx2,
-      tDocs.filter(col("doc_id") =!= 3L), "doc_id", "text"),
-      "duplicated victim rows must subtract the fingerprint exactly once")
-    // ...and conflicting content under one id refuses pre-mutation
-    val exDup = intercept[IllegalArgumentException] {
+    val exCon = intercept[IllegalArgumentException] {
       TextIndex.remove(Seq((4L, "content gate text fixture doc 4 body"),
         (4L, "some other words entirely")).toDF("doc_id", "text"),
         "doc_id", "text", tIdx2, tag = "dup2")
     }
-    assert(exDup.getMessage.contains("CONFLICTING content"), exDup.getMessage)
+    assert(exCon.getMessage.contains("matching content"), exCon.getMessage)
+    // MULTI-VERSION ids (the multiset point — re-crawls ingest as new
+    // rows in this family): a takedown passing ALL versions succeeds
+    // and subtracts both; a PARTIAL one refuses (the delete is
+    // id-keyed, subtracting one version would drift meta silently)
+    TextIndex.append(Seq((3L, "recrawled version of doc three"))
+      .toDF("doc_id", "text"), "doc_id", "text", tIdx2, tag = "re3")
+    val exPart = intercept[IllegalArgumentException] {
+      TextIndex.logicalRemove(v3, "doc_id", "text", tIdx2, tag = "part1")
+    }
+    assert(exPart.getMessage.contains("matching content"), exPart.getMessage)
+    TextIndex.logicalRemove(
+      v3.union(Seq((3L, "recrawled version of doc three"))
+        .toDF("doc_id", "text")),
+      "doc_id", "text", tIdx2, tag = "full1")
+    TextIndex.compact(spark, tIdx2)
+    assert(TextIndex.isFresh(spark, tIdx2,
+      tDocs.filter(col("doc_id") =!= 3L), "doc_id", "text"),
+      "a full multi-version takedown must subtract every version exactly")
     // cluster family
     val cDocs = Seq((10L, span(0, 50)), (20L, span(200, 260)))
       .toDF("doc_id", "text")

@@ -1966,36 +1966,48 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text"), "replay must not drift the fingerprint")
   }
 
-  test("cluster takedown: duplicate victim rows dedupe, conflicting texts refuse") {
-    // review-caught r14: an at-least-once upstream can deliver the same
-    // RTBF request twice in one micro-batch — without the staging
-    // distinct, the removal fingerprint would subtract the victim TWICE
-    // and isFresh() would be permanently false (full-rebuild storms).
-    // Conflicting texts for one id are ambiguous and must refuse.
+  test("cluster takedown: duplicates dedupe, wrong-text drops, token-twins refuse") {
+    // r14: the staging keeps exactly the ROWS OF RECORD. An
+    // at-least-once upstream delivering the same request twice collapses
+    // to one subtraction; a wrong-text row for a known id drops out
+    // (nothing of record matches — its content is still tombstoned
+    // against late ingest) instead of crash-looping the stream on the
+    // index leg's refusal; only reordered-token twins — two texts that
+    // BOTH token-match one id — are genuinely ambiguous and refuse.
     import spark.implicits._
     val lake = tmp("cktd"); val idx = tmp("cktdidx").toString
     def t(seed: Int) = (0 until 20).map(i => s"tdtok${seed}_$i").mkString(" ")
     graft.operators.ClusterIndex.build(
-      Seq((1L, t(1)), (2L, t(2)), (3L, t(3))).toDF("doc_id", "text"),
+      Seq((1L, t(1)), (2L, t(2)), (3L, t(3)), (5L, t(5)))
+        .toDF("doc_id", "text"),
       "doc_id", "text", idx)
     // the same victim row delivered twice: fingerprint subtracts ONCE
     S4Stream.processClusterTakedownBatch(
       Seq((2L, t(2)), (2L, t(2))).toDF("doc_id", "text"), 0L,
       "doc_id", "text", idx, lake.toString, runKey = "td", logical = true)
     graft.operators.ClusterIndex.compact(spark, idx)
-    val survivors = Seq((1L, t(1)), (3L, t(3))).toDF("doc_id", "text")
-    assert(graft.operators.ClusterIndex.isFresh(spark, idx, survivors,
+    assert(graft.operators.ClusterIndex.isFresh(spark, idx,
+      Seq((1L, t(1)), (3L, t(3)), (5L, t(5))).toDF("doc_id", "text"),
       "doc_id", "text"),
       "a duplicated victim row must subtract the fingerprint exactly once")
-    // conflicting texts for one id: loud refusal, nothing mutated
+    // a wrong-text row beside the right one: the record removes, the
+    // wrong row drops at staging — no refusal, no wedged stream
+    S4Stream.processClusterTakedownBatch(
+      Seq((3L, t(3)), (3L, t(9))).toDF("doc_id", "text"), 1L,
+      "doc_id", "text", idx, lake.toString, runKey = "td", logical = true)
+    assert(graft.operators.ClusterIndex.knownIds(spark, idx,
+      Seq(3L).toDF("doc_id"), "doc_id").count() == 0L,
+      "the row of record must be taken down despite the wrong-text twin")
+    // reordered-token twins: both token-match the stored doc — ambiguous
+    val twin = t(5).split(" ").reverse.mkString(" ")
     val ex = intercept[IllegalArgumentException] {
       S4Stream.processClusterTakedownBatch(
-        Seq((3L, t(3)), (3L, t(9))).toDF("doc_id", "text"), 1L,
+        Seq((5L, t(5)), (5L, twin)).toDF("doc_id", "text"), 2L,
         "doc_id", "text", idx, lake.toString, runKey = "td", logical = true)
     }
-    assert(ex.getMessage.contains("CONFLICTING text"), ex.getMessage)
+    assert(ex.getMessage.contains("token-matching"), ex.getMessage)
     assert(graft.operators.ClusterIndex.knownIds(spark, idx,
-      Seq(3L).toDF("doc_id"), "doc_id").count() == 1L,
+      Seq(5L).toDF("doc_id"), "doc_id").count() == 1L,
       "a refused batch must not have tombstoned or removed the victim")
   }
 
