@@ -41,19 +41,31 @@ object Bench {
     * "suspect" in the artifact itself instead of as a silent regression.
     * Pure functions, unit-gated by BenchArchiveSpec with a planted
     * prior archive. */
-  private[graft] def parseQueryMins(json: String): Map[String, Double] = {
-    // the artifact's "queries" object is flat ("name":sec,...) by the
-    // driver contract; a tolerant regex scan beats a JSON dependency
-    val start = json.indexOf("\"queries\":{")
+  private[graft] def parseFlatObject(json: String, field: String): Map[String, Double] = {
+    // the artifact's "queries"/"takedown_legs*" objects are flat
+    // ("name":sec,...) by the driver contract; a tolerant regex scan
+    // beats a JSON dependency
+    val start = json.indexOf(s""""$field":{""")
     if (start < 0) Map.empty
     else {
-      val body = json.substring(start + "\"queries\":{".length,
+      val body = json.substring(start + s""""$field":{""".length,
         json.indexOf('}', start))
       raw""""([A-Za-z0-9_]+)":([0-9.Ee+-]+)""".r.findAllMatchIn(body)
         .flatMap(m => scala.util.Try(m.group(1) -> m.group(2).toDouble).toOption)
         .toMap
     }
   }
+
+  private[graft] def parseQueryMins(json: String): Map[String, Double] =
+    parseFlatObject(json, "queries")
+
+  /** The prior archive's takedown leg mins, keyed `<field>.<leg>` so they
+    * ride the same [[suspectNoise]] diff as the whole-query mins
+    * (VERDICT r14 item 8: the leg maps had no prior-archive comparison,
+    * so a regression inside one leg of a stable-total row still hid). */
+  private[graft] def parseLegMins(json: String): Map[String, Double] =
+    Seq("takedown_legs", "takedown_legs_logical").flatMap(f =>
+      parseFlatObject(json, f).map { case (k, v) => s"$f.$k" -> v }).toMap
 
   private[graft] def suspectNoise(prev: Map[String, Double],
                                   now: Map[String, Double]): String = {
@@ -203,8 +215,10 @@ object Bench {
         val prior = Files.readString(Paths.get("bench_result.json"))
         // the pattern includes the CLOSING quote (the 4-quote run ends
         // the interpolation with a literal "), so an sf10 archive can
-        // never prefix-match a run at sf1
-        if (prior.contains(s""""sf":"$sfDir"""")) parseQueryMins(prior)
+        // never prefix-match a run at sf1. Leg mins ride the same map
+        // under their `takedown_legs*.` prefix (r14 item 8).
+        if (prior.contains(s""""sf":"$sfDir""""))
+          parseQueryMins(prior) ++ parseLegMins(prior)
         else Map.empty[String, Double]
       } catch { case _: Exception => Map.empty[String, Double] }
 
@@ -276,7 +290,9 @@ object Bench {
     // doc_cluster_index_remove {ensure, snapshot, lake_stage, victims,
     // lake_scrub, index_remove} and logical
     // doc_cluster_index_logical_remove {ensure, snapshot, victims,
-    // logical, reclaim} — plus "serve" = run total minus recorded legs.
+    // logical} — plus "serve" = run total minus recorded legs (since
+    // r15 the logical row's serve carries the read-only bridge-split;
+    // the compact() reclaim is out of the timed path entirely).
     // Same runs as the headline numbers, so a driver-side regression
     // names its leg instead of hiding in one conflated second count.
     // bench_result.json only (stdout stays compact).
@@ -317,7 +333,15 @@ object Bench {
     val nowMins = results.collect {
       case (k, true, runs, _, _, _, _) => k -> runs.min
     }.toMap
-    val suspect = suspectNoise(priorMins, nowMins)
+    // leg mins join the diff under their field prefix — parsed back out
+    // of the EXACT strings the artifact will carry, so the comparison
+    // can never drift from what a future run reads as its prior
+    val nowLegs = Seq("takedown_legs" -> takedownLegs,
+        "takedown_legs_logical" -> takedownLegsLogical)
+      .flatMap { case (f, j) =>
+        parseFlatObject(s""""$f":$j""", f).map { case (k, v) => s"$f.$k" -> v } }
+      .toMap
+    val suspect = suspectNoise(priorMins, nowMins ++ nowLegs)
     if (suspect != "{}") System.err.println(
       s"[bench] SUSPECT NOISE vs prior bench_result.json (>2x moves): $suspect")
     val detail =

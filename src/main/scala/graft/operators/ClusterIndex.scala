@@ -219,15 +219,40 @@ object ClusterIndex {
   }
 
   /** The persisted `(id, component)` map — what every consumer reads
-    * instead of re-running PPJoin+CC. */
+    * instead of re-running PPJoin+CC.
+    *
+    * Serve-time bridge-split (r15): while logical-delete tombstones pend,
+    * the components the victims belong to are re-split READ-ONLY from the
+    * persisted adjacency log — the same [[resplitPlan]] the physical
+    * remove and compact()'s reclaim execute — so the served map equals a
+    * fresh CC over the survivors from the moment logicalRemove returns.
+    * Correctness therefore never requires an in-path compact(); the
+    * physical reclaim stays the amortized maintenance pass it is in
+    * production. Cost shape: the no-tombstone fast path is unchanged
+    * (ONE FS metadata call); with tombstones pending the re-split is
+    * O(affected components' edges) — bounded by the victim set, never
+    * the corpus — and recomputed per read, which is the right trade
+    * until the next compact folds it in physically. */
   def assignments(s: SparkSession, indexDir: String, idCol: String): DataFrame = {
     val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
-    // logically-deleted docs are invisible from the moment of their
-    // logicalRemove; note component LABELS may still carry a dead id
-    // until compact() reconciles (see [[LogicalDelete]])
-    LogicalDelete.hide(
-      s.read.parquet(s"$root/assign").select(col(idCol), col("component")),
-      idCol, LogicalDelete.ids(s, indexDir))
+    val base = s.read.parquet(s"$root/assign").select(col(idCol), col("component"))
+    LogicalDelete.ids(s, indexDir) match {
+      case None => base
+      case Some(t) =>
+        val (_, nBuckets) = readMeta(s, root)
+        val vids = t.select(col(LogicalDelete.idColOf(t)).as(idCol))
+          .localCheckpoint()
+        val nV = vids.count()
+        val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val (_, newAssign) = resplitPlan(s, root, idCol, vids, nV, vIdb)
+        // same fold as compact()'s reclaim: drop victims, remap survivors
+        // of their components, everyone else passes through untouched
+        base.join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "left_anti")
+          .join(newAssign, Seq(idCol), "left")
+          .withColumn("component", coalesce(col("_newcomp"), col("component")))
+          .drop("_newcomp")
+    }
   }
 
   /** Incoming docs' components under the UNION corpus (exact — see the

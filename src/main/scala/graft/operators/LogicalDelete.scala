@@ -38,12 +38,16 @@ import org.apache.spark.sql.functions._
   *    physical remove() refuses while any tombstone pends (its
   *    component re-split discovery would treat logically-deleted rows
   *    as survivors);
-  *  - the cluster family's component STRUCTURE is reconciled at
-  *    reclaim: a logically removed bridge doc stops matching probes
-  *    immediately, but the split of the component it bridged — and the
-  *    retirement of its id as a component label — lands with compact()
-  *    (which recomputes the survivor subgraph exactly as the physical
-  *    remove does). After reclaim the index is bit-equal to a physical
+  *  - the cluster family's SERVED component structure is correct
+  *    immediately (r15): `assignments()` re-splits the victims'
+  *    components read-only from the adjacency log (the same
+  *    resplitPlan compact's reclaim executes), so consumers see a
+  *    fresh-build-equal map without waiting for the physical pass.
+  *    `probe()` still labels incoming docs under the coarser pre-split
+  *    quotient of the PHYSICAL assign table (its append-side merge
+  *    bookkeeping is keyed on those labels) — the split of a probe
+  *    label, and the physical retirement of victim rows, land with
+  *    compact(). After reclaim the index is bit-equal to a physical
   *    remove and to a fresh build on the survivors.
   *
   * Not to be confused with S4Stream's `removed/` tombstones: those are

@@ -49,4 +49,29 @@ class BenchArchiveSpec extends AnyFunSuite {
       Map("brand_new_query" -> 20.0))
     assert(sus === "{}")
   }
+
+  test("a planted leg regression inside a stable-total row fires (r14 item 8)") {
+    // the hole: suspect_noise keyed on whole queries, so index_remove
+    // 2.1 -> 8.4 inside doc_cluster_index_remove could hide behind a
+    // stable total. Leg mins now ride the same diff under their field
+    // prefix, parsed from the prior artifact's own leg objects.
+    val priorWithLegs = prior.dropRight(1) +
+      ""","takedown_legs":{"ensure":0.010,"snapshot":1.200,"index_remove":2.100},""" +
+      """"takedown_legs_logical":{"logical":2.300,"serve":1.100}}"""
+    val prev = Bench.parseQueryMins(priorWithLegs) ++
+      Bench.parseLegMins(priorWithLegs)
+    assert(prev("takedown_legs.index_remove") === 2.1)
+    assert(prev("takedown_legs_logical.serve") === 1.1)
+    // whole-query mins unchanged, one leg regresses 4x
+    val now = prev ++ Map("takedown_legs.index_remove" -> 8.4)
+    val sus = Bench.suspectNoise(prev, now)
+    assert(sus.contains("\"takedown_legs.index_remove\""), sus)
+    assert(sus.contains("\"prev\":2.100") && sus.contains("\"now\":8.400"), sus)
+    assert(!sus.contains("takedown_legs_logical"), s"stable legs flagged: $sus")
+    // sub-floor leg wobble stays quiet (ensure 0.01 -> 0.04 is 4x but ms)
+    assert(Bench.suspectNoise(prev,
+      prev ++ Map("takedown_legs.ensure" -> 0.04)) === "{}")
+    // an artifact without leg objects parses to no leg entries
+    assert(Bench.parseLegMins(prior) === Map.empty)
+  }
 }

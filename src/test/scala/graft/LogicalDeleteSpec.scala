@@ -39,10 +39,12 @@ class LogicalDeleteSpec extends SparkSpec {
     val victims = Seq(b, e).toDF("doc_id", "text")
     ClusterIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1")
     // ---- IMMEDIATELY after the logical step ----
-    // assignments hide the victims (component labels may lag — that's
-    // the documented interim semantic, reconciled at compact)
-    assert(!assignMap(dir).keySet.exists(Set(20L, 50L)),
-      "victims visible in assignments after logicalRemove")
+    // assignments hide the victims AND serve the bridge-split (r15
+    // serve-time re-split from the adjacency log): removing B must
+    // split the A-B-C chain in the SERVED map before any compact runs
+    assert(assignMap(dir) === Map(10L -> 10L, 30L -> 30L, 40L -> 40L),
+      s"served assignments must equal a fresh build on the survivors " +
+        s"before reclaim: ${assignMap(dir)}")
     // probes are blind: a clone of E is a singleton, a clone of B may
     // still bridge A and C ONLY through live docs — it must match them,
     // never B itself

@@ -1861,7 +1861,7 @@ class StreamingSpec extends SparkSpec {
       "corpus of record is first-write-wins")
   }
 
-  test("cluster takedown stream: blind + feed-scrubbed immediately, bridge-split at compact, replay converges") {
+  test("cluster takedown stream: blind + feed-scrubbed + bridge-split immediately, replay converges") {
     // VERDICT r13 item 4: the third index family's continuous RTBF leg.
     // Bridge fixture: docs 10/20 are separate clusters (J ≈ 0.67), the
     // stream-ingested doc 15 carries the unmodified base text (J ≈ 0.82
@@ -1899,10 +1899,12 @@ class StreamingSpec extends SparkSpec {
     S4Stream.indexedClusterTakedownStream(src, "doc_id", "text", idx,
       lake.toString, ck.toString, availableNow = true, logical = true)
       .awaitTermination()
-    // blind immediately: 15 leaves assignments/knownIds; the component
-    // stays MERGED until reclaim (the documented interim semantic)
-    assert(assign() === Map(10L -> 10L, 20L -> 10L),
-      s"victim blind, bridge-split deferred to compact: ${assign()}")
+    // blind immediately: 15 leaves assignments/knownIds — and since r15
+    // the SERVED map already carries the bridge-split (assignments()
+    // re-splits the victims' components read-only from the edge log),
+    // so consumers never observe the merged interim state
+    assert(assign() === Map(10L -> 10L, 20L -> 20L),
+      s"victim blind AND bridge-split served immediately: ${assign()}")
     val known = graft.operators.ClusterIndex.knownIds(spark, idx,
       Seq(10L, 15L, 99L).toDF("doc_id"), "doc_id")
       .collect().map(_.getLong(0)).toSet
