@@ -24,24 +24,38 @@ import org.apache.spark.unsafe.types.UTF8String
   * sequential equality bit-for-bit). The shuffle carries one fixed
   * (width*depth) long array per group, never the raw items.
   *
-  * Row hashing uses one Murmur3 pass per row with a per-row seed — the
-  * standard depth-seeded family; deterministic across JVMs (no
-  * Object.hashCode anywhere).
+  * Two depth-seeded hash families (both deterministic across JVMs — no
+  * Object.hashCode anywhere):
+  *
+  *  - default: one Murmur3 pass per row with a per-row seed — the fast
+  *    engine family;
+  *  - `portableMd5 = true` (r15, VERDICT r14 item 3): row r's bucket is
+  *    the 60-bit md5 prefix of `item + "#" + r` mod width — bit-equal to
+  *    the SQL chain `conv(substring(md5(item || '#' || r), 1, 15), 16,
+  *    10) % width` on Spark and `CAST('0x' || substr(md5(...), 1, 15)
+  *    AS BIGINT) % width` on DuckDB (the [[Md5ShingleSet]] recipe), so
+  *    an oracle can replay the ENTIRE sketch — every cell count and
+  *    every point estimate — in plain SQL. CM cells merge by addition
+  *    (order-independent), so unlike Space-Saving nothing else in the
+  *    pipeline is engine-biased. ~2x the hash cost of Murmur3; pick it
+  *    when cross-engine replay matters more than per-row nanoseconds.
   */
-class CountMin(width: Int, depth: Int)
+class CountMin(width: Int, depth: Int, portableMd5: Boolean = false)
     extends Aggregator[String, Array[Long], Array[Long]] with Serializable {
   require(width >= 2 && depth >= 1 && width.toLong * depth <= (1 << 22),
     "width*depth must stay a bounded buffer")
 
   override def zero: Array[Long] = new Array[Long](width * depth)
 
-  private def bucket(item: String, row: Int): Int = {
-    val u = UTF8String.fromString(item)
-    val h = Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
-      u.numBytes(), 0x9747b28c + row * 0x5bd1e995)
-    // strip the sign without modulo bias worth caring about at these widths
-    (h & 0x7fffffff) % width
-  }
+  private def bucket(item: String, row: Int): Int =
+    if (portableMd5) CountMin.md5Bucket(item, row, width)
+    else {
+      val u = UTF8String.fromString(item)
+      val h = Murmur3_x86_32.hashUnsafeBytes(u.getBaseObject, u.getBaseOffset,
+        u.numBytes(), 0x9747b28c + row * 0x5bd1e995)
+      // strip the sign without modulo bias worth caring about at these widths
+      (h & 0x7fffffff) % width
+    }
 
   override def reduce(buf: Array[Long], item: String): Array[Long] = {
     var r = 0
@@ -74,4 +88,28 @@ class CountMin(width: Int, depth: Int)
 
   override def bufferEncoder: Encoder[Array[Long]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Array[Long]] = ExpressionEncoder()
+}
+
+object CountMin {
+  private val md5 = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** 60-bit md5-prefix bucket of `item + "#" + row`, mod width — the
+    * engine-neutral family (see class doc). Exposed for the spec's
+    * equality gate against the SQL builtin chain. */
+  def md5Bucket(item: String, row: Int, width: Int): Int = {
+    val md = md5.get()
+    md.reset()
+    val d = md.digest(
+      (item + "#" + row).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first 15 hex chars == first 8 digest bytes big-endian >>> 4
+    val hi =
+      ((d(0) & 0xffL) << 56) | ((d(1) & 0xffL) << 48) |
+        ((d(2) & 0xffL) << 40) | ((d(3) & 0xffL) << 32) |
+        ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) |
+        ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+    ((hi >>> 4) % width).toInt
+  }
 }

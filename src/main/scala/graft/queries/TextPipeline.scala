@@ -1306,13 +1306,20 @@ object TextPipeline {
     * distinct" (HLL). The shuffle carries one fixed width*depth counter
     * table per language, never per-term rows; probes are estimated
     * distributively from the finished sketch (a flatMap over the 5 lang
-    * rows, not a collect). Engine-only: estimates overshoot by design;
-    * CountMinSpec gates the never-undercount and eps*N bounds plus
-    * bit-exact merge associativity, which is exactly the partial+final
-    * path this query exercises. */
+    * rows, not a collect).
+    *
+    * Oracle-gated since r15 (VERDICT r14 item 3): the portable md5
+    * bucket family makes every cell of the sketch a SQL-expressible
+    * GROUP BY — CM cells merge by ADDITION, so unlike Space-Saving
+    * (whose evict order is merge-path-dependent) the whole sketch is
+    * merge-order-independent and DuckDB can replay bucket sums and the
+    * min-over-rows estimate exactly. CountMinSpec still gates the
+    * never-undercount and eps*N bounds plus bit-exact merge
+    * associativity for BOTH hash families. */
   def termFreqCm(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val cm = new graft.functions.CountMin(width = 1024, depth = 4)
+    val cm = new graft.functions.CountMin(width = 1024, depth = 4,
+      portableMd5 = true)
     val probeTerms = Seq("data", "table", "spark", "quantum")
     val sketches = Tables.documents(s, dir)
       .select(col("lang"), explode(TextOps.tokens(col("text"))).as("term"))
@@ -1994,6 +2001,37 @@ object TextPipeline {
         |  FROM scored)
         |SELECT doc_id, rank, term, tfidf FROM ranked
         |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin,
+    // full Count-Min replay (r15, VERDICT r14 item 3): the portable md5
+    // bucket family makes every sketch cell a GROUP BY over
+    // (lang, row, 60-bit-md5-prefix % width) — cells merge by addition,
+    // so the replay is merge-order-independent by construction — and the
+    // point estimate is the min over the depth rows, 0 when a probe
+    // term's bucket was never touched
+    "doc_term_freq_cm" ->
+      """WITH toks AS (
+        |  SELECT lang, unnest(string_split(text, ' ')) AS term FROM documents
+        |), rws AS (SELECT unnest([0, 1, 2, 3]) AS r),
+        |cells AS (
+        |  SELECT lang, r,
+        |    CAST('0x' || substr(md5(term || '#' || CAST(r AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1024 AS b,
+        |    count(*) AS c
+        |  FROM toks CROSS JOIN rws
+        |  GROUP BY 1, 2, 3
+        |), probes AS (SELECT unnest(['data', 'table', 'spark', 'quantum']) AS term),
+        |pq AS (
+        |  SELECT l.lang, p.term, r.r,
+        |    CAST('0x' || substr(md5(p.term || '#' || CAST(r.r AS VARCHAR)), 1, 15)
+        |         AS BIGINT) % 1024 AS b
+        |  FROM (SELECT DISTINCT lang FROM documents) l
+        |  CROSS JOIN probes p CROSS JOIN rws r
+        |)
+        |SELECT pq.lang, pq.term,
+        |  CAST(min(coalesce(cells.c, 0)) AS BIGINT) AS est_count
+        |FROM pq LEFT JOIN cells
+        |  ON cells.lang = pq.lang AND cells.r = pq.r AND cells.b = pq.b
+        |GROUP BY pq.lang, pq.term
+        |ORDER BY pq.lang, pq.term""".stripMargin,
     "doc_editdist_pairs" ->
       """SELECT a.doc_id AS id1, b.doc_id AS id2, a.lang,
         |       levenshtein(a.text, b.text) AS dist

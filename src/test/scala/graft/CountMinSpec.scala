@@ -42,6 +42,37 @@ class CountMinSpec extends SparkSpec {
     assert(viaSpark.toSeq == sequential.toSeq)
   }
 
+  test("portable md5 family: same bounds, bit-exact merge, SQL-chain bucket equality") {
+    // bounds + merge associativity hold for the portable family too
+    val cm = new CountMin(width = 256, depth = 4, portableMd5 = true)
+    val sk = items.foldLeft(cm.zero)(cm.reduce)
+    val n = items.size.toLong
+    val epsN = math.ceil(math.E / 256 * n).toLong
+    exact.foreach { case (item, c) =>
+      val est = cm.estimate(sk, item)
+      assert(est >= c, s"$item undercounted: $est < $c")
+      assert(est <= c + epsN, s"$item overshoot ${est - c} > eps*N $epsN")
+    }
+    val viaSpark = items.toDF("item")
+      .repartition(7).as[String]
+      .groupByKey(_ => 0).agg(cm.toColumn.name("sk"))
+      .collect().head._2
+    assert(viaSpark.toSeq == sk.toSeq)
+    // the bucket IS the builtin chain the oracle replays:
+    // conv(substring(md5(item || '#' || r), 1, 15), 16, 10) % width
+    val rows = (0 until 4).flatMap(r => exact.keys.map(k => (k, r)))
+    val viaSql = rows.toDF("item", "r")
+      .select(col("item"), col("r"),
+        (conv(substring(md5(concat(col("item"), lit("#"), col("r"))), 1, 15),
+          16, 10).cast("long") % 256).cast("int").as("b"))
+      .collect().map(row => (row.getString(0), row.getInt(1)) -> row.getInt(2))
+      .toMap
+    rows.foreach { case (item, r) =>
+      assert(CountMin.md5Bucket(item, r, 256) === viaSql((item, r)),
+        s"md5Bucket($item, $r) diverges from the SQL chain")
+    }
+  }
+
   test("doc_term_freq_cm estimates bound the exact per-lang counts") {
     val got = graft.queries.TextPipeline.termFreqCm(spark, sf0001)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
