@@ -260,6 +260,17 @@ class PlanSpec extends SparkSpec {
       s"rank filter must push into WindowGroupLimit:\n$p")
   }
 
+  test("doc_bm25_topk: per-query top-k prunes through WindowGroupLimit; postings never cartesian") {
+    val p = plan("doc_bm25_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter must push into WindowGroupLimit:\n$p")
+    // the one-row (n, avgdl) stats frame rides a broadcast cross join
+    // (the doc_tfidf_terms pattern) — bounded by construction; what must
+    // never appear is a non-broadcast cartesian over the postings
+    assert(!p.contains("CartesianProduct"),
+      s"query-term joins must stay equi/broadcast:\n$p")
+  }
+
   test("vec_knn_join: cell-blocked join, probes never cross-join the corpus") {
     val p = plan("vec_knn_join")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
@@ -297,6 +308,7 @@ class PlanSpec extends SparkSpec {
     // either a scale bug or needs the same review.
     val singlePartitionOk = Set(
       "doc_tfidf_terms",      // global N: one count row per partition
+      "doc_bm25_topk",        // global N/avgdl: one partial row per partition
       "doc_dsir_weights",     // global corpus totals: one partial row per partition
       "ev_equidepth_hist",    // single-row decile-boundary aggregate
       "q54_top_supplier",     // single-row max-revenue aggregate
