@@ -54,14 +54,16 @@ object IndexAdmin {
       tombstones: Seq[(String, Long)],      // (batch dir, ageMs)
       logicalDeletes: Seq[String],          // pending LogicalDelete batches
       logicalDeleteAges: Seq[(String, Long)], // same batches with ageMs
-      sourceStatusPresent: Boolean)
+      sourceStatusPresent: Boolean,
+      recallProbes: Seq[(String, Double)] = Seq.empty) // (tag, self-recall), append order
 
   /** Control names that live at the index top level beside the data
     * tables in the LEGACY (never-compacted) layout; excluded from the
     * table listing. Generation dirs (`g<N>`) are matched by pattern. */
   private val controlNames =
     Set("GEN", "lease", "tagfp", "rmstate", "applied", "removed", "srcstat",
-      "deleted") // r13: LogicalDelete's pending tombstone batches
+      "deleted", // r13: LogicalDelete's pending tombstone batches
+      "recall")  // r15: VectorIndex append-time self-recall probe series
 
   def report(conf: Configuration, indexDir0: String): Report = {
     val dir = IndexMaintenance.normalize(indexDir0)
@@ -170,7 +172,8 @@ object IndexAdmin {
       logicalDeleteAges =
         batchAges(new Path(operators.LogicalDelete.dir(dir)))
           .map { case (n, a) => (n.stripPrefix("batch="), a) },
-      sourceStatusPresent = fs.exists(new Path(s"$dir/srcstat")))
+      sourceStatusPresent = fs.exists(new Path(s"$dir/srcstat")),
+      recallProbes = operators.VectorIndex.recallProbes(conf, dir))
   }
 
   private def fmtAge(ms: Long): String =
@@ -230,6 +233,12 @@ object IndexAdmin {
     if (r.logicalDeletes.nonEmpty)
       sb ++= s"  LOGICAL deletions pending reclaim (probes already blind; " +
         s"compact() reclaims the rows): ${r.logicalDeletes.mkString(", ")}\n"
+    if (r.recallProbes.nonEmpty) {
+      val tail = r.recallProbes.takeRight(5)
+      sb ++= s"  append self-recall probes (last ${tail.size} of " +
+        s"${r.recallProbes.size}): " +
+        tail.map { case (t, v) => f"$t=$v%.2f" }.mkString(", ") + "\n"
+    }
     sb ++= s"  source-status fast-path record: " +
       s"${if (r.sourceStatusPresent) "present" else "absent"}\n"
     sb.result()
@@ -241,8 +250,13 @@ object IndexAdmin {
     * line names the guarded verb the operator would run.
     * `deletionSlaMs`: how long a logical deletion may pend before the
     * unreclaimed bytes violate your RTBF window (compact() is the
-    * reclaim verb; probes are blind from the logicalRemove itself). */
-  def advise(r: Report, deletionSlaMs: Long = 24L * 3600 * 1000L): Seq[String] = {
+    * reclaim verb; probes are blind from the logicalRemove itself).
+    * `retrainRecallFloor`: the self-recall (see
+    * [[operators.VectorIndex.selfRecall]]) below which the trailing
+    * append's drift reading recommends retrain() — the r15 close of the
+    * one cadence verb advise() previously could not see. */
+  def advise(r: Report, deletionSlaMs: Long = 24L * 3600 * 1000L,
+             retrainRecallFloor: Double = 0.8): Seq[String] = {
     val out = Seq.newBuilder[String]
     if (r.pendingRemovals.nonEmpty)
       out += "BLOCKING: crashed removal(s) " +
@@ -273,6 +287,16 @@ object IndexAdmin {
           "stream sharing the index has restarted+drained (no unmarkered " +
           "batches are visible)"
     }
+    // retrain cadence: the TRAILING reading decides (build/retrain clear
+    // the series, so a low value always describes the LIVE quantizer;
+    // older low readings before a healthy newest one are history, not a
+    // standing condition)
+    r.recallProbes.lastOption.foreach { case (tag, rec) =>
+      if (rec < retrainRecallFloor)
+        out += f"retrain() recommended: append self-recall dropped to " +
+          f"$rec%.2f on batch '$tag' (floor $retrainRecallFloor%.2f) — the " +
+          "frozen quantizer no longer fits the arriving distribution"
+    }
     r.leases.filter(_._3).foreach { case (n, age, _) =>
       out += s"lease $n EXPIRED (${fmtAge(age)} since heartbeat): the next " +
         "acquirer reclaims it automatically — no action needed"
@@ -291,15 +315,17 @@ object IndexAdmin {
     val unknown = flags.filterNot(_ == "--advise")
     require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(", ")}")
     val doAdvise = flags.contains("--advise")
-    // deletion-SLA override for the advise rules (default 24h)
+    // deletion-SLA / recall-floor overrides for the advise rules
     val sla = sys.props.get("graft.admin.deletionSlaMs").map(_.toLong)
       .getOrElse(24L * 3600 * 1000L)
+    val floor = sys.props.get("graft.admin.retrainRecallFloor")
+      .map(_.toDouble).getOrElse(0.8)
     val conf = new Configuration()
     dirs.foreach { dir =>
       val r = report(conf, dir)
       print(render(r))
       if (doAdvise) {
-        val a = advise(r, sla)
+        val a = advise(r, sla, floor)
         if (a.isEmpty) println("  advise: all clear — no maintenance indicated")
         else a.foreach(l => println(s"  advise: $l"))
       }

@@ -66,6 +66,8 @@ object VectorIndex {
     // nor may pending tombstones — they would hide the rebuilt corpus'
     // rows under recycled ids (see [[LogicalDelete.clear]])
     LogicalDelete.clear(conf, indexDir)
+    // recall-probe readings describe the retired quantizer
+    clearRecallProbes(conf, indexDir)
     // freshness fast-path: record the corpus file statuses LAST — a
     // crash mid-build degrades to the hash scan, never a false fresh
     Fingerprint.writeSourceStatus(conf, indexDir, Fingerprint.sourceStatus(corpus))
@@ -161,6 +163,30 @@ object VectorIndex {
         Fingerprint.recordMerge(conf, indexDir, tag, dfp)
       }
     }
+    // ---- recall-drift probe (r15, VERDICT r14 item 4): measure how
+    // well the FROZEN quantizer fits THIS batch's distribution, so
+    // IndexAdmin --advise can see the one verb it previously couldn't —
+    // retrain(). Bounded by construction: one TakeOrdered of the delta
+    // (<= recallSampleSize rows reach the driver) and O(S x R x dim)
+    // driver flops; a measurement failure must never fail the ingest.
+    try {
+      val sample = delta.select(col(corpusId), col(corpusVec))
+        .orderBy(col(corpusId)).limit(recallSampleSize)
+        .collect()
+        .map(_.getSeq[Any](1).map {
+          case f: Float => f.toDouble
+          case d: Double => d
+          case n: Number => n.doubleValue()
+        }.toArray)
+      selfRecall(sample, centroids).foreach { rec =>
+        writeRecallProbe(conf, indexDir, tag, rec, sample.length)
+      }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(
+          s"[VectorIndex.append] recall probe failed (ingest unaffected): " +
+            s"${e.getMessage}")
+    }
     // build-time file statuses no longer describe the corpus of
     // record: freshness reverts to the content-hash authority
     Fingerprint.clearSourceStatus(conf, indexDir)
@@ -185,6 +211,130 @@ object VectorIndex {
       .map { case (_, rs) =>
         rs.sortBy(_.getAs[Int]("pos")).map(_.getAs[Double]("value")).toSeq
       }
+
+  // ---- recall-drift probe (r15): constants + the pure measurement ----
+  // Sample cap: what the TakeOrdered collects to the driver per append.
+  private[graft] val recallSampleSize = 512
+  // Below this the estimate is noise — the probe writes nothing and the
+  // advise rule simply has no fresher data point.
+  private[graft] val recallMinSample = 64
+
+  /** Sampled self-recall of a batch under the FROZEN quantizer — the
+    * drift signal for the retrain cadence. Both searches run over the
+    * SAME sample, so the measurement is a pure function of (batch
+    * distribution, quantizer): truth = exact cosine top-k within the
+    * sample; IVF answer = the same top-k restricted to sample rows
+    * whose frozen cell is among the query's nprobe nearest cells, at a
+    * FIXED visit fraction (nprobe = max(1, nlist/8)) so the number is
+    * comparable across appends and across index sizes. k = the expected
+    * CELL OCCUPANCY of the sample (|sample|/nlist): the question the
+    * probe answers is "is a full cell's worth of neighborhood findable
+    * at the fixed visit fraction" — the VectorIndexSpec drift
+    * construction shows quantizer damage lands in the mates across a
+    * cell boundary, not the handful of co-jittered nearest, so a small
+    * fixed k (or k at half occupancy — measured 0.86 on the planted
+    * drift) under-reads the damage. A batch that matches the quantizer
+    * (each natural cluster inside one cell) scores ~1.0;
+    * boundary-straddling drift (the retrain fixture) scores ~0.5.
+    * Pure driver math, O(S x R x dim) with S <= 32, R <= 512. */
+  private[graft] def selfRecall(vecs: Array[Array[Double]],
+                                centroids: Seq[Seq[Double]]): Option[Double] = {
+    if (vecs.length < recallMinSample || centroids.isEmpty) return None
+    val nlist = centroids.size
+    val nprobe = math.max(1, nlist / 8)
+    val k = math.max(1, vecs.length / nlist)
+    val cents = centroids.map(_.toArray).toArray
+    def dot(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i) * b(i); i += 1 }
+      s
+    }
+    val cnorm = cents.map(c => math.sqrt(dot(c, c)))
+    val vnorm = vecs.map(v => math.sqrt(dot(v, v)))
+    def cellScore(v: Int, c: Int): Double =
+      if (cnorm(c) > 0 && vnorm(v) > 0) dot(vecs(v), cents(c)) / (cnorm(c) * vnorm(v))
+      else 0.0
+    // frozen-quantizer assignment: max cosine, FIRST-max tie-break —
+    // the same rule as Similarity.nearestCentroid
+    val cell = Array.tabulate(vecs.length) { i =>
+      var best = 0; var bestS = Double.NegativeInfinity
+      var c = 0
+      while (c < nlist) {
+        val sc = cellScore(i, c)
+        if (sc > bestS) { bestS = sc; best = c }
+        c += 1
+      }
+      best
+    }
+    val nq = math.min(32, vecs.length)
+    val perQuery = (0 until nq).map { q =>
+      val sims = (0 until vecs.length).iterator.filter(_ != q).map { j =>
+        val d = vnorm(q) * vnorm(j)
+        (if (d > 0) dot(vecs(q), vecs(j)) / d else 0.0, j)
+      }.toIndexedSeq
+      val truth = sims.sortBy { case (s, j) => (-s, j) }.take(k).map(_._2).toSet
+      val visitedCells = (0 until nlist)
+        .map(c => (-cellScore(q, c), c)).sorted.take(nprobe).map(_._2).toSet
+      val got = sims.filter { case (_, j) => visitedCells(cell(j)) }
+        .sortBy { case (s, j) => (-s, j) }.take(k).map(_._2).toSet
+      (truth & got).size.toDouble / k
+    }
+    Some(perQuery.sum / nq)
+  }
+
+  /** Persist one probe reading under `<indexDir>/recall/` (top level,
+    * outside the data generations, like the replay state): file name =
+    * zero-padded sequence + tag (appends are serialized by the write
+    * lease, so the count-derived sequence is race-free and the listing
+    * order IS the append order), content = "recall n". Replays of the
+    * same (tag, delta) re-measure — harmless, it is a measurement of
+    * the same distribution under the same quantizer. */
+  private def writeRecallProbe(conf: org.apache.hadoop.conf.Configuration,
+                               indexDir: String, tag: String,
+                               recall: Double, n: Int): Unit = {
+    val d = new org.apache.hadoop.fs.Path(
+      IndexMaintenance.normalize(indexDir) + "/recall")
+    val fs = d.getFileSystem(conf)
+    val seq =
+      try fs.listStatus(d).length
+      catch { case _: java.io.FileNotFoundException => 0 }
+    val p = new org.apache.hadoop.fs.Path(d,
+      f"$seq%06d_${Fingerprint.sanitizeTag(tag)}")
+    val out = fs.create(p, true)
+    try out.write(f"$recall%.4f $n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** The persisted probe series in append order: (tag, recall). */
+  def recallProbes(conf: org.apache.hadoop.conf.Configuration,
+                   indexDir: String): Seq[(String, Double)] = {
+    val d = new org.apache.hadoop.fs.Path(
+      IndexMaintenance.normalize(indexDir) + "/recall")
+    val fs = d.getFileSystem(conf)
+    val files =
+      try fs.listStatus(d).toSeq.sortBy(_.getPath.getName)
+      catch { case _: java.io.FileNotFoundException => return Seq.empty }
+    files.flatMap { st =>
+      val in = fs.open(st.getPath)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      val tag = st.getPath.getName.dropWhile(_ != '_').drop(1)
+      body.split(" ").headOption.flatMap(s =>
+        scala.util.Try(s.toDouble).toOption).map(tag -> _)
+    }
+  }
+
+  /** Drop the probe series — build()/retrain() reset it: the readings
+    * describe the RETIRED quantizer, and a stale low reading would keep
+    * advising a retrain that already happened. */
+  private def clearRecallProbes(conf: org.apache.hadoop.conf.Configuration,
+                                indexDir: String): Unit = {
+    val d = new org.apache.hadoop.fs.Path(
+      IndexMaintenance.normalize(indexDir) + "/recall")
+    val fs = d.getFileSystem(conf)
+    if (fs.exists(d)) fs.delete(d, true)
+  }
 
   /** SemDeDup probe against the PERSISTED index: flag incoming vectors
     * whose cosine against any INDEXED vector in their own cell STRICTLY
@@ -536,6 +686,9 @@ object VectorIndex {
         Seq("cells", "centroids", "meta"))
       LogicalDelete.clearBatches(conf, indexDir, reclaimBatches)
     }
+    // the probe series measured the RETIRED quantizer — a stale low
+    // reading would keep advising the retrain that just happened
+    clearRecallProbes(conf, indexDir)
   }
 
   /** Fold the accreted append files: rewrite `cells` as one file per

@@ -220,4 +220,89 @@ class IndexAdminSpec extends SparkSpec {
     assert(IndexAdmin.advise(IndexAdmin.report(conf, dir))
       .forall(!_.contains("compact()")), "reclaim clears the advice")
   }
+
+  test("advise: recall-drift probe flips the retrain line; healthy appends don't (r15)") {
+    // VERDICT r14 item 4 — the retrain cadence was the one verb advise()
+    // couldn't see ("retrain when recall feels bad"). The fixture is the
+    // VectorIndexSpec drift construction at probe scale: build on 8
+    // planted unit-norm clusters (the quantizer learns exactly those
+    // centers), then (a) a HEALTHY append from the same clusters — the
+    // probe must read high and advise nothing — and (b) a DRIFTED append
+    // whose clusters straddle old-center midpoints 50/50 — the probe
+    // must read below the floor and name retrain().
+    import spark.implicits._
+    import graft.operators.VectorIndex
+    val conf = spark.sparkContext.hadoopConfiguration
+    // golden-ratio-scramble seeds: java.util.Random's first draws
+    // correlate across sequential seeds (the VectorIndexSpec note)
+    def rng(seed: Long) =
+      new java.util.Random(seed * 0x9E3779B97F4A7C15L + (seed >>> 17))
+    def unitCenter(c: Int): Array[Double] = {
+      val r = rng(1000L + c)
+      val v = Array.fill(64)(r.nextDouble() * 2 - 1)
+      val n = math.sqrt(v.map(x => x * x).sum)
+      v.map(_ / n)
+    }
+    val centers = (0 until 8).map(unitCenter)
+    // jit: the build/healthy distribution uses tight 0.02 jitter; the
+    // drifted batch both straddles midpoints AND spreads wider (0.1) —
+    // at 0.02 the Lloyd centroids happen to swallow several midpoint
+    // clusters whole (measured split: 3 of 8 clusters single-cell,
+    // probe reads 0.83) and the quantizer genuinely half-fits; 0.1 is
+    // the honestly-drifted construction (every cluster splits, 0.57)
+    def vec(id: Long, jit: Double): Seq[Float] = {
+      val m = (id % 16).toInt
+      val r = rng(50000L + id)
+      val base =
+        if (m < 8) centers(m)
+        else centers(m - 8).zip(centers((m - 7) % 8))
+          .map { case (x, y) => (x + y) / 2 }
+      base.map(b => (b + (r.nextDouble() * 2 - 1) * jit).toFloat).toSeq
+    }
+    val dir = java.nio.file.Files
+      .createTempDirectory("admrecall").toString + "/idx"
+    val build = (0L until 800L).filter(_ % 16 < 8)
+      .map(id => (id, vec(id, 0.02))).toDF("vec_id", "embedding")
+    VectorIndex.build(build, dir, nlist = 8, iters = 2, seed = 42L)
+    // (a) healthy: same distribution, fresh ids — no drift signal
+    val healthy = (1600L until 2400L).filter(_ % 16 < 8)
+      .map(id => (id, vec(id, 0.02))).toDF("vec_id", "embedding")
+    VectorIndex.append(healthy, dir, tag = "h1")
+    val r1 = IndexAdmin.report(conf, dir)
+    assert(r1.recallProbes.map(_._1) === Seq("h1"),
+      s"one probe per qualifying append: ${r1.recallProbes}")
+    assert(r1.recallProbes.head._2 >= 0.9,
+      s"a same-distribution append must read high: ${r1.recallProbes}")
+    assert(!IndexAdmin.advise(r1).exists(_.contains("retrain")),
+      IndexAdmin.advise(r1).mkString("; "))
+    // (b) drift: boundary-straddling clusters under the frozen quantizer
+    val drifted = (800L until 1600L).filter(_ % 16 >= 8)
+      .map(id => (id, vec(id, 0.1))).toDF("vec_id", "embedding")
+    VectorIndex.append(drifted, dir, tag = "d1")
+    val r2 = IndexAdmin.report(conf, dir)
+    assert(r2.recallProbes.map(_._1) === Seq("h1", "d1"),
+      s"series must keep append order: ${r2.recallProbes}")
+    val drift = r2.recallProbes.last._2
+    assert(drift < 0.8,
+      s"the planted drift must read below the floor (got $drift) — " +
+        "otherwise this test gates nothing")
+    val adv = IndexAdmin.advise(r2)
+    assert(adv.exists(l => l.contains("retrain") && l.contains("d1")),
+      adv.mkString("; "))
+    // the floor is a parameter: an operator with a looser SLA sees calm
+    assert(!IndexAdmin.advise(r2, retrainRecallFloor = drift / 2)
+      .exists(_.contains("retrain")), "floor override must silence the line")
+    // retrain clears the series — a stale low reading must not keep
+    // advising the retrain that already happened
+    VectorIndex.retrain(spark, dir, nlist = 16)
+    val r3 = IndexAdmin.report(conf, dir)
+    assert(r3.recallProbes.isEmpty, "retrain must clear the probe series")
+    assert(!IndexAdmin.advise(r3).exists(_.contains("retrain")),
+      IndexAdmin.advise(r3).mkString("; "))
+    // the rendered report surfaces the series, not as a data table
+    assert(!r2.tables.exists(_.name == "recall"),
+      "the probe dir must not list as a data table")
+    assert(IndexAdmin.render(r2).contains("self-recall"),
+      "render must surface the probe series")
+  }
 }
