@@ -800,74 +800,97 @@ object ClusterIndex {
     val s = victims.sparkSession
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
-    IndexMaintenance.withLease(conf, indexDir, "remove") {
-    val root = IndexMaintenance.liveRoot(conf, indexDir)
-    val m = s.read.parquet(s"$root/meta").head()
-    val thr = m.getAs[Double]("threshold")
-    val nBuckets = m.getAs[Int]("n_buckets")
-    val oldFp =
-      if (m.schema.fieldNames.contains("n_rows"))
-        Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
-      else None
+    val normDir = IndexMaintenance.normalize(indexDir)
     // removes record replay state under their own namespace: an append
     // and a remove of the SAME delta under the same tag are different
     // operations — sharing a record would make the remove read as a
     // replay and skip its fingerprint subtraction forever
     val rmTag = s"rm.$tag"
     val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
-    val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
-    if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
-      s"ClusterIndex.remove: tag '$tag' was already used by a different " +
-        "removal batch — pass a batch-unique tag (the same (tag, victims) " +
-        "pair is the legitimate crash-replay and is re-admitted)")
-    // a DIFFERENT removal's surviving state means half-rewritten tables:
-    // discovery here would violate the pristine premise and the crashed
-    // legs would never replay — refuse until that removal completes
-    Fingerprint.requireNoOtherPendingRemoval(
-      conf, IndexMaintenance.normalize(indexDir), rmTag, "ClusterIndex.remove")
-    // pending LOGICAL deletions would read as survivors in the re-split
-    // discovery below — reclaim them first (see [[LogicalDelete]])
-    LogicalDelete.requireNonePending(conf, indexDir, "ClusterIndex.remove")
-    val vids = victims.select(col(idCol)).distinct().localCheckpoint()
-    val nV = vids.count()
-    // mass-victim regime (VERDICT r11 item 1): every vids/comps join
-    // below broadcasts only under the key threshold — a bulk compliance
-    // sweep (millions of ids) runs the same plans as shuffle joins
-    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
-    if (nV > 0L) {
-      val normDir = IndexMaintenance.normalize(indexDir)
-      val stateDir = Fingerprint.removeStatePath(normDir, rmTag)
-      val planMarker = new org.apache.hadoop.fs.Path(s"$stateDir/PLAN_READY")
-      val stateFs = planMarker.getFileSystem(conf)
-      // bounded collect: the victim set's id-hash buckets — a pure
-      // function of the victims argument, so replay-stable; the same
-      // static-partition-filter recipe as probe
-      val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
-        .distinct().collect().map(_.getLong(0)).toSeq
-      // the victims' INDEXED token sets drive the postings bucket prune.
-      // Read from the CURRENT toks table on purpose: until del-toks runs
-      // it is pristine (rewrites are plan-ordered), and a replay after
-      // del-toks finds it empty exactly when del-postings already
-      // completed — the prune no-ops.
-      val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
-        .filter(col("idb").isin(vIdb: _*))
-        .join(bVids(vids), Seq(idCol), "leftsemi")
-        .select(col(idCol), col("_toks"))
-        .localCheckpoint(eager = false))
-      if (!stateFs.exists(planMarker)) {
-        // ---- 1. DISCOVERY: every table still pristine (rewrites only
-        // ever start after PLAN_READY commits) ----
-        if (!replay) {
+    val stateDir = Fingerprint.removeStatePath(normDir, rmTag)
+    val planMarker = new org.apache.hadoop.fs.Path(s"$stateDir/PLAN_READY")
+    val stateFs = planMarker.getFileSystem(conf)
+    val barrierBatch = Fingerprint.sanitizeTag(rmTag)
+
+    // ---- WINDOW A (r15, VERDICT r14 item 6): validation + fingerprint
+    // commit + victim BARRIER under a BRIEF exclusive lease — the same
+    // work (and the same wall) as logicalRemove. The expensive table
+    // rewrites then STAGE lease-free (window B) and FLIP under a second
+    // brief lease (window C), so the ingest pause is the two short
+    // windows, not the full rewrite wall. The barrier is a LogicalDelete
+    // tombstone batch under the removal's own tag: from the moment A
+    // returns, probes are blind to the victims, appends refuse their
+    // ids, and probe candidate generation excludes them — so no new
+    // edge, posting, or assignment involving a victim can form while
+    // the staging runs, which is what makes the staged rewrite sound. ----
+    var root: String = null
+    var thr = 0.0
+    var nBuckets = 0
+    var vids: DataFrame = null
+    var nV = 0L
+    var vIdb: Seq[Long] = Seq.empty
+    var replay = false
+    var planReady = false
+    var completedReplay = false
+    var stagedPath = false
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
+      root = IndexMaintenance.liveRoot(conf, indexDir)
+      val m = s.read.parquet(s"$root/meta").head()
+      thr = m.getAs[Double]("threshold")
+      nBuckets = m.getAs[Int]("n_buckets")
+      val oldFp =
+        if (m.schema.fieldNames.contains("n_rows"))
+          Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+        else None
+      replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+      if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
+        s"ClusterIndex.remove: tag '$tag' was already used by a different " +
+          "removal batch — pass a batch-unique tag (the same (tag, victims) " +
+          "pair is the legitimate crash-replay and is re-admitted)")
+      // a DIFFERENT removal's surviving state means half-rewritten tables:
+      // discovery would violate the pristine premise and the crashed
+      // legs would never replay — refuse until that removal completes
+      Fingerprint.requireNoOtherPendingRemoval(
+        conf, normDir, rmTag, "ClusterIndex.remove")
+      // pending LOGICAL deletions would read as survivors in the re-split
+      // discovery — reclaim them first. Our OWN barrier batch (a replay
+      // re-entering after A committed it) is exempt: its ids ARE the
+      // victims this removal is erasing.
+      LogicalDelete.requireNonePending(conf, indexDir, "ClusterIndex.remove",
+        exceptBatch = Some(barrierBatch))
+      vids = victims.select(col(idCol)).distinct().localCheckpoint()
+      nV = vids.count()
+      planReady = stateFs.exists(planMarker)
+      // Replay of a COMPLETED removal (record exists, state cleaned, no
+      // plan): the prior run finished — meta, rows, and barrier cleanup
+      // all landed. Re-running discovery would find any POST-reclaim
+      // re-ingest of a victim id and wrongly erase the new document
+      // while meta keeps its contribution (the physical face of the
+      // ADVICE r13 logical fix) — the replay is a no-op.
+      completedReplay = replay && !planReady &&
+        Fingerprint.readRemoveState(conf, normDir, rmTag).isEmpty
+      if (nV > 0L && !completedReplay) {
+        def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+        // bounded collect: the victim set's id-hash buckets — a pure
+        // function of the victims argument, so replay-stable
+        vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        if (!replay && !planReady) {
           // content-set known-check (r14) — see TextIndex.remove:
           // per victim id, stored token-set hashes must equal the victim
-          // rows' (this family holds one row per id, so the multiset
-          // degenerates to single-content equality — but a duplicated or
-          // conflicting victim feed still mismatches and refuses)
+          // rows' (one row per id in this family — but a duplicated or
+          // conflicting victim feed still mismatches and refuses).
+          // Pristine reads: rewrites only ever start after PLAN_READY.
+          val vToksA = rleg("vtoks")(s.read.parquet(s"$root/toks")
+            .filter(col("idb").isin(vIdb: _*))
+            .join(bVids(vids), Seq(idCol), "leftsemi")
+            .select(col(idCol), col("_toks"))
+            .localCheckpoint(eager = false))
           val vAgg = TargetedDelete.contentSet(victims, idCol,
             xxhash64(Dedup.hashedTokenSet(col(textCol))))
             .withColumnRenamed("_chs", "_vchs")
           val known = rleg("known-check")(
-            TargetedDelete.contentSet(vToks, idCol,
+            TargetedDelete.contentSet(vToksA, idCol,
               xxhash64(col("_toks")))
             .join(bVids(vAgg), Seq(idCol))
             .filter(col("_chs") === col("_vchs"))
@@ -891,138 +914,389 @@ object ClusterIndex {
               "ClusterIndex.remove")
           }
         }
-        val (comps, newAssign) = resplitPlan(s, root, idCol, vids, nV, vIdb)
-        // ---- PERSIST the plan. The parquet writes double as the
-        // materialization the r11 eager checkpoints provided (everything
-        // is fully computed before any table mutates) — and the plan,
-        // not the soon-to-be-rewritten assign table, is what a replay
-        // reads.
-        rleg("plan-write") {
-          newAssign.write.mode("overwrite").parquet(s"$stateDir/newassign")
-          // the assign partitions to rewrite: every partition holding a
-          // row of an affected component (victims included). Driver-small
-          // (<= generations x buckets).
-          s.read.parquet(s"$root/assign")
-            .join(bVids(comps), Seq("component"), "left_semi")
-            .select(col("_src"), col("idb").cast("long").as("idb")).distinct()
-            .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")
-          // the victims' postings buckets, persisted IN the plan: the
-          // r11 protocol derived them from the live toks table at
-          // rewrite time, which forced postings-before-toks ordering
-          // (a replay after del-toks would find no tokens and strand
-          // victim postings rows); plan-resident buckets make all four
-          // rewrites order-free — and therefore parallel.
-          vToks.select(explode(col("_toks")).as("_tok"))
-            .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
-            .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")
-          // target fingerprint: computed ONCE, here; a replay whose
-          // subtraction already committed records "leave meta alone"
+        // ---- idempotent fingerprint commit, the logicalRemove shape:
+        // target persisted BEFORE the meta overwrite, so every crash
+        // boundary replays to the same meta value ----
+        val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+        state0.foreach { case (svfp, _) =>
+          if (svfp != vfp) Fingerprint.refuse(
+            s"ClusterIndex.remove: tag '$tag' has leftover removal state " +
+              "for a DIFFERENT victim set (a crashed removal under this " +
+              "tag never completed) — re-run that removal with its " +
+              "original victims first, or clear its rmstate dir after " +
+              "verifying it")
+        }
+        if (state0.isEmpty) {
           val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
           Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-          stateFs.create(planMarker, true).close() // plan commit point
+          // meta BASE beside the target (r15): the replay meta rule
+          // below needs the pre-subtraction value + tag snapshot to stay
+          // exact when appends interleave between the staged windows (or
+          // between a crash and its replay — a latent pre-r15 hole: the
+          // absolute-target overwrite wiped their merges)
+          if (!replay) oldFp.foreach { pre =>
+            Fingerprint.writeRemoveMetaBase(conf, normDir, rmTag, pre,
+              Fingerprint.recordedTags(conf, normDir))
+          }
         }
-        FaultInjection.maybeCrash("cluster.plan")
+        Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { tgt =>
+          def writeMeta(fp: (Long, Long)): Unit =
+            rleg("meta-commit")(Seq((thr, nBuckets, fp._1, fp._2))
+              .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+              .coalesce(1).write.mode("overwrite").parquet(s"$root/meta"))
+          Fingerprint.readRemoveMetaBase(conf, normDir, rmTag) match {
+            case Some((pre, tags0)) =>
+              // reconstruct both legitimate readings of meta under the
+              // appends recorded since the snapshot (merge is additive
+              // and commutative, so the sum order is irrelevant)
+              val metaNow = (m.getAs[Long]("n_rows"),
+                m.getAs[Long]("content_hash"))
+              val newTags = (Fingerprint.recordedTags(conf, normDir)
+                -- tags0) - Fingerprint.sanitizeTag(rmTag)
+              val addend = newTags.toSeq.sorted
+                .flatMap(t => Fingerprint.tagFingerprints(conf, normDir, t))
+                .foldLeft((0L, 0L))(Fingerprint.merge)
+              val expectApplied = Fingerprint.merge(tgt, addend)
+              val expectNot = Fingerprint.merge(pre, addend)
+              if (metaNow == expectApplied) () // subtraction already landed
+              else if (metaNow == expectNot) writeMeta(expectApplied)
+              else Fingerprint.refuse(
+                s"ClusterIndex.remove: meta fingerprint $metaNow matches " +
+                  s"neither the pre-removal ($expectNot) nor the " +
+                  s"post-removal ($expectApplied) reading under the " +
+                  "appends recorded since this removal began — something " +
+                  "other than an append (a rebuild?) mutated the index " +
+                  "mid-removal; verify it, clear the rmstate dir, and " +
+                  "re-run the removal")
+            case None =>
+              // legacy state from a pre-r15 crash: absolute target
+              writeMeta(tgt)
+          }
+        }
+        FaultInjection.maybeCrash("cluster.meta")
+        if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+        FaultInjection.maybeCrash("cluster.record")
+        // staged path: only when no rewrite has started (plan absent —
+        // a crash mid-staging/flip replays through the in-lease path
+        // below, which re-reads LIVE state) and the index tracks append
+        // provenance (legacy pre-fingerprint meta records no merges, so
+        // window C could not detect an interleaved append)
+        stagedPath = !planReady && oldFp.isDefined
+        if (stagedPath && !LogicalDelete.pendingBatches(conf, indexDir)
+            .contains(barrierBatch))
+          LogicalDelete.write(vids, idCol, normDir, rmTag)
       }
-      // ---- the persisted plan is the sole authority from here on ----
-      val (planVfp, target) = Fingerprint.readRemoveState(conf, normDir, rmTag)
-        .getOrElse(throw new IllegalStateException(
-          s"ClusterIndex.remove: $stateDir has PLAN_READY but no commit " +
-            "record — the state dir was partially deleted; clear it and " +
-            "re-run"))
-      if (planVfp != vfp) Fingerprint.refuse(
-        s"ClusterIndex.remove: tag '$tag' has leftover removal state for a " +
-          "DIFFERENT victim set (a crashed removal under this tag never " +
-          "completed) — re-run that removal with its original victims " +
-          "first, or clear its rmstate dir after verifying it")
-      // ---- 2. idempotent fingerprint commit: recomputed from the
-      // persisted record, so replaying this write can never re-subtract
-      target.foreach { fp =>
-        rleg("meta-commit")(Seq((thr, nBuckets, fp._1, fp._2))
-          .toDF("threshold", "n_buckets", "n_rows", "content_hash")
-          .coalesce(1).write.mode("overwrite").parquet(s"$root/meta"))
+    }
+    if (nV > 0L && !completedReplay) {
+      if (stagedPath)
+        removeStaged(s, conf, root, normDir, rmTag, stateDir, planMarker,
+          idCol, vids, nV, vIdb, nBuckets)
+      else IndexMaintenance.withLease(conf, indexDir, "remove") {
+        require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+          s"ClusterIndex.remove on $indexDir: the index was compacted to a " +
+            "new generation during the removal — re-run it (same tag + " +
+            "victims replays idempotently) after verifying no maintenance " +
+            "is racing")
+        // replay / legacy path: plan (if absent) + rewrites in place,
+        // all under one lease — the pre-r15 protocol, same convergence
+        if (!stateFs.exists(planMarker)) {
+          persistPlan(s, root, stateDir, idCol, vids, nV, vIdb, nBuckets)
+          stateFs.create(planMarker, true).close()
+          FaultInjection.maybeCrash("cluster.plan")
+        }
+        rewriteFromPlan(s, conf, root, stateDir, idCol, vids, nV, vIdb)
+        finishRemove(s, conf, normDir, rmTag, barrierBatch)
       }
-      FaultInjection.maybeCrash("cluster.meta")
-      if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
-      FaultInjection.maybeCrash("cluster.record")
-      // ---- 3. rewrites, driven from the plan — in PARALLEL ----
-      // Every rewrite touches a DISTINCT table, every prune input lives
-      // in the persisted plan (never in another rewrite's table), and
-      // every rewrite is an idempotent pruned dynamic overwrite — so a
-      // replay converges from ANY completed subset, and the legs run
-      // concurrently (r12: they were 6.5 of the 8.5 leg-seconds at
-      // sf0.1 sequentially; on a cluster, concurrent jobs also overlap
-      // their scan/shuffle phases across executor slots).
-      //
-      // assign: ONE combined rewrite drops victim rows AND remaps the
-      // surviving members of affected components (two passes would
-      // rewrite overlapping partitions twice). Partitions flip whole
-      // (per-partition dynamic-overwrite commit); the plan-driven mark
-      // re-selects the ORIGINAL affected partitions on every replay, so
-      // a crash mid-flip re-rewrites the stragglers — already-flipped
-      // partitions pass through keep unchanged (victims already gone,
-      // the remap joins by id and is idempotent).
-      //
-      // edges: adjacency-log hygiene — a removed id MUST leave the log,
-      // or a later re-ingest under the same id would inherit the old
-      // text's edges and falsely merge clusters. One combined
-      // either-endpoint pass through equi semi/anti joins — no
-      // collected literal list (ADVICE r11). Dead set nodes keep their
-      // set-set rows: consumers drop them at read time via the
-      // member-row liveness rule; compaction folds them away.
-      val parts = s.read.parquet(s"$stateDir/parts")
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      val vTb = s.read.parquet(s"$stateDir/vtb")
-        .collect().map(_.getLong(0)).toSeq
-      IndexMaintenance.runLegs(Seq(
-        "cluster.assign" -> (() => rleg("assign-rewrite")(if (parts.nonEmpty) {
-          val newAssign = s.read.parquet(s"$stateDir/newassign")
-          val partsDf = parts.toDF("_psrc", "_pidb")
-          TargetedDelete.rewriteWhere(
-            s, s"$root/assign", Seq("_src", "idb"),
-            mark = df => df.join(broadcast(partsDf),
-              col("_src") === col("_psrc") &&
-                col("idb").cast("long") === col("_pidb"), "left_semi"),
-            keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
-              .join(newAssign, Seq(idCol), "left")
-              .withColumn("component",
-                coalesce(col("_newcomp"), col("component")))
-              .drop("_newcomp"),
-            prePrune = col("idb").isin(parts.map(_._2).distinct: _*))
+    }
+  }
+
+  /** Persist the re-split plan (newassign / parts / vtb / comps) for
+    * `vids` from the CURRENT tree — the discovery half of [[remove]],
+    * shared by the staged first run (window B, lease-free behind the
+    * victim barrier) and the in-lease fallback/replay path. The parquet
+    * writes double as the materialization the r11 eager checkpoints
+    * provided, and the plan — not the soon-to-be-rewritten assign
+    * table — is what a replay reads. */
+  private def persistPlan(s: SparkSession, root: String, stateDir: String,
+                          idCol: String, vids: DataFrame, nV: Long,
+                          vIdb: Seq[Long], nBuckets: Int): Unit = {
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    // the victims' INDEXED token sets drive the postings bucket prune.
+    // Read from the CURRENT toks table on purpose: until del-toks runs
+    // it is pristine, and a replay after del-toks finds it empty exactly
+    // when del-postings already completed — the prune no-ops.
+    val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
+      .filter(col("idb").isin(vIdb: _*))
+      .join(bVids(vids), Seq(idCol), "leftsemi")
+      .select(col(idCol), col("_toks"))
+      .localCheckpoint(eager = false))
+    val (comps, newAssign) = resplitPlan(s, root, idCol, vids, nV, vIdb)
+    rleg("plan-write") {
+      newAssign.write.mode("overwrite").parquet(s"$stateDir/newassign")
+      // the assign partitions to rewrite: every partition holding a
+      // row of an affected component (victims included). Driver-small
+      // (<= generations x buckets).
+      s.read.parquet(s"$root/assign")
+        .join(bVids(comps), Seq("component"), "left_semi")
+        .select(col("_src"), col("idb").cast("long").as("idb")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")
+      // plan-resident postings buckets make all four rewrites order-free
+      // — and therefore parallel (r12)
+      vToks.select(explode(col("_toks")).as("_tok"))
+        .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")
+      // the affected components themselves — window C's plan-validity
+      // membership check reads these (r15)
+      comps.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/comps")
+    }
+  }
+  /** The four plan-driven table rewrites, IN PLACE and in PARALLEL —
+    * the pre-r15 commit phase, now the replay/fallback path. Every
+    * rewrite touches a DISTINCT table, every prune input lives in the
+    * persisted plan (never in another rewrite's table), and every
+    * rewrite is an idempotent pruned dynamic overwrite — so a replay
+    * converges from ANY completed subset, including a crash mid-FLIP of
+    * the staged path (flipped partitions pass through keep unchanged:
+    * victims already gone, the remap joins by id and is idempotent).
+    *
+    * edges: adjacency-log hygiene — a removed id MUST leave the log,
+    * or a later re-ingest under the same id would inherit the old
+    * text's edges and falsely merge clusters. One combined
+    * either-endpoint pass through equi semi/anti joins — no collected
+    * literal list (ADVICE r11). Dead set nodes keep their set-set
+    * rows: consumers drop them at read time via the member-row
+    * liveness rule; compaction folds them away. */
+  private def rewriteFromPlan(s: SparkSession, conf: org.apache.hadoop.conf.Configuration,
+                              root: String, stateDir: String, idCol: String,
+                              vids: DataFrame, nV: Long,
+                              vIdb: Seq[Long]): Unit = {
+    import s.implicits._
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    val parts = s.read.parquet(s"$stateDir/parts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vTb = s.read.parquet(s"$stateDir/vtb")
+      .collect().map(_.getLong(0)).toSeq
+    IndexMaintenance.runLegs(Seq(
+      "cluster.assign" -> (() => rleg("assign-rewrite")(if (parts.nonEmpty) {
+        val newAssign = s.read.parquet(s"$stateDir/newassign")
+        val partsDf = parts.toDF("_psrc", "_pidb")
+        TargetedDelete.rewriteWhere(
+          s, s"$root/assign", Seq("_src", "idb"),
+          mark = df => df.join(broadcast(partsDf),
+            col("_src") === col("_psrc") &&
+              col("idb").cast("long") === col("_pidb"), "left_semi"),
+          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
+            .join(newAssign, Seq(idCol), "left")
+            .withColumn("component",
+              coalesce(col("_newcomp"), col("component")))
+            .drop("_newcomp"),
+          prePrune = col("idb").isin(parts.map(_._2).distinct: _*))
+        (): Unit
+      })),
+      "cluster.postings" -> (() => rleg("del-postings")(if (vTb.nonEmpty) {
+        TargetedDelete.delete(s, s"$root/postings",
+          Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*))
+        (): Unit
+      })),
+      "cluster.toks" -> (() => rleg("del-toks") {
+        TargetedDelete.delete(s, s"$root/toks",
+          Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*))
+        (): Unit
+      }),
+      "cluster.edges" -> (() => rleg("del-edges") {
+        TargetedDelete.deleteAnyKey(s, s"$root/edges",
+          Seq("_src", "eb"), Seq("u", "v"), idCol, vids)
+        (): Unit
+      })))
+  }
+
+  /** The removal's trailing bookkeeping, shared by both commit paths:
+    * freshness fast-path revocation, retired-generation purge (RTBF
+    * beats reader grace), barrier-tombstone cleanup, and — LAST — the
+    * state cleanup; a replay arriving after this point no-ops through
+    * the completed-replay rule under its applied record. */
+  private def finishRemove(s: SparkSession, conf: org.apache.hadoop.conf.Configuration,
+                           normDir: String, rmTag: String,
+                           barrierBatch: String): Unit = {
+    Fingerprint.clearSourceStatus(conf, normDir)
+    rleg("bookkeeping")(IndexMaintenance.purgeRetired(conf, normDir,
+      Seq("assign", "toks", "postings", "df", "edges", "meta")))
+    LogicalDelete.clearBatches(conf, normDir, Seq(barrierBatch))
+    Fingerprint.clearRemoveState(conf, normDir, rmTag)
+  }
+
+  /** The r15 staged commit path (VERDICT r14 item 6): discovery +
+    * staging run LEASE-FREE behind the victim barrier window A wrote —
+    * probes are already blind, appends refuse the victim ids, and probe
+    * candidate generation excludes them, so nothing involving a victim
+    * can form while this runs — then window C takes the remove lease
+    * only for plan validation + the partition FLIP + bookkeeping. The
+    * ingest pause becomes A + C (~the logicalRemove wall twice) instead
+    * of the full rewrite wall (~30 s at sf1, hours at 100 TB).
+    *
+    * Plan validity under interleaved appends (window C): the plan holds
+    * iff the affected components' membership is untouched — equal
+    * member-id sets AND no member row from a tag recorded after the
+    * plan snapshot (the second clause closes the mid-discovery-scan
+    * race where an in-flight append's assign partition was read but its
+    * edges partition was not: set equality alone could then pass while
+    * newassign splits the new doc from its mates). Any drift falls back
+    * to rediscovery + in-place rewrites under the lease — the pre-r15
+    * path at the pre-r15 cost, never a wrong answer. Per-partition
+    * staleness (an append's bridge amendment landing in a staged ASSIGN
+    * partition — the one table appends amend in place) is caught by the
+    * manifest digests and downgraded to the in-place assign rewrite
+    * alone; toks/postings/edges partitions are only ever appended as
+    * NEW partition dirs, which the selective flip never touches. */
+  private def removeStaged(s: SparkSession, conf: org.apache.hadoop.conf.Configuration,
+                           root: String, normDir: String, rmTag: String,
+                           stateDir: String, planMarker: org.apache.hadoop.fs.Path,
+                           idCol: String, vids: DataFrame,
+                           nV: Long, vIdb: Seq[Long], nBuckets: Int): Unit = {
+    import s.implicits._
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    val stateFs = planMarker.getFileSystem(conf)
+    // tag snapshot BEFORE discovery: appends record LAST (after their
+    // writes), so any append whose writes could have been half-seen by
+    // the discovery scan is guaranteed to show in the window-C delta
+    val tagsAtPlan = Fingerprint.recordedTags(conf, normDir)
+    // ---- WINDOW B: discovery + plan + staging, NO lease ----
+    persistPlan(s, root, stateDir, idCol, vids, nV, vIdb, nBuckets)
+    stateFs.create(planMarker, true).close() // plan commit point
+    FaultInjection.maybeCrash("cluster.plan")
+    val parts = s.read.parquet(s"$stateDir/parts")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vTb = s.read.parquet(s"$stateDir/vtb")
+      .collect().map(_.getLong(0)).toSeq
+    val staged = s"$stateDir/staged"
+    IndexMaintenance.runLegs(Seq(
+      "stage.assign" -> (() => rleg("stage-assign")(if (parts.nonEmpty) {
+        val newAssign = s.read.parquet(s"$stateDir/newassign")
+        val partsDf = parts.toDF("_psrc", "_pidb")
+        TargetedDelete.stageRewrite(
+          s, s"$root/assign", s"$staged/assign", Seq("_src", "idb"),
+          mark = df => df.join(broadcast(partsDf),
+            col("_src") === col("_psrc") &&
+              col("idb").cast("long") === col("_pidb"), "left_semi"),
+          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
+            .join(newAssign, Seq(idCol), "left")
+            .withColumn("component",
+              coalesce(col("_newcomp"), col("component")))
+            .drop("_newcomp"),
+          prePrune = col("idb").isin(parts.map(_._2).distinct: _*),
+          captureStatus = true) // assign is the one append-amendable table
+      })),
+      "stage.postings" -> (() => rleg("stage-postings")(if (vTb.nonEmpty) {
+        TargetedDelete.stageRewrite(
+          s, s"$root/postings", s"$staged/postings", Seq("_src", "tb"),
+          mark = df => df.join(bVids(vids), Seq(idCol), "left_semi"),
+          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti"),
+          prePrune = col("tb").isin(vTb: _*))
+      })),
+      "stage.toks" -> (() => rleg("stage-toks") {
+        TargetedDelete.stageRewrite(
+          s, s"$root/toks", s"$staged/toks", Seq("_src", "idb"),
+          mark = df => df.join(bVids(vids), Seq(idCol), "left_semi"),
+          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti"),
+          prePrune = col("idb").isin(vIdb: _*))
+      }),
+      "stage.edges" -> (() => rleg("stage-edges") {
+        def keysAs(c: String) =
+          TargetedDelete.maybeBroadcast(vids.select(col(idCol).as(c)), nV)
+        TargetedDelete.stageRewrite(
+          s, s"$root/edges", s"$staged/edges", Seq("_src", "eb"),
+          mark = df => Seq("u", "v")
+            .map(c => df.join(keysAs(c), Seq(c), "left_semi"))
+            .reduce(_ unionByName _),
+          keep = df => Seq("u", "v").foldLeft(df)((d, c) =>
+            d.join(keysAs(c), Seq(c), "left_anti")))
+      })))
+    FaultInjection.maybeCrash("cluster.stage")
+    // ---- WINDOW C: validate + flip under the lease ----
+    IndexMaintenance.withLease(conf, normDir, "remove") {
+      require(IndexMaintenance.liveRoot(conf, normDir) == root,
+        s"ClusterIndex.remove on $normDir: the index was compacted to a " +
+          "new generation during the removal — re-run it (same tag + " +
+          "victims replays idempotently) after verifying no maintenance " +
+          "is racing")
+      val tagsNow = Fingerprint.recordedTags(conf, normDir)
+      val planValid =
+        if (tagsNow == tagsAtPlan) true
+        else rleg("plan-validate") {
+          val compsDf = s.read.parquet(s"$stateDir/comps")
+          val current = s.read.parquet(s"$root/assign")
+            .join(broadcast(compsDf), Seq("component"), "left_semi")
+            .select(col(idCol), col("_src"))
+            .localCheckpoint(eager = false)
+          val planIds = s.read.parquet(s"$stateDir/newassign")
+            .select(col(idCol))
+            .unionByName(vids.select(col(idCol)))
+          val newSrcs = (tagsNow -- tagsAtPlan)
+            .map(Fingerprint.sanitizeTag).toSeq
+          val touchedByNew =
+            if (newSrcs.isEmpty) 0L
+            else current.filter(col("_src").isin(newSrcs: _*)).limit(1).count()
+          val drifted =
+            current.select(col(idCol)).exceptAll(planIds).limit(1).count() +
+              planIds.exceptAll(current.select(col(idCol))).limit(1).count()
+          touchedByNew == 0L && drifted == 0L
+        }
+      if (!planValid) {
+        // interleaved appends touched the affected components: the plan
+        // is stale. Rediscover under the lease — appends are excluded
+        // now and no rewrite has run, so the tree is pristine again —
+        // and commit in place: correctness first, pre-r15 cost.
+        persistPlan(s, root, stateDir, idCol, vids, nV, vIdb, nBuckets)
+        rewriteFromPlan(s, conf, root, stateDir, idCol, vids, nV, vIdb)
+      } else IndexMaintenance.runLegs(Seq(
+        // flip legs keep the pre-r15 leg names: the crash matrix arms
+        // them, and a crash after any flip replays through the in-place
+        // path above (plan present => fallback), which re-reads LIVE
+        // state and converges from any partial flip
+        "cluster.assign" -> (() => rleg("flip-assign")(if (parts.nonEmpty) {
+          if (!TargetedDelete.applyStaged(s, s"$root/assign", s"$staged/assign"))
+            // an append amended a staged assign partition (digest
+            // drift): in-place assign rewrite reads current rows
+            rewriteAssignInPlace(s, root, stateDir, idCol, vids, nV, parts)
+        })),
+        "cluster.postings" -> (() => rleg("flip-postings")(if (vTb.nonEmpty) {
+          TargetedDelete.applyStaged(s, s"$root/postings", s"$staged/postings")
           (): Unit
         })),
-        "cluster.postings" -> (() => rleg("del-postings")(if (vTb.nonEmpty) {
-          TargetedDelete.delete(s, s"$root/postings",
-            Seq("_src", "tb"), idCol, vids, col("tb").isin(vTb: _*))
-          (): Unit
-        })),
-        "cluster.toks" -> (() => rleg("del-toks") {
-          TargetedDelete.delete(s, s"$root/toks",
-            Seq("_src", "idb"), idCol, vids, col("idb").isin(vIdb: _*))
+        "cluster.toks" -> (() => rleg("flip-toks") {
+          TargetedDelete.applyStaged(s, s"$root/toks", s"$staged/toks")
           (): Unit
         }),
-        "cluster.edges" -> (() => rleg("del-edges") {
-          TargetedDelete.deleteAnyKey(s, s"$root/edges",
-            Seq("_src", "eb"), Seq("u", "v"), idCol, vids)
+        "cluster.edges" -> (() => rleg("flip-edges") {
+          TargetedDelete.applyStaged(s, s"$root/edges", s"$staged/edges")
           (): Unit
         })))
-      // the corpus of record changed: freshness reverts to the
-      // content-hash authority (recordCorpusStatus re-arms it)
-      Fingerprint.clearSourceStatus(conf, indexDir)
-      // retired GC-grace generations hold the victims' rows too —
-      // right-to-be-forgotten beats reader grace (see
-      // IndexMaintenance.purgeRetired)
-      rleg("bookkeeping")(IndexMaintenance.purgeRetired(conf, indexDir,
-        Seq("assign", "toks", "postings", "df", "edges", "meta")))
-      // ---- 4. state cleanup LAST: everything before here replays from
-      // the persisted plan; a replay arriving after this point no-ops
-      // through empty discovery under its applied record
-      Fingerprint.clearRemoveState(conf, normDir, rmTag)
+      finishRemove(s, conf, normDir, rmTag,
+        Fingerprint.sanitizeTag(rmTag))
     }
-    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
-      s"ClusterIndex.remove on $indexDir: the index was compacted to a new " +
-        "generation during the removal — re-run it (same tag + victims " +
-        "replays idempotently) after verifying no maintenance is racing")
-    }
+  }
+
+  /** The in-place assign rewrite alone — the digest-staleness downgrade
+    * of the staged path's assign flip. */
+  private def rewriteAssignInPlace(s: SparkSession, root: String,
+                                   stateDir: String, idCol: String,
+                                   vids: DataFrame, nV: Long,
+                                   parts: Seq[(String, Long)]): Unit = {
+    import s.implicits._
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    val newAssign = s.read.parquet(s"$stateDir/newassign")
+    val partsDf = parts.toDF("_psrc", "_pidb")
+    TargetedDelete.rewriteWhere(
+      s, s"$root/assign", Seq("_src", "idb"),
+      mark = df => df.join(broadcast(partsDf),
+        col("_src") === col("_psrc") &&
+          col("idb").cast("long") === col("_pidb"), "left_semi"),
+      keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
+        .join(newAssign, Seq(idCol), "left")
+        .withColumn("component",
+          coalesce(col("_newcomp"), col("component")))
+        .drop("_newcomp"),
+      prePrune = col("idb").isin(parts.map(_._2).distinct: _*))
   }
 
   /** LOGICAL targeted delete (VERDICT r12 item 1) — the RTBF fast path:

@@ -198,6 +198,63 @@ object Fingerprint {
       s"could not commit removal state at $p (rename refused)")
   }
 
+  /** Every fingerprint recorded under `tag`, parsed — the r15 staged
+    * remove's replay meta rule sums these for tags recorded after the
+    * removal's meta-base snapshot ([[writeRemoveMetaBase]]). */
+  def tagFingerprints(conf: org.apache.hadoop.conf.Configuration,
+                      indexDir: String, tag: String): Seq[(Long, Long)] = {
+    val p = tagPath(indexDir, tag)
+    readTagSet(p.getFileSystem(conf), p).toSeq.sorted.map { line =>
+      val Array(a, b) = line.split(","); (a.toLong, b.toLong)
+    }
+  }
+
+  /** Persist the removal's meta BASE record (r15, beside `commit`): the
+    * PRE-subtraction meta fingerprint and the recorded-tag snapshot at
+    * state-commit time. The replay meta rule uses it to stay exact
+    * under appends interleaved between a crash (or the staged remove's
+    * lease-free window) and the replay: with A = the fingerprints of
+    * tags recorded since the snapshot (all additive and commutative),
+    * current meta reads either pre+A (subtraction never landed — write
+    * target+A) or target+A (it landed — leave meta alone); anything
+    * else means a non-append mutated meta mid-removal and the replay
+    * refuses loudly. The absolute-target overwrite alone would WIPE the
+    * interleaved appends' merges on replay. */
+  def writeRemoveMetaBase(conf: org.apache.hadoop.conf.Configuration,
+                          indexDir: String, rmTag: String,
+                          pre: (Long, Long), tags: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(rmStateDir(indexDir, rmTag), "metabase")
+    val fs = p.getFileSystem(conf)
+    // tag names are sanitizeTag output ([a-zA-Z0-9._-]) — comma-safe
+    val txt = s"pre=${pre._1},${pre._2}\ntags=${tags.toSeq.sorted.mkString(",")}"
+    val tmp = new org.apache.hadoop.fs.Path(rmStateDir(indexDir, rmTag),
+      "metabase.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    require(fs.rename(tmp, p),
+      s"could not commit removal meta base at $p (rename refused)")
+  }
+
+  def readRemoveMetaBase(conf: org.apache.hadoop.conf.Configuration,
+                         indexDir: String, rmTag: String): Option[((Long, Long), Set[String])] = {
+    val p = new org.apache.hadoop.fs.Path(rmStateDir(indexDir, rmTag), "metabase")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      val kv = txt.split("\n").map(_.split("=", 2)).collect {
+        case Array(k, v) => k -> v
+      }.toMap
+      val Array(a, b) = kv("pre").split(",")
+      Some(((a.toLong, b.toLong),
+        kv.getOrElse("tags", "").split(",").filter(_.nonEmpty).toSet))
+    }
+  }
+
   /** Read back the removal-commit record — None when no state survives
     * (fresh removal, or a prior one that ran to completion). */
   def readRemoveState(conf: org.apache.hadoop.conf.Configuration,

@@ -138,6 +138,17 @@ object KMeans {
   private[graft] val lastFit =
     new scala.collection.concurrent.TrieMap[(Int, Int, Long), Seq[Seq[Double]]]()
 
+  /** Last [[diverseSample]] candidate set per (k, seed), in candidate
+    * ORDER (r15, VERDICT r14 item 7): the oversampling pass is the one
+    * non-SQL-expressible stage (xxhash64 coin flips); the greedy
+    * farthest-first traversal DOWNSTREAM of it is deterministic in the
+    * ordered candidates — first-pick = candidate 0, argmax on
+    * (dmin DESC, candidate index ASC), dmin = min squared distance to
+    * the chosen set — so the oracle unrolls these as CTE literals and
+    * replays the whole selection as a recursive SQL traversal. */
+  private[graft] val lastDiverseCands =
+    new scala.collection.concurrent.TrieMap[(Int, Long), Seq[(Long, Array[Double])]]()
+
   /** Fit k Euclidean centroids: k-means|| init + `iters` Lloyd rounds.
     * Each Lloyd round is one distributed pass (argmin assign →
     * posexplode per-dimension mean; partial aggregation applies; only
@@ -186,6 +197,7 @@ object KMeans {
   def diverseSample(corpus: DataFrame, k: Int, seed: Long = 42L,
                     idCol: String = "vec_id", vecCol: String = "embedding"): Seq[(Int, Long, Double)] = {
     val cands = oversample(corpus, l = math.max(k, 8), rounds = 4, seed, idCol, vecCol)
+    lastDiverseCands.put((k, seed), cands)
     val n = cands.size
     val kk = math.min(k, n)
     val chosen = collection.mutable.ArrayBuffer(0) // seeded first pick

@@ -153,10 +153,15 @@ private[graft] object LogicalDelete {
   /** Refusal for the physical remove(): while ANY tombstone pends, its
     * re-split discovery would count logically-deleted rows as survivors
     * and the post-remove fingerprint equality would break. Reclaim via
-    * compact() first. */
+    * compact() first. `exceptBatch` (r15): the staged physical remove
+    * writes a barrier batch under its OWN tag — a replay re-entering
+    * must not refuse over its own barrier, whose ids ARE the victims
+    * being erased. */
   def requireNonePending(conf: org.apache.hadoop.conf.Configuration,
-                         indexDir: String, opName: String): Unit = {
+                         indexDir: String, opName: String,
+                         exceptBatch: Option[String] = None): Unit = {
     val pending = pendingBatches(conf, indexDir)
+      .filterNot(b => exceptBatch.contains(b))
     if (pending.nonEmpty) Fingerprint.refuse(
       s"$opName: logical deletion batch(es) ${pending.mkString(", ")} are " +
         s"pending reclaim under ${dir(indexDir)} — run compact() to reclaim " +

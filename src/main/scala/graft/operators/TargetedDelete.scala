@@ -164,6 +164,144 @@ object TargetedDelete {
                    prePrune: org.apache.spark.sql.Column = lit(true)): Long =
     deleteImpl(spark, tableDir, partitionCols, prePrune, mark, keep)
 
+  /** Decode an input_file_name-derived URI to a Hadoop Path (the
+    * escaped-chars lesson from [[deleteImpl]]'s emptied-dir cleanup). */
+  private def pathOfUri(uri: String): org.apache.hadoop.fs.Path =
+    try new org.apache.hadoop.fs.Path(new java.net.URI(uri))
+    catch { case _: Exception => new org.apache.hadoop.fs.Path(uri) }
+
+  /** Digest of a partition dir's file listing (name, length, mtime) —
+    * the staleness token [[applyStaged]] compares against the capture
+    * [[stageRewrite]] took. Any interleaved rewrite of the partition
+    * (a concurrent append's bridge amendment) changes it. */
+  private def dirDigest(fs: org.apache.hadoop.fs.FileSystem,
+                        dir: org.apache.hadoop.fs.Path): String = {
+    val parts =
+      try fs.listStatus(dir).map(st =>
+          s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
+        .sorted
+      catch { case _: java.io.FileNotFoundException => Array("ABSENT") }
+    java.util.Arrays.hashCode(parts.asInstanceOf[Array[AnyRef]]).toString
+  }
+
+  /** STAGE a [[rewriteWhere]]-class partition surgery without touching
+    * the live table (r15, VERDICT r14 item 6 — the stage-then-flip
+    * remove): the replacement rows for every touched partition land
+    * under `stageDir` (same partition layout), and a driver-small
+    * MANIFEST parquet (`<stageDir>.manifest`) records each touched
+    * LIVE partition dir, its staged replacement dir (null when the
+    * rewrite emptied it), and — when `captureStatus` — a file-listing
+    * digest of the live dir so [[applyStaged]] can detect an
+    * interleaved amendment. Pure reads against the live tree; the
+    * caller flips later under its exclusive lease. */
+  private[graft] def stageRewrite(spark: SparkSession, tableDir: String,
+                                  stageDir: String,
+                                  partitionCols: Seq[String],
+                                  mark: DataFrame => DataFrame,
+                                  keep: DataFrame => DataFrame,
+                                  prePrune: Column = lit(true),
+                                  captureStatus: Boolean = false): Unit = {
+    require(partitionCols.nonEmpty, "staged rewrite needs a partitioned table")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(conf)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir + ".manifest"), true)
+    val table = spark.read.parquet(tableDir).filter(prePrune)
+    def partMatch(a: DataFrame, b: DataFrame) =
+      partitionCols.map(c => a(c) <=> b(c)).reduce(_ && _)
+    // same one-scan touched-partition discovery as deleteImpl, dirs
+    // captured from the files themselves
+    val dirOfPart = mark(table.withColumn("_dir",
+        expr("regexp_replace(input_file_name(), '/[^/]*$', '')")))
+      .select(partitionCols.map(col) :+ col("_dir"): _*)
+      .distinct()
+      .localCheckpoint(true)
+    if (dirOfPart.isEmpty) {
+      // nothing touched: an EMPTY manifest still signals "staged, no-op"
+      spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("_live_dir",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_staged_dir",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("_digest",
+            org.apache.spark.sql.types.StringType))))
+        .coalesce(1).write.mode("overwrite").parquet(stageDir + ".manifest")
+      return
+    }
+    val touched = dirOfPart.select(partitionCols.map(col): _*).distinct()
+      .localCheckpoint(true)
+    val slice = table.join(broadcast(touched), partMatch(table, touched), "left_semi")
+    val remaining = keep(slice)
+      .select(table.columns.map(col): _*)
+      .localCheckpoint() // fully compute before anything lists stageDir
+    val hasRows = !remaining.isEmpty
+    if (hasRows)
+      remaining.write.partitionBy(partitionCols: _*)
+        .mode("overwrite").parquet(stageDir)
+    // staged dirs read back from the staged FILES — never reconstructed
+    // from partition values (the deleteImpl encoding trap)
+    val stagedDirs =
+      if (!hasRows) null
+      else spark.read.parquet(stageDir)
+        .withColumn("_sdir",
+          expr("regexp_replace(input_file_name(), '/[^/]*$', '')"))
+        .select(partitionCols.map(col) :+ col("_sdir"): _*)
+        .distinct()
+    val manifest0 =
+      (if (stagedDirs == null)
+        dirOfPart.withColumn("_sdir", lit(null).cast("string"))
+      else dirOfPart.join(stagedDirs,
+          partMatch(dirOfPart, stagedDirs), "left")
+        .select(dirOfPart("_dir").as("_dir"), col("_sdir")))
+        .select(col("_dir").as("_live_dir"), col("_sdir").as("_staged_dir"))
+        .collect()
+    val rows = manifest0.map { r =>
+      val live = r.getString(0)
+      val digest =
+        if (captureStatus) dirDigest(fs, pathOfUri(live)) else ""
+      (live, Option(r.getString(1)).orNull, digest)
+    }
+    import spark.implicits._
+    rows.toSeq.toDF("_live_dir", "_staged_dir", "_digest")
+      .coalesce(1).write.mode("overwrite").parquet(stageDir + ".manifest")
+  }
+
+  /** FLIP a staged rewrite into place: for every manifest row, verify
+    * the live dir's digest when one was captured (ANY drift returns
+    * false — the caller falls back to its in-place rewrite, which
+    * reads current state), then delete the live dir and rename the
+    * staged replacement in (an emptied partition just deletes). Must
+    * run under the caller's exclusive lease. Not idempotent (renames
+    * consume the staged tree) — a crash mid-flip replays through the
+    * caller's plan-driven in-place path, exactly like a crash mid
+    * dynamic-overwrite does today. */
+  private[graft] def applyStaged(spark: SparkSession, tableDir: String,
+                                 stageDir: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(conf)
+    val manifest = spark.read.parquet(stageDir + ".manifest").collect()
+    val stale = manifest.exists { r =>
+      val dig = r.getString(2)
+      dig.nonEmpty && dig != dirDigest(fs, pathOfUri(r.getString(0)))
+    }
+    if (stale) return false
+    manifest.foreach { r =>
+      val live = pathOfUri(r.getString(0))
+      fs.delete(live, true)
+      Option(r.getString(1)).foreach { sd =>
+        val staged = pathOfUri(sd)
+        if (!fs.rename(staged, live))
+          throw new java.io.IOException(
+            s"staged-rewrite flip could not rename $staged -> $live")
+      }
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
+    fs.delete(new org.apache.hadoop.fs.Path(stageDir + ".manifest"), true)
+    true
+  }
+
   private def deleteImpl(spark: SparkSession, tableDir: String,
                          partitionCols: Seq[String],
                          prePrune: org.apache.spark.sql.Column,

@@ -554,6 +554,45 @@ object Vectors {
        |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
   }
 
+  /** Diversity-selection replay (r15, VERDICT r14 item 7 — the last
+    * plausible no_oracle shrink): the recorded ORDERED candidate set
+    * unrolls as literals, and the Gonzalez farthest-first traversal —
+    * deterministic in those candidates — replays as a recursive CTE
+    * carrying the chosen set as a LIST: each step's lateral subquery
+    * recomputes every unchosen candidate's dmin (min index-ordered
+    * squared distance to the chosen set — the same ascending-index fold
+    * as the driver loop) and picks (dmin DESC, candidate index ASC),
+    * exactly the `>`-strict first-max rule. Value-exact: literals
+    * round-trip via Double.toString and min/max over identical doubles
+    * are order-free. */
+  private def diverseSampleSql(cands: Seq[(Long, Array[Double])], k: Int): String = {
+    val vals = cands.zipWithIndex.map { case ((id, v), ci) =>
+      s"($ci, $id, [${v.map(dlit).mkString(", ")}]::DOUBLE[])"
+    }.mkString(", ")
+    val kk = math.min(k, cands.size)
+    s"""WITH RECURSIVE cand(ci, vec_id, v) AS (
+       |  SELECT * FROM (VALUES $vals) t(ci, vec_id, v)),
+       |sel(r, ci, vec_id, dmin, chosen) AS (
+       |  SELECT 1, 0, (SELECT vec_id FROM cand WHERE ci = 0), 0.0::DOUBLE, [0]
+       |  UNION ALL
+       |  SELECT s.r + 1, nxt.ci, nxt.vec_id, nxt.dmin, list_append(s.chosen, nxt.ci)
+       |  FROM sel s, LATERAL (
+       |    SELECT c.ci, c.vec_id,
+       |      (SELECT min(list_aggregate(list_transform(range(1, len(c.v) + 1),
+       |         i -> (c.v[i] - p.v[i]) * (c.v[i] - p.v[i])), 'sum'))
+       |       FROM cand p WHERE list_contains(s.chosen, p.ci)) AS dmin
+       |    FROM cand c
+       |    WHERE NOT list_contains(s.chosen, c.ci)
+       |    ORDER BY dmin DESC, c.ci
+       |    LIMIT 1
+       |  ) nxt
+       |  WHERE s.r < $kk
+       |)
+       |SELECT CAST(r AS INTEGER) AS sel_rank, CAST(vec_id AS BIGINT) AS vec_id,
+       |  round(dmin, 4) AS min_sq_dist
+       |FROM sel ORDER BY sel_rank""".stripMargin
+  }
+
   /** The model-literal entries, present once the queries RAN in this JVM
     * (Verify runs every query before dumping oracle SQL; a BENCH_ONLY /
     * `only` subset that skipped the vec family simply keeps these rows
@@ -581,6 +620,8 @@ object Vectors {
           threshold = 0.40)).toMap ++
       graft.operators.Similarity.lastCodebooks.get((8, 16, 42L)).map(cbs =>
         "vec_pq_topk" -> pqTopKSql(cbs, rerank = 50, k = 5)).toMap ++
+      graft.operators.KMeans.lastDiverseCands.get((10, 42L)).map(cands =>
+        "vec_diverse_sample" -> diverseSampleSql(cands, k = 10)).toMap ++
       Map("vec_quantized_topk" -> quantizedTopKSql(k = 5))
   }
 

@@ -226,9 +226,11 @@ class IndexRemoveSpec extends SparkSpec {
     val dir = java.nio.file.Files.createTempDirectory("rm_flip").toString + "/idx"
     ClusterIndex.build(corpus, "doc_id", "text", dir)
     val victims = Seq(b).toDF("doc_id", "text")
-    // crash right after the replay record — no rewrite has run yet
+    // crash right after the PLAN commit — no rewrite has run yet (r15:
+    // the plan lands in window B, after the fingerprint record; the
+    // rewrites still only ever start after PLAN_READY)
     intercept[FaultInjection.InjectedCrash] {
-      FaultInjection.armed("cluster.record")(
+      FaultInjection.armed("cluster.plan")(
         ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
     }
     // simulate the partial flip: surgically remove ONLY the victim's
@@ -248,6 +250,99 @@ class IndexRemoveSpec extends SparkSpec {
       s"plan-driven replay must rescue the stranded survivor: $after")
     assert(ClusterIndex.isFresh(spark, dir,
       Seq(a, c).toDF("doc_id", "text"), "doc_id", "text"))
+  }
+
+  test("staged remove: barrier blinds during staging, interleaved appends survive, stale plans fall back (r15)") {
+    // VERDICT r14 item 6: the rewrites stage LEASE-FREE behind a victim
+    // barrier; window C validates the plan against interleaved appends.
+    // Crash at cluster.stage = the staging completed but the flip never
+    // ran — the widest interleaving window.
+    import graft.operators.{FaultInjection, LogicalDelete}
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(10, 60)); val d = (40L, span(200, 260))
+    val corpus = Seq(a, b, c, d).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_staged").toString + "/idx"
+    val conf = spark.sparkContext.hadoopConfiguration
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    val victims = Seq(b).toDF("doc_id", "text")
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("cluster.stage")(
+        ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
+    }
+    // mid-removal state: the barrier is live — probes/assignments blind,
+    // the victim id refuses re-ingest, the fingerprint already tracks
+    // the survivors (window A committed it)
+    assert(LogicalDelete.pendingBatches(conf, dir) === Seq("rm.t1"),
+      "the victim barrier must pend while the staging window is open")
+    assert(!assignMap(dir).contains(20L),
+      "assignments must be blind behind the barrier")
+    val exDead = intercept[IllegalArgumentException] {
+      ClusterIndex.append(Seq((20L, "new text under the mid-removal id"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "apx")
+    }
+    assert(exDead.getMessage.contains("logically deleted"), exDead.getMessage)
+    // an UNRELATED ingest proceeds mid-removal (the whole point of the
+    // staged path: no lease is held between the windows) — and this
+    // append invalidates the staged plan's tag snapshot, so the replay
+    // must take the rediscovery fallback and still converge
+    ClusterIndex.append(Seq((50L, span(300, 360))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "mid1")
+    // the replay completes the removal
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+    val after = assignMap(dir)
+    assert(after === Map(10L -> 10L, 30L -> 30L, 40L -> 40L, 50L -> 50L),
+      s"replay must split the bridge AND keep the interleaved append: $after")
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "the barrier must clear with the removal")
+    val survivors = Seq(a, c, d, (50L, span(300, 360))).toDF("doc_id", "text")
+    assert(ClusterIndex.isFresh(spark, dir, survivors, "doc_id", "text"),
+      "fingerprint must track survivors + the interleaved append exactly")
+    // no victim residue in any table
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    Seq("toks", "postings", "assign").foreach { t =>
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id") === 20L).count() == 0L, s"$t holds victim rows")
+    }
+    assert(spark.read.parquet(s"$root/edges")
+      .filter(col("u") === 20L || col("v") === 20L).count() == 0L,
+      "edge log holds victim endpoints")
+    // completed replay is a NO-OP: after a re-ingest of the freed id,
+    // re-firing the old removal must not erase the new document (the
+    // physical face of the ADVICE r13 completed-replay rule)
+    ClusterIndex.append(Seq((20L, "fresh post-removal content twenty"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "re20")
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+    assert(assignMap(dir).contains(20L),
+      "a completed replay must not erase the re-ingested document")
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "a completed replay must not re-write the barrier")
+  }
+
+  test("staged remove: an interleaved append that BRIDGES an affected component falls back correctly (r15)") {
+    // the plan-validity membership check: a mid-window append whose doc
+    // near-dups a SURVIVOR of the victim's component joins that
+    // component — the staged newassign is stale (it splits A from C
+    // without knowing the newcomer), so window C must rediscover. The
+    // correct end state keeps the newcomer clustered with its mate.
+    import graft.operators.FaultInjection
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(10, 60))
+    val corpus = Seq(a, b, c).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_stbr").toString + "/idx"
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    val victims = Seq(b).toDF("doc_id", "text")
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("cluster.stage")(
+        ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
+    }
+    // doc 60 re-crawls A's text: it must land in A's component — and it
+    // arrives AFTER the plan was staged
+    ClusterIndex.append(Seq((60L, span(0, 50))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "mid1")
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+    val after = assignMap(dir)
+    assert(after === Map(10L -> 10L, 30L -> 30L, 60L -> 10L),
+      s"the newcomer must stay clustered with A after the fallback: $after")
   }
 
   test("text/vector remove crash windows: fingerprint never subtracts twice") {
