@@ -117,6 +117,13 @@ object ClusterIndex {
     val s = docs.sparkSession
     import s.implicits._
     val conf0 = s.sparkContext.hadoopConfiguration
+    // a rebuild during a pending removal would wipe the replay state
+    // (tagfp, the barrier tombstones) the removal's windows depend on —
+    // and since r15 window B holds only a WRITE lease, the build's own
+    // write lease would no longer exclude it; refuse until the removal
+    // replays to completion (pendingRemovals == rmstate dirs)
+    Fingerprint.requireNoOtherPendingRemoval(conf0,
+      IndexMaintenance.normalize(indexDir), rmTag = "", "ClusterIndex.build")
     IndexMaintenance.withLease(conf0, indexDir, "write") {
     val root = IndexMaintenance.liveRoot(conf0, indexDir)
     val toks = tokenize(docs, idCol, textCol).localCheckpoint()
@@ -705,48 +712,55 @@ object ClusterIndex {
       .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
       .join(bVids(vids), Seq(idCol), "left_anti")
       .localCheckpoint(eager = false))
-    val anySurvivors = !survivors.isEmpty
-    val newAssign =
-      if (!anySurvivors)
-        Seq.empty[(Long, Long)].toDF(idCol, "_newcomp")
-      else {
-        val survIds = survivors.select(col(idCol).as("_sid"))
-        // one physical pass over the log: the four survivor-subgraph
-        // frames below share these blocks instead of re-scanning
-        // (review-caught; the log is narrow but scanning it four
-        // times was pure waste). The hygiene rewrite later is its own
-        // necessary pass.
-        val edgesAll = s.read.parquet(s"$root/edges")
-          .localCheckpoint(eager = false)
-        // doc->set membership rows among survivors decide set survival
-        val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
-          .join(survIds, col("v") === col("_sid"), "leftsemi")
-          .select(col("u")).distinct().localCheckpoint(eager = false)
-        // a member row whose doc survives has a live set by definition
-        val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
-          .join(survIds, col("v") === col("_sid"), "leftsemi")
-        val setSetEdges = edgesAll.filter(col("u") < 0 && col("v") < 0)
-          .join(liveSets.select(col("u")), Seq("u"), "leftsemi")
-          .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi")
-        val docDocEdges = edgesAll.filter(col("u") >= 0 && col("v") >= 0)
-          .join(survIds, col("u") === col("_sid"), "leftsemi")
-          .join(survIds, col("v") === col("_sid"), "leftsemi")
-        val survEdges = memberEdges.unionByName(setSetEdges)
-          .unionByName(docDocEdges).select(col("u"), col("v"))
-        val cc = ConnectedComponents.components(survEdges, "u", "v")
-          .select(col("id").as("_ccid"), col("component").as("_cccomp"))
-        // canonical component ids are the min MEMBER DOC id — the CC
-        // universe contains negative set nodes, whose ids must never
-        // leak into assignments
-        val docCc = survivors.select(col(idCol))
-          .join(cc, col(idCol) === col("_ccid"), "left")
-          .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("_rawcomp"))
-        val canon = docCc.groupBy(col("_rawcomp"))
-          .agg(min(col(idCol)).as("_canon"))
-        docCc.join(canon, Seq("_rawcomp"))
-          .select(col(idCol), col("_canon").as("_newcomp"))
-      }
-    (comps, newAssign)
+    (comps, membersResplit(s, root, idCol, survivors))
+  }
+
+  /** CC of `members` over their survivor subgraph of the persisted
+    * edge log, with canonical min-member-doc labels — the shared core
+    * of the victim re-split ([[resplitPlan]]), the r15 serve-time
+    * bridge-split, and the r15 crash-window label repair
+    * ([[repairComponents]]). `members` must carry `idCol`; anything
+    * outside it is invisible to the traversal. */
+  private def membersResplit(s: SparkSession, root: String, idCol: String,
+                             members: DataFrame): DataFrame = {
+    import s.implicits._
+    if (members.isEmpty)
+      return Seq.empty[(Long, Long)].toDF(idCol, "_newcomp")
+    val survIds = members.select(col(idCol).as("_sid"))
+    // one physical pass over the log: the four survivor-subgraph
+    // frames below share these blocks instead of re-scanning
+    // (review-caught; the log is narrow but scanning it four
+    // times was pure waste). The hygiene rewrite later is its own
+    // necessary pass.
+    val edgesAll = s.read.parquet(s"$root/edges")
+      .localCheckpoint(eager = false)
+    // doc->set membership rows among survivors decide set survival
+    val liveSets = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+      .join(survIds, col("v") === col("_sid"), "leftsemi")
+      .select(col("u")).distinct().localCheckpoint(eager = false)
+    // a member row whose doc survives has a live set by definition
+    val memberEdges = edgesAll.filter(col("u") < 0 && col("v") >= 0)
+      .join(survIds, col("v") === col("_sid"), "leftsemi")
+    val setSetEdges = edgesAll.filter(col("u") < 0 && col("v") < 0)
+      .join(liveSets.select(col("u")), Seq("u"), "leftsemi")
+      .join(liveSets.select(col("u").as("v")), Seq("v"), "leftsemi")
+    val docDocEdges = edgesAll.filter(col("u") >= 0 && col("v") >= 0)
+      .join(survIds, col("u") === col("_sid"), "leftsemi")
+      .join(survIds, col("v") === col("_sid"), "leftsemi")
+    val survEdges = memberEdges.unionByName(setSetEdges)
+      .unionByName(docDocEdges).select(col("u"), col("v"))
+    val cc = ConnectedComponents.components(survEdges, "u", "v")
+      .select(col("id").as("_ccid"), col("component").as("_cccomp"))
+    // canonical component ids are the min MEMBER DOC id — the CC
+    // universe contains negative set nodes, whose ids must never
+    // leak into assignments
+    val docCc = members.select(col(idCol))
+      .join(cc, col(idCol) === col("_ccid"), "left")
+      .select(col(idCol), coalesce(col("_cccomp"), col(idCol)).as("_rawcomp"))
+    val canon = docCc.groupBy(col("_rawcomp"))
+      .agg(min(col(idCol)).as("_canon"))
+    docCc.join(canon, Seq("_rawcomp"))
+      .select(col(idCol), col("_canon").as("_newcomp"))
   }
 
   /** Index-side targeted DELETE (VERDICT r10 item 1 — the
@@ -861,6 +875,17 @@ object ClusterIndex {
       vids = victims.select(col(idCol)).distinct().localCheckpoint()
       nV = vids.count()
       planReady = stateFs.exists(planMarker)
+      // a PLAN_READY marker without its commit record means the state
+      // dir was PARTIALLY deleted (a cut cleanup): fabricating fresh
+      // state here would re-run the rewrites against whatever the id
+      // namespace holds NOW — including a legitimately re-ingested
+      // victim id — so refuse loudly (review-restored r15; the pre-r15
+      // protocol had exactly this guard)
+      if (planReady && Fingerprint.readRemoveState(conf, normDir, rmTag).isEmpty)
+        throw new IllegalStateException(
+          s"ClusterIndex.remove: $stateDir has PLAN_READY but no commit " +
+            "record — the state dir was partially deleted; verify the " +
+            "index, clear the rmstate dir, and re-run")
       // Replay of a COMPLETED removal (record exists, state cleaned, no
       // plan): the prior run finished — meta, rows, and barrier cleanup
       // all landed. Re-running discovery would find any POST-reclaim
@@ -927,17 +952,21 @@ object ClusterIndex {
               "verifying it")
         }
         if (state0.isEmpty) {
+          // meta BASE BEFORE the commit record (review-caught r15): the
+          // replay meta rule below needs the pre-subtraction value +
+          // tag snapshot to stay exact when appends interleave between
+          // the staged windows (or between a crash and its replay — a
+          // latent pre-r15 hole: the absolute-target overwrite wiped
+          // their merges). Writing state first would open a crash
+          // window whose replay finds state without a base and falls
+          // back to exactly that absolute overwrite; base-first is
+          // inert (state absence still reads as "fresh removal").
           val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
-          Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-          // meta BASE beside the target (r15): the replay meta rule
-          // below needs the pre-subtraction value + tag snapshot to stay
-          // exact when appends interleave between the staged windows (or
-          // between a crash and its replay — a latent pre-r15 hole: the
-          // absolute-target overwrite wiped their merges)
           if (!replay) oldFp.foreach { pre =>
             Fingerprint.writeRemoveMetaBase(conf, normDir, rmTag, pre,
               Fingerprint.recordedTags(conf, normDir))
           }
+          Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
         }
         Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { tgt =>
           def writeMeta(fp: (Long, Long)): Unit =
@@ -997,14 +1026,18 @@ object ClusterIndex {
             "new generation during the removal — re-run it (same tag + " +
             "victims replays idempotently) after verifying no maintenance " +
             "is racing")
-        // replay / legacy path: plan (if absent) + rewrites in place,
-        // all under one lease — the pre-r15 protocol, same convergence
+        // replay / legacy path: plan (if absent) + commit in place,
+        // all under one lease — with the same plan-validity and
+        // rewrite-started discipline as the staged path (review-caught
+        // r15: a replay after PLAN_READY used to commit a stale plan
+        // without validation, folding interleaved appends in wrongly)
         if (!stateFs.exists(planMarker)) {
-          persistPlan(s, root, stateDir, idCol, vids, nV, vIdb, nBuckets)
+          persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
           stateFs.create(planMarker, true).close()
           FaultInjection.maybeCrash("cluster.plan")
         }
-        rewriteFromPlan(s, conf, root, stateDir, idCol, vids, nV, vIdb)
+        commitFromPlan(s, conf, root, normDir, stateDir, idCol, vids, nV,
+          vIdb, nBuckets)
         finishRemove(s, conf, normDir, rmTag, barrierBatch)
       }
     }
@@ -1017,9 +1050,84 @@ object ClusterIndex {
     * writes double as the materialization the r11 eager checkpoints
     * provided, and the plan — not the soon-to-be-rewritten assign
     * table — is what a replay reads. */
-  private def persistPlan(s: SparkSession, root: String, stateDir: String,
+  // ---- small state files beside the plan (r15 review hardening) ----
+  // plantags: the recorded-tag snapshot taken BEFORE discovery began —
+  // the plan-validity check's reference point (appends record LAST, so
+  // any append whose writes could have been half-seen by the discovery
+  // scan is guaranteed to show in the delta). REWRITE_STARTED: written
+  // under the lease, after validation, before the first rewrite/flip —
+  // its presence tells a replay the tables are no longer pristine (plan
+  // is the sole authority; never re-validate or rediscover), and its
+  // CONTENT (the tag snapshot at that moment) tells the replay whether
+  // appends interleaved after the crash, in which case the completed
+  // rewrites get a label-repair pass.
+  private def writeTagFile(conf: org.apache.hadoop.conf.Configuration,
+                           path: String, tags: Set[String]): Unit = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val out = fs.create(p, true)
+    try out.write(tags.toSeq.sorted.mkString(",")
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readTagFile(conf: org.apache.hadoop.conf.Configuration,
+                          path: String): Option[Set[String]] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      Some(txt.split(",").filter(_.nonEmpty).toSet)
+    }
+  }
+
+  /** Is the persisted plan still valid against the CURRENT tree? True
+    * when no append recorded since the plan's tag snapshot, or when the
+    * interleaved appends provably never touched the affected
+    * components: equal member-id sets AND no member row from a
+    * post-plan tag (the second clause closes the mid-discovery
+    * half-read race where an in-flight append's assign partition was
+    * read but its edges partition was not — set equality alone could
+    * then pass while newassign splits the new doc from its mates).
+    * Must run under the remove lease with NO rewrite started. */
+  private def planValid(s: SparkSession, conf: org.apache.hadoop.conf.Configuration,
+                        root: String, normDir: String, stateDir: String,
+                        idCol: String, vids: DataFrame): Boolean = {
+    val tagsNow = Fingerprint.recordedTags(conf, normDir)
+    val tagsAtPlan = readTagFile(conf, s"$stateDir/plantags")
+      .getOrElse(return false) // no snapshot => cannot prove validity
+    if (tagsNow == tagsAtPlan) true
+    else rleg("plan-validate") {
+      val compsDf = s.read.parquet(s"$stateDir/comps")
+      val current = s.read.parquet(s"$root/assign")
+        .join(broadcast(compsDf), Seq("component"), "left_semi")
+        .select(col(idCol), col("_src"))
+        .localCheckpoint(eager = false)
+      val planIds = s.read.parquet(s"$stateDir/newassign")
+        .select(col(idCol))
+        .unionByName(vids.select(col(idCol)))
+      val newSrcs = (tagsNow -- tagsAtPlan).map(Fingerprint.sanitizeTag).toSeq
+      val touchedByNew =
+        if (newSrcs.isEmpty) 0L
+        else current.filter(col("_src").isin(newSrcs: _*)).limit(1).count()
+      val drifted =
+        current.select(col(idCol)).exceptAll(planIds).limit(1).count() +
+          planIds.exceptAll(current.select(col(idCol))).limit(1).count()
+      touchedByNew == 0L && drifted == 0L
+    }
+  }
+
+  private def persistPlan(s: SparkSession, root: String, normDir: String,
+                          stateDir: String,
                           idCol: String, vids: DataFrame, nV: Long,
                           vIdb: Seq[Long], nBuckets: Int): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    // snapshot FIRST (see the plantags comment above)
+    writeTagFile(conf, s"$stateDir/plantags",
+      Fingerprint.recordedTags(conf, normDir))
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
     // the victims' INDEXED token sets drive the postings bucket prune.
     // Read from the CURRENT toks table on purpose: until del-toks runs
@@ -1066,31 +1174,43 @@ object ClusterIndex {
     * literal list (ADVICE r11). Dead set nodes keep their set-set
     * rows: consumers drop them at read time via the member-row
     * liveness rule; compaction folds them away. */
+  /** The assign-table surgery closures — (mark, keep, prePrune) for the
+    * plan-driven combined victim-drop + survivor-remap — shared by the
+    * in-place rewrite, the staged rewrite, and the digest-staleness
+    * downgrade (one definition; review-caught r15: three copies would
+    * drift). */
+  private def assignSurgery(s: SparkSession, stateDir: String, idCol: String,
+                            vids: DataFrame, nV: Long,
+                            parts: Seq[(String, Long)]):
+      (DataFrame => DataFrame, DataFrame => DataFrame, Column) = {
+    import s.implicits._
+    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    val newAssign = s.read.parquet(s"$stateDir/newassign")
+    val partsDf = parts.toDF("_psrc", "_pidb")
+    (df => df.join(broadcast(partsDf),
+        col("_src") === col("_psrc") &&
+          col("idb").cast("long") === col("_pidb"), "left_semi"),
+      df => df.join(bVids(vids), Seq(idCol), "left_anti")
+        .join(newAssign, Seq(idCol), "left")
+        .withColumn("component",
+          coalesce(col("_newcomp"), col("component")))
+        .drop("_newcomp"),
+      col("idb").isin(parts.map(_._2).distinct: _*))
+  }
+
   private def rewriteFromPlan(s: SparkSession, conf: org.apache.hadoop.conf.Configuration,
                               root: String, stateDir: String, idCol: String,
                               vids: DataFrame, nV: Long,
                               vIdb: Seq[Long]): Unit = {
-    import s.implicits._
-    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
     val parts = s.read.parquet(s"$stateDir/parts")
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     val vTb = s.read.parquet(s"$stateDir/vtb")
       .collect().map(_.getLong(0)).toSeq
     IndexMaintenance.runLegs(Seq(
       "cluster.assign" -> (() => rleg("assign-rewrite")(if (parts.nonEmpty) {
-        val newAssign = s.read.parquet(s"$stateDir/newassign")
-        val partsDf = parts.toDF("_psrc", "_pidb")
+        val (mark, keep, prePrune) = assignSurgery(s, stateDir, idCol, vids, nV, parts)
         TargetedDelete.rewriteWhere(
-          s, s"$root/assign", Seq("_src", "idb"),
-          mark = df => df.join(broadcast(partsDf),
-            col("_src") === col("_psrc") &&
-              col("idb").cast("long") === col("_pidb"), "left_semi"),
-          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
-            .join(newAssign, Seq(idCol), "left")
-            .withColumn("component",
-              coalesce(col("_newcomp"), col("component")))
-            .drop("_newcomp"),
-          prePrune = col("idb").isin(parts.map(_._2).distinct: _*))
+          s, s"$root/assign", Seq("_src", "idb"), mark, keep, prePrune)
         (): Unit
       })),
       "cluster.postings" -> (() => rleg("del-postings")(if (vTb.nonEmpty) {
@@ -1125,6 +1245,98 @@ object ClusterIndex {
     Fingerprint.clearRemoveState(conf, normDir, rmTag)
   }
 
+  private def deleteStaged(conf: org.apache.hadoop.conf.Configuration,
+                           stateDir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$stateDir/staged")
+    val fs = p.getFileSystem(conf)
+    if (fs.exists(p)) fs.delete(p, true)
+  }
+
+  /** Commit the persisted plan IN PLACE under the remove lease — the
+    * replay / fallback / legacy path, with the r15 review hardening:
+    * before the FIRST rewrite ever runs, the plan is validated against
+    * interleaved appends exactly like window C (a stale plan
+    * rediscovers — nothing has mutated, the tree is pristine again
+    * under the lease); once REWRITE_STARTED exists the plan is the sole
+    * authority (tables are mid-rewrite — re-validation would read
+    * half-applied state), the rewrites complete idempotently after
+    * restoring any cut-mid-swap staged partitions, and appends recorded
+    * AFTER the rewrites began get a label-repair pass over the affected
+    * components. */
+  private def commitFromPlan(s: SparkSession, conf: org.apache.hadoop.conf.Configuration,
+                             root: String, normDir: String, stateDir: String,
+                             idCol: String, vids: DataFrame, nV: Long,
+                             vIdb: Seq[Long], nBuckets: Int): Unit = {
+    val startedPath = s"$stateDir/REWRITE_STARTED"
+    readTagFile(conf, startedPath) match {
+      case None =>
+        if (!planValid(s, conf, root, normDir, stateDir, idCol, vids)) {
+          deleteStaged(conf, stateDir) // stale staging is meaningless now
+          persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
+        }
+        writeTagFile(conf, startedPath, Fingerprint.recordedTags(conf, normDir))
+        rewriteFromPlan(s, conf, root, stateDir, idCol, vids, nV, vIdb)
+      case Some(tagsAtStart) =>
+        // a flip may have been cut between a partition's delete and its
+        // rename: restore those partitions from their staged copies
+        // BEFORE the in-place pass reads the table (review-caught r15 —
+        // without this the partition's unrelated survivor rows are lost)
+        val staged = s"$stateDir/staged"
+        Seq("assign", "postings", "toks", "edges").foreach { t =>
+          TargetedDelete.restoreStaged(s, s"$root/$t", s"$staged/$t")
+        }
+        rewriteFromPlan(s, conf, root, stateDir, idCol, vids, nV, vIdb)
+        if (Fingerprint.recordedTags(conf, normDir) != tagsAtStart)
+          repairComponents(s, root, stateDir, idCol)
+    }
+  }
+
+  /** Label-repair pass for the crash window where appends interleaved
+    * AFTER the rewrites began (r15): the completed rewrites applied a
+    * plan those appends postdate, so rows the appends wrote into (or
+    * merged with) the affected components may carry labels the re-split
+    * dissolved. Seeded by the plan's dissolved labels, its new labels,
+    * and the CURRENT components of the plan's survivor ids (covering a
+    * mid-window merge that relabeled them to an outside label), the
+    * members re-split from the edge log — victims are already erased,
+    * so this is a pure structure repair, idempotent, equal to a fresh
+    * CC over the affected family. */
+  private def repairComponents(s: SparkSession, root: String,
+                               stateDir: String, idCol: String): Unit = {
+    import s.implicits._
+    val survivorComps = s.read.parquet(s"$root/assign")
+      .join(s.read.parquet(s"$stateDir/newassign").select(col(idCol)),
+        Seq(idCol), "left_semi")
+      .select(col("component"))
+    val labels = s.read.parquet(s"$stateDir/comps")
+      .unionByName(s.read.parquet(s"$stateDir/newassign")
+        .select(col("_newcomp").as("component")))
+      .unionByName(survivorComps)
+      .distinct().localCheckpoint()
+    val nL = labels.count()
+    if (nL == 0L) return
+    val members = s.read.parquet(s"$root/assign")
+      .join(TargetedDelete.maybeBroadcast(labels, nL), Seq("component"), "left_semi")
+      .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
+      .localCheckpoint(eager = false)
+    val remap = membersResplit(s, root, idCol, members)
+    val parts = members.select(col("_src"), col("idb")).distinct()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    if (parts.nonEmpty) {
+      val partsDf = parts.toDF("_psrc", "_pidb")
+      rleg("label-repair")(TargetedDelete.rewriteWhere(
+        s, s"$root/assign", Seq("_src", "idb"),
+        mark = df => df.join(broadcast(partsDf),
+          col("_src") === col("_psrc") &&
+            col("idb").cast("long") === col("_pidb"), "left_semi"),
+        keep = df => df.join(remap, Seq(idCol), "left")
+          .withColumn("component",
+            coalesce(col("_newcomp"), col("component")))
+          .drop("_newcomp"),
+        prePrune = col("idb").isin(parts.map(_._2).distinct: _*)))
+    }
+  }
+
   /** The r15 staged commit path (VERDICT r14 item 6): discovery +
     * staging run LEASE-FREE behind the victim barrier window A wrote —
     * probes are already blind, appends refuse the victim ids, and probe
@@ -1153,150 +1365,117 @@ object ClusterIndex {
                            stateDir: String, planMarker: org.apache.hadoop.fs.Path,
                            idCol: String, vids: DataFrame,
                            nV: Long, vIdb: Seq[Long], nBuckets: Int): Unit = {
-    import s.implicits._
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
     val stateFs = planMarker.getFileSystem(conf)
-    // tag snapshot BEFORE discovery: appends record LAST (after their
-    // writes), so any append whose writes could have been half-seen by
-    // the discovery scan is guaranteed to show in the window-C delta
-    val tagsAtPlan = Fingerprint.recordedTags(conf, normDir)
-    // ---- WINDOW B: discovery + plan + staging, NO lease ----
-    persistPlan(s, root, stateDir, idCol, vids, nV, vIdb, nBuckets)
-    stateFs.create(planMarker, true).close() // plan commit point
-    FaultInjection.maybeCrash("cluster.plan")
-    val parts = s.read.parquet(s"$stateDir/parts")
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-    val vTb = s.read.parquet(s"$stateDir/vtb")
-      .collect().map(_.getLong(0)).toSeq
     val staged = s"$stateDir/staged"
-    IndexMaintenance.runLegs(Seq(
-      "stage.assign" -> (() => rleg("stage-assign")(if (parts.nonEmpty) {
-        val newAssign = s.read.parquet(s"$stateDir/newassign")
-        val partsDf = parts.toDF("_psrc", "_pidb")
-        TargetedDelete.stageRewrite(
-          s, s"$root/assign", s"$staged/assign", Seq("_src", "idb"),
-          mark = df => df.join(broadcast(partsDf),
-            col("_src") === col("_psrc") &&
-              col("idb").cast("long") === col("_pidb"), "left_semi"),
-          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
-            .join(newAssign, Seq(idCol), "left")
-            .withColumn("component",
-              coalesce(col("_newcomp"), col("component")))
-            .drop("_newcomp"),
-          prePrune = col("idb").isin(parts.map(_._2).distinct: _*),
-          captureStatus = true) // assign is the one append-amendable table
-      })),
-      "stage.postings" -> (() => rleg("stage-postings")(if (vTb.nonEmpty) {
-        TargetedDelete.stageRewrite(
-          s, s"$root/postings", s"$staged/postings", Seq("_src", "tb"),
-          mark = df => df.join(bVids(vids), Seq(idCol), "left_semi"),
-          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti"),
-          prePrune = col("tb").isin(vTb: _*))
-      })),
-      "stage.toks" -> (() => rleg("stage-toks") {
-        TargetedDelete.stageRewrite(
-          s, s"$root/toks", s"$staged/toks", Seq("_src", "idb"),
-          mark = df => df.join(bVids(vids), Seq(idCol), "left_semi"),
-          keep = df => df.join(bVids(vids), Seq(idCol), "left_anti"),
-          prePrune = col("idb").isin(vIdb: _*))
-      }),
-      "stage.edges" -> (() => rleg("stage-edges") {
-        def keysAs(c: String) =
-          TargetedDelete.maybeBroadcast(vids.select(col(idCol).as(c)), nV)
-        TargetedDelete.stageRewrite(
-          s, s"$root/edges", s"$staged/edges", Seq("_src", "eb"),
-          mark = df => Seq("u", "v")
-            .map(c => df.join(keysAs(c), Seq(c), "left_semi"))
-            .reduce(_ unionByName _),
-          keep = df => Seq("u", "v").foldLeft(df)((d, c) =>
-            d.join(keysAs(c), Seq(c), "left_anti")))
-      })))
+    var parts: Seq[(String, Long)] = Seq.empty
+    var vTb: Seq[Long] = Seq.empty
+    // ---- WINDOW B: discovery + plan + staging, under a WRITE lease —
+    // appends coexist (write+write is allowed; the victim barrier keeps
+    // them away from anything this removal touches), while a concurrent
+    // remove/logicalRemove/compact gets the RETRYABLE
+    // LeaseConflictException at its own acquire instead of reading this
+    // healthy in-flight removal's rmstate as "crashed ... never
+    // completed" (review-caught r15: the takedown streams retry the
+    // former and die on the latter) ----
+    IndexMaintenance.withLease(conf, normDir, "write") {
+      persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
+      stateFs.create(planMarker, true).close() // plan commit point
+      FaultInjection.maybeCrash("cluster.plan")
+      parts = s.read.parquet(s"$stateDir/parts")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      vTb = s.read.parquet(s"$stateDir/vtb")
+        .collect().map(_.getLong(0)).toSeq
+      IndexMaintenance.runLegs(Seq(
+        "stage.assign" -> (() => rleg("stage-assign")(if (parts.nonEmpty) {
+          val (mark, keep, prePrune) =
+            assignSurgery(s, stateDir, idCol, vids, nV, parts)
+          TargetedDelete.stageRewrite(
+            s, s"$root/assign", s"$staged/assign", Seq("_src", "idb"),
+            mark, keep, prePrune,
+            captureStatus = true) // assign is the one append-amendable table
+        })),
+        "stage.postings" -> (() => rleg("stage-postings")(if (vTb.nonEmpty) {
+          TargetedDelete.stageRewrite(
+            s, s"$root/postings", s"$staged/postings", Seq("_src", "tb"),
+            mark = df => df.join(bVids(vids), Seq(idCol), "left_semi"),
+            keep = df => df.join(bVids(vids), Seq(idCol), "left_anti"),
+            prePrune = col("tb").isin(vTb: _*))
+        })),
+        "stage.toks" -> (() => rleg("stage-toks") {
+          TargetedDelete.stageRewrite(
+            s, s"$root/toks", s"$staged/toks", Seq("_src", "idb"),
+            mark = df => df.join(bVids(vids), Seq(idCol), "left_semi"),
+            keep = df => df.join(bVids(vids), Seq(idCol), "left_anti"),
+            prePrune = col("idb").isin(vIdb: _*))
+        }),
+        "stage.edges" -> (() => rleg("stage-edges") {
+          def keysAs(c: String) =
+            TargetedDelete.maybeBroadcast(vids.select(col(idCol).as(c)), nV)
+          TargetedDelete.stageRewrite(
+            s, s"$root/edges", s"$staged/edges", Seq("_src", "eb"),
+            mark = df => Seq("u", "v")
+              .map(c => df.join(keysAs(c), Seq(c), "left_semi"))
+              .reduce(_ unionByName _),
+            keep = df => Seq("u", "v").foldLeft(df)((d, c) =>
+              d.join(keysAs(c), Seq(c), "left_anti")))
+        })))
+    }
     FaultInjection.maybeCrash("cluster.stage")
-    // ---- WINDOW C: validate + flip under the lease ----
+    // ---- WINDOW C: validate + flip under the remove lease ----
     IndexMaintenance.withLease(conf, normDir, "remove") {
       require(IndexMaintenance.liveRoot(conf, normDir) == root,
         s"ClusterIndex.remove on $normDir: the index was compacted to a " +
           "new generation during the removal — re-run it (same tag + " +
           "victims replays idempotently) after verifying no maintenance " +
           "is racing")
-      val tagsNow = Fingerprint.recordedTags(conf, normDir)
-      val planValid =
-        if (tagsNow == tagsAtPlan) true
-        else rleg("plan-validate") {
-          val compsDf = s.read.parquet(s"$stateDir/comps")
-          val current = s.read.parquet(s"$root/assign")
-            .join(broadcast(compsDf), Seq("component"), "left_semi")
-            .select(col(idCol), col("_src"))
-            .localCheckpoint(eager = false)
-          val planIds = s.read.parquet(s"$stateDir/newassign")
-            .select(col(idCol))
-            .unionByName(vids.select(col(idCol)))
-          val newSrcs = (tagsNow -- tagsAtPlan)
-            .map(Fingerprint.sanitizeTag).toSeq
-          val touchedByNew =
-            if (newSrcs.isEmpty) 0L
-            else current.filter(col("_src").isin(newSrcs: _*)).limit(1).count()
-          val drifted =
-            current.select(col(idCol)).exceptAll(planIds).limit(1).count() +
-              planIds.exceptAll(current.select(col(idCol))).limit(1).count()
-          touchedByNew == 0L && drifted == 0L
-        }
-      if (!planValid) {
+      if (!planValid(s, conf, root, normDir, stateDir, idCol, vids)) {
         // interleaved appends touched the affected components: the plan
         // is stale. Rediscover under the lease — appends are excluded
         // now and no rewrite has run, so the tree is pristine again —
         // and commit in place: correctness first, pre-r15 cost.
-        persistPlan(s, root, stateDir, idCol, vids, nV, vIdb, nBuckets)
+        deleteStaged(conf, stateDir)
+        persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
+        writeTagFile(conf, s"$stateDir/REWRITE_STARTED",
+          Fingerprint.recordedTags(conf, normDir))
         rewriteFromPlan(s, conf, root, stateDir, idCol, vids, nV, vIdb)
-      } else IndexMaintenance.runLegs(Seq(
-        // flip legs keep the pre-r15 leg names: the crash matrix arms
-        // them, and a crash after any flip replays through the in-place
-        // path above (plan present => fallback), which re-reads LIVE
-        // state and converges from any partial flip
-        "cluster.assign" -> (() => rleg("flip-assign")(if (parts.nonEmpty) {
-          if (!TargetedDelete.applyStaged(s, s"$root/assign", s"$staged/assign"))
-            // an append amended a staged assign partition (digest
-            // drift): in-place assign rewrite reads current rows
-            rewriteAssignInPlace(s, root, stateDir, idCol, vids, nV, parts)
-        })),
-        "cluster.postings" -> (() => rleg("flip-postings")(if (vTb.nonEmpty) {
-          TargetedDelete.applyStaged(s, s"$root/postings", s"$staged/postings")
-          (): Unit
-        })),
-        "cluster.toks" -> (() => rleg("flip-toks") {
-          TargetedDelete.applyStaged(s, s"$root/toks", s"$staged/toks")
-          (): Unit
-        }),
-        "cluster.edges" -> (() => rleg("flip-edges") {
-          TargetedDelete.applyStaged(s, s"$root/edges", s"$staged/edges")
-          (): Unit
-        })))
+      } else {
+        // the flip is about to mutate tables: from here a replay must
+        // never re-validate or rediscover (commitFromPlan's rule)
+        writeTagFile(conf, s"$stateDir/REWRITE_STARTED",
+          Fingerprint.recordedTags(conf, normDir))
+        IndexMaintenance.runLegs(Seq(
+          // flip legs keep the pre-r15 leg names: the crash matrix arms
+          // them, and a crash after any flip replays through
+          // commitFromPlan (plan present => fallback), which restores
+          // cut-mid-swap partitions and re-reads LIVE state
+          "cluster.assign" -> (() => rleg("flip-assign")(if (parts.nonEmpty) {
+            if (!TargetedDelete.applyStaged(s, s"$root/assign", s"$staged/assign")) {
+              // an append amended a staged assign partition (digest
+              // drift): in-place assign rewrite reads current rows
+              val (mark, keep, prePrune) =
+                assignSurgery(s, stateDir, idCol, vids, nV, parts)
+              TargetedDelete.rewriteWhere(
+                s, s"$root/assign", Seq("_src", "idb"), mark, keep, prePrune)
+              (): Unit
+            }
+          })),
+          "cluster.postings" -> (() => rleg("flip-postings")(if (vTb.nonEmpty) {
+            TargetedDelete.applyStaged(s, s"$root/postings", s"$staged/postings")
+            (): Unit
+          })),
+          "cluster.toks" -> (() => rleg("flip-toks") {
+            TargetedDelete.applyStaged(s, s"$root/toks", s"$staged/toks")
+            (): Unit
+          }),
+          "cluster.edges" -> (() => rleg("flip-edges") {
+            TargetedDelete.applyStaged(s, s"$root/edges", s"$staged/edges")
+            (): Unit
+          })))
+      }
       finishRemove(s, conf, normDir, rmTag,
         Fingerprint.sanitizeTag(rmTag))
     }
-  }
-
-  /** The in-place assign rewrite alone — the digest-staleness downgrade
-    * of the staged path's assign flip. */
-  private def rewriteAssignInPlace(s: SparkSession, root: String,
-                                   stateDir: String, idCol: String,
-                                   vids: DataFrame, nV: Long,
-                                   parts: Seq[(String, Long)]): Unit = {
-    import s.implicits._
-    def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
-    val newAssign = s.read.parquet(s"$stateDir/newassign")
-    val partsDf = parts.toDF("_psrc", "_pidb")
-    TargetedDelete.rewriteWhere(
-      s, s"$root/assign", Seq("_src", "idb"),
-      mark = df => df.join(broadcast(partsDf),
-        col("_src") === col("_psrc") &&
-          col("idb").cast("long") === col("_pidb"), "left_semi"),
-      keep = df => df.join(bVids(vids), Seq(idCol), "left_anti")
-        .join(newAssign, Seq(idCol), "left")
-        .withColumn("component",
-          coalesce(col("_newcomp"), col("component")))
-        .drop("_newcomp"),
-      prePrune = col("idb").isin(parts.map(_._2).distinct: _*))
   }
 
   /** LOGICAL targeted delete (VERDICT r12 item 1) — the RTBF fast path:

@@ -170,10 +170,13 @@ object TargetedDelete {
     try new org.apache.hadoop.fs.Path(new java.net.URI(uri))
     catch { case _: Exception => new org.apache.hadoop.fs.Path(uri) }
 
-  /** Digest of a partition dir's file listing (name, length, mtime) —
-    * the staleness token [[applyStaged]] compares against the capture
-    * [[stageRewrite]] took. Any interleaved rewrite of the partition
-    * (a concurrent append's bridge amendment) changes it. */
+  /** The VERBATIM file listing of a partition dir (name, length,
+    * mtime; sorted) — the staleness token [[applyStaged]] compares
+    * against the capture [[stageRewrite]] took. Any interleaved rewrite
+    * of the partition (a concurrent append's bridge amendment) changes
+    * it. Stored whole, not hashed (review-caught r15): the manifest is
+    * driver-small, and a truncated hash would let a collision silently
+    * flip a stale partition. */
   private def dirDigest(fs: org.apache.hadoop.fs.FileSystem,
                         dir: org.apache.hadoop.fs.Path): String = {
     val parts =
@@ -181,7 +184,7 @@ object TargetedDelete {
           s"${st.getPath.getName}:${st.getLen}:${st.getModificationTime}")
         .sorted
       catch { case _: java.io.FileNotFoundException => Array("ABSENT") }
-    java.util.Arrays.hashCode(parts.asInstanceOf[Array[AnyRef]]).toString
+    parts.mkString("|")
   }
 
   /** STAGE a [[rewriteWhere]]-class partition surgery without touching
@@ -275,8 +278,12 @@ object TargetedDelete {
     * staged replacement in (an emptied partition just deletes). Must
     * run under the caller's exclusive lease. Not idempotent (renames
     * consume the staged tree) — a crash mid-flip replays through the
-    * caller's plan-driven in-place path, exactly like a crash mid
-    * dynamic-overwrite does today. */
+    * caller's plan-driven in-place path, which must FIRST call
+    * [[restoreStaged]]: a crash between a partition's delete and its
+    * rename leaves the live dir absent with the staged replacement
+    * still on disk, and an in-place rewrite alone would read the
+    * partition as empty and silently lose its unrelated survivor rows
+    * (review-caught r15). */
   private[graft] def applyStaged(spark: SparkSession, tableDir: String,
                                  stageDir: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
@@ -300,6 +307,33 @@ object TargetedDelete {
     fs.delete(new org.apache.hadoop.fs.Path(stageDir), true)
     fs.delete(new org.apache.hadoop.fs.Path(stageDir + ".manifest"), true)
     true
+  }
+
+  /** Crash-recovery for a cut-mid-swap [[applyStaged]]: restore every
+    * manifest partition whose live dir is ABSENT while its staged
+    * replacement survives (the delete-then-rename window). The staged
+    * content IS the intended post-rewrite content for that partition,
+    * so renaming it in completes the flip for exactly the partitions
+    * the crash cut; partitions with a live dir are left alone (either
+    * never flipped — the caller's in-place rewrite handles them — or
+    * already flipped). No-op when no manifest survives. */
+  private[graft] def restoreStaged(spark: SparkSession, tableDir: String,
+                                   stageDir: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(conf)
+    val mPath = new org.apache.hadoop.fs.Path(stageDir + ".manifest")
+    if (!fs.exists(mPath)) return
+    spark.read.parquet(stageDir + ".manifest").collect().foreach { r =>
+      val live = pathOfUri(r.getString(0))
+      Option(r.getString(1)).foreach { sd =>
+        val staged = pathOfUri(sd)
+        if (!fs.exists(live) && fs.exists(staged)) {
+          if (!fs.rename(staged, live))
+            throw new java.io.IOException(
+              s"staged-rewrite recovery could not rename $staged -> $live")
+        }
+      }
+    }
   }
 
   private def deleteImpl(spark: SparkSession, tableDir: String,

@@ -319,30 +319,83 @@ class IndexRemoveSpec extends SparkSpec {
   }
 
   test("staged remove: an interleaved append that BRIDGES an affected component falls back correctly (r15)") {
-    // the plan-validity membership check: a mid-window append whose doc
-    // near-dups a SURVIVOR of the victim's component joins that
-    // component — the staged newassign is stale (it splits A from C
-    // without knowing the newcomer), so window C must rediscover. The
-    // correct end state keeps the newcomer clustered with its mate.
+    // the plan-validity membership check, on the HARD shape
+    // (review-caught r15: the first version of this test removed a
+    // non-label victim, where a stale-plan commit happens to coincide
+    // with the correct answer): the victim is doc 10 — the COMPONENT
+    // LABEL CARRIER — so the stale plan's newassign (20 -> 20, 30 ->
+    // 20, computed before the newcomer existed) and the correct answer
+    // diverge on the newcomer, which bridges survivor 30 AFTER the plan
+    // staged and carries the dissolved label 10. A replay that
+    // committed the stale plan without validation leaves 60 -> 10
+    // stranded in a dead component.
     import graft.operators.FaultInjection
     val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
     val c = (30L, span(10, 60))
     val corpus = Seq(a, b, c).toDF("doc_id", "text")
     val dir = java.nio.file.Files.createTempDirectory("rm_stbr").toString + "/idx"
     ClusterIndex.build(corpus, "doc_id", "text", dir)
-    val victims = Seq(b).toDF("doc_id", "text")
+    assert(assignMap(dir) === Map(10L -> 10L, 20L -> 10L, 30L -> 10L))
+    val victims = Seq(a).toDF("doc_id", "text")
     intercept[FaultInjection.InjectedCrash] {
       FaultInjection.armed("cluster.stage")(
         ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
     }
-    // doc 60 re-crawls A's text: it must land in A's component — and it
-    // arrives AFTER the plan was staged
-    ClusterIndex.append(Seq((60L, span(0, 50))).toDF("doc_id", "text"),
+    // doc 60 re-crawls C's text mid-window: it bridges survivor 30 and
+    // is labeled with the still-unsplit component 10 — the dissolved
+    // label the stale plan knows nothing about
+    ClusterIndex.append(Seq((60L, span(10, 60))).toDF("doc_id", "text"),
       "doc_id", "text", dir, tag = "mid1")
     ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
     val after = assignMap(dir)
-    assert(after === Map(10L -> 10L, 30L -> 30L, 60L -> 10L),
-      s"the newcomer must stay clustered with A after the fallback: $after")
+    assert(after === Map(20L -> 20L, 30L -> 20L, 60L -> 20L),
+      s"the newcomer must join the re-split component, not a dead label: $after")
+    // and the state equals a fresh build over the survivors + newcomer
+    val freshDir = java.nio.file.Files.createTempDirectory("rm_stbr_f").toString
+    ClusterIndex.build(Seq(b, c, (60L, span(10, 60))).toDF("doc_id", "text"),
+      "doc_id", "text", freshDir)
+    assert(after === assignMap(freshDir))
+  }
+
+  test("staged remove: crash MID-FLIP with an interleaved append repairs labels on replay (r15)") {
+    // the REWRITE_STARTED discipline: after the flip begins, a replay
+    // must complete from the plan (never re-validate against
+    // half-applied state), restore any cut-mid-swap staged partitions,
+    // and run the label-repair pass when appends were recorded after
+    // the rewrites began. cluster.assign fires right after the assign
+    // flip leg — the widest mid-flip window.
+    import graft.operators.{FaultInjection, LogicalDelete}
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(10, 60))
+    val corpus = Seq(a, b, c).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("rm_flip2").toString + "/idx"
+    val conf = spark.sparkContext.hadoopConfiguration
+    ClusterIndex.build(corpus, "doc_id", "text", dir)
+    val victims = Seq(a).toDF("doc_id", "text")
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("cluster.assign")(
+        ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1"))
+    }
+    // mid-crash-window append: doc 60 re-crawls C's text
+    ClusterIndex.append(Seq((60L, span(10, 60))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "mid1")
+    ClusterIndex.remove(victims, "doc_id", "text", dir, tag = "t1")
+    val after = assignMap(dir)
+    assert(after === Map(20L -> 20L, 30L -> 20L, 60L -> 20L),
+      s"mid-flip replay must converge with the interleaved append: $after")
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "the barrier must clear with the replay")
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    Seq("toks", "postings", "assign").foreach { t =>
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id") === 10L).count() == 0L, s"$t holds victim rows")
+    }
+    assert(spark.read.parquet(s"$root/edges")
+      .filter(col("u") === 10L || col("v") === 10L).count() == 0L,
+      "edge log holds victim endpoints")
+    assert(ClusterIndex.isFresh(spark, dir,
+      Seq(b, c, (60L, span(10, 60))).toDF("doc_id", "text"), "doc_id", "text"),
+      "fingerprint must track survivors + the interleaved append")
   }
 
   test("text/vector remove crash windows: fingerprint never subtracts twice") {

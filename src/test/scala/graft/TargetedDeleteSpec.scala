@@ -192,6 +192,41 @@ class TargetedDeleteSpec extends SparkSpec {
         "must be captured before the shuffle exchange")
   }
 
+  test("stageRewrite/applyStaged round-trip; restoreStaged recovers a cut-mid-swap partition (r15)") {
+    // the staged-remove primitives: stage = live table untouched,
+    // manifest complete; apply = rename flip; the crash window between
+    // a partition's delete and its rename must be recoverable from the
+    // surviving staged copy (review-caught r15 — an in-place replay
+    // alone would read the partition as empty and lose its survivors)
+    val dir = Files.createTempDirectory("stg").toString + "/t"
+    val stage = Files.createTempDirectory("stgs").toString + "/s"
+    (0 until 40).map(i => (i.toLong, i % 4, s"row$i"))
+      .toDF("id", "b", "payload")
+      .write.partitionBy("b").parquet(dir)
+    val victims = Seq(1L, 5L, 9L).toDF("id") // all in b=1
+    TargetedDelete.stageRewrite(spark, dir, stage, Seq("b"),
+      mark = df => df.join(broadcast(victims), Seq("id"), "left_semi"),
+      keep = df => df.join(broadcast(victims), Seq("id"), "left_anti"))
+    // staging mutated nothing live
+    assert(spark.read.parquet(dir).count() === 40L)
+    // simulate the cut: live b=1 deleted, staged replacement intact
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(s"$dir/b=1"), true))
+    assert(spark.read.parquet(dir).count() === 30L,
+      "the cut partition's rows are gone pre-recovery")
+    TargetedDelete.restoreStaged(spark, dir, stage)
+    val after = spark.read.parquet(dir)
+    assert(after.count() === 37L, "recovery restores the staged content")
+    assert(after.filter(col("id").isin(1L, 5L, 9L)).count() === 0L,
+      "restored partition is the POST-rewrite content")
+    assert(after.filter(col("b") === 1).count() === 7L,
+      "unrelated survivors of the cut partition are back")
+    // a second restore is a no-op (live dirs all present)
+    TargetedDelete.restoreStaged(spark, dir, stage)
+    assert(spark.read.parquet(dir).count() === 37L)
+  }
+
   test("deleteAnyKey: either-endpoint match, one rewrite per touched partition") {
     val dir = Files.createTempDirectory("tdel7").resolve("edges")
     Seq((1L, 2L, "p0"), (2L, 3L, "p0"), (5L, 6L, "p1"), (7L, 1L, "p1"),
