@@ -940,67 +940,17 @@ object ClusterIndex {
           }
         }
         // ---- idempotent fingerprint commit, the logicalRemove shape:
-        // target persisted BEFORE the meta overwrite, so every crash
-        // boundary replays to the same meta value ----
-        val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
-        state0.foreach { case (svfp, _) =>
-          if (svfp != vfp) Fingerprint.refuse(
-            s"ClusterIndex.remove: tag '$tag' has leftover removal state " +
-              "for a DIFFERENT victim set (a crashed removal under this " +
-              "tag never completed) — re-run that removal with its " +
-              "original victims first, or clear its rmstate dir after " +
-              "verifying it")
-        }
-        if (state0.isEmpty) {
-          // meta BASE BEFORE the commit record (review-caught r15): the
-          // replay meta rule below needs the pre-subtraction value +
-          // tag snapshot to stay exact when appends interleave between
-          // the staged windows (or between a crash and its replay — a
-          // latent pre-r15 hole: the absolute-target overwrite wiped
-          // their merges). Writing state first would open a crash
-          // window whose replay finds state without a base and falls
-          // back to exactly that absolute overwrite; base-first is
-          // inert (state absence still reads as "fresh removal").
-          val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
-          if (!replay) oldFp.foreach { pre =>
-            Fingerprint.writeRemoveMetaBase(conf, normDir, rmTag, pre,
-              Fingerprint.recordedTags(conf, normDir))
-          }
-          Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-        }
-        Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { tgt =>
-          def writeMeta(fp: (Long, Long)): Unit =
-            rleg("meta-commit")(Seq((thr, nBuckets, fp._1, fp._2))
-              .toDF("threshold", "n_buckets", "n_rows", "content_hash")
-              .coalesce(1).write.mode("overwrite").parquet(s"$root/meta"))
-          Fingerprint.readRemoveMetaBase(conf, normDir, rmTag) match {
-            case Some((pre, tags0)) =>
-              // reconstruct both legitimate readings of meta under the
-              // appends recorded since the snapshot (merge is additive
-              // and commutative, so the sum order is irrelevant)
-              val metaNow = (m.getAs[Long]("n_rows"),
-                m.getAs[Long]("content_hash"))
-              val newTags = (Fingerprint.recordedTags(conf, normDir)
-                -- tags0) - Fingerprint.sanitizeTag(rmTag)
-              val addend = newTags.toSeq.sorted
-                .flatMap(t => Fingerprint.tagFingerprints(conf, normDir, t))
-                .foldLeft((0L, 0L))(Fingerprint.merge)
-              val expectApplied = Fingerprint.merge(tgt, addend)
-              val expectNot = Fingerprint.merge(pre, addend)
-              if (metaNow == expectApplied) () // subtraction already landed
-              else if (metaNow == expectNot) writeMeta(expectApplied)
-              else Fingerprint.refuse(
-                s"ClusterIndex.remove: meta fingerprint $metaNow matches " +
-                  s"neither the pre-removal ($expectNot) nor the " +
-                  s"post-removal ($expectApplied) reading under the " +
-                  "appends recorded since this removal began — something " +
-                  "other than an append (a rebuild?) mutated the index " +
-                  "mid-removal; verify it, clear the rmstate dir, and " +
-                  "re-run the removal")
-            case None =>
-              // legacy state from a pre-r15 crash: absolute target
-              writeMeta(tgt)
-          }
+        // target persisted BEFORE the meta overwrite (and the metabase
+        // before both — see Fingerprint.writeRemoveMetaBase), so every
+        // crash boundary — and every append interleaved across one —
+        // replays to the same meta value ----
+        Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+          oldFp, "ClusterIndex.remove")
+        Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+          "ClusterIndex.remove").foreach { fp =>
+          rleg("meta-commit")(Seq((thr, nBuckets, fp._1, fp._2))
+            .toDF("threshold", "n_buckets", "n_rows", "content_hash")
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta"))
         }
         FaultInjection.maybeCrash("cluster.meta")
         if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
@@ -1575,21 +1525,15 @@ object ClusterIndex {
         }
       }
       // idempotent fingerprint commit — the same protocol shape as the
-      // physical families: target persisted BEFORE the meta overwrite,
-      // so every crash boundary replays to the same meta value
-      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
-      state0.foreach { case (svfp, _) =>
-        if (svfp != vfp) Fingerprint.refuse(
-          s"ClusterIndex.logicalRemove: tag '$tag' has leftover removal " +
-            "state for a DIFFERENT victim set — re-run that removal with " +
-            "its original victims first")
-      }
-      if (state0.isEmpty) {
-        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
-        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-      }
+      // physical families: metabase, then target, then the meta
+      // overwrite, so every crash boundary — and appends interleaved
+      // across one — replays to the same meta value (r15:
+      // Fingerprint.resolveRemovalMeta's reconstruction)
+      Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+        oldFp, "ClusterIndex.logicalRemove")
       FaultInjection.maybeCrash("cluster.logical.state")
-      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { fp =>
+      Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+        "ClusterIndex.logicalRemove").foreach { fp =>
         Seq((thr, nBuckets, fp._1, fp._2))
           .toDF("threshold", "n_buckets", "n_rows", "content_hash")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")

@@ -255,6 +255,68 @@ object Fingerprint {
     }
   }
 
+  /** First-pass removal-state commit shared by all six removal sites
+    * (r15): refuse a DIFFERENT victim set under leftover state, then —
+    * only when no state survives — persist the meta BASE first (inert
+    * on its own; see [[writeRemoveMetaBase]]) and the commit record
+    * second. Idempotent across replays. */
+  def ensureRemoveState(conf: org.apache.hadoop.conf.Configuration,
+                        indexDir: String, rmTag: String, vfp: (Long, Long),
+                        replay: Boolean, oldFp: Option[(Long, Long)],
+                        opName: String): Unit = {
+    val state0 = readRemoveState(conf, indexDir, rmTag)
+    state0.foreach { case (svfp, _) =>
+      if (svfp != vfp) refuse(
+        s"$opName: this tag has leftover removal state for a DIFFERENT " +
+          "victim set (a crashed removal under it never completed) — " +
+          "re-run that removal with its original victims first, or clear " +
+          "its rmstate dir after verifying it")
+    }
+    if (state0.isEmpty) {
+      if (!replay) oldFp.foreach { pre =>
+        writeRemoveMetaBase(conf, indexDir, rmTag, pre,
+          recordedTags(conf, indexDir))
+      }
+      writeRemoveState(conf, indexDir, rmTag, vfp,
+        if (replay) None else oldFp.map(unmerge(_, vfp)))
+    }
+  }
+
+  /** The interleaving-exact meta resolution shared by all six removal
+    * sites (r15): Some(fp) = the caller must overwrite meta with fp;
+    * None = leave meta alone (no subtraction recorded, or it already
+    * landed). See [[writeRemoveMetaBase]] for the reconstruction rule;
+    * a meta matching neither legitimate reading refuses loudly. */
+  def resolveRemovalMeta(conf: org.apache.hadoop.conf.Configuration,
+                         indexDir: String, rmTag: String,
+                         metaNow: Option[(Long, Long)],
+                         opName: String): Option[(Long, Long)] =
+    readRemoveState(conf, indexDir, rmTag).flatMap(_._2).flatMap { tgt =>
+      (readRemoveMetaBase(conf, indexDir, rmTag), metaNow) match {
+        case (Some((pre, tags0)), Some(now)) =>
+          val newTags = (recordedTags(conf, indexDir) -- tags0) -
+            sanitizeTag(rmTag)
+          val addend = newTags.toSeq.sorted
+            .flatMap(tagFingerprints(conf, indexDir, _))
+            .foldLeft((0L, 0L))(merge)
+          val expectApplied = merge(tgt, addend)
+          val expectNot = merge(pre, addend)
+          if (now == expectApplied) None // subtraction already landed
+          else if (now == expectNot) Some(expectApplied)
+          else refuse(
+            s"$opName: meta fingerprint $now matches neither the " +
+              s"pre-removal ($expectNot) nor the post-removal " +
+              s"($expectApplied) reading under the appends recorded since " +
+              "this removal began — something other than an append (a " +
+              "rebuild?) mutated the index mid-removal; verify it, clear " +
+              "the rmstate dir, and re-run the removal")
+        case _ =>
+          // legacy pre-r15 state (no base), or a caller without a
+          // fingerprinted meta: the absolute target — pre-r15 behavior
+          Some(tgt)
+      }
+    }
+
   /** Read back the removal-commit record — None when no state survives
     * (fresh removal, or a prior one that ran to completion). */
   def readRemoveState(conf: org.apache.hadoop.conf.Configuration,

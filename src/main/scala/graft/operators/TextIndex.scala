@@ -278,18 +278,13 @@ object TextIndex {
         Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
           "TextIndex.remove")
       }
-      // idempotent fingerprint commit (ADVICE r11): the TARGET meta
-      // fingerprint is persisted BEFORE the meta overwrite, so a crash
-      // between the meta write and the replay record replays to the same
-      // meta value instead of subtracting the victims a second time
+      // idempotent fingerprint commit (ADVICE r11; r15: metabase-first +
+      // resolveRemovalMeta, so appends interleaved across a crash
+      // window replay exactly instead of having their merges wiped by
+      // an absolute-target overwrite)
       val normDir = IndexMaintenance.normalize(indexDir)
-      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
-      state0.foreach { case (svfp, _) =>
-        if (svfp != vfp) Fingerprint.refuse(
-          s"TextIndex.remove: tag '$tag' has leftover removal state for a " +
-            "DIFFERENT victim set — re-run that removal with its original " +
-            "victims first, or clear its rmstate dir after verifying it")
-      }
+      Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+        oldFp, "TextIndex.remove")
       val stateDir = Fingerprint.removeStatePath(normDir, rmTag)
       // the victims' band buckets join the commit record as plan state
       // (computed from the toks table, pristine on any first attempt):
@@ -323,12 +318,9 @@ object TextIndex {
           .write.mode("overwrite").parquet(vhbDir.toString)
       }
       if (!vhbFs.exists(vhbMarker)) vhbFs.create(vhbMarker, true).close()
-      if (state0.isEmpty) {
-        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
-        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-      }
       FaultInjection.maybeCrash("text.state")
-      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { fp =>
+      Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+        "TextIndex.remove").foreach { fp =>
         import s.implicits._
         Seq((numHashes, bandCount, nBuckets, seed, fp._1, fp._2))
           .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
@@ -444,20 +436,13 @@ object TextIndex {
             "TextIndex.logicalRemove")
         }
       }
-      // idempotent fingerprint commit — remove()'s protocol shape
-      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
-      state0.foreach { case (svfp, _) =>
-        if (svfp != vfp) Fingerprint.refuse(
-          s"TextIndex.logicalRemove: tag '$tag' has leftover removal " +
-            "state for a DIFFERENT victim set — re-run that removal " +
-            "with its original victims first")
-      }
-      if (state0.isEmpty) {
-        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
-        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-      }
+      // idempotent fingerprint commit — remove()'s protocol shape (r15:
+      // metabase-first + interleaving-exact replay resolution)
+      Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+        oldFp, "TextIndex.logicalRemove")
       FaultInjection.maybeCrash("text.logical.state")
-      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2.foreach { fp =>
+      Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+        "TextIndex.logicalRemove").foreach { fp =>
         Seq((numHashes, bandCount, nBuckets, seed, fp._1, fp._2))
           .toDF("num_hashes", "bands", "n_buckets", "seed", "n_rows", "content_hash")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")

@@ -469,25 +469,14 @@ object VectorIndex {
             "VectorIndex.remove")
         }
       }
-      // idempotent fingerprint commit (ADVICE r11): the TARGET meta
-      // fingerprint is persisted BEFORE the meta overwrite, so a crash
-      // between the meta write and the replay record replays to the
-      // same meta value instead of subtracting the victims twice
+      // idempotent fingerprint commit (ADVICE r11; r15: metabase-first +
+      // interleaving-exact replay resolution — see Fingerprint
+      // .resolveRemovalMeta)
       val normDir = IndexMaintenance.normalize(indexDir)
-      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
-      state0.foreach { case (svfp, _) =>
-        if (svfp != vfp) Fingerprint.refuse(
-          s"VectorIndex.remove: tag '$tag' has leftover removal state for " +
-            "a DIFFERENT victim set — re-run that removal with its " +
-            "original victims first, or clear its rmstate dir after " +
-            "verifying it")
-      }
-      if (state0.isEmpty) {
-        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
-        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-      }
-      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2
-        .foreach(fp => writeMeta(s, root, fp))
+      Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+        oldFp, "VectorIndex.remove")
+      Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+        "VectorIndex.remove").foreach(fp => writeMeta(s, root, fp))
       FaultInjection.maybeCrash("vector.meta")
       if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
       FaultInjection.maybeCrash("vector.record")
@@ -581,21 +570,13 @@ object VectorIndex {
             "VectorIndex.logicalRemove")
         }
       }
-      // idempotent fingerprint commit — remove()'s protocol shape
-      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
-      state0.foreach { case (svfp, _) =>
-        if (svfp != vfp) Fingerprint.refuse(
-          s"VectorIndex.logicalRemove: tag '$tag' has leftover removal " +
-            "state for a DIFFERENT victim set — re-run that removal " +
-            "with its original victims first")
-      }
-      if (state0.isEmpty) {
-        val target = if (replay) None else oldFp.map(Fingerprint.unmerge(_, vfp))
-        Fingerprint.writeRemoveState(conf, normDir, rmTag, vfp, target)
-      }
+      // idempotent fingerprint commit — remove()'s protocol shape (r15:
+      // metabase-first + interleaving-exact replay resolution)
+      Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+        oldFp, "VectorIndex.logicalRemove")
       FaultInjection.maybeCrash("vector.logical.state")
-      Fingerprint.readRemoveState(conf, normDir, rmTag).get._2
-        .foreach(fp => writeMeta(s, root, fp))
+      Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+        "VectorIndex.logicalRemove").foreach(fp => writeMeta(s, root, fp))
       FaultInjection.maybeCrash("vector.logical.meta")
       if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
       FaultInjection.maybeCrash("vector.logical.record")

@@ -153,6 +153,51 @@ class LogicalDeleteSpec extends SparkSpec {
     }
   }
 
+  test("replay meta is interleaving-exact: an append between crash and replay survives (r15)") {
+    // the latent pre-r15 hole the staged-remove review exposed: the
+    // removal's replay used to overwrite meta with the ABSOLUTE target
+    // persisted before the crash, wiping the fingerprint merge of any
+    // append that legitimately ran in between. The metabase + tag-delta
+    // reconstruction must keep meta exact across that interleaving —
+    // for the logical family here (the physical family's staged specs
+    // cover it in IndexRemoveSpec).
+    import graft.operators.FaultInjection
+    val docs = (0 until 8)
+      .map(i => (i.toLong, s"interleave fixture doc $i boilerplate body"))
+      .toDF("doc_id", "text")
+    val dir = tmpIdx("ld_ilv")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    val victims = docs.filter(col("doc_id") === 3L)
+    // crash right after the meta overwrite landed (subtraction applied,
+    // record not yet written — the double-subtract-prone boundary)
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("text.logical.meta")(
+        TextIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1"))
+    }
+    // an unrelated append interleaves before the replay and merges its
+    // fingerprint on top of the subtracted meta
+    val extra = Seq((100L, "a wholly novel interleaved document"))
+      .toDF("doc_id", "text")
+    TextIndex.append(extra, "doc_id", "text", dir, tag = "mid1")
+    // the replay must neither re-subtract NOR wipe the append's merge
+    TextIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "ld1")
+    val expected = docs.filter(col("doc_id") =!= 3L).unionByName(extra)
+    assert(TextIndex.isFresh(spark, dir, expected, "doc_id", "text"),
+      "meta must read survivors + the interleaved append exactly")
+    // and the same boundary BEFORE the meta write (subtraction not yet
+    // applied): the replay must subtract once on top of the append
+    val dir2 = tmpIdx("ld_ilv2")
+    TextIndex.build(docs, "doc_id", "text", dir2)
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("text.logical.state")(
+        TextIndex.logicalRemove(victims, "doc_id", "text", dir2, tag = "ld1"))
+    }
+    TextIndex.append(extra, "doc_id", "text", dir2, tag = "mid1")
+    TextIndex.logicalRemove(victims, "doc_id", "text", dir2, tag = "ld1")
+    assert(TextIndex.isFresh(spark, dir2, expected, "doc_id", "text"),
+      "pre-meta-crash replay must subtract once on top of the append")
+  }
+
   test("text: blind immediately, logical-then-compact == physical remove") {
     import graft.operators.FaultInjection
     val docs = (0 until 20)
