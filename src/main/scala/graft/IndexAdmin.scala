@@ -171,6 +171,7 @@ object IndexAdmin {
       logicalDeletes = operators.LogicalDelete.pendingBatches(conf, dir),
       logicalDeleteAges =
         batchAges(new Path(operators.LogicalDelete.dir(dir)))
+          .filter(_._1.startsWith("batch=")) // skip the serve-overlay dirs
           .map { case (n, a) => (n.stripPrefix("batch="), a) },
       sourceStatusPresent = fs.exists(new Path(s"$dir/srcstat")),
       recallProbes = operators.VectorIndex.recallProbes(conf, dir))

@@ -237,22 +237,31 @@ object ClusterIndex {
     * physical reclaim stays the amortized maintenance pass it is in
     * production. Cost shape: the no-tombstone fast path is unchanged
     * (ONE FS metadata call); with tombstones pending the re-split is
-    * O(affected components' edges) — bounded by the victim set, never
-    * the corpus — and recomputed per read, which is the right trade
-    * until the next compact folds it in physically. */
+    * served from the OVERLAY [[logicalRemove]] persisted (one tiny
+    * parquet read — reads stay pure, so any number of concurrent
+    * consumers pay O(overlay rows), not O(affected edges) each), and
+    * recomputed live only when the overlay is missing or stale — a
+    * crash before the overlay write, or an append since (appends can
+    * re-bridge split survivors through fresh docs, so the overlay's
+    * recorded corpus fingerprint must equal meta's to be served). */
   def assignments(s: SparkSession, indexDir: String, idCol: String): DataFrame = {
-    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
     val base = s.read.parquet(s"$root/assign").select(col(idCol), col("component"))
-    LogicalDelete.ids(s, indexDir) match {
+    val batches = LogicalDelete.pendingBatches(conf, indexDir)
+    LogicalDelete.idsOf(s, indexDir, batches) match {
       case None => base
       case Some(t) =>
-        val (_, nBuckets) = readMeta(s, root)
         val vids = t.select(col(LogicalDelete.idColOf(t)).as(idCol))
           .localCheckpoint()
         val nV = vids.count()
-        val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
-          .distinct().collect().map(_.getLong(0)).toSeq
-        val (_, newAssign) = resplitPlan(s, root, idCol, vids, nV, vIdb)
+        val newAssign = readOverlay(s, root, indexDir, idCol, batches)
+          .getOrElse {
+            val (_, nBuckets) = readMeta(s, root)
+            val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+              .distinct().collect().map(_.getLong(0)).toSeq
+            resplitPlan(s, root, idCol, vids, nV, vIdb)._2
+          }
         // same fold as compact()'s reclaim: drop victims, remap survivors
         // of their components, everyone else passes through untouched
         base.join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "left_anti")
@@ -261,6 +270,76 @@ object ClusterIndex {
           .drop("_newcomp")
     }
   }
+
+  // ---- tombstone serve-overlay (r15, this round): the bridge-split as a
+  // persisted artifact instead of a per-read recompute -------------------
+  //
+  // logicalRemove computes the victim re-split ONCE (it is already
+  // bounded by the victims' components) and persists it under the
+  // tombstone dir; every assignments() read until the next compact then
+  // pays one tiny parquet read instead of an adjacency-log traversal.
+  // Validity is pinned by three recorded facts — the data root (a
+  // compact flips it), the corpus fingerprint (any append or removal
+  // moves it), and the exact pending-batch list (a crash between the
+  // tombstone write and the overlay write leaves them out of step) —
+  // any mismatch, or any read error from a concurrent overwrite, falls
+  // back to the live recompute, so a WRONG overlay can never be served:
+  // the fingerprint is captured BEFORE the payload tables are read, so
+  // an append interleaving anywhere in the window makes the recorded
+  // value trail meta and the overlay conservatively invalid.
+  private def overlayDir(indexDir: String): String =
+    LogicalDelete.overlayDir(indexDir)
+  private def overlayMetaDir(indexDir: String): String =
+    LogicalDelete.overlayMetaDir(indexDir)
+
+  /** Persist the union-pending re-split; called by [[logicalRemove]]
+    * under the remove lease (appends hold the disjoint write lease, so
+    * ingest never waits on this). Skips legacy fingerprint-less metas —
+    * there is nothing to validate against, so serves recompute live. */
+  private def writeOverlay(s: SparkSession, root: String, normDir: String,
+                           idCol: String, nBuckets: Int): Unit = {
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    readFingerprint(s, root).foreach { fp =>
+      val batches = LogicalDelete.pendingBatches(conf, normDir)
+      LogicalDelete.idsOf(s, normDir, batches).foreach { t =>
+        val allVids = t.select(col(LogicalDelete.idColOf(t)).as(idCol))
+          .localCheckpoint()
+        val nAll = allVids.count()
+        val vIdb = allVids.select(idb(col(idCol), nBuckets).as("idb"))
+          .distinct().collect().map(_.getLong(0)).toSeq
+        val (_, newAssign) = resplitPlan(s, root, idCol, allVids, nAll, vIdb)
+        newAssign.write.mode("overwrite").parquet(overlayDir(normDir))
+        // meta row LAST: its presence commits the overlay (a crash
+        // between the two writes leaves no meta => serves recompute)
+        Seq((root, fp._1, fp._2, batches.mkString(",")))
+          .toDF("root", "n_rows", "content_hash", "batches")
+          .coalesce(1).write.mode("overwrite")
+          .parquet(overlayMetaDir(normDir))
+      }
+    }
+  }
+
+  /** The persisted re-split, iff its recorded (root, fingerprint,
+    * batch list) all match the live index — eagerly checkpointed inside
+    * the try so a concurrent overwrite surfaces HERE and falls back,
+    * never mid-consumer-query. */
+  private def readOverlay(s: SparkSession, root: String, indexDir: String,
+                          idCol: String,
+                          batches: Seq[String]): Option[DataFrame] =
+    try {
+      val om = s.read.parquet(overlayMetaDir(indexDir)).head()
+      val valid = om.getAs[String]("root") == root &&
+        om.getAs[String]("batches") == batches.mkString(",") &&
+        readFingerprint(s, root).contains(
+          (om.getAs[Long]("n_rows"), om.getAs[Long]("content_hash")))
+      if (!valid) None
+      else {
+        val o = s.read.parquet(overlayDir(indexDir))
+        val src = o.columns.filterNot(_ == "_newcomp").head
+        Some(o.select(col(src).as(idCol), col("_newcomp")).localCheckpoint())
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
 
   /** Incoming docs' components under the UNION corpus (exact — see the
     * quotient argument in the class doc), plus the merge map for old
@@ -1430,9 +1509,11 @@ object ClusterIndex {
 
   /** LOGICAL targeted delete (VERDICT r12 item 1) — the RTBF fast path:
     * same validation and the same idempotent fingerprint subtraction as
-    * [[remove]], but the only mutation is one small tombstone-batch
-    * write under `<indexDir>/deleted/` — O(victims), no table rewrite,
-    * no re-split pass. Probes, [[assignments]], and [[knownIds]] are
+    * [[remove]], but the mutations are one small tombstone-batch write
+    * under `<indexDir>/deleted/` plus the serve-overlay (the victims'
+    * component re-split, persisted so reads don't recompute it) — both
+    * bounded by the victims' components, no index table rewritten.
+    * Probes, [[assignments]], and [[knownIds]] are
     * blind to the victims the moment this returns; the rows are
     * physically reclaimed — and the component structure reconciled —
     * by the next [[compact]] (see [[LogicalDelete]] for the interim
@@ -1541,9 +1622,17 @@ object ClusterIndex {
       FaultInjection.maybeCrash("cluster.logical.meta")
       if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
       FaultInjection.maybeCrash("cluster.logical.record")
-      // the one "leg": the tombstone batch (idempotent overwrite) —
-      // probes are blind from here
+      // the one correctness-bearing "leg": the tombstone batch
+      // (idempotent overwrite) — probes are blind from here
       LogicalDelete.write(vids, idCol, normDir, rmTag)
+      FaultInjection.maybeCrash("cluster.logical.overlay")
+      // serve-overlay: the victims' component re-split, computed once
+      // here (bounded by the victims' components — delta-scale, never
+      // the corpus) so every assignments() read until the next compact
+      // is a pure O(overlay) parquet read. A crash right above leaves
+      // the overlay out of step with the batch list; serves detect that
+      // and recompute live, and the replay rewrites it (idempotent).
+      rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets))
       Fingerprint.clearSourceStatus(conf, indexDir)
       // state cleanup LAST — every step above replays from the record
       Fingerprint.clearRemoveState(conf, normDir, rmTag)

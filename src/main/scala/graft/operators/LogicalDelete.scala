@@ -39,10 +39,13 @@ import org.apache.spark.sql.functions._
   *    component re-split discovery would treat logically-deleted rows
   *    as survivors);
   *  - the cluster family's SERVED component structure is correct
-  *    immediately (r15): `assignments()` re-splits the victims'
-  *    components read-only from the adjacency log (the same
-  *    resplitPlan compact's reclaim executes), so consumers see a
-  *    fresh-build-equal map without waiting for the physical pass.
+  *    immediately (r15): its logicalRemove persists the victims'
+  *    component re-split (the same resplitPlan compact's reclaim
+  *    executes) as a serve-overlay under [[overlayDir]], and
+  *    `assignments()` folds it in — or recomputes it live from the
+  *    adjacency log when the overlay is missing or stale — so
+  *    consumers see a fresh-build-equal map without waiting for the
+  *    physical pass.
   *    `probe()` still labels incoming docs under the coarser pre-split
   *    quotient of the PHYSICAL assign table (its append-side merge
   *    bookkeeping is keyed on those labels) — the split of a probe
@@ -61,6 +64,15 @@ private[graft] object LogicalDelete {
 
   private def dirPath(indexDir: String) =
     new org.apache.hadoop.fs.Path(dir(indexDir))
+
+  /** The cluster family's serve-overlay (r15: the victims' component
+    * re-split, persisted by its logicalRemove so reads don't recompute
+    * it). Lives beside the batches because its lifetime IS the pending
+    * tombstones' — [[clearBatches]] tidies it with them. The `batch=`
+    * prefix filter in [[pendingBatches]] keeps it invisible to every
+    * batch listing. */
+  def overlayDir(indexDir: String): String = dir(indexDir) + "/overlay"
+  def overlayMetaDir(indexDir: String): String = dir(indexDir) + "/overlay_meta"
 
   /** Pending tombstone batch names (sanitized tags) — ops visibility and
     * the compact paths' lease-time snapshot. ONE FS metadata call on
@@ -197,6 +209,15 @@ private[graft] object LogicalDelete {
     batches.foreach { b =>
       fs.delete(new org.apache.hadoop.fs.Path(d, s"batch=$b"), true)
     }
+    // The serve-overlay keyed to these batches is stale the moment they
+    // reclaim (its recorded root/fingerprint/batch-list no longer match,
+    // so no reader will serve it) — tidy it non-fatally. Meta first: a
+    // racing reader validates meta before touching the payload, and any
+    // read error inside its try falls back to the live recompute.
+    try {
+      fs.delete(new org.apache.hadoop.fs.Path(overlayMetaDir(indexDir)), true)
+      fs.delete(new org.apache.hadoop.fs.Path(overlayDir(indexDir)), true)
+    } catch { case scala.util.control.NonFatal(_) => () }
     // Tidy the now-empty parent, but NEVER fail the compact over it: a
     // logicalRemove that acquired the freed remove lease may be writing
     // a new batch dir between our listStatus and the delete — the

@@ -556,4 +556,73 @@ class LogicalDeleteSpec extends SparkSpec {
         .toDF("doc_id", "text"), "doc_id", "text").count() == 1L,
       "the rebuilt corpus' rows must be visible under the recycled id")
   }
+
+  test("serve-overlay: persisted re-split serves reads; stale/missing falls back (r15)") {
+    import graft.operators.{FaultInjection, IndexMaintenance}
+    val conf = spark.sparkContext.hadoopConfiguration
+    val a = (10L, span(0, 50)); val b = (20L, span(5, 55))
+    val c = (30L, span(10, 60))
+
+    // ---- (1) the overlay, not the adjacency log, serves reads:
+    // logicalRemove persists the re-split, so assignments must survive
+    // the edge log being UNREADABLE (the live recompute could not)
+    locally {
+      val dir = tmpIdx("ld_ov1")
+      ClusterIndex.build(Seq(a, b, c).toDF("doc_id", "text"), "doc_id", "text", dir)
+      ClusterIndex.logicalRemove(Seq(b).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "ov1")
+      val root = IndexMaintenance.liveRoot(conf, dir)
+      val edges = new org.apache.hadoop.fs.Path(s"$root/edges")
+      val stash = new org.apache.hadoop.fs.Path(s"$root/edges_stashed")
+      edges.getFileSystem(conf).rename(edges, stash)
+      assert(assignMap(dir) === Map(10L -> 10L, 30L -> 30L),
+        "serve must come from the persisted overlay (edge log is stashed)")
+      stash.getFileSystem(conf).rename(stash, edges)
+    }
+
+    // ---- (2) crash between the tombstone write and the overlay write:
+    // serves fall back to the live recompute (still fresh-CC-correct),
+    // and the replay rewrites the overlay idempotently
+    locally {
+      val dir = tmpIdx("ld_ov2")
+      ClusterIndex.build(Seq(a, b, c).toDF("doc_id", "text"), "doc_id", "text", dir)
+      intercept[FaultInjection.InjectedCrash] {
+        FaultInjection.armed("cluster.logical.overlay")(
+          ClusterIndex.logicalRemove(Seq(b).toDF("doc_id", "text"),
+            "doc_id", "text", dir, tag = "ov2"))
+      }
+      assert(assignMap(dir) === Map(10L -> 10L, 30L -> 30L),
+        "with no overlay committed, serve must recompute live and still split")
+      ClusterIndex.logicalRemove(Seq(b).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "ov2") // replay converges + writes overlay
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      assert(fs.exists(new org.apache.hadoop.fs.Path(
+        LogicalDelete.overlayMetaDir(dir))),
+        "the replay must commit the overlay the crash skipped")
+    }
+
+    // ---- (3) an append since the removal INVALIDATES the overlay: a
+    // fresh doc with B's content re-bridges the split survivors, and the
+    // served map must reflect it (== fresh CC over the union corpus)
+    locally {
+      val dir = tmpIdx("ld_ov3")
+      ClusterIndex.build(Seq(a, b, c).toDF("doc_id", "text"), "doc_id", "text", dir)
+      ClusterIndex.logicalRemove(Seq(b).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "ov3")
+      assert(assignMap(dir) === Map(10L -> 10L, 30L -> 30L))
+      ClusterIndex.append(Seq((21L, span(5, 55))).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "ap-ov3")
+      assert(assignMap(dir) === Map(10L -> 10L, 30L -> 10L, 21L -> 10L),
+        "a stale overlay must never be served: the append re-bridged " +
+          s"A and C through doc 21, got ${assignMap(dir)}")
+      // reclaim folds everything physically and tidies the overlay dirs
+      ClusterIndex.compact(spark, dir)
+      val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(
+        LogicalDelete.overlayMetaDir(dir))) &&
+        !fs.exists(new org.apache.hadoop.fs.Path(LogicalDelete.overlayDir(dir))),
+        "reclaim must tidy the stale overlay with its batches")
+      assert(assignMap(dir) === Map(10L -> 10L, 30L -> 10L, 21L -> 10L))
+    }
+  }
 }
