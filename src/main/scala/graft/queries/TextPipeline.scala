@@ -1091,6 +1091,94 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher,
+    * SIGIR '09) — the standard way production search fuses a lexical and
+    * a semantic ranker without score calibration: each leg contributes
+    * 1/(60 + rank), so only RANKS cross the leg boundary and the two
+    * score scales (BM25 vs cosine) never have to be commensurable.
+    *
+    * Query set: the fixed probe docs ([[Vectors.probeIds]] — the id
+    * space is shared between `documents` and `embeddings`). Lexical leg
+    * = BM25 more-like-this over the probe doc's own terms (the
+    * [[bm25TopK]] closed form, self excluded); semantic leg = exact
+    * cosine against the probe's embedding (the vec_brute_topk form,
+    * self excluded). Legs keep their top-20; fusion keeps the top-10 by
+    * (rrf DESC, doc_id).
+    *
+    * Scale shape: both legs end in row_number()<=k filters that plan as
+    * partial WindowGroupLimit (PlanSpec), the per-query fusion join is
+    * leg-bounded (≤ 2·20 rows per query), and every corpus-sized input
+    * is the same tf/df/cosine fan-out the component queries already
+    * bound — no new full-corpus stage. Fully DuckDB-portable: ranks are
+    * integers, 1/(60+rank) is one IEEE division, and the two-term sum
+    * is written identically on both engines. */
+  def rrfFusion(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.VecDot
+    val k1 = 1.2; val b = 0.75; val legN = 20; val topK = 10; val kRrf = 60
+    val docs = Tables.documents(s, dir)
+    // ---- lexical leg: BM25, query terms = the probe doc's distinct terms
+    val qterms = docs.filter(col("doc_id").isInCollection(Vectors.probeIds))
+      .select(col("doc_id").as("query_id"),
+        explode(TextOps.tokens(col("text"))).as("term"))
+      .distinct()
+      .localCheckpoint() // 5 probe docs' vocabulary — broadcast-small
+    val tf = docs
+      .select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+      .join(broadcast(qterms.select(col("term")).distinct()), Seq("term"))
+      .localCheckpoint(eager = false) // fan-out: df AND the score join
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val dl = docs.select(col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast("long").as("dl"))
+    val stats = dl.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val w = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    val lex = tf
+      .join(broadcast(qterms), Seq("term"))
+      .filter(col("doc_id") =!= col("query_id")) // more-like-this: not itself
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy(col("query_id"), col("doc_id"))
+      .agg(round(sum(round(w, 6).cast("decimal(18,6)")).cast("double"), 4)
+        .as("bscore"))
+      .withColumn("lrank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("bscore").desc, col("doc_id"))))
+      .filter(col("lrank") <= legN)
+      .select(col("query_id"), col("doc_id"), col("lrank"))
+    // ---- semantic leg: exact cosine against the probe embedding
+    val emb = Tables.embeddings(s, dir)
+    val probes = emb.filter(col("vec_id").isInCollection(Vectors.probeIds))
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+    val sem = emb.crossJoin(broadcast(probes))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cosine", round(
+        VecDot(col("q_emb"), col("embedding")) /
+          (sqrt(VecDot(col("q_emb"), col("q_emb"))) *
+            sqrt(VecDot(col("embedding"), col("embedding")))), 4))
+      .withColumn("vrank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("cosine").desc, col("vec_id"))))
+      .filter(col("vrank") <= legN)
+      .select(col("query_id"), col("vec_id").as("doc_id"), col("vrank"))
+    // ---- fuse: ranks in, one calibrated score out
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vrank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Fuzzy near-dup pairs by edit distance: all pairs within the same
     * language at Levenshtein distance 1..20 — the character-level dedup
     * family (OCR noise, template fills, small edits) that token-set
@@ -1744,6 +1832,7 @@ object TextPipeline {
     "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_bm25_topk" -> (bm25TopK _),
+    "doc_rrf_fusion" -> (rrfFusion _),
     "doc_editdist_pairs" -> (editDistancePairs _),
     "doc_heavy_terms" -> (heavyTerms _),
     "doc_cdc_chunks" -> (cdcChunkStats _),
@@ -2123,6 +2212,76 @@ object TextPipeline {
         |                       ORDER BY score DESC, doc_id) AS rank
         |  FROM scored)
         |SELECT query_id, rank, doc_id, score FROM ranked
+        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    // RRF replay (r15): both legs are the proven closed forms (the BM25
+    // CTE chain above, self-excluded more-like-this; the vec_brute_topk
+    // cosine), and the fusion itself is integer-rank arithmetic — ONE
+    // IEEE division per leg and a two-term sum written identically on
+    // both engines, so no accumulation-order risk exists at all
+    "doc_rrf_fusion" ->
+      """WITH q AS (
+        |  SELECT doc_id AS query_id, text FROM documents
+        |  WHERE doc_id IN (1, 7, 42, 99, 123)
+        |), qt AS (
+        |  SELECT DISTINCT query_id, unnest(string_split(text, ' ')) AS term FROM q
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf
+        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+        |        FROM documents) o
+        |  WHERE o.term IN (SELECT DISTINCT term FROM qt)
+        |  GROUP BY doc_id, term
+        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dl
+        |), bscored AS (
+        |  SELECT qt.query_id, tf.doc_id,
+        |    round(CAST(sum(CAST(round(
+        |      ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+        |        * (tf.tf * 2.2)
+        |        / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+        |      6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS bscore
+        |  FROM tf
+        |  JOIN qt ON qt.term = tf.term
+        |  JOIN dfreq ON dfreq.term = tf.term
+        |  JOIN dl ON dl.doc_id = tf.doc_id
+        |  CROSS JOIN stats
+        |  WHERE tf.doc_id <> qt.query_id
+        |  GROUP BY qt.query_id, tf.doc_id
+        |), lex AS (
+        |  SELECT query_id, doc_id, lrank FROM (
+        |    SELECT query_id, doc_id,
+        |      row_number() OVER (PARTITION BY query_id
+        |                         ORDER BY bscore DESC, doc_id) AS lrank
+        |    FROM bscored) t
+        |  WHERE lrank <= 20
+        |), sem AS (
+        |  SELECT query_id, doc_id, vrank FROM (
+        |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
+        |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
+        |       round(list_aggregate(list_transform(range(1, len(q.embedding) + 1),
+        |          i -> CAST(q.embedding[i] AS DOUBLE) * CAST(c.embedding[i] AS DOUBLE)), 'sum')
+        |        / (sqrt(list_aggregate(list_transform(q.embedding,
+        |             x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))
+        |           * sqrt(list_aggregate(list_transform(c.embedding,
+        |               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum'))), 4) DESC,
+        |       c.vec_id) AS vrank
+        |    FROM embeddings q CROSS JOIN embeddings c
+        |    WHERE q.vec_id IN (1, 7, 42, 99, 123) AND c.vec_id <> q.vec_id) t
+        |  WHERE vrank <= 20
+        |), fused AS (
+        |  SELECT query_id, doc_id,
+        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lrank), 0) +
+        |          coalesce(CAST(1 AS DOUBLE) / (60 + s.vrank), 0), 6) AS rrf
+        |  FROM lex l FULL OUTER JOIN sem s USING (query_id, doc_id)
+        |), ranked AS (
+        |  SELECT query_id, doc_id, rrf,
+        |    row_number() OVER (PARTITION BY query_id
+        |                       ORDER BY rrf DESC, doc_id) AS rank
+        |  FROM fused)
+        |SELECT query_id, rank, doc_id, rrf FROM ranked
         |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
     // full Count-Min replay (r15, VERDICT r14 item 3): the portable md5
     // bucket family makes every sketch cell a GROUP BY over

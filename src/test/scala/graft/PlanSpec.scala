@@ -140,7 +140,8 @@ class PlanSpec extends SparkSpec {
     // WindowGroupLimit — per-group top-k without materializing the full
     // ranking. Losing this silently turns q09/doc_bigram_lm/the ANN
     // rerank stages into full sorts per group at corpus scale.
-    Seq("doc_bigram_lm", "q09_topk_per_group", "vec_quantized_topk").foreach { q =>
+    Seq("doc_bigram_lm", "q09_topk_per_group", "vec_quantized_topk",
+        "doc_rrf_fusion").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
@@ -309,6 +310,7 @@ class PlanSpec extends SparkSpec {
     val singlePartitionOk = Set(
       "doc_tfidf_terms",      // global N: one count row per partition
       "doc_bm25_topk",        // global N/avgdl: one partial row per partition
+      "doc_rrf_fusion",       // same BM25 N/avgdl partial-row aggregate
       "doc_dsir_weights",     // global corpus totals: one partial row per partition
       "ev_equidepth_hist",    // single-row decile-boundary aggregate
       "q54_top_supplier",     // single-row max-revenue aggregate
