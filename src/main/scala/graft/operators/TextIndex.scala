@@ -33,8 +33,10 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  private def bandRows(toks: DataFrame, idCol: String, numHashes: Int,
-                       bands: Int, nBuckets: Int, seed: Int): DataFrame =
+  // private[graft]: IndexCheck re-derives band rows from the stored
+  // token sets to audit the persisted table against the frozen params
+  private[graft] def bandRows(toks: DataFrame, idCol: String, numHashes: Int,
+                              bands: Int, nBuckets: Int, seed: Int): DataFrame =
     toks
       .select(col(idCol),
         Dedup.bandHashes(
