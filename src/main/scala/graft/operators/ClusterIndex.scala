@@ -295,19 +295,33 @@ object ClusterIndex {
   /** Persist the union-pending re-split; called by [[logicalRemove]]
     * under the remove lease (appends hold the disjoint write lease, so
     * ingest never waits on this). Skips legacy fingerprint-less metas —
-    * there is nothing to validate against, so serves recompute live. */
+    * there is nothing to validate against, so serves recompute live.
+    *
+    * `curBatch`/`curVids` reuse the caller's already-checkpointed state
+    * for the overwhelmingly common single-pending-batch case — the
+    * overlay then adds only the re-split itself plus two small writes
+    * to the takedown wall, no re-derivation jobs. `newFp` is the
+    * fingerprint the caller just committed (re-read only on the replay
+    * path where it didn't write one). */
   private def writeOverlay(s: SparkSession, root: String, normDir: String,
-                           idCol: String, nBuckets: Int): Unit = {
+                           idCol: String, nBuckets: Int,
+                           curBatch: String,
+                           curVids: (DataFrame, Long, Seq[Long]),
+                           newFp: Option[(Long, Long)]): Unit = {
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
-    readFingerprint(s, root).foreach { fp =>
+    newFp.orElse(readFingerprint(s, root)).foreach { fp =>
       val batches = LogicalDelete.pendingBatches(conf, normDir)
-      LogicalDelete.idsOf(s, normDir, batches).foreach { t =>
-        val allVids = t.select(col(LogicalDelete.idColOf(t)).as(idCol))
-          .localCheckpoint()
-        val nAll = allVids.count()
-        val vIdb = allVids.select(idb(col(idCol), nBuckets).as("idb"))
-          .distinct().collect().map(_.getLong(0)).toSeq
+      val union: Option[(DataFrame, Long, Seq[Long])] =
+        if (batches == Seq(Fingerprint.sanitizeTag(curBatch))) Some(curVids)
+        else LogicalDelete.idsOf(s, normDir, batches).map { t =>
+          val allVids = t.select(col(LogicalDelete.idColOf(t)).as(idCol))
+            .localCheckpoint()
+          val vIdb = allVids.select(idb(col(idCol), nBuckets).as("idb"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          (allVids, allVids.count(), vIdb)
+        }
+      union.foreach { case (allVids, nAll, vIdb) =>
         val (_, newAssign) = resplitPlan(s, root, idCol, allVids, nAll, vIdb)
         newAssign.write.mode("overwrite").parquet(overlayDir(normDir))
         // meta row LAST: its presence commits the overlay (a crash
@@ -1613,8 +1627,9 @@ object ClusterIndex {
       Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
         oldFp, "ClusterIndex.logicalRemove")
       FaultInjection.maybeCrash("cluster.logical.state")
-      Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
-        "ClusterIndex.logicalRemove").foreach { fp =>
+      val resolvedFp = Fingerprint.resolveRemovalMeta(conf, normDir, rmTag,
+        oldFp, "ClusterIndex.logicalRemove")
+      resolvedFp.foreach { fp =>
         Seq((thr, nBuckets, fp._1, fp._2))
           .toDF("threshold", "n_buckets", "n_rows", "content_hash")
           .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
@@ -1632,7 +1647,8 @@ object ClusterIndex {
       // is a pure O(overlay) parquet read. A crash right above leaves
       // the overlay out of step with the batch list; serves detect that
       // and recompute live, and the replay rewrites it (idempotent).
-      rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets))
+      rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets,
+        curBatch = rmTag, curVids = (vids, nV, vIdb), newFp = resolvedFp))
       Fingerprint.clearSourceStatus(conf, indexDir)
       // state cleanup LAST — every step above replays from the record
       Fingerprint.clearRemoveState(conf, normDir, rmTag)
