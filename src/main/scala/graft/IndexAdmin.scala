@@ -6,7 +6,8 @@ import org.apache.hadoop.fs.Path
 import graft.operators.{Fingerprint, IndexMaintenance}
 
 /** Read-only operations console for a persisted index directory (any of
-  * the three families — text MinHash, IVF vector, cluster — shares the
+  * the four families — text MinHash, IVF vector, cluster, BM25 term —
+  * shares the
   * same control layout). One FS pass answers the questions the crash/
   * recovery runbooks otherwise make an operator reconstruct by hand:
   *

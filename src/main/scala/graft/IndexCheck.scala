@@ -70,13 +70,15 @@ object IndexCheck {
       if (tables.contains("edges") && tables.contains("assign")) "cluster"
       else if (tables.contains("bands")) "text"
       else if (tables.contains("centroids")) "vector"
+      else if (tables.contains("postings") && tables.contains("dl")) "term"
       else throw new IllegalArgumentException(
-        s"IndexCheck: $root holds none of the three index layouts " +
+        s"IndexCheck: $root holds none of the four index layouts " +
           s"(tables: ${tables.toSeq.sorted.mkString(", ")})")
     val checks = family match {
       case "cluster" => clusterChecks(s, root, victims)
       case "text"    => textChecks(s, root, victims)
       case "vector"  => vectorChecks(s, root, victims)
+      case "term"    => termChecks(s, root, victims)
     }
     DataReport(dir, family, inflight, checks)
   }
@@ -280,6 +282,45 @@ object IndexCheck {
         "stored cell == nearest centroid under the persisted quantizer"),
       chk("norm-cache", badNorms, "stored norm == recomputed L2 norm"),
       rowCount(meta, cells, idCol, victims, "cells"))
+  }
+
+  // ---- term (BM25) family ------------------------------------------------
+
+  private def termChecks(s: SparkSession, root: String,
+                         victims: Option[DataFrame]): Seq[Check] = {
+    val meta = s.read.parquet(s"$root/meta").head()
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val dl = s.read.parquet(s"$root/dl")
+    val idCol = idColOf(dl, Set("dl", "_src", "idb"))
+    val postings = s.read.parquet(s"$root/postings")
+
+    // (1) cross-table id cover: every measured document has postings
+    // (whitespace tokenization yields >= 1 term for any text) and every
+    // posted id has a length row — BM25 needs both sides of every doc
+    val cover = dl.select(col(idCol), lit(1).as("_d"))
+      .join(postings.select(col(idCol)).distinct()
+        .withColumn("_p", lit(1)), Seq(idCol), "full_outer")
+      .filter(col("_d").isNull || col("_p").isNull).count()
+
+    // (2) dl really is the token count: per id, sum(tf) == dl — a
+    // partial postings loss or a stale dl row shows up as score skew
+    // long before anyone notices; here it's a named count
+    val badDl = postings.groupBy(col(idCol)).agg(sum(col("tf")).as("_stf"))
+      .join(dl.select(col(idCol), col("dl")), Seq(idCol))
+      .filter(col("_stf") =!= col("dl")).count()
+
+    // (3) bucket columns are the layout's hash functions
+    val badTb = bucketViolations(postings, "tb",
+      pmod(xxhash64(col("term")), lit(nBuckets.toLong)))
+    val badIdb = bucketViolations(dl, "idb",
+      pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
+
+    Seq(
+      chk("id-cover", cover, "dl ids == postings ids"),
+      chk("dl-consistency", badDl, "per id, sum(postings.tf) == dl"),
+      chk("bucket-tb", badTb, "postings.tb == pmod(xxhash64(term), n_buckets)"),
+      chk("bucket-idb", badIdb, "dl.idb == pmod(xxhash64(id), n_buckets)"),
+      rowCount(meta, dl, idCol, victims, "dl"))
   }
 
   // ---- console ---------------------------------------------------------

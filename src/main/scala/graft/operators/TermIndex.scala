@@ -1,0 +1,377 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Persisted BM25 retrieval index — the fourth index family: build the
+  * tf/df/dl statistics ONCE, serve ranked lexical retrieval many times,
+  * maintain incrementally. The closed-form scorer (`TextPipeline
+  * .bm25TopK`, Robertson/Spärck Jones BM25 with the positive ln idf)
+  * recomputes the whole fan-out per call; at corpus scale the tf pass
+  * is the dominant cost and is exactly what never changes between
+  * queries, so it belongs on disk with the same lifecycle as the other
+  * three families (generations, leases, fingerprint freshness, logical
+  * deletes, compaction).
+  *
+  * Layout under the live data root ([[IndexMaintenance.liveRoot]]):
+  *  - `postings(id, term, tf)` partitioned by `(_src, tb)` where
+  *    `tb = pmod(xxhash64(term), nBuckets)`: a term's postings all live
+  *    in one bucket, so a query touches only its own terms' buckets —
+  *    the bounded-collect static-partition-filter recipe the other
+  *    families use (at 100 TB a 5-term query reads 5 buckets, never the
+  *    corpus).
+  *  - `dl(id, dl)` partitioned by `(_src, idb)` — per-document token
+  *    counts; N and avgdl are ONE column-pruned partial aggregate over
+  *    this two-column table at query time. Deliberately derived, not
+  *    cached in meta: a cached count would need its own exactly-once
+  *    maintenance protocol, and its failure mode (silently wrong scores)
+  *    is worse than the fingerprint's (spurious rebuild) — BM25 stats
+  *    here can never disagree with the stored rows.
+  *  - `meta(n_buckets, n_rows, content_hash)` — parameters + the corpus
+  *    fingerprint, maintained by the same exact merge/subtract protocol
+  *    as the siblings.
+  *
+  * Writes are tag-scoped dynamic overwrites (the [[ClusterIndex]]
+  * discipline, NOT the append-mode [[TextIndex]] one) because BM25
+  * aggregates SUM over postings: a crash-replayed append-mode batch
+  * would double every tf it carries — match-once probe semantics
+  * tolerate duplicate rows, ranking sums do not. A replay rewrites its
+  * own `_src` partitions byte-for-byte; a DIFFERENT delta under a used
+  * tag refuses loudly.
+  *
+  * Ids must be UNIQUE across corpus and deltas (same contract as the
+  * cluster family): two versions of one id would both score.
+  *
+  * RTBF: [[logicalRemove]] tombstones victims (queries blind
+  * immediately — scores, df, N, and avgdl all reflect the survivors
+  * from that moment), [[compact]] reclaims physically. No physical
+  * remove(): takedown latency is the logical step by design, and the
+  * rewrite amortizes into compaction like every other family's reclaim.
+  */
+object TermIndex {
+
+  private def sanitize(tag: String): String = Fingerprint.sanitizeTag(tag)
+
+  private def tb(term: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(term), lit(nBuckets.toLong))
+  private def idb(id: org.apache.spark.sql.Column, nBuckets: Int) =
+    pmod(xxhash64(id), lit(nBuckets.toLong))
+
+  /** Per-(doc, term) counts + per-doc lengths for one corpus slice. */
+  private def stats(docs: DataFrame, idCol: String, textCol: String)
+      : (DataFrame, DataFrame) = {
+    val toks = graft.functions.TextOps.tokens(col(textCol))
+    val tf = docs
+      .select(col(idCol), explode(toks).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    (tf, dl)
+  }
+
+  private def writeSlice(tf: DataFrame, dl: DataFrame, idCol: String,
+                         root: String, src: String, nBuckets: Int,
+                         dynamic: Boolean): Unit = {
+    def w(df: DataFrame, parts: Seq[String], path: String): Unit = {
+      val base = df.write.mode("overwrite")
+      (if (dynamic) base.option("partitionOverwriteMode", "dynamic") else base)
+        .partitionBy(parts: _*).parquet(path)
+    }
+    w(tf.withColumn("_src", lit(src)).withColumn("tb", tb(col("term"), nBuckets)),
+      Seq("_src", "tb"), s"$root/postings")
+    w(dl.withColumn("_src", lit(src)).withColumn("idb", idb(col(idCol), nBuckets)),
+      Seq("_src", "idb"), s"$root/dl")
+  }
+
+  /** One corpus pass: tokenize, aggregate tf + dl, persist both tables
+    * and the fingerprinted meta row. Static overwrite — a rebuild
+    * replaces every generation and drops the old replay bookkeeping. */
+  def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+            nBuckets: Int = 64): Unit = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    // a rebuild during a pending removal would wipe the replay state its
+    // windows depend on (same rule as the cluster family)
+    Fingerprint.requireNoOtherPendingRemoval(conf,
+      IndexMaintenance.normalize(indexDir), rmTag = "", "TermIndex.build")
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+      val root = IndexMaintenance.liveRoot(conf, indexDir)
+      val (tf, dl) = stats(docs, idCol, textCol)
+      writeSlice(tf, dl, idCol, root, src = "build", nBuckets, dynamic = false)
+      val fp = Fingerprint.of(docs, Seq(idCol, textCol))
+      Seq((nBuckets, fp._1, fp._2))
+        .toDF("n_buckets", "n_rows", "content_hash")
+        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      Fingerprint.clearReplayState(conf, indexDir)
+      LogicalDelete.clear(conf, indexDir)
+      Fingerprint.writeSourceStatus(conf, indexDir, Fingerprint.sourceStatus(docs))
+    }
+  }
+
+  private def readMeta(s: SparkSession, root: String): (Int, Option[(Long, Long)]) = {
+    val m = s.read.parquet(s"$root/meta").head()
+    (m.getAs[Int]("n_buckets"),
+      if (m.schema.fieldNames.contains("n_rows"))
+        Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+      else None)
+  }
+
+  /** Fingerprint freshness, same contract as the siblings. */
+  def isFresh(s: SparkSession, indexDir: String, corpus: DataFrame,
+              idCol: String, textCol: String): Boolean =
+    Fingerprint.statusFresh(indexDir, corpus) ||
+      (try readMeta(s, IndexMaintenance
+          .liveRoot(s.sparkContext.hadoopConfiguration, indexDir))._2
+        catch { case _: Exception => None })
+        .contains(Fingerprint.of(corpus, Seq(idCol, textCol)))
+
+  /** Build-once/serve-many entry: (re)build only when absent or stale. */
+  def ensure(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
+             nBuckets: Int = 64): Unit = {
+    val s = docs.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val success = new org.apache.hadoop.fs.Path(s"$root/postings/_SUCCESS")
+    val fs = success.getFileSystem(conf)
+    if (!fs.exists(success) || !isFresh(s, indexDir, docs, idCol, textCol))
+      build(docs, idCol, textCol, indexDir, nBuckets)
+  }
+
+  /** Ranked retrieval against the persisted statistics: BM25 with the
+    * positive-idf ln form, k1/b at query time (they tune, they don't
+    * index). `queries(queryIdCol, queryTextCol)` is expected to be
+    * small (a query batch); its terms' buckets are collected ONCE
+    * (bounded: <= nBuckets longs) and turn both postings reads into
+    * static partition filters. Returns (queryIdCol, rank, <doc id col>,
+    * score) with the identical decimal accumulation + rounding as the
+    * closed-form `TextPipeline.bm25TopK`, so index-vs-recompute is
+    * value-exact, not approximately equal. Pending logical deletes are
+    * anti-joined out of BOTH the postings and the dl stats — the RTBF
+    * contract holds from the moment logicalRemove returns. */
+  def topK(s: SparkSession, indexDir: String, queries: DataFrame,
+           queryIdCol: String = "query_id", queryTextCol: String = "q",
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conf = s.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, indexDir)
+    val (nBuckets, _) = readMeta(s, root)
+    val postingsAll = s.read.parquet(s"$root/postings")
+    val idCol = postingsAll.columns
+      .filterNot(Set("term", "tf", "_src", "tb")).head
+    val tomb = LogicalDelete.ids(s, indexDir)
+    def hide(df: DataFrame) = LogicalDelete.hide(df, idCol, tomb)
+
+    val qterms = queries
+      .select(col(queryIdCol),
+        explode(graft.functions.TextOps.tokens(col(queryTextCol))).as("term"))
+      .distinct()
+      .localCheckpoint() // consumed by the bucket collect AND two joins
+    // bounded collect: the query terms' buckets become static partition
+    // filters on the postings read (<= nBuckets longs)
+    val touchedTb = qterms.select(tb(col("term"), nBuckets).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val tfQ = hide(postingsAll
+        .filter(col("tb").isin(touchedTb: _*))
+        .join(broadcast(qterms.select(col("term")).distinct()), Seq("term")))
+      .select(col(idCol), col("term"), col("tf"))
+      .localCheckpoint(eager = false) // fan-out: df AND the score join
+    val dfreq = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // N and avgdl: one column-pruned partial aggregate over (id, dl) —
+    // derived from the rows of record, tombstone-adjusted, per call
+    val dlAll = hide(s.read.parquet(s"$root/dl"))
+      .select(col(idCol), col("dl"))
+      .localCheckpoint(eager = false) // fan-out: stats AND the score join
+    val corpusStats = dlAll.agg(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+    val w = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
+      (col("tf") * lit(k1 + 1)) /
+      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
+    tfQ
+      .join(broadcast(qterms), Seq("term"))
+      .join(broadcast(dfreq), Seq("term"))
+      .join(dlAll, Seq(idCol))
+      .crossJoin(broadcast(corpusStats))
+      .groupBy(col(queryIdCol), col(idCol))
+      // exact decimal accumulation: merge-order-independent sum
+      .agg(round(sum(round(w, 6).cast("decimal(18,6)")).cast("double"), 4)
+        .as("score"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col(queryIdCol))
+          .orderBy(col("score").desc, col(idCol))))
+      .filter(col("rank") <= k)
+      .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
+  }
+
+  /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE: writes are
+    * tag-scoped dynamic overwrites (see the class doc for why this
+    * family cannot be append-mode), the fingerprint merges once per
+    * (tag, delta) pair, and a crash-replay rewrites its own partitions
+    * exactly-once. Post-condition (TermIndexSpec): topK == a fresh
+    * build over the union corpus. */
+  def append(delta: DataFrame, idCol: String, textCol: String,
+             indexDir: String, tag: String = "append"): Unit = {
+    val s = delta.sparkSession
+    import s.implicits._
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "write") {
+      val root = IndexMaintenance.liveRoot(conf, indexDir)
+      val (nBuckets, oldFp) = readMeta(s, root)
+      require(sanitize(tag) != "build",
+        s"TermIndex.append: tag '$tag' sanitizes to the reserved build " +
+          "generation name 'build' — its tag-scoped overwrite would " +
+          "destroy build rows; pass a batch-unique tag")
+      val dfp = Fingerprint.of(delta, Seq(idCol, textCol))
+      val replay = Fingerprint.wasApplied(conf, indexDir, tag, dfp)
+      require(replay || !Fingerprint.tagUsed(conf, indexDir, tag),
+        s"TermIndex.append: tag '$tag' was already used by a different " +
+          "batch; appends are tag-scoped dynamic overwrites, so reusing " +
+          "a tag would destroy the earlier batch's rows — pass a " +
+          "batch-unique tag")
+      LogicalDelete.requireNotTombstoned(s, indexDir,
+        delta.select(col(idCol)), idCol, "TermIndex.append")
+      val (tf, dl) = stats(delta, idCol, textCol)
+      writeSlice(tf, dl, idCol, root, src = sanitize(tag), nBuckets,
+        dynamic = true)
+      oldFp.foreach { o =>
+        if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
+          val fp = Fingerprint.merge(o, dfp)
+          Seq((nBuckets, fp._1, fp._2))
+            .toDF("n_buckets", "n_rows", "content_hash")
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+          Fingerprint.recordMerge(conf, indexDir, tag, dfp)
+        }
+      }
+      Fingerprint.clearSourceStatus(conf, indexDir)
+      require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+        s"TermIndex.append on $indexDir: index compacted during the " +
+          "append — re-run it after verifying no maintenance is racing")
+    }
+  }
+
+  /** LOGICAL targeted delete — the family's only takedown verb (see the
+    * class doc): the same validation + idempotent fingerprint
+    * subtraction protocol as the siblings, one tombstone-batch write,
+    * physical reclaim at the next [[compact]]. Queries are blind — and
+    * their df/N/avgdl statistics survivor-exact — the moment this
+    * returns. `victims` must carry the EXACT `(id, text)` rows as
+    * ingested. */
+  def logicalRemove(victims: DataFrame, idCol: String, textCol: String,
+                    indexDir: String, tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
+      val root = IndexMaintenance.liveRoot(conf, indexDir)
+      val (nBuckets, oldFp) = readMeta(s, root)
+      val rmTag = s"rm.$tag"
+      val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+      val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+      if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
+        s"TermIndex.logicalRemove: tag '$tag' was already used by a " +
+          "different removal batch — pass a batch-unique tag")
+      val normDir = IndexMaintenance.normalize(indexDir)
+      Fingerprint.requireNoOtherPendingRemoval(
+        conf, normDir, rmTag, "TermIndex.logicalRemove")
+      val vids = victims.select(col(idCol)).distinct().localCheckpoint()
+      val nV = vids.count()
+      // completed-replay no-op (ADVICE r13): the tombstone must not be
+      // rewritten after a reclaim legitimately re-admitted the id
+      val completedReplay = replay &&
+        Fingerprint.readRemoveState(conf, normDir, rmTag).isEmpty
+      if (nV > 0L && !completedReplay) {
+        if (!replay) {
+          LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
+            "TermIndex.logicalRemove")
+          // content known-check: the victims' recomputed per-id postings
+          // signature must equal the stored rows' — the fingerprint
+          // subtraction needs exactly the ingested content (unique-id
+          // family: one signature per id, the whole (term, tf) profile)
+          val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          def profile(tf: DataFrame): DataFrame = tf
+            .groupBy(col(idCol))
+            .agg(xxhash64(sort_array(collect_list(struct(col("term"),
+              col("tf"))))).as("_sig"))
+          val (vtf, _) = stats(victims, idCol, textCol)
+          val vSig = profile(vtf).withColumnRenamed("_sig", "_vsig")
+          val storedTb = s.read.parquet(s"$root/dl")
+            .filter(col("idb").isin(vIdb: _*))
+            .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+          val storedSig = profile(
+            s.read.parquet(s"$root/postings")
+              .join(TargetedDelete.maybeBroadcast(
+                storedTb.select(col(idCol)), nV), Seq(idCol), "leftsemi")
+              .select(col(idCol), col("term"), col("tf")))
+          val known = storedSig
+            .join(TargetedDelete.maybeBroadcast(vSig, nV), Seq(idCol))
+            .filter(col("_sig") === col("_vsig")).count()
+          if (known != nV) Fingerprint.refuse(
+            s"TermIndex.logicalRemove: only $known of $nV victim ids are " +
+              "indexed with matching content; the fingerprint subtraction " +
+              "needs exactly the ingested (id, text) rows")
+          // mid-append crash guard: victims' ingest provenance must have
+          // recorded its merge, or the subtraction would remove a
+          // fingerprint that was never added
+          val vSrcs = storedTb.select(col("_src"))
+            .filter(col("_src").isNotNull)
+            .distinct().collect().map(_.getString(0)).toSet
+          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+            "TermIndex.logicalRemove")
+        }
+        Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+          oldFp, "TermIndex.logicalRemove")
+        FaultInjection.maybeCrash("term.logical.state")
+        Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+          "TermIndex.logicalRemove").foreach { fp =>
+          import s.implicits._
+          Seq((nBuckets, fp._1, fp._2))
+            .toDF("n_buckets", "n_rows", "content_hash")
+            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+        }
+        FaultInjection.maybeCrash("term.logical.meta")
+        if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+        FaultInjection.maybeCrash("term.logical.record")
+        LogicalDelete.write(vids, idCol, normDir, rmTag)
+        Fingerprint.clearSourceStatus(conf, indexDir)
+        Fingerprint.clearRemoveState(conf, normDir, rmTag)
+      }
+      require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+        s"TermIndex.logicalRemove on $indexDir: index compacted during " +
+          "the removal — re-run it after verifying no maintenance is racing")
+    }
+  }
+
+  /** Fold the accreted append partitions to one file each (pure I/O,
+    * `_src`/`tb` structure preserved — provenance keeps working) and
+    * RECLAIM tombstoned rows on the rewrite the fold was doing anyway;
+    * generation-pointer cutover like every family. */
+  def compact(s: SparkSession, indexDir0: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val indexDir = IndexMaintenance.normalize(indexDir0)
+    val ctx = IndexMaintenance.beginCompact(conf, indexDir)
+    val reclaimBatches = LogicalDelete.pendingBatches(conf, indexDir)
+    try {
+      val tomb = LogicalDelete.idsOf(s, indexDir, reclaimBatches)
+      def dropVictims(df: DataFrame): DataFrame = tomb.fold(df) { t =>
+        df.join(t, Seq(LogicalDelete.idColOf(t)), "left_anti")
+      }
+      IndexMaintenance.runLegs(Seq(
+        "compact.postings" -> (() =>
+          IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot,
+            "postings", Seq("_src", "tb"), transform = dropVictims)),
+        "compact.dl" -> (() =>
+          IndexMaintenance.foldTable(s, ctx.fromRoot, ctx.stagingRoot,
+            "dl", Seq("_src", "idb"), transform = dropVictims)),
+        "compact.meta" -> (() =>
+          IndexMaintenance.copyTable(s, ctx.fromRoot, ctx.stagingRoot, "meta"))))
+    } catch {
+      case t: Throwable => IndexMaintenance.abortCompact(conf, ctx); throw t
+    }
+    IndexMaintenance.finishCompact(conf, ctx,
+      legacyTables = Seq("postings", "dl", "meta"))
+    if (reclaimBatches.nonEmpty) {
+      IndexMaintenance.purgeRetired(conf, indexDir, Seq("postings", "dl", "meta"))
+      LogicalDelete.clearBatches(conf, indexDir, reclaimBatches)
+    }
+  }
+}

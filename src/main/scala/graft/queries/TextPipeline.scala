@@ -1091,6 +1091,35 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Build-or-refresh the persisted BM25 index over `documents` —
+    * ingest-side cost the bench warms, like the other index families. */
+  def ensureTermIndex(s: SparkSession, dir: String): String = {
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_termidx/" +
+      Tables.fixtureKey(dir)
+    graft.operators.TermIndex.ensure(Tables.documents(s, dir),
+      "doc_id", "text", idx)
+    idx
+  }
+
+  /** [[bm25TopK]] served from the PERSISTED statistics
+    * ([[graft.operators.TermIndex]]): same fixed query set, same
+    * closed-form scorer, but tf/dl come off disk and only the query
+    * terms' postings buckets are read — the build-once/serve-many shape
+    * ranked retrieval actually runs at corpus scale. Value-exact
+    * equality with the recompute path is the oracle (both replay the
+    * identical DuckDB closed form). */
+  def bm25IndexTopK(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val idx = ensureTermIndex(s, dir)
+    val queries = Seq(
+      (1L, "spark table join"),
+      (2L, "data stream window agg"),
+      (3L, "dup merge"),
+      (4L, "customer query fast")).toDF("query_id", "q")
+    graft.operators.TermIndex.topK(s, idx, queries, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher,
     * SIGIR '09) — the standard way production search fuses a lexical and
     * a semantic ranker without score calibration: each leg contributes
@@ -1832,6 +1861,7 @@ object TextPipeline {
     "doc_seq_pack" -> (seqPack _),
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_bm25_topk" -> (bm25TopK _),
+    "doc_bm25_index_topk" -> (bm25IndexTopK _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_editdist_pairs" -> (editDistancePairs _),
     "doc_heavy_terms" -> (heavyTerms _),
@@ -1881,6 +1911,50 @@ object TextPipeline {
       | || ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST((doc_id*7) % 256 AS VARCHAR) || '.' || CAST((doc_id*13) % 256 AS VARCHAR)
       | || CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || CAST((doc_id*3) % 9000 + 1000 AS VARCHAR) ELSE '' END"""
       .stripMargin.linesIterator.mkString(" ")
+
+  /** The BM25 closed form both retrieval rows replay — the recompute
+    * query (`doc_bm25_topk`) and the persisted-index path
+    * (`doc_bm25_index_topk`) must rank identically. */
+  private val bm25Sql =
+    """WITH q AS (
+      |  SELECT * FROM (VALUES (1, 'spark table join'),
+      |                        (2, 'data stream window agg'),
+      |                        (3, 'dup merge'),
+      |                        (4, 'customer query fast')) AS t(query_id, qs)
+      |), qt AS (
+      |  SELECT DISTINCT query_id, unnest(string_split(qs, ' ')) AS term FROM q
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) o
+      |  WHERE o.term IN (SELECT DISTINCT term FROM qt)
+      |  GROUP BY doc_id, term
+      |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM dl
+      |), scored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    round(CAST(sum(CAST(round(
+      |      ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+      |      6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
+      |  FROM tf
+      |  JOIN qt ON qt.term = tf.term
+      |  JOIN dfreq ON dfreq.term = tf.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats
+      |  GROUP BY qt.query_id, tf.doc_id
+      |), ranked AS (
+      |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, rank, doc_id, score FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
     "doc_pii_stats" ->
@@ -2173,46 +2247,12 @@ object TextPipeline {
     // positive-idf ln form, and the same 6-decimal DECIMAL accumulation
     // as the Spark side — decimal addition is exact, so the sum is
     // merge-order-independent on both engines by construction
-    "doc_bm25_topk" ->
-      """WITH q AS (
-        |  SELECT * FROM (VALUES (1, 'spark table join'),
-        |                        (2, 'data stream window agg'),
-        |                        (3, 'dup merge'),
-        |                        (4, 'customer query fast')) AS t(query_id, qs)
-        |), qt AS (
-        |  SELECT DISTINCT query_id, unnest(string_split(qs, ' ')) AS term FROM q
-        |), tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents) o
-        |  WHERE o.term IN (SELECT DISTINCT term FROM qt)
-        |  GROUP BY doc_id, term
-        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |  FROM dl
-        |), scored AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    round(CAST(sum(CAST(round(
-        |      ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-        |        * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
-        |      6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS score
-        |  FROM tf
-        |  JOIN qt ON qt.term = tf.term
-        |  JOIN dfreq ON dfreq.term = tf.term
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN stats
-        |  GROUP BY qt.query_id, tf.doc_id
-        |), ranked AS (
-        |  SELECT CAST(query_id AS BIGINT) AS query_id, doc_id, score,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY score DESC, doc_id) AS rank
-        |  FROM scored)
-        |SELECT query_id, rank, doc_id, score FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+    "doc_bm25_topk" -> bm25Sql,
+    // the persisted-index path serves the IDENTICAL ranking (TermIndex
+    // stores exact tf/dl; df/N/avgdl derive from the stored rows), so
+    // its oracle is the same closed form — index == recompute is the
+    // equality the row checks, DuckDB-verified
+    "doc_bm25_index_topk" -> bm25Sql,
     // RRF replay (r15): both legs are the proven closed forms (the BM25
     // CTE chain above, self-excluded more-like-this; the vec_brute_topk
     // cosine), and the fusion itself is integer-rank arithmetic — ONE

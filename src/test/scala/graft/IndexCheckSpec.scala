@@ -98,6 +98,26 @@ class IndexCheckSpec extends SparkSpec {
     assert(failedNames(r2).contains("band-integrity"), IndexCheck.format(r2))
   }
 
+  test("term: healthy clean; lost postings slice and stale dl are named") {
+    import graft.operators.TermIndex
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"),
+      (3L, "gamma alpha alpha epsilon")).toDF("doc_id", "text")
+    val dir = tmpIdx("ick_term")
+    TermIndex.build(docs, "doc_id", "text", dir)
+    val r0 = IndexCheck.check(spark, dir)
+    assert(r0.family == "term" && r0.ok, IndexCheck.format(r0))
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    // partial postings loss: dl no longer equals the posted token mass
+    mangle(s"$root/postings")(_.filter(
+      !(col("doc_id") === 2L && col("term") === "beta")))
+    val r = IndexCheck.check(spark, dir)
+    assert(failedNames(r).contains("dl-consistency"), IndexCheck.format(r))
+    // whole doc's postings gone: id cover breaks too
+    mangle(s"$root/postings")(_.filter(col("doc_id") =!= 2L))
+    val r2 = IndexCheck.check(spark, dir)
+    assert(failedNames(r2).contains("id-cover"), IndexCheck.format(r2))
+  }
+
   test("vector: a flipped cell, a stale norm, and silent row loss are named") {
     val vecs = (0L until 32L)
       .map(i => (i, (i % 2).toInt, Array.tabulate(6)(d => ((i * 5 + d) % 11).toFloat)))

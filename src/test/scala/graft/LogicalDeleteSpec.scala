@@ -557,6 +557,42 @@ class LogicalDeleteSpec extends SparkSpec {
       "the rebuilt corpus' rows must be visible under the recycled id")
   }
 
+  test("term family: blind + survivor-exact immediately; crash matrix converges (r15)") {
+    import graft.operators.{FaultInjection, TermIndex}
+    Seq("term.logical.state", "term.logical.meta",
+        "term.logical.record").foreach { step =>
+      val docs = Seq((1L, "alpha beta gamma"), (2L, "beta delta"),
+        (3L, "gamma alpha epsilon"), (4L, "delta epsilon zeta"))
+      val dir = tmpIdx("ld_term")
+      TermIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text", dir)
+      val victims = Seq((2L, "beta delta")).toDF("doc_id", "text")
+      intercept[FaultInjection.InjectedCrash] {
+        FaultInjection.armed(step)(
+          TermIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "t1"))
+      }
+      // a different removal refuses while the crashed one pends
+      val ex = intercept[IllegalArgumentException] {
+        TermIndex.logicalRemove(Seq((3L, "gamma alpha epsilon"))
+          .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "t2")
+      }
+      assert(ex.getMessage.contains("never completed"), s"[$step] ${ex.getMessage}")
+      // the replay converges: victim blind, stats survivor-exact,
+      // fingerprint tracks the survivors
+      TermIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "t1")
+      val hits = TermIndex.topK(spark, dir,
+          Seq((9L, "beta")).toDF("query_id", "q"))
+        .collect().map(_.getLong(2)).toSet
+      assert(!hits.contains(2L), s"[$step] victim still retrieved: $hits")
+      val survivors = docs.filterNot(_._1 == 2L)
+      assert(TermIndex.isFresh(spark, dir,
+        survivors.toDF("doc_id", "text"), "doc_id", "text"),
+        s"[$step] fingerprint drifted across the crash window")
+      TermIndex.compact(spark, dir)
+      assert(LogicalDelete.pendingBatches(
+        spark.sparkContext.hadoopConfiguration, dir).isEmpty, s"[$step]")
+    }
+  }
+
   test("serve-overlay: persisted re-split serves reads; stale/missing falls back (r15)") {
     import graft.operators.{FaultInjection, IndexMaintenance}
     val conf = spark.sparkContext.hadoopConfiguration

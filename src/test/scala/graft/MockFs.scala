@@ -65,11 +65,15 @@ object CountingMockFs {
   /** How many file opens landed under this local-path prefix since the
     * last [[reset]] (local[*] runs tasks in this JVM, so task-side opens
     * are visible). */
-  def opensUnder(prefix: String): Int = {
+  def opensUnder(prefix: String): Int = openedUnder(prefix).size
+
+  /** The opened paths themselves — for failure messages that should name
+    * the stray reads, not just count them. */
+  def openedUnder(prefix: String): Seq[String] = {
     val it = opened.iterator()
-    var n = 0
-    while (it.hasNext) if (it.next().startsWith(prefix)) n += 1
-    n
+    val b = Seq.newBuilder[String]
+    while (it.hasNext) { val p = it.next(); if (p.startsWith(prefix)) b += p }
+    b.result()
   }
 }
 

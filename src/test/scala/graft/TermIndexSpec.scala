@@ -1,0 +1,183 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Fingerprint, IndexMaintenance, LogicalDelete, TermIndex}
+
+/** The persisted BM25 family must equal the closed-form fan-out
+  * value-for-value (same decimal accumulation, same rounding, same tie
+  * order), stay equal through its whole lifecycle (append == fresh
+  * build on the union, logical remove == fresh build on the survivors,
+  * before AND after the physical reclaim), keep its appends
+  * exactly-once under crash replay (ranking SUMS cannot tolerate the
+  * duplicate rows the match-once families shrug off), and read only
+  * the query terms' buckets. */
+class TermIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val k1 = 1.2; private val b = 0.75
+
+  /** Driver-side reference scorer with the exact rounding contract:
+    * round-half-up each term's contribution at 6 dp, sum exactly,
+    * round the total at 4 dp, rank by (score desc, id). */
+  private def reference(docs: Seq[(Long, String)], queries: Seq[(Long, String)],
+                        k: Int): Seq[(Long, Int, Long, Double)] = {
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val dl = toks.map { case (id, ts) => id -> ts.length.toDouble }
+    val n = docs.size.toDouble
+    val avgdl = dl.values.sum / n
+    def r(x: Double, scale: Int): BigDecimal =
+      BigDecimal(x).setScale(scale, BigDecimal.RoundingMode.HALF_UP)
+    queries.flatMap { case (qid, q) =>
+      val qts = q.split(" ").toSet
+      val scored = docs.flatMap { case (id, _) =>
+        val contributions = qts.toSeq.flatMap { term =>
+          val tf = toks(id).count(_ == term).toDouble
+          if (tf == 0) None
+          else {
+            val df = docs.count(d => toks(d._1).contains(term)).toDouble
+            val idf = math.log((n - df + 0.5) / (df + 0.5) + 1.0)
+            Some(r(idf * tf * (k1 + 1) /
+              (tf + k1 * (1 - b + b * dl(id) / avgdl)), 6))
+          }
+        }
+        if (contributions.isEmpty) None
+        else Some(id -> r(contributions.sum.toDouble, 4).toDouble)
+      }
+      scored.sortBy { case (id, s) => (-s, id) }.take(k).zipWithIndex
+        .map { case ((id, s), i) => (qid, i + 1, id, s) }
+    }
+  }
+
+  private def collectTopK(dir: String, queries: Seq[(Long, String)],
+                          k: Int = 10): Seq[(Long, Int, Long, Double)] =
+    TermIndex.topK(spark, dir, queries.toDF("query_id", "q"), k = k)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(t => (t._1, t._2))
+
+  private def tmpIdx(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString + "/idx"
+
+  private val corpus = Seq(
+    (1L, "spark streams join tables fast"),
+    (2L, "duck pond data lake"),
+    (3L, "spark spark spark tuning guide"),
+    (4L, "join order optimizer statistics"),
+    (5L, "tables of data in the lake"),
+    (6L, "a very long document about nothing in particular with many words"),
+    (7L, "fast join fast scan"),
+    (8L, "pond guide"))
+  private val queries = Seq((1L, "spark join"), (2L, "data lake guide"))
+
+  test("build + topK == the driver-side closed form, value-exact") {
+    val dir = tmpIdx("term_b")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(collectTopK(dir, queries) === reference(corpus, queries, 10))
+  }
+
+  test("append == fresh build on the union; crash replay exactly-once; tag reuse refuses") {
+    val (half, rest) = corpus.splitAt(4)
+    val dir = tmpIdx("term_a")
+    TermIndex.build(half.toDF("doc_id", "text"), "doc_id", "text", dir)
+    TermIndex.append(rest.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "b1")
+    val fresh = tmpIdx("term_af")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", fresh)
+    assert(collectTopK(dir, queries) === collectTopK(fresh, queries))
+    assert(TermIndex.isFresh(spark, dir, corpus.toDF("doc_id", "text"),
+      "doc_id", "text"))
+    // crash replay: the same (tag, delta) re-appends with NO score drift
+    // — a duplicated tf row would change every sum it touches
+    TermIndex.append(rest.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "b1")
+    assert(collectTopK(dir, queries) === collectTopK(fresh, queries),
+      "replayed append must be exactly-once in the ranking sums")
+    // a DIFFERENT batch under the used tag would destroy b1's rows
+    val ex = intercept[IllegalArgumentException] {
+      TermIndex.append(Seq((9L, "new doc")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "b1")
+    }
+    assert(ex.getMessage.contains("already used"), ex.getMessage)
+  }
+
+  test("logicalRemove: blind + survivor-exact stats immediately; compact reclaims; == fresh build on survivors") {
+    val dir = tmpIdx("term_lr")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val victims = corpus.filter(d => d._1 == 3L || d._1 == 5L)
+    val survivors = corpus.filterNot(d => d._1 == 3L || d._1 == 5L)
+    TermIndex.logicalRemove(victims.toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "rm1")
+    val fresh = tmpIdx("term_lrf")
+    TermIndex.build(survivors.toDF("doc_id", "text"), "doc_id", "text", fresh)
+    // BEFORE any reclaim: scores — df, N, avgdl included — must equal a
+    // fresh build on the survivors, not just hide the victim rows
+    assert(collectTopK(dir, queries) === collectTopK(fresh, queries),
+      "logical remove must be survivor-exact immediately")
+    assert(collectTopK(dir, queries) === reference(survivors, queries, 10))
+    assert(TermIndex.isFresh(spark, dir,
+      survivors.toDF("doc_id", "text"), "doc_id", "text"))
+    // a dead id refuses re-ingest until reclaim
+    val ex = intercept[IllegalArgumentException] {
+      TermIndex.append(Seq((3L, "recycled")).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "re3")
+    }
+    assert(ex.getMessage.contains("logically deleted"), ex.getMessage)
+    // wrong-content victims refuse (fingerprint integrity)
+    val ex2 = intercept[IllegalArgumentException] {
+      TermIndex.logicalRemove(Seq((1L, "not what was ingested"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "rm2")
+    }
+    assert(ex2.getMessage.contains("matching content"), ex2.getMessage)
+    // reclaim
+    TermIndex.compact(spark, dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty)
+    assert(collectTopK(dir, queries) === collectTopK(fresh, queries))
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    assert(spark.read.parquet(s"$root/dl")
+      .filter(col("doc_id").isin(3L, 5L)).count() == 0L,
+      "victim rows must leave disk at reclaim")
+    // the id is live again
+    TermIndex.append(Seq((3L, "recycled content")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "re3b")
+    assert(collectTopK(dir, Seq((9L, "recycled")))
+      .exists(_._3 == 3L), "reclaimed id must re-ingest")
+  }
+
+  test("topK reads only the query terms' postings buckets") {
+    CountingMockFs.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("term_pr").toString
+    val dir = s"mock://$base/idx"
+    // many distinct terms spread across buckets
+    val docs = (0L until 64L)
+      .map(i => (i, s"term$i shared filler$i word${i % 7}"))
+    TermIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      nBuckets = 16)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    val q = Seq((1L, "term3 shared"))
+    // the buckets this query is allowed to touch
+    val touched = q.flatMap(_._2.split(" "))
+      .map(t => Seq(t).toDF("term")
+        .select(pmod(xxhash64(col("term")), lit(16L))).head().getLong(0))
+      .toSet
+    val untouched = (0L until 16L).filterNot(touched)
+    def strayOpens: Seq[String] = untouched.flatMap(tb =>
+      CountingMockFs.openedUnder(s"$base/idx/postings/_src=build/tb=$tb/"))
+    // calibrate: schema inference alone opens a footer or two, wherever
+    // they happen to live — the pruning assertion must not count those
+    CountingMockFs.reset()
+    spark.read.parquet(s"$root/postings").schema
+    val inferenceBaseline = strayOpens.size
+    CountingMockFs.reset()
+    collectTopK(dir, q, k = 5)
+    val stray = strayOpens
+    assert(stray.size <= inferenceBaseline,
+      s"query read ${stray.size} file(s) from postings buckets it has no " +
+        s"terms in (schema inference alone reads $inferenceBaseline) — " +
+        s"partition pruning lost: ${stray.mkString(", ")}")
+    assert(touched.exists(tb => CountingMockFs.opensUnder(
+      s"$base/idx/postings/_src=build/tb=$tb/") > 0),
+      "positive control: the query's own buckets must be read")
+  }
+}
