@@ -203,6 +203,26 @@ object TermIndex {
       .select(col(queryIdCol), col("rank"), col(idCol), col("score"))
   }
 
+  /** Which of `ids` are already indexed (streaming first-write-wins
+    * filter — the unique-id contract means a stable-id re-crawl must
+    * not re-enter): pruned dl read, logically-deleted ids NOT known.
+    * `excludeTag` keeps a crashed append's own rows from masking its
+    * replay, like the cluster sibling. */
+  def knownIds(s: SparkSession, indexDir: String, ids: DataFrame,
+               idCol: String, excludeTag: Option[String] = None): DataFrame = {
+    val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
+    val (nBuckets, _) = readMeta(s, root)
+    val pinned = ids.select(col(idCol)).distinct().localCheckpoint()
+    val touched = pinned.select(idb(col(idCol), nBuckets).as("idb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val dlAll = s.read.parquet(s"$root/dl").filter(col("idb").isin(touched: _*))
+    val dl = excludeTag.fold(dlAll)(tg =>
+      dlAll.filter(col("_src") =!= lit(sanitize(tg))))
+    LogicalDelete.hide(
+      dl.join(broadcast(pinned), Seq(idCol), "leftsemi").select(col(idCol)),
+      idCol, LogicalDelete.ids(s, indexDir))
+  }
+
   /** O(|delta|) maintenance — `tag` must be BATCH-UNIQUE: writes are
     * tag-scoped dynamic overwrites (see the class doc for why this
     * family cannot be append-mode), the fingerprint merges once per

@@ -906,7 +906,8 @@ object S4Stream {
     * the same id (changed text — a later re-crawl) still ingests. */
   private def takedownBatchImpl(batch: DataFrame, batchId: Long,
       idCol: String, valueCol: String, indexDir: String, lakeDir: String,
-      runKey: String)(removeFn: (DataFrame, String) => Unit): Unit = {
+      runKey: String, tombstoneAll: Boolean = false)(
+      removeFn: (DataFrame, String) => Unit): Unit = {
     val s = batch.sparkSession
     val tag = s"ck${runKey}_b$batchId"
     appliedOnce(s, indexDir, runKey, batchId) {
@@ -929,12 +930,19 @@ object S4Stream {
             .write.mode("overwrite").parquet(staging)
         }
         val victims = s.read.parquet(staging).localCheckpoint()
+        // content tombstones for ALL requested victims (the cluster r14
+        // contract, opt-in per family): never-ingested and
+        // crashed-before-append rows still tombstone, so a late ingest
+        // replay of the forgotten content converges without operator
+        // action. Batch-tag-keyed overwrite => replay-idempotent.
+        if (tombstoneAll) recordTombstones(batch, idCol, valueCol, indexDir, tag)
         if (!victims.isEmpty) {
           // tombstone BEFORE the index remove: from the moment the
           // victim leaves the index, a replaying ingest batch would
           // re-admit it as novel — the tombstone must already be
           // visible. Batch-tag-keyed overwrite => replay-idempotent.
-          recordTombstones(victims, idCol, valueCol, indexDir, tag)
+          if (!tombstoneAll)
+            recordTombstones(victims, idCol, valueCol, indexDir, tag)
           // INDEX FIRST (see the crash-boundary walkthrough above).
           // A PRE-MUTATION refusal (victims not indexed — their ingest
           // batch crashed before/inside its append — or leftover
@@ -1382,6 +1390,100 @@ object S4Stream {
     lazy val runKey = checkpointRunKey(docs.sparkSession, checkpointDir)
     startIndexedLoop(docs, checkpointDir, availableNow) { (batch, batchId) =>
       processIndexedClusterBatch(batch, batchId, idCol, textCol,
+        indexDir, lakeDir, runKey)
+    }
+  }
+
+  /** One micro-batch of [[termIngestStream]], exposed for direct replay
+    * testing. The term family follows the CLUSTER loop's unique-id
+    * discipline (first write wins on stable-id re-crawls — a second
+    * version of an id would double its dl/tf mass and corrupt every
+    * BM25 sum it touches), with the dedup loops' lake-before-append
+    * ordering. Replay contract: the applied/ marker skips committed
+    * batches; an uncommitted replay rewrites lake + its own tag-scoped
+    * index partitions; a COMMITTED replay (recorded tag, no marker)
+    * must not touch the index — append would rightly refuse a
+    * tombstone-shrunk delta under the used tag — so it only rewrites
+    * the lake feed restricted to ids still in the index (a takedown
+    * between crash and replay removes them from both, which is the
+    * point). */
+  private[graft] def processTermIngestBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, lakeDir: String,
+      runKey: String): Unit = {
+    val s = batch.sparkSession
+    val tag = s"ck${runKey}_b$batchId" // batch-unique: append REQUIRES it
+    appliedOnce(s, indexDir, runKey, batchId) {
+      if (!batch.isEmpty) {
+        // resurrection guard + dead-until-reclaim filter, then first
+        // write wins (see the cluster loop for the full argument)
+        val pinned = exceptLogicallyDeleted(
+            exceptTombstoned(batch, idCol, textCol, indexDir), idCol, indexDir)
+          .localCheckpoint()
+        val known = graft.operators.TermIndex.knownIds(
+          s, indexDir, pinned.select(col(idCol)), idCol,
+          excludeTag = Some(tag))
+        val fresh = pinned
+          .join(broadcast(known), Seq(idCol), "left_anti")
+          .localCheckpoint()
+        if (!graft.operators.Fingerprint.tagUsed(
+            s.sparkContext.hadoopConfiguration, indexDir, tag)) {
+          // batchId-keyed overwrite: the lake is exactly-once; the
+          // append's tag-scoped overwrite makes the index leg the same
+          fresh.write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+          graft.operators.TermIndex.append(fresh, idCol, textCol,
+            indexDir, tag)
+        } else {
+          // committed-append replay: index untouched; the lake feed is
+          // rebuilt from the ids the index still serves
+          val inIndex = graft.operators.TermIndex.knownIds(
+            s, indexDir, fresh.select(col(idCol)), idCol)
+          fresh.join(broadcast(inIndex), Seq(idCol), "leftsemi")
+            .write.mode("overwrite").parquet(s"$lakeDir/batch=$batchId")
+        }
+      }
+    }
+  }
+
+  /** STREAMING ingest for the persisted BM25 index
+    * ([[graft.operators.TermIndex]]) — retrieval joins the
+    * build-once/ingest-forever family: per micro-batch, first-ingest
+    * rows land in a batchId-keyed lake subtree and append their tf/dl
+    * statistics tag-scoped to the index; `TermIndex.topK` serves the
+    * union corpus from the next batch on. */
+  def termIngestStream(docs: DataFrame, idCol: String, textCol: String,
+                       indexDir: String, lakeDir: String,
+                       checkpointDir: String,
+                       availableNow: Boolean = false): StreamingQuery = {
+    lazy val runKey = checkpointRunKey(docs.sparkSession, checkpointDir)
+    startIndexedLoop(docs, checkpointDir, availableNow) { (batch, batchId) =>
+      processTermIngestBatch(batch, batchId, idCol, textCol,
+        indexDir, lakeDir, runKey)
+    }
+  }
+
+  /** Term-family sibling of [[processTakedownBatch]]: the same staged
+    * victim snapshot and crash-boundary contract, with
+    * [[graft.operators.TermIndex.logicalRemove]] as the index leg —
+    * queries are blind AND survivor-exact in df/N/avgdl the moment the
+    * batch commits; compact() reclaims physically on its own cadence. */
+  private[graft] def processTermTakedownBatch(batch: DataFrame, batchId: Long,
+      idCol: String, textCol: String, indexDir: String, lakeDir: String,
+      runKey: String): Unit =
+    takedownBatchImpl(batch, batchId, idCol, textCol, indexDir, lakeDir,
+      runKey, tombstoneAll = true) { (victims, tag) =>
+      graft.operators.TermIndex.logicalRemove(victims, idCol, textCol,
+        indexDir, tag)
+    }
+
+  /** Continuous RTBF for the BM25 family — all FOUR persisted index
+    * families are now streaming-takedown-maintainable. */
+  def indexedTermTakedownStream(victimIds: DataFrame, idCol: String,
+                                textCol: String, indexDir: String,
+                                lakeDir: String, checkpointDir: String,
+                                availableNow: Boolean = false): StreamingQuery = {
+    lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
+    startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
+      processTermTakedownBatch(batch, batchId, idCol, textCol,
         indexDir, lakeDir, runKey)
     }
   }

@@ -310,6 +310,7 @@ class PlanSpec extends SparkSpec {
     val singlePartitionOk = Set(
       "doc_tfidf_terms",      // global N: one count row per partition
       "doc_bm25_topk",        // global N/avgdl: one partial row per partition
+      "doc_bm25_index_topk",  // same stats aggregate, over the dl table
       "doc_rrf_fusion",       // same BM25 N/avgdl partial-row aggregate
       "doc_dsir_weights",     // global corpus totals: one partial row per partition
       "ev_equidepth_hist",    // single-row decile-boundary aggregate

@@ -2047,4 +2047,100 @@ class StreamingSpec extends SparkSpec {
       Seq((10L, txt10), (20L, txt20)).toDF("doc_id", "text"),
       "doc_id", "text"), "fingerprint must track the survivors")
   }
+
+  test("term family streams: first-write-wins ingest, takedown blind + survivor-exact, replays converge") {
+    // the FOURTH family's streaming legs: ingest appends tf/dl
+    // statistics per micro-batch (unique-id contract — a stable-id
+    // re-crawl would double its BM25 mass, so first write wins), the
+    // takedown stream runs the staged-snapshot protocol with
+    // TermIndex.logicalRemove as the index leg, and both replay windows
+    // converge without touching committed index state.
+    import spark.implicits._
+    import graft.operators.TermIndex
+    val in = tmp("tmin"); val lake = tmp("tmlake"); val ck = tmp("tmck")
+    val idx = tmp("tmidx").toString
+    val ta = "alpha beta gamma"; val tb = "beta delta epsilon"
+    val tc = "gamma alpha zeta"; val td = "delta zeta eta"
+    val never = "theta iota kappa"
+    val queries = Seq((1L, "beta gamma"), (2L, "delta zeta")).toDF("query_id", "q")
+    def top(dir: String): Seq[(Long, Int, Long, Double)] =
+      TermIndex.topK(spark, dir, queries).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    def fresh(docs: Seq[(Long, String)]): Seq[(Long, Int, Long, Double)] = {
+      val d = tmp("tmf").toString
+      TermIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text", d)
+      top(d)
+    }
+    TermIndex.build(Seq((1L, ta), (2L, tb)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    // ---- ingest batch 0 through the production loop: two fresh docs
+    // plus a stable-id re-crawl of 1, which must NOT re-enter
+    S4Stream.processTermIngestBatch(
+      Seq((3L, tc), (4L, td), (1L, "changed recrawl content"))
+        .toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, lake.toString, runKey = "tin")
+    assert(top(idx) === fresh(Seq((1L, ta), (2L, tb), (3L, tc), (4L, td))),
+      "stream-appended corpus must rank like a fresh union build")
+    assert(spark.read.parquet(s"$lake/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(3L, 4L),
+      "first write wins: the re-crawl must not land in the lake feed")
+    // ---- takedown through the real stream wiring: 3 (ingested) and a
+    // never-ingested victim 99 whose content must still tombstone
+    writeLines(in, "t1.json", Seq(
+      s"""{"doc_id": 3, "text": "$tc"}""",
+      s"""{"doc_id": 99, "text": "$never"}"""))
+    val src = spark.readStream.schema("doc_id LONG, text STRING").json(in.toString)
+    S4Stream.indexedTermTakedownStream(src, "doc_id", "text", idx,
+      lake.toString, ck.toString, availableNow = true)
+      .awaitTermination()
+    val survivors = Seq((1L, ta), (2L, tb), (4L, td))
+    val survivorTop = fresh(survivors)
+    assert(top(idx) === survivorTop,
+      "takedown must be blind AND survivor-exact (df/N/avgdl) immediately")
+    assert(spark.read.parquet(lake.toString)
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(4L),
+      "the victim must leave the lake")
+    // late ingest of the tombstoned content is dropped
+    S4Stream.processTermIngestBatch(
+      Seq((99L, never)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, lake.toString, runKey = "tin")
+    assert(top(idx) === survivorTop,
+      "tombstoned content must not ingest after the takedown")
+    // ---- reclaim
+    TermIndex.compact(spark, idx)
+    assert(top(idx) === survivorTop)
+    assert(TermIndex.isFresh(spark, idx, survivors.toDF("doc_id", "text"),
+      "doc_id", "text"), "fingerprint must track the survivors")
+    // ---- crash window A: takedown marker lost after full completion —
+    // the replay stages an empty set and no-ops through to the marker
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val marker = fs.listStatus(new org.apache.hadoop.fs.Path(s"$idx/applied"))
+      .map(_.getPath)
+      .find(p => p.getName.endsWith("_b0") && !p.getName.contains("tin")).get
+    val runKey = marker.getName.stripPrefix("ck").split("_b0").head
+    assert(fs.delete(marker, false))
+    S4Stream.processTermTakedownBatch(
+      Seq((3L, tc), (99L, never)).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", idx, lake.toString, runKey)
+    assert(top(idx) === survivorTop)
+    assert(graft.operators.LogicalDelete.pendingBatches(
+      spark.sparkContext.hadoopConfiguration, idx).isEmpty,
+      "completed replay must not rewrite the tombstone batch")
+    // ---- crash window B: committed INGEST batch replays after the
+    // takedown (marker lost) — the index must stay untouched and the
+    // lake feed rebuild to the ids the index still serves
+    assert(fs.delete(new org.apache.hadoop.fs.Path(
+      s"$idx/applied/cktin_b0"), false))
+    S4Stream.processTermIngestBatch(
+      Seq((3L, tc), (4L, td), (1L, "changed recrawl content"))
+        .toDF("doc_id", "text"),
+      0L, "doc_id", "text", idx, lake.toString, runKey = "tin")
+    assert(top(idx) === survivorTop,
+      "a committed ingest replay must not mutate the index")
+    assert(spark.read.parquet(s"$lake/batch=0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet === Set(4L),
+      "the replayed feed must hold only ids the index still serves")
+  }
 }
