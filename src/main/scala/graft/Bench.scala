@@ -195,6 +195,8 @@ object Bench {
     // pays the build and mislabels the attribution metrics)
     warmIndex("ensureProbeClusterIndex", Set("doc_cluster_index_probe"))(
       graft.queries.TextPipeline.ensureProbeClusterIndex(spark, sfDir))
+    warmIndex("ensureTermIndex", Set("doc_bm25_index_topk"))(
+      graft.queries.TextPipeline.ensureTermIndex(spark, sfDir))
     // scan staging is ingest-side too since r11 (stage-once markers):
     // pay the format writes here so every timed iteration — not just
     // iterations 2-3 under the min — measures the read path
