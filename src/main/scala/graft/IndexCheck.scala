@@ -42,7 +42,7 @@ object IndexCheck {
 
   final case class DataReport(
       dir: String,
-      family: String,              // "cluster" | "text" | "vector"
+      family: String,              // "cluster" | "text" | "vector" | "term"
       inflight: Seq[String],       // crashed/in-flight ops that can explain findings
       checks: Seq[Check]) {
     def failed: Seq[Check] = checks.filterNot(_.ok)
@@ -134,7 +134,10 @@ object IndexCheck {
     // same total multiplicity AND the same (id, token) set
     val postings = s.read.parquet(s"$root/postings")
     val postRows = postings.count()
-    val tokSizes = toks.agg(sum(size(col("_toks")))).head().getLong(0)
+    // coalesce: sum over ZERO rows is null, and the fsck must report an
+    // emptied table as a violation, not die on it
+    val tokSizes = toks
+      .agg(coalesce(sum(size(col("_toks"))), lit(0L))).head().getLong(0)
     val pairDiff = postings.select(col(idCol), col("_tok")).distinct()
       .join(toks.select(col(idCol), explode(col("_toks")).as("_tok")).distinct(),
         Seq(idCol, "_tok"), "full_outer")
@@ -258,9 +261,16 @@ object IndexCheck {
     }
 
     val cells = s.read.parquet(s"$root/cells")
-    val vecCol =
-      if (cells.columns.contains("embedding")) "embedding"
-      else idColOf(cells, Set("cell", "norm", "_src", "label"))
+    // recover the vector column by TYPE (the array column outside the
+    // layout's own), not by name — an index built on a corpus whose
+    // vector column isn't literally "embedding" must still audit
+    val vecCol = cells.schema.fields
+      .find(f => f.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]
+        && !Set("cell", "norm", "_src").contains(f.name))
+      .map(_.name)
+      .getOrElse(throw new IllegalArgumentException(
+        s"IndexCheck: no vector (array) column in $root/cells " +
+          s"(columns: ${cells.columns.mkString(", ")})"))
     val idCol = idColOf(cells,
       Set("cell", "norm", "_src", "label", vecCol))
 

@@ -1647,8 +1647,17 @@ object ClusterIndex {
       // is a pure O(overlay) parquet read. A crash right above leaves
       // the overlay out of step with the batch list; serves detect that
       // and recompute live, and the replay rewrites it (idempotent).
-      rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets,
+      // BEST-EFFORT (review-caught): the overlay is advisory — readers
+      // validate and fall back — so a transient failure here must not
+      // leave rmstate pending and wedge every later removal over an
+      // artifact whose absence costs one extra per-read recompute.
+      try rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets,
         curBatch = rmTag, curVids = (vids, nV, vIdb), newFp = resolvedFp))
+      catch {
+        case scala.util.control.NonFatal(e) =>
+          System.err.println("[ClusterIndex.logicalRemove] serve-overlay " +
+            s"write failed — serves fall back to the live re-split: $e")
+      }
       Fingerprint.clearSourceStatus(conf, indexDir)
       // state cleanup LAST — every step above replays from the record
       Fingerprint.clearRemoveState(conf, normDir, rmTag)

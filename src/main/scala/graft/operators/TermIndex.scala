@@ -184,17 +184,15 @@ object TermIndex {
       .localCheckpoint(eager = false) // fan-out: stats AND the score join
     val corpusStats = dlAll.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val w = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-      (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     tfQ
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
       .join(dlAll, Seq(idCol))
       .crossJoin(broadcast(corpusStats))
       .groupBy(col(queryIdCol), col(idCol))
-      // exact decimal accumulation: merge-order-independent sum
-      .agg(round(sum(round(w, 6).cast("decimal(18,6)")).cast("double"), 4)
+      // the ONE shared scorer — doc_bm25_index_topk == doc_bm25_topk is
+      // a value-exact contract, see graft.functions.Bm25
+      .agg(graft.functions.Bm25.score(graft.functions.Bm25.weight(k1, b))
         .as("score"))
       .withColumn("rank", row_number().over(
         Window.partitionBy(col(queryIdCol))
@@ -312,19 +310,34 @@ object TermIndex {
             .groupBy(col(idCol))
             .agg(xxhash64(sort_array(collect_list(struct(col("term"),
               col("tf"))))).as("_sig"))
-          val (vtf, _) = stats(victims, idCol, textCol)
-          val vSig = profile(vtf).withColumnRenamed("_sig", "_vsig")
-          val storedTb = s.read.parquet(s"$root/dl")
+          val (vtf0, vdl) = stats(victims, idCol, textCol)
+          val vtf = vtf0.localCheckpoint() // bucket collect + signature
+          // the stored postings read prunes to the VICTIMS' term buckets
+          // (bounded collect, the topK recipe) — never the corpus. The
+          // prune could hide stored-only terms, so totality is pinned by
+          // the dl equality below: pruned-profile match + equal token
+          // counts => full-profile match (a stored term outside the
+          // pruned buckets would make the stored dl strictly larger)
+          val vTb = vtf.select(tb(col("term"), nBuckets).as("tb"))
+            .distinct().collect().map(_.getLong(0)).toSeq
+          val vSig = profile(vtf)
+            .withColumnRenamed("_sig", "_vsig")
+            .join(vdl.select(col(idCol), col("dl").as("_vdl")), Seq(idCol))
+          val storedDl = s.read.parquet(s"$root/dl")
             .filter(col("idb").isin(vIdb: _*))
             .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+            .localCheckpoint() // signature join + provenance collect
           val storedSig = profile(
             s.read.parquet(s"$root/postings")
+              .filter(col("tb").isin(vTb: _*))
               .join(TargetedDelete.maybeBroadcast(
-                storedTb.select(col(idCol)), nV), Seq(idCol), "leftsemi")
+                storedDl.select(col(idCol)), nV), Seq(idCol), "leftsemi")
               .select(col(idCol), col("term"), col("tf")))
           val known = storedSig
+            .join(storedDl.select(col(idCol), col("dl")), Seq(idCol))
             .join(TargetedDelete.maybeBroadcast(vSig, nV), Seq(idCol))
-            .filter(col("_sig") === col("_vsig")).count()
+            .filter(col("_sig") === col("_vsig") && col("dl") === col("_vdl"))
+            .count()
           if (known != nV) Fingerprint.refuse(
             s"TermIndex.logicalRemove: only $known of $nV victim ids are " +
               "indexed with matching content; the fingerprint subtraction " +
@@ -332,7 +345,7 @@ object TermIndex {
           // mid-append crash guard: victims' ingest provenance must have
           // recorded its merge, or the subtraction would remove a
           // fingerprint that was never added
-          val vSrcs = storedTb.select(col("_src"))
+          val vSrcs = storedDl.select(col("_src"))
             .filter(col("_src").isNotNull)
             .distinct().collect().map(_.getString(0)).toSet
           Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,

@@ -1070,9 +1070,6 @@ object TextPipeline {
     // exact integer sum / count -> bit-identical avgdl on both engines
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val w = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-      (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     val scored = tf
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
@@ -1080,7 +1077,7 @@ object TextPipeline {
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
       // exact decimal accumulation: order-independent by construction
-      .agg(round(sum(round(w, 6).cast("decimal(18,6)")).cast("double"), 4)
+      .agg(graft.functions.Bm25.score(graft.functions.Bm25.weight(k1, b))
         .as("score"))
     scored
       .withColumn("rank", row_number().over(
@@ -1163,9 +1160,6 @@ object TextPipeline {
       size(TextOps.tokens(col("text"))).cast("long").as("dl"))
     val stats = dl.agg(count(lit(1)).cast("double").as("n"),
       (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    val w = log((col("n") - col("df") + lit(0.5)) / (col("df") + lit(0.5)) + lit(1.0)) *
-      (col("tf") * lit(k1 + 1)) /
-      (col("tf") + lit(k1) * (lit(1 - b) + lit(b) * (col("dl").cast("double") / col("avgdl"))))
     val lex = tf
       .join(broadcast(qterms), Seq("term"))
       .filter(col("doc_id") =!= col("query_id")) // more-like-this: not itself
@@ -1173,7 +1167,7 @@ object TextPipeline {
       .join(dl, Seq("doc_id"))
       .crossJoin(broadcast(stats))
       .groupBy(col("query_id"), col("doc_id"))
-      .agg(round(sum(round(w, 6).cast("decimal(18,6)")).cast("double"), 4)
+      .agg(graft.functions.Bm25.score(graft.functions.Bm25.weight(k1, b))
         .as("bscore"))
       .withColumn("lrank", row_number().over(
         Window.partitionBy(col("query_id"))
