@@ -919,14 +919,21 @@ object S4Stream {
         if (!fs.exists(stagingSuccess)) {
           // first attempt: snapshot the victims' rows OF RECORD out of
           // the lake (ids never ingested, or already taken down, simply
-          // do not match)
+          // do not match). A takedown that arrives before ANY ingest
+          // batch landed a subtree must stage an empty set, not throw
+          // on the unreadable lake (the cluster loop's hasFeed guard).
+          val lakePath = new org.apache.hadoop.fs.Path(lakeDir)
+          val hasFeed = fs.exists(lakePath) && fs.listStatus(lakePath)
+            .exists(_.getPath.getName.startsWith("batch="))
           val ids = batch.select(col(idCol)).distinct().localCheckpoint()
-          s.read.parquet(lakeDir)
-            .select(col(idCol), col(valueCol))
-            // broadcast only below the mass-victim threshold — a bulk
-            // purge batch shuffles instead (VERDICT r11 item 1)
-            .join(graft.operators.TargetedDelete.maybeBroadcast(ids, ids.count()),
-              Seq(idCol), "leftsemi")
+          (if (hasFeed)
+            s.read.parquet(lakeDir)
+              .select(col(idCol), col(valueCol))
+              // broadcast only below the mass-victim threshold — a bulk
+              // purge batch shuffles instead (VERDICT r11 item 1)
+              .join(graft.operators.TargetedDelete.maybeBroadcast(ids, ids.count()),
+                Seq(idCol), "leftsemi")
+          else batch.select(col(idCol), col(valueCol)).limit(0))
             .write.mode("overwrite").parquet(staging)
         }
         val victims = s.read.parquet(staging).localCheckpoint()

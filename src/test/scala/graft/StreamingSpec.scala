@@ -2048,6 +2048,29 @@ class StreamingSpec extends SparkSpec {
       "doc_id", "text"), "fingerprint must track the survivors")
   }
 
+  test("takedown before the first ingest: stages empty, still tombstones, late ingest converges") {
+    // a takedown stream can legitimately start before any ingest batch
+    // landed a lake subtree — it must stage an empty victim set (not
+    // throw on the unreadable lake) and, for a tombstoneAll family,
+    // still content-tombstone the request so the content never lands
+    import spark.implicits._
+    import graft.operators.TermIndex
+    val lake = tmp("tpre_lake"); val idx = tmp("tpre_idx").toString
+    TermIndex.build(Seq((1L, "seed corpus words")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    S4Stream.processTermTakedownBatch(
+      Seq((7L, "forget this content")).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", idx, lake.toString, runKey = "tpd")
+    // a late ingest of the forgotten content is dropped
+    S4Stream.processTermIngestBatch(
+      Seq((7L, "forget this content")).toDF("doc_id", "text"), 0L,
+      "doc_id", "text", idx, lake.toString, runKey = "tpi")
+    assert(TermIndex.knownIds(spark, idx, Seq(7L).toDF("doc_id"), "doc_id")
+      .isEmpty, "tombstoned-before-ingest content must never index")
+    assert(spark.read.parquet(s"$lake/batch=0").count() == 0L,
+      "tombstoned-before-ingest content must never land in the lake")
+  }
+
   test("term family streams: first-write-wins ingest, takedown blind + survivor-exact, replays converge") {
     // the FOURTH family's streaming legs: ingest appends tf/dl
     // statistics per micro-batch (unique-id contract — a stable-id
