@@ -118,6 +118,33 @@ class IndexCheckSpec extends SparkSpec {
     assert(failedNames(r2).contains("id-cover"), IndexCheck.format(r2))
   }
 
+  test("vector column recovered by type: a non-'embedding' name audits clean") {
+    // review-caught: the recovery used the literal name "embedding" with
+    // a first-leftover fallback that SWAPPED vec/id on any other name
+    val vecs = (0L until 16L)
+      .map(i => (i, Array.tabulate(4)(d => ((i * 3 + d) % 7).toFloat)))
+      .toDF("row_id", "vec")
+    val dir = tmpIdx("ick_vn")
+    VectorIndex.build(vecs, dir, nlist = 2, corpusId = "row_id",
+      corpusVec = "vec")
+    val r = IndexCheck.check(spark, dir)
+    assert(r.family == "vector" && r.ok, IndexCheck.format(r))
+  }
+
+  test("cluster: an emptied toks table is a named violation, not a crash") {
+    // review-caught: sum(size(_toks)) over zero rows is null — the fsck
+    // must report the most-damaged input it exists to diagnose
+    val docs = Seq((1L, span(0, 30)), (2L, span(100, 140)))
+      .toDF("doc_id", "text")
+    val dir = tmpIdx("ick_ce")
+    ClusterIndex.build(docs, "doc_id", "text", dir)
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    mangle(s"$root/toks")(_.filter(col("doc_id") < 0L))
+    val r = IndexCheck.check(spark, dir)
+    assert(failedNames(r).contains("id-cover") &&
+      failedNames(r).contains("postings-multiplicity"), IndexCheck.format(r))
+  }
+
   test("vector: a flipped cell, a stale norm, and silent row loss are named") {
     val vecs = (0L until 32L)
       .map(i => (i, (i % 2).toInt, Array.tabulate(6)(d => ((i * 5 + d) % 11).toFloat)))
