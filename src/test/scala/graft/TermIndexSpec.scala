@@ -144,6 +144,39 @@ class TermIndexSpec extends SparkSpec {
       .exists(_._3 == 3L), "reclaimed id must re-ingest")
   }
 
+  test("compact folds accreted append files to one per partition; ranking unchanged") {
+    val dir = tmpIdx("term_cf")
+    val (seed, rest) = corpus.splitAt(5)
+    TermIndex.build(seed.toDF("doc_id", "text"), "doc_id", "text", dir)
+    rest.zipWithIndex.foreach { case (doc, i) =>
+      TermIndex.append(Seq(doc).toDF("doc_id", "text"), "doc_id", "text",
+        dir, tag = s"a$i")
+    }
+    val before = collectTopK(dir, queries)
+    TermIndex.compact(spark, dir)
+    assert(collectTopK(dir, queries) === before,
+      "the fold is pure I/O — ranking must not move")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = graft.operators.IndexMaintenance.liveRoot(conf, dir)
+    Seq("postings", "dl").foreach { t =>
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
+      val leafDirs = fs.listStatus(new org.apache.hadoop.fs.Path(s"$root/$t"))
+        .filter(_.isDirectory)
+        .flatMap(d => fs.listStatus(d.getPath).filter(_.isDirectory))
+      leafDirs.foreach { p =>
+        val n = fs.listStatus(p.getPath)
+          .count(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+        assert(n <= 1, s"$t partition ${p.getPath.getName} holds $n files " +
+          "after compact — the small-files fold lost its bound")
+      }
+      assert(leafDirs.nonEmpty, s"$t must keep its partition structure")
+    }
+    // and the lifecycle keeps working post-cutover
+    TermIndex.append(Seq((20L, "post compact doc")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "pc")
+    assert(collectTopK(dir, Seq((9L, "compact"))).exists(_._3 == 20L))
+  }
+
   test("topK reads only the query terms' postings buckets") {
     CountingMockFs.install(spark)
     val base = java.nio.file.Files.createTempDirectory("term_pr").toString
