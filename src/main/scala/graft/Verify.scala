@@ -19,6 +19,11 @@ object Verify {
       // fires during an oracle run, fail loudly naming the cap instead
       // of surfacing as an unattributable DuckDB hash mismatch
       .config("graft.dedup.capAudit", "true")
+      // TermIndex serve-time stats come from meta since r16; during the
+      // oracle run, cross-check them against the stored dl rows so any
+      // incremental-maintenance drift fails THIS gate loudly instead of
+      // surfacing as an unattributable score mismatch
+      .config("graft.term.checkStats", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -21,15 +21,23 @@ import org.apache.spark.sql.functions._
   *    families use (at 100 TB a 5-term query reads 5 buckets, never the
   *    corpus).
   *  - `dl(id, dl)` partitioned by `(_src, idb)` — per-document token
-  *    counts; N and avgdl are ONE column-pruned partial aggregate over
-  *    this two-column table at query time. Deliberately derived, not
-  *    cached in meta: a cached count would need its own exactly-once
-  *    maintenance protocol, and its failure mode (silently wrong scores)
-  *    is worse than the fingerprint's (spurious rebuild) — BM25 stats
-  *    here can never disagree with the stored rows.
-  *  - `meta(n_buckets, n_rows, content_hash)` — parameters + the corpus
-  *    fingerprint, maintained by the same exact merge/subtract protocol
-  *    as the siblings.
+  *    counts, read at query time only for the CANDIDATE docs' buckets
+  *    (a bounded collect of the candidates' idb values turns the join
+  *    read into a static partition filter, like the postings read).
+  *  - `meta(n_buckets, n_rows, content_hash, sum_dl)` — parameters, the
+  *    corpus fingerprint, and the corpus token total. N (= `n_rows`,
+  *    the fingerprint's own row count) and `sum_dl` give avgdl WITHOUT
+  *    an O(corpus) dl aggregate per query batch — the last corpus-sized
+  *    serve-path stage before r16. Both are additive, so they ride the
+  *    fingerprint's exactly-once machinery VERBATIM: every meta write
+  *    (append merge, removal subtraction) updates fingerprint and
+  *    sum_dl in the SAME parquet file, so the two can never desync —
+  *    any crash window that could drift sum_dl drifts the fingerprint
+  *    identically and is flagged by the existing freshness check.
+  *    Defense in depth: `topK` under `graft.term.checkStats=true`
+  *    (Verify sets it) re-derives both from the stored dl rows and
+  *    refuses on mismatch, so drift fails loudly in the oracle gate
+  *    rather than silently mis-scoring.
   *
   * Writes are tag-scoped dynamic overwrites (the [[ClusterIndex]]
   * discipline, NOT the append-mode [[TextIndex]] one) because BM25
@@ -83,13 +91,29 @@ object TermIndex {
       Seq("_src", "idb"), s"$root/dl")
   }
 
+  private def writeMeta(s: SparkSession, root: String, nBuckets: Int,
+                        fp: (Long, Long), sumDl: Option[Long]): Unit = {
+    import s.implicits._
+    val base = Seq((nBuckets, fp._1, fp._2))
+      .toDF("n_buckets", "n_rows", "content_hash")
+    sumDl.fold(base)(sd => base.withColumn("sum_dl", lit(sd)))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** Token total of a dl slice — one column-pruned aggregate. The write
+    * sites pass the slice ALREADY ON DISK (build: the whole table;
+    * append: the tag's own `_src` partition) so the number always
+    * describes the rows of record, never a re-tokenize that could
+    * diverge from them. */
+  private def sumDlOf(dl: DataFrame): Long =
+    dl.agg(coalesce(sum(col("dl")), lit(0L))).head().getLong(0)
+
   /** One corpus pass: tokenize, aggregate tf + dl, persist both tables
     * and the fingerprinted meta row. Static overwrite — a rebuild
     * replaces every generation and drops the old replay bookkeeping. */
   def build(docs: DataFrame, idCol: String, textCol: String, indexDir: String,
             nBuckets: Int = 64): Unit = {
     val s = docs.sparkSession
-    import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
     // a rebuild during a pending removal would wipe the replay state its
     // windows depend on (same rule as the cluster family)
@@ -100,20 +124,25 @@ object TermIndex {
       val (tf, dl) = stats(docs, idCol, textCol)
       writeSlice(tf, dl, idCol, root, src = "build", nBuckets, dynamic = false)
       val fp = Fingerprint.of(docs, Seq(idCol, textCol))
-      Seq((nBuckets, fp._1, fp._2))
-        .toDF("n_buckets", "n_rows", "content_hash")
-        .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+      writeMeta(s, root, nBuckets, fp,
+        Some(sumDlOf(s.read.parquet(s"$root/dl"))))
       Fingerprint.clearReplayState(conf, indexDir)
       LogicalDelete.clear(conf, indexDir)
       Fingerprint.writeSourceStatus(conf, indexDir, Fingerprint.sourceStatus(docs))
     }
   }
 
-  private def readMeta(s: SparkSession, root: String): (Int, Option[(Long, Long)]) = {
+  private def readMeta(s: SparkSession, root: String)
+      : (Int, Option[(Long, Long)], Option[Long]) = {
     val m = s.read.parquet(s"$root/meta").head()
     (m.getAs[Int]("n_buckets"),
       if (m.schema.fieldNames.contains("n_rows"))
         Some((m.getAs[Long]("n_rows"), m.getAs[Long]("content_hash")))
+      else None,
+      // pre-r16 index without the stats column: serve falls back to the
+      // dl aggregate until the next rebuild refreshes meta
+      if (m.schema.fieldNames.contains("sum_dl"))
+        Some(m.getAs[Long]("sum_dl"))
       else None)
   }
 
@@ -134,7 +163,13 @@ object TermIndex {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val success = new org.apache.hadoop.fs.Path(s"$root/postings/_SUCCESS")
     val fs = success.getFileSystem(conf)
-    if (!fs.exists(success) || !isFresh(s, indexDir, docs, idCol, textCol))
+    // a pre-r16 meta without sum_dl serves through the O(corpus)
+    // fallback — schema-upgrade it by rebuild even when content-fresh
+    def statsLess = (try readMeta(s, root)._3 catch {
+      case _: Exception => None
+    }).isEmpty
+    if (!fs.exists(success) || statsLess ||
+        !isFresh(s, indexDir, docs, idCol, textCol))
       build(docs, idCol, textCol, indexDir, nBuckets)
   }
 
@@ -147,15 +182,16 @@ object TermIndex {
     * score) with the identical decimal accumulation + rounding as the
     * closed-form `TextPipeline.bm25TopK`, so index-vs-recompute is
     * value-exact, not approximately equal. Pending logical deletes are
-    * anti-joined out of BOTH the postings and the dl stats — the RTBF
-    * contract holds from the moment logicalRemove returns. */
+    * anti-joined out of the postings and the dl join, and N/avgdl come
+    * from meta (subtracted at logicalRemove commit) — the RTBF contract
+    * holds from the moment logicalRemove returns. */
   def topK(s: SparkSession, indexDir: String, queries: DataFrame,
            queryIdCol: String = "query_id", queryTextCol: String = "q",
            k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val conf = s.sparkContext.hadoopConfiguration
     val root = IndexMaintenance.liveRoot(conf, indexDir)
-    val (nBuckets, _) = readMeta(s, root)
+    val (nBuckets, metaFp, metaSumDl) = readMeta(s, root)
     val postingsAll = s.read.parquet(s"$root/postings")
     val idCol = postingsAll.columns
       .filterNot(Set("term", "tf", "_src", "tb")).head
@@ -175,20 +211,51 @@ object TermIndex {
         .filter(col("tb").isin(touchedTb: _*))
         .join(broadcast(qterms.select(col("term")).distinct()), Seq("term")))
       .select(col(idCol), col("term"), col("tf"))
-      .localCheckpoint(eager = false) // fan-out: df AND the score join
+      .localCheckpoint() // fan-out: df, the score join, AND the idb collect
     val dfreq = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    // N and avgdl: one column-pruned partial aggregate over (id, dl) —
-    // derived from the rows of record, tombstone-adjusted, per call
-    val dlAll = hide(s.read.parquet(s"$root/dl"))
+    // second bounded collect (<= nBuckets longs): the CANDIDATE docs'
+    // idb values turn the per-doc dl join read into a static partition
+    // filter too — with the meta stats below, no read in this serve
+    // path touches more than the query's own buckets
+    val touchedIdb = tfQ.select(idb(col(idCol), nBuckets).as("idb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val dlCand = hide(s.read.parquet(s"$root/dl")
+        .filter(col("idb").isin(touchedIdb: _*)))
       .select(col(idCol), col("dl"))
-      .localCheckpoint(eager = false) // fan-out: stats AND the score join
-    val corpusStats = dlAll.agg(count(lit(1)).cast("double").as("n"),
-      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
-    tfQ
+    // N and avgdl come from meta — maintained survivor-exact by every
+    // append/logicalRemove under the fingerprint protocol (class doc) —
+    // NOT from an O(corpus) dl aggregate per query batch. Reproduces
+    // the legacy expression's exact IEEE arithmetic: long sum cast to
+    // double, divided by the long count promoted to double.
+    val metaStats = for { fp <- metaFp; sd <- metaSumDl }
+      yield (fp._1.toDouble, sd.toDouble / fp._1.toDouble)
+    if (metaStats.isDefined &&
+        s.conf.getOption("graft.term.checkStats").exists(_.toBoolean)) {
+      // drift tripwire (Verify sets this): re-derive both stats from the
+      // stored rows of record and refuse on ANY disagreement with meta
+      val r = hide(s.read.parquet(s"$root/dl")).agg(count(lit(1)).as("n"),
+        coalesce(sum(col("dl")), lit(0L)).as("sd")).head()
+      require(r.getLong(0) == metaFp.get._1 && r.getLong(1) == metaSumDl.get,
+        s"TermIndex.topK on $indexDir: meta corpus stats (n=${metaFp.get._1}, " +
+          s"sum_dl=${metaSumDl.get}) disagree with the stored dl rows " +
+          s"(n=${r.getLong(0)}, sum_dl=${r.getLong(1)}) — the incremental " +
+          "maintenance drifted; rebuild the index and report the lifecycle " +
+          "sequence that led here")
+    }
+    val joined = tfQ
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
-      .join(dlAll, Seq(idCol))
-      .crossJoin(broadcast(corpusStats))
+      .join(dlCand, Seq(idCol))
+    metaStats.fold {
+      // pre-r16 meta without sum_dl: the legacy full-table aggregate
+      val dlAll = hide(s.read.parquet(s"$root/dl"))
+        .select(col(idCol), col("dl"))
+      val corpusStats = dlAll.agg(count(lit(1)).cast("double").as("n"),
+        (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl"))
+      joined.crossJoin(broadcast(corpusStats))
+    } { case (n, avgdl) =>
+      joined.withColumn("n", lit(n)).withColumn("avgdl", lit(avgdl))
+    }
       .groupBy(col(queryIdCol), col(idCol))
       // the ONE shared scorer — doc_bm25_index_topk == doc_bm25_topk is
       // a value-exact contract, see graft.functions.Bm25
@@ -209,7 +276,7 @@ object TermIndex {
   def knownIds(s: SparkSession, indexDir: String, ids: DataFrame,
                idCol: String, excludeTag: Option[String] = None): DataFrame = {
     val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
-    val (nBuckets, _) = readMeta(s, root)
+    val (nBuckets, _, _) = readMeta(s, root)
     val pinned = ids.select(col(idCol)).distinct().localCheckpoint()
     val touched = pinned.select(idb(col(idCol), nBuckets).as("idb"))
       .distinct().collect().map(_.getLong(0)).toSeq
@@ -230,11 +297,10 @@ object TermIndex {
   def append(delta: DataFrame, idCol: String, textCol: String,
              indexDir: String, tag: String = "append"): Unit = {
     val s = delta.sparkSession
-    import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
     IndexMaintenance.withLease(conf, indexDir, "write") {
       val root = IndexMaintenance.liveRoot(conf, indexDir)
-      val (nBuckets, oldFp) = readMeta(s, root)
+      val (nBuckets, oldFp, oldSumDl) = readMeta(s, root)
       require(sanitize(tag) != "build",
         s"TermIndex.append: tag '$tag' sanitizes to the reserved build " +
           "generation name 'build' — its tag-scoped overwrite would " +
@@ -254,9 +320,13 @@ object TermIndex {
       oldFp.foreach { o =>
         if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
           val fp = Fingerprint.merge(o, dfp)
-          Seq((nBuckets, fp._1, fp._2))
-            .toDF("n_buckets", "n_rows", "content_hash")
-            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+          // sum_dl rides the same atomic meta write as the fingerprint
+          // merge: the delta's token total comes off the tag's OWN just-
+          // written `_src` partition (pruned read, O(delta)), so it
+          // describes exactly the rows of record
+          writeMeta(s, root, nBuckets, fp, oldSumDl.map(_ + sumDlOf(
+            s.read.parquet(s"$root/dl")
+              .filter(col("_src") === lit(sanitize(tag))))))
           Fingerprint.recordMerge(conf, indexDir, tag, dfp)
         }
       }
@@ -280,7 +350,7 @@ object TermIndex {
     val conf = s.sparkContext.hadoopConfiguration
     IndexMaintenance.withLease(conf, indexDir, "remove") {
       val root = IndexMaintenance.liveRoot(conf, indexDir)
-      val (nBuckets, oldFp) = readMeta(s, root)
+      val (nBuckets, oldFp, oldSumDl) = readMeta(s, root)
       val rmTag = s"rm.$tag"
       val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
       val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
@@ -356,10 +426,17 @@ object TermIndex {
         FaultInjection.maybeCrash("term.logical.state")
         Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
           "TermIndex.logicalRemove").foreach { fp =>
-          import s.implicits._
-          Seq((nBuckets, fp._1, fp._2))
-            .toDF("n_buckets", "n_rows", "content_hash")
-            .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+          // sum_dl subtraction rides the SAME atomic meta write the
+          // resolver just gated: when the fingerprint is on the
+          // pre-subtraction side (Some), so is sum_dl (one file), so
+          // "current minus victims" is exact under crash replay AND
+          // under appends interleaved mid-removal (their sum_dl merges
+          // arrived through the same meta writes the resolver's addend
+          // accounts for). Victims' token total is recomputed from the
+          // given (id, text) rows — validated content-equal to the
+          // stored rows above — O(victims).
+          writeMeta(s, root, nBuckets, fp,
+            oldSumDl.map(_ - sumDlOf(stats(victims, idCol, textCol)._2)))
         }
         FaultInjection.maybeCrash("term.logical.meta")
         if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)

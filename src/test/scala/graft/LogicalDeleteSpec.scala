@@ -577,11 +577,15 @@ class LogicalDeleteSpec extends SparkSpec {
       }
       assert(ex.getMessage.contains("never completed"), s"[$step] ${ex.getMessage}")
       // the replay converges: victim blind, stats survivor-exact,
-      // fingerprint tracks the survivors
+      // fingerprint tracks the survivors. checkStats armed: the serve
+      // itself validates meta (N, sum_dl) against the stored rows, so a
+      // stats drift at ANY crash step fails here by name (r16)
       TermIndex.logicalRemove(victims, "doc_id", "text", dir, tag = "t1")
-      val hits = TermIndex.topK(spark, dir,
+      spark.conf.set("graft.term.checkStats", "true")
+      val hits = try TermIndex.topK(spark, dir,
           Seq((9L, "beta")).toDF("query_id", "q"))
         .collect().map(_.getLong(2)).toSet
+      finally spark.conf.unset("graft.term.checkStats")
       assert(!hits.contains(2L), s"[$step] victim still retrieved: $hits")
       val survivors = docs.filterNot(_._1 == 2L)
       assert(TermIndex.isFresh(spark, dir,

@@ -177,6 +177,128 @@ class TermIndexSpec extends SparkSpec {
     assert(collectTopK(dir, Seq((9L, "compact"))).exists(_._3 == 20L))
   }
 
+  private def metaStats(dir: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    val m = spark.read.parquet(s"$root/meta").head()
+    (m.getAs[Long]("n_rows"), m.getAs[Long]("sum_dl"))
+  }
+
+  /** Survivor (tombstone-hidden) aggregate over the stored dl rows —
+    * what meta's incremental (n_rows, sum_dl) must always equal. */
+  private def storedStats(dir: String): (Long, Long) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    val r = LogicalDelete.hide(spark.read.parquet(s"$root/dl"), "doc_id",
+        LogicalDelete.ids(spark, dir))
+      .agg(count(lit(1)), coalesce(sum(col("dl")), lit(0L))).head()
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("meta corpus stats stay survivor-exact through the whole lifecycle (r16)") {
+    val dir = tmpIdx("term_ms")
+    val (seed, rest) = corpus.splitAt(5)
+    TermIndex.build(seed.toDF("doc_id", "text"), "doc_id", "text", dir)
+    assert(metaStats(dir) === storedStats(dir), "after build")
+    TermIndex.append(rest.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "ms1")
+    assert(metaStats(dir) === storedStats(dir), "after append")
+    // crash-replayed append must not double-add sum_dl
+    TermIndex.append(rest.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "ms1")
+    assert(metaStats(dir) === storedStats(dir), "after replayed append")
+    TermIndex.logicalRemove(corpus.filter(_._1 == 6L).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "msrm")
+    assert(metaStats(dir) === storedStats(dir),
+      "after logicalRemove: meta must subtract exactly what the tombstones hide")
+    TermIndex.compact(spark, dir)
+    assert(metaStats(dir) === storedStats(dir), "after compact (reclaim)")
+    // and the number is the real token total, not just self-consistent
+    val expect = corpus.filterNot(_._1 == 6L)
+    assert(metaStats(dir) === (expect.size.toLong,
+      expect.map(_._2.split(" ").length.toLong).sum))
+  }
+
+  test("logicalRemove crash + interleaved append: replay lands survivor-exact stats (r16)") {
+    import graft.operators.FaultInjection
+    // crash AFTER the removal state commits but BEFORE the meta write,
+    // let an append land mid-removal, then replay: the resolver's addend
+    // rule must keep the fingerprint AND sum_dl exact (sum_dl rides the
+    // same atomic meta writes, so the two move component-wise together)
+    val dir = tmpIdx("term_il")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val victims = corpus.filter(_._1 == 3L)
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("term.logical.state")(
+        TermIndex.logicalRemove(victims.toDF("doc_id", "text"),
+          "doc_id", "text", dir, tag = "il1"))
+    }
+    val late = Seq((40L, "fresh interleaved doc"))
+    TermIndex.append(late.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "il_a")
+    TermIndex.logicalRemove(victims.toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "il1") // replay converges
+    assert(metaStats(dir) === storedStats(dir))
+    // scores equal a fresh build on (survivors + the late append), with
+    // the checkStats tripwire armed so meta is validated in-path too
+    val fresh = tmpIdx("term_ilf")
+    TermIndex.build((corpus.filterNot(_._1 == 3L) ++ late)
+      .toDF("doc_id", "text"), "doc_id", "text", fresh)
+    spark.conf.set("graft.term.checkStats", "true")
+    try assert(collectTopK(dir, queries) === collectTopK(fresh, queries))
+    finally spark.conf.unset("graft.term.checkStats")
+  }
+
+  test("checkStats tripwire: drifted meta stats refuse loudly (r16)") {
+    import spark.implicits._
+    val dir = tmpIdx("term_cs")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    // corrupt sum_dl by one token (simulated maintenance drift)
+    val m = spark.read.parquet(s"$root/meta").head()
+    Seq((m.getAs[Int]("n_buckets"), m.getAs[Long]("n_rows"),
+        m.getAs[Long]("content_hash"), m.getAs[Long]("sum_dl") + 1L))
+      .toDF("n_buckets", "n_rows", "content_hash", "sum_dl")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    spark.conf.set("graft.term.checkStats", "true")
+    try {
+      val ex = intercept[IllegalArgumentException] { collectTopK(dir, queries) }
+      assert(ex.getMessage.contains("disagree"), ex.getMessage)
+    } finally spark.conf.unset("graft.term.checkStats")
+  }
+
+  test("topK reads only the candidate docs' dl buckets (r16)") {
+    CountingMockFs.install(spark)
+    val base = java.nio.file.Files.createTempDirectory("term_dlpr").toString
+    val dir = s"mock://$base/idx"
+    // one unique term per doc: a single-term query has exactly one
+    // candidate doc, so exactly one dl idb bucket may be read
+    val docs = (0L until 64L).map(i => (i, s"unique$i"))
+    TermIndex.build(docs.toDF("doc_id", "text"), "doc_id", "text", dir,
+      nBuckets = 16)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    val candIdb = Seq(3L).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(16L))).head().getLong(0)
+    val untouched = (0L until 16L).filterNot(_ == candIdb)
+    def strayOpens: Seq[String] = untouched.flatMap(b =>
+      CountingMockFs.openedUnder(s"$base/idx/dl/_src=build/idb=$b/"))
+    CountingMockFs.reset()
+    spark.read.parquet(s"$root/dl").schema
+    val inferenceBaseline = strayOpens.size
+    CountingMockFs.reset()
+    collectTopK(dir, Seq((1L, "unique3")), k = 5)
+    val stray = strayOpens
+    assert(stray.size <= inferenceBaseline,
+      s"query read ${stray.size} dl file(s) outside its candidates' idb " +
+        s"buckets (schema inference alone reads $inferenceBaseline) — the " +
+        s"r16 dl-join prune lost: ${stray.mkString(", ")}")
+    assert(CountingMockFs.opensUnder(
+      s"$base/idx/dl/_src=build/idb=$candIdb/") > 0,
+      "positive control: the candidate's own dl bucket must be read")
+  }
+
   test("topK reads only the query terms' postings buckets") {
     CountingMockFs.install(spark)
     val base = java.nio.file.Files.createTempDirectory("term_pr").toString
