@@ -323,7 +323,18 @@ object ClusterIndex {
         }
       union.foreach { case (allVids, nAll, vIdb) =>
         val (_, newAssign) = resplitPlan(s, root, idCol, allVids, nAll, vIdb)
-        newAssign.write.mode("overwrite").parquet(overlayDir(normDir))
+        // the payload EMBEDS its own identity (constant columns — they
+        // compress to nothing in parquet): a reader validates them on
+        // the PINNED rows after checkpointing, so a concurrent
+        // overwrite of payload+meta between a reader's meta check and
+        // its payload read can never serve a re-split belonging to a
+        // newer tombstone union than the reader's snapshot (ADVICE r15)
+        newAssign
+          .withColumn("_ov_root", lit(root))
+          .withColumn("_ov_n", lit(fp._1))
+          .withColumn("_ov_hash", lit(fp._2))
+          .withColumn("_ov_batches", lit(batches.mkString(",")))
+          .write.mode("overwrite").parquet(overlayDir(normDir))
         // meta row LAST: its presence commits the overlay (a crash
         // between the two writes leaves no meta => serves recompute)
         Seq((root, fp._1, fp._2, batches.mkString(",")))
@@ -334,10 +345,23 @@ object ClusterIndex {
     }
   }
 
-  /** The persisted re-split, iff its recorded (root, fingerprint,
-    * batch list) all match the live index — eagerly checkpointed inside
+  /** The persisted re-split, iff its identity (root, fingerprint,
+    * batch list) matches the live index — eagerly checkpointed inside
     * the try so a concurrent overwrite surfaces HERE and falls back,
-    * never mid-consumer-query. */
+    * never mid-consumer-query.
+    *
+    * Two validation layers (ADVICE r15): the meta row is the cheap
+    * commit marker, but meta and payload are two files a concurrent
+    * [[logicalRemove]] can overwrite BETWEEN this reader's meta head()
+    * and its payload read — the meta check alone could admit a newer
+    * union's re-split under an older snapshot's validation (victims of
+    * the new batch keeping stale labels while their components'
+    * survivors are remapped). The authoritative check is therefore on
+    * the identity columns EMBEDDED in the payload itself, evaluated on
+    * the pinned (checkpointed) rows — atomic with the data by
+    * construction. A pre-r16 overlay without the embedded columns (or
+    * an empty one) falls back to the live recompute and self-heals at
+    * the next takedown's rewrite. */
   private def readOverlay(s: SparkSession, root: String, indexDir: String,
                           idCol: String,
                           batches: Seq[String]): Option[DataFrame] =
@@ -349,9 +373,17 @@ object ClusterIndex {
           (om.getAs[Long]("n_rows"), om.getAs[Long]("content_hash")))
       if (!valid) None
       else {
-        val o = s.read.parquet(overlayDir(indexDir))
-        val src = o.columns.filterNot(_ == "_newcomp").head
-        Some(o.select(col(src).as(idCol), col("_newcomp")).localCheckpoint())
+        val payload = s.read.parquet(overlayDir(indexDir)).localCheckpoint()
+        val src = payload.columns
+          .filterNot(c => c == "_newcomp" || c.startsWith("_ov_")).head
+        // head() throws on a missing column or empty payload -> None
+        val emb = payload.select(col("_ov_root"), col("_ov_n"),
+          col("_ov_hash"), col("_ov_batches")).head()
+        val embOk = emb.getString(0) == root &&
+          emb.getString(3) == batches.mkString(",") &&
+          readFingerprint(s, root).contains((emb.getLong(1), emb.getLong(2)))
+        if (!embOk) None
+        else Some(payload.select(col(src).as(idCol), col("_newcomp")))
       }
     } catch { case scala.util.control.NonFatal(_) => None }
 

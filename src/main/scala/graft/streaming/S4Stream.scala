@@ -1483,13 +1483,19 @@ object S4Stream {
     }
 
   /** Continuous RTBF for the BM25 family — all FOUR persisted index
-    * families are now streaming-takedown-maintainable. */
-  def indexedTermTakedownStream(victimIds: DataFrame, idCol: String,
+    * families are now streaming-takedown-maintainable.
+    *
+    * `victims` must carry full `(idCol, textCol)` rows AS INGESTED —
+    * the same content contract as [[indexedClusterTakedownStream]]: the
+    * batch's text is hashed into the resurrection tombstones and
+    * staged beside the lake scrub, so an id-only stream fails at
+    * runtime inside the micro-batch (ADVICE r15). */
+  def indexedTermTakedownStream(victims: DataFrame, idCol: String,
                                 textCol: String, indexDir: String,
                                 lakeDir: String, checkpointDir: String,
                                 availableNow: Boolean = false): StreamingQuery = {
-    lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
-    startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
+    lazy val runKey = checkpointRunKey(victims.sparkSession, checkpointDir)
+    startIndexedLoop(victims, checkpointDir, availableNow) { (batch, batchId) =>
       processTermTakedownBatch(batch, batchId, idCol, textCol,
         indexDir, lakeDir, runKey)
     }
