@@ -67,16 +67,43 @@ object Bench {
     Seq("takedown_legs", "takedown_legs_logical").flatMap(f =>
       parseFlatObject(json, f).map { case (k, v) => s"$f.$k" -> v }).toMap
 
+  private def isSuspect(p: Double, n: Double): Boolean =
+    math.max(p, n) >= 0.5 && (n > 2 * p || n < p / 2)
+
   private[graft] def suspectNoise(prev: Map[String, Double],
                                   now: Map[String, Double]): String = {
     val sus = now.toSeq.sorted.flatMap { case (k, n) =>
       prev.get(k).collect {
-        case p if math.max(p, n) >= 0.5 && (n > 2 * p || n < p / 2) =>
+        case p if isSuspect(p, n) =>
           s""""$k":{"prev":${f"$p%.3f"},"now":${f"$n%.3f"}}"""
       }
     }
     sus.mkString("{", ",", "}")
   }
+
+  /** Keys [[suspectNoise]] would flag — the retry pass's work list
+    * (VERDICT r15 item 7). */
+  private[graft] def suspectKeys(prev: Map[String, Double],
+                                 now: Map[String, Double]): Seq[String] =
+    now.toSeq.sorted.collect {
+      case (k, n) if prev.get(k).exists(isSuspect(_, n)) => k
+    }
+
+  /** Fold one retry measurement per flagged query into the per-query
+    * mins — an in-band retry clears its flag; a genuine regression
+    * survives the extra run. */
+  private[graft] def applyRetry(mins: Map[String, Double],
+                                retries: Map[String, Double]): Map[String, Double] =
+    mins.map { case (k, v) => k -> retries.get(k).fold(v)(math.min(v, _)) }
+
+  /** Index-MAINTENANCE rows (VERDICT r15 item 2): takedown/lifecycle
+    * protocol queries whose cost measures removal machinery, not query
+    * answering. Published as `total_maintenance` beside `total_queries`
+    * so a regression in either band is legible on its own — the two
+    * takedown rows were 21% of the r15 headline and every protocol
+    * hardening inflated the one conflated number. */
+  private[graft] def isMaintenance(name: String): Boolean =
+    name.matches(".*_index_(logical_)?remove$")
 
   /** Min-of-3 per leg for a composed takedown query, plus "serve" = run
     * total minus recorded legs — only when runs and leg maps align 1:1
@@ -265,12 +292,6 @@ object Bench {
       } else Seq.empty)
       (name, ok, runs, peakMb, gcMs, storMb, shufMb)
     }
-    val repJson = results.map { case (k, _, runs, _, _, _, _) =>
-      val sorted = runs.sorted
-      s""""$k":{"runs":${runs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
-        s""""min":${f"${sorted.head}%.3f"},"median":${f"${sorted(sorted.size / 2)}%.3f"}}"""
-    }.mkString("{", ",", "}")
-
     // csv round-trip attribution (VERDICT r5 item 9): the query's cost is
     // dominated by the gzip WRITE (the operator under test), which the
     // single timing above can't show — time the two halves separately.
@@ -308,33 +329,6 @@ object Bench {
       graft.queries.TextPipeline.logicalLegRuns.asScala.toSeq,
       runTotals("doc_cluster_index_logical_remove"))
 
-    // driver contract: queries maps name -> seconds (plain numbers; the
-    // per-query MIN of 3 runs since r10 — "timing" says so); failures
-    // are excluded from the total and listed in "failed" so a broken
-    // query can never masquerade as a fast one. peak_exec_mb / gc_ms /
-    // storage_mb are the per-query attribution channels.
-    def jmap(f: ((String, Boolean, Seq[Double], Double, Long, Double, Double)) => String): String =
-      results.map(f).mkString("{", ",", "}")
-    val qs = jmap { case (k, _, runs, _, _, _, _) => s""""$k":${f"${runs.min}%.3f"}""" }
-    val mem = jmap { case (k, _, _, m, _, _, _) => s""""$k":${f"$m%.1f"}""" }
-    val gc = jmap { case (k, _, _, _, g, _, _) => s""""$k":$g""" }
-    val stor = jmap { case (k, _, _, _, _, s, _) => s""""$k":${f"$s%.1f"}""" }
-    val shuf = jmap { case (k, _, _, _, _, _, sw) => s""""$k":${f"$sw%.1f"}""" }
-    val okTotal = results.collect { case (_, true, runs, _, _, _, _) => runs.min }.sum
-    val failed = results.collect { case (k, false, _, _, _, _, _) => s""""$k"""" }.mkString("[", ",", "]")
-    // stdout line stays COMPACT (driver captures only the tail of stdout;
-    // r4's line with the three attribution maps inlined grew past that
-    // window and the driver recorded parsed:null). The attribution maps
-    // (peak_exec_mb / gc_ms / storage_mb) go to bench_result.json only.
-    val line =
-      s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","timing":"min_of_3",""" +
-        s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
-    // ok-only: a failed query's time-to-failure is not a min, and
-    // flagging it as a >2x "speedup" would conflate breakage with the
-    // measurement noise this annotation isolates (review-caught r14)
-    val nowMins = results.collect {
-      case (k, true, runs, _, _, _, _) => k -> runs.min
-    }.toMap
     // leg mins join the diff under their field prefix — parsed back out
     // of the EXACT strings the artifact will carry, so the comparison
     // can never drift from what a future run reads as its prior
@@ -343,6 +337,76 @@ object Bench {
       .flatMap { case (f, j) =>
         parseFlatObject(s""""$f":$j""", f).map { case (k, v) => s"$f.$k" -> v } }
       .toMap
+
+    // retry-on-suspect (VERDICT r15 item 7): one contaminated
+    // measurement window on the driver box smeared 4.8 s across three
+    // light queries in r15, and min-of-3 inside that window could not
+    // clear it. Each QUERY-level flagged query is re-run once more and
+    // the extra time joins its min — an in-band retry clears the flag, a
+    // genuine regression survives a 4th run. Leg-level flags are not
+    // retried standalone (a leg re-runs only inside its query, and an
+    // extra run after the leg JSON is built would misalign the 1:1
+    // runs↔legs attribution — the leg strings above are already final).
+    // ok-only: a failed query's time-to-failure is not a min, and
+    // flagging it as a >2x "speedup" would conflate breakage with the
+    // measurement noise this annotation isolates (review-caught r14).
+    val preMins = results.collect {
+      case (k, true, runs, _, _, _, _) => k -> runs.min
+    }.toMap
+    val retryTimes: Map[String, Double] = suspectKeys(priorMins, preMins)
+      .filter(selected.contains).flatMap { k =>
+        System.err.println(s"[bench] retrying suspect query $k once")
+        val r0 = System.nanoTime()
+        val okRun = try { selected(k)(spark, sfDir).count(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $k retry FAILED: " +
+              s"${e.getClass.getSimpleName}: ${e.getMessage}")
+            false
+          }
+        val sec = (System.nanoTime() - r0) / 1e9
+        dropPersistedBlocks()
+        if (okRun) Some(k -> sec) else None
+      }.toMap
+    val resultsF = results.map {
+      case (k, true, runs, a, b, c, d) if retryTimes.contains(k) =>
+        (k, true, runs :+ retryTimes(k), a, b, c, d)
+      case r => r
+    }
+    val repJson = resultsF.map { case (k, _, runs, _, _, _, _) =>
+      val sorted = runs.sorted
+      s""""$k":{"runs":${runs.map(t => f"$t%.3f").mkString("[", ",", "]")},""" +
+        s""""min":${f"${sorted.head}%.3f"},"median":${f"${sorted(sorted.size / 2)}%.3f"}}"""
+    }.mkString("{", ",", "}")
+
+    // driver contract: queries maps name -> seconds (plain numbers; the
+    // per-query MIN of 3 runs since r10 — "timing" says so); failures
+    // are excluded from the total and listed in "failed" so a broken
+    // query can never masquerade as a fast one. peak_exec_mb / gc_ms /
+    // storage_mb are the per-query attribution channels.
+    def jmap(f: ((String, Boolean, Seq[Double], Double, Long, Double, Double)) => String): String =
+      resultsF.map(f).mkString("{", ",", "}")
+    val qs = jmap { case (k, _, runs, _, _, _, _) => s""""$k":${f"${runs.min}%.3f"}""" }
+    val mem = jmap { case (k, _, _, m, _, _, _) => s""""$k":${f"$m%.1f"}""" }
+    val gc = jmap { case (k, _, _, _, g, _, _) => s""""$k":$g""" }
+    val stor = jmap { case (k, _, _, _, _, s, _) => s""""$k":${f"$s%.1f"}""" }
+    val shuf = jmap { case (k, _, _, _, _, _, sw) => s""""$k":${f"$sw%.1f"}""" }
+    val okTotal = resultsF.collect { case (_, true, runs, _, _, _, _) => runs.min }.sum
+    // headline split (VERDICT r15 item 2): query-answering vs
+    // index-maintenance bands, each legible on its own
+    val okMaint = resultsF.collect {
+      case (k, true, runs, _, _, _, _) if isMaintenance(k) => runs.min
+    }.sum
+    val failed = resultsF.collect { case (k, false, _, _, _, _, _) => s""""$k"""" }.mkString("[", ",", "]")
+    // stdout line stays COMPACT (driver captures only the tail of stdout;
+    // r4's line with the three attribution maps inlined grew past that
+    // window and the driver recorded parsed:null). The attribution maps
+    // (peak_exec_mb / gc_ms / storage_mb) go to bench_result.json only.
+    val line =
+      s"""{"metric":"total","value":${f"$okTotal%.3f"},"unit":"sec","timing":"min_of_3",""" +
+        s""""total_queries":${f"${okTotal - okMaint}%.3f"},""" +
+        s""""total_maintenance":${f"$okMaint%.3f"},""" +
+        s""""queries":$qs,"failed":$failed,"sf":"$sfDir"}"""
+    val nowMins = applyRetry(preMins, retryTimes)
     val suspect = suspectNoise(priorMins, nowMins ++ nowLegs)
     if (suspect != "{}") System.err.println(
       s"[bench] SUSPECT NOISE vs prior bench_result.json (>2x moves): $suspect")

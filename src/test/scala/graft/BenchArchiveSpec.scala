@@ -74,4 +74,32 @@ class BenchArchiveSpec extends AnyFunSuite {
     // an artifact without leg objects parses to no leg entries
     assert(Bench.parseLegMins(prior) === Map.empty)
   }
+
+  test("retry-on-suspect: an in-band retry clears the flag, a real regression survives (r15 item 7)") {
+    val prev = Bench.parseQueryMins(prior)
+    // first-pass mins: one contaminated window inflates a light query 5x
+    val pre = Map("doc_heavy_terms" -> 2.40, "vec_knn_join" -> 1.75,
+      "q01_agg" -> 0.24, "doc_jaccard_pairs" -> 3.4)
+    assert(Bench.suspectKeys(prev, pre) === Seq("doc_heavy_terms"))
+    // the retry lands back in-band -> min folds in, flag clears
+    val cleared = Bench.applyRetry(pre, Map("doc_heavy_terms" -> 0.52))
+    assert(cleared("doc_heavy_terms") === 0.52)
+    assert(Bench.suspectNoise(prev, cleared) === "{}")
+    // a retry that CONFIRMS the slowdown leaves the flag standing
+    val confirmed = Bench.applyRetry(pre, Map("doc_heavy_terms" -> 2.31))
+    assert(Bench.suspectNoise(prev, confirmed).contains("doc_heavy_terms"))
+    // a retry never inflates an existing min
+    assert(Bench.applyRetry(Map("q" -> 1.0), Map("q" -> 9.9)) === Map("q" -> 1.0))
+  }
+
+  test("maintenance rows split out of the query band (r15 item 2)") {
+    assert(Bench.isMaintenance("doc_cluster_index_remove"))
+    assert(Bench.isMaintenance("doc_cluster_index_logical_remove"))
+    assert(!Bench.isMaintenance("doc_cluster_index_probe"))
+    assert(!Bench.isMaintenance("doc_bm25_index_topk"))
+    assert(!Bench.isMaintenance("q01_pricing_summary"))
+    // a future family's lifecycle rows join the band by name shape
+    assert(Bench.isMaintenance("vec_index_remove"))
+    assert(Bench.isMaintenance("doc_term_index_logical_remove"))
+  }
 }
