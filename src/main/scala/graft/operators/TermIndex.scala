@@ -184,10 +184,16 @@ object TermIndex {
     * value-exact, not approximately equal. Pending logical deletes are
     * anti-joined out of the postings and the dl join, and N/avgdl come
     * from meta (subtracted at logicalRemove commit) — the RTBF contract
-    * holds from the moment logicalRemove returns. */
+    * holds from the moment logicalRemove returns.
+    *
+    * `excludeSelf = true` serves more-like-this retrieval: when the
+    * query ids share the doc id space (the query IS an indexed doc),
+    * the doc itself is dropped BEFORE ranking so it never occupies a
+    * result slot. */
   def topK(s: SparkSession, indexDir: String, queries: DataFrame,
            queryIdCol: String = "query_id", queryTextCol: String = "q",
-           k: Int = 10, k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+           excludeSelf: Boolean = false): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val conf = s.sparkContext.hadoopConfiguration
     val root = IndexMaintenance.liveRoot(conf, indexDir)
@@ -242,10 +248,13 @@ object TermIndex {
           "maintenance drifted; rebuild the index and report the lifecycle " +
           "sequence that led here")
     }
-    val joined = tfQ
+    val joined0 = tfQ
       .join(broadcast(qterms), Seq("term"))
       .join(broadcast(dfreq), Seq("term"))
       .join(dlCand, Seq(idCol))
+    val joined =
+      if (excludeSelf) joined0.filter(col(idCol) =!= col(queryIdCol))
+      else joined0
     metaStats.fold {
       // pre-r16 meta without sum_dl: the legacy full-table aggregate
       val dlAll = hide(s.read.parquet(s"$root/dl"))

@@ -729,7 +729,8 @@ object VectorIndex {
   def topK(s: SparkSession, indexDir: String, probes: DataFrame, k: Int,
            nprobe: Int = 8, corpusId: String = "vec_id",
            corpusVec: String = "embedding",
-           probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
+           probeId: String = "q_id", probeVec: String = "q_emb",
+           excludeSelf: Boolean = false): DataFrame = {
     val root = IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir)
     val centroids = loadCentroidsFromRoot(s, root)
     val probed = probes
@@ -750,8 +751,14 @@ object VectorIndex {
       corpusId, LogicalDelete.ids(s, indexDir))
     val w = Window.partitionBy(col(probeId))
       .orderBy(col("cosine").desc, col(corpusId))
-    cells
+    val cand0 = cells
       .join(broadcast(probed), cells("cell") === probed("_cid"))
+    // more-like-this: when probes share the corpus id space, the probe
+    // doc is dropped BEFORE ranking so it never occupies a result slot
+    val cand =
+      if (excludeSelf) cand0.filter(col(corpusId) =!= col(probeId))
+      else cand0
+    cand
       .withColumn("cosine", round(
         VectorOps.dot(col(probeVec), col(corpusVec)) / (col("_np") * col("norm")), 4))
       .withColumn("rn", row_number().over(w))

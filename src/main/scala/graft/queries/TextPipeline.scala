@@ -1202,6 +1202,52 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** [[rrfFusion]] served from the PERSISTED index families (VERDICT
+    * r15 item 3): lexical leg from [[graft.operators.TermIndex.topK]]
+    * (exact BM25 off the postings buckets, more-like-this with the
+    * probe doc excluded before ranking), semantic leg from
+    * [[graft.operators.VectorIndex.topK]] (IVF, nprobe=8 of nlist=16
+    * probed cells — the honest ANN serve path `doc_rrf_fusion`'s brute
+    * cosine leg stands in for at fixture scale). Same rank-only fusion.
+    *
+    * Oracle (model-literal, [[Vectors.oracles]]): the lexical leg
+    * replays as the shared BM25 closed form (TermIndex.topK is
+    * value-exact against it by the `doc_bm25_index_topk` contract) and
+    * the semantic leg replays probed-cell selection from the recorded
+    * centroid literals — the `vec_index_topk` machinery — so the fused
+    * ranks are value-exact, no rerank fudge needed. At FULL visit
+    * fraction (nprobe = nlist) the indexed fusion provably equals the
+    * exact-leg fusion (RrfIndexedSpec). */
+  def rrfFusionIndexed(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val legN = 20; val topK = 10; val kRrf = 60
+    val docs = Tables.documents(s, dir)
+    val termIdx = ensureTermIndex(s, dir)
+    val vecIdx = Vectors.ensureIndex(s, dir)
+    val lex = graft.operators.TermIndex.topK(s, termIdx,
+        docs.filter(col("doc_id").isInCollection(Vectors.probeIds))
+          .select(col("doc_id").as("query_id"), col("text").as("q")),
+        k = legN, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+    val emb = Tables.embeddings(s, dir)
+    val sem = graft.operators.VectorIndex.topK(s, vecIdx,
+        emb.filter(col("vec_id").isInCollection(Vectors.probeIds))
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+        k = legN, excludeSelf = true)
+      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+        col("rn").as("vrank"))
+    lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf", round(
+        coalesce(lit(1.0) / (lit(kRrf) + col("lrank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("vrank")), lit(0.0)), 6))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("rrf").desc, col("doc_id"))))
+      .filter(col("rank") <= topK)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf"))
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Fuzzy near-dup pairs by edit distance: all pairs within the same
     * language at Levenshtein distance 1..20 — the character-level dedup
     * family (OCR noise, template fills, small edits) that token-set
@@ -1857,6 +1903,7 @@ object TextPipeline {
     "doc_bm25_topk" -> (bm25TopK _),
     "doc_bm25_index_topk" -> (bm25IndexTopK _),
     "doc_rrf_fusion" -> (rrfFusion _),
+    "doc_rrf_fusion_indexed" -> (rrfFusionIndexed _),
     "doc_editdist_pairs" -> (editDistancePairs _),
     "doc_heavy_terms" -> (heavyTerms _),
     "doc_cdc_chunks" -> (cdcChunkStats _),
@@ -1948,6 +1995,70 @@ object TextPipeline {
       |                       ORDER BY score DESC, doc_id) AS rank
       |  FROM scored)
       |SELECT query_id, rank, doc_id, score FROM ranked
+      |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
+
+  /** Lexical leg (BM25 more-like-this over the probe docs, self
+    * excluded, top-20) CTE chain shared by the exact and indexed RRF
+    * oracles — the indexed variant ([[Vectors.oracles]], model-literal)
+    * swaps only the semantic leg, so the two replays can never drift on
+    * the lexical side. Ends at the `lex(query_id, doc_id, lrank)` CTE;
+    * compose as `WITH $$rrfLexCtes, sem AS (...)$$rrfFuseTail`. */
+  private[queries] val rrfLexCtes: String =
+    """q AS (
+      |  SELECT doc_id AS query_id, text FROM documents
+      |  WHERE doc_id IN (1, 7, 42, 99, 123)
+      |), qt AS (
+      |  SELECT DISTINCT query_id, unnest(string_split(text, ' ')) AS term FROM q
+      |), tf AS (
+      |  SELECT doc_id, term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents) o
+      |  WHERE o.term IN (SELECT DISTINCT term FROM qt)
+      |  GROUP BY doc_id, term
+      |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |stats AS (
+      |  SELECT CAST(count(*) AS DOUBLE) AS n,
+      |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM dl
+      |), bscored AS (
+      |  SELECT qt.query_id, tf.doc_id,
+      |    round(CAST(sum(CAST(round(
+      |      ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+      |        * (tf.tf * 2.2)
+      |        / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
+      |      6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS bscore
+      |  FROM tf
+      |  JOIN qt ON qt.term = tf.term
+      |  JOIN dfreq ON dfreq.term = tf.term
+      |  JOIN dl ON dl.doc_id = tf.doc_id
+      |  CROSS JOIN stats
+      |  WHERE tf.doc_id <> qt.query_id
+      |  GROUP BY qt.query_id, tf.doc_id
+      |), lex AS (
+      |  SELECT query_id, doc_id, lrank FROM (
+      |    SELECT query_id, doc_id,
+      |      row_number() OVER (PARTITION BY query_id
+      |                         ORDER BY bscore DESC, doc_id) AS lrank
+      |    FROM bscored) t
+      |  WHERE lrank <= 20
+      |)""".stripMargin
+
+  /** Rank-only fusion + final ranking tail shared by both RRF oracles —
+    * expects `lex(query_id, doc_id, lrank)` and
+    * `sem(query_id, doc_id, vrank)` CTEs in scope. */
+  private[queries] val rrfFuseTail: String =
+    """, fused AS (
+      |  SELECT query_id, doc_id,
+      |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lrank), 0) +
+      |          coalesce(CAST(1 AS DOUBLE) / (60 + s.vrank), 0), 6) AS rrf
+      |  FROM lex l FULL OUTER JOIN sem s USING (query_id, doc_id)
+      |), ranked AS (
+      |  SELECT query_id, doc_id, rrf,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY rrf DESC, doc_id) AS rank
+      |  FROM fused)
+      |SELECT query_id, rank, doc_id, rrf FROM ranked
       |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin
 
   val oracles: Map[String, String] = Map(
@@ -2253,45 +2364,7 @@ object TextPipeline {
     // IEEE division per leg and a two-term sum written identically on
     // both engines, so no accumulation-order risk exists at all
     "doc_rrf_fusion" ->
-      """WITH q AS (
-        |  SELECT doc_id AS query_id, text FROM documents
-        |  WHERE doc_id IN (1, 7, 42, 99, 123)
-        |), qt AS (
-        |  SELECT DISTINCT query_id, unnest(string_split(text, ' ')) AS term FROM q
-        |), tf AS (
-        |  SELECT doc_id, term, count(*) AS tf
-        |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-        |        FROM documents) o
-        |  WHERE o.term IN (SELECT DISTINCT term FROM qt)
-        |  GROUP BY doc_id, term
-        |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
-        |stats AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |  FROM dl
-        |), bscored AS (
-        |  SELECT qt.query_id, tf.doc_id,
-        |    round(CAST(sum(CAST(round(
-        |      ln((stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
-        |        * (tf.tf * 2.2)
-        |        / (tf.tf + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / stats.avgdl))),
-        |      6) AS DECIMAL(18,6))) AS DOUBLE), 4) AS bscore
-        |  FROM tf
-        |  JOIN qt ON qt.term = tf.term
-        |  JOIN dfreq ON dfreq.term = tf.term
-        |  JOIN dl ON dl.doc_id = tf.doc_id
-        |  CROSS JOIN stats
-        |  WHERE tf.doc_id <> qt.query_id
-        |  GROUP BY qt.query_id, tf.doc_id
-        |), lex AS (
-        |  SELECT query_id, doc_id, lrank FROM (
-        |    SELECT query_id, doc_id,
-        |      row_number() OVER (PARTITION BY query_id
-        |                         ORDER BY bscore DESC, doc_id) AS lrank
-        |    FROM bscored) t
-        |  WHERE lrank <= 20
-        |), sem AS (
+      s"""WITH $rrfLexCtes, sem AS (
         |  SELECT query_id, doc_id, vrank FROM (
         |    SELECT q.vec_id AS query_id, c.vec_id AS doc_id,
         |      row_number() OVER (PARTITION BY q.vec_id ORDER BY
@@ -2305,18 +2378,7 @@ object TextPipeline {
         |    FROM embeddings q CROSS JOIN embeddings c
         |    WHERE q.vec_id IN (1, 7, 42, 99, 123) AND c.vec_id <> q.vec_id) t
         |  WHERE vrank <= 20
-        |), fused AS (
-        |  SELECT query_id, doc_id,
-        |    round(coalesce(CAST(1 AS DOUBLE) / (60 + l.lrank), 0) +
-        |          coalesce(CAST(1 AS DOUBLE) / (60 + s.vrank), 0), 6) AS rrf
-        |  FROM lex l FULL OUTER JOIN sem s USING (query_id, doc_id)
-        |), ranked AS (
-        |  SELECT query_id, doc_id, rrf,
-        |    row_number() OVER (PARTITION BY query_id
-        |                       ORDER BY rrf DESC, doc_id) AS rank
-        |  FROM fused)
-        |SELECT query_id, rank, doc_id, rrf FROM ranked
-        |WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin,
+        |)$rrfFuseTail""".stripMargin,
     // full Count-Min replay (r15, VERDICT r14 item 3): the portable md5
     // bucket family makes every sketch cell a GROUP BY over
     // (lang, row, 60-bit-md5-prefix % width) — cells merge by addition,

@@ -329,9 +329,9 @@ object Vectors {
     * their nprobe best-scoring cells, candidates score rounded cosine
     * with (cosine DESC, vec_id) ranking — the exact ivfTopK / knnJoin /
     * VectorIndex.topK pipeline downstream of training. */
-  private def ivfFamilySql(cents: Seq[Seq[Double]], probeWhere: String,
-                           nprobe: Int, k: Int, excludeSelf: Boolean): String =
-    s"""WITH cent(cid, c) AS (VALUES ${centValues(cents)}),
+  private def ivfCtes(cents: Seq[Seq[Double]], probeWhere: String,
+                      nprobe: Int, excludeSelf: Boolean): String =
+    s"""cent(cid, c) AS (VALUES ${centValues(cents)}),
        |nc AS (SELECT cid, c,
        |         sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum')) AS cn
        |       FROM cent),
@@ -354,12 +354,34 @@ object Vectors {
        |        round(list_aggregate(list_transform(range(1, len(qv) + 1),
        |          i -> qv[i] * cells.v[i]), 'sum') / (np * cells.nrm), 4) AS cosine
        |      FROM p JOIN cells ON p.cid = cells.cid
-       |      ${if (excludeSelf) "WHERE p.q_id <> cells.vec_id" else ""})
+       |      ${if (excludeSelf) "WHERE p.q_id <> cells.vec_id" else ""})""".stripMargin
+
+  private def ivfFamilySql(cents: Seq[Seq[Double]], probeWhere: String,
+                           nprobe: Int, k: Int, excludeSelf: Boolean): String =
+    s"""WITH ${ivfCtes(cents, probeWhere, nprobe, excludeSelf)}
        |SELECT q_id, rn, vec_id, cosine FROM (
        |  SELECT q_id, vec_id, cosine,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn
        |  FROM cand) t
        |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+
+  /** Indexed-RRF replay (VERDICT r15 item 3): the lexical leg is the
+    * shared BM25 closed form ([[TextPipeline.rrfLexCtes]] — TermIndex
+    * .topK is value-exact against it by the `doc_bm25_index_topk`
+    * contract) and the semantic leg replays probed-cell selection from
+    * the recorded centroid literals (the `vec_index_topk` machinery,
+    * self excluded, leg top-20), fused by the shared rank-only tail. */
+  private def rrfIndexedSql(cents: Seq[Seq[Double]]): String =
+    s"""WITH ${TextPipeline.rrfLexCtes},
+       |${ivfCtes(cents, s"WHERE vec_id IN $probeList", nprobe = 8,
+          excludeSelf = true)},
+       |sem AS (
+       |  SELECT q_id AS query_id, vec_id AS doc_id, vrank FROM (
+       |    SELECT q_id, vec_id, cosine,
+       |      row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS vrank
+       |    FROM cand) t
+       |  WHERE vrank <= 20
+       |)${TextPipeline.rrfFuseTail}""".stripMargin
 
   /** SemDeDup replay: same-cell smaller-id witness with dot > tau·|a||b|
     * (strict — the boundary verdict VectorIndexSpec pins), min witness. */
@@ -612,6 +634,7 @@ object Vectors {
         "vec_knn_join" -> ivfFamilySql(c, "", nprobe = 4, k = 3,
           excludeSelf = true),
         "vec_semantic_dedup" -> semanticDedupSql(c, tau = 0.9),
+        "doc_rrf_fusion_indexed" -> rrfIndexedSql(c),
       )).getOrElse(Map.empty) ++
       topkPlanes.map(p =>
         "vec_lsh_topk" -> lshTopKSql(p, bits = 6, k = 5)).toMap ++

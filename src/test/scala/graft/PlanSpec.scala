@@ -141,7 +141,7 @@ class PlanSpec extends SparkSpec {
     // ranking. Losing this silently turns q09/doc_bigram_lm/the ANN
     // rerank stages into full sorts per group at corpus scale.
     Seq("doc_bigram_lm", "q09_topk_per_group", "vec_quantized_topk",
-        "doc_rrf_fusion").foreach { q =>
+        "doc_rrf_fusion", "doc_rrf_fusion_indexed").foreach { q =>
       val df = SparkEntry.queries(q)(spark, sf0001)
       df.collect()
       val p = df.queryExecution.executedPlan.toString
