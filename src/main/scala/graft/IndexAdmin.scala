@@ -56,7 +56,8 @@ object IndexAdmin {
       logicalDeletes: Seq[String],          // pending LogicalDelete batches
       logicalDeleteAges: Seq[(String, Long)], // same batches with ageMs
       sourceStatusPresent: Boolean,
-      recallProbes: Seq[(String, Double)] = Seq.empty) // (tag, self-recall), append order
+      recallProbes: Seq[(String, Double)] = Seq.empty, // (tag, self-recall), append order
+      lastFsckAgeMs: Option[Long] = None) // since the last CLEAN IndexCheck
 
   /** Control names that live at the index top level beside the data
     * tables in the LEGACY (never-compacted) layout; excluded from the
@@ -64,7 +65,8 @@ object IndexAdmin {
   private val controlNames =
     Set("GEN", "lease", "tagfp", "rmstate", "applied", "removed", "srcstat",
       "deleted", // r13: LogicalDelete's pending tombstone batches
-      "recall")  // r15: VectorIndex append-time self-recall probe series
+      "recall",  // r15: VectorIndex append-time self-recall probe series
+      "fsck")    // r16: IndexCheck clean-audit recency marker
 
   def report(conf: Configuration, indexDir0: String): Report = {
     val dir = IndexMaintenance.normalize(indexDir0)
@@ -175,7 +177,8 @@ object IndexAdmin {
           .filter(_._1.startsWith("batch=")) // skip the serve-overlay dirs
           .map { case (n, a) => (n.stripPrefix("batch="), a) },
       sourceStatusPresent = fs.exists(new Path(s"$dir/srcstat")),
-      recallProbes = operators.VectorIndex.recallProbes(conf, dir))
+      recallProbes = operators.VectorIndex.recallProbes(conf, dir),
+      lastFsckAgeMs = IndexCheck.lastFsckAgeMs(conf, dir))
   }
 
   private def fmtAge(ms: Long): String =
@@ -243,6 +246,8 @@ object IndexAdmin {
     }
     sb ++= s"  source-status fast-path record: " +
       s"${if (r.sourceStatusPresent) "present" else "absent"}\n"
+    sb ++= s"  last clean IndexCheck: " +
+      s"${r.lastFsckAgeMs.fold("never recorded")(a => s"${fmtAge(a)} ago")}\n"
     sb.result()
   }
 
@@ -307,6 +312,21 @@ object IndexAdmin {
       out += "freshness fast-path record absent: isFresh/ensure fall back " +
         "to the content-hash scan (correct, slower); the next build() " +
         "re-arms it"
+    // fsck cadence (r16): the data-plane audit exists, so the console
+    // must RECOMMEND it — post-compact/post-remove per the README
+    // runbook, and never staler than the deletion SLA
+    r.lastFsckAgeMs match {
+      case None =>
+        out += "IndexCheck has never recorded a clean audit here — run " +
+          "`runMain graft.IndexCheck <dir>` (read-only) after each " +
+          "maintenance pass (compaction, takedown) to baseline " +
+          "data-plane integrity"
+      case Some(age) if age >= deletionSlaMs =>
+        out += s"IndexCheck STALE: last clean audit ${fmtAge(age)} ago " +
+          s"exceeds the ${fmtAge(deletionSlaMs)} cadence — re-run the " +
+          "fsck before trusting further maintenance on this index"
+      case _ => ()
+    }
     out.result()
   }
 

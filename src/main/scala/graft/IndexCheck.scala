@@ -25,7 +25,12 @@ import graft.operators.{IndexMaintenance, LogicalDelete, Similarity, TextIndex,
   * or replaying the crashed operation that caused it. When control
   * state shows an operation in flight (crashed removal, unmarkered
   * append), findings may just be that operation's crash window — the
-  * report says so rather than crying corruption.
+  * report says so rather than crying corruption. The ONE write is
+  * bookkeeping, not data: a CLEAN pass stamps `<indexDir>/fsck` with
+  * its wall-clock time so `IndexAdmin --advise` can flag an index
+  * whose last verified-good audit is older than the deletion SLA
+  * (VERDICT r15 item 5); pass `record = false` (read-only mounts,
+  * spec probes) to suppress it.
   *
   * Cost shape: each check is one or two aggregates/joins over the
   * index's own tables — O(index), never O(corpus²) — and the quantizer
@@ -50,8 +55,11 @@ object IndexCheck {
   }
 
   /** Audit one index dir; family is detected from the live root's
-    * tables. Throws on an unrecognizable layout (not an index dir). */
-  def check(s: SparkSession, indexDir0: String): DataReport = {
+    * tables. Throws on an unrecognizable layout (not an index dir). A
+    * clean pass stamps the `fsck` recency marker (see the class doc)
+    * unless `record = false`. */
+  def check(s: SparkSession, indexDir0: String,
+            record: Boolean = true): DataReport = {
     val dir = IndexMaintenance.normalize(indexDir0)
     val conf = s.sparkContext.hadoopConfiguration
     val root = IndexMaintenance.liveRoot(conf, dir)
@@ -80,7 +88,39 @@ object IndexCheck {
       case "vector"  => vectorChecks(s, root, victims)
       case "term"    => termChecks(s, root, victims)
     }
-    DataReport(dir, family, inflight, checks)
+    val report = DataReport(dir, family, inflight, checks)
+    // recency stamp ONLY on a clean pass: a failing audit must never
+    // advance the "last verified good" clock advise() reads
+    if (record && report.ok) stampFsck(conf, dir)
+    report
+  }
+
+  /** Write the fsck recency marker — epoch millis, one tiny file. */
+  private def stampFsck(conf: org.apache.hadoop.conf.Configuration,
+                        dir: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/fsck")
+    val out = p.getFileSystem(conf).create(p, true)
+    try out.write(System.currentTimeMillis().toString
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Millis since the last CLEAN audit stamped this index — None when
+    * none ever ran (or the marker was cleared). Read by
+    * [[IndexAdmin.report]]. */
+  def lastFsckAgeMs(conf: org.apache.hadoop.conf.Configuration,
+                    indexDir: String): Option[Long] = {
+    val p = new org.apache.hadoop.fs.Path(
+      s"${IndexMaintenance.normalize(indexDir)}/fsck")
+    val fs = p.getFileSystem(conf)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      scala.util.Try(txt.trim.toLong).toOption
+        .map(t => math.max(0L, System.currentTimeMillis() - t))
+    }
   }
 
   // ---- shared primitives -------------------------------------------
@@ -325,12 +365,32 @@ object IndexCheck {
     val badIdb = bucketViolations(dl, "idb",
       pmod(xxhash64(col(idCol)), lit(nBuckets.toLong)))
 
+    // (5) r16: the incrementally-maintained corpus token total — the
+    // serve path scores from meta.sum_dl, so drift here IS score skew;
+    // tombstone-adjusted like rowCount (meta subtracts at logicalRemove,
+    // rows leave at reclaim)
+    val statsCheck =
+      if (!meta.schema.fieldNames.contains("sum_dl"))
+        Check("corpus-stats", ok = true,
+          "pre-r16 meta (no sum_dl) — serve falls back to the dl aggregate")
+      else {
+        val surviving = victims.fold(dl)(v => dl.join(
+          v.select(col(LogicalDelete.idColOf(v)).as(idCol)),
+          Seq(idCol), "left_anti"))
+        val sd = surviving.agg(coalesce(sum(col("dl")), lit(0L)))
+          .head().getLong(0)
+        val metaSd = meta.getAs[Long]("sum_dl")
+        chk("corpus-stats", math.abs(sd - metaSd),
+          s"meta.sum_dl ($metaSd) == surviving dl total ($sd)")
+      }
+
     Seq(
       chk("id-cover", cover, "dl ids == postings ids"),
       chk("dl-consistency", badDl, "per id, sum(postings.tf) == dl"),
       chk("bucket-tb", badTb, "postings.tb == pmod(xxhash64(term), n_buckets)"),
       chk("bucket-idb", badIdb, "dl.idb == pmod(xxhash64(id), n_buckets)"),
-      rowCount(meta, dl, idCol, victims, "dl"))
+      rowCount(meta, dl, idCol, victims, "dl"),
+      statsCheck)
   }
 
   // ---- console ---------------------------------------------------------

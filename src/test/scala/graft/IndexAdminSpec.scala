@@ -160,8 +160,19 @@ class IndexAdminSpec extends SparkSpec {
       removalTags = Set.empty, appliedMarkers = Set.empty,
       unmarkeredRecordedTags = Set.empty, tombstones = Nil,
       logicalDeletes = Nil, logicalDeleteAges = Nil,
-      sourceStatusPresent = true)
+      sourceStatusPresent = true,
+      lastFsckAgeMs = Some(3600 * 1000L)) // recently audited clean
     assert(IndexAdmin.advise(base).isEmpty, "pristine index: all clear")
+    // fsck cadence (r16): never-audited indexes get the baseline nudge,
+    // stale audits get named against the SLA, fresh ones stay silent
+    val neverChecked = IndexAdmin.advise(base.copy(lastFsckAgeMs = None))
+    assert(neverChecked.exists(_.contains("IndexCheck has never")),
+      neverChecked.mkString("; "))
+    val staleChecked = IndexAdmin.advise(
+      base.copy(lastFsckAgeMs = Some(30 * 3600 * 1000L)),
+      deletionSlaMs = 24 * 3600 * 1000L)
+    assert(staleChecked.exists(_.contains("IndexCheck STALE")),
+      staleChecked.mkString("; "))
     // pending logical deletions: within SLA -> scheduled; beyond -> overdue
     val hour = 3600 * 1000L
     val within = base.copy(logicalDeletes = Seq("rm.a"),
@@ -219,6 +230,13 @@ class IndexAdminSpec extends SparkSpec {
     graft.operators.TextIndex.compact(spark, dir)
     assert(IndexAdmin.advise(IndexAdmin.report(conf, dir))
       .forall(!_.contains("compact()")), "reclaim clears the advice")
+    // r16: the post-maintenance fsck nudge stands until a CLEAN
+    // IndexCheck pass stamps its recency marker, then clears
+    assert(IndexAdmin.advise(IndexAdmin.report(conf, dir))
+      .exists(_.contains("IndexCheck has never")), "fsck nudge must stand")
+    assert(IndexCheck.check(spark, dir).ok, "post-compact fsck must pass")
+    assert(!IndexAdmin.advise(IndexAdmin.report(conf, dir))
+      .exists(_.contains("IndexCheck")), "a clean fsck clears the nudge")
   }
 
   test("advise: recall-drift probe flips the retrain line; healthy appends don't (r15)") {

@@ -118,6 +118,41 @@ class IndexCheckSpec extends SparkSpec {
     assert(failedNames(r2).contains("id-cover"), IndexCheck.format(r2))
   }
 
+  test("term: a drifted meta sum_dl is a named corpus-stats violation (r16)") {
+    import graft.operators.TermIndex
+    val docs = Seq((1L, "alpha beta gamma"), (2L, "beta beta delta"))
+      .toDF("doc_id", "text")
+    val dir = tmpIdx("ick_tms")
+    TermIndex.build(docs, "doc_id", "text", dir)
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    assert(IndexCheck.check(spark, dir).ok)
+    mangle(s"$root/meta")(_.withColumn("sum_dl", col("sum_dl") + 5L))
+    val r = IndexCheck.check(spark, dir)
+    assert(failedNames(r) === Set("corpus-stats"), IndexCheck.format(r))
+  }
+
+  test("a clean pass stamps the fsck recency marker; a failing one does not (r16)") {
+    import graft.operators.TermIndex
+    val docs = Seq((1L, "alpha beta"), (2L, "beta delta")).toDF("doc_id", "text")
+    val dir = tmpIdx("ick_stamp")
+    TermIndex.build(docs, "doc_id", "text", dir)
+    assert(IndexCheck.lastFsckAgeMs(conf, dir).isEmpty, "no marker pre-audit")
+    assert(IndexCheck.check(spark, dir, record = false).ok)
+    assert(IndexCheck.lastFsckAgeMs(conf, dir).isEmpty,
+      "record=false must not stamp")
+    assert(IndexCheck.check(spark, dir).ok)
+    val age = IndexCheck.lastFsckAgeMs(conf, dir)
+    assert(age.exists(_ < 600000L), s"clean pass must stamp recency: $age")
+    // break the index: a failing audit must NOT advance the clock
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    mangle(s"$root/meta")(_.withColumn("sum_dl", col("sum_dl") + 3L))
+    Thread.sleep(5)
+    val before = IndexCheck.lastFsckAgeMs(conf, dir).get
+    assert(!IndexCheck.check(spark, dir).ok)
+    assert(IndexCheck.lastFsckAgeMs(conf, dir).get >= before,
+      "failing audit advanced the verified-good clock")
+  }
+
   test("vector column recovered by type: a non-'embedding' name audits clean") {
     // review-caught: the recovery used the literal name "embedding" with
     // a first-leftover fallback that SWAPPED vec/id on any other name
