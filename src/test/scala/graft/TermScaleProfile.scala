@@ -54,6 +54,19 @@ object TermScaleProfile {
       f"serve_min=${serve.min}%.2fs recompute_min=${recompute.min}%.2fs " +
       s"serve=${serve.map(t => f"$t%.2f").mkString(",")} " +
       s"recompute=${recompute.map(t => f"$t%.2f").mkString(",")}")
+    // archive beside the bench artifact (VERDICT r15 item 6): one JSON
+    // line per invocation so the SCALING.md serve-vs-recompute
+    // crossover stays a measured, re-derivable series — not prose
+    def arr(xs: Seq[Double]) = xs.map(t => f"$t%.3f").mkString("[", ",", "]")
+    val line =
+      s"""{"dir":"$dir","docs":$nDocs,"n_buckets":$nBuckets,""" +
+        f""""build_s":$buildS%.3f,"serve_min_s":${serve.min}%.3f,""" +
+        f""""recompute_min_s":${recompute.min}%.3f,""" +
+        s""""serve_runs":${arr(serve)},"recompute_runs":${arr(recompute)}}"""
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("term_profile.jsonl"), line + "\n",
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.APPEND)
     spark.stop()
   }
 }
