@@ -209,7 +209,8 @@ object Bench {
           case scala.util.control.NonFatal(e) =>
             System.err.println(s"[bench] warmup $name FAILED: ${e.getMessage}")
         }
-    warmIndex("ensureIndex", _.startsWith("vec_"))(
+    warmIndex("ensureIndex",
+      n => n.startsWith("vec_") || n == "doc_rrf_fusion_indexed")(
       graft.queries.Vectors.ensureIndex(spark, sfDir))
     // the near-dup cluster index: the PPJoin+CC build is ingest-side work
     // paid once per corpus generation; the timed CC family measures the
@@ -222,7 +223,8 @@ object Bench {
     // pays the build and mislabels the attribution metrics)
     warmIndex("ensureProbeClusterIndex", Set("doc_cluster_index_probe"))(
       graft.queries.TextPipeline.ensureProbeClusterIndex(spark, sfDir))
-    warmIndex("ensureTermIndex", Set("doc_bm25_index_topk"))(
+    warmIndex("ensureTermIndex",
+      Set("doc_bm25_index_topk", "doc_rrf_fusion_indexed"))(
       graft.queries.TextPipeline.ensureTermIndex(spark, sfDir))
     // scan staging is ingest-side too since r11 (stage-once markers):
     // pay the format writes here so every timed iteration — not just
@@ -410,12 +412,18 @@ object Bench {
     val suspect = suspectNoise(priorMins, nowMins ++ nowLegs)
     if (suspect != "{}") System.err.println(
       s"[bench] SUSPECT NOISE vs prior bench_result.json (>2x moves): $suspect")
+    // name the retried queries in the artifact: their runs arrays carry
+    // a 4th element, so "min_of_3" is min-of-4 for exactly these rows —
+    // the reader should not have to infer that from array shapes
+    val retriedJson = retryTimes.keys.toSeq.sorted
+      .map(q => s""""$q"""").mkString("[", ",", "]")
     val detail =
       line.dropRight(1) + s""","peak_exec_mb":$mem,"gc_ms":$gc,"storage_mb":$stor,""" +
         s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit,""" +
         s""""takedown_legs":$takedownLegs,""" +
         s""""takedown_legs_logical":$takedownLegsLogical,""" +
-        s""""suspect_noise":$suspect,"repeats":$repJson}"""
+        s""""suspect_noise":$suspect,"retried":$retriedJson,""" +
+        s""""repeats":$repJson}"""
     Files.writeString(Paths.get("bench_result.json"), detail)
     println(line)
     spark.stop()

@@ -294,8 +294,14 @@ object Fingerprint {
     readRemoveState(conf, indexDir, rmTag).flatMap(_._2).flatMap { tgt =>
       (readRemoveMetaBase(conf, indexDir, rmTag), metaNow) match {
         case (Some((pre, tags0)), Some(now)) =>
+          // exclude the operation's OWN record from the addend: removals
+          // record under rmTag itself, append commits (r16,
+          // [[ensureAppendState]]) under the BARE tag their `ap.` state
+          // tag wraps — counting either as an "interleaved append" would
+          // re-apply the very delta the target already contains
+          val own = sanitizeTag(rmTag)
           val newTags = (recordedTags(conf, indexDir) -- tags0) -
-            sanitizeTag(rmTag)
+            own - own.stripPrefix("ap.")
           val addend = newTags.toSeq.sorted
             .flatMap(tagFingerprints(conf, indexDir, _))
             .foldLeft((0L, 0L))(merge)
@@ -316,6 +322,41 @@ object Fingerprint {
           Some(tgt)
       }
     }
+
+  /** First-pass APPEND-commit state (r16 review): the plain
+    * write-meta-then-record append ordering leaves a crash window
+    * where the replay (shouldMerge true again) merges the delta a
+    * SECOND time. For fingerprint-only metas that degrades to a
+    * spurious rebuild — the designed failure direction — but a family
+    * serving query-time statistics FROM meta (TermIndex's (n_rows,
+    * sum_dl) since r16) would silently mis-score until the next
+    * ensure(). Such appends commit through this state instead: under
+    * `rmstate/ap.<tag>` (the removal namespace on purpose — a crashed
+    * append must block removals/rebuilds exactly like a crashed
+    * removal, and [[requireNoOtherPendingRemoval]] already reads that
+    * dir), metabase-first, with target = merge(pre, delta); the meta
+    * write then goes through [[resolveRemovalMeta]]'s
+    * interleaving-exact reconstruction, so every crash boundary — and
+    * appends interleaved across one — replays to the same value.
+    * Refuses a DIFFERENT delta under leftover state (the crashed
+    * append must replay with its original batch first). */
+  def ensureAppendState(conf: org.apache.hadoop.conf.Configuration,
+                        indexDir: String, apTag: String, dfp: (Long, Long),
+                        pre: (Long, Long), opName: String): Unit = {
+    val state0 = readRemoveState(conf, indexDir, apTag)
+    state0.foreach { case (sdfp, _) =>
+      if (sdfp != dfp) refuse(
+        s"$opName: this tag has leftover append-commit state for a " +
+          "DIFFERENT batch (a crashed append under it never completed) — " +
+          "re-run that append with its original delta first, or clear " +
+          "its rmstate dir after verifying the index")
+    }
+    if (state0.isEmpty) {
+      writeRemoveMetaBase(conf, indexDir, apTag, pre,
+        recordedTags(conf, indexDir))
+      writeRemoveState(conf, indexDir, apTag, dfp, Some(merge(pre, dfp)))
+    }
+  }
 
   /** Read back the removal-commit record — None when no state survives
     * (fresh removal, or a prior one that ran to completion). */
@@ -404,10 +445,11 @@ object Fingerprint {
     val own = sanitizeTag(rmTag)
     val others = pendingRemovals(conf, indexDir) - own
     if (others.nonEmpty) refuse(
-      s"$opName: crashed removal(s) ${others.mkString(", ")} never " +
-        s"completed (state under $indexDir/rmstate/) — re-run each with " +
-        "its original tag and victims to let it replay to completion " +
-        "before starting a new removal")
+      s"$opName: crashed removal/append commit(s) ${others.mkString(", ")} " +
+        s"never completed (state under $indexDir/rmstate/; `ap.` entries " +
+        "are append commits) — re-run each with its original tag and " +
+        "batch to let it replay to completion before starting this " +
+        "operation")
   }
 
   // ---- FS-metadata freshness fast-path (VERDICT r9 item 2) -------------

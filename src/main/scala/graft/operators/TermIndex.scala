@@ -323,20 +323,56 @@ object TermIndex {
           "batch-unique tag")
       LogicalDelete.requireNotTombstoned(s, indexDir,
         delta.select(col(idCol)), idCol, "TermIndex.append")
+      val apTag = s"ap.${sanitize(tag)}"
+      // rmstate paths resolve through the normalized dir, the same
+      // convention as logicalRemove's state calls
+      val normDir = IndexMaintenance.normalize(indexDir)
+      // leftover commit state for a DIFFERENT delta refuses BEFORE any
+      // write: the tag-scoped writeSlice below would overwrite the
+      // crashed batch's staged partitions with the wrong batch's rows
+      // (spec-caught — the in-block check alone ran one write too late)
+      Fingerprint.readRemoveState(conf, normDir, apTag).foreach {
+        case (sdfp, _) =>
+          if (sdfp != dfp)
+            Fingerprint.refuse(
+              s"TermIndex.append: tag '$tag' has leftover append-commit " +
+                "state for a DIFFERENT batch (a crashed append under it " +
+                "never completed) — re-run that append with its original " +
+                "delta first")
+      }
       val (tf, dl) = stats(delta, idCol, textCol)
       writeSlice(tf, dl, idCol, root, src = sanitize(tag), nBuckets,
         dynamic = true)
       oldFp.foreach { o =>
-        if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp)) {
-          val fp = Fingerprint.merge(o, dfp)
-          // sum_dl rides the same atomic meta write as the fingerprint
-          // merge: the delta's token total comes off the tag's OWN just-
-          // written `_src` partition (pruned read, O(delta)), so it
-          // describes exactly the rows of record
-          writeMeta(s, root, nBuckets, fp, oldSumDl.map(_ + sumDlOf(
-            s.read.parquet(s"$root/dl")
-              .filter(col("_src") === lit(sanitize(tag))))))
+        val statePends =
+          Fingerprint.readRemoveState(conf, normDir, apTag).isDefined
+        if (Fingerprint.shouldMerge(conf, indexDir, tag, dfp) || statePends) {
+          // IDEMPOTENT meta commit (r16 review): the plain
+          // write-then-record ordering left a crash window where the
+          // replay merged the delta twice — tolerable when meta carried
+          // only the fingerprint (drift => spurious rebuild at the next
+          // ensure), SILENT mis-scoring now that topK serves (n_rows,
+          // sum_dl) from meta. The removal-commit machinery is reused
+          // with merge as the target op: state persists BEFORE the
+          // write, the write derives from persisted state under the
+          // interleaved-append addend rule, record + cleanup follow —
+          // every crash boundary replays to the same meta. sum_dl rides
+          // the same atomic write, its delta read off the tag's OWN
+          // just-written `_src` partition (pruned, O(delta), replay-
+          // stable: the dynamic overwrite rewrites it byte-for-byte).
+          Fingerprint.ensureAppendState(conf, normDir, apTag, dfp, o,
+            "TermIndex.append")
+          FaultInjection.maybeCrash("term.append.state")
+          Fingerprint.resolveRemovalMeta(conf, normDir, apTag, oldFp,
+            "TermIndex.append").foreach { fp =>
+            writeMeta(s, root, nBuckets, fp, oldSumDl.map(_ + sumDlOf(
+              s.read.parquet(s"$root/dl")
+                .filter(col("_src") === lit(sanitize(tag))))))
+          }
+          FaultInjection.maybeCrash("term.append.meta")
           Fingerprint.recordMerge(conf, indexDir, tag, dfp)
+          FaultInjection.maybeCrash("term.append.record")
+          Fingerprint.clearRemoveState(conf, normDir, apTag)
         }
       }
       Fingerprint.clearSourceStatus(conf, indexDir)
