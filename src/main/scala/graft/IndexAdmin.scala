@@ -214,13 +214,21 @@ object IndexAdmin {
       }
     }
     if (r.pendingRemovals.nonEmpty) {
-      // rmstate dirs carry the rm. namespace; the tag the operator
-      // must pass back to remove() is the BARE one — printing rm.t9
-      // with "re-run with this tag" would have them call
-      // remove(tag="rm.t9"), a new removal the pending guard refuses
-      val bare = r.pendingRemovals.map(_.stripPrefix("rm.")).toSeq.sorted
-      sb ++= s"  CRASHED removals (replay each: call remove() with its " +
-        s"ORIGINAL victims and tag): ${bare.mkString(", ")}\n"
+      // rmstate dirs carry the rm. namespace — and, since r16, `ap.`
+      // entries for crashed APPEND commits (the term family's
+      // idempotent meta protocol). The tag the operator must pass back
+      // is the BARE one — printing rm.t9 with "re-run with this tag"
+      // would have them call remove(tag="rm.t9"), a new removal the
+      // pending guard refuses — and the replay verb differs by kind.
+      val (aps, rms) = r.pendingRemovals.partition(_.startsWith("ap."))
+      if (rms.nonEmpty)
+        sb ++= s"  CRASHED removals (replay each: call remove() with its " +
+          s"ORIGINAL victims and tag): " +
+          s"${rms.map(_.stripPrefix("rm.")).toSeq.sorted.mkString(", ")}\n"
+      if (aps.nonEmpty)
+        sb ++= s"  CRASHED append commits (replay each: call append() " +
+          s"with its ORIGINAL delta and tag): " +
+          s"${aps.map(_.stripPrefix("ap.")).toSeq.sorted.mkString(", ")}\n"
     }
     sb ++= s"  recorded append merges: ${r.appendTags.size}" +
       s"  removal merges: ${r.removalTags.size}" +
@@ -265,11 +273,19 @@ object IndexAdmin {
   def advise(r: Report, deletionSlaMs: Long = 24L * 3600 * 1000L,
              retrainRecallFloor: Double = 0.8): Seq[String] = {
     val out = Seq.newBuilder[String]
-    if (r.pendingRemovals.nonEmpty)
-      out += "BLOCKING: crashed removal(s) " +
-        r.pendingRemovals.map(_.stripPrefix("rm.")).toSeq.sorted.mkString(", ") +
-        " — re-run each with its ORIGINAL victims and tag; new removals " +
-        "and compact() refuse until these replay to completion"
+    if (r.pendingRemovals.nonEmpty) {
+      val (aps, rms) = r.pendingRemovals.partition(_.startsWith("ap."))
+      if (rms.nonEmpty)
+        out += "BLOCKING: crashed removal(s) " +
+          rms.map(_.stripPrefix("rm.")).toSeq.sorted.mkString(", ") +
+          " — re-run each with its ORIGINAL victims and tag; new removals " +
+          "and compact() refuse until these replay to completion"
+      if (aps.nonEmpty)
+        out += "BLOCKING: crashed append commit(s) " +
+          aps.map(_.stripPrefix("ap.")).toSeq.sorted.mkString(", ") +
+          " — re-run each append with its ORIGINAL delta and tag; " +
+          "removals and rebuilds refuse until these replay to completion"
+    }
     if (r.logicalDeleteAges.nonEmpty && r.pendingRemovals.isEmpty) {
       val oldest = r.logicalDeleteAges.map(_._2).max
       val n = r.logicalDeleteAges.size

@@ -193,6 +193,12 @@ class IndexAdminSpec extends SparkSpec {
       && !l.contains("rm.t9")), crashed.mkString("; "))
     assert(!crashed.exists(l => l.contains("compact() recommended") ||
       l.contains("compact() OVERDUE")), crashed.mkString("; "))
+    // r16: a crashed APPEND commit (ap. namespace) blocks under its own
+    // verb — append(), not remove() — with the bare tag
+    val crashedAp = IndexAdmin.advise(
+      base.copy(pendingRemovals = Set("ap.b7")))
+    assert(crashedAp.exists(l => l.contains("append commit")
+      && l.contains("b7") && !l.contains("ap.b7")), crashedAp.mkString("; "))
     // tombstone pruning: blocked while unmarkered batches pend, eligible
     // once they drain
     val tomb = base.copy(tombstones = Seq(("batch=tk1", 5 * hour)))
