@@ -660,6 +660,10 @@ private[operators] object ClusterRemoval {
     val s = victims.sparkSession
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
+    // set inside the lease when the mutating half ran; consumed by the
+    // LEASE-FREE overlay half below (r16 — see the comment there)
+    var overlayArgs: Option[(String, Int, DataFrame, Long, Seq[Long],
+      Option[(Long, Long)], String)] = None
     IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val m = s.read.parquet(s"$root/meta").head()
@@ -759,17 +763,40 @@ private[operators] object ClusterRemoval {
       // the one correctness-bearing "leg": the tombstone batch
       // (idempotent overwrite) — probes are blind from here
       LogicalDelete.write(vids, idCol, normDir, rmTag)
+      overlayArgs = Some((root, nBuckets, vids, nV, vIdb, resolvedFp, normDir))
+    }
+    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+      s"ClusterIndex.logicalRemove on $indexDir: the index was compacted " +
+        "during the removal — re-run it after verifying no maintenance " +
+        "is racing")
+    }
+    // ---- LEASE-FREE overlay half (r16): the serve-overlay write is
+    // the expensive leg of the logical takedown (the victims\' component
+    // re-split over the edge log — ~19 s of a ~24 s call at sf1 when a
+    // victim hits a large family) and it is ADVISORY: readers validate
+    // (root, fingerprint, batch list, and since r16 the identity
+    // embedded in the pinned payload) and fall back to the live
+    // recompute on ANY mismatch. Holding the globally-exclusive remove
+    // lease across it made every concurrent ingest append wait out the
+    // re-split (TakedownIngestProfile: ~13.5 s blocked at sf1 vs the
+    // staged physical remove\'s ~1.8 s) for zero correctness benefit —
+    // the lease-free write has exactly the live recompute\'s read
+    // exposure (snapshot-less parquet reads under in-flight appends),
+    // and anything an interleaved append or compact changes invalidates
+    // the overlay at read time (fingerprint/root drift), never serves
+    // it. Protocol order is unchanged: the crash point stays between
+    // the tombstone write and the overlay, state clears LAST, so a
+    // crash anywhere in this half leaves rmstate pending and the replay
+    // re-runs the overlay idempotently (LogicalDeleteSpec case 2). A
+    // concurrent removal cannot start meanwhile (rmstate pends), and a
+    // concurrent append merely invalidates the artifact it raced.
+    overlayArgs.foreach { case (root, nBuckets, vids, nV, vIdb,
+        resolvedFp, normDir) =>
+      val rmTag = s"rm.$tag"
       FaultInjection.maybeCrash("cluster.logical.overlay")
-      // serve-overlay: the victims' component re-split, computed once
-      // here (bounded by the victims' components — delta-scale, never
-      // the corpus) so every assignments() read until the next compact
-      // is a pure O(overlay) parquet read. A crash right above leaves
-      // the overlay out of step with the batch list; serves detect that
-      // and recompute live, and the replay rewrites it (idempotent).
-      // BEST-EFFORT (review-caught): the overlay is advisory — readers
-      // validate and fall back — so a transient failure here must not
-      // leave rmstate pending and wedge every later removal over an
-      // artifact whose absence costs one extra per-read recompute.
+      // BEST-EFFORT (review-caught r15): a transient failure must not
+      // leave rmstate pending and wedge later removals over an artifact
+      // whose absence costs one extra per-read recompute.
       try rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets,
         curBatch = rmTag, curVids = (vids, nV, vIdb), newFp = resolvedFp))
       catch {
@@ -780,11 +807,6 @@ private[operators] object ClusterRemoval {
       Fingerprint.clearSourceStatus(conf, indexDir)
       // state cleanup LAST — every step above replays from the record
       Fingerprint.clearRemoveState(conf, normDir, rmTag)
-    }
-    require(IndexMaintenance.liveRoot(conf, indexDir) == root,
-      s"ClusterIndex.logicalRemove on $indexDir: the index was compacted " +
-        "during the removal — re-run it after verifying no maintenance " +
-        "is racing")
     }
   }
 }
