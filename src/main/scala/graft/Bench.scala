@@ -110,14 +110,21 @@ object Bench {
     * (a re-run that failed at the count() recorded its legs without
     * contributing a total; zipping the shortened list would attribute
     * one run's legs to another's total — review-caught r13). */
-  private def legSplitJson(legRuns: Seq[Map[String, Double]],
-                           totals: Seq[Double]): String =
+  private[graft] def legSplitJson(legRuns: Seq[Map[String, Double]],
+                                  totals: Seq[Double]): String =
     if (legRuns.isEmpty) "{}"
     else {
       val keys = legRuns.head.keys.toSeq
+      // rm_* entries are SUB-legs nested inside index_remove's wall
+      // (VERDICT r16 item 2) — they attribute, they don't add; counting
+      // them in the serve subtraction would double-book that time
       val serveRuns =
         if (totals.size == legRuns.size)
-          totals.zip(legRuns).map { case (t, m) => math.max(0.0, t - m.values.sum) }
+          totals.zip(legRuns).map { case (t, m) =>
+            math.max(0.0, t - m.collect {
+              case (k, v) if !k.startsWith("rm_") => v
+            }.sum)
+          }
         else Seq.empty
       (keys.map(k => k -> legRuns.map(_(k)).min) ++
         (if (serveRuns.nonEmpty) Seq("serve" -> serveRuns.min) else Nil))
@@ -145,6 +152,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // scale-band archives (VERDICT r16 item 3): SPARK_GRAFT_BENCH_OUT
+    // redirects the artifact (e.g. bench_result_sf1.json) so an sf1 band
+    // keeps its OWN prior-mins lineage — same suspect-noise diff, same
+    // retry machinery, never clobbering the driver's sf0.1 artifact.
+    // The driver never sets it, so the headline contract is unchanged.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_result.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -243,7 +256,7 @@ object Bench {
     // against an sf0.1 archive would flag everything.
     val priorMins =
       try {
-        val prior = Files.readString(Paths.get("bench_result.json"))
+        val prior = Files.readString(Paths.get(outPath))
         // the pattern includes the CLOSING quote (the 4-quote run ends
         // the interpolation with a literal "), so an sf10 archive can
         // never prefix-match a run at sf1. Leg mins ride the same map
@@ -411,7 +424,7 @@ object Bench {
     val nowMins = applyRetry(preMins, retryTimes)
     val suspect = suspectNoise(priorMins, nowMins ++ nowLegs)
     if (suspect != "{}") System.err.println(
-      s"[bench] SUSPECT NOISE vs prior bench_result.json (>2x moves): $suspect")
+      s"[bench] SUSPECT NOISE vs prior $outPath (>2x moves): $suspect")
     // name the retried queries in the artifact: their runs arrays carry
     // a 4th element, so "min_of_3" is min-of-4 for exactly these rows —
     // the reader should not have to infer that from array shapes
@@ -424,7 +437,7 @@ object Bench {
         s""""takedown_legs_logical":$takedownLegsLogical,""" +
         s""""suspect_noise":$suspect,"retried":$retriedJson,""" +
         s""""repeats":$repJson}"""
-    Files.writeString(Paths.get("bench_result.json"), detail)
+    Files.writeString(Paths.get(outPath), detail)
     println(line)
     spark.stop()
   }

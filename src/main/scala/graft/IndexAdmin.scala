@@ -23,14 +23,16 @@ import graft.operators.{Fingerprint, IndexMaintenance}
   *  - how many takedown tombstone batches accrete under removed/ and
   *    how old they are (the retention decision's inputs).
   *
-  * Deliberately has NO mutating verbs: every recovery action already
-  * has a guarded owner (expired leases self-clear at the next acquire,
-  * crashed removals replay under their original tag, tombstone pruning
-  * is the operator's explicit `pruneTombstones` call) — an admin tool
-  * that "fixes" any of these by deleting state would bypass exactly the
-  * guards that make them safe. Needs no SparkSession: control state is
-  * all small files, so `sbt "runMain graft.IndexAdmin <indexDir>..."`
-  * answers from a cold JVM in seconds.
+  * Deliberately has almost NO mutating verbs: every recovery action
+  * already has a guarded owner (expired leases self-clear at the next
+  * acquire, crashed removals replay under their original tag) — an
+  * admin tool that "fixes" any of these by deleting state would bypass
+  * exactly the guards that make them safe. The ONE exception is
+  * `--prune` (r17, VERDICT r16 item 6): tombstone retention, because
+  * its guard set IS this console's advise() rules — see [[prune]] for
+  * the gates; everything else stays read-only. Needs no SparkSession:
+  * control state is all small files, so `sbt "runMain graft.IndexAdmin
+  * <indexDir>..."` answers from a cold JVM in seconds.
   */
 object IndexAdmin {
 
@@ -57,7 +59,8 @@ object IndexAdmin {
       logicalDeleteAges: Seq[(String, Long)], // same batches with ageMs
       sourceStatusPresent: Boolean,
       recallProbes: Seq[(String, Double)] = Seq.empty, // (tag, self-recall), append order
-      lastFsckAgeMs: Option[Long] = None) // since the last CLEAN IndexCheck
+      lastFsckAgeMs: Option[Long] = None, // since the last CLEAN IndexCheck
+      inflightRemovals: Set[String] = Set.empty) // pending WITH fresh heartbeat (r17)
 
   /** Control names that live at the index top level beside the data
     * tables in the LEGACY (never-compacted) layout; excluded from the
@@ -155,6 +158,12 @@ object IndexAdmin {
         .sortBy(_._1)
     val tombstones = batchAges(removedDir)
 
+    // in-flight vs crashed (r17, ADVICE r16): a pending removal whose
+    // lease-free half renews its rmstate heartbeat is HEALTHY — the
+    // guards wait/retry on it, and this console must not cry CRASHED
+    val pendingRm = Fingerprint.pendingRemovals(conf, dir)
+    val inflight = pendingRm.filter(Fingerprint.inflightFresh(conf, dir, _))
+
     Report(
       dir = dir,
       gen = gen,
@@ -165,7 +174,8 @@ object IndexAdmin {
       tables = tables,
       leases = IndexMaintenance.leaseStatus(conf, dir),
       leaseTtlMs = IndexMaintenance.leaseTtlMs,
-      pendingRemovals = Fingerprint.pendingRemovals(conf, dir),
+      pendingRemovals = pendingRm,
+      inflightRemovals = inflight,
       appendTags = appendTags,
       removalTags = removalTags,
       appliedMarkers = applied,
@@ -220,7 +230,14 @@ object IndexAdmin {
       // is the BARE one — printing rm.t9 with "re-run with this tag"
       // would have them call remove(tag="rm.t9"), a new removal the
       // pending guard refuses — and the replay verb differs by kind.
-      val (aps, rms) = r.pendingRemovals.partition(_.startsWith("ap."))
+      // A pending removal with a FRESH rmstate heartbeat is not crashed
+      // at all: its lease-free half is running right now (r17).
+      if (r.inflightRemovals.nonEmpty)
+        sb ++= s"  IN-FLIGHT removals (healthy lease-free half, heartbeat " +
+          s"fresh — concurrent maintenance waits/retries; no action): " +
+          s"${r.inflightRemovals.map(_.stripPrefix("rm.")).toSeq.sorted.mkString(", ")}\n"
+      val crashed = r.pendingRemovals -- r.inflightRemovals
+      val (aps, rms) = crashed.partition(_.startsWith("ap."))
       if (rms.nonEmpty)
         sb ++= s"  CRASHED removals (replay each: call remove() with its " +
           s"ORIGINAL victims and tag): " +
@@ -273,8 +290,14 @@ object IndexAdmin {
   def advise(r: Report, deletionSlaMs: Long = 24L * 3600 * 1000L,
              retrainRecallFloor: Double = 0.8): Seq[String] = {
     val out = Seq.newBuilder[String]
-    if (r.pendingRemovals.nonEmpty) {
-      val (aps, rms) = r.pendingRemovals.partition(_.startsWith("ap."))
+    if (r.inflightRemovals.nonEmpty)
+      out += "in-flight removal(s) " +
+        r.inflightRemovals.map(_.stripPrefix("rm.")).toSeq.sorted.mkString(", ") +
+        " — a lease-free half is running (heartbeat fresh); concurrent " +
+        "maintenance waits briefly and retries, nothing to do"
+    if ((r.pendingRemovals -- r.inflightRemovals).nonEmpty) {
+      val (aps, rms) =
+        (r.pendingRemovals -- r.inflightRemovals).partition(_.startsWith("ap."))
       if (rms.nonEmpty)
         out += "BLOCKING: crashed removal(s) " +
           rms.map(_.stripPrefix("rm.")).toSeq.sorted.mkString(", ") +
@@ -346,13 +369,55 @@ object IndexAdmin {
     out.result()
   }
 
+  /** Execute tombstone retention (VERDICT r16 item 6) — the console's
+    * ONE mutating verb, and only because every gate it applies is the
+    * advise() rule set itself, checked against a fresh [[Report]]
+    * moments before the delete:
+    *
+    *  - recorded-but-unmarkered stream batches ⇒ REFUSE (the tombstones
+    *    are what keep those replays from resurrecting removed rows);
+    *  - crashed removal/append state pending ⇒ REFUSE (its replay may
+    *    still need the tombstone as its resurrection guard; in-flight
+    *    heartbeat-fresh state refuses too — just retry after it clears);
+    *  - no CLEAN IndexCheck within the deletion SLA ⇒ REFUSE (don't
+    *    loosen replay guards on an unaudited index);
+    *  - otherwise prune batches older than the SLA (the operational
+    *    replay horizon — every stream sharing the index must have
+    *    restarted+drained within it, which the unmarkered check pins).
+    *
+    * Returns Left(reason) on refusal — the reason IS the advise line an
+    * operator would have read — or Right(prunedCount). */
+  def prune(conf: Configuration, dir: String,
+            deletionSlaMs: Long): Either[String, Int] = {
+    val r = report(conf, dir)
+    if (r.unmarkeredRecordedTags.nonEmpty)
+      Left("recorded-but-unmarkered stream batch(es) " +
+        s"${r.unmarkeredRecordedTags.toSeq.sorted.mkString(", ")} have not " +
+        "drained — the tombstones are what keep their replays from " +
+        "resurrecting removed rows")
+    else if (r.pendingRemovals.nonEmpty)
+      Left(s"removal/append state ${r.pendingRemovals.toSeq.sorted.mkString(", ")} " +
+        "is pending (crashed or in-flight) — let it replay/finish first")
+    else if (!r.lastFsckAgeMs.exists(_ < deletionSlaMs))
+      Left("no clean IndexCheck within the " +
+        s"${fmtAge(deletionSlaMs)} cadence (" +
+        r.lastFsckAgeMs.fold("never recorded")(a => s"last ${fmtAge(a)} ago") +
+        ") — run `runMain graft.IndexCheck " + dir + "` first; pruning " +
+        "replay guards on an unaudited index is how silent resurrection " +
+        "starts")
+    else if (r.tombstones.isEmpty) Right(0)
+    else Right(graft.streaming.S4Stream.pruneTombstones(conf, dir,
+      deletionSlaMs))
+  }
+
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))
     require(dirs.nonEmpty,
-      "usage: runMain graft.IndexAdmin [--advise] <indexDir> [<indexDir>...]")
-    val unknown = flags.filterNot(_ == "--advise")
+      "usage: runMain graft.IndexAdmin [--advise] [--prune] <indexDir> [<indexDir>...]")
+    val unknown = flags.filterNot(f => f == "--advise" || f == "--prune")
     require(unknown.isEmpty, s"unknown flag(s): ${unknown.mkString(", ")}")
     val doAdvise = flags.contains("--advise")
+    val doPrune = flags.contains("--prune")
     // deletion-SLA / recall-floor overrides for the advise rules
     val sla = sys.props.get("graft.admin.deletionSlaMs").map(_.toLong)
       .getOrElse(24L * 3600 * 1000L)
@@ -366,6 +431,11 @@ object IndexAdmin {
         val a = advise(r, sla, floor)
         if (a.isEmpty) println("  advise: all clear — no maintenance indicated")
         else a.foreach(l => println(s"  advise: $l"))
+      }
+      if (doPrune) prune(conf, dir, sla) match {
+        case Left(reason) => println(s"  prune: REFUSED — $reason")
+        case Right(n) => println(s"  prune: removed $n tombstone batch(es) " +
+          s"older than ${fmtAge(sla)}")
       }
     }
   }

@@ -590,6 +590,12 @@ object ClusterIndex {
              indexDir: String, tag: String = "remove"): Unit =
     ClusterRemoval.remove(victims, idCol, textCol, indexDir, tag)
 
+  /** Window walls (rm_validate / rm_stage / rm_flip) of the last
+    * [[remove]] on this driver — the bench's composed-takedown query
+    * publishes them inside `takedown_legs` (VERDICT r16 item 2). */
+  private[graft] def lastRemoveWindows: Map[String, Double] =
+    ClusterRemoval.lastWindows
+
   /** LOGICAL targeted delete — the RTBF fast path (tombstone +
     * persisted serve-overlay, no table rewrite; reclaim at the next
     * [[compact]]). Protocol docs on [[ClusterRemoval.logicalRemove]]. */

@@ -21,6 +21,25 @@ private[operators] object ClusterRemoval {
   import ClusterIndex.{idb, tb, rleg}
   import ClusterResplit.{resplitPlan, repairComponents, writeOverlay}
 
+  /** Window walls of the LAST [[remove]] on this driver (VERDICT r16
+    * item 2 — the physical takedown's cross-box swing needs sub-leg
+    * attribution): `rm_validate` = window A (brief-lease validation +
+    * fingerprint commit + barrier), `rm_stage` = window B (lease-free
+    * staging), `rm_flip` = window C (brief-lease validate + flip +
+    * bookkeeping; also carries the in-place fallback/replay path). The
+    * bench's composed-takedown query publishes these inside
+    * `takedown_legs`, so a contaminated archive names the stage instead
+    * of one conflated index_remove number. Driver-side bench plumbing —
+    * remove() itself is single-caller-per-index under its leases. */
+  @volatile private[graft] var lastWindows: Map[String, Double] = Map.empty
+  private def timedWindow[T](k: String)(f: => T): T = {
+    val t0 = System.nanoTime()
+    val r = f
+    lastWindows = lastWindows +
+      (k -> (lastWindows.getOrElse(k, 0.0) + (System.nanoTime() - t0) / 1e9))
+    r
+  }
+
   /** Index-side targeted DELETE (VERDICT r10 item 1 — the
     * right-to-be-forgotten contract reaching the persisted index, not
     * just the lake): remove `victims` rows from every table and re-split
@@ -105,7 +124,8 @@ private[operators] object ClusterRemoval {
     var planReady = false
     var completedReplay = false
     var stagedPath = false
-    IndexMaintenance.withLease(conf, indexDir, "remove") {
+    lastWindows = Map("rm_validate" -> 0.0, "rm_stage" -> 0.0, "rm_flip" -> 0.0)
+    timedWindow("rm_validate")(IndexMaintenance.withLease(conf, indexDir, "remove") {
       root = IndexMaintenance.liveRoot(conf, indexDir)
       val m = s.read.parquet(s"$root/meta").head()
       thr = m.getAs[Double]("threshold")
@@ -223,12 +243,17 @@ private[operators] object ClusterRemoval {
             .contains(barrierBatch))
           LogicalDelete.write(vids, idCol, normDir, rmTag)
       }
-    }
+    })
     if (nV > 0L && !completedReplay) {
       if (stagedPath)
-        removeStaged(s, conf, root, normDir, rmTag, stateDir, planMarker,
-          idCol, vids, nV, vIdb, nBuckets)
-      else IndexMaintenance.withLease(conf, indexDir, "remove") {
+        // in-flight heartbeat across the staged half (r17): rmstate pends
+        // through the lease-free window B and the two lease gaps; the
+        // beat keeps concurrent guards reading this as a retryable
+        // in-flight removal, never a false crashed verdict (ADVICE r16)
+        Fingerprint.withInflightBeat(conf, normDir, rmTag)(
+          removeStaged(s, conf, root, normDir, rmTag, stateDir, planMarker,
+            idCol, vids, nV, vIdb, nBuckets))
+      else timedWindow("rm_flip")(IndexMaintenance.withLease(conf, indexDir, "remove") {
         require(IndexMaintenance.liveRoot(conf, indexDir) == root,
           s"ClusterIndex.remove on $indexDir: the index was compacted to a " +
             "new generation during the removal — re-run it (same tag + " +
@@ -247,7 +272,7 @@ private[operators] object ClusterRemoval {
         commitFromPlan(s, conf, root, normDir, stateDir, idCol, vids, nV,
           vIdb, nBuckets)
         finishRemove(s, conf, normDir, rmTag, barrierBatch)
-      }
+      })
     }
   }
 
@@ -540,7 +565,7 @@ private[operators] object ClusterRemoval {
     // healthy in-flight removal's rmstate as "crashed ... never
     // completed" (review-caught r15: the takedown streams retry the
     // former and die on the latter) ----
-    IndexMaintenance.withLease(conf, normDir, "write") {
+    timedWindow("rm_stage")(IndexMaintenance.withLease(conf, normDir, "write") {
       persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
       stateFs.create(planMarker, true).close() // plan commit point
       FaultInjection.maybeCrash("cluster.plan")
@@ -582,10 +607,10 @@ private[operators] object ClusterRemoval {
             keep = df => Seq("u", "v").foldLeft(df)((d, c) =>
               d.join(keysAs(c), Seq(c), "left_anti")))
         })))
-    }
+    })
     FaultInjection.maybeCrash("cluster.stage")
     // ---- WINDOW C: validate + flip under the remove lease ----
-    IndexMaintenance.withLease(conf, normDir, "remove") {
+    timedWindow("rm_flip")(IndexMaintenance.withLease(conf, normDir, "remove") {
       require(IndexMaintenance.liveRoot(conf, normDir) == root,
         s"ClusterIndex.remove on $normDir: the index was compacted to a " +
           "new generation during the removal — re-run it (same tag + " +
@@ -637,7 +662,7 @@ private[operators] object ClusterRemoval {
       }
       finishRemove(s, conf, normDir, rmTag,
         Fingerprint.sanitizeTag(rmTag))
-    }
+    })
   }
 
   /** LOGICAL targeted delete (VERDICT r12 item 1) — the RTBF fast path:
@@ -793,20 +818,29 @@ private[operators] object ClusterRemoval {
     overlayArgs.foreach { case (root, nBuckets, vids, nV, vIdb,
         resolvedFp, normDir) =>
       val rmTag = s"rm.$tag"
-      FaultInjection.maybeCrash("cluster.logical.overlay")
-      // BEST-EFFORT (review-caught r15): a transient failure must not
-      // leave rmstate pending and wedge later removals over an artifact
-      // whose absence costs one extra per-read recompute.
-      try rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets,
-        curBatch = rmTag, curVids = (vids, nV, vIdb), newFp = resolvedFp))
-      catch {
-        case scala.util.control.NonFatal(e) =>
-          System.err.println("[ClusterIndex.logicalRemove] serve-overlay " +
-            s"write failed — serves fall back to the live re-split: $e")
+      // in-flight heartbeat (r17, ADVICE r16): rmstate legitimately
+      // pends for this half's whole wall on every HEALTHY call — the
+      // beat keeps concurrent compact()/removal/ensure() guards reading
+      // it as a retryable in-flight removal (brief wait, then
+      // LeaseConflictException) instead of a false "crashed ... never
+      // completed" verdict; a real crash stops the beat and the verdict
+      // flips back within one lease TTL.
+      Fingerprint.withInflightBeat(conf, normDir, rmTag) {
+        FaultInjection.maybeCrash("cluster.logical.overlay")
+        // BEST-EFFORT (review-caught r15): a transient failure must not
+        // leave rmstate pending and wedge later removals over an artifact
+        // whose absence costs one extra per-read recompute.
+        try rleg("overlay")(writeOverlay(s, root, normDir, idCol, nBuckets,
+          curBatch = rmTag, curVids = (vids, nV, vIdb), newFp = resolvedFp))
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println("[ClusterIndex.logicalRemove] serve-overlay " +
+              s"write failed — serves fall back to the live re-split: $e")
+        }
+        Fingerprint.clearSourceStatus(conf, indexDir)
+        // state cleanup LAST — every step above replays from the record
+        Fingerprint.clearRemoveState(conf, normDir, rmTag)
       }
-      Fingerprint.clearSourceStatus(conf, indexDir)
-      // state cleanup LAST — every step above replays from the record
-      Fingerprint.clearRemoveState(conf, normDir, rmTag)
     }
   }
 }

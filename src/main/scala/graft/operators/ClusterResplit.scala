@@ -39,10 +39,20 @@ private[operators] object ClusterResplit {
   private def overlayMetaDir(indexDir: String): String =
     LogicalDelete.overlayMetaDir(indexDir)
 
-  /** Persist the union-pending re-split; called by [[logicalRemove]]
-    * under the remove lease (appends hold the disjoint write lease, so
-    * ingest never waits on this). Skips legacy fingerprint-less metas —
-    * there is nothing to validate against, so serves recompute live.
+  /** Persist the union-pending re-split; called by logicalRemove's
+    * LEASE-FREE half, AFTER the remove lease releases (r16 — write and
+    * remove leases conflict, so holding the lease across this ~19 s
+    * re-split blocked every concurrent ingest append for zero
+    * correctness benefit). Safe lease-free because the artifact is
+    * advisory: readers validate the payload-embedded identity
+    * (root/fingerprint/batch list) on pinned rows after checkpointing
+    * and fall back to the live recompute on ANY mismatch, so whatever a
+    * concurrent append or compact changes invalidates the overlay at
+    * read time rather than serving it. The caller keeps rmstate pending
+    * (with an in-flight heartbeat since r17) across this half, so a
+    * concurrent removal cannot start meanwhile. Skips legacy
+    * fingerprint-less metas — there is nothing to validate against, so
+    * serves recompute live.
     *
     * `curBatch`/`curVids` reuse the caller's already-checkpointed state
     * for the overwhelmingly common single-pending-batch case — the

@@ -438,18 +438,103 @@ object Fingerprint {
         "complete, or rebuild the index, before taking these down")
   }
 
-  /** The cross-tag refusal shared by the three remove() families. */
+  // ---- in-flight heartbeat for lease-free removal halves (r17) ---------
+  //
+  // ClusterRemoval.logicalRemove's serve-overlay half runs LEASE-FREE
+  // (r16), so its rmstate legitimately pends for the overlay wall on
+  // every HEALTHY call — and the pending-state guards used to read any
+  // surviving rmstate as "crashed ... never completed": a false
+  // diagnosis, and an availability regression for scheduled maintenance
+  // that lands in that window (ADVICE r16). A lease-free half now keeps
+  // a HEARTBEAT file (`rmstate/<tag>/inflight`, mtime-renewed at TTL/3,
+  // exactly a lease's renewal discipline) and the guards classify:
+  // every pending state fresh => IN-FLIGHT — wait briefly for it to
+  // clear, then throw the RETRYABLE lease-conflict type the takedown/
+  // ingest loops already retry on; any state stale or heartbeat-less
+  // (in-lease protocols never mark; a crashed half stops renewing and
+  // goes stale within one TTL) => the crashed refusal, verbatim.
+
+  private def inflightPath(indexDir: String, tag: String) =
+    new org.apache.hadoop.fs.Path(rmStateDir(indexDir, tag), "inflight")
+
+  /** Is this pending removal's lease-free half HEALTHY right now —
+    * heartbeat file present and renewed within one lease TTL? */
+  def inflightFresh(conf: org.apache.hadoop.conf.Configuration,
+                    indexDir: String, tag: String): Boolean = {
+    val p = inflightPath(indexDir, tag)
+    try System.currentTimeMillis() -
+      p.getFileSystem(conf).getFileStatus(p).getModificationTime <=
+      IndexMaintenance.leaseTtlMs
+    catch { case _: java.io.FileNotFoundException => false }
+  }
+
+  /** Run a lease-free removal half under its in-flight heartbeat: the
+    * marker file is created up front, mtime-renewed on the shared
+    * heartbeat pool, and removed on exit (normal completion clears the
+    * whole state dir moments later anyway; an abnormal one must read as
+    * crashed IMMEDIATELY, not a TTL later). A JVM crash skips the
+    * cleanup — the file then ages past the TTL and the guards flip to
+    * the crashed verdict on their own. */
+  def withInflightBeat[T](conf: org.apache.hadoop.conf.Configuration,
+                          indexDir: String, rmTag: String)(body: => T): T = {
+    val p = inflightPath(indexDir, sanitizeTag(rmTag))
+    val fs = p.getFileSystem(conf)
+    fs.create(p, true).close()
+    // renewals are setTimes-ONLY: a beat racing the finally-cleanup (or
+    // the state dir's clearRemoveState) must never RE-CREATE the marker
+    // — a resurrected lone inflight file would read as a pending removal
+    // nothing ever clears
+    val task = IndexMaintenance.scheduleBeat(() =>
+      try fs.setTimes(p, System.currentTimeMillis(), -1)
+      catch { case scala.util.control.NonFatal(_) => () })
+    try body
+    finally {
+      task.cancel(false)
+      try fs.delete(p, false)
+      catch { case scala.util.control.NonFatal(_) => () }
+    }
+  }
+
+  /** How long a guard waits for an in-flight (heartbeat-fresh) removal
+    * to clear before throwing the retryable conflict. Bounded: a HUNG
+    * half renews forever, and the caller must get control back. */
+  private def inflightGraceMs: Long =
+    sys.props.get("graft.rmstate.graceMs").map(_.toLong).getOrElse(10000L)
+
+  /** The cross-tag refusal shared by the remove() families (and, via
+    * [[IndexMaintenance.beginCompact]], compaction). Pending state that
+    * is heartbeat-FRESH is an in-flight lease-free half, not a crash:
+    * wait up to the grace for it to clear, then throw the RETRYABLE
+    * conflict; anything stale refuses with the crashed verdict. */
   def requireNoOtherPendingRemoval(conf: org.apache.hadoop.conf.Configuration,
                                    indexDir: String, rmTag: String,
                                    opName: String): Unit = {
     val own = sanitizeTag(rmTag)
-    val others = pendingRemovals(conf, indexDir) - own
-    if (others.nonEmpty) refuse(
-      s"$opName: crashed removal/append commit(s) ${others.mkString(", ")} " +
-        s"never completed (state under $indexDir/rmstate/; `ap.` entries " +
-        "are append commits) — re-run each with its original tag and " +
-        "batch to let it replay to completion before starting this " +
-        "operation")
+    def others = pendingRemovals(conf, indexDir) - own
+    var pending = others
+    if (pending.nonEmpty && pending.forall(inflightFresh(conf, indexDir, _))) {
+      val deadline = System.currentTimeMillis() + inflightGraceMs
+      while (pending.nonEmpty &&
+             pending.forall(inflightFresh(conf, indexDir, _)) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(100L)
+        pending = others
+      }
+    }
+    if (pending.nonEmpty) {
+      if (pending.forall(inflightFresh(conf, indexDir, _)))
+        throw new IndexMaintenance.LeaseConflictException(
+          s"$opName on $indexDir refused: removal(s) " +
+            s"${pending.mkString(", ")} are IN-FLIGHT (lease-free half, " +
+            "heartbeat fresh) and did not finish within the " +
+            s"${inflightGraceMs}ms grace — retry shortly")
+      else refuse(
+        s"$opName: crashed removal/append commit(s) ${pending.mkString(", ")} " +
+          s"never completed (state under $indexDir/rmstate/; `ap.` entries " +
+          "are append commits) — re-run each with its original tag and " +
+          "batch to let it replay to completion before starting this " +
+          "operation")
+    }
   }
 
   // ---- FS-metadata freshness fast-path (VERDICT r9 item 2) -------------

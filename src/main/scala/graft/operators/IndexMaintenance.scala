@@ -165,14 +165,23 @@ private[graft] object IndexMaintenance {
     * Kinds and their conflict rules:
     *  - `write` (build/append): tag-scoped writers never touch each
     *    other's partitions, so write+write is allowed; conflicts with
-    *    `compact` and `remove`.
+    *    `compact`, `remove`, and `xwrite`.
+    *  - `xwrite` (build/append on a family whose META is read-modify-
+    *    written from query-serving state — [[TermIndex]]'s (n_rows,
+    *    sum_dl) since r16): EXCLUSIVE among writers too. Two concurrent
+    *    tag-scoped appends never touch each other's PARTITIONS, but both
+    *    read meta at entry and commit merge(entry-meta, own-delta) — the
+    *    later commit silently drops the earlier delta's stats, and for a
+    *    stats-serving family that is silent mis-scoring, not just a
+    *    spurious rebuild (ADVICE r16). Conflicts with everything.
     *  - `remove` (targeted delete): EXCLUSIVE — a removal rewrites
     *    OTHER generations' partitions (its read-then-overwrite would
     *    silently wipe rows a concurrent append lands between the read
     *    and the write; review-caught), so it conflicts with everything.
     *  - `compact`: EXCLUSIVE — retires the whole generation. */
   def acquireLease(conf: Configuration, indexDir0: String, kind: String): Path = {
-    require(kind == "write" || kind == "compact" || kind == "remove",
+    require(kind == "write" || kind == "compact" || kind == "remove" ||
+      kind == "xwrite",
       s"unknown lease kind $kind")
     val indexDir = normalize(indexDir0)
     val own = new Path(leaseDir(indexDir),
@@ -193,7 +202,8 @@ private[graft] object IndexMaintenance {
       .filterNot(_.endsWith(".reclaimed"))
       .filterNot(_ == own.getName)
       .filter(other => kind != "write" ||
-        other.startsWith("compact") || other.startsWith("remove"))
+        other.startsWith("compact") || other.startsWith("remove") ||
+        other.startsWith("xwrite"))
       .filterNot { other =>
         // expired => the holder crashed (a live one renews at ttl/3):
         // mark-then-delete. The MARKER makes the reclaim visible to a
@@ -358,6 +368,14 @@ private[graft] object IndexMaintenance {
   private def startBeat(conf: Configuration, lease: Path): LeaseBeat =
     new LeaseBeat(lease.getFileSystem(conf), lease)
 
+  /** Schedule a recurring beat on the shared heartbeat pool — the
+    * lease-free removal halves' in-flight markers ride the same
+    * renewal cadence as lease files ([[Fingerprint.withInflightBeat]]). */
+  private[operators] def scheduleBeat(run: Runnable)
+      : java.util.concurrent.ScheduledFuture[_] =
+    heartbeatPool.scheduleAtFixedRate(run, heartbeatMs, heartbeatMs,
+      java.util.concurrent.TimeUnit.MILLISECONDS)
+
   /** Run independent, idempotent maintenance legs CONCURRENTLY,
     * surfacing the first failure only after every sibling leg settles —
     * a mid-leg crash (injected or real) must never leave another leg's
@@ -437,12 +455,13 @@ private[graft] object IndexMaintenance {
       // orphan the replay — victims lingering physically while meta
       // already subtracted them. Refuse until each replays to
       // completion under its own tag (r13; previously only the remove
-      // family cross-checked itself).
-      val pending = Fingerprint.pendingRemovals(conf, indexDir)
-      if (pending.nonEmpty) Fingerprint.refuse(
-        s"compact on $indexDir: crashed removal(s) ${pending.mkString(", ")} " +
-          s"never completed (state under $indexDir/rmstate/) — re-run each " +
-          "with its original tag and victims before compacting")
+      // family cross-checked itself). Since r17 the shared guard
+      // classifies a heartbeat-fresh IN-FLIGHT lease-free removal half
+      // as a retryable conflict (brief wait, then
+      // LeaseConflictException) instead of a false crashed verdict
+      // (ADVICE r16) — its crashed branch keeps the refusal semantics.
+      Fingerprint.requireNoOtherPendingRemoval(conf, indexDir, rmTag = "",
+        s"compact on $indexDir")
       val fromGen = currentGen(conf, indexDir)
       val newGen = fromGen.getOrElse(0L) + 1
       val staging = new Path(s"$indexDir/g$newGen")

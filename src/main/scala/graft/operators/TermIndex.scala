@@ -52,9 +52,28 @@ import org.apache.spark.sql.functions._
   *
   * RTBF: [[logicalRemove]] tombstones victims (queries blind
   * immediately — scores, df, N, and avgdl all reflect the survivors
-  * from that moment), [[compact]] reclaims physically. No physical
-  * remove(): takedown latency is the logical step by design, and the
-  * rewrite amortizes into compaction like every other family's reclaim.
+  * from that moment) and [[compact]] reclaims physically on its own
+  * cadence; [[remove]] (r17) is the "data must be GONE now" verb — the
+  * same bucket-pruned partition rewrites as the siblings, so a BM25
+  * index honors the strict-SLA takedown without waiting for the next
+  * compaction. All four families now carry both verbs.
+  *
+  * Because topK serves (N, avgdl) FROM meta, both removal verbs order
+  * their mutations rows-first: the tombstone write (logical) / the
+  * postings+dl deletes (physical) land BEFORE the meta subtraction, so
+  * served stats never LEAD the served rows (ADVICE r16) — a crash in
+  * between leaves victims already invisible with slightly-stale
+  * survivor stats (the conservative direction; `checkStats` refuses
+  * that window loudly until the removal replays), never victims still
+  * returnable under survivor-exact stats.
+  *
+  * Writers hold the EXCLUSIVE `xwrite` lease, not the shared `write`
+  * one (ADVICE r16): concurrent tag-scoped appends never collide on
+  * partitions, but both would read meta at entry and commit
+  * merge(entry-meta, own-delta) — the later commit silently dropping
+  * the earlier delta's (n_rows, sum_dl). For the one family that
+  * SERVES stats from meta, lost updates are mis-scoring, so same-index
+  * writes serialize (the loser gets the retryable lease conflict).
   */
 object TermIndex {
 
@@ -119,7 +138,7 @@ object TermIndex {
     // windows depend on (same rule as the cluster family)
     Fingerprint.requireNoOtherPendingRemoval(conf,
       IndexMaintenance.normalize(indexDir), rmTag = "", "TermIndex.build")
-    IndexMaintenance.withLease(conf, indexDir, "write") {
+    IndexMaintenance.withLease(conf, indexDir, "xwrite") {
       val root = IndexMaintenance.liveRoot(conf, indexDir)
       val (tf, dl) = stats(docs, idCol, textCol)
       writeSlice(tf, dl, idCol, root, src = "build", nBuckets, dynamic = false)
@@ -204,20 +223,30 @@ object TermIndex {
     val tomb = LogicalDelete.ids(s, indexDir)
     def hide(df: DataFrame) = LogicalDelete.hide(df, idCol, tomb)
 
-    val qterms = queries
+    // ONE job for the whole query side (VERDICT r16 item 5 — the serve
+    // floor): the (query_id, term) pairs were driver-bound anyway (every
+    // consumer below broadcast()s them), so collecting them once — WITH
+    // their term buckets in the same rows — replaces the former
+    // localCheckpoint job + separate bucket-collect job, and the joins
+    // below consume a driver-local relation with no re-scan. Still
+    // bounded by the query batch's vocabulary, never the corpus.
+    val qtPlan = queries
       .select(col(queryIdCol),
         explode(graft.functions.TextOps.tokens(col(queryTextCol))).as("term"))
       .distinct()
-      .localCheckpoint() // consumed by the bucket collect AND two joins
-    // bounded collect: the query terms' buckets become static partition
-    // filters on the postings read (<= nBuckets longs)
-    val touchedTb = qterms.select(tb(col("term"), nBuckets).as("tb"))
-      .distinct().collect().map(_.getLong(0)).toSeq
+    val qtRows = qtPlan.withColumn("_tb", tb(col("term"), nBuckets)).collect()
+    val touchedTb = qtRows.map(_.getLong(2)).distinct.toSeq
+    val qterms = s.createDataFrame(
+      java.util.Arrays.asList(qtRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1))): _*),
+      qtPlan.schema)
     val tfQ = hide(postingsAll
         .filter(col("tb").isin(touchedTb: _*))
         .join(broadcast(qterms.select(col("term")).distinct()), Seq("term")))
       .select(col(idCol), col("term"), col("tf"))
-      .localCheckpoint() // fan-out: df, the score join, AND the idb collect
+      // lazy: the idb collect right below is the materializing action,
+      // so the checkpoint costs no extra job (df + score join reuse it)
+      .localCheckpoint(eager = false)
     val dfreq = tfQ.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // second bounded collect (<= nBuckets longs): the CANDIDATE docs'
     // idb values turn the per-doc dl join read into a static partition
@@ -307,7 +336,10 @@ object TermIndex {
              indexDir: String, tag: String = "append"): Unit = {
     val s = delta.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
-    IndexMaintenance.withLease(conf, indexDir, "write") {
+    // xwrite (ADVICE r16): same-index appends must serialize — see the
+    // class doc; the meta commit below reads (oldFp, oldSumDl) from the
+    // lease entry, which only stays current while no sibling writer runs
+    IndexMaintenance.withLease(conf, indexDir, "xwrite") {
       val root = IndexMaintenance.liveRoot(conf, indexDir)
       val (nBuckets, oldFp, oldSumDl) = readMeta(s, root)
       require(sanitize(tag) != "build",
@@ -382,13 +414,97 @@ object TermIndex {
     }
   }
 
-  /** LOGICAL targeted delete — the family's only takedown verb (see the
-    * class doc): the same validation + idempotent fingerprint
-    * subtraction protocol as the siblings, one tombstone-batch write,
-    * physical reclaim at the next [[compact]]. Queries are blind — and
-    * their df/N/avgdl statistics survivor-exact — the moment this
+  /** The victims' recomputed (tf, dl) under the frozen tokenizer, plus
+    * their term/id bucket lists — a PURE function of the victims
+    * argument, so the removal verbs need no persisted bucket plan: a
+    * crash-replay recomputes the identical prune from the same rows
+    * (unlike [[TextIndex.remove]], whose buckets derive from the stored
+    * toks table and must ride the rmstate dir). */
+  private def victimStats(victims: DataFrame, idCol: String, textCol: String,
+                          vids: DataFrame, nBuckets: Int)
+      : (DataFrame, DataFrame, Seq[Long], Seq[Long]) = {
+    val (vtf0, vdl) = stats(victims, idCol, textCol)
+    val vtf = vtf0.localCheckpoint() // bucket collect + signature/meta reuse
+    val vTb = vtf.select(tb(col("term"), nBuckets).as("tb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
+      .distinct().collect().map(_.getLong(0)).toSeq
+    (vtf, vdl, vTb, vIdb)
+  }
+
+  /** First-attempt victim validation shared by both removal verbs:
+    * content known-check (the victims' recomputed per-id postings
+    * signature must equal the stored rows' — the fingerprint
+    * subtraction needs exactly the ingested content; unique-id family:
+    * one signature per id, the whole (term, tf) profile) and the
+    * mid-append-crash provenance guard. The stored postings read prunes
+    * to the VICTIMS' term buckets (bounded collect, the topK recipe) —
+    * never the corpus. The prune could hide stored-only terms, so
+    * totality is pinned by the dl equality: pruned-profile match +
+    * equal token counts => full-profile match (a stored term outside
+    * the pruned buckets would make the stored dl strictly larger) —
+    * the same argument that makes the physical verb's tb-pruned
+    * postings delete exact. */
+  private def validateVictims(s: SparkSession, root: String, indexDir: String,
+                              victims: DataFrame, vids: DataFrame, nV: Long,
+                              idCol: String, vtf: DataFrame, vdl: DataFrame,
+                              vTb: Seq[Long], vIdb: Seq[Long],
+                              opName: String): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def profile(tf: DataFrame): DataFrame = tf
+      .groupBy(col(idCol))
+      .agg(xxhash64(sort_array(collect_list(struct(col("term"),
+        col("tf"))))).as("_sig"))
+    val vSig = profile(vtf)
+      .withColumnRenamed("_sig", "_vsig")
+      .join(vdl.select(col(idCol), col("dl").as("_vdl")), Seq(idCol))
+    val storedDl = s.read.parquet(s"$root/dl")
+      .filter(col("idb").isin(vIdb: _*))
+      .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+      .localCheckpoint() // signature join + provenance collect
+    val storedSig = profile(
+      s.read.parquet(s"$root/postings")
+        .filter(col("tb").isin(vTb: _*))
+        .join(TargetedDelete.maybeBroadcast(
+          storedDl.select(col(idCol)), nV), Seq(idCol), "leftsemi")
+        .select(col(idCol), col("term"), col("tf")))
+    val known = storedSig
+      .join(storedDl.select(col(idCol), col("dl")), Seq(idCol))
+      .join(TargetedDelete.maybeBroadcast(vSig, nV), Seq(idCol))
+      .filter(col("_sig") === col("_vsig") && col("dl") === col("_vdl"))
+      .count()
+    if (known != nV) Fingerprint.refuse(
+      s"$opName: only $known of $nV victim ids are " +
+        "indexed with matching content; the fingerprint subtraction " +
+        "needs exactly the ingested (id, text) rows")
+    // mid-append crash guard: victims' ingest provenance must have
+    // recorded its merge, or the subtraction would remove a
+    // fingerprint that was never added
+    val vSrcs = storedDl.select(col("_src"))
+      .filter(col("_src").isNotNull)
+      .distinct().collect().map(_.getString(0)).toSet
+    Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs, opName)
+  }
+
+  /** LOGICAL targeted delete — the RTBF fast path: the same validation +
+    * idempotent fingerprint subtraction protocol as the siblings, one
+    * tombstone-batch write, physical reclaim at the next [[compact]]
+    * (or [[remove]] for a strict "gone now" SLA). Queries are blind —
+    * and their df/N/avgdl statistics survivor-exact — the moment this
     * returns. `victims` must carry the EXACT `(id, text)` rows as
-    * ingested. */
+    * ingested.
+    *
+    * Mutation order is TOMBSTONE-then-meta (ADVICE r16, inverted from
+    * the siblings on purpose): this family serves N/avgdl from meta, so
+    * the meta-first order had a crash window where topK scored
+    * still-visible victim rows under survivor-exact stats. Tombstone
+    * first, a crash in between leaves victims invisible with stale
+    * (victim-inclusive) stats — conservative, and loudly refused by the
+    * `checkStats` tripwire until the removal replays. A crash-resumed
+    * replay (removal state present for the SAME victim fingerprint)
+    * skips the validation — its first attempt already passed it against
+    * pristine tables, and the tombstone it wrote would now fail
+    * requireNotTombstoned. */
   def logicalRemove(victims: DataFrame, idCol: String, textCol: String,
                     indexDir: String, tag: String = "remove"): Unit = {
     val s = victims.sparkSession
@@ -409,66 +525,29 @@ object TermIndex {
       val nV = vids.count()
       // completed-replay no-op (ADVICE r13): the tombstone must not be
       // rewritten after a reclaim legitimately re-admitted the id
-      val completedReplay = replay &&
-        Fingerprint.readRemoveState(conf, normDir, rmTag).isEmpty
+      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+      val completedReplay = replay && state0.isEmpty
+      // crash-resumed first attempt: state pends for THESE victims but
+      // recordMerge never ran (a crash before the record point); the
+      // tombstone may already be written, so validation must not re-run
+      val resumed = state0.exists(_._1 == vfp)
       if (nV > 0L && !completedReplay) {
-        if (!replay) {
+        val (vtf, vdl, vTb, vIdb) =
+          victimStats(victims, idCol, textCol, vids, nBuckets)
+        if (!replay && !resumed) {
           LogicalDelete.requireNotTombstoned(s, indexDir, vids, idCol,
             "TermIndex.logicalRemove")
-          // content known-check: the victims' recomputed per-id postings
-          // signature must equal the stored rows' — the fingerprint
-          // subtraction needs exactly the ingested content (unique-id
-          // family: one signature per id, the whole (term, tf) profile)
-          val vIdb = vids.select(idb(col(idCol), nBuckets).as("idb"))
-            .distinct().collect().map(_.getLong(0)).toSeq
-          def profile(tf: DataFrame): DataFrame = tf
-            .groupBy(col(idCol))
-            .agg(xxhash64(sort_array(collect_list(struct(col("term"),
-              col("tf"))))).as("_sig"))
-          val (vtf0, vdl) = stats(victims, idCol, textCol)
-          val vtf = vtf0.localCheckpoint() // bucket collect + signature
-          // the stored postings read prunes to the VICTIMS' term buckets
-          // (bounded collect, the topK recipe) — never the corpus. The
-          // prune could hide stored-only terms, so totality is pinned by
-          // the dl equality below: pruned-profile match + equal token
-          // counts => full-profile match (a stored term outside the
-          // pruned buckets would make the stored dl strictly larger)
-          val vTb = vtf.select(tb(col("term"), nBuckets).as("tb"))
-            .distinct().collect().map(_.getLong(0)).toSeq
-          val vSig = profile(vtf)
-            .withColumnRenamed("_sig", "_vsig")
-            .join(vdl.select(col(idCol), col("dl").as("_vdl")), Seq(idCol))
-          val storedDl = s.read.parquet(s"$root/dl")
-            .filter(col("idb").isin(vIdb: _*))
-            .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
-            .localCheckpoint() // signature join + provenance collect
-          val storedSig = profile(
-            s.read.parquet(s"$root/postings")
-              .filter(col("tb").isin(vTb: _*))
-              .join(TargetedDelete.maybeBroadcast(
-                storedDl.select(col(idCol)), nV), Seq(idCol), "leftsemi")
-              .select(col(idCol), col("term"), col("tf")))
-          val known = storedSig
-            .join(storedDl.select(col(idCol), col("dl")), Seq(idCol))
-            .join(TargetedDelete.maybeBroadcast(vSig, nV), Seq(idCol))
-            .filter(col("_sig") === col("_vsig") && col("dl") === col("_vdl"))
-            .count()
-          if (known != nV) Fingerprint.refuse(
-            s"TermIndex.logicalRemove: only $known of $nV victim ids are " +
-              "indexed with matching content; the fingerprint subtraction " +
-              "needs exactly the ingested (id, text) rows")
-          // mid-append crash guard: victims' ingest provenance must have
-          // recorded its merge, or the subtraction would remove a
-          // fingerprint that was never added
-          val vSrcs = storedDl.select(col("_src"))
-            .filter(col("_src").isNotNull)
-            .distinct().collect().map(_.getString(0)).toSet
-          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
-            "TermIndex.logicalRemove")
+          validateVictims(s, root, indexDir, victims, vids, nV, idCol,
+            vtf, vdl, vTb, vIdb, "TermIndex.logicalRemove")
         }
         Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
           oldFp, "TermIndex.logicalRemove")
         FaultInjection.maybeCrash("term.logical.state")
+        // ROWS FIRST (class doc): queries are blind from this write on,
+        // while meta still carries the victims until the write below —
+        // stats may lag the rows across a crash here, never lead them
+        LogicalDelete.write(vids, idCol, normDir, rmTag)
+        FaultInjection.maybeCrash("term.logical.tombstone")
         Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
           "TermIndex.logicalRemove").foreach { fp =>
           // sum_dl subtraction rides the SAME atomic meta write the
@@ -479,20 +558,144 @@ object TermIndex {
           // arrived through the same meta writes the resolver's addend
           // accounts for). Victims' token total is recomputed from the
           // given (id, text) rows — validated content-equal to the
-          // stored rows above — O(victims).
-          writeMeta(s, root, nBuckets, fp,
-            oldSumDl.map(_ - sumDlOf(stats(victims, idCol, textCol)._2)))
+          // stored rows on the first attempt — O(victims).
+          writeMeta(s, root, nBuckets, fp, oldSumDl.map(_ - sumDlOf(vdl)))
         }
         FaultInjection.maybeCrash("term.logical.meta")
         if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
         FaultInjection.maybeCrash("term.logical.record")
-        LogicalDelete.write(vids, idCol, normDir, rmTag)
         Fingerprint.clearSourceStatus(conf, indexDir)
         Fingerprint.clearRemoveState(conf, normDir, rmTag)
       }
       require(IndexMaintenance.liveRoot(conf, indexDir) == root,
         s"TermIndex.logicalRemove on $indexDir: index compacted during " +
           "the removal — re-run it after verifying no maintenance is racing")
+    }
+  }
+
+  /** PHYSICAL targeted delete (VERDICT r16 item 1 — the family's last
+    * verb asymmetry): the victims' rows leave `postings` and `dl` ON
+    * DISK before this returns, for the "data must be GONE" RTBF SLA
+    * that [[logicalRemove]]+[[compact]] only bounds by the compaction
+    * cadence. Protocol = the [[TextIndex.remove]] shape (validation →
+    * idempotent state/meta commit → pruned parallel partition rewrites
+    * → retired-generation purge → state cleanup LAST), with two
+    * term-family twists:
+    *
+    *  - NO persisted bucket plan: the postings prune (victims' term
+    *    buckets) recomputes from the victims' own (id, text) under the
+    *    frozen tokenizer — replay-stable by construction — where
+    *    TextIndex must persist `vhb` because its prune derives from the
+    *    stored toks table that a parallel leg deletes. The prune is
+    *    EXACT by the validateVictims dl-equality totality argument.
+    *  - ROWS-first ordering (class doc): the deletes run BEFORE the
+    *    meta subtraction, so served stats never lead the served rows —
+    *    a mid-removal crash leaves victims already gone with stale
+    *    victim-inclusive stats, refused loudly under `checkStats`.
+    *
+    * `victims` must carry the EXACT `(id, text)` rows as ingested, all
+    * ids indexed (checked before anything mutates); pending logical
+    * deletions must reclaim first (their meta subtraction already
+    * landed — re-subtracting here would drift it). Tag shares the
+    * remove namespace. Post-conditions (TermIndexSpec): topK == a fresh
+    * build on the survivors value-exact, victim rows absent from disk,
+    * IndexCheck clean. */
+  def remove(victims: DataFrame, idCol: String, textCol: String,
+             indexDir: String, tag: String = "remove"): Unit = {
+    val s = victims.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    IndexMaintenance.withLease(conf, indexDir, "remove") {
+      val root = IndexMaintenance.liveRoot(conf, indexDir)
+      val (nBuckets, oldFp, oldSumDl) = readMeta(s, root)
+      val rmTag = s"rm.$tag"
+      val vfp = Fingerprint.of(victims, Seq(idCol, textCol))
+      val replay = Fingerprint.wasApplied(conf, indexDir, rmTag, vfp)
+      if (!replay && Fingerprint.tagUsed(conf, indexDir, rmTag)) Fingerprint.refuse(
+        s"TermIndex.remove: tag '$tag' was already used by a different " +
+          "removal batch — pass a batch-unique tag")
+      val normDir = IndexMaintenance.normalize(indexDir)
+      Fingerprint.requireNoOtherPendingRemoval(
+        conf, normDir, rmTag, "TermIndex.remove")
+      val barrierBatch = Fingerprint.sanitizeTag(rmTag)
+      LogicalDelete.requireNonePending(conf, indexDir, "TermIndex.remove",
+        exceptBatch = Some(barrierBatch))
+      val vids = victims.select(col(idCol)).distinct().localCheckpoint()
+      val nV = vids.count()
+      val state0 = Fingerprint.readRemoveState(conf, normDir, rmTag)
+      val completedReplay = replay && state0.isEmpty
+      val resumed = state0.exists(_._1 == vfp)
+      if (nV > 0L && !completedReplay) {
+        val (vtf, vdl, vTb, vIdb) =
+          victimStats(victims, idCol, textCol, vids, nBuckets)
+        if (!replay && !resumed)
+          validateVictims(s, root, indexDir, victims, vids, nV, idCol,
+            vtf, vdl, vTb, vIdb, "TermIndex.remove")
+        Fingerprint.ensureRemoveState(conf, normDir, rmTag, vfp, replay,
+          oldFp, "TermIndex.remove")
+        FaultInjection.maybeCrash("term.remove.state")
+        // victim BARRIER (r17 review, the ClusterRemoval staged-path
+        // move): appends are allowed while a crashed removal's state
+        // pends (the resolver's addend rule keeps META exact under
+        // them), but an append RE-INGESTING a victim id in that window
+        // would have its fresh rows deleted by the id-keyed replay
+        // while its fingerprint stays merged — rows and meta diverging
+        // for good. The barrier tombstones the victims for the
+        // removal's duration (requireNotTombstoned refuses their
+        // re-ingest; topK goes blind to them right here, even before
+        // the deletes land) and is cleared with the state at the end.
+        if (!LogicalDelete.pendingBatches(conf, indexDir)
+            .contains(barrierBatch))
+          LogicalDelete.write(vids, idCol, normDir, rmTag)
+        FaultInjection.maybeCrash("term.remove.barrier")
+        // ROWS FIRST: both deletes are idempotent pruned dynamic
+        // overwrites driven by replay-stable bucket lists — parallel,
+        // order-free, convergent from any completed subset
+        IndexMaintenance.runLegs(Seq(
+          "term.remove.postings" -> (() => {
+            TargetedDelete.delete(s, s"$root/postings", Seq("_src", "tb"),
+              idCol, vids, col("tb").isin(vTb: _*))
+            (): Unit
+          }),
+          "term.remove.dl" -> (() => {
+            TargetedDelete.delete(s, s"$root/dl", Seq("_src", "idb"),
+              idCol, vids, col("idb").isin(vIdb: _*))
+            (): Unit
+          })))
+        Fingerprint.resolveRemovalMeta(conf, normDir, rmTag, oldFp,
+          "TermIndex.remove").foreach { fp =>
+          // same sum_dl protocol as logicalRemove: the subtraction rides
+          // the resolver-gated atomic meta write, victims' token total
+          // recomputed from the given rows — O(victims)
+          writeMeta(s, root, nBuckets, fp, oldSumDl.map(_ - sumDlOf(vdl)))
+        }
+        FaultInjection.maybeCrash("term.remove.meta")
+        if (!replay) Fingerprint.recordMerge(conf, indexDir, rmTag, vfp)
+        FaultInjection.maybeCrash("term.remove.record")
+        Fingerprint.clearSourceStatus(conf, indexDir)
+        // retired GC-grace generations hold the victims' rows too —
+        // right-to-be-forgotten beats reader grace
+        IndexMaintenance.purgeRetired(conf, indexDir,
+          Seq("postings", "dl", "meta"))
+        // state FIRST, barrier second — deliberate: a crash between the
+        // two leaves a stale barrier with no state, which merely keeps
+        // the (already-erased) ids refusing re-ingest until the next
+        // compact or completedReplay clears it — an availability hiccup.
+        // The opposite order would open a window where an append
+        // re-ingests a victim id while state still pends and a replay's
+        // id-keyed deletes then erase the NEW rows with their
+        // fingerprint left merged — rows/meta divergence for good.
+        Fingerprint.clearRemoveState(conf, normDir, rmTag)
+        LogicalDelete.clearBatches(conf, normDir, Seq(barrierBatch))
+      }
+      // tail of the benign crash window above: a completed replay
+      // (record exists, state cleaned) clears its own leftover barrier —
+      // tag reuse is refused, so the batch can only be this removal's
+      if (completedReplay &&
+          LogicalDelete.pendingBatches(conf, indexDir).contains(barrierBatch))
+        LogicalDelete.clearBatches(conf, normDir, Seq(barrierBatch))
+      require(IndexMaintenance.liveRoot(conf, indexDir) == root,
+        s"TermIndex.remove on $indexDir: index compacted during the " +
+          "removal — re-run it after verifying no maintenance is racing")
     }
   }
 

@@ -661,6 +661,12 @@ object TextPipeline {
       graft.operators.ClusterIndex.remove(victims, "doc_id", "text", scratch,
         tag = "takedown")
     }
+    // sub-leg attribution INSIDE index_remove (VERDICT r16 item 2): the
+    // staged remove's three windows ride the same takedown_legs map, so
+    // a cross-box swing in the one conflated number names its stage
+    // (validation+commit / lease-free staging / flip)
+    graft.operators.ClusterIndex.lastRemoveWindows
+      .foreach { case (k, v) => legs(k) = v }
     removeLegRuns.add(legs.toMap)
     graft.operators.ClusterIndex.assignments(s, scratch, "doc_id")
       .join(s.read.parquet(lake).select(col("doc_id")), Seq("doc_id"), "leftsemi")
@@ -1088,13 +1094,39 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** Session-scoped ensure() memo (VERDICT r16 item 5 — the indexed
+    * serve floor): one bench/verify run calls the ensure entries once
+    * per SERVING ROW (doc_bm25_index_topk and doc_rrf_fusion_indexed
+    * both probe the term index; vec_index_topk and the fusion both
+    * probe the vector index), and each call pays FS probes plus a
+    * parquet meta head even when fresh. After one ensure passes, later
+    * calls for the SAME (index dir, corpus file-status) skip it. Keyed
+    * by [[graft.operators.Fingerprint.sourceStatus]] — path|length|
+    * mtime per corpus file, the exact signal statusFresh trusts — so a
+    * regenerated fixture misses the memo and pays the full ensure; a
+    * non-file corpus (empty status) never memoizes. JVM-scoped on
+    * purpose: the driver re-launches per round, so cross-round
+    * staleness cannot reach it. */
+  private val ensureMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[graft] def memoizedEnsure(idx: String, corpus: DataFrame)
+                                   (run: => Unit): Unit = {
+    val status = graft.operators.Fingerprint.sourceStatus(corpus).getOrElse("")
+    if (status.isEmpty || ensureMemo.get(idx) != status) {
+      run
+      if (status.nonEmpty) ensureMemo.put(idx, status)
+    }
+  }
+
   /** Build-or-refresh the persisted BM25 index over `documents` —
     * ingest-side cost the bench warms, like the other index families. */
   def ensureTermIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_termidx/" +
       Tables.fixtureKey(dir)
-    graft.operators.TermIndex.ensure(Tables.documents(s, dir),
-      "doc_id", "text", idx)
+    memoizedEnsure(idx, Tables.documents(s, dir)) {
+      graft.operators.TermIndex.ensure(Tables.documents(s, dir),
+        "doc_id", "text", idx)
+    }
     idx
   }
 

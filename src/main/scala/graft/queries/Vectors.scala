@@ -217,7 +217,11 @@ object Vectors {
   def ensureIndex(s: SparkSession, dir: String): String = {
     val idx = s"${System.getProperty("java.io.tmpdir")}/graft_vecindex/" +
       Tables.fixtureKey(dir)
-    VectorIndex.ensure(Tables.embeddings(s, dir), idx)
+    // session ensure memo — see TextPipeline.memoizedEnsure (r17): the
+    // IVF index serves two bench rows per run; one ensure probe suffices
+    TextPipeline.memoizedEnsure(idx, Tables.embeddings(s, dir)) {
+      VectorIndex.ensure(Tables.embeddings(s, dir), idx)
+    }
     idx
   }
 

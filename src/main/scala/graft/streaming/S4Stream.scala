@@ -1018,9 +1018,16 @@ object S4Stream {
     * automatic by design: only the operator knows the streams'
     * restart discipline. */
   def pruneTombstones(s: org.apache.spark.sql.SparkSession,
+                      indexDir: String, olderThanMs: Long): Int =
+    pruneTombstones(s.sparkContext.hadoopConfiguration, indexDir, olderThanMs)
+
+  /** Configuration overload — pure FS metadata work, so the ops console
+    * ([[graft.IndexAdmin]] `--prune`) can run it from a cold JVM with no
+    * SparkSession. */
+  def pruneTombstones(conf: org.apache.hadoop.conf.Configuration,
                       indexDir: String, olderThanMs: Long): Int = {
     val dir = new org.apache.hadoop.fs.Path(s"$indexDir/removed")
-    val fs = dir.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) 0
     else {
       val cutoff = System.currentTimeMillis() - olderThanMs
@@ -1470,16 +1477,24 @@ object S4Stream {
 
   /** Term-family sibling of [[processTakedownBatch]]: the same staged
     * victim snapshot and crash-boundary contract, with
-    * [[graft.operators.TermIndex.logicalRemove]] as the index leg —
-    * queries are blind AND survivor-exact in df/N/avgdl the moment the
-    * batch commits; compact() reclaims physically on its own cadence. */
+    * [[graft.operators.TermIndex.logicalRemove]] as the default index
+    * leg — queries are blind AND survivor-exact in df/N/avgdl the
+    * moment the batch commits; compact() reclaims physically on its own
+    * cadence. `logical = false` (r17) swaps in the physical
+    * [[graft.operators.TermIndex.remove]] for strict "data must be GONE
+    * now" SLAs — the victims' postings/dl rows leave disk inside the
+    * batch instead of at the next compaction. */
   private[graft] def processTermTakedownBatch(batch: DataFrame, batchId: Long,
       idCol: String, textCol: String, indexDir: String, lakeDir: String,
-      runKey: String): Unit =
+      runKey: String, logical: Boolean = true): Unit =
     takedownBatchImpl(batch, batchId, idCol, textCol, indexDir, lakeDir,
       runKey, tombstoneAll = true) { (victims, tag) =>
-      graft.operators.TermIndex.logicalRemove(victims, idCol, textCol,
-        indexDir, tag)
+      if (logical)
+        graft.operators.TermIndex.logicalRemove(victims, idCol, textCol,
+          indexDir, tag)
+      else
+        graft.operators.TermIndex.remove(victims, idCol, textCol,
+          indexDir, tag)
     }
 
   /** Continuous RTBF for the BM25 family — all FOUR persisted index
@@ -1493,11 +1508,12 @@ object S4Stream {
   def indexedTermTakedownStream(victims: DataFrame, idCol: String,
                                 textCol: String, indexDir: String,
                                 lakeDir: String, checkpointDir: String,
-                                availableNow: Boolean = false): StreamingQuery = {
+                                availableNow: Boolean = false,
+                                logical: Boolean = true): StreamingQuery = {
     lazy val runKey = checkpointRunKey(victims.sparkSession, checkpointDir)
     startIndexedLoop(victims, checkpointDir, availableNow) { (batch, batchId) =>
       processTermTakedownBatch(batch, batchId, idCol, textCol,
-        indexDir, lakeDir, runKey)
+        indexDir, lakeDir, runKey, logical)
     }
   }
 

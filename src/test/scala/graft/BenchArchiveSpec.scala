@@ -92,6 +92,26 @@ class BenchArchiveSpec extends AnyFunSuite {
     assert(Bench.applyRetry(Map("q" -> 1.0), Map("q" -> 9.9)) === Map("q" -> 1.0))
   }
 
+  test("rm_* sub-legs attribute inside index_remove without double-booking serve (r17, r16 item 2)") {
+    // index_remove = 10s of the 12s run; its windows rm_validate 2 +
+    // rm_stage 7 + rm_flip 1 are NESTED inside that wall — serve must be
+    // total - (top-level legs) = 12 - 11 = 1, never 12 - 21 clamped to 0
+    val legs = Seq(Map("ensure" -> 1.0, "index_remove" -> 10.0,
+      "rm_validate" -> 2.0, "rm_stage" -> 7.0, "rm_flip" -> 1.0))
+    val json = Bench.legSplitJson(legs, totals = Seq(12.0))
+    val parsed = Bench.parseFlatObject(s""""takedown_legs":$json""", "takedown_legs")
+    assert(parsed("serve") === 1.0, s"serve must skip rm_* sub-legs: $json")
+    assert(parsed("rm_stage") === 7.0 && parsed("rm_validate") === 2.0 &&
+      parsed("rm_flip") === 1.0, s"sub-legs must publish: $json")
+    // and the prior-archive diff sees them under the same field prefix,
+    // so a cross-box swing inside one window flags like any other leg
+    val mins = Bench.parseLegMins(s"""{"takedown_legs":$json}""")
+    assert(mins("takedown_legs.rm_stage") === 7.0, mins.toString)
+    val prior = mins.updated("takedown_legs.rm_stage", 2.0)
+    assert(Bench.suspectNoise(prior, mins).contains("rm_stage"),
+      "a window regression must fire the suspect annotation")
+  }
+
   test("maintenance rows split out of the query band (r15 item 2)") {
     assert(Bench.isMaintenance("doc_cluster_index_remove"))
     assert(Bench.isMaintenance("doc_cluster_index_logical_remove"))

@@ -245,6 +245,91 @@ class IndexAdminSpec extends SparkSpec {
       .exists(_.contains("IndexCheck")), "a clean fsck clears the nudge")
   }
 
+  test("--prune: triple-gated tombstone retention — ineligible refuses with the advise reason, eligible prunes only aged batches (r17)") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files
+      .createTempDirectory("admprune").toString + "/idx"
+    val fs = new Path(dir).getFileSystem(conf)
+    val docs = (0 until 6)
+      .map(i => (i.toLong, s"prune fixture doc $i words here")).toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    graft.streaming.S4Stream.recordTombstones(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") === 1L),
+      "doc_id", "text", dir, tag = "tdp")
+    val hour = 3600 * 1000L
+    def reason(e: Either[String, Int]): String = e.swap.getOrElse("")
+    // gate: no clean IndexCheck within the SLA
+    val g1 = IndexAdmin.prune(conf, dir, hour)
+    assert(reason(g1).contains("IndexCheck"), s"fsck gate: $g1")
+    assert(IndexCheck.check(spark, dir).ok)
+    // gate: a recorded-but-unmarkered stream batch blocks
+    TextIndex.append(Seq((7L, txt(7))).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "ckr_b3")
+    val g2 = IndexAdmin.prune(conf, dir, hour)
+    assert(reason(g2).contains("unmarkered"), s"marker gate: $g2")
+    fs.mkdirs(new Path(s"$dir/applied"))
+    fs.create(new Path(s"$dir/applied/ckr_b3"), true).close()
+    // gate: pending removal/append state blocks
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("text.meta")(
+        TextIndex.remove(Seq((2L, "prune fixture doc 2 words here"))
+          .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "pg"))
+    }
+    val g3 = IndexAdmin.prune(conf, dir, hour)
+    assert(reason(g3).contains("pending"), s"rmstate gate: $g3")
+    TextIndex.remove(Seq((2L, "prune fixture doc 2 words here"))
+      .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "pg")
+    // the physical remove dirtied the audit trail? no — prune re-checks
+    // fsck RECENCY, which still stands from the clean pass above
+    // eligible, but the batch is fresh: retention keeps it
+    assert(IndexAdmin.prune(conf, dir, hour) == Right(0),
+      "a fresh tombstone batch must survive the retention horizon")
+    // age the batch's files past the horizon and prune for real
+    val batchDir = new Path(s"$dir/removed/batch=tdp")
+    fs.listStatus(batchDir).foreach(st =>
+      fs.setTimes(st.getPath, System.currentTimeMillis() - 2 * hour, -1))
+    assert(IndexAdmin.prune(conf, dir, hour) == Right(1))
+    assert(IndexAdmin.report(conf, dir).tombstones.isEmpty,
+      "the pruned batch must leave the report")
+  }
+
+  test("report and advise classify an in-flight lease-free removal as healthy, not CRASHED (r17)") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files
+      .createTempDirectory("adminflight").toString + "/idx"
+    val docs = (0 until 4)
+      .map(i => (i.toLong, s"inflight fixture doc $i")).toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    // fabricate a pending removal WITH a fresh heartbeat — exactly what
+    // ClusterRemoval's lease-free halves maintain while running
+    graft.operators.Fingerprint.ensureRemoveState(conf,
+      IndexMaintenance.normalize(dir), "rm.fl", (1L, 2L), replay = false,
+      oldFp = None, "spec")
+    var doneReport: Option[IndexAdmin.Report] = None
+    graft.operators.Fingerprint.withInflightBeat(conf,
+        IndexMaintenance.normalize(dir), "rm.fl") {
+      doneReport = Some(IndexAdmin.report(conf, dir))
+    }
+    val r = doneReport.get
+    assert(r.pendingRemovals == Set("rm.fl") &&
+      r.inflightRemovals == Set("rm.fl"), s"in-flight must classify: $r")
+    val text = IndexAdmin.render(r)
+    assert(text.contains("IN-FLIGHT") && !text.contains("CRASHED"),
+      s"render must not cry CRASHED over a healthy half:\n$text")
+    val a = IndexAdmin.advise(r)
+    assert(a.exists(_.contains("in-flight")) && !a.exists(_.contains("BLOCKING")),
+      a.mkString("; "))
+    // the beat exited (finally deleted the marker): same state now reads
+    // as crashed — the guards and this console agree
+    val rAfter = IndexAdmin.report(conf, dir)
+    assert(rAfter.pendingRemovals == Set("rm.fl") &&
+      rAfter.inflightRemovals.isEmpty,
+      s"a dead half must flip back to the crashed verdict: $rAfter")
+    assert(IndexAdmin.render(rAfter).contains("CRASHED"))
+  }
+
   test("advise: recall-drift probe flips the retrain line; healthy appends don't (r15)") {
     // VERDICT r14 item 4 — the retrain cadence was the one verb advise()
     // couldn't see ("retrain when recall feels bad"). The fixture is the

@@ -73,6 +73,53 @@ class MultimodalSpec extends SparkSpec {
     assert(out(3L).format === "unknown")
   }
 
+  test("PNG decode: known pixels round-trip the real javax.imageio codec exactly (r17)") {
+    import spark.implicits._
+    import Multimodal.MediaRecord
+    // hand-encode a 3x2 grayscale PNG with known pixels, independently
+    // of synthPng, and decode through the partition-batched path
+    val img = new java.awt.image.BufferedImage(
+      3, 2, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    val px = Seq(7, 42, 99, 0, 255, 128)
+    px.zipWithIndex.foreach { case (v, i) =>
+      img.getRaster.setSample(i % 3, i / 3, 0, v)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val decoded = Multimodal.decodePngStats(
+      Seq(MediaRecord(1L, bos.toByteArray),
+        MediaRecord(2L, "not a png".getBytes("ASCII"))).toDS()).collect()
+    assert(decoded.length == 1, "a non-PNG payload must be rejected, not faked")
+    val d = decoded.head
+    assert((d.doc_id, d.format, d.width, d.height, d.n_pixels, d.pixel_sum) ===
+      ((1L, "png", 3, 2, 6L, px.sum.toLong)))
+  }
+
+  test("synthPng payloads are REAL PNGs whose decode replays the source text exactly (r17)") {
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.synthPng(spark, dir).collect()
+    assert(media.nonEmpty)
+    // every payload opens with the PNG magic — genuine containers
+    assert(media.forall(m => (m.payload(0) & 0xFF) == 0x89 &&
+      m.payload(1) == 'P' && m.payload(2) == 'N' && m.payload(3) == 'G'))
+    val stats = Multimodal.decodePngStats(
+        Multimodal.synthPng(spark, dir)).collect()
+      .map(d => d.doc_id -> d).toMap
+    // driver-side oracle from the fixture text — dims + wrapped pixel sum
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(stats.nonEmpty && stats.size == docs.count { case (_, t) =>
+      t.nonEmpty && t.forall(_ < 0x80) })
+    stats.foreach { case (id, d) =>
+      val t = docs(id)
+      val (w, h) = (8 + t.length % 24, 8 + (t.length * 3) % 16)
+      val expect = (0 until w * h).map(i => t.charAt(i % t.length).toLong).sum
+      assert((d.width, d.height, d.pixel_sum) === ((w, h, expect)),
+        s"doc $id: decoded stats must replay the source text")
+    }
+  }
+
   test("nearest-neighbor resize samples exactly every other row/column") {
     import spark.implicits._
     // 256 bytes, b[k] = k: stride 64 -> 4 rows, 2x down -> 2x32 output

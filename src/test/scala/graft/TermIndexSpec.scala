@@ -295,6 +295,154 @@ class TermIndexSpec extends SparkSpec {
       }
   }
 
+  test("remove: physical verb == fresh build on survivors, value-exact; rows leave disk; replay no-ops; wrong content refuses (r17)") {
+    val dir = tmpIdx("term_rm")
+    val conf = spark.sparkContext.hadoopConfiguration
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val victims = corpus.filter(d => d._1 == 3L || d._1 == 5L)
+    val survivors = corpus.filterNot(d => d._1 == 3L || d._1 == 5L)
+    // wrong-content victims refuse BEFORE anything mutates
+    val ex = intercept[IllegalArgumentException] {
+      TermIndex.remove(Seq((3L, "not what was ingested"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "bad")
+    }
+    assert(ex.getMessage.contains("matching content"), ex.getMessage)
+    TermIndex.remove(victims.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "rm1")
+    val fresh = tmpIdx("term_rmf")
+    TermIndex.build(survivors.toDF("doc_id", "text"), "doc_id", "text", fresh)
+    spark.conf.set("graft.term.checkStats", "true")
+    try assert(collectTopK(dir, queries) === collectTopK(fresh, queries),
+      "physical remove must equal a fresh build on the survivors")
+    finally spark.conf.unset("graft.term.checkStats")
+    assert(metaStats(dir) === storedStats(dir))
+    assert(TermIndex.isFresh(spark, dir,
+      survivors.toDF("doc_id", "text"), "doc_id", "text"))
+    // the strict-SLA contract: the victims' rows are GONE from disk NOW
+    val root = IndexMaintenance.liveRoot(conf, dir)
+    Seq("dl", "postings").foreach { t =>
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id").isin(3L, 5L)).count() == 0L,
+        s"victim rows must leave $t at remove(), not at the next compact")
+    }
+    // no tombstone pends (nothing left to reclaim)
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty)
+    // IndexCheck stays green on the post-remove index (VERDICT r16 item 1)
+    val report = IndexCheck.check(spark, dir)
+    assert(report.ok, report.checks.filterNot(_.ok).mkString("; "))
+    // completed replay no-ops (the id may have been legitimately re-ingested)
+    TermIndex.remove(victims.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "rm1")
+    assert(collectTopK(dir, queries) === collectTopK(fresh, queries))
+    // a different batch under the used tag refuses
+    val ex2 = intercept[IllegalArgumentException] {
+      TermIndex.remove(corpus.filter(_._1 == 1L).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "rm1")
+    }
+    assert(ex2.getMessage.contains("already used"), ex2.getMessage)
+    // and the id is live again for re-ingest
+    TermIndex.append(Seq((3L, "recycled content")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "re3")
+    assert(collectTopK(dir, Seq((9L, "recycled"))).exists(_._3 == 3L))
+  }
+
+  test("remove refuses while logical deletions pend reclaim (r17)") {
+    val dir = tmpIdx("term_rmlp")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    TermIndex.logicalRemove(corpus.filter(_._1 == 2L).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "lr")
+    val ex = intercept[IllegalArgumentException] {
+      TermIndex.remove(corpus.filter(_._1 == 4L).toDF("doc_id", "text"),
+        "doc_id", "text", dir, tag = "pr")
+    }
+    assert(ex.getMessage.contains("pending reclaim"), ex.getMessage)
+  }
+
+  test("remove crash matrix: every boundary replays to survivor-exact stats and empty victim rows (r17)") {
+    import graft.operators.FaultInjection
+    val conf = spark.sparkContext.hadoopConfiguration
+    Seq("term.remove.state", "term.remove.barrier", "term.remove.postings",
+        "term.remove.dl", "term.remove.meta", "term.remove.record")
+      .foreach { step =>
+      val dir = tmpIdx("term_rc")
+      TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+      val victims = corpus.filter(_._1 == 3L)
+      intercept[FaultInjection.InjectedCrash] {
+        FaultInjection.armed(step)(
+          TermIndex.remove(victims.toDF("doc_id", "text"), "doc_id", "text",
+            dir, tag = "c1"))
+      }
+      // crashed state blocks NEW removals under other tags
+      val ex = intercept[IllegalArgumentException] {
+        TermIndex.remove(corpus.filter(_._1 == 1L).toDF("doc_id", "text"),
+          "doc_id", "text", dir, tag = "c2")
+      }
+      assert(ex.getMessage.contains("never completed"), s"[$step] ${ex.getMessage}")
+      // once the victim barrier is up, a mid-crash re-ingest of the
+      // victim id refuses — the id-keyed replay deletes would otherwise
+      // erase the NEW rows while their fingerprint stays merged
+      if (step != "term.remove.state") {
+        val exB = intercept[IllegalArgumentException] {
+          TermIndex.append(Seq((3L, "sneaky mid-crash re-ingest"))
+            .toDF("doc_id", "text"), "doc_id", "text", dir,
+            tag = s"sneak_$step")
+        }
+        assert(exB.getMessage.contains("logically deleted"),
+          s"[$step] ${exB.getMessage}")
+      }
+      // the replay converges from any boundary
+      TermIndex.remove(victims.toDF("doc_id", "text"), "doc_id", "text", dir,
+        tag = "c1")
+      assert(metaStats(dir) === storedStats(dir), s"[$step] stats drifted")
+      val fresh = tmpIdx("term_rcf")
+      TermIndex.build(corpus.filterNot(_._1 == 3L).toDF("doc_id", "text"),
+        "doc_id", "text", fresh)
+      spark.conf.set("graft.term.checkStats", "true")
+      try assert(collectTopK(dir, queries) === collectTopK(fresh, queries),
+        s"[$step] replayed remove != fresh survivor build")
+      finally spark.conf.unset("graft.term.checkStats")
+      val root = IndexMaintenance.liveRoot(conf, dir)
+      Seq("dl", "postings").foreach { t =>
+        assert(spark.read.parquet(s"$root/$t")
+          .filter(col("doc_id") === 3L).count() == 0L,
+          s"[$step] victim rows must leave $t after the replay")
+      }
+    }
+  }
+
+  test("logicalRemove orders tombstone BEFORE meta: a crash in between leaves victims blind, stats lag, replay converges (r17, ADVICE r16)") {
+    import graft.operators.FaultInjection
+    val dir = tmpIdx("term_tb")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val victims = corpus.filter(_._1 == 3L)
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("term.logical.tombstone")(
+        TermIndex.logicalRemove(victims.toDF("doc_id", "text"),
+          "doc_id", "text", dir, tag = "tb1"))
+    }
+    // RTBF holds from the tombstone write: the victim is NOT returnable,
+    // even though meta still carries its stats (served stats may lag the
+    // served rows across this window — never lead them)
+    assert(!collectTopK(dir, Seq((9L, "spark tuning"))).exists(_._3 == 3L),
+      "victim must be blind the moment the tombstone lands")
+    // the lagging-stats window is refused loudly under the tripwire
+    spark.conf.set("graft.term.checkStats", "true")
+    try {
+      val ex = intercept[IllegalArgumentException] { collectTopK(dir, queries) }
+      assert(ex.getMessage.contains("disagree"), ex.getMessage)
+    } finally spark.conf.unset("graft.term.checkStats")
+    // replay converges: survivor-exact stats, value-exact scores
+    TermIndex.logicalRemove(victims.toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "tb1")
+    assert(metaStats(dir) === storedStats(dir))
+    val fresh = tmpIdx("term_tbf")
+    TermIndex.build(corpus.filterNot(_._1 == 3L).toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    spark.conf.set("graft.term.checkStats", "true")
+    try assert(collectTopK(dir, queries) === collectTopK(fresh, queries))
+    finally spark.conf.unset("graft.term.checkStats")
+  }
+
   test("checkStats tripwire: drifted meta stats refuse loudly (r16)") {
     import spark.implicits._
     val dir = tmpIdx("term_cs")
