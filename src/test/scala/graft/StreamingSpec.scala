@@ -2166,4 +2166,51 @@ class StreamingSpec extends SparkSpec {
       .select("doc_id").collect().map(_.getLong(0)).toSet === Set(4L),
       "the replayed feed must hold only ids the index still serves")
   }
+
+  test("term takedown stream: the physical path erases rows in-batch and leaves no tombstone debt (r17)") {
+    // logical=false routes the staged-snapshot protocol through the r17
+    // TermIndex.remove — the strict-SLA variant: the victims' postings/
+    // dl rows leave DISK inside the batch (no compact needed), scores
+    // equal a fresh survivor build, and no logical-deletion debt pends
+    import spark.implicits._
+    import graft.operators.{IndexMaintenance, LogicalDelete, TermIndex}
+    val lake = tmp("tphys_lake"); val idx = tmp("tphys_idx").toString
+    val conf = spark.sparkContext.hadoopConfiguration
+    val ta = "alpha beta gamma"; val tb = "beta delta epsilon"
+    val tc = "gamma alpha zeta"
+    val queries = Seq((1L, "gamma zeta"), (2L, "beta delta")).toDF("query_id", "q")
+    def top(dir: String): Seq[(Long, Int, Long, Double)] =
+      TermIndex.topK(spark, dir, queries).collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+        .sortBy(t => (t._1, t._2))
+    TermIndex.build(Seq((1L, ta), (2L, tb)).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    S4Stream.processTermIngestBatch(
+      Seq((3L, tc)).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "tpi")
+    S4Stream.processTermTakedownBatch(
+      Seq((3L, tc)).toDF("doc_id", "text"), 0L, "doc_id", "text",
+      idx, lake.toString, runKey = "tpt", logical = false)
+    val fresh = tmp("tphys_f").toString
+    TermIndex.build(Seq((1L, ta), (2L, tb)).toDF("doc_id", "text"),
+      "doc_id", "text", fresh)
+    spark.conf.set("graft.term.checkStats", "true")
+    try assert(top(idx) === top(fresh),
+      "physical stream takedown must equal a fresh survivor build")
+    finally spark.conf.unset("graft.term.checkStats")
+    val root = IndexMaintenance.liveRoot(conf, idx)
+    Seq("dl", "postings").foreach { t =>
+      assert(spark.read.parquet(s"$root/$t")
+        .filter(col("doc_id") === 3L).count() == 0L,
+        s"victim rows must be GONE from $t in-batch, not at the next compact")
+    }
+    assert(LogicalDelete.pendingBatches(conf, idx).isEmpty,
+      "the physical path must leave no logical-deletion debt")
+    // the content tombstone still guards a crashed ingest's replay
+    S4Stream.processTermIngestBatch(
+      Seq((3L, tc)).toDF("doc_id", "text"), 1L, "doc_id", "text",
+      idx, lake.toString, runKey = "tpi")
+    assert(TermIndex.knownIds(spark, idx, Seq(3L).toDF("doc_id"), "doc_id")
+      .isEmpty, "removed content must not re-ingest")
+  }
 }
