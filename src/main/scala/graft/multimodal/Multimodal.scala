@@ -212,6 +212,47 @@ object Multimodal {
     decodePngStats(synthPng(s, dir)).toDF().orderBy(col("doc_id"))
   }
 
+  /** JPEG decode (r17, the second real codec): the same partition-
+    * batched `javax.imageio` shape as [[decodePngStats]], SOI-magic
+    * checked, reduced to the same (dims, n_pixels, pixel_sum)
+    * statistics. Engine-only by the §2d discipline: JPEG is LOSSY —
+    * DCT quantization perturbs pixel values by design — so no SQL
+    * oracle can replay the pixel sum hash-exactly, and the operator
+    * ships spec-gated instead of joining `queries()` (MultimodalSpec
+    * pins the real-codec contract on known images: dims exact, a
+    * uniform image's mean recovered within quantization bounds,
+    * non-JPEG payloads rejected). The bounded error is the honest
+    * semantics of the format, not a stubbed decode. */
+  def decodeJpegStats(media: Dataset[MediaRecord]): Dataset[DecodedImage] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val isJpeg = b.length >= 3 && (b(0) & 0xFF) == 0xFF &&
+          (b(1) & 0xFF) == 0xD8 && (b(2) & 0xFF) == 0xFF
+        if (!isJpeg) Iterator.empty
+        else {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(b))
+          if (img == null) Iterator.empty
+          else {
+            val (w, h) = (img.getWidth, img.getHeight)
+            val raster = img.getRaster
+            var sum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { sum += raster.getSample(x, y, 0); x += 1 }
+              y += 1
+            }
+            Iterator.single(
+              DecodedImage(r.doc_id, "jpeg", w, h, w.toLong * h, sum))
+          }
+        }
+      }
+    }
+  }
+
   /** Sample-level audio decode result: count, integer energy, RMS. */
   case class AudioStats(doc_id: Long, n_samples: Int, sum_sq: Long, rms: Double)
 

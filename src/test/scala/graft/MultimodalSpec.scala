@@ -95,6 +95,38 @@ class MultimodalSpec extends SparkSpec {
       ((1L, "png", 3, 2, 6L, px.sum.toLong)))
   }
 
+  test("JPEG decode: real lossy codec — dims exact, means within quantization bounds, non-JPEG rejected (r17)") {
+    import spark.implicits._
+    import Multimodal.MediaRecord
+    def jpegOf(w: Int, h: Int, px: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      for (y <- 0 until h; x <- 0 until w)
+        img.getRaster.setSample(x, y, 0, px(x, y))
+      val bos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "jpg", bos), "JPEG encoder present")
+      bos.toByteArray
+    }
+    // uniform gray: DCT of a constant block is a lone DC coefficient —
+    // quantization recovers it within a level or two
+    val uniform = jpegOf(16, 16, (_, _) => 128)
+    // 8x8 constant blocks aligned to the DCT grid: same argument per block
+    val blocks = jpegOf(32, 16, (x, y) => 32 + 64 * ((x / 8 + y / 8) % 4))
+    val out = Multimodal.decodeJpegStats(Seq(
+        MediaRecord(1L, uniform), MediaRecord(2L, blocks),
+        MediaRecord(3L, "not a jpeg".getBytes("ASCII"))).toDS())
+      .collect().map(d => d.doc_id -> d).toMap
+    assert(out.keySet === Set(1L, 2L), "non-JPEG payloads must be rejected")
+    assert((out(1L).format, out(1L).width, out(1L).height, out(1L).n_pixels) ===
+      (("jpeg", 16, 16, 256L)))
+    assert(math.abs(out(1L).pixel_sum.toDouble / 256 - 128.0) <= 2.0,
+      s"uniform mean must survive quantization: ${out(1L).pixel_sum / 256.0}")
+    assert((out(2L).width, out(2L).height) === ((32, 16)))
+    val blockMeanIn = (32 + 96 + 160 + 224) / 4.0
+    assert(math.abs(out(2L).pixel_sum.toDouble / 512 - blockMeanIn) <= 4.0,
+      s"block-gradient mean must survive quantization: ${out(2L).pixel_sum / 512.0}")
+  }
+
   test("synthPng payloads are REAL PNGs whose decode replays the source text exactly (r17)") {
     val dir = "/root/testdata/sf0.001"
     val media = Multimodal.synthPng(spark, dir).collect()
