@@ -70,7 +70,13 @@ object IndexCheck {
     // window is a replay demand, not corruption
     val admin = IndexAdmin.report(conf, dir)
     val inflight =
-      admin.pendingRemovals.toSeq.sorted.map(t => s"crashed removal: $t") ++
+      // heartbeat-fresh pending state is a RUNNING lease-free removal
+      // half (r17), not a crash — label it so (the data-plane findings
+      // still carry the same caveat: mid-operation state, re-check after)
+      admin.inflightRemovals.toSeq.sorted
+        .map(t => s"running lease-free removal: $t") ++
+        (admin.pendingRemovals -- admin.inflightRemovals).toSeq.sorted
+          .map(t => s"crashed removal: $t") ++
         admin.unmarkeredRecordedTags.toSeq.sorted
           .map(t => s"recorded-but-unmarkered append: $t")
     val victims = LogicalDelete.ids(s, dir)
