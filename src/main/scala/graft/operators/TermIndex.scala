@@ -685,6 +685,7 @@ object TermIndex {
         // id-keyed deletes then erase the NEW rows with their
         // fingerprint left merged — rows/meta divergence for good.
         Fingerprint.clearRemoveState(conf, normDir, rmTag)
+        FaultInjection.maybeCrash("term.remove.cleanup")
         LogicalDelete.clearBatches(conf, normDir, Seq(barrierBatch))
       }
       // tail of the benign crash window above: a completed replay

@@ -1149,6 +1149,37 @@ object TextPipeline {
       .orderBy(col("query_id"), col("rank"))
   }
 
+  /** The term family's COMPOSED physical takedown as a first-class query
+    * (r17, the `doc_cluster_index_remove` shape): snapshot the persisted
+    * BM25 index (each run starts pristine — a REAL remove runs every
+    * time, never a replay no-op), physically remove a victim set
+    * ([[graft.operators.TermIndex.remove]] — postings/dl rows leave
+    * disk inside the call, meta stats survivor-exact under the barrier
+    * protocol), then SERVE ranked retrieval from the post-remove index.
+    * Oracle: the identical BM25 closed form over the SURVIVING corpus —
+    * a full-strength check that targeted physical deletion equals a
+    * fresh rebuild without the victims, df/N/avgdl included. Lands in
+    * the bench's maintenance band by name shape. */
+  def termIndexRemove(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val base = ensureTermIndex(s, dir)
+    val key = Tables.fixtureKey(dir)
+    val scratch =
+      s"${System.getProperty("java.io.tmpdir")}/graft_termidx_rm/$key"
+    snapshotIndex(s, base, scratch)
+    val victims = Tables.documents(s, dir).filter(col("doc_id") % 43 === 0)
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    graft.operators.TermIndex.remove(victims, "doc_id", "text", scratch,
+      tag = "takedown")
+    val queries = Seq(
+      (1L, "spark table join"),
+      (2L, "data stream window agg"),
+      (3L, "dup merge"),
+      (4L, "customer query fast")).toDF("query_id", "q")
+    graft.operators.TermIndex.topK(s, scratch, queries, k = 10)
+      .orderBy(col("query_id"), col("rank"))
+  }
+
   /** Hybrid retrieval by reciprocal-rank fusion (Cormack/Clarke/Büttcher,
     * SIGIR '09) — the standard way production search fuses a lexical and
     * a semantic ranker without score calibration: each leg contributes
@@ -1934,6 +1965,7 @@ object TextPipeline {
     "doc_tfidf_terms" -> (tfidfTerms _),
     "doc_bm25_topk" -> (bm25TopK _),
     "doc_bm25_index_topk" -> (bm25IndexTopK _),
+    "doc_term_index_remove" -> (termIndexRemove _),
     "doc_rrf_fusion" -> (rrfFusion _),
     "doc_rrf_fusion_indexed" -> (rrfFusionIndexed _),
     "doc_editdist_pairs" -> (editDistancePairs _),
@@ -1985,11 +2017,14 @@ object TextPipeline {
       | || CASE WHEN doc_id % 5 = 0 THEN ' ssn ' || CAST(doc_id % 900 + 100 AS VARCHAR) || '-' || CAST(doc_id % 90 + 10 AS VARCHAR) || '-' || CAST((doc_id*3) % 9000 + 1000 AS VARCHAR) ELSE '' END"""
       .stripMargin.linesIterator.mkString(" ")
 
-  /** The BM25 closed form both retrieval rows replay — the recompute
-    * query (`doc_bm25_topk`) and the persisted-index path
-    * (`doc_bm25_index_topk`) must rank identically. */
-  private val bm25Sql =
-    """WITH q AS (
+  /** The BM25 closed form the retrieval rows replay — the recompute
+    * query (`doc_bm25_topk`), the persisted-index path
+    * (`doc_bm25_index_topk`), and the post-physical-remove serve
+    * (`doc_term_index_remove`, r17 — `corpusWhere` restricts the oracle
+    * to the SURVIVORS, so index-side remove == fresh survivor build is
+    * a hash-exact contract) must rank identically. */
+  private def bm25Sql(corpusWhere: String = ""): String =
+    s"""WITH q AS (
       |  SELECT * FROM (VALUES (1, 'spark table join'),
       |                        (2, 'data stream window agg'),
       |                        (3, 'dup merge'),
@@ -1999,11 +2034,12 @@ object TextPipeline {
       |), tf AS (
       |  SELECT doc_id, term, count(*) AS tf
       |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
-      |        FROM documents) o
+      |        FROM documents $corpusWhere) o
       |  WHERE o.term IN (SELECT DISTINCT term FROM qt)
       |  GROUP BY doc_id, term
       |), dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+      |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl
+      |       FROM documents $corpusWhere),
       |stats AS (
       |  SELECT CAST(count(*) AS DOUBLE) AS n,
       |         CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
@@ -2384,12 +2420,15 @@ object TextPipeline {
     // positive-idf ln form, and the same 6-decimal DECIMAL accumulation
     // as the Spark side — decimal addition is exact, so the sum is
     // merge-order-independent on both engines by construction
-    "doc_bm25_topk" -> bm25Sql,
+    "doc_bm25_topk" -> bm25Sql(),
     // the persisted-index path serves the IDENTICAL ranking (TermIndex
     // stores exact tf/dl; df/N/avgdl derive from the stored rows), so
     // its oracle is the same closed form — index == recompute is the
     // equality the row checks, DuckDB-verified
-    "doc_bm25_index_topk" -> bm25Sql,
+    "doc_bm25_index_topk" -> bm25Sql(),
+    // r17: the physical-takedown serve replays the SAME closed form over
+    // the survivors — remove() == fresh survivor build, hash-exact
+    "doc_term_index_remove" -> bm25Sql("WHERE doc_id % 43 <> 0"),
     // RRF replay (r15): both legs are the proven closed forms (the BM25
     // CTE chain above, self-excluded more-like-this; the vec_brute_topk
     // cosine), and the fusion itself is integer-rank arithmetic — ONE

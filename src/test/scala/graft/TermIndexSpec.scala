@@ -410,6 +410,39 @@ class TermIndexSpec extends SparkSpec {
     }
   }
 
+  test("remove tail window: a stale barrier after state cleanup only blocks re-ingest until the replay clears it (r17)") {
+    import graft.operators.FaultInjection
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = tmpIdx("term_tail")
+    TermIndex.build(corpus.toDF("doc_id", "text"), "doc_id", "text", dir)
+    val victims = corpus.filter(_._1 == 3L)
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("term.remove.cleanup")(
+        TermIndex.remove(victims.toDF("doc_id", "text"), "doc_id", "text",
+          dir, tag = "tl1"))
+    }
+    // the window is BENIGN by construction: rows gone, meta survivor-
+    // exact, no rmstate — only the barrier lingers, refusing re-ingest
+    assert(Fingerprint.pendingRemovals(conf, dir).isEmpty)
+    assert(LogicalDelete.pendingBatches(conf, dir) == Seq("rm.tl1"))
+    assert(metaStats(dir) === storedStats(dir),
+      "the tail window must never hold divergent stats")
+    val ex = intercept[IllegalArgumentException] {
+      TermIndex.append(Seq((3L, "blocked by stale barrier"))
+        .toDF("doc_id", "text"), "doc_id", "text", dir, tag = "tlb")
+    }
+    assert(ex.getMessage.contains("logically deleted"), ex.getMessage)
+    // the completed replay clears its own leftover barrier...
+    TermIndex.remove(victims.toDF("doc_id", "text"), "doc_id", "text", dir,
+      tag = "tl1")
+    assert(LogicalDelete.pendingBatches(conf, dir).isEmpty,
+      "completedReplay must clear the stale barrier")
+    // ...and the id is free again
+    TermIndex.append(Seq((3L, "free again")).toDF("doc_id", "text"),
+      "doc_id", "text", dir, tag = "tlc")
+    assert(collectTopK(dir, Seq((9L, "free"))).exists(_._3 == 3L))
+  }
+
   test("logicalRemove orders tombstone BEFORE meta: a crash in between leaves victims blind, stats lag, replay converges (r17, ADVICE r16)") {
     import graft.operators.FaultInjection
     val dir = tmpIdx("term_tb")
