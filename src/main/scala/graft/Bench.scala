@@ -64,8 +64,9 @@ object Bench {
     * (VERDICT r14 item 8: the leg maps had no prior-archive comparison,
     * so a regression inside one leg of a stable-total row still hid). */
   private[graft] def parseLegMins(json: String): Map[String, Double] =
-    Seq("takedown_legs", "takedown_legs_logical").flatMap(f =>
-      parseFlatObject(json, f).map { case (k, v) => s"$f.$k" -> v }).toMap
+    Seq("takedown_legs", "takedown_legs_logical", "takedown_legs_term")
+      .flatMap(f =>
+        parseFlatObject(json, f).map { case (k, v) => s"$f.$k" -> v }).toMap
 
   private def isSuspect(p: Double, n: Double): Boolean =
     math.max(p, n) >= 0.5 && (n > 2 * p || n < p / 2)
@@ -250,6 +251,7 @@ object Bench {
     // warmup entries so the per-run leg maps align 1:1 with timed runs
     graft.queries.TextPipeline.removeLegRuns.clear()
     graft.queries.TextPipeline.logicalLegRuns.clear()
+    graft.queries.TextPipeline.termLegRuns.clear()
     // prior artifact's per-query mins, read BEFORE this run overwrites
     // it — feeds the suspect_noise annotation (VERDICT r13 item 1).
     // Only comparable at the SAME scale factor: a dev smoke at sf0.001
@@ -343,12 +345,16 @@ object Bench {
     val takedownLegsLogical = legSplitJson(
       graft.queries.TextPipeline.logicalLegRuns.asScala.toSeq,
       runTotals("doc_cluster_index_logical_remove"))
+    val takedownLegsTerm = legSplitJson(
+      graft.queries.TextPipeline.termLegRuns.asScala.toSeq,
+      runTotals("doc_term_index_remove"))
 
     // leg mins join the diff under their field prefix — parsed back out
     // of the EXACT strings the artifact will carry, so the comparison
     // can never drift from what a future run reads as its prior
     val nowLegs = Seq("takedown_legs" -> takedownLegs,
-        "takedown_legs_logical" -> takedownLegsLogical)
+        "takedown_legs_logical" -> takedownLegsLogical,
+        "takedown_legs_term" -> takedownLegsTerm)
       .flatMap { case (f, j) =>
         parseFlatObject(s""""$f":$j""", f).map { case (k, v) => s"$f.$k" -> v } }
       .toMap
@@ -435,6 +441,7 @@ object Bench {
         s""""shuffle_write_mb":$shuf,"csv_split":$csvSplit,""" +
         s""""takedown_legs":$takedownLegs,""" +
         s""""takedown_legs_logical":$takedownLegsLogical,""" +
+        s""""takedown_legs_term":$takedownLegsTerm,""" +
         s""""suspect_noise":$suspect,"retried":$retriedJson,""" +
         s""""repeats":$repJson}"""
     Files.writeString(Paths.get(outPath), detail)

@@ -1160,17 +1160,36 @@ object TextPipeline {
     * a full-strength check that targeted physical deletion equals a
     * fresh rebuild without the victims, df/N/avgdl included. Lands in
     * the bench's maintenance band by name shape. */
+  /** Per-run leg timings of [[termIndexRemove]] — the same attribution
+    * channel as the cluster takedowns from the row's first round, so
+    * its wall never becomes one conflated number: {ensure, snapshot,
+    * victims, index_remove}; Bench clears after warmups and publishes
+    * min-of-3 per leg as `takedown_legs_term`, with "serve" derived as
+    * run total minus legs. */
+  private[graft] val termLegRuns =
+    new java.util.concurrent.CopyOnWriteArrayList[Map[String, Double]]()
+
   def termIndexRemove(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val base = ensureTermIndex(s, dir)
+    val legs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def leg[T](name: String)(f: => T): T = {
+      val t0 = System.nanoTime(); val r = f
+      legs(name) = (System.nanoTime() - t0) / 1e9; r
+    }
+    val base = leg("ensure") { ensureTermIndex(s, dir) }
     val key = Tables.fixtureKey(dir)
     val scratch =
       s"${System.getProperty("java.io.tmpdir")}/graft_termidx_rm/$key"
-    snapshotIndex(s, base, scratch)
-    val victims = Tables.documents(s, dir).filter(col("doc_id") % 43 === 0)
-      .select(col("doc_id"), col("text")).localCheckpoint()
-    graft.operators.TermIndex.remove(victims, "doc_id", "text", scratch,
-      tag = "takedown")
+    leg("snapshot") { snapshotIndex(s, base, scratch) }
+    val victims = leg("victims") {
+      Tables.documents(s, dir).filter(col("doc_id") % 43 === 0)
+        .select(col("doc_id"), col("text")).localCheckpoint()
+    }
+    leg("index_remove") {
+      graft.operators.TermIndex.remove(victims, "doc_id", "text", scratch,
+        tag = "takedown")
+    }
+    termLegRuns.add(legs.toMap)
     val queries = Seq(
       (1L, "spark table join"),
       (2L, "data stream window agg"),

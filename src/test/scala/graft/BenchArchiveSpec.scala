@@ -110,6 +110,11 @@ class BenchArchiveSpec extends AnyFunSuite {
     val prior = mins.updated("takedown_legs.rm_stage", 2.0)
     assert(Bench.suspectNoise(prior, mins).contains("rm_stage"),
       "a window regression must fire the suspect annotation")
+    // the term family's composed takedown legs ride the same machinery
+    // under their own field (r17)
+    val term = Bench.parseLegMins(
+      """{"takedown_legs_term":{"snapshot":1.2,"index_remove":3.4}}""")
+    assert(term("takedown_legs_term.index_remove") === 3.4, term.toString)
   }
 
   test("maintenance rows split out of the query band (r15 item 2)") {
