@@ -29,6 +29,37 @@ object TextPipeline {
       .select(col("text_hash"), col("keep_id"), col("n_copies"))
       .orderBy(col("text_hash"))
 
+  /** Normalization-equivalence dedup (r17): casefold + punctuation
+    * strip + whitespace collapse, then EXACT grouping on the normalized
+    * form — the cheap first pass crawl pipelines run BEFORE MinHash
+    * (case/punctuation variants are the most common duplicate class,
+    * and a hash-groupBy costs one shuffle where banded MinHash costs
+    * several). The group key is md5 of the normalized text — portable
+    * (the CountMin/minhash md5 move) and id-sized, so the shuffle never
+    * carries full documents at 100 TB. The fixture's organic
+    * duplicates are byte-identical and exactDedup's, so this query
+    * weaves deterministic case+punctuation variants of every 17th doc
+    * (the PII/phash non-vacuous-fixture pattern) and the oracle replays
+    * the same weave: every woven variant must land in its original's
+    * group, or the normalization chain drifted between engines. */
+  def normalizedDedup(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+    val woven = docs.filter(col("doc_id") % 17 === 0)
+      .select((col("doc_id") + lit(2000000L)).as("doc_id"),
+        concat(upper(substring(col("text"), 1, 40)),
+          substring(col("text"), 41, Int.MaxValue), lit(" !!")).as("text"))
+    val norm = trim(regexp_replace(regexp_replace(lower(col("text")),
+      "[^a-z0-9 ]", " "), " +", " "))
+    docs.unionByName(woven)
+      .select(col("doc_id"), md5(norm).as("norm_fp"))
+      .groupBy(col("norm_fp"))
+      .agg(min(col("doc_id")).as("canonical_id"),
+        count(lit(1)).as("n_copies"))
+      .filter(col("n_copies") > 1)
+      .select(col("canonical_id"), col("n_copies"), col("norm_fp"))
+      .orderBy(col("canonical_id"))
+  }
+
   /** Token statistics per language. */
   def tokenStats(s: SparkSession, dir: String): DataFrame =
     Tables.documents(s, dir)
@@ -1991,6 +2022,7 @@ object TextPipeline {
     "doc_heavy_terms" -> (heavyTerms _),
     "doc_cdc_chunks" -> (cdcChunkStats _),
     "doc_exact_dedup" -> (exactDedup _),
+    "doc_normalized_dedup" -> (normalizedDedup _),
     "doc_token_stats" -> (tokenStats _),
     "doc_quality_score" -> (qualityScore _),
     "doc_regex_tokens" -> (regexTokenCount _),
@@ -2644,6 +2676,27 @@ object TextPipeline {
     "doc_exact_dedup" ->
       """SELECT sha256(text) AS text_hash, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY sha256(text) ORDER BY text_hash""".stripMargin,
+    // the same casefold/punct-strip/space-collapse chain as the Spark
+    // side (character-class regexes — identical semantics in Java and
+    // RE2 — with DuckDB's 'g' flag matching Spark's replace-all default)
+    "doc_normalized_dedup" ->
+      """WITH woven AS (
+        |  SELECT doc_id + 2000000 AS doc_id,
+        |    upper(substring(text, 1, 40)) || substring(text, 41) || ' !!' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), alld AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL SELECT doc_id, text FROM woven
+        |), n AS (
+        |  SELECT doc_id,
+        |    md5(trim(regexp_replace(regexp_replace(lower(text),
+        |      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS norm_fp
+        |  FROM alld
+        |)
+        |SELECT min(doc_id) AS canonical_id,
+        |  CAST(count(*) AS BIGINT) AS n_copies, norm_fp
+        |FROM n GROUP BY norm_fp HAVING count(*) > 1
+        |ORDER BY canonical_id""".stripMargin,
     "doc_ttr_diversity" ->
       """WITH tf AS (
         |  SELECT source, tok, count(*) AS tf
