@@ -406,8 +406,26 @@ object IndexAdmin {
         "replay guards on an unaudited index is how silent resurrection " +
         "starts")
     else if (r.tombstones.isEmpty) Right(0)
-    else Right(graft.streaming.S4Stream.pruneTombstones(conf, dir,
-      deletionSlaMs))
+    else {
+      // TOCTOU re-check (ADVICE r17): the gates above ran on a Report
+      // snapshot; a stream batch recording new tombstone-relevant state
+      // or a removal beginning between that snapshot and the delete
+      // would be unprotected. Re-read the two MUTATING-state gates
+      // immediately before the delete — cheap (two directory listings)
+      // and it shrinks the unprotected window to the FS-atomic delete
+      // itself, which an operator quiesce covers (see --prune help).
+      val r2 = report(conf, dir)
+      if (r2.unmarkeredRecordedTags.nonEmpty)
+        Left("recorded-but-unmarkered stream batch(es) " +
+          s"${r2.unmarkeredRecordedTags.toSeq.sorted.mkString(", ")} " +
+          "appeared while preparing the prune — a stream is actively " +
+          "replaying; let it drain and re-run")
+      else if (r2.pendingRemovals.nonEmpty)
+        Left(s"removal/append state ${r2.pendingRemovals.toSeq.sorted.mkString(", ")} " +
+          "began while preparing the prune — let it finish first")
+      else Right(graft.streaming.S4Stream.pruneTombstones(conf, dir,
+        deletionSlaMs))
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -425,6 +443,21 @@ object IndexAdmin {
       .map(_.toDouble).getOrElse(0.8)
     val conf = new Configuration()
     dirs.foreach { dir =>
+      // a LAKE dir carrying purge manifests renders those instead of the
+      // index report: the console must NAME what an interrupted
+      // multi-store purge still owes (VERDICT r17 item 1)
+      val purges = graft.operators.Rtbf.status(conf, dir)
+      if (purges.nonEmpty) {
+        println(s"RTBF purges under $dir:")
+        purges.foreach { p =>
+          val state =
+            if (p.complete) "COMPLETE"
+            else s"INCOMPLETE — still owes ${p.incomplete.mkString(", ")} " +
+              "(resume with Rtbf.resume under the same tag)"
+          println(s"  ${p.tag}: ${p.done.size}/${p.planned.size} stores " +
+            s"done — $state")
+        }
+      }
       val r = report(conf, dir)
       print(render(r))
       if (doAdvise) {

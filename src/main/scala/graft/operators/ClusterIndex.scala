@@ -591,10 +591,12 @@ object ClusterIndex {
     ClusterRemoval.remove(victims, idCol, textCol, indexDir, tag)
 
   /** Window walls (rm_validate / rm_stage / rm_flip) of the last
-    * [[remove]] on this driver — the bench's composed-takedown query
-    * publishes them inside `takedown_legs` (VERDICT r16 item 2). */
-  private[graft] def lastRemoveWindows: Map[String, Double] =
-    ClusterRemoval.lastWindows
+    * [[remove]] on THIS index on this driver — the bench's
+    * composed-takedown query publishes them inside `takedown_legs`
+    * (VERDICT r16 item 2; keyed per indexDir since r18 so concurrent
+    * removals on different indexes can't mix attributions). */
+  private[graft] def lastRemoveWindows(indexDir: String): Map[String, Double] =
+    ClusterRemoval.lastWindows(indexDir)
 
   /** LOGICAL targeted delete — the RTBF fast path (tombstone +
     * persisted serve-overlay, no table rewrite; reclaim at the next

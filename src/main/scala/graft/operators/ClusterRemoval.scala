@@ -30,13 +30,26 @@ private[operators] object ClusterRemoval {
     * bench's composed-takedown query publishes these inside
     * `takedown_legs`, so a contaminated archive names the stage instead
     * of one conflated index_remove number. Driver-side bench plumbing —
-    * remove() itself is single-caller-per-index under its leases. */
-  @volatile private[graft] var lastWindows: Map[String, Double] = Map.empty
-  private def timedWindow[T](k: String)(f: => T): T = {
+    * remove() itself is single-caller-per-index under its leases, but
+    * leases are PER-INDEX: two removals on different indexes are legal
+    * concurrently, so the windows are keyed by normalized indexDir
+    * (ADVICE r17 — a single global map interleaved their resets and
+    * published mixed numbers into takedown_legs). */
+  private val lastWindowsByDir =
+    new java.util.concurrent.ConcurrentHashMap[String, Map[String, Double]]()
+  private[graft] def lastWindows(indexDir: String): Map[String, Double] =
+    lastWindowsByDir.getOrDefault(
+      IndexMaintenance.normalize(indexDir), Map.empty)
+  private def resetWindows(dir: String): Unit =
+    lastWindowsByDir.put(dir,
+      Map("rm_validate" -> 0.0, "rm_stage" -> 0.0, "rm_flip" -> 0.0))
+  private def timedWindow[T](dir: String, k: String)(f: => T): T = {
     val t0 = System.nanoTime()
     val r = f
-    lastWindows = lastWindows +
-      (k -> (lastWindows.getOrElse(k, 0.0) + (System.nanoTime() - t0) / 1e9))
+    lastWindowsByDir.compute(dir, (_, m0) => {
+      val m = Option(m0).getOrElse(Map.empty[String, Double])
+      m + (k -> (m.getOrElse(k, 0.0) + (System.nanoTime() - t0) / 1e9))
+    })
     r
   }
 
@@ -124,8 +137,12 @@ private[operators] object ClusterRemoval {
     var planReady = false
     var completedReplay = false
     var stagedPath = false
-    lastWindows = Map("rm_validate" -> 0.0, "rm_stage" -> 0.0, "rm_flip" -> 0.0)
-    timedWindow("rm_validate")(IndexMaintenance.withLease(conf, indexDir, "remove") {
+    resetWindows(normDir)
+    // polite pre-lease wait for healthy in-flight halves (ADVICE r17:
+    // waiting INSIDE window A's lease starves a staged half that needs
+    // to re-acquire write/remove for its windows B/C)
+    Fingerprint.awaitInflightQuiesce(conf, normDir, rmTag)
+    timedWindow(normDir, "rm_validate")(IndexMaintenance.withLease(conf, indexDir, "remove") {
       root = IndexMaintenance.liveRoot(conf, indexDir)
       val m = s.read.parquet(s"$root/meta").head()
       thr = m.getAs[Double]("threshold")
@@ -143,7 +160,8 @@ private[operators] object ClusterRemoval {
       // discovery would violate the pristine premise and the crashed
       // legs would never replay — refuse until that removal completes
       Fingerprint.requireNoOtherPendingRemoval(
-        conf, normDir, rmTag, "ClusterIndex.remove")
+        conf, normDir, rmTag, "ClusterIndex.remove",
+        callerHoldsLease = true)
       // pending LOGICAL deletions would read as survivors in the re-split
       // discovery — reclaim them first. Our OWN barrier batch (a replay
       // re-entering after A committed it) is exempt: its ids ARE the
@@ -253,7 +271,7 @@ private[operators] object ClusterRemoval {
         Fingerprint.withInflightBeat(conf, normDir, rmTag)(
           removeStaged(s, conf, root, normDir, rmTag, stateDir, planMarker,
             idCol, vids, nV, vIdb, nBuckets))
-      else timedWindow("rm_flip")(IndexMaintenance.withLease(conf, indexDir, "remove") {
+      else timedWindow(normDir, "rm_flip")(IndexMaintenance.withLease(conf, indexDir, "remove") {
         require(IndexMaintenance.liveRoot(conf, indexDir) == root,
           s"ClusterIndex.remove on $indexDir: the index was compacted to a " +
             "new generation during the removal — re-run it (same tag + " +
@@ -565,7 +583,7 @@ private[operators] object ClusterRemoval {
     // healthy in-flight removal's rmstate as "crashed ... never
     // completed" (review-caught r15: the takedown streams retry the
     // former and die on the latter) ----
-    timedWindow("rm_stage")(IndexMaintenance.withLease(conf, normDir, "write") {
+    timedWindow(normDir, "rm_stage")(IndexMaintenance.withLease(conf, normDir, "write") {
       persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
       stateFs.create(planMarker, true).close() // plan commit point
       FaultInjection.maybeCrash("cluster.plan")
@@ -610,7 +628,7 @@ private[operators] object ClusterRemoval {
     })
     FaultInjection.maybeCrash("cluster.stage")
     // ---- WINDOW C: validate + flip under the remove lease ----
-    timedWindow("rm_flip")(IndexMaintenance.withLease(conf, normDir, "remove") {
+    timedWindow(normDir, "rm_flip")(IndexMaintenance.withLease(conf, normDir, "remove") {
       require(IndexMaintenance.liveRoot(conf, normDir) == root,
         s"ClusterIndex.remove on $normDir: the index was compacted to a " +
           "new generation during the removal — re-run it (same tag + " +
@@ -689,6 +707,9 @@ private[operators] object ClusterRemoval {
     // LEASE-FREE overlay half below (r16 — see the comment there)
     var overlayArgs: Option[(String, Int, DataFrame, Long, Seq[Long],
       Option[(Long, Long)], String)] = None
+    // polite pre-lease wait for healthy in-flight halves (ADVICE r17)
+    Fingerprint.awaitInflightQuiesce(
+      conf, IndexMaintenance.normalize(indexDir), s"rm.$tag")
     IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val m = s.read.parquet(s"$root/meta").head()
@@ -706,7 +727,8 @@ private[operators] object ClusterRemoval {
         "different removal batch — pass a batch-unique tag")
     val normDir = IndexMaintenance.normalize(indexDir)
     Fingerprint.requireNoOtherPendingRemoval(
-      conf, normDir, rmTag, "ClusterIndex.logicalRemove")
+      conf, normDir, rmTag, "ClusterIndex.logicalRemove",
+      callerHoldsLease = true)
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)

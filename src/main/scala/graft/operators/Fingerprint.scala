@@ -458,14 +458,21 @@ object Fingerprint {
     new org.apache.hadoop.fs.Path(rmStateDir(indexDir, tag), "inflight")
 
   /** Is this pending removal's lease-free half HEALTHY right now —
-    * heartbeat file present and renewed within one lease TTL? */
+    * heartbeat file present and renewed within one lease TTL? Any FS
+    * error — not just not-found, but an object-store throttle or a
+    * permission blip — degrades to the CONSERVATIVE verdict (false =
+    * not provably in-flight): this is a read-only status probe feeding
+    * IndexAdmin/IndexCheck and the pending-removal guards, and a probe
+    * failure must never turn into an operation failure (ADVICE r17).
+    * False routes the caller to the crashed-refusal branch, which is
+    * safe: it refuses rather than mutates. */
   def inflightFresh(conf: org.apache.hadoop.conf.Configuration,
                     indexDir: String, tag: String): Boolean = {
     val p = inflightPath(indexDir, tag)
     try System.currentTimeMillis() -
       p.getFileSystem(conf).getFileStatus(p).getModificationTime <=
       IndexMaintenance.leaseTtlMs
-    catch { case _: java.io.FileNotFoundException => false }
+    catch { case _: java.io.IOException => false }
   }
 
   /** Run a lease-free removal half under its in-flight heartbeat: the
@@ -501,14 +508,18 @@ object Fingerprint {
   private def inflightGraceMs: Long =
     sys.props.get("graft.rmstate.graceMs").map(_.toLong).getOrElse(10000L)
 
-  /** The cross-tag refusal shared by the remove() families (and, via
-    * [[IndexMaintenance.beginCompact]], compaction). Pending state that
-    * is heartbeat-FRESH is an in-flight lease-free half, not a crash:
-    * wait up to the grace for it to clear, then throw the RETRYABLE
-    * conflict; anything stale refuses with the crashed verdict. */
-  def requireNoOtherPendingRemoval(conf: org.apache.hadoop.conf.Configuration,
-                                   indexDir: String, rmTag: String,
-                                   opName: String): Unit = {
+  /** Best-effort PRE-LEASE quiesce: wait up to the grace while every
+    * other pending removal on `indexDir` is heartbeat-fresh (a healthy
+    * in-flight lease-free half that will clear on its own). Called by
+    * the remove/compact verbs BEFORE they acquire their own lease —
+    * waiting here cannot starve the in-flight half, because this caller
+    * holds nothing the half might need to re-acquire (ADVICE r17: the
+    * staged physical path's half re-takes write/remove leases for its
+    * later windows, so an in-lease waiter deadlocked it into a false
+    * CRASHED verdict). Never throws: classification and refusal stay
+    * with [[requireNoOtherPendingRemoval]], re-run under the lease. */
+  def awaitInflightQuiesce(conf: org.apache.hadoop.conf.Configuration,
+                           indexDir: String, rmTag: String): Unit = {
     val own = sanitizeTag(rmTag)
     def others = pendingRemovals(conf, indexDir) - own
     var pending = others
@@ -517,23 +528,71 @@ object Fingerprint {
       while (pending.nonEmpty &&
              pending.forall(inflightFresh(conf, indexDir, _)) &&
              System.currentTimeMillis() < deadline) {
-        Thread.sleep(100L)
+        Thread.sleep(250L)
+        pending = others
+      }
+    }
+  }
+
+  /** The cross-tag refusal shared by the remove() families (and, via
+    * [[IndexMaintenance.beginCompact]], compaction). Pending state that
+    * is heartbeat-FRESH is an in-flight lease-free half, not a crash —
+    * throw the RETRYABLE conflict for it; anything stale (or
+    * heartbeat-less) refuses with the crashed verdict, naming ONLY the
+    * stale tags as replay candidates (a fresh in-flight tag must never
+    * be told to "re-run with its original tag" — it is running right
+    * now; ADVICE r17).
+    *
+    * `callerHoldsLease`: every remove-family call site runs INSIDE its
+    * verb's exclusive lease, and an in-flight staged half may need to
+    * RE-ACQUIRE that very lease kind for its later windows — waiting
+    * here while holding it starves a healthy removal into a
+    * LeaseConflict death and then a false crashed refusal (the r17
+    * ADVICE medium). So under a held lease there is NO grace wait: the
+    * retryable conflict is thrown immediately and the caller's retry
+    * loop (which releases the lease first) provides the window. The
+    * polite wait lives in [[awaitInflightQuiesce]], run pre-lease. */
+  def requireNoOtherPendingRemoval(conf: org.apache.hadoop.conf.Configuration,
+                                   indexDir: String, rmTag: String,
+                                   opName: String,
+                                   callerHoldsLease: Boolean = false): Unit = {
+    val own = sanitizeTag(rmTag)
+    def others = pendingRemovals(conf, indexDir) - own
+    var pending = others
+    if (!callerHoldsLease && pending.nonEmpty &&
+        pending.forall(inflightFresh(conf, indexDir, _))) {
+      val deadline = System.currentTimeMillis() + inflightGraceMs
+      while (pending.nonEmpty &&
+             pending.forall(inflightFresh(conf, indexDir, _)) &&
+             System.currentTimeMillis() < deadline) {
+        Thread.sleep(250L)
         pending = others
       }
     }
     if (pending.nonEmpty) {
-      if (pending.forall(inflightFresh(conf, indexDir, _)))
+      val (fresh, stale) =
+        pending.partition(inflightFresh(conf, indexDir, _))
+      if (stale.isEmpty)
         throw new IndexMaintenance.LeaseConflictException(
           s"$opName on $indexDir refused: removal(s) " +
-            s"${pending.mkString(", ")} are IN-FLIGHT (lease-free half, " +
-            "heartbeat fresh) and did not finish within the " +
-            s"${inflightGraceMs}ms grace — retry shortly")
+            s"${fresh.mkString(", ")} are IN-FLIGHT (lease-free half, " +
+            "heartbeat fresh)" +
+            (if (callerHoldsLease)
+               " and this caller holds a lease the in-flight half may " +
+                 "need — releasing and retrying shortly gives it the window"
+             else s" and did not finish within the ${inflightGraceMs}ms " +
+               "grace — retry shortly"))
       else refuse(
-        s"$opName: crashed removal/append commit(s) ${pending.mkString(", ")} " +
+        s"$opName: crashed removal/append commit(s) ${stale.mkString(", ")} " +
           s"never completed (state under $indexDir/rmstate/; `ap.` entries " +
           "are append commits) — re-run each with its original tag and " +
           "batch to let it replay to completion before starting this " +
-          "operation")
+          "operation" +
+          (if (fresh.nonEmpty)
+             s"; removal(s) ${fresh.mkString(", ")} are separately " +
+               "IN-FLIGHT and healthy — do NOT replay those, just wait " +
+               "for them to clear"
+           else ""))
     }
   }
 

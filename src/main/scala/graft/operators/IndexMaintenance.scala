@@ -448,6 +448,11 @@ private[graft] object IndexMaintenance {
     * [[abortCompact]]. */
   def beginCompact(conf: Configuration, indexDir0: String): CompactCtx = {
     val indexDir = normalize(indexDir0)
+    // polite PRE-lease wait for healthy in-flight removal halves
+    // (ADVICE r17: waiting after acquire can starve a staged half that
+    // needs write/remove leases — same index, different lease kind, but
+    // the guard's wait-then-die pattern is the hazard, not the kind)
+    Fingerprint.awaitInflightQuiesce(conf, indexDir, rmTag = "")
     val lease = acquireLease(conf, indexDir, "compact")
     try {
       // a crashed removal's persisted plan references THIS generation's
@@ -461,7 +466,7 @@ private[graft] object IndexMaintenance {
       // LeaseConflictException) instead of a false crashed verdict
       // (ADVICE r16) — its crashed branch keeps the refusal semantics.
       Fingerprint.requireNoOtherPendingRemoval(conf, indexDir, rmTag = "",
-        s"compact on $indexDir")
+        s"compact on $indexDir", callerHoldsLease = true)
       val fromGen = currentGen(conf, indexDir)
       val newGen = fromGen.getOrElse(0L) + 1
       val staging = new Path(s"$indexDir/g$newGen")

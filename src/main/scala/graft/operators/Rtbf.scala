@@ -1,0 +1,316 @@
+package graft.operators
+
+import org.apache.hadoop.fs.Path
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The stores one right-to-be-forgotten purge must reach: the document
+  * lake (system of record — the S4 reference ships its stream into
+  * exactly such a date-partitioned lake, `lake/lake.go:17-90`), the
+  * optional embedding lake beside it, and any of the four persisted
+  * index families built over them. Index dirs are optional so a
+  * deployment indexes only what it serves; the lake is mandatory —
+  * a purge that doesn't reach the system of record isn't a purge. */
+final case class RtbfTargets(
+    lakeDir: String,
+    lakePartitionCols: Seq[String],
+    idCol: String = "doc_id",
+    textCol: String = "text",
+    textIndex: Option[String] = None,
+    clusterIndex: Option[String] = None,
+    termIndex: Option[String] = None,
+    vectorIndex: Option[String] = None,
+    vecLakeDir: Option[String] = None,
+    vecLakePartitionCols: Seq[String] = Nil,
+    vecIdCol: String = "vec_id",
+    vecCol: String = "embedding")
+
+final case class RtbfStoreResult(store: String, skippedDone: Boolean,
+                                 seconds: Double)
+
+final case class RtbfReport(tag: String, nVictims: Long, nVecVictims: Long,
+                            stores: Seq[RtbfStoreResult], complete: Boolean)
+
+/** Ops-console view of one purge's crash-state (consumed by
+  * [[graft.IndexAdmin]] when pointed at a lake dir): which stores the
+  * manifest planned, which carry done markers, and therefore which an
+  * interrupted purge still owes. */
+final case class RtbfStatus(tag: String, planned: Seq[String],
+                            done: Set[String], complete: Boolean) {
+  def incomplete: Seq[String] = planned.filterNot(done)
+}
+
+/** Single-call right-to-be-forgotten orchestrator (VERDICT r17 item 1).
+  *
+  * Every per-store verb has existed since r10–r17 — lake
+  * [[TargetedDelete.delete]] plus the four index families' physical
+  * `remove()` — but a real takedown request meant calling five of them
+  * with five tags and nothing owned "purge id X from EVERYTHING and
+  * report completion per store"; a half-completed multi-store purge
+  * could hide silently. [[purge]] is that owner:
+  *
+  *  - ONE batch tag drives every store (each family namespaces it
+  *    internally, so the per-index crash-replay contracts are untouched);
+  *  - the victim rows are SNAPSHOTTED into a manifest under
+  *    `<lakeDir>/_rtbf/<tag>/` BEFORE anything mutates — the one
+  *    capture every later step (and every crash replay) reads, so a
+  *    purge can never lose its victim set to its own lake scrub;
+  *  - stores run in serve-surface-first order (indexes, then the
+  *    embedding lake, then the document lake — the system of record
+  *    outlives its derivations), each behind a done-marker so a crash
+  *    at store k resumes at store k, and each verb is itself
+  *    crash-replayable under the shared tag;
+  *  - after the last store a CROSS-STORE AGREEMENT check reads every
+  *    surface back (raw index tables, not serve overlays — post
+  *    physical remove the rows must be GONE from disk) and refuses to
+  *    mark the purge COMPLETE while any store still holds a victim id —
+  *    partial success is never silent.
+  *
+  * Scale: no step materializes the corpus on the driver. The victim
+  * snapshot is one semi-join write of O(victims); each index verb is
+  * the family's own bucket-pruned rewrite; the agreement check is six
+  * broadcast-semi-join counts over column-pruned scans (id columns
+  * only). At 100 TB the check is the priciest read (a full id-column
+  * scan per store) — it is the point: a purge certificate must read
+  * what is actually on disk.
+  *
+  * Concurrency: one purge per lake at a time is the supported shape
+  * (the per-index leases serialize the verbs anyway; two concurrent
+  * purges with different tags would interleave legally but the
+  * manifest dirs keep their state apart). */
+object Rtbf {
+
+  /** Store names, in execution order. Index families first (serve
+    * surfaces stop returning victims before the record of what they
+    * were vanishes), the document lake LAST. */
+  private val IdxText = "idx.text"
+  private val IdxCluster = "idx.cluster"
+  private val IdxTerm = "idx.term"
+  private val IdxVector = "idx.vector"
+  private val LakeVec = "lake.vec"
+  private val LakeDoc = "lake.doc"
+
+  private def plannedStores(t: RtbfTargets): Seq[String] =
+    t.textIndex.map(_ => IdxText).toSeq ++
+      t.clusterIndex.map(_ => IdxCluster) ++
+      t.termIndex.map(_ => IdxTerm) ++
+      t.vectorIndex.map(_ => IdxVector) ++
+      t.vecLakeDir.map(_ => LakeVec) ++
+      Seq(LakeDoc)
+
+  private def stateDir(lakeDir: String, tag: String): String =
+    s"${IndexMaintenance.normalize(lakeDir)}/_rtbf/${Fingerprint.sanitizeTag(tag)}"
+
+  /** Purge `victims` — the EXACT `(id, text)` rows as ingested, the
+    * same contract every index family's remove() validates — from all
+    * targeted stores under one `tag`. `vecVictims` carries the exact
+    * `(vecId, embedding)` rows when a vector index / embedding lake is
+    * targeted. Returns the per-store report; throws (without marking
+    * COMPLETE) if any surface still holds a victim afterwards. */
+  def purge(victims: DataFrame, vecVictims: Option[DataFrame],
+            targets: RtbfTargets, tag: String): RtbfReport = {
+    val s = victims.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val state = stateDir(targets.lakeDir, tag)
+    val fs = new Path(state).getFileSystem(conf)
+    require(targets.vectorIndex.isEmpty && targets.vecLakeDir.isEmpty ||
+      vecVictims.nonEmpty,
+      "Rtbf.purge: a vector index / embedding lake is targeted but no " +
+        "vecVictims were passed")
+
+    val vfp = Fingerprint.of(victims, Seq(targets.idCol, targets.textCol))
+    val manifest = new Path(s"$state/MANIFEST")
+    if (fs.exists(manifest)) {
+      val recorded = readManifest(fs, manifest)
+      if (recorded.vfp != s"${vfp._1}:${vfp._2}") Fingerprint.refuse(
+        s"Rtbf.purge: tag '$tag' was already used by a different victim " +
+          s"batch (recorded ${recorded.vfp}, got ${vfp._1}:${vfp._2}) — " +
+          "pass a batch-unique tag; the same (tag, victims) pair is the " +
+          "legitimate crash-replay and is re-admitted")
+      if (recorded.stores != plannedStores(targets)) Fingerprint.refuse(
+        s"Rtbf.purge: tag '$tag' was planned against stores " +
+          s"${recorded.stores.mkString(", ")} but this call targets " +
+          s"${plannedStores(targets).mkString(", ")} — a replay must " +
+          "pass the original targets")
+    } else {
+      // snapshot FIRST, manifest (the commit point) LAST: a crash in
+      // between re-stages the snapshot from the caller's rows
+      victims.select(col(targets.idCol), col(targets.textCol))
+        .write.mode("overwrite").parquet(s"$state/victims")
+      vecVictims.foreach(_.select(col(targets.vecIdCol), col(targets.vecCol))
+        .write.mode("overwrite").parquet(s"$state/vec_victims"))
+      writeManifest(fs, manifest,
+        ManifestRec(s"${vfp._1}:${vfp._2}", plannedStores(targets)))
+    }
+    runFromManifest(s, targets, tag)
+  }
+
+  /** Resume a crashed purge from its manifest alone — the operator
+    * story after a driver death: the victim rows live in the snapshot,
+    * so the caller no longer needs to reconstruct them (and MUST not
+    * try to re-read them from a lake the purge may since have
+    * scrubbed). Refuses if no manifest committed (nothing mutated
+    * before the manifest lands — just re-run purge()). */
+  def resume(s: SparkSession, targets: RtbfTargets, tag: String): RtbfReport = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val state = stateDir(targets.lakeDir, tag)
+    val fs = new Path(state).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$state/MANIFEST"))) Fingerprint.refuse(
+      s"Rtbf.resume: no committed purge manifest under $state — the " +
+        "crash predated the victim snapshot, so nothing was mutated; " +
+        "re-run purge() with the victim rows")
+    runFromManifest(s, targets, tag)
+  }
+
+  private def runFromManifest(s: SparkSession, targets: RtbfTargets,
+                              tag: String): RtbfReport = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val state = stateDir(targets.lakeDir, tag)
+    val fs = new Path(state).getFileSystem(conf)
+    val planned = readManifest(fs, new Path(s"$state/MANIFEST")).stores
+
+    // the one authoritative victim capture — every verb reads THIS
+    val vic = s.read.parquet(s"$state/victims").localCheckpoint()
+    val nV = vic.count()
+    val vecVic =
+      if (fs.exists(new Path(s"$state/vec_victims")))
+        Some(s.read.parquet(s"$state/vec_victims").localCheckpoint())
+      else None
+    val nVec = vecVic.fold(0L)(_.count())
+
+    def done(store: String) = new Path(s"$state/done_$store")
+    val results = planned.map { store =>
+      if (fs.exists(done(store)))
+        RtbfStoreResult(store, skippedDone = true, 0.0)
+      else {
+        val t0 = System.nanoTime()
+        runStore(s, store, targets, vic, vecVic, tag)
+        // verb done but marker not yet — a crash here replays the verb
+        // (idempotent under its own tag) and then lands the marker
+        FaultInjection.maybeCrash(s"rtbf.verb.$store")
+        fs.create(done(store), true).close()
+        FaultInjection.maybeCrash(s"rtbf.done.$store")
+        RtbfStoreResult(store, skippedDone = false,
+          (System.nanoTime() - t0) / 1e9)
+      }
+    }
+
+    // ---- cross-store agreement: every surface, read from disk ----
+    val leftovers = planned.map(st =>
+      st -> victimCount(s, st, targets, vic, vecVic)).filter(_._2 > 0L)
+    if (leftovers.nonEmpty) throw new IllegalStateException(
+      s"Rtbf.purge '$tag': stores disagree on survivorship after all " +
+        s"verbs ran — victim rows remain in ${leftovers
+          .map { case (st, n) => s"$st($n)" }.mkString(", ")}; the purge " +
+        "is NOT marked complete — investigate (IndexCheck the index " +
+        "families) and re-run to replay")
+    fs.create(new Path(s"$state/COMPLETE"), true).close()
+    RtbfReport(tag, nV, nVec, results, complete = true)
+  }
+
+  private def runStore(s: SparkSession, store: String, t: RtbfTargets,
+                       vic: DataFrame, vecVic: Option[DataFrame],
+                       tag: String): Unit = store match {
+    case IdxText =>
+      TextIndex.remove(vic, t.idCol, t.textCol, t.textIndex.get, tag = tag)
+    case IdxCluster =>
+      ClusterIndex.remove(vic, t.idCol, t.textCol, t.clusterIndex.get,
+        tag = tag)
+    case IdxTerm =>
+      TermIndex.remove(vic, t.idCol, t.textCol, t.termIndex.get, tag = tag)
+    case IdxVector =>
+      VectorIndex.remove(vecVic.get, t.vectorIndex.get, t.vecIdCol, t.vecCol,
+        tag = tag)
+    case LakeVec =>
+      TargetedDelete.delete(s, t.vecLakeDir.get, t.vecLakePartitionCols,
+        t.vecIdCol, vecVic.get.select(col(t.vecIdCol)))
+    case LakeDoc =>
+      TargetedDelete.delete(s, t.lakeDir, t.lakePartitionCols, t.idCol,
+        vic.select(col(t.idCol)))
+  }
+
+  /** Victim rows still visible in one store, counted from what is ON
+    * DISK: lakes and index tables are scanned id-column-only and
+    * semi-joined against the (broadcast-sized) victim id set. Raw
+    * tables on purpose — a physical purge's certificate must not be
+    * satisfied by a tombstone overlay hiding rows that still exist. */
+  private def victimCount(s: SparkSession, store: String, t: RtbfTargets,
+                          vic: DataFrame, vecVic: Option[DataFrame]): Long = {
+    val conf = s.sparkContext.hadoopConfiguration
+    def root(dir: String) = IndexMaintenance.liveRoot(conf, dir)
+    val vids = vic.select(col(t.idCol)).distinct()
+    val nV = vids.count()
+    def countIn(df: DataFrame, c: String, keys: DataFrame, n: Long) =
+      df.select(col(c))
+        .join(TargetedDelete.maybeBroadcast(keys, n), Seq(c), "left_semi")
+        .count()
+    lazy val vecIds = vecVic.get.select(col(t.vecIdCol)).distinct()
+    store match {
+      case IdxText =>
+        countIn(s.read.parquet(s"${root(t.textIndex.get)}/bands"),
+          t.idCol, vids, nV)
+      case IdxCluster =>
+        countIn(ClusterIndex.assignments(s, t.clusterIndex.get, t.idCol),
+          t.idCol, vids, nV)
+      case IdxTerm =>
+        countIn(s.read.parquet(s"${root(t.termIndex.get)}/dl"),
+          t.idCol, vids, nV)
+      case IdxVector =>
+        countIn(s.read.parquet(s"${root(t.vectorIndex.get)}/cells"),
+          t.vecIdCol, vecIds, vecIds.count())
+      case LakeVec =>
+        countIn(s.read.parquet(t.vecLakeDir.get), t.vecIdCol, vecIds,
+          vecIds.count())
+      case LakeDoc =>
+        countIn(s.read.parquet(t.lakeDir), t.idCol, vids, nV)
+    }
+  }
+
+  // ---- manifest + ops-console status ----------------------------------
+
+  private final case class ManifestRec(vfp: String, stores: Seq[String])
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            p: Path, rec: ManifestRec): Unit = {
+    val out = fs.create(p, true)
+    try out.write(s"${rec.vfp}\n${rec.stores.mkString(",")}\n"
+      .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readManifest(fs: org.apache.hadoop.fs.FileSystem,
+                           p: Path): ManifestRec = {
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    val lines = txt.linesIterator.toSeq
+    ManifestRec(lines.head,
+      lines.lift(1).filter(_.nonEmpty).fold(Seq.empty[String])(
+        _.split(",").toSeq))
+  }
+
+  /** Every purge's crash-state under a lake dir — the ops-console read
+    * [[graft.IndexAdmin]] renders so an interrupted purge NAMES the
+    * stores it still owes (VERDICT r17 item 1's "refuses partial
+    * success silently" has to be inspectable, not just thrown). Pure FS
+    * metadata; no Spark. */
+  def status(conf: org.apache.hadoop.conf.Configuration,
+             lakeDir: String): Seq[RtbfStatus] = {
+    val base = new Path(s"${IndexMaintenance.normalize(lakeDir)}/_rtbf")
+    val fs = base.getFileSystem(conf)
+    if (!fs.exists(base)) Seq.empty
+    else fs.listStatus(base).toSeq.filter(_.isDirectory).flatMap { st =>
+      val tagDir = st.getPath
+      val manifest = new Path(tagDir, "MANIFEST")
+      if (!fs.exists(manifest)) None // pre-commit crash: nothing mutated
+      else {
+        val rec = readManifest(fs, manifest)
+        val done = fs.listStatus(tagDir).map(_.getPath.getName)
+          .filter(_.startsWith("done_")).map(_.stripPrefix("done_")).toSet
+        Some(RtbfStatus(tagDir.getName, rec.stores, done,
+          complete = fs.exists(new Path(tagDir, "COMPLETE"))))
+      }
+    }.sortBy(_.tag)
+  }
+}

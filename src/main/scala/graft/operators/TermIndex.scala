@@ -509,6 +509,9 @@ object TermIndex {
                     indexDir: String, tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
+    // polite pre-lease wait for healthy in-flight halves (ADVICE r17)
+    Fingerprint.awaitInflightQuiesce(
+      conf, IndexMaintenance.normalize(indexDir), s"rm.$tag")
     IndexMaintenance.withLease(conf, indexDir, "remove") {
       val root = IndexMaintenance.liveRoot(conf, indexDir)
       val (nBuckets, oldFp, oldSumDl) = readMeta(s, root)
@@ -520,7 +523,8 @@ object TermIndex {
           "different removal batch — pass a batch-unique tag")
       val normDir = IndexMaintenance.normalize(indexDir)
       Fingerprint.requireNoOtherPendingRemoval(
-        conf, normDir, rmTag, "TermIndex.logicalRemove")
+        conf, normDir, rmTag, "TermIndex.logicalRemove",
+        callerHoldsLease = true)
       val vids = victims.select(col(idCol)).distinct().localCheckpoint()
       val nV = vids.count()
       // completed-replay no-op (ADVICE r13): the tombstone must not be
@@ -604,6 +608,8 @@ object TermIndex {
              indexDir: String, tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
+    Fingerprint.awaitInflightQuiesce(
+      conf, IndexMaintenance.normalize(indexDir), s"rm.$tag")
     IndexMaintenance.withLease(conf, indexDir, "remove") {
       val root = IndexMaintenance.liveRoot(conf, indexDir)
       val (nBuckets, oldFp, oldSumDl) = readMeta(s, root)
@@ -615,7 +621,8 @@ object TermIndex {
           "removal batch — pass a batch-unique tag")
       val normDir = IndexMaintenance.normalize(indexDir)
       Fingerprint.requireNoOtherPendingRemoval(
-        conf, normDir, rmTag, "TermIndex.remove")
+        conf, normDir, rmTag, "TermIndex.remove",
+        callerHoldsLease = true)
       val barrierBatch = Fingerprint.sanitizeTag(rmTag)
       LogicalDelete.requireNonePending(conf, indexDir, "TermIndex.remove",
         exceptBatch = Some(barrierBatch))

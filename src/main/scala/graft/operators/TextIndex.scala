@@ -210,6 +210,9 @@ object TextIndex {
              indexDir: String, tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
+    // polite pre-lease wait for healthy in-flight halves (ADVICE r17)
+    Fingerprint.awaitInflightQuiesce(
+      conf, IndexMaintenance.normalize(indexDir), s"rm.$tag")
     IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
@@ -222,7 +225,8 @@ object TextIndex {
         "removal batch — pass a batch-unique tag")
     // cross-tag leftover state refusal, see ClusterIndex.remove
     Fingerprint.requireNoOtherPendingRemoval(
-      conf, IndexMaintenance.normalize(indexDir), rmTag, "TextIndex.remove")
+      conf, IndexMaintenance.normalize(indexDir), rmTag, "TextIndex.remove",
+      callerHoldsLease = true)
     // pending logical deletions must reclaim first (their victims would
     // read as indexed rows here) — see [[LogicalDelete]]
     LogicalDelete.requireNonePending(conf, indexDir, "TextIndex.remove")
@@ -375,6 +379,8 @@ object TextIndex {
     val s = victims.sparkSession
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
+    Fingerprint.awaitInflightQuiesce(
+      conf, IndexMaintenance.normalize(indexDir), s"rm.$tag")
     IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val (numHashes, bandCount, nBuckets, seed) = readMeta(s, root)
@@ -387,7 +393,8 @@ object TextIndex {
         "different removal batch — pass a batch-unique tag")
     val normDir = IndexMaintenance.normalize(indexDir)
     Fingerprint.requireNoOtherPendingRemoval(
-      conf, normDir, rmTag, "TextIndex.logicalRemove")
+      conf, normDir, rmTag, "TextIndex.logicalRemove",
+      callerHoldsLease = true)
     val vids = victims.select(col(idCol)).distinct().localCheckpoint()
     val nV = vids.count()
     // applied record + no pending removal state ⟺ the prior run fully

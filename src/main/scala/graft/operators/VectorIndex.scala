@@ -413,6 +413,10 @@ object VectorIndex {
              tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
+    // polite pre-lease wait for healthy in-flight halves (ADVICE r17:
+    // waiting INSIDE the lease can starve the half that needs it)
+    Fingerprint.awaitInflightQuiesce(
+      conf, IndexMaintenance.normalize(indexDir), s"rm.$tag")
     IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val centroids = loadCentroidsFromRoot(s, root)
@@ -425,7 +429,8 @@ object VectorIndex {
         "removal batch — pass a batch-unique tag")
     // cross-tag leftover state refusal, see ClusterIndex.remove
     Fingerprint.requireNoOtherPendingRemoval(
-      conf, IndexMaintenance.normalize(indexDir), rmTag, "VectorIndex.remove")
+      conf, IndexMaintenance.normalize(indexDir), rmTag, "VectorIndex.remove",
+      callerHoldsLease = true)
     // pending logical deletions must reclaim first — see [[LogicalDelete]]
     LogicalDelete.requireNonePending(conf, indexDir, "VectorIndex.remove")
     val pinned = victims
@@ -512,6 +517,8 @@ object VectorIndex {
                     tag: String = "remove"): Unit = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
+    Fingerprint.awaitInflightQuiesce(
+      conf, IndexMaintenance.normalize(indexDir), s"rm.$tag")
     IndexMaintenance.withLease(conf, indexDir, "remove") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
     val centroids = loadCentroidsFromRoot(s, root)
@@ -524,7 +531,8 @@ object VectorIndex {
         "different removal batch — pass a batch-unique tag")
     val normDir = IndexMaintenance.normalize(indexDir)
     Fingerprint.requireNoOtherPendingRemoval(
-      conf, normDir, rmTag, "VectorIndex.logicalRemove")
+      conf, normDir, rmTag, "VectorIndex.logicalRemove",
+      callerHoldsLease = true)
     val pinned = victims
       .withColumn("cell", Similarity.nearestCentroid(col(corpusVec), centroids))
       .select(col(corpusId), col("cell")).distinct().localCheckpoint()

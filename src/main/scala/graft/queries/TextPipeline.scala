@@ -696,7 +696,7 @@ object TextPipeline {
     // staged remove's three windows ride the same takedown_legs map, so
     // a cross-box swing in the one conflated number names its stage
     // (validation+commit / lease-free staging / flip)
-    graft.operators.ClusterIndex.lastRemoveWindows
+    graft.operators.ClusterIndex.lastRemoveWindows(scratch)
       .foreach { case (k, v) => legs(k) = v }
     removeLegRuns.add(legs.toMap)
     graft.operators.ClusterIndex.assignments(s, scratch, "doc_id")
