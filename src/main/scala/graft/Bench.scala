@@ -64,7 +64,8 @@ object Bench {
     * (VERDICT r14 item 8: the leg maps had no prior-archive comparison,
     * so a regression inside one leg of a stable-total row still hid). */
   private[graft] def parseLegMins(json: String): Map[String, Double] =
-    Seq("takedown_legs", "takedown_legs_logical", "takedown_legs_term")
+    Seq("takedown_legs", "takedown_legs_logical", "takedown_legs_term",
+        "takedown_legs_rtbf")
       .flatMap(f =>
         parseFlatObject(json, f).map { case (k, v) => s"$f.$k" -> v }).toMap
 
@@ -104,7 +105,7 @@ object Bench {
     * takedown rows were 21% of the r15 headline and every protocol
     * hardening inflated the one conflated number. */
   private[graft] def isMaintenance(name: String): Boolean =
-    name.matches(".*_index_(logical_)?remove$")
+    name.matches(".*_index_(logical_)?remove$") || name.startsWith("rtbf_")
 
   /** Min-of-3 per leg for a composed takedown query, plus "serve" = run
     * total minus recorded legs — only when runs and leg maps align 1:1
@@ -252,6 +253,7 @@ object Bench {
     graft.queries.TextPipeline.removeLegRuns.clear()
     graft.queries.TextPipeline.logicalLegRuns.clear()
     graft.queries.TextPipeline.termLegRuns.clear()
+    graft.queries.RtbfE2e.rtbfLegRuns.clear()
     // prior artifact's per-query mins, read BEFORE this run overwrites
     // it — feeds the suspect_noise annotation (VERDICT r13 item 1).
     // Only comparable at the SAME scale factor: a dev smoke at sf0.001
@@ -348,13 +350,17 @@ object Bench {
     val takedownLegsTerm = legSplitJson(
       graft.queries.TextPipeline.termLegRuns.asScala.toSeq,
       runTotals("doc_term_index_remove"))
+    val takedownLegsRtbf = legSplitJson(
+      graft.queries.RtbfE2e.rtbfLegRuns.asScala.toSeq,
+      runTotals("rtbf_purge_e2e"))
 
     // leg mins join the diff under their field prefix — parsed back out
     // of the EXACT strings the artifact will carry, so the comparison
     // can never drift from what a future run reads as its prior
     val nowLegs = Seq("takedown_legs" -> takedownLegs,
         "takedown_legs_logical" -> takedownLegsLogical,
-        "takedown_legs_term" -> takedownLegsTerm)
+        "takedown_legs_term" -> takedownLegsTerm,
+        "takedown_legs_rtbf" -> takedownLegsRtbf)
       .flatMap { case (f, j) =>
         parseFlatObject(s""""$f":$j""", f).map { case (k, v) => s"$f.$k" -> v } }
       .toMap
@@ -442,6 +448,7 @@ object Bench {
         s""""takedown_legs":$takedownLegs,""" +
         s""""takedown_legs_logical":$takedownLegsLogical,""" +
         s""""takedown_legs_term":$takedownLegsTerm,""" +
+        s""""takedown_legs_rtbf":$takedownLegsRtbf,""" +
         s""""suspect_noise":$suspect,"retried":$retriedJson,""" +
         s""""repeats":$repJson}"""
     Files.writeString(Paths.get(outPath), detail)

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.{Relational, S4Dataflow, Scans, TextPipeline, Vectors}
+import graft.queries.{Relational, RtbfE2e, S4Dataflow, Scans, TextPipeline, Vectors}
 import graft.multimodal.Multimodal
 
 /** Driver contract (SURVEY.md §7).
@@ -22,9 +22,11 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.queries ++ S4Dataflow.queries ++ TextPipeline.queries ++
-      Vectors.queries ++ Multimodal.queries ++ Scans.queries
+      Vectors.queries ++ Multimodal.queries ++ Scans.queries ++
+      RtbfE2e.queries
 
   def oracleSql: Map[String, String] =
     Relational.oracles ++ S4Dataflow.oracles ++ TextPipeline.oracles ++
-      Vectors.oracles ++ Multimodal.oracles ++ Scans.oracles
+      Vectors.oracles ++ Multimodal.oracles ++ Scans.oracles ++
+      RtbfE2e.oracles
 }

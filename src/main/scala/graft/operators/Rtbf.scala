@@ -56,11 +56,12 @@ final case class RtbfStatus(tag: String, planned: Seq[String],
   *    `<lakeDir>/_rtbf/<tag>/` BEFORE anything mutates — the one
   *    capture every later step (and every crash replay) reads, so a
   *    purge can never lose its victim set to its own lake scrub;
-  *  - stores run in serve-surface-first order (indexes, then the
-  *    embedding lake, then the document lake — the system of record
-  *    outlives its derivations), each behind a done-marker so a crash
-  *    at store k resumes at store k, and each verb is itself
-  *    crash-replayable under the shared tag;
+  *  - the four index verbs run CONCURRENTLY (four different dirs, four
+  *    independent leases — the purge wall is max(verb), not sum), then
+  *    the lakes strictly after every serve surface is clean (the system
+  *    of record outlives its derivations); each store sits behind a
+  *    done-marker so a crash resumes exactly the stores it owes, and
+  *    each verb is itself crash-replayable under the shared tag;
   *  - after the last store a CROSS-STORE AGREEMENT check reads every
   *    surface back (raw index tables, not serve overlays — post
   *    physical remove the rows must be GONE from disk) and refuses to
@@ -180,7 +181,7 @@ object Rtbf {
     val nVec = vecVic.fold(0L)(_.count())
 
     def done(store: String) = new Path(s"$state/done_$store")
-    val results = planned.map { store =>
+    def execStore(store: String): RtbfStoreResult =
       if (fs.exists(done(store)))
         RtbfStoreResult(store, skippedDone = true, 0.0)
       else {
@@ -194,11 +195,53 @@ object Rtbf {
         RtbfStoreResult(store, skippedDone = false,
           (System.nanoTime() - t0) / 1e9)
       }
-    }
+    // The four index verbs hold leases on FOUR DIFFERENT dirs — nothing
+    // serializes them but the driver, so run them CONCURRENTLY (at
+    // cluster scale each is its own pruned rewrite job set; a serial
+    // orchestrator would quadruple the purge wall for no safety). Every
+    // store that can complete does — more done-markers per attempt
+    // means less replay after a crash — and the first failure is
+    // rethrown only after all settle. The LAKES run strictly AFTER all
+    // index verbs succeed: the system of record must outlive its
+    // derivations, so a failed serve-surface scrub keeps the lake rows
+    // (the manifest snapshot, not the lake, feeds the replay anyway).
+    val (idxStores, lakeStores) = planned.partition(_.startsWith("idx."))
+    val idxResults =
+      if (idxStores.size <= 1) idxStores.map(execStore)
+      else {
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(idxStores.size)
+        try {
+          val futures = idxStores.map(st =>
+            st -> pool.submit(new java.util.concurrent.Callable[RtbfStoreResult] {
+              def call(): RtbfStoreResult = execStore(st)
+            }))
+          val settled = futures.map { case (st, f) =>
+            st -> (try Right(f.get())
+            catch {
+              case e: java.util.concurrent.ExecutionException =>
+                Left(e.getCause)
+            })
+          }
+          val failures = settled.collect { case (st, Left(t)) => (st, t) }
+          failures.headOption.foreach { case (_, first) =>
+            failures.drop(1).foreach { case (_, t) =>
+              if (t ne first) first.addSuppressed(t) }
+            throw first
+          }
+          settled.collect { case (_, Right(r)) => r }
+        } finally pool.shutdown()
+      }
+    val results = idxResults ++ lakeStores.map(execStore)
 
-    // ---- cross-store agreement: every surface, read from disk ----
-    val leftovers = planned.map(st =>
-      st -> victimCount(s, st, targets, vic, vecVic)).filter(_._2 > 0L)
+    // ---- cross-store agreement: every surface, read from disk, ONE
+    // job (the six counts union into a store-labeled aggregate — six
+    // sequential count() jobs would pay six job-overheads for the same
+    // scans) ----
+    val leftovers = planned.map(st => victimRows(s, st, targets, vic, vecVic))
+      .reduce(_ unionByName _)
+      .groupBy(col("store")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+      .filter(_._2 > 0L).toSeq.sortBy(_._1)
     if (leftovers.nonEmpty) throw new IllegalStateException(
       s"Rtbf.purge '$tag': stores disagree on survivorship after all " +
         s"verbs ran — victim rows remain in ${leftovers
@@ -230,40 +273,39 @@ object Rtbf {
         vic.select(col(t.idCol)))
   }
 
-  /** Victim rows still visible in one store, counted from what is ON
+  /** Victim rows still visible in one store, read from what is ON
     * DISK: lakes and index tables are scanned id-column-only and
-    * semi-joined against the (broadcast-sized) victim id set. Raw
-    * tables on purpose — a physical purge's certificate must not be
-    * satisfied by a tombstone overlay hiding rows that still exist. */
-  private def victimCount(s: SparkSession, store: String, t: RtbfTargets,
-                          vic: DataFrame, vecVic: Option[DataFrame]): Long = {
+    * semi-joined against the (broadcast-sized) victim id set, labeled
+    * with the store name for the fused agreement aggregate. Raw tables
+    * on purpose — a physical purge's certificate must not be satisfied
+    * by a tombstone overlay hiding rows that still exist. */
+  private def victimRows(s: SparkSession, store: String, t: RtbfTargets,
+                         vic: DataFrame,
+                         vecVic: Option[DataFrame]): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     def root(dir: String) = IndexMaintenance.liveRoot(conf, dir)
-    val vids = vic.select(col(t.idCol)).distinct()
-    val nV = vids.count()
-    def countIn(df: DataFrame, c: String, keys: DataFrame, n: Long) =
+    lazy val vids = vic.select(col(t.idCol)).distinct()
+    def in(df: DataFrame, c: String, keys: DataFrame) =
       df.select(col(c))
-        .join(TargetedDelete.maybeBroadcast(keys, n), Seq(c), "left_semi")
-        .count()
+        .join(TargetedDelete.maybeBroadcast(keys, keys.count()),
+          Seq(c), "left_semi")
+        .select(lit(store).as("store"))
     lazy val vecIds = vecVic.get.select(col(t.vecIdCol)).distinct()
     store match {
       case IdxText =>
-        countIn(s.read.parquet(s"${root(t.textIndex.get)}/bands"),
-          t.idCol, vids, nV)
+        in(s.read.parquet(s"${root(t.textIndex.get)}/bands"), t.idCol, vids)
       case IdxCluster =>
-        countIn(ClusterIndex.assignments(s, t.clusterIndex.get, t.idCol),
-          t.idCol, vids, nV)
+        in(ClusterIndex.assignments(s, t.clusterIndex.get, t.idCol),
+          t.idCol, vids)
       case IdxTerm =>
-        countIn(s.read.parquet(s"${root(t.termIndex.get)}/dl"),
-          t.idCol, vids, nV)
+        in(s.read.parquet(s"${root(t.termIndex.get)}/dl"), t.idCol, vids)
       case IdxVector =>
-        countIn(s.read.parquet(s"${root(t.vectorIndex.get)}/cells"),
-          t.vecIdCol, vecIds, vecIds.count())
+        in(s.read.parquet(s"${root(t.vectorIndex.get)}/cells"),
+          t.vecIdCol, vecIds)
       case LakeVec =>
-        countIn(s.read.parquet(t.vecLakeDir.get), t.vecIdCol, vecIds,
-          vecIds.count())
+        in(s.read.parquet(t.vecLakeDir.get), t.vecIdCol, vecIds)
       case LakeDoc =>
-        countIn(s.read.parquet(t.lakeDir), t.idCol, vids, nV)
+        in(s.read.parquet(t.lakeDir), t.idCol, vids)
     }
   }
 

@@ -205,7 +205,7 @@ object VectorIndex {
     loadCentroidsFromRoot(s,
       IndexMaintenance.liveRoot(s.sparkContext.hadoopConfiguration, indexDir))
 
-  private def loadCentroidsFromRoot(s: SparkSession, root: String): Seq[Seq[Double]] =
+  private[graft] def loadCentroidsFromRoot(s: SparkSession, root: String): Seq[Seq[Double]] =
     s.read.parquet(s"$root/centroids").collect()
       .groupBy(_.getAs[Int]("cell")).toSeq.sortBy(_._1)
       .map { case (_, rs) =>

@@ -633,7 +633,7 @@ object TextPipeline {
     * Bench harness only: a PRODUCTION snapshot at 100 TB must be a
     * distributed copy (or an object-store server-side copy), never a
     * driver-side loop like this. */
-  private def snapshotIndex(s: SparkSession, base: String, scratch: String): Unit = {
+  private[queries] def snapshotIndex(s: SparkSession, base: String, scratch: String): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(scratch).getFileSystem(conf)
     fs.delete(new org.apache.hadoop.fs.Path(scratch), true)
@@ -2074,7 +2074,7 @@ object TextPipeline {
     * (`doc_term_index_remove`, r17 — `corpusWhere` restricts the oracle
     * to the SURVIVORS, so index-side remove == fresh survivor build is
     * a hash-exact contract) must rank identically. */
-  private def bm25Sql(corpusWhere: String = ""): String =
+  private[queries] def bm25Sql(corpusWhere: String = ""): String =
     s"""WITH q AS (
       |  SELECT * FROM (VALUES (1, 'spark table join'),
       |                        (2, 'data stream window agg'),

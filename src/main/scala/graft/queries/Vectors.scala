@@ -334,14 +334,15 @@ object Vectors {
     * with (cosine DESC, vec_id) ranking — the exact ivfTopK / knnJoin /
     * VectorIndex.topK pipeline downstream of training. */
   private def ivfCtes(cents: Seq[Seq[Double]], probeWhere: String,
-                      nprobe: Int, excludeSelf: Boolean): String =
+                      nprobe: Int, excludeSelf: Boolean,
+                      corpusWhere: String = ""): String =
     s"""cent(cid, c) AS (VALUES ${centValues(cents)}),
        |nc AS (SELECT cid, c,
        |         sqrt(list_aggregate(list_transform(c, x -> x * x), 'sum')) AS cn
        |       FROM cent),
        |e AS (SELECT vec_id,
        |        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-       |      FROM embeddings),
+       |      FROM embeddings $corpusWhere),
        |en AS (SELECT vec_id, v,
        |         sqrt(list_aggregate(list_transform(v, x -> x * x), 'sum')) AS nrm
        |       FROM e),
@@ -360,9 +361,10 @@ object Vectors {
        |      FROM p JOIN cells ON p.cid = cells.cid
        |      ${if (excludeSelf) "WHERE p.q_id <> cells.vec_id" else ""})""".stripMargin
 
-  private def ivfFamilySql(cents: Seq[Seq[Double]], probeWhere: String,
-                           nprobe: Int, k: Int, excludeSelf: Boolean): String =
-    s"""WITH ${ivfCtes(cents, probeWhere, nprobe, excludeSelf)}
+  private[queries] def ivfFamilySql(cents: Seq[Seq[Double]], probeWhere: String,
+                           nprobe: Int, k: Int, excludeSelf: Boolean,
+                           corpusWhere: String = ""): String =
+    s"""WITH ${ivfCtes(cents, probeWhere, nprobe, excludeSelf, corpusWhere)}
        |SELECT q_id, rn, vec_id, cosine FROM (
        |  SELECT q_id, vec_id, cosine,
        |    row_number() OVER (PARTITION BY q_id ORDER BY cosine DESC, vec_id) AS rn

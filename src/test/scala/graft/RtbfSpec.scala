@@ -121,18 +121,19 @@ class RtbfSpec extends SparkSpec {
     val conf = spark.sparkContext.hadoopConfiguration
     val victims = Seq(2L, 6L)
     val (vic, vecVic) = victimRows(t, spark, victims)
-    // die INSIDE the term verb (after its removal state committed):
-    // text + cluster are done, term is mid-protocol, vector + lakes
-    // never started
+    // die INSIDE the term verb (after its removal state committed): the
+    // other three index verbs run CONCURRENTLY and complete — more
+    // done-markers per attempt — term is mid-protocol, and the lakes
+    // never start while a serve surface still holds victims
     intercept[FaultInjection.InjectedCrash] {
       FaultInjection.armed("term.remove.state")(
         Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1"))
     }
     val st = Rtbf.status(conf, t.lakeDir)
     assert(st.size == 1 && !st.head.complete, s"$st")
-    assert(st.head.done == Set("idx.text", "idx.cluster"), s"$st")
-    assert(st.head.incomplete == Seq("idx.term", "idx.vector",
-      "lake.vec", "lake.doc"),
+    assert(st.head.done == Set("idx.text", "idx.cluster", "idx.vector"),
+      s"$st")
+    assert(st.head.incomplete == Seq("idx.term", "lake.vec", "lake.doc"),
       s"the console must name exactly what the purge still owes: $st")
     // the crashed index family names its own pending removal
     assert(IndexAdmin.report(conf, t.termIndex.get).pendingRemovals
@@ -145,7 +146,7 @@ class RtbfSpec extends SparkSpec {
     val r = Rtbf.resume(spark, t, tag = "gdpr1")
     assert(r.complete, s"$r")
     assert(r.stores.filter(_.skippedDone).map(_.store).toSet ==
-      Set("idx.text", "idx.cluster"), s"$r")
+      Set("idx.text", "idx.cluster", "idx.vector"), s"$r")
     assert(victimsEverywhere(t, victims).isEmpty,
       s"leftovers after resume: ${victimsEverywhere(t, victims)}")
     assert(Rtbf.status(conf, t.lakeDir).head.complete)
@@ -159,7 +160,7 @@ class RtbfSpec extends SparkSpec {
         Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1"))
     }
     val st0 = Rtbf.status(spark.sparkContext.hadoopConfiguration, t.lakeDir)
-    assert(st0.head.done == Set("idx.text"),
+    assert(st0.head.done == Set("idx.text", "idx.term", "idx.vector"),
       s"cluster verb ran but its marker must be absent: $st0")
     val r = Rtbf.resume(spark, t, tag = "gdpr1")
     assert(r.complete, s"$r")

@@ -21,7 +21,8 @@ class SparkEntrySpec extends AnyFunSuite {
       "TextPipeline" -> graft.queries.TextPipeline.queries.keySet,
       "Vectors" -> graft.queries.Vectors.queries.keySet,
       "Multimodal" -> graft.multimodal.Multimodal.queries.keySet,
-      "Scans" -> graft.queries.Scans.queries.keySet)
+      "Scans" -> graft.queries.Scans.queries.keySet,
+      "RtbfE2e" -> graft.queries.RtbfE2e.queries.keySet)
     val collisions = groups.combinations(2).flatMap {
       case Seq((na, a), (nb, b)) => (a & b).map(k => s"$k ($na vs $nb)")
     }.toSeq
