@@ -65,7 +65,7 @@ object Bench {
     * so a regression inside one leg of a stable-total row still hid). */
   private[graft] def parseLegMins(json: String): Map[String, Double] =
     Seq("takedown_legs", "takedown_legs_logical", "takedown_legs_term",
-        "takedown_legs_rtbf")
+        "takedown_legs_rtbf", "rrf_legs")
       .flatMap(f =>
         parseFlatObject(json, f).map { case (k, v) => s"$f.$k" -> v }).toMap
 
@@ -254,6 +254,7 @@ object Bench {
     graft.queries.TextPipeline.logicalLegRuns.clear()
     graft.queries.TextPipeline.termLegRuns.clear()
     graft.queries.RtbfE2e.rtbfLegRuns.clear()
+    graft.queries.TextPipeline.rrfLegRuns.clear()
     // prior artifact's per-query mins, read BEFORE this run overwrites
     // it — feeds the suspect_noise annotation (VERDICT r13 item 1).
     // Only comparable at the SAME scale factor: a dev smoke at sf0.001
@@ -353,6 +354,9 @@ object Bench {
     val takedownLegsRtbf = legSplitJson(
       graft.queries.RtbfE2e.rtbfLegRuns.asScala.toSeq,
       runTotals("rtbf_purge_e2e"))
+    val rrfLegs = legSplitJson(
+      graft.queries.TextPipeline.rrfLegRuns.asScala.toSeq,
+      runTotals("doc_rrf_fusion_indexed"))
 
     // leg mins join the diff under their field prefix — parsed back out
     // of the EXACT strings the artifact will carry, so the comparison
@@ -360,7 +364,8 @@ object Bench {
     val nowLegs = Seq("takedown_legs" -> takedownLegs,
         "takedown_legs_logical" -> takedownLegsLogical,
         "takedown_legs_term" -> takedownLegsTerm,
-        "takedown_legs_rtbf" -> takedownLegsRtbf)
+        "takedown_legs_rtbf" -> takedownLegsRtbf,
+        "rrf_legs" -> rrfLegs)
       .flatMap { case (f, j) =>
         parseFlatObject(s""""$f":$j""", f).map { case (k, v) => s"$f.$k" -> v } }
       .toMap
@@ -449,6 +454,7 @@ object Bench {
         s""""takedown_legs_logical":$takedownLegsLogical,""" +
         s""""takedown_legs_term":$takedownLegsTerm,""" +
         s""""takedown_legs_rtbf":$takedownLegsRtbf,""" +
+        s""""rrf_legs":$rrfLegs,""" +
         s""""suspect_noise":$suspect,"retried":$retriedJson,""" +
         s""""repeats":$repJson}"""
     Files.writeString(Paths.get(outPath), detail)

@@ -1331,24 +1331,74 @@ object TextPipeline {
     * ranks are value-exact, no rerank fudge needed. At FULL visit
     * fraction (nprobe = nlist) the indexed fusion provably equals the
     * exact-leg fusion (RrfIndexedSpec). */
+  /** Per-run leg walls of [[rrfFusionIndexed]] {ensure, lex, sem} —
+    * "fuse" is derived as run total minus legs (the legSplitJson
+    * "serve" convention). Bench clears after warmups and publishes
+    * min-of-3 per leg as `rrf_legs` (VERDICT r17 item 2: the fused row
+    * sat 1.8× above its standalone-leg sum and the one conflated number
+    * couldn't say which leg owned the gap). */
+  private[graft] val rrfLegRuns =
+    new java.util.concurrent.CopyOnWriteArrayList[Map[String, Double]]()
+
   def rrfFusionIndexed(s: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val legN = 20; val topK = 10; val kRrf = 60
+    val legs = scala.collection.mutable.LinkedHashMap[String, Double]()
+    def wall[T](f: => T): (T, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
     val docs = Tables.documents(s, dir)
-    val termIdx = ensureTermIndex(s, dir)
-    val vecIdx = Vectors.ensureIndex(s, dir)
-    val lex = graft.operators.TermIndex.topK(s, termIdx,
-        docs.filter(col("doc_id").isInCollection(Vectors.probeIds))
-          .select(col("doc_id").as("query_id"), col("text").as("q")),
-        k = legN, excludeSelf = true)
-      .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
-    val emb = Tables.embeddings(s, dir)
-    val sem = graft.operators.VectorIndex.topK(s, vecIdx,
-        emb.filter(col("vec_id").isInCollection(Vectors.probeIds))
-          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
-        k = legN, excludeSelf = true)
-      .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
-        col("rn").as("vrank"))
+    val (idxs, tEnsure) = wall {
+      (ensureTermIndex(s, dir), Vectors.ensureIndex(s, dir))
+    }
+    val (termIdx, vecIdx) = idxs
+    legs("ensure") = tEnsure
+    // Each leg materializes EAGERLY (<= 5 queries x 20 rows) on its own
+    // driver thread, so the postings-bucket scan and the probed-cell
+    // scan run CONCURRENTLY — the fused row's wall is max(leg), not
+    // lex + sem + fuse in one serialized job DAG (the r17 serve floor:
+    // fused 2.8s vs 1.5s leg sum came from exactly that serialization).
+    // The fuse then joins two checkpointed 100-row tables — negligible.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    val (lex, sem) =
+      try {
+        val lexF = pool.submit(new java.util.concurrent.Callable[(DataFrame, Double)] {
+          def call() = wall {
+            graft.operators.TermIndex.topK(s, termIdx,
+                docs.filter(col("doc_id").isInCollection(Vectors.probeIds))
+                  .select(col("doc_id").as("query_id"), col("text").as("q")),
+                k = legN, excludeSelf = true)
+              .select(col("query_id"), col("doc_id"), col("rank").as("lrank"))
+              .localCheckpoint()
+          }
+        })
+        val semF = pool.submit(new java.util.concurrent.Callable[(DataFrame, Double)] {
+          def call() = wall {
+            val emb = Tables.embeddings(s, dir)
+            graft.operators.VectorIndex.topK(s, vecIdx,
+                emb.filter(col("vec_id").isInCollection(Vectors.probeIds))
+                  .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")),
+                k = legN, excludeSelf = true)
+              .select(col("q_id").as("query_id"), col("vec_id").as("doc_id"),
+                col("rn").as("vrank"))
+              .localCheckpoint()
+          }
+        })
+        val t0 = System.nanoTime()
+        val (lexDf, tLex) = lexF.get()
+        val (semDf, tSem) = semF.get()
+        // the two legs OVERLAP in wall time: "legs" is the parallel
+        // section's wall (what the row actually pays), rm_lex/rm_sem
+        // are per-leg attributions nested inside it (the rm_ sub-leg
+        // convention — they attribute, they don't add), and the
+        // artifact's derived "serve" is then the fuse+rank tail alone
+        legs("legs") = (System.nanoTime() - t0) / 1e9
+        legs("rm_lex") = tLex
+        legs("rm_sem") = tSem
+        (lexDf, semDf)
+      } finally pool.shutdown()
+    rrfLegRuns.add(legs.toMap)
     lex.join(sem, Seq("query_id", "doc_id"), "full_outer")
       .withColumn("rrf", round(
         coalesce(lit(1.0) / (lit(kRrf) + col("lrank")), lit(0.0)) +
