@@ -209,7 +209,7 @@ object Similarity {
     * [[mipsTopK]] (MipsSpec gates both the reduction's rank equivalence
     * and ANN recall on the planted corpus). */
   def mipsTopKAnn(corpus: DataFrame, probes: DataFrame, k: Int,
-                  nlist: Int = 16, nprobe: Int = 8, seed: Long = 42L,
+                  nlist: Int = AutoNlist, nprobe: Int = 8, seed: Long = 42L,
                   corpusId: String = "vec_id", corpusVec: String = "embedding",
                   probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
     val m2 = corpus.agg(max(VectorOps.normSq(col(corpusVec)))).head().getDouble(0)
@@ -307,6 +307,25 @@ object Similarity {
       .select(col(probeId), col("rn"), col(corpusId), col("cosine"))
   }
 
+  /** `nlist = 0` in the IVF-family entry points means AUTO-SIZE:
+    * `max(16, ceil(sqrt(N)))` cells, resolved from one column-pruned
+    * count of the corpus. The √N rule balances the two costs a
+    * cell-pruned scan pays — candidates per probe ~ N·nprobe/nlist
+    * (shrinks with nlist) against probe-side centroid scoring ~ nlist
+    * (grows with it) — so a knnJoin stays ~N^1.5 instead of going
+    * quadratic when a caller ports fixture defaults to a bigger corpus
+    * (VERDICT r17 item 3: `vec_knn_join` at PINNED nlist=16 reads
+    * 37.5 s at sf1 by design; the rule was prose in BASELINE.md, not
+    * code). Callers that pin keep exactly what they pinned — the bench
+    * fixture rows pass 16 for cross-round comparability. */
+  val AutoNlist = 0
+
+  private[graft] def resolveNlist(corpus: DataFrame, nlist: Int,
+                                  corpusId: String): Int =
+    if (nlist > 0) nlist
+    else math.max(16, math.ceil(math.sqrt(
+      corpus.select(col(corpusId)).count().toDouble)).toInt)
+
   /** Last centroid model trained per (nlist, iters, seed) in this JVM —
     * the oracle-literal export channel (VERDICT r13 item 3): the trainer
     * is deterministic in (corpus, params), so Verify can unroll the
@@ -326,6 +345,9 @@ object Similarity {
   def trainCentroids(corpus: DataFrame, nlist: Int, iters: Int = 2,
                      seed: Long = 42L, corpusId: String = "vec_id",
                      corpusVec: String = "embedding"): Seq[Seq[Double]] = {
+    require(nlist > 0,
+      "trainCentroids needs an explicit nlist — AutoNlist resolves in the " +
+        "entry points (ivfTopK/knnJoin/semanticDedup/VectorIndex.build)")
     var centroids: Seq[Seq[Double]] = corpus
       .orderBy(xxhash64(col(corpusId), lit(seed)))
       .limit(nlist)
@@ -376,11 +398,13 @@ object Similarity {
     * cost). On a corpus with real cluster structure the index earns its
     * keep: SimilaritySpec's planted-cluster gate holds recall@5 >= 0.9
     * while visiting only nprobe = nlist/4 of the cells. */
-  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int, nlist: Int = 16,
+  def ivfTopK(corpus: DataFrame, probes: DataFrame, k: Int,
+              nlist: Int = AutoNlist,
               nprobe: Int = 8, iters: Int = 2, seed: Long = 42L,
               corpusId: String = "vec_id", corpusVec: String = "embedding",
               probeId: String = "q_id", probeVec: String = "q_emb"): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, iters, seed, corpusId, corpusVec)
+    val centroids = trainCentroids(corpus,
+      resolveNlist(corpus, nlist, corpusId), iters, seed, corpusId, corpusVec)
     val cells = corpus
       .withColumn("_cid", nearestCentroid(col(corpusVec), centroids))
       .withColumn("_nc", VectorOps.norm(col(corpusVec)))
@@ -414,10 +438,12 @@ object Similarity {
     * before the final sort). Approximate by design: a neighbor whose
     * cell the probe does not visit is missed — SimilaritySpec gates
     * recall on the planted-cluster corpus at nprobe = nlist/4. */
-  def knnJoin(corpus: DataFrame, k: Int, nlist: Int = 16, nprobe: Int = 8,
+  def knnJoin(corpus: DataFrame, k: Int, nlist: Int = AutoNlist,
+              nprobe: Int = 8,
               iters: Int = 2, seed: Long = 42L,
               corpusId: String = "vec_id", corpusVec: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, iters, seed, corpusId, corpusVec)
+    val centroids = trainCentroids(corpus,
+      resolveNlist(corpus, nlist, corpusId), iters, seed, corpusId, corpusVec)
     val cells = corpus
       .withColumn("_cid", nearestCentroid(col(corpusVec), centroids))
       .withColumn("_nc", VectorOps.norm(col(corpusVec)))
@@ -490,11 +516,12 @@ object Similarity {
     * design: a cross-cell duplicate pair is missed; SimilaritySpec
     * bounds the miss rate on a planted-cluster corpus against the
     * cell-free brute-force rule. */
-  def semanticDedup(corpus: DataFrame, tau: Double, nlist: Int = 16,
+  def semanticDedup(corpus: DataFrame, tau: Double, nlist: Int = AutoNlist,
                     iters: Int = 2, seed: Long = 42L,
                     corpusId: String = "vec_id",
                     corpusVec: String = "embedding"): DataFrame = {
-    val centroids = trainCentroids(corpus, nlist, iters, seed, corpusId, corpusVec)
+    val centroids = trainCentroids(corpus,
+      resolveNlist(corpus, nlist, corpusId), iters, seed, corpusId, corpusVec)
     val cells = corpus
       .withColumn("_cid", nearestCentroid(col(corpusVec), centroids))
       .withColumn("_nrm", VectorOps.norm(col(corpusVec)))

@@ -34,7 +34,8 @@ object VectorIndex {
     * cell-partitioned corpus with precomputed norms, plus a meta row
     * fingerprinting the indexed corpus (staleness guard — see
     * [[Fingerprint]] and [[isFresh]]). */
-  def build(corpus: DataFrame, indexDir: String, nlist: Int = 16,
+  def build(corpus: DataFrame, indexDir: String,
+            nlist: Int = Similarity.AutoNlist,
             iters: Int = 2, seed: Long = 42L,
             corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
     val s = corpus.sparkSession
@@ -45,7 +46,8 @@ object VectorIndex {
     // [[IndexMaintenance]])
     IndexMaintenance.withLease(conf, indexDir, "write") {
     val root = IndexMaintenance.liveRoot(conf, indexDir)
-    val centroids = Similarity.trainCentroids(corpus, nlist, iters, seed,
+    val centroids = Similarity.trainCentroids(corpus,
+      Similarity.resolveNlist(corpus, nlist, corpusId), iters, seed,
       corpusId, corpusVec)
     require(centroids.nonEmpty, "IVF index build needs a non-empty corpus")
     centroids.zipWithIndex
@@ -106,7 +108,8 @@ object VectorIndex {
 
   /** Build-once/query-many entry: (re)build only when the index is
     * absent or its fingerprint no longer matches the corpus. */
-  def ensure(corpus: DataFrame, indexDir: String, nlist: Int = 16,
+  def ensure(corpus: DataFrame, indexDir: String,
+             nlist: Int = Similarity.AutoNlist,
              iters: Int = 2, seed: Long = 42L,
              corpusId: String = "vec_id", corpusVec: String = "embedding"): Unit = {
     val s = corpus.sparkSession

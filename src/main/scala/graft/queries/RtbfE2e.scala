@@ -102,7 +102,8 @@ object RtbfE2e {
         TermIndex.ensure(docsIdx, "doc_id", "text", s"$base/termidx"))
       val embIdx = emb.select(col("vec_id"), col("embedding"))
       TextPipeline.memoizedEnsure(s"$base/vecidx", embIdx)(
-        VectorIndex.ensure(embIdx, s"$base/vecidx", seed = vecSeed))
+        VectorIndex.ensure(embIdx, s"$base/vecidx", nlist = 16,
+          seed = vecSeed))
     }
 
     // ---- per run: pristine index copies + a clean purge namespace ----

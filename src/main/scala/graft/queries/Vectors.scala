@@ -51,7 +51,8 @@ object Vectors {
     * gates recall@5 against bruteTopK). The cluster-structure
     * counterpart of lshTopK — see Similarity.ivfTopK. */
   def ivfTopK(s: SparkSession, dir: String): DataFrame =
-    Similarity.ivfTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5)
+    Similarity.ivfTopK(Tables.embeddings(s, dir), probes(s, dir), k = 5,
+        nlist = 16) // pinned: cross-round comparability + model-literal key
       .orderBy(col("q_id"), col("rn"))
 
   /** Top-k over int8-QUANTIZED embeddings (engine-only; SimilaritySpec
@@ -186,8 +187,25 @@ object Vectors {
     * nprobe = nlist/4, a quarter of the cells visited). The probe side
     * is the whole corpus — nothing broadcasts; see Similarity.knnJoin. */
   def knnJoin(s: SparkSession, dir: String): DataFrame =
-    Similarity.knnJoin(Tables.embeddings(s, dir), k = 3, nprobe = 4)
+    Similarity.knnJoin(Tables.embeddings(s, dir), k = 3, nlist = 16,
+        nprobe = 4) // pinned: cross-round comparability (BASELINE.md)
       .orderBy(col("q_id"), col("rn"))
+
+  /** [[knnJoin]] under the √N AUTO nlist default (VERDICT r17 item 3):
+    * the operator a caller actually gets when they DON'T port the
+    * fixture's pinned nlist=16 to a bigger corpus. Same k/nprobe
+    * operating point; the only change is cell count = max(16, ceil √N),
+    * which keeps the candidate fan-out ~N^1.5 instead of N² (the pinned
+    * row's documented sf1 wall). Oracle: the same centroid-literal IVF
+    * replay, keyed by the resolved nlist this run recorded. */
+  def knnJoinAuto(s: SparkSession, dir: String): DataFrame = {
+    val emb = Tables.embeddings(s, dir)
+    val nl = Similarity.resolveNlist(emb, Similarity.AutoNlist, "vec_id")
+    lastAutoKnnNlist = Some(nl)
+    Similarity.knnJoin(emb, k = 3, nlist = nl, nprobe = 4)
+      .orderBy(col("q_id"), col("rn"))
+  }
+  @volatile private var lastAutoKnnNlist: Option[Int] = None
 
   /** SemDeDup-style semantic dedup decisions over the corpus (engine-only:
     * the k-means quantizer is not SQL-expressible; SimilaritySpec bounds
@@ -196,7 +214,8 @@ object Vectors {
     * row is a keeper here — the decision COLUMNS, not the flag rate, are
     * the surface under test. */
   def semanticDedup(s: SparkSession, dir: String): DataFrame =
-    Similarity.semanticDedup(Tables.embeddings(s, dir), tau = 0.9)
+    Similarity.semanticDedup(Tables.embeddings(s, dir), tau = 0.9,
+        nlist = 16) // pinned: cross-round comparability + model-literal key
       .orderBy(col("vec_id"))
 
   /** The build-once/query-many index lifecycle as a round-trip query:
@@ -220,7 +239,9 @@ object Vectors {
     // session ensure memo — see TextPipeline.memoizedEnsure (r17): the
     // IVF index serves two bench rows per run; one ensure probe suffices
     TextPipeline.memoizedEnsure(idx, Tables.embeddings(s, dir)) {
-      VectorIndex.ensure(Tables.embeddings(s, dir), idx)
+      // nlist pinned: the vec_index_topk model-literal oracle and every
+      // cross-round bench comparison ride this index's (16,2,42) key
+      VectorIndex.ensure(Tables.embeddings(s, dir), idx, nlist = 16)
     }
     idx
   }
@@ -269,6 +290,7 @@ object Vectors {
     "vec_mips_topk" -> (mipsTopK _),
     "vec_pq_topk" -> (pqTopK _),
     "vec_knn_join" -> (knnJoin _),
+    "vec_knn_join_auto" -> (knnJoinAuto _),
     "vec_semantic_dedup" -> (semanticDedup _),
     "vec_norms" -> (norms _),
     "vec_brute_topk" -> (bruteTopK _),
@@ -642,6 +664,10 @@ object Vectors {
         "vec_semantic_dedup" -> semanticDedupSql(c, tau = 0.9),
         "doc_rrf_fusion_indexed" -> rrfIndexedSql(c),
       )).getOrElse(Map.empty) ++
+      lastAutoKnnNlist.flatMap(nl =>
+        graft.operators.Similarity.lastTrained.get((nl, 2, 42L)).map(c =>
+          "vec_knn_join_auto" -> ivfFamilySql(c, "", nprobe = 4, k = 3,
+            excludeSelf = true))).toMap ++
       topkPlanes.map(p =>
         "vec_lsh_topk" -> lshTopKSql(p, bits = 6, k = 5)).toMap ++
       dupPlanes.map(p =>

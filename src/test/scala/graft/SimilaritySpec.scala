@@ -31,7 +31,11 @@ class SimilaritySpec extends SparkSpec {
       df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
         .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     val truth = hits(Similarity.bruteForceTopK(e, probes, k = 5))
-    val found = hits(Similarity.ivfTopK(e, probes, k = 5))
+    // nlist pinned to the fixture row's operating point: this corpus has
+    // no cluster structure, so recall here IS the visit fraction
+    // nprobe/nlist (see the planted-cluster gate below) — the AUTO √N
+    // default would just measure a different fraction
+    val found = hits(Similarity.ivfTopK(e, probes, k = 5, nlist = 16))
     val recall = (truth & found).size.toDouble / truth.size
     assert(recall >= 0.8, s"IVF recall@5 $recall < 0.8")
   }
@@ -101,6 +105,43 @@ class SimilaritySpec extends SparkSpec {
     val found = hits(knn.filter(col("q_id").isInCollection(sampleIds)))
     val recall = (truth & found).size.toDouble / truth.size
     assert(recall >= 0.9, s"planted-cluster kNN-join recall@3 $recall < 0.9")
+  }
+
+  test("knn join recall holds under the AUTO sqrt-N nlist default (r17 item 3)") {
+    import org.apache.spark.sql.DataFrame
+    // same planted-cluster corpus as the pinned-nlist gate: 1600 vectors
+    // → AUTO resolves to max(16, ceil(sqrt(1600))) = 40 cells, so each
+    // planted cluster splits over ~2.5 cells and nprobe=4 must still
+    // reach the probe's own cluster — the recall property the auto rule
+    // must not break while it flattens the N² candidate fan-out
+    val nClusters = 16
+    def unit(h: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (pmod(h, lit(2000)).cast("double") / 1000.0 - 1.0)
+    val corpus = spark.range(0, nClusters * 100L)
+      .select(col("id").as("vec_id"),
+        transform(sequence(lit(0), lit(63)), d =>
+          (unit(xxhash64(pmod(col("id"), lit(nClusters)), d)) +
+            unit(xxhash64(col("id"), d, lit(7))) * 0.05).cast("float"))
+          .as("embedding"))
+      .localCheckpoint()
+    assert(Similarity.resolveNlist(corpus, Similarity.AutoNlist, "vec_id") == 40)
+    val sampleIds = Seq(3L, 117L, 512L, 1000L, 1599L, 40L, 777L, 1234L)
+    val probes = corpus.filter(col("vec_id").isInCollection(sampleIds))
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    def hits(df: DataFrame): Set[(Long, Long)] =
+      df.select(col("q_id").cast("long"), col("vec_id").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = hits(Similarity.bruteForceTopK(corpus, probes, k = 4)
+      .filter(col("q_id") =!= col("vec_id"))
+      .filter(col("rn") <= 4))
+    // nlist NOT passed — the auto default under test
+    val knn = Similarity.knnJoin(corpus, k = 3, nprobe = 4).localCheckpoint()
+    assert(knn.filter(col("q_id") === col("vec_id")).count() == 0L)
+    val found = hits(knn.filter(col("q_id").isInCollection(sampleIds)))
+    val recall = (truth & found).size.toDouble / truth.size
+    assert(recall >= 0.9, s"auto-nlist kNN-join recall@3 $recall < 0.9")
+    // an explicit pin still wins over auto
+    assert(Similarity.resolveNlist(corpus, 16, "vec_id") == 16)
   }
 
   test("semantic dedup on planted clusters: subset of brute flags, >= 0.9 recovered") {
