@@ -253,6 +253,120 @@ object Multimodal {
     }
   }
 
+  /** One decoded frame of a multi-frame container: per-frame dims and
+    * the exact integer pixel sum. */
+  case class DecodedFrame(doc_id: Long, frame_idx: Int, format: String,
+                          width: Int, height: Int, n_pixels: Long,
+                          pixel_sum: Long)
+
+  /** Synthesize a REAL multi-frame GIF container per document (VERDICT
+    * r17 item 4 — PNG closed the real-codec gap for still images;
+    * frame sampling still ran over a synthesized byte layout). 2–4
+    * grayscale frames per doc, every pixel a document character code
+    * with a per-frame offset, written through `javax.imageio`'s GIF
+    * sequence writer — LZW compression, palette, frame sequence and
+    * all. GIF is LOSSLESS at <= 256 colors and the 8-bit gray frames
+    * use at most 128, so the decode side must recover every pixel
+    * EXACTLY — which is what lets the oracle replay per-frame integer
+    * sums from the source column (the PNG argument, per frame). */
+  def synthGif(s: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .filter(octet_length(col("text")) === length(col("text")) &&
+        length(col("text")) >= 1)
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val bos = new java.io.ByteArrayOutputStream() // per-partition state
+        it.map { case (id, text) =>
+          val n = text.length
+          val w = 8 + n % 13
+          val h = 6 + (n * 3) % 11
+          val nf = 2 + n % 3
+          bos.reset()
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("gif").next()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.prepareWriteSequence(null)
+          var f = 0
+          while (f < nf) {
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+            val raster = img.getRaster
+            var i = 0
+            while (i < w * h) {
+              raster.setSample(i % w, i / w, 0,
+                text.charAt((f * 7 + i) % n).toInt)
+              i += 1
+            }
+            writer.writeToSequence(
+              new javax.imageio.IIOImage(img, null, null), null)
+            f += 1
+          }
+          writer.endWriteSequence()
+          ios.close()
+          writer.dispose()
+          MediaRecord(id, bos.toByteArray)
+        }
+      }
+  }
+
+  /** Multi-frame GIF decode via `javax.imageio` — magic check, then the
+    * real reader enumerates the frame sequence and each frame's raster
+    * reduces to (dims, exact pixel sum). The decoded image is
+    * palette-INDEXED, so pixels read through getRGB (the resolved gray
+    * value), never the raw raster sample (the palette index — the two
+    * agree only by accident of palette order). Non-GIF payloads are
+    * rejected like a decoder (no rows). */
+  def decodeGifFrames(media: Dataset[MediaRecord]): Dataset[DecodedFrame] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.flatMap { r =>
+        val b = r.payload
+        val isGif = b.length >= 6 && b(0) == 'G' && b(1) == 'I' &&
+          b(2) == 'F' && b(3) == '8'
+        if (!isGif) Iterator.empty
+        else {
+          val reader = javax.imageio.ImageIO
+            .getImageReadersByFormatName("gif").next()
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(b))
+          try {
+            reader.setInput(iis)
+            val nf = reader.getNumImages(true)
+            (0 until nf).map { f =>
+              val img = reader.read(f)
+              val (w, h) = (img.getWidth, img.getHeight)
+              var sum = 0L
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) { sum += img.getRGB(x, y) & 0xFF; x += 1 }
+                y += 1
+              }
+              DecodedFrame(r.doc_id, f, "gif", w, h, w.toLong * h, sum)
+            }.iterator
+          } finally {
+            reader.dispose()
+            iis.close()
+          }
+        }
+      }
+    }
+  }
+
+  /** GIF frame-sample query: synthesized real multi-frame GIFs →
+    * `javax.imageio` sequence decode → per-FRAME dims + pixel sums; the
+    * oracle re-derives every frame's sum from the source column with
+    * the per-frame offset, so the engines meet only through a genuine
+    * LZW multi-frame round trip. */
+  def decodeGifQuery(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    decodeGifFrames(synthGif(s, dir)).toDF()
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   /** Sample-level audio decode result: count, integer energy, RMS. */
   case class AudioStats(doc_id: Long, n_samples: Int, sum_sq: Long, rms: Double)
 
@@ -510,6 +624,7 @@ object Multimodal {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "mm_decode" -> ((s, d) => decodeQuery(s, d)),
     "mm_decode_png" -> ((s, d) => decodePngQuery(s, d)),
+    "mm_decode_gif" -> ((s, d) => decodeGifQuery(s, d)),
     "mm_resize" -> ((s, d) => resizeQuery(s, d)),
     "mm_frame_sample" -> ((s, d) => frameSample(s, d)),
     "mm_audio_rms" -> ((s, d) => audioRmsQuery(s, d)),
@@ -589,6 +704,33 @@ object Multimodal {
         |WHERE t.i < d.w * d.h
         |GROUP BY d.doc_id, d.w, d.h
         |ORDER BY d.doc_id""".stripMargin,
+    // GIF is lossless at <= 256 colors: every FRAME's raster equals the
+    // pixels written, so per-frame sums replay from the source column
+    // with the frame's offset (pixel i of frame f = char (f*7 + i) mod n;
+    // max w*h = 20*16 = 320 — the unnest range is a constant superset,
+    // filtered per row). ASCII guard as in mm_audio_rms.
+    "mm_decode_gif" ->
+      """WITH dims AS (
+        |  SELECT doc_id, text, length(text) AS n,
+        |    8 + (length(text) % 13) AS w,
+        |    6 + ((length(text) * 3) % 11) AS h,
+        |    2 + (length(text) % 3) AS nf
+        |  FROM documents
+        |  WHERE octet_length(CAST(text AS BLOB)) = length(text)
+        |    AND length(text) >= 1
+        |)
+        |SELECT d.doc_id, CAST(f.fi AS INTEGER) AS frame_idx, 'gif' AS format,
+        |  CAST(d.w AS INTEGER) AS width, CAST(d.h AS INTEGER) AS height,
+        |  CAST(d.w * d.h AS BIGINT) AS n_pixels,
+        |  CAST(sum(ascii(substring(d.text,
+        |    CAST((f.fi * 7 + t.i) % d.n AS INTEGER) + 1, 1))) AS BIGINT)
+        |    AS pixel_sum
+        |FROM dims d
+        |CROSS JOIN (SELECT unnest(range(0, 4)) AS fi) f
+        |CROSS JOIN (SELECT unnest(range(0, 320)) AS i) t
+        |WHERE f.fi < d.nf AND t.i < d.w * d.h
+        |GROUP BY d.doc_id, f.fi, d.w, d.h
+        |ORDER BY d.doc_id, frame_idx""".stripMargin,
     "mm_decode" ->
       """SELECT doc_id,
         | CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS format,

@@ -152,6 +152,42 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("synthGif payloads are REAL multi-frame GIFs whose per-frame decode replays the source text exactly (r18)") {
+    import spark.implicits._
+    import Multimodal.MediaRecord
+    val dir = "/root/testdata/sf0.001"
+    val media = Multimodal.synthGif(spark, dir).collect()
+    assert(media.nonEmpty)
+    // every payload opens with the GIF magic — genuine containers
+    assert(media.forall(m => m.payload(0) == 'G' && m.payload(1) == 'I' &&
+      m.payload(2) == 'F' && m.payload(3) == '8'))
+    val frames = Multimodal.decodeGifFrames(Multimodal.synthGif(spark, dir))
+      .collect().groupBy(_.doc_id)
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(frames.nonEmpty && frames.size == docs.count { case (_, t) =>
+      t.nonEmpty && t.forall(_ < 0x80) })
+    frames.foreach { case (id, fs) =>
+      val t = docs(id)
+      val (w, h) = (8 + t.length % 13, 6 + (t.length * 3) % 11)
+      val nf = 2 + t.length % 3
+      assert(fs.length == nf,
+        s"doc $id: the reader must enumerate all $nf frames, got ${fs.length}")
+      fs.sortBy(_.frame_idx).zipWithIndex.foreach { case (d, f) =>
+        assert(d.frame_idx == f)
+        val expect = (0 until w * h)
+          .map(i => t.charAt((f * 7 + i) % t.length).toLong).sum
+        assert((d.width, d.height, d.pixel_sum) === ((w, h, expect)),
+          s"doc $id frame $f: decoded stats must replay the source text")
+      }
+    }
+    // a non-GIF payload is rejected like a decoder, not faked
+    val rejected = Multimodal.decodeGifFrames(
+      Seq(MediaRecord(9L, "not a gif".getBytes("ASCII"))).toDS()).collect()
+    assert(rejected.isEmpty)
+  }
+
   test("nearest-neighbor resize samples exactly every other row/column") {
     import spark.implicits._
     // 256 bytes, b[k] = k: stride 64 -> 4 rows, 2x down -> 2x32 output
