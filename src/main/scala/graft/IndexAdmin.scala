@@ -333,6 +333,17 @@ object IndexAdmin {
           "stream sharing the index has restarted+drained (no unmarkered " +
           "batches are visible)"
     }
+    if (r.retiredGens.nonEmpty || r.legacyGraceDirs.nonEmpty) {
+      val what = (r.retiredGens.map(g => s"g$g") ++ r.legacyGraceDirs)
+        .mkString(", ")
+      if (r.pendingRemovals.nonEmpty)
+        out += s"do NOT purgeRetired ($what): removal/append state is " +
+          "pending — its replay may reference the retired roots"
+      else
+        out += s"purgeRetired eligible: $what — reclaimed automatically " +
+          "at the next cutover, or now via --prune (requires a clean " +
+          "IndexCheck within the SLA; runs under the remove lease)"
+    }
     // retrain cadence: the TRAILING reading decides (build/retrain clear
     // the series, so a low value always describes the LIVE quantizer;
     // older low readings before a healthy newest one are history, not a
@@ -428,6 +439,61 @@ object IndexAdmin {
     }
   }
 
+  /** Reclaim RETIRED generation artifacts (VERDICT r17 item 6 — the
+    * second artifact class `--prune` sweeps): the GC-grace generation
+    * dirs and legacy top-level grace tables that
+    * [[graft.operators.IndexMaintenance.finishCompact]] keeps one
+    * cutover for in-flight lease-free readers, and that each family's
+    * own maintenance otherwise reclaims only at its NEXT cutover.
+    * Advise-gated like the tombstone sweep:
+    *
+    *  - crashed/in-flight removal or append state pending ⇒ REFUSE
+    *    (its replay runs against recorded roots — don't pull trees out
+    *    from under it);
+    *  - no CLEAN IndexCheck within the SLA ⇒ REFUSE (the retired copy
+    *    is also the only rollback the index has — never delete it
+    *    without a fresh audit of the LIVE generation);
+    *  - otherwise purge UNDER THE EXCLUSIVE REMOVE LEASE — the same
+    *    quiesce point the remove() family uses when it drops grace
+    *    copies; a concurrently-held lease surfaces as the retryable
+    *    refusal instead of a racing delete.
+    *
+    * Returns Left(reason) or Right(artifacts deleted). */
+  def pruneRetired(conf: Configuration, dir0: String,
+                   deletionSlaMs: Long): Either[String, Int] = {
+    val dir = IndexMaintenance.normalize(dir0)
+    val r = report(conf, dir)
+    if (r.pendingRemovals.nonEmpty)
+      Left(s"removal/append state ${r.pendingRemovals.toSeq.sorted.mkString(", ")} " +
+        "is pending (crashed or in-flight) — its replay may reference the " +
+        "retired roots; let it finish first")
+    else if (r.retiredGens.isEmpty && r.legacyGraceDirs.isEmpty) Right(0)
+    else if (!r.lastFsckAgeMs.exists(_ < deletionSlaMs))
+      Left("no clean IndexCheck within the " +
+        s"${fmtAge(deletionSlaMs)} cadence (" +
+        r.lastFsckAgeMs.fold("never recorded")(a => s"last ${fmtAge(a)} ago") +
+        ") — the retired generation is the index's only rollback; audit " +
+        "the live generation before deleting it")
+    else
+      try IndexMaintenance.withLease(conf, dir, "remove") {
+        // TOCTOU re-check under the lease (same rule as the tombstone
+        // sweep): a removal that began between the report and the lease
+        // acquire must refuse, not race the delete
+        val r2 = report(conf, dir)
+        if (r2.pendingRemovals.nonEmpty)
+          Left(s"removal/append state ${r2.pendingRemovals.toSeq.sorted.mkString(", ")} " +
+            "began while preparing the prune — let it finish first")
+        else {
+          IndexMaintenance.purgeRetired(conf, dir, r2.legacyGraceDirs)
+          Right(r2.retiredGens.size + r2.legacyGraceDirs.size)
+        }
+      } catch {
+        case e: IndexMaintenance.LeaseConflictException =>
+          Left(s"the index's remove lease is held — ${e.getMessage}; " +
+            "retry after the holder finishes")
+      }
+  }
+
   def main(args: Array[String]): Unit = {
     val (flags, dirs) = args.partition(_.startsWith("--"))
     require(dirs.nonEmpty,
@@ -465,10 +531,19 @@ object IndexAdmin {
         if (a.isEmpty) println("  advise: all clear — no maintenance indicated")
         else a.foreach(l => println(s"  advise: $l"))
       }
-      if (doPrune) prune(conf, dir, sla) match {
-        case Left(reason) => println(s"  prune: REFUSED — $reason")
-        case Right(n) => println(s"  prune: removed $n tombstone batch(es) " +
-          s"older than ${fmtAge(sla)}")
+      if (doPrune) {
+        prune(conf, dir, sla) match {
+          case Left(reason) => println(s"  prune: REFUSED — $reason")
+          case Right(n) => println(s"  prune: removed $n tombstone batch(es) " +
+            s"older than ${fmtAge(sla)}")
+        }
+        pruneRetired(conf, dir, sla) match {
+          case Left(reason) =>
+            println(s"  prune[retired]: REFUSED — $reason")
+          case Right(n) =>
+            println(s"  prune[retired]: removed $n retired-generation " +
+              "artifact(s) (GC-grace dirs + legacy grace tables)")
+        }
       }
     }
   }

@@ -414,4 +414,51 @@ class IndexAdminSpec extends SparkSpec {
     assert(IndexAdmin.render(r2).contains("self-recall"),
       "render must surface the probe series")
   }
+
+  test("--prune reclaims retired-generation artifacts under the advise gates (r18)") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val hour = 3600 * 1000L
+    def reason(e: Either[String, Int]): String = e.swap.getOrElse("")
+    val dir = java.nio.file.Files
+      .createTempDirectory("admretired").toString + "/idx"
+    val docs = (0 until 6)
+      .map(i => (i.toLong, txt(i))).toDF("doc_id", "text")
+    TextIndex.build(docs, "doc_id", "text", dir)
+    TextIndex.compact(spark, dir) // g1 live; legacy tables linger as grace
+    val r0 = IndexAdmin.report(conf, dir)
+    assert(r0.legacyGraceDirs.nonEmpty,
+      s"fixture must carry grace artifacts: $r0")
+    val owed = r0.retiredGens.size + r0.legacyGraceDirs.size
+    // gate: no clean IndexCheck within the SLA — the retired copy is
+    // the only rollback, never delete it unaudited
+    val g1 = IndexAdmin.pruneRetired(conf, dir, hour)
+    assert(reason(g1).contains("IndexCheck"), s"fsck gate: $g1")
+    assert(IndexCheck.check(spark, dir).ok)
+    // gate: pending removal/append state blocks (fabricated, as the
+    // in-flight classification test does)
+    graft.operators.Fingerprint.ensureRemoveState(conf,
+      IndexMaintenance.normalize(dir), "rm.pg", (1L, 2L), replay = false,
+      oldFp = None, "spec")
+    val g2 = IndexAdmin.pruneRetired(conf, dir, hour)
+    assert(reason(g2).contains("pending"), s"rmstate gate: $g2")
+    graft.operators.Fingerprint.clearRemoveState(conf,
+      IndexMaintenance.normalize(dir), "rm.pg")
+    // eligible: advise names the artifacts, the sweep reclaims them
+    val adv = IndexAdmin.advise(IndexAdmin.report(conf, dir))
+    assert(adv.exists(_.contains("purgeRetired eligible")),
+      adv.mkString("; "))
+    assert(IndexAdmin.pruneRetired(conf, dir, hour) == Right(owed))
+    val rAfter = IndexAdmin.report(conf, dir)
+    assert(rAfter.retiredGens.isEmpty && rAfter.legacyGraceDirs.isEmpty,
+      s"grace artifacts must leave the report: $rAfter")
+    assert(!IndexAdmin.advise(rAfter).exists(_.contains("purgeRetired")),
+      "advise must go quiet once reclaimed")
+    // idempotent: a second sweep has nothing to do
+    assert(IndexAdmin.pruneRetired(conf, dir, hour) == Right(0))
+    // and the live generation still serves: probe survives the reclaim
+    assert(TextIndex.probe(spark, dir,
+      Seq((99L, txt(0))).toDF("doc_id", "text"), "doc_id", "text")
+      .count() >= 0L)
+  }
 }
