@@ -237,7 +237,11 @@ object Rtbf {
     // job (the six counts union into a store-labeled aggregate — six
     // sequential count() jobs would pay six job-overheads for the same
     // scans) ----
-    val leftovers = planned.map(st => victimRows(s, st, targets, vic, vecVic))
+    val vids = vic.select(col(targets.idCol)).distinct().localCheckpoint()
+    val vecIds = vecVic.map(_.select(col(targets.vecIdCol))
+      .distinct().localCheckpoint())
+    val leftovers = planned
+      .map(st => victimRows(s, st, targets, vids, nV, vecIds, nVec))
       .reduce(_ unionByName _)
       .groupBy(col("store")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -280,32 +284,30 @@ object Rtbf {
     * on purpose — a physical purge's certificate must not be satisfied
     * by a tombstone overlay hiding rows that still exist. */
   private def victimRows(s: SparkSession, store: String, t: RtbfTargets,
-                         vic: DataFrame,
-                         vecVic: Option[DataFrame]): DataFrame = {
+                         vids: DataFrame, nV: Long,
+                         vecIds: Option[DataFrame], nVec: Long): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     def root(dir: String) = IndexMaintenance.liveRoot(conf, dir)
-    lazy val vids = vic.select(col(t.idCol)).distinct()
-    def in(df: DataFrame, c: String, keys: DataFrame) =
+    def in(df: DataFrame, c: String, keys: DataFrame, n: Long) =
       df.select(col(c))
-        .join(TargetedDelete.maybeBroadcast(keys, keys.count()),
-          Seq(c), "left_semi")
+        .join(TargetedDelete.maybeBroadcast(keys, n), Seq(c), "left_semi")
         .select(lit(store).as("store"))
-    lazy val vecIds = vecVic.get.select(col(t.vecIdCol)).distinct()
     store match {
       case IdxText =>
-        in(s.read.parquet(s"${root(t.textIndex.get)}/bands"), t.idCol, vids)
+        in(s.read.parquet(s"${root(t.textIndex.get)}/bands"),
+          t.idCol, vids, nV)
       case IdxCluster =>
         in(ClusterIndex.assignments(s, t.clusterIndex.get, t.idCol),
-          t.idCol, vids)
+          t.idCol, vids, nV)
       case IdxTerm =>
-        in(s.read.parquet(s"${root(t.termIndex.get)}/dl"), t.idCol, vids)
+        in(s.read.parquet(s"${root(t.termIndex.get)}/dl"), t.idCol, vids, nV)
       case IdxVector =>
         in(s.read.parquet(s"${root(t.vectorIndex.get)}/cells"),
-          t.vecIdCol, vecIds)
+          t.vecIdCol, vecIds.get, nVec)
       case LakeVec =>
-        in(s.read.parquet(t.vecLakeDir.get), t.vecIdCol, vecIds)
+        in(s.read.parquet(t.vecLakeDir.get), t.vecIdCol, vecIds.get, nVec)
       case LakeDoc =>
-        in(s.read.parquet(t.lakeDir), t.idCol, vids)
+        in(s.read.parquet(t.lakeDir), t.idCol, vids, nV)
     }
   }
 
