@@ -161,6 +161,14 @@ object Rtbf {
       s"Rtbf.resume: no committed purge manifest under $state — the " +
         "crash predated the victim snapshot, so nothing was mutated; " +
         "re-run purge() with the victim rows")
+    // same plan check as purge(): a resume with narrower targets would
+    // otherwise die on a store lookup mid-run instead of refusing here
+    val recorded = readManifest(fs, new Path(s"$state/MANIFEST")).stores
+    if (recorded != plannedStores(targets)) Fingerprint.refuse(
+      s"Rtbf.resume: tag '$tag' was planned against stores " +
+        s"${recorded.mkString(", ")} but this call targets " +
+        s"${plannedStores(targets).mkString(", ")} — a resume must pass " +
+        "the original targets")
     runFromManifest(s, targets, tag)
   }
 

@@ -174,4 +174,19 @@ class RtbfSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("no committed purge manifest"), e.getMessage)
   }
+
+  test("resume with narrower targets than the manifest planned refuses up front") {
+    val (_, t) = fixture("rtbf_narrow")
+    val (vic, vecVic) = victimRows(t, spark, Seq(6L))
+    intercept[FaultInjection.InjectedCrash] {
+      FaultInjection.armed("rtbf.verb.lake.vec")(
+        Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1"))
+    }
+    val e = intercept[Fingerprint.RemovalRefused] {
+      Rtbf.resume(spark, t.copy(vectorIndex = None), tag = "gdpr1")
+    }
+    assert(e.getMessage.contains("planned against stores"), e.getMessage)
+    // the original targets converge as usual
+    assert(Rtbf.resume(spark, t, tag = "gdpr1").complete)
+  }
 }
