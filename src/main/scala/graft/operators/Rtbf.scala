@@ -321,6 +321,38 @@ object Rtbf {
 
   // ---- manifest + ops-console status ----------------------------------
 
+  /** Whether `tag`'s victim snapshot COMMITTED (the manifest landed) —
+    * the routing question a replaying caller must ask: committed means
+    * the purge may since have scrubbed the lakes, so the victim set
+    * must come from [[resume]] (the manifest), never re-resolved from
+    * the stores of record. Pure FS metadata; no Spark. */
+  def manifestCommitted(conf: org.apache.hadoop.conf.Configuration,
+                        lakeDir: String, tag: String): Boolean = {
+    val p = new Path(s"${stateDir(lakeDir, tag)}/MANIFEST")
+    p.getFileSystem(conf).exists(p)
+  }
+
+  /** The committed purge's authoritative victim capture — `(victims,
+    * vecVictims)` exactly as snapshotted before anything mutated. For
+    * callers that must act on the victim ROWS during a replay (e.g.
+    * [[graft.streaming.S4Stream.rtbfPurgeStream]] re-records content
+    * tombstones before resuming); refuses when no manifest committed,
+    * same as [[resume]]. */
+  def manifestVictims(s: SparkSession, lakeDir: String,
+                      tag: String): (DataFrame, Option[DataFrame]) = {
+    val conf = s.sparkContext.hadoopConfiguration
+    val state = stateDir(lakeDir, tag)
+    val fs = new Path(state).getFileSystem(conf)
+    if (!fs.exists(new Path(s"$state/MANIFEST"))) Fingerprint.refuse(
+      s"Rtbf.manifestVictims: no committed purge manifest under $state")
+    val vic = s.read.parquet(s"$state/victims")
+    val vecVic =
+      if (fs.exists(new Path(s"$state/vec_victims")))
+        Some(s.read.parquet(s"$state/vec_victims"))
+      else None
+    (vic, vecVic)
+  }
+
   private final case class ManifestRec(vfp: String, stores: Seq[String])
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,

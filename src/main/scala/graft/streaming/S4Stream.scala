@@ -1517,6 +1517,153 @@ object S4Stream {
     }
   }
 
+  /** STREAMING single-call right-to-be-forgotten — the continuous face
+    * of [[graft.operators.Rtbf.purge]] (r18): per micro-batch of victim
+    * IDS, resolve the rows of record from the document lake (and the
+    * embedding lake when a vector surface is targeted), record content
+    * tombstones in every targeted index family, and drive ONE purge
+    * across ALL targeted stores under a batch-derived tag. Where the
+    * four per-family takedown loops each scrub one index + its lake,
+    * this loop owns a takedown request's full blast radius — "purge id
+    * X from EVERYTHING", continuously, with the orchestrator's
+    * cross-store agreement certificate refusing silent partial success
+    * every batch.
+    *
+    * Replay contract: the tag is `ck<queryId>_b<batchId>` (the family
+    * loops' convention). A replayed batch whose purge already COMMITTED
+    * its victim manifest routes to [[graft.operators.Rtbf.resume]] —
+    * the victim rows come from the manifest snapshot, NEVER re-resolved
+    * from a lake the purge may since have scrubbed — after re-recording
+    * the batch's tombstones from that same snapshot (tag-keyed
+    * overwrite, so the replay is idempotent and a rolled-back refusal
+    * retries through the full tombstone-first cycle). A replay that
+    * crashed pre-manifest re-resolves from the (unmutated) lakes and
+    * re-runs purge(). Ids never ingested, or already taken down, simply
+    * do not match (the family loops' contract); a batch whose ids
+    * resolve in NO store of record skips without leaving tag state.
+    * Content tombstones cover only resolvable victims by construction —
+    * an ids-only feed cannot content-hash text it never saw (the
+    * cluster loop's tombstoneAll variant needs the request to CARRY the
+    * content).
+    *
+    * Tombstone rollback: if the purge fails with every failure a typed
+    * PRE-mutation refusal (RemovalRefused / LeaseConflictException —
+    * [[takedownBatchImpl]]'s rollback contract), the batch's tombstones
+    * roll back for exactly the index families WITHOUT a done marker, so
+    * a crashed-unmarkered ingest append's replay converges verbatim;
+    * they stay for any family whose verb completed and on any
+    * post-mutation failure (conservative: they only ever block matching
+    * content).
+    *
+    * Same scheduling edge as the family loops: the index verbs hold
+    * exclusive remove leases, so run this loop non-overlapping with
+    * ingest loops on the same indexes (trigger offsets or AvailableNow
+    * turns); under continuous ingest prefer the per-family LOGICAL
+    * loops and reserve this one for scheduled physical-purge turns. */
+  def rtbfPurgeStream(victimIds: DataFrame,
+                      targets: graft.operators.RtbfTargets,
+                      checkpointDir: String,
+                      availableNow: Boolean = false): StreamingQuery = {
+    require(targets.vectorIndex.isEmpty || targets.vecLakeDir.nonEmpty,
+      "rtbfPurgeStream: a vector index is targeted but no vecLakeDir to " +
+        "resolve victim embeddings from — the feed carries ids only, so " +
+        "the embedding lake is the store of record for vecVictims")
+    lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
+    startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
+      processRtbfPurgeBatch(batch, batchId, targets, runKey)
+    }
+  }
+
+  /** One micro-batch of [[rtbfPurgeStream]], exposed for direct replay
+    * testing (the family loops' pattern). */
+  private[graft] def processRtbfPurgeBatch(batch: DataFrame, batchId: Long,
+      t: graft.operators.RtbfTargets, runKey: String): Unit = {
+    val s = batch.sparkSession
+    val conf = s.sparkContext.hadoopConfiguration
+    val tag = s"ck${runKey}_b$batchId"
+    val idxFamilies: Seq[(String, Boolean)] = // (dir, usesVecVictims)
+      t.textIndex.map(_ -> false).toSeq ++
+        t.clusterIndex.map(_ -> false) ++ t.termIndex.map(_ -> false) ++
+        t.vectorIndex.map(_ -> true)
+    def tombstone(vic: DataFrame, vecVic: Option[DataFrame]): Unit =
+      idxFamilies.foreach {
+        case (dir, false) => recordTombstones(vic, t.idCol, t.textCol, dir, tag)
+        case (dir, true) => vecVic.foreach(
+          recordTombstones(_, t.vecIdCol, t.vecCol, dir, tag))
+      }
+    if (graft.operators.Rtbf.manifestCommitted(conf, t.lakeDir, tag)) {
+      // crash AFTER the snapshot committed: the manifest owns the
+      // victim set — re-tombstone from it (idempotent overwrite; also
+      // restores a refusal's rollback for the retry), then resume
+      val (vic, vecVic) = graft.operators.Rtbf.manifestVictims(s, t.lakeDir, tag)
+      tombstone(vic, vecVic)
+      runPurge(s, t, tag, vic = None, vecVic = None)
+    } else if (!batch.isEmpty) {
+      val ids = batch.select(col(t.idCol)).distinct().localCheckpoint()
+      val n = ids.count()
+      def resolve(dir: String, idC: String, valC: String): Option[DataFrame] = {
+        val p = new org.apache.hadoop.fs.Path(dir)
+        if (!p.getFileSystem(conf).exists(p)) None // takedown before any ingest
+        else Some(s.read.parquet(dir).select(col(idC), col(valC))
+          .join(graft.operators.TargetedDelete.maybeBroadcast(
+            ids.withColumnRenamed(t.idCol, idC), n), Seq(idC), "leftsemi")
+          .localCheckpoint())
+      }
+      val vic = resolve(t.lakeDir, t.idCol, t.textCol)
+      val vecVic =
+        if (t.vectorIndex.nonEmpty || t.vecLakeDir.nonEmpty)
+          t.vecLakeDir.flatMap(resolve(_, t.vecIdCol, t.vecCol))
+        else None
+      val any = vic.exists(!_.isEmpty) || vecVic.exists(!_.isEmpty)
+      if (any) {
+        // tombstone BEFORE the purge mutates anything: from the moment
+        // a victim leaves an index, a replaying crashed-unmarkered
+        // ingest batch would re-admit it as novel
+        val vicOrEmpty = vic.getOrElse(
+          batch.select(col(t.idCol)).limit(0)
+            .withColumn(t.textCol, lit(null).cast("string")))
+        tombstone(vicOrEmpty, vecVic)
+        runPurge(s, t, tag, vic = Some(vicOrEmpty), vecVic = vecVic)
+      }
+    }
+  }
+
+  /** The purge/resume call + the typed-refusal tombstone rollback (see
+    * [[rtbfPurgeStream]]). `vic = None` means resume from the manifest. */
+  private def runPurge(s: org.apache.spark.sql.SparkSession,
+      t: graft.operators.RtbfTargets, tag: String,
+      vic: Option[DataFrame], vecVic: Option[DataFrame]): Unit = {
+    val conf = s.sparkContext.hadoopConfiguration
+    try {
+      vic match {
+        case Some(v) => graft.operators.Rtbf.purge(v, vecVic, t, tag)
+        case None => graft.operators.Rtbf.resume(s, t, tag)
+      }
+      ()
+    } catch {
+      case e: Throwable
+          if (e +: e.getSuppressed.toSeq).forall(x =>
+            x.isInstanceOf[graft.operators.Fingerprint.RemovalRefused] ||
+              x.isInstanceOf[graft.operators.IndexMaintenance.LeaseConflictException]) =>
+        // every failure is a typed PRE-mutation refusal: roll the
+        // tombstones back for exactly the families without a done
+        // marker (completed verbs keep theirs). A family that neither
+        // completed nor refused cannot exist here — the orchestrator
+        // marks done before returning from each verb.
+        val done = graft.operators.Rtbf
+          .status(conf, t.lakeDir)
+          .find(_.tag == graft.operators.Fingerprint.sanitizeTag(tag))
+          .fold(Set.empty[String])(_.done)
+        (t.textIndex.map(_ -> "idx.text").toSeq ++
+          t.clusterIndex.map(_ -> "idx.cluster") ++
+          t.termIndex.map(_ -> "idx.term") ++
+          t.vectorIndex.map(_ -> "idx.vector"))
+          .collect { case (dir, store) if !done(store) => dir }
+          .foreach(clearTombstones(s, _, tag))
+        throw e
+    }
+  }
+
   /** One micro-batch of [[indexedSemanticDedupStream]], exposed for
     * direct replay testing (same contract as
     * [[processIndexedDedupBatch]]). */
