@@ -108,9 +108,26 @@ object Rtbf {
     * targeted stores under one `tag`. `vecVictims` carries the exact
     * `(vecId, embedding)` rows when a vector index / embedding lake is
     * targeted. Returns the per-store report; throws (without marking
-    * COMPLETE) if any surface still holds a victim afterwards. */
+    * COMPLETE) if any surface still holds a victim afterwards.
+    *
+    * `logical = true` is the continuous-ingest mode (the r13 per-family
+    * trade, orchestrated): each index verb becomes the family's
+    * `logicalRemove` — a tombstone-overlay write holding the exclusive
+    * lease ~2 s instead of the full rewrite wall, with the physical
+    * bytes reclaimed at each family's next compact() — while the LAKES
+    * still scrub physically (the lake delete is the actual RTBF
+    * obligation and is partition-pruned cheap; "logical" only buys
+    * cheap leases on the index side, exactly as the per-family logical
+    * loops do). The agreement certificate shifts with the mode: a
+    * logical purge certifies that every SERVE surface is blind (raw
+    * rows anti-joined through the LogicalDelete overlay each family's
+    * serve path reads), where a physical purge certifies raw-table
+    * absence. The mode RIDES THE MANIFEST — a replay or [[resume]]
+    * executes the mode the purge was planned with, and reusing a tag
+    * under the other mode refuses. */
   def purge(victims: DataFrame, vecVictims: Option[DataFrame],
-            targets: RtbfTargets, tag: String): RtbfReport = {
+            targets: RtbfTargets, tag: String,
+            logical: Boolean = false): RtbfReport = {
     val s = victims.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     val state = stateDir(targets.lakeDir, tag)
@@ -134,6 +151,11 @@ object Rtbf {
           s"${recorded.stores.mkString(", ")} but this call targets " +
           s"${plannedStores(targets).mkString(", ")} — a replay must " +
           "pass the original targets")
+      val mode = if (logical) "logical" else "physical"
+      if (recorded.mode != mode) Fingerprint.refuse(
+        s"Rtbf.purge: tag '$tag' was planned as a ${recorded.mode} purge " +
+          s"but this call asks for $mode — a replay executes the mode " +
+          "the manifest recorded; use a fresh tag to purge the other way")
     } else {
       // snapshot FIRST, manifest (the commit point) LAST: a crash in
       // between re-stages the snapshot from the caller's rows
@@ -142,7 +164,8 @@ object Rtbf {
       vecVictims.foreach(_.select(col(targets.vecIdCol), col(targets.vecCol))
         .write.mode("overwrite").parquet(s"$state/vec_victims"))
       writeManifest(fs, manifest,
-        ManifestRec(s"${vfp._1}:${vfp._2}", plannedStores(targets)))
+        ManifestRec(s"${vfp._1}:${vfp._2}", plannedStores(targets),
+          if (logical) "logical" else "physical"))
     }
     runFromManifest(s, targets, tag)
   }
@@ -177,7 +200,9 @@ object Rtbf {
     val conf = s.sparkContext.hadoopConfiguration
     val state = stateDir(targets.lakeDir, tag)
     val fs = new Path(state).getFileSystem(conf)
-    val planned = readManifest(fs, new Path(s"$state/MANIFEST")).stores
+    val rec = readManifest(fs, new Path(s"$state/MANIFEST"))
+    val planned = rec.stores
+    val logical = rec.mode == "logical"
 
     // the one authoritative victim capture — every verb reads THIS
     val vic = s.read.parquet(s"$state/victims").localCheckpoint()
@@ -194,7 +219,7 @@ object Rtbf {
         RtbfStoreResult(store, skippedDone = true, 0.0)
       else {
         val t0 = System.nanoTime()
-        runStore(s, store, targets, vic, vecVic, tag)
+        runStore(s, store, targets, vic, vecVic, tag, logical)
         // verb done but marker not yet — a crash here replays the verb
         // (idempotent under its own tag) and then lands the marker
         FaultInjection.maybeCrash(s"rtbf.verb.$store")
@@ -249,7 +274,7 @@ object Rtbf {
     val vecIds = vecVic.map(_.select(col(targets.vecIdCol))
       .distinct().localCheckpoint())
     val leftovers = planned
-      .map(st => victimRows(s, st, targets, vids, nV, vecIds, nVec))
+      .map(st => victimRows(s, st, targets, vids, nV, vecIds, nVec, logical))
       .reduce(_ unionByName _)
       .groupBy(col("store")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1))
@@ -266,17 +291,34 @@ object Rtbf {
 
   private def runStore(s: SparkSession, store: String, t: RtbfTargets,
                        vic: DataFrame, vecVic: Option[DataFrame],
-                       tag: String): Unit = store match {
+                       tag: String, logical: Boolean): Unit = store match {
     case IdxText =>
-      TextIndex.remove(vic, t.idCol, t.textCol, t.textIndex.get, tag = tag)
+      if (logical)
+        TextIndex.logicalRemove(vic, t.idCol, t.textCol, t.textIndex.get,
+          tag = tag)
+      else TextIndex.remove(vic, t.idCol, t.textCol, t.textIndex.get,
+        tag = tag)
     case IdxCluster =>
-      ClusterIndex.remove(vic, t.idCol, t.textCol, t.clusterIndex.get,
+      if (logical)
+        ClusterIndex.logicalRemove(vic, t.idCol, t.textCol,
+          t.clusterIndex.get, tag = tag)
+      else ClusterIndex.remove(vic, t.idCol, t.textCol, t.clusterIndex.get,
         tag = tag)
     case IdxTerm =>
-      TermIndex.remove(vic, t.idCol, t.textCol, t.termIndex.get, tag = tag)
-    case IdxVector =>
-      VectorIndex.remove(vecVic.get, t.vectorIndex.get, t.vecIdCol, t.vecCol,
+      if (logical)
+        TermIndex.logicalRemove(vic, t.idCol, t.textCol, t.termIndex.get,
+          tag = tag)
+      else TermIndex.remove(vic, t.idCol, t.textCol, t.termIndex.get,
         tag = tag)
+    case IdxVector =>
+      if (logical)
+        VectorIndex.logicalRemove(vecVic.get, t.vectorIndex.get, t.vecIdCol,
+          t.vecCol, tag = tag)
+      else VectorIndex.remove(vecVic.get, t.vectorIndex.get, t.vecIdCol,
+        t.vecCol, tag = tag)
+    // the lakes scrub PHYSICALLY in both modes: the system-of-record
+    // delete is the actual RTBF obligation (and partition-pruned cheap);
+    // logical only buys cheap index-side leases
     case LakeVec =>
       TargetedDelete.delete(s, t.vecLakeDir.get, t.vecLakePartitionCols,
         t.vecIdCol, vecVic.get.select(col(t.vecIdCol)))
@@ -288,30 +330,44 @@ object Rtbf {
   /** Victim rows still visible in one store, read from what is ON
     * DISK: lakes and index tables are scanned id-column-only and
     * semi-joined against the (broadcast-sized) victim id set, labeled
-    * with the store name for the fused agreement aggregate. Raw tables
-    * on purpose — a physical purge's certificate must not be satisfied
-    * by a tombstone overlay hiding rows that still exist. */
+    * with the store name for the fused agreement aggregate. For a
+    * PHYSICAL purge the reads are raw tables on purpose — its
+    * certificate must not be satisfied by a tombstone overlay hiding
+    * rows that still exist. For a LOGICAL purge the victim rows remain
+    * on disk BY DESIGN (reclaimed at each family's next compact), so
+    * the certificate reads each family's SERVE surface instead: the raw
+    * rows anti-joined through the LogicalDelete overlay the serve paths
+    * consult — certifying that every surface is blind, which is what a
+    * logical purge promises. The cluster family's [[ClusterIndex
+    * .assignments]] IS that overlay-aware serve read in both modes (a
+    * physical remove refuses while logical tombstones pend, so its raw
+    * table never hides behind one). */
   private def victimRows(s: SparkSession, store: String, t: RtbfTargets,
                          vids: DataFrame, nV: Long,
-                         vecIds: Option[DataFrame], nVec: Long): DataFrame = {
+                         vecIds: Option[DataFrame], nVec: Long,
+                         logical: Boolean): DataFrame = {
     val conf = s.sparkContext.hadoopConfiguration
     def root(dir: String) = IndexMaintenance.liveRoot(conf, dir)
     def in(df: DataFrame, c: String, keys: DataFrame, n: Long) =
       df.select(col(c))
         .join(TargetedDelete.maybeBroadcast(keys, n), Seq(c), "left_semi")
         .select(lit(store).as("store"))
+    def served(df: DataFrame, c: String, dir: String) =
+      if (!logical) df
+      else LogicalDelete.hide(df, c, LogicalDelete.ids(s, dir))
     store match {
       case IdxText =>
-        in(s.read.parquet(s"${root(t.textIndex.get)}/bands"),
-          t.idCol, vids, nV)
+        in(served(s.read.parquet(s"${root(t.textIndex.get)}/bands"),
+          t.idCol, t.textIndex.get), t.idCol, vids, nV)
       case IdxCluster =>
         in(ClusterIndex.assignments(s, t.clusterIndex.get, t.idCol),
           t.idCol, vids, nV)
       case IdxTerm =>
-        in(s.read.parquet(s"${root(t.termIndex.get)}/dl"), t.idCol, vids, nV)
+        in(served(s.read.parquet(s"${root(t.termIndex.get)}/dl"),
+          t.idCol, t.termIndex.get), t.idCol, vids, nV)
       case IdxVector =>
-        in(s.read.parquet(s"${root(t.vectorIndex.get)}/cells"),
-          t.vecIdCol, vecIds.get, nVec)
+        in(served(s.read.parquet(s"${root(t.vectorIndex.get)}/cells"),
+          t.vecIdCol, t.vectorIndex.get), t.vecIdCol, vecIds.get, nVec)
       case LakeVec =>
         in(s.read.parquet(t.vecLakeDir.get), t.vecIdCol, vecIds.get, nVec)
       case LakeDoc =>
@@ -353,12 +409,13 @@ object Rtbf {
     (vic, vecVic)
   }
 
-  private final case class ManifestRec(vfp: String, stores: Seq[String])
+  private final case class ManifestRec(vfp: String, stores: Seq[String],
+                                       mode: String = "physical")
 
   private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
                             p: Path, rec: ManifestRec): Unit = {
     val out = fs.create(p, true)
-    try out.write(s"${rec.vfp}\n${rec.stores.mkString(",")}\n"
+    try out.write(s"${rec.vfp}\n${rec.stores.mkString(",")}\n${rec.mode}\n"
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
   }
@@ -371,7 +428,9 @@ object Rtbf {
     val lines = txt.linesIterator.toSeq
     ManifestRec(lines.head,
       lines.lift(1).filter(_.nonEmpty).fold(Seq.empty[String])(
-        _.split(",").toSeq))
+        _.split(",").toSeq),
+      // pre-r18-logical manifests carry no mode line: physical
+      lines.lift(2).filter(_.nonEmpty).getOrElse("physical"))
   }
 
   /** Every purge's crash-state under a lake dir — the ops-console read

@@ -1555,29 +1555,37 @@ object S4Stream {
     * post-mutation failure (conservative: they only ever block matching
     * content).
     *
-    * Same scheduling edge as the family loops: the index verbs hold
-    * exclusive remove leases, so run this loop non-overlapping with
-    * ingest loops on the same indexes (trigger offsets or AvailableNow
-    * turns); under continuous ingest prefer the per-family LOGICAL
-    * loops and reserve this one for scheduled physical-purge turns. */
+    * Same scheduling edge as the family loops: the PHYSICAL index verbs
+    * hold exclusive remove leases for the rewrite wall, so run this
+    * loop non-overlapping with ingest loops on the same indexes
+    * (trigger offsets or AvailableNow turns). Under CONTINUOUS ingest
+    * pass `logical = true` (the r13 per-family trade, orchestrated):
+    * every index verb becomes the family's tombstone-overlay
+    * logicalRemove — serve surfaces go blind just the same, the lakes
+    * still scrub physically, the exclusive lease is held ~2 s instead
+    * of the rewrite wall, and the agreement certificate shifts to
+    * serve-surface blindness (see [[graft.operators.Rtbf.purge]]); the
+    * physical bytes reclaim at each family's next compact(). */
   def rtbfPurgeStream(victimIds: DataFrame,
                       targets: graft.operators.RtbfTargets,
                       checkpointDir: String,
-                      availableNow: Boolean = false): StreamingQuery = {
+                      availableNow: Boolean = false,
+                      logical: Boolean = false): StreamingQuery = {
     require(targets.vectorIndex.isEmpty || targets.vecLakeDir.nonEmpty,
       "rtbfPurgeStream: a vector index is targeted but no vecLakeDir to " +
         "resolve victim embeddings from — the feed carries ids only, so " +
         "the embedding lake is the store of record for vecVictims")
     lazy val runKey = checkpointRunKey(victimIds.sparkSession, checkpointDir)
     startIndexedLoop(victimIds, checkpointDir, availableNow) { (batch, batchId) =>
-      processRtbfPurgeBatch(batch, batchId, targets, runKey)
+      processRtbfPurgeBatch(batch, batchId, targets, runKey, logical)
     }
   }
 
   /** One micro-batch of [[rtbfPurgeStream]], exposed for direct replay
     * testing (the family loops' pattern). */
   private[graft] def processRtbfPurgeBatch(batch: DataFrame, batchId: Long,
-      t: graft.operators.RtbfTargets, runKey: String): Unit = {
+      t: graft.operators.RtbfTargets, runKey: String,
+      logical: Boolean = false): Unit = {
     val s = batch.sparkSession
     val conf = s.sparkContext.hadoopConfiguration
     val tag = s"ck${runKey}_b$batchId"
@@ -1623,20 +1631,24 @@ object S4Stream {
           batch.select(col(t.idCol)).limit(0)
             .withColumn(t.textCol, lit(null).cast("string")))
         tombstone(vicOrEmpty, vecVic)
-        runPurge(s, t, tag, vic = Some(vicOrEmpty), vecVic = vecVic)
+        runPurge(s, t, tag, vic = Some(vicOrEmpty), vecVic = vecVic,
+          logical = logical)
       }
     }
   }
 
   /** The purge/resume call + the typed-refusal tombstone rollback (see
-    * [[rtbfPurgeStream]]). `vic = None` means resume from the manifest. */
+    * [[rtbfPurgeStream]]). `vic = None` means resume from the manifest
+    * (which carries the purge's recorded mode, so `logical` is only
+    * meaningful on the first attempt). */
   private def runPurge(s: org.apache.spark.sql.SparkSession,
       t: graft.operators.RtbfTargets, tag: String,
-      vic: Option[DataFrame], vecVic: Option[DataFrame]): Unit = {
+      vic: Option[DataFrame], vecVic: Option[DataFrame],
+      logical: Boolean = false): Unit = {
     val conf = s.sparkContext.hadoopConfiguration
     try {
       vic match {
-        case Some(v) => graft.operators.Rtbf.purge(v, vecVic, t, tag)
+        case Some(v) => graft.operators.Rtbf.purge(v, vecVic, t, tag, logical)
         case None => graft.operators.Rtbf.resume(s, t, tag)
       }
       ()

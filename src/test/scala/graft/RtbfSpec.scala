@@ -167,6 +167,49 @@ class RtbfSpec extends SparkSpec {
     assert(victimsEverywhere(t, Seq(6L)).isEmpty)
   }
 
+  test("logical purge: every serve surface blind, lakes scrubbed, raw index rows remain for compact") {
+    val (_, t) = fixture("rtbf_logical")
+    val conf = spark.sparkContext.hadoopConfiguration
+    def root(d: String) = IndexMaintenance.liveRoot(conf, d)
+    val victims = Seq(2L, 6L) // 2 = the 1-2-3 bridge: the serve re-split runs
+    val (vic, vecVic) = victimRows(t, spark, victims)
+    val r = Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1", logical = true)
+    assert(r.complete && r.stores.map(_.store).size == 6, s"$r")
+    // serve surfaces blind: each family's overlay-aware read has no victims
+    def servedVictims(dir: String, raw: String, idC: String): Long =
+      LogicalDelete.hide(spark.read.parquet(s"${root(dir)}/$raw"),
+        idC, LogicalDelete.ids(spark, dir))
+        .filter(col(idC).isin(victims: _*)).count()
+    assert(servedVictims(t.textIndex.get, "bands", "doc_id") == 0L)
+    assert(servedVictims(t.termIndex.get, "dl", "doc_id") == 0L)
+    assert(servedVictims(t.vectorIndex.get, "cells", "vec_id") == 0L)
+    val comp = ClusterIndex.assignments(spark, t.clusterIndex.get, "doc_id")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(!comp.contains(2L) && !comp.contains(6L), s"$comp")
+    assert(comp(1L) != comp(3L) || comp(1L) == 1L && comp(3L) == 3L,
+      s"the served map must re-split the bridged component: $comp")
+    // lakes scrub PHYSICALLY in both modes (the actual RTBF obligation)
+    assert(spark.read.parquet(t.lakeDir)
+      .filter(col("doc_id").isin(victims: _*)).count() == 0L)
+    assert(spark.read.parquet(t.vecLakeDir.get)
+      .filter(col("vec_id").isin(victims: _*)).count() == 0L)
+    // ...but the index ROWS remain on disk, awaiting each family's
+    // compact — that is what "logical" buys (no rewrite wall)
+    assert(spark.read.parquet(s"${root(t.textIndex.get)}/bands")
+      .filter(col("doc_id").isin(victims: _*)).count() > 0L,
+      "a logical purge must NOT rewrite the text index")
+    assert(spark.read.parquet(s"${root(t.termIndex.get)}/dl")
+      .filter(col("doc_id").isin(victims: _*)).count() > 0L)
+    // replay: same (tag, victims, mode) — every store skips on its marker
+    val r2 = Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1", logical = true)
+    assert(r2.complete && r2.stores.forall(_.skippedDone), s"$r2")
+    // the mode rides the manifest: replaying the tag PHYSICALLY refuses
+    val e = intercept[Fingerprint.RemovalRefused] {
+      Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1")
+    }
+    assert(e.getMessage.contains("planned as a logical purge"), e.getMessage)
+  }
+
   test("resume refuses when no manifest committed") {
     val (_, t) = fixture("rtbf_nomanifest")
     val e = intercept[Fingerprint.RemovalRefused] {
