@@ -519,9 +519,13 @@ object IndexAdmin {
           val state =
             if (p.complete) "COMPLETE"
             else s"INCOMPLETE — still owes ${p.incomplete.mkString(", ")} " +
-              "(resume with Rtbf.resume under the same tag)"
-          println(s"  ${p.tag}: ${p.done.size}/${p.planned.size} stores " +
-            s"done — $state")
+              "(resume with Rtbf.resume under the same tag; the resume " +
+              s"replays the planned ${p.mode} mode" +
+              (if (p.mode == "physical")
+                 " — index verbs hold exclusive leases for the rewrite"
+               else " — ~2 s overlay writes, reclaim at compact") + ")"
+          println(s"  ${p.tag} [${p.mode}]: ${p.done.size}/${p.planned.size} " +
+            s"stores done — $state")
         }
       }
       val r = report(conf, dir)

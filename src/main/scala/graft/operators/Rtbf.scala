@@ -37,7 +37,8 @@ final case class RtbfReport(tag: String, nVictims: Long, nVecVictims: Long,
   * manifest planned, which carry done markers, and therefore which an
   * interrupted purge still owes. */
 final case class RtbfStatus(tag: String, planned: Seq[String],
-                            done: Set[String], complete: Boolean) {
+                            done: Set[String], complete: Boolean,
+                            mode: String = "physical") {
   def incomplete: Seq[String] = planned.filterNot(done)
 }
 
@@ -452,7 +453,8 @@ object Rtbf {
         val done = fs.listStatus(tagDir).map(_.getPath.getName)
           .filter(_.startsWith("done_")).map(_.stripPrefix("done_")).toSet
         Some(RtbfStatus(tagDir.getName, rec.stores, done,
-          complete = fs.exists(new Path(tagDir, "COMPLETE"))))
+          complete = fs.exists(new Path(tagDir, "COMPLETE")),
+          mode = rec.mode))
       }
     }.sortBy(_.tag)
   }

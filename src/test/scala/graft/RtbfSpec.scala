@@ -203,11 +203,14 @@ class RtbfSpec extends SparkSpec {
     // replay: same (tag, victims, mode) — every store skips on its marker
     val r2 = Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1", logical = true)
     assert(r2.complete && r2.stores.forall(_.skippedDone), s"$r2")
-    // the mode rides the manifest: replaying the tag PHYSICALLY refuses
+    // the mode rides the manifest: replaying the tag PHYSICALLY refuses,
+    // and the ops console names the mode
     val e = intercept[Fingerprint.RemovalRefused] {
       Rtbf.purge(vic, Some(vecVic), t, tag = "gdpr1")
     }
     assert(e.getMessage.contains("planned as a logical purge"), e.getMessage)
+    val st = Rtbf.status(conf, t.lakeDir)
+    assert(st.size == 1 && st.head.mode == "logical", s"$st")
   }
 
   test("resume refuses when no manifest committed") {
