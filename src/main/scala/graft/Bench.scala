@@ -65,7 +65,7 @@ object Bench {
     * so a regression inside one leg of a stable-total row still hid). */
   private[graft] def parseLegMins(json: String): Map[String, Double] =
     Seq("takedown_legs", "takedown_legs_logical", "takedown_legs_term",
-        "takedown_legs_rtbf", "rrf_legs")
+        "takedown_legs_rtbf", "takedown_legs_rtbf_logical", "rrf_legs")
       .flatMap(f =>
         parseFlatObject(json, f).map { case (k, v) => s"$f.$k" -> v }).toMap
 
@@ -254,6 +254,7 @@ object Bench {
     graft.queries.TextPipeline.logicalLegRuns.clear()
     graft.queries.TextPipeline.termLegRuns.clear()
     graft.queries.RtbfE2e.rtbfLegRuns.clear()
+    graft.queries.RtbfE2e.rtbfLogicalLegRuns.clear()
     graft.queries.TextPipeline.rrfLegRuns.clear()
     // prior artifact's per-query mins, read BEFORE this run overwrites
     // it — feeds the suspect_noise annotation (VERDICT r13 item 1).
@@ -354,6 +355,9 @@ object Bench {
     val takedownLegsRtbf = legSplitJson(
       graft.queries.RtbfE2e.rtbfLegRuns.asScala.toSeq,
       runTotals("rtbf_purge_e2e"))
+    val takedownLegsRtbfLogical = legSplitJson(
+      graft.queries.RtbfE2e.rtbfLogicalLegRuns.asScala.toSeq,
+      runTotals("rtbf_purge_logical"))
     val rrfLegs = legSplitJson(
       graft.queries.TextPipeline.rrfLegRuns.asScala.toSeq,
       runTotals("doc_rrf_fusion_indexed"))
@@ -365,6 +369,7 @@ object Bench {
         "takedown_legs_logical" -> takedownLegsLogical,
         "takedown_legs_term" -> takedownLegsTerm,
         "takedown_legs_rtbf" -> takedownLegsRtbf,
+        "takedown_legs_rtbf_logical" -> takedownLegsRtbfLogical,
         "rrf_legs" -> rrfLegs)
       .flatMap { case (f, j) =>
         parseFlatObject(s""""$f":$j""", f).map { case (k, v) => s"$f.$k" -> v } }
@@ -454,6 +459,7 @@ object Bench {
         s""""takedown_legs_logical":$takedownLegsLogical,""" +
         s""""takedown_legs_term":$takedownLegsTerm,""" +
         s""""takedown_legs_rtbf":$takedownLegsRtbf,""" +
+        s""""takedown_legs_rtbf_logical":$takedownLegsRtbfLogical,""" +
         s""""rrf_legs":$rrfLegs,""" +
         s""""suspect_noise":$suspect,"retried":$retriedJson,""" +
         s""""repeats":$repJson}"""

@@ -58,6 +58,11 @@ object RtbfE2e {
   private[graft] val rtbfLegRuns =
     new java.util.concurrent.CopyOnWriteArrayList[Map[String, Double]]()
 
+  /** The logical row's own channel (`takedown_legs_rtbf_logical`) — the
+    * two rows must never mix leg mins. */
+  private[graft] val rtbfLogicalLegRuns =
+    new java.util.concurrent.CopyOnWriteArrayList[Map[String, Double]]()
+
   /** The purged vector index's quantizer, recorded when the query RAN
     * in this JVM — unrolled into DuckDB centroid literals by [[oracles]]
     * (the model-literal pattern of [[Vectors]]). */
@@ -68,7 +73,26 @@ object RtbfE2e {
   private val probeIds = Seq(5L, 10L, 45L, 95L) // survivors at every sf
   private val vecSeed = 7L
 
-  def purgeE2e(s: SparkSession, dir: String): DataFrame = {
+  def purgeE2e(s: SparkSession, dir: String): DataFrame =
+    purgeImpl(s, dir, logical = false)
+
+  /** `rtbf_purge_logical` — the SAME six-store composed flow under
+    * `Rtbf.purge(logical = true)` (r18): index verbs are
+    * tombstone-overlay logicalRemoves, the lakes still scrub
+    * physically, and every serve below reads THROUGH each family's
+    * overlay (TermIndex.topK / ClusterIndex.assignments /
+    * VectorIndex.topK do natively; the text-membership surface hides
+    * explicitly). The oracle is IDENTICAL to the physical row's — a
+    * logical purge promises exactly that every serve surface equals
+    * the survivors-only world while the bytes await compact() — so
+    * hash-green here proves blind-serving equivalence, not just the
+    * spec gates. Own run namespace, tag, and leg channel so the two
+    * rows never share purge state or leg mins. */
+  def purgeLogicalE2e(s: SparkSession, dir: String): DataFrame =
+    purgeImpl(s, dir, logical = true)
+
+  private def purgeImpl(s: SparkSession, dir: String,
+                        logical: Boolean): DataFrame = {
     val legs = scala.collection.mutable.LinkedHashMap[String, Double]()
     def leg[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime(); val r = f
@@ -77,8 +101,10 @@ object RtbfE2e {
     val conf = s.sparkContext.hadoopConfiguration
     val key = Tables.fixtureKey(dir)
     val tmp = System.getProperty("java.io.tmpdir")
-    val base = s"$tmp/graft_rtbf/$key" // staged-once builds
-    val run = s"$tmp/graft_rtbf_run/$key" // per-run pristine copies
+    val base = s"$tmp/graft_rtbf/$key" // staged-once builds (SHARED)
+    val run = // per-run pristine copies, one namespace per mode
+      if (logical) s"$tmp/graft_rtbf_runlg/$key"
+      else s"$tmp/graft_rtbf_run/$key"
 
     val docs = Tables.documents(s, dir).filter(col("doc_id") % 5 === 0)
       .select(col("doc_id"), col("text"), col("source"))
@@ -135,7 +161,8 @@ object RtbfE2e {
       vectorIndex = Some(s"$run/vecidx"),
       vecLakeDir = Some(vecLake), vecLakePartitionCols = Seq("label"))
     val report = leg("purge") {
-      Rtbf.purge(victims, Some(vecVictims), targets, tag = "e2e")
+      Rtbf.purge(victims, Some(vecVictims), targets,
+        tag = if (logical) "e2e-log" else "e2e", logical = logical)
     }
     // rm_ prefix = sub-legs nested inside the purge wall (the Bench
     // serve subtraction excludes them — they attribute, they don't add)
@@ -168,25 +195,40 @@ object RtbfE2e {
     val vectorSurface = shaped("vector",
       col("q_id") * 100 + col("rn"), col("vec_id"))(
       VectorIndex.topK(s, s"$run/vecidx", probes, k = 5))
-    val textSurface = shaped("textidx", col("doc_id"), lit("1"))(
+    // text membership is a raw band read for the physical row (the rows
+    // must be GONE); the logical row reads the SERVE view — the same
+    // overlay anti-join TextIndex.probe consults
+    val bandsRaw =
       s.read.parquet(s"${IndexMaintenance.liveRoot(conf, s"$run/textidx")}/bands")
+    val textSurface = shaped("textidx", col("doc_id"), lit("1"))(
+      (if (logical)
+         graft.operators.LogicalDelete.hide(bandsRaw, "doc_id",
+           graft.operators.LogicalDelete.ids(s, s"$run/textidx"))
+       else bandsRaw)
         .select(col("doc_id")).distinct())
     val out = Seq(lakeSurface, termSurface, clusterSurface, vectorSurface,
         textSurface)
       .reduce(_ unionByName _)
       .orderBy(col("surface"), col("k"), col("v"))
-    rtbfLegRuns.add(legs.toMap)
+    (if (logical) rtbfLogicalLegRuns else rtbfLegRuns).add(legs.toMap)
     out
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "rtbf_purge_e2e" -> (purgeE2e _))
+    "rtbf_purge_e2e" -> (purgeE2e _),
+    "rtbf_purge_logical" -> (purgeLogicalE2e _))
 
   /** Model-literal like the vec family: present once the query RAN in
-    * this JVM (Verify runs every query before dumping oracle SQL). */
-  def oracles: Map[String, String] = lastCentroids.map { cents =>
+    * this JVM (Verify runs every query before dumping oracle SQL). The
+    * LOGICAL row replays the IDENTICAL survivors-only SQL — both modes
+    * promise serve surfaces equal to the surviving corpus; they differ
+    * only in what remains on disk underneath (spec-gated). The shared
+    * centroid literals are sound because both rows snapshot the same
+    * staged build (deterministic k-means under seed 7) and a logical
+    * remove never retrains. */
+  def oracles: Map[String, String] = lastCentroids.toSeq.flatMap { cents =>
     val probeWhere = s"WHERE vec_id IN ${probeIds.mkString("(", ", ", ")")}"
-    "rtbf_purge_e2e" ->
+    val sql =
       s"""SELECT surface, k, v FROM (
          |SELECT 'lake' AS surface, doc_id AS k, md5(text) AS v
          |FROM documents $corpusWhere
@@ -225,5 +267,6 @@ object RtbfE2e {
          |FROM (${Vectors.ivfFamilySql(cents, probeWhere, nprobe = 8, k = 5,
                  excludeSelf = false, corpusWhere = vecCorpusWhere)}) vq
          |) ORDER BY surface, k, v""".stripMargin
+    Seq("rtbf_purge_e2e" -> sql, "rtbf_purge_logical" -> sql)
   }.toMap
 }
