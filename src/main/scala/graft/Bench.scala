@@ -165,6 +165,15 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // r18 opt (guide §6, file listing): the index tables are 64-dir
+      // partitioned parquet, and the default threshold (32) makes every
+      // read of them schedule a distributed listing JOB (~0.1 s of pure
+      // overhead each; the removal protocols re-resolve such relations
+      // a dozen times per call). Listing ≤1024 dirs on the driver's
+      // thread pool is faster on any filesystem; beyond 1024 dirs the
+      // distributed listing still kicks in, so the 100 TB posture
+      // (thousands of partitions on an object store) is unchanged.
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")

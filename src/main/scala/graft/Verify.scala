@@ -24,6 +24,8 @@ object Verify {
       // incremental-maintenance drift fails THIS gate loudly instead of
       // surfacing as an unattributable score mismatch
       .config("graft.term.checkStats", "true")
+      // driver-side listing for ≤1024-dir tables (see Bench — r18 opt)
+      .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -202,6 +202,10 @@ private[operators] object ClusterRemoval {
           // rows' (one row per id in this family — but a duplicated or
           // conflicting victim feed still mismatches and refuses).
           // Pristine reads: rewrites only ever start after PLAN_READY.
+          // The known-check count and the provenance guard read two
+          // DIFFERENT tables and share no state — run them concurrently
+          // (r18 opt, guide §2.6; runLegs rethrows the known-check's
+          // refusal first on a double failure, preserving message order)
           val vToksA = rleg("vtoks")(s.read.parquet(s"$root/toks")
             .filter(col("idb").isin(vIdb: _*))
             .join(bVids(vids), Seq(idCol), "leftsemi")
@@ -210,30 +214,33 @@ private[operators] object ClusterRemoval {
           val vAgg = TargetedDelete.contentSet(victims, idCol,
             xxhash64(Dedup.hashedTokenSet(col(textCol))))
             .withColumnRenamed("_chs", "_vchs")
-          val known = rleg("known-check")(
-            TargetedDelete.contentSet(vToksA, idCol,
-              xxhash64(col("_toks")))
-            .join(bVids(vAgg), Seq(idCol))
-            .filter(col("_chs") === col("_vchs"))
-            .count())
-          if (known != nV) Fingerprint.refuse(
-            s"ClusterIndex.remove: only $known of $nV victim ids are " +
-              "indexed with matching content; the fingerprint subtraction " +
-              "needs exactly the ingested rows — pass the (id, text) rows " +
-              "as they entered the index")
-          // mid-append crash guard (see TextIndex.remove): a victim from
-          // an append whose fingerprint merge never recorded must not
-          // subtract — its delta was never added. Pruned provenance read,
-          // bounded by |tags|.
-          if (oldFp.isDefined) {
-            val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")
-              .filter(col("idb").isin(vIdb: _*))
-              .join(bVids(vids), Seq(idCol), "leftsemi")
-              .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
-              .distinct().collect().map(_.getString(0)).toSet)
-            Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
-              "ClusterIndex.remove")
-          }
+          IndexMaintenance.runLegs(Seq(
+            "rm.known" -> (() => {
+              val known = rleg("known-check")(
+                TargetedDelete.contentSet(vToksA, idCol,
+                  xxhash64(col("_toks")))
+                .join(bVids(vAgg), Seq(idCol))
+                .filter(col("_chs") === col("_vchs"))
+                .count())
+              if (known != nV) Fingerprint.refuse(
+                s"ClusterIndex.remove: only $known of $nV victim ids are " +
+                  "indexed with matching content; the fingerprint subtraction " +
+                  "needs exactly the ingested rows — pass the (id, text) rows " +
+                  "as they entered the index")
+            }),
+            // mid-append crash guard (see TextIndex.remove): a victim from
+            // an append whose fingerprint merge never recorded must not
+            // subtract — its delta was never added. Pruned provenance read,
+            // bounded by |tags|.
+            "rm.guard" -> (() => if (oldFp.isDefined) {
+              val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")
+                .filter(col("idb").isin(vIdb: _*))
+                .join(bVids(vids), Seq(idCol), "leftsemi")
+                .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
+                .distinct().collect().map(_.getString(0)).toSet)
+              Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+                "ClusterIndex.remove")
+            })))
         }
         // ---- idempotent fingerprint commit, the logicalRemove shape:
         // target persisted BEFORE the meta overwrite (and the metabase
@@ -390,24 +397,32 @@ private[operators] object ClusterRemoval {
       .select(col(idCol), col("_toks"))
       .localCheckpoint(eager = false))
     val (comps, newAssign) = resplitPlan(s, root, idCol, vids, nV, vIdb)
-    rleg("plan-write") {
-      newAssign.write.mode("overwrite").parquet(s"$stateDir/newassign")
+    // the four plan files are independent — write them CONCURRENTLY
+    // (r18 opt, guide §2.6 overlap: serial they cost four small-job
+    // walls; the shared lazy checkpoints (comps, survivors) are already
+    // materialized by the CC pass inside resplitPlan, so the pool never
+    // races a first materialization)
+    rleg("plan-write")(IndexMaintenance.runLegs(Seq(
+      "plan.newassign" -> (() =>
+        newAssign.write.mode("overwrite").parquet(s"$stateDir/newassign")),
       // the assign partitions to rewrite: every partition holding a
       // row of an affected component (victims included). Driver-small
       // (<= generations x buckets).
-      s.read.parquet(s"$root/assign")
-        .join(bVids(comps), Seq("component"), "left_semi")
-        .select(col("_src"), col("idb").cast("long").as("idb")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")
+      "plan.parts" -> (() =>
+        s.read.parquet(s"$root/assign")
+          .join(bVids(comps), Seq("component"), "left_semi")
+          .select(col("_src"), col("idb").cast("long").as("idb")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")),
       // plan-resident postings buckets make all four rewrites order-free
       // — and therefore parallel (r12)
-      vToks.select(explode(col("_toks")).as("_tok"))
-        .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
-        .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")
+      "plan.vtb" -> (() =>
+        vToks.select(explode(col("_toks")).as("_tok"))
+          .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")),
       // the affected components themselves — window C's plan-validity
       // membership check reads these (r15)
-      comps.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/comps")
-    }
+      "plan.comps" -> (() =>
+        comps.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/comps")))))
   }
   /** The four plan-driven table rewrites, IN PLACE and in PARALLEL —
     * the pre-r15 commit phase, now the replay/fallback path. Every
@@ -760,34 +775,38 @@ private[operators] object ClusterRemoval {
           "ClusterIndex.logicalRemove")
         // victims indexed WITH matching content set (the
         // fingerprint subtraction needs exactly the ingested rows) —
-        // same pruned read as remove()'s known-check (r14)
+        // same pruned read as remove()'s known-check (r14); known-check
+        // and provenance guard run concurrently like remove()'s (r18)
         val vAgg = TargetedDelete.contentSet(victims, idCol,
           xxhash64(Dedup.hashedTokenSet(col(textCol))))
           .withColumnRenamed("_chs", "_vchs")
-        val known = rleg("known-check")(
-          TargetedDelete.contentSet(
-            s.read.parquet(s"$root/toks")
+        IndexMaintenance.runLegs(Seq(
+          "lrm.known" -> (() => {
+            val known = rleg("known-check")(
+              TargetedDelete.contentSet(
+                s.read.parquet(s"$root/toks")
+                  .filter(col("idb").isin(vIdb: _*))
+                  .join(bVids(vids), Seq(idCol), "leftsemi"),
+                idCol, xxhash64(col("_toks")))
+              .join(bVids(vAgg), Seq(idCol))
+              .filter(col("_chs") === col("_vchs"))
+              .count())
+            if (known != nV) Fingerprint.refuse(
+              s"ClusterIndex.logicalRemove: only $known of $nV victim ids " +
+                "are indexed with matching content; the fingerprint " +
+                "subtraction needs exactly the ingested rows — pass the " +
+                "(id, text) rows as they entered the index")
+          }),
+          // mid-append crash guard, same as remove()
+          "lrm.guard" -> (() => if (oldFp.isDefined) {
+            val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")
               .filter(col("idb").isin(vIdb: _*))
-              .join(bVids(vids), Seq(idCol), "leftsemi"),
-            idCol, xxhash64(col("_toks")))
-          .join(bVids(vAgg), Seq(idCol))
-          .filter(col("_chs") === col("_vchs"))
-          .count())
-        if (known != nV) Fingerprint.refuse(
-          s"ClusterIndex.logicalRemove: only $known of $nV victim ids " +
-            "are indexed with matching content; the fingerprint " +
-            "subtraction needs exactly the ingested rows — pass the " +
-            "(id, text) rows as they entered the index")
-        // mid-append crash guard, same as remove()
-        if (oldFp.isDefined) {
-          val vSrcs = rleg("guard")(s.read.parquet(s"$root/assign")
-            .filter(col("idb").isin(vIdb: _*))
-            .join(bVids(vids), Seq(idCol), "leftsemi")
-            .select(col("_src")).filter(col("_src").isNotNull)
-            .distinct().collect().map(_.getString(0)).toSet)
-          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
-            "ClusterIndex.logicalRemove")
-        }
+              .join(bVids(vids), Seq(idCol), "leftsemi")
+              .select(col("_src")).filter(col("_src").isNotNull)
+              .distinct().collect().map(_.getString(0)).toSet)
+            Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+              "ClusterIndex.logicalRemove")
+          })))
       }
       // idempotent fingerprint commit — the same protocol shape as the
       // physical families: metabase, then target, then the meta

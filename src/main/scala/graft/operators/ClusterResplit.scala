@@ -166,13 +166,17 @@ private[operators] object ClusterResplit {
                           vIdb: Seq[Long]): (DataFrame, DataFrame) = {
     import s.implicits._
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
-    val comps = rleg("comps")(s.read.parquet(s"$root/assign")
+    // ONE assign relation for both reads below (r18 opt: each
+    // s.read.parquet resolves the 64-dir file index anew — pure driver
+    // overhead when repeated within one call)
+    val assign = s.read.parquet(s"$root/assign")
+    val comps = rleg("comps")(assign
       .filter(col("idb").isin(vIdb: _*))
       .join(bVids(vids), Seq(idCol), "leftsemi")
       .select(col("component")).distinct().localCheckpoint(eager = false))
     // one column-pruned scan of the (id, component) map restricted to
     // the affected components (comps is bounded by |victims|)
-    val survivors = rleg("survivors")(s.read.parquet(s"$root/assign")
+    val survivors = rleg("survivors")(assign
       .join(bVids(comps), Seq("component"))
       .select(col(idCol), col("_src"), col("idb").cast("long").as("idb"))
       .join(bVids(vids), Seq(idCol), "left_anti")

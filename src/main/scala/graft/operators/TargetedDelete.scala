@@ -212,14 +212,9 @@ object TargetedDelete {
     val table = spark.read.parquet(tableDir).filter(prePrune)
     def partMatch(a: DataFrame, b: DataFrame) =
       partitionCols.map(c => a(c) <=> b(c)).reduce(_ && _)
-    // same one-scan touched-partition discovery as deleteImpl, dirs
-    // captured from the files themselves
-    val dirOfPart = mark(table.withColumn("_dir",
-        expr("regexp_replace(input_file_name(), '/[^/]*$', '')")))
-      .select(partitionCols.map(col) :+ col("_dir"): _*)
-      .distinct()
-      .localCheckpoint(true)
-    if (dirOfPart.isEmpty) {
+    // same one-scan collected touched-partition discovery as deleteImpl
+    val t = discoverTouched(table, partitionCols, mark)
+    if (t.rows.isEmpty) {
       // nothing touched: an EMPTY manifest still signals "staged, no-op"
       spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](),
@@ -233,8 +228,7 @@ object TargetedDelete {
         .coalesce(1).write.mode("overwrite").parquet(stageDir + ".manifest")
       return
     }
-    val touched = dirOfPart.select(partitionCols.map(col): _*).distinct()
-      .localCheckpoint(true)
+    val touched = t.localDf(spark)
     val slice = table.join(broadcast(touched), partMatch(table, touched), "left_semi")
     val remaining = keep(slice)
       .select(table.columns.map(col): _*)
@@ -243,33 +237,67 @@ object TargetedDelete {
     if (hasRows)
       remaining.write.partitionBy(partitionCols: _*)
         .mode("overwrite").parquet(stageDir)
-    // staged dirs read back from the staged FILES — never reconstructed
-    // from partition values (the deleteImpl encoding trap)
-    val stagedDirs =
-      if (!hasRows) null
-      else spark.read.parquet(stageDir)
-        .withColumn("_sdir",
-          expr("regexp_replace(input_file_name(), '/[^/]*$', '')"))
-        .select(partitionCols.map(col) :+ col("_sdir"): _*)
-        .distinct()
-    val manifest0 =
-      (if (stagedDirs == null)
-        dirOfPart.withColumn("_sdir", lit(null).cast("string"))
-      else dirOfPart.join(stagedDirs,
-          partMatch(dirOfPart, stagedDirs), "left")
-        .select(dirOfPart("_dir").as("_dir"), col("_sdir")))
-        .select(col("_dir").as("_live_dir"), col("_sdir").as("_staged_dir"))
-        .collect()
-    val rows = manifest0.map { r =>
-      val live = r.getString(0)
+    // live→staged dir mapping by RELATIVE path from FS metadata alone
+    // (r18 opt: replaces a full re-scan of the staged output — a real
+    // cost at scale, a whole extra job here). Sound because live and
+    // staged dir names are the SAME escaping function applied to the
+    // same partition values; if partition type inference changed a
+    // value's string form between the original write and this one
+    // (`day=01` read back as long 1 → staged dir `day=1`), the rel
+    // paths fail to map and we fall back to the former scan+value-join,
+    // which matches by VALUE — never a wrong manifest.
+    val manifest0: Seq[(String, String)] = {
+      val liveBase = decodedDirPath(fs.makeQualified(
+        new org.apache.hadoop.fs.Path(tableDir)))
+      def relOfLive(uri: String) =
+        decodedDirPath(pathOfUri(uri)).stripPrefix(liveBase).stripPrefix("/")
+      val stagedByRel: Option[Map[String, String]] =
+        if (!hasRows) Some(Map.empty)
+        else {
+          val base = fs.makeQualified(new org.apache.hadoop.fs.Path(stageDir))
+          val baseDec = decodedDirPath(base)
+          def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =
+            if (depth == 0) Seq(p)
+            else fs.listStatus(p).toSeq.filter(_.isDirectory)
+              .flatMap(st => walk(st.getPath, depth - 1))
+          val m = walk(base, partitionCols.size).map(p =>
+            decodedDirPath(p).stripPrefix(baseDec).stripPrefix("/")
+              -> p.toUri.toString).toMap
+          val liveRels = t.dirs.map(relOfLive).toSet
+          if (m.keySet.subsetOf(liveRels)) Some(m) else None
+        }
+      stagedByRel match {
+        case Some(m) =>
+          t.dirs.distinct.map(d => d -> m.get(relOfLive(d)).orNull)
+        case None =>
+          // fallback: read the staged files back and match by VALUE
+          // (null-safe), exactly the pre-r18 shape
+          val stagedDirs = spark.read.parquet(stageDir)
+            .withColumn("_sdir",
+              expr("regexp_replace(input_file_name(), '/[^/]*$', '')"))
+            .select(partitionCols.map(col) :+ col("_sdir"): _*)
+            .distinct().collect()
+            .map(r => valKey(r, partitionCols.size)
+              -> r.getString(partitionCols.size)).toMap
+          t.rows.map(r => r.getString(partitionCols.size) ->
+            stagedDirs.get(valKey(r, partitionCols.size)).orNull).distinct
+      }
+    }
+    val rows = manifest0.map { case (live, staged) =>
       val digest =
         if (captureStatus) dirDigest(fs, pathOfUri(live)) else ""
-      (live, Option(r.getString(1)).orNull, digest)
+      (live, staged, digest)
     }
     import spark.implicits._
-    rows.toSeq.toDF("_live_dir", "_staged_dir", "_digest")
+    rows.toDF("_live_dir", "_staged_dir", "_digest")
       .coalesce(1).write.mode("overwrite").parquet(stageDir + ".manifest")
   }
+
+  /** Decoded filesystem path of a dir (URI %XX unescaped — the on-disk
+    * name), for relative-path comparison between two Spark-written
+    * trees. */
+  private def decodedDirPath(p: org.apache.hadoop.fs.Path): String =
+    p.toUri.getPath
 
   /** FLIP a staged rewrite into place: for every manifest row, verify
     * the live dir's digest when one was captured (ANY drift returns
@@ -336,6 +364,64 @@ object TargetedDelete {
     }
   }
 
+  /** Collected pass-1 discovery: the touched partitions' VALUE rows
+    * (one Seq[Any] per distinct partition-col tuple) and their on-disk
+    * dirs, plus the value schema — driver-sized by design (r18 opt: one
+    * collect replaces the former two localCheckpoint jobs + count job +
+    * anti-join collect job; at sf0.1 the removal protocols spend their
+    * wall on job COUNT, not data). */
+  private final case class Touched(schema: org.apache.spark.sql.types.StructType,
+                                   rows: Seq[org.apache.spark.sql.Row],
+                                   vals: Seq[Seq[Any]], dirs: Seq[String]) {
+    def localDf(spark: SparkSession): DataFrame = {
+      val distinctVals = vals.distinct
+      spark.createDataFrame(
+        java.util.Arrays.asList(distinctVals.map(vs =>
+          org.apache.spark.sql.Row(vs: _*)): _*), schema)
+    }
+  }
+
+  /** Pass 1: which partitions hold marked rows, AND those partitions'
+    * ON-DISK directories, in ONE scan, collected (driver-sized). The
+    * dir comes from the files themselves (parent of input_file_name)
+    * captured BEFORE any overwrite: reconstructing "$c=$v" from
+    * partition VALUES is a trap twice over — Spark percent-escapes path
+    * chars and renders null as __HIVE_DEFAULT_PARTITION__, and
+    * partition type INFERENCE can change the value's string form
+    * entirely (dir `day=01` reads back as long 1 → "day=1" names a path
+    * that does not exist, fs.delete returns false, exists() is false,
+    * and the victim files silently survive). Every file of a partition
+    * shares one parent dir, and any marked row's file lives in its
+    * partition's dir, so the marked rows alone name every touched dir.
+    // _dir is projected BEFORE the mark join (r12): input_file_name()
+    // is only defined on the scan side of the plan — evaluated after an
+    // exchange (the mass-victim SHUFFLE-join mark path) it returns "",
+    // and the emptied-dir cleanup would silently miss every dir.
+    // Projecting it here pins the evaluation under the file scan for
+    // broadcast and shuffle marks alike; mark transforms (semi-joins /
+    // filters) preserve the column. */
+  private def discoverTouched(table: DataFrame, partitionCols: Seq[String],
+                              mark: DataFrame => DataFrame): Touched = {
+    val dirOfPart = mark(table.withColumn("_dir",
+        expr("regexp_replace(input_file_name(), '/[^/]*$', '')")))
+      .select(partitionCols.map(col) :+ col("_dir"): _*)
+      .distinct()
+    val rows = dirOfPart.collect().toSeq
+    Touched(
+      org.apache.spark.sql.types.StructType(dirOfPart.schema.dropRight(1)),
+      rows,
+      rows.map(r => partitionCols.indices.map(r.get).toSeq),
+      rows.map(r => r.getString(partitionCols.size)))
+  }
+
+  /** Driver-side null-safe partition-value key: Seq equality handles
+    * null (and boxed-NaN, which java equals treats as equal — matching
+    * the `<=>` the former anti-join used) correctly, and both sides of
+    * every comparison carry the SAME Spark-read types by construction
+    * (they derive from one scan of the same table). */
+  private def valKey(r: org.apache.spark.sql.Row, nCols: Int): Seq[Any] =
+    (0 until nCols).map(r.get)
+
   private def deleteImpl(spark: SparkSession, tableDir: String,
                          partitionCols: Seq[String],
                          prePrune: org.apache.spark.sql.Column,
@@ -350,35 +436,11 @@ object TargetedDelete {
     // partition would silently survive the delete.
     def partMatch(a: DataFrame, b: DataFrame) =
       partitionCols.map(c => a(c) <=> b(c)).reduce(_ && _)
-    // pass 1: which partitions hold victims, AND those partitions'
-    // ON-DISK directories, in ONE scan. The dir comes from the files
-    // themselves (parent of input_file_name) captured BEFORE the
-    // overwrite: reconstructing "$c=$v" from partition VALUES is a trap
-    // twice over — Spark percent-escapes path chars and renders null as
-    // __HIVE_DEFAULT_PARTITION__, and partition type INFERENCE can
-    // change the value's string form entirely (dir `day=01` reads back
-    // as long 1 → "day=1" names a path that does not exist, fs.delete
-    // returns false, exists() is false, and the victim files silently
-    // survive). Every file of a partition shares one parent dir, and
-    // any marked row's file lives in its partition's dir, so the marked
-    // rows alone name every touched dir. Driver-sized result.
-    // _dir is projected BEFORE the mark join (r12): input_file_name()
-    // is only defined on the scan side of the plan — evaluated after an
-    // exchange (the mass-victim SHUFFLE-join mark path) it returns "",
-    // and the emptied-dir cleanup would silently miss every dir.
-    // Projecting it here pins the evaluation under the file scan for
-    // broadcast and shuffle marks alike; mark transforms (semi-joins /
-    // filters) preserve the column.
-    val dirOfPart = mark(table.withColumn("_dir",
-        expr("regexp_replace(input_file_name(), '/[^/]*$', '')")))
-      .select(partitionCols.map(col) :+ col("_dir"): _*)
-      .distinct()
-      .localCheckpoint(true) // pin before the overwrite invalidates it
-    val touched = dirOfPart.select(partitionCols.map(col): _*).distinct()
-      .localCheckpoint(true) // driver-sized; reused for slice + emptied
-    val n = touched.count()
+    val t = discoverTouched(table, partitionCols, mark)
+    val n = t.vals.distinct.size.toLong
     if (n > 0L) {
       // pass 2: re-read ONLY those partitions, transform, overwrite
+      val touched = t.localDf(spark)
       val slice = table.join(broadcast(touched), partMatch(table, touched), "left_semi")
       val remaining = keep(slice)
         .select(table.columns.map(col): _*)
@@ -392,21 +454,21 @@ object TargetedDelete {
       // nothing and would silently keep its files. Remove those dirs
       // through the Hadoop FS API (works on any scheme, the
       // upsertStream lesson — never java.io.File).
-      val remainingParts = remaining.select(partitionCols.map(col): _*).distinct()
-      val emptied = dirOfPart.join(remainingParts,
-        partMatch(dirOfPart, remainingParts), "left_anti")
-        .select(col("_dir")).collect()
+      val keptVals = remaining.select(partitionCols.map(col): _*).distinct()
+        .collect().map(valKey(_, partitionCols.size)).toSet
+      val emptied = t.rows.collect {
+        case r if !keptVals(valKey(r, partitionCols.size)) =>
+          r.getString(partitionCols.size)
+      }.distinct
       if (emptied.nonEmpty) {
         val fs = new org.apache.hadoop.fs.Path(tableDir)
           .getFileSystem(spark.sparkContext.hadoopConfiguration)
-        emptied.foreach { row =>
+        emptied.foreach { uri =>
           // input_file_name returns the URI-ENCODED form (on-disk %2F
           // prints as %252F); Path(String) keeps the escapes literal and
           // misses the dir — going through java.net.URI decodes once,
           // back to the on-disk name (verified against escaped fixtures)
-          val uri = row.getString(0)
-          val dir = try new org.apache.hadoop.fs.Path(new java.net.URI(uri))
-            catch { case _: Exception => new org.apache.hadoop.fs.Path(uri) }
+          val dir = pathOfUri(uri)
           if (!fs.delete(dir, true) && fs.exists(dir))
             throw new java.io.IOException(
               s"targeted delete could not remove emptied partition $dir")

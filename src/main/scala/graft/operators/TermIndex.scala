@@ -468,22 +468,32 @@ object TermIndex {
         .join(TargetedDelete.maybeBroadcast(
           storedDl.select(col(idCol)), nV), Seq(idCol), "leftsemi")
         .select(col(idCol), col("term"), col("tf")))
-    val known = storedSig
-      .join(storedDl.select(col(idCol), col("dl")), Seq(idCol))
-      .join(TargetedDelete.maybeBroadcast(vSig, nV), Seq(idCol))
-      .filter(col("_sig") === col("_vsig") && col("dl") === col("_vdl"))
-      .count()
-    if (known != nV) Fingerprint.refuse(
-      s"$opName: only $known of $nV victim ids are " +
-        "indexed with matching content; the fingerprint subtraction " +
-        "needs exactly the ingested (id, text) rows")
-    // mid-append crash guard: victims' ingest provenance must have
-    // recorded its merge, or the subtraction would remove a
-    // fingerprint that was never added
-    val vSrcs = storedDl.select(col("_src"))
-      .filter(col("_src").isNotNull)
-      .distinct().collect().map(_.getString(0)).toSet
-    Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs, opName)
+    // the signature-equality count and the provenance guard both read
+    // only the already-checkpointed storedDl (plus the pruned postings)
+    // and share no other state — run them concurrently (r18 opt, guide
+    // §2.6; the known-check's refusal is rethrown first on a double
+    // failure, preserving message order)
+    IndexMaintenance.runLegs(Seq(
+      "term.validate.known" -> (() => {
+        val known = storedSig
+          .join(storedDl.select(col(idCol), col("dl")), Seq(idCol))
+          .join(TargetedDelete.maybeBroadcast(vSig, nV), Seq(idCol))
+          .filter(col("_sig") === col("_vsig") && col("dl") === col("_vdl"))
+          .count()
+        if (known != nV) Fingerprint.refuse(
+          s"$opName: only $known of $nV victim ids are " +
+            "indexed with matching content; the fingerprint subtraction " +
+            "needs exactly the ingested (id, text) rows")
+      }),
+      // mid-append crash guard: victims' ingest provenance must have
+      // recorded its merge, or the subtraction would remove a
+      // fingerprint that was never added
+      "term.validate.guard" -> (() => {
+        val vSrcs = storedDl.select(col("_src"))
+          .filter(col("_src").isNotNull)
+          .distinct().collect().map(_.getString(0)).toSet
+        Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs, opName)
+      })))
   }
 
   /** LOGICAL targeted delete — the RTBF fast path: the same validation +

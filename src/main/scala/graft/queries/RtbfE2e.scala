@@ -134,8 +134,20 @@ object RtbfE2e {
 
     // ---- per run: pristine index copies + a clean purge namespace ----
     leg("snapshot") {
-      Seq("textidx", "clusteridx", "termidx", "vecidx").foreach(ix =>
-        TextPipeline.snapshotIndex(s, s"$base/$ix", s"$run/$ix"))
+      // the four copies are independent file trees — run them
+      // concurrently (r18 opt, guide §2.6: serial they cost four I/O
+      // walls; this is bench-harness plumbing, see snapshotIndex's
+      // production caveat)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
+      try Seq("textidx", "clusteridx", "termidx", "vecidx").map { ix =>
+          // bind OUTSIDE the anonymous class: inside it, $run in an
+          // interpolation would resolve to its own run() method
+          val (from, to) = (s"$base/$ix", s"$run/$ix")
+          pool.submit(new java.lang.Runnable {
+            def run(): Unit = TextPipeline.snapshotIndex(s, from, to)
+          })
+        }.foreach(_.get())
+      finally pool.shutdown()
       // prior runs' purge state would read THIS run as a completed
       // replay and no-op the verbs against the fresh copies
       val st = new org.apache.hadoop.fs.Path(s"$lake/_rtbf")
@@ -185,27 +197,44 @@ object RtbfE2e {
                v: org.apache.spark.sql.Column)(df: DataFrame) =
       df.select(lit(surface).as("surface"), k.cast("long").as("k"),
         v.cast("string").as("v"))
-    val lakeSurface = shaped("lake", col("doc_id"),
-      md5(col("text").cast("binary")))(s.read.parquet(lake))
-    val termSurface = shaped("term",
-      col("query_id") * 1000 + col("rank"), col("doc_id"))(
-      TermIndex.topK(s, s"$run/termidx", bm25Queries, k = 10))
-    val clusterSurface = shaped("cluster", col("doc_id"), col("component"))(
-      ClusterIndex.assignments(s, s"$run/clusteridx", "doc_id"))
-    val vectorSurface = shaped("vector",
-      col("q_id") * 100 + col("rn"), col("vec_id"))(
-      VectorIndex.topK(s, s"$run/vecidx", probes, k = 5))
-    // text membership is a raw band read for the physical row (the rows
-    // must be GONE); the logical row reads the SERVE view — the same
-    // overlay anti-join TextIndex.probe consults
-    val bandsRaw =
-      s.read.parquet(s"${IndexMaintenance.liveRoot(conf, s"$run/textidx")}/bands")
-    val textSurface = shaped("textidx", col("doc_id"), lit("1"))(
-      (if (logical)
-         graft.operators.LogicalDelete.hide(bandsRaw, "doc_id",
-           graft.operators.LogicalDelete.ids(s, s"$run/textidx"))
-       else bandsRaw)
-        .select(col("doc_id")).distinct())
+    // the five serve surfaces are independent reads of five different
+    // stores, and building the term/cluster/vector ones runs their
+    // serve paths' bounded collects — construct them CONCURRENTLY
+    // (r18 opt, guide §2.6); the union below is unchanged
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(5)
+    def async(f: => DataFrame) =
+      pool.submit(new java.util.concurrent.Callable[DataFrame] {
+        def call(): DataFrame = f
+      })
+    val (lakeSurface, termSurface, clusterSurface, vectorSurface,
+        textSurface) =
+      try {
+        val lakeF = async(shaped("lake", col("doc_id"),
+          md5(col("text").cast("binary")))(s.read.parquet(lake)))
+        val termF = async(shaped("term",
+          col("query_id") * 1000 + col("rank"), col("doc_id"))(
+          TermIndex.topK(s, s"$run/termidx", bm25Queries, k = 10)))
+        val clusterF = async(shaped("cluster", col("doc_id"), col("component"))(
+          ClusterIndex.assignments(s, s"$run/clusteridx", "doc_id")))
+        val vectorF = async(shaped("vector",
+          col("q_id") * 100 + col("rn"), col("vec_id"))(
+          VectorIndex.topK(s, s"$run/vecidx", probes, k = 5)))
+        // text membership is a raw band read for the physical row (the rows
+        // must be GONE); the logical row reads the SERVE view — the same
+        // overlay anti-join TextIndex.probe consults
+        val textF = async {
+          val bandsRaw = s.read.parquet(
+            s"${IndexMaintenance.liveRoot(conf, s"$run/textidx")}/bands")
+          shaped("textidx", col("doc_id"), lit("1"))(
+            (if (logical)
+               graft.operators.LogicalDelete.hide(bandsRaw, "doc_id",
+                 graft.operators.LogicalDelete.ids(s, s"$run/textidx"))
+             else bandsRaw)
+              .select(col("doc_id")).distinct())
+        }
+        (lakeF.get(), termF.get(), clusterF.get(), vectorF.get(),
+          textF.get())
+      } finally pool.shutdown()
     val out = Seq(lakeSurface, termSurface, clusterSurface, vectorSurface,
         textSurface)
       .reduce(_ unionByName _)
