@@ -378,10 +378,17 @@ private[operators] object ClusterRemoval {
     }
   }
 
+  /** Persist the plan files; returns the collected (parts, vtb) lists
+    * so the staged first-run path never re-reads them from parquet
+    * (r18 opt — replay paths still read the persisted files, which stay
+    * byte-equivalent: the local re-write writes exactly the collected
+    * rows). */
   private def persistPlan(s: SparkSession, root: String, normDir: String,
                           stateDir: String,
                           idCol: String, vids: DataFrame, nV: Long,
-                          vIdb: Seq[Long], nBuckets: Int): Unit = {
+                          vIdb: Seq[Long], nBuckets: Int)
+      : (Seq[(String, Long)], Seq[Long]) = {
+    import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
     // snapshot FIRST (see the plantags comment above)
     writeTagFile(conf, s"$stateDir/plantags",
@@ -401,28 +408,39 @@ private[operators] object ClusterRemoval {
     // (r18 opt, guide §2.6 overlap: serial they cost four small-job
     // walls; the shared lazy checkpoints (comps, survivors) are already
     // materialized by the CC pass inside resplitPlan, so the pool never
-    // races a first materialization)
+    // races a first materialization). parts/vtb are driver-small by
+    // construction — collect them and write the collected rows, so the
+    // caller gets the lists without a parquet round-trip.
+    var parts: Seq[(String, Long)] = Seq.empty
+    var vTb: Seq[Long] = Seq.empty
     rleg("plan-write")(IndexMaintenance.runLegs(Seq(
       "plan.newassign" -> (() =>
         newAssign.write.mode("overwrite").parquet(s"$stateDir/newassign")),
       // the assign partitions to rewrite: every partition holding a
       // row of an affected component (victims included). Driver-small
       // (<= generations x buckets).
-      "plan.parts" -> (() =>
-        s.read.parquet(s"$root/assign")
+      "plan.parts" -> (() => {
+        parts = s.read.parquet(s"$root/assign")
           .join(bVids(comps), Seq("component"), "left_semi")
           .select(col("_src"), col("idb").cast("long").as("idb")).distinct()
-          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")),
+          .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+        parts.toDF("_src", "idb")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/parts")
+      }),
       // plan-resident postings buckets make all four rewrites order-free
       // — and therefore parallel (r12)
-      "plan.vtb" -> (() =>
-        vToks.select(explode(col("_toks")).as("_tok"))
+      "plan.vtb" -> (() => {
+        vTb = vToks.select(explode(col("_toks")).as("_tok"))
           .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
-          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")),
+          .collect().map(_.getLong(0)).toSeq
+        vTb.toDF("tb")
+          .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")
+      }),
       // the affected components themselves — window C's plan-validity
       // membership check reads these (r15)
       "plan.comps" -> (() =>
         comps.coalesce(1).write.mode("overwrite").parquet(s"$stateDir/comps")))))
+    (parts, vTb)
   }
   /** The four plan-driven table rewrites, IN PLACE and in PARALLEL —
     * the pre-r15 commit phase, now the replay/fallback path. Every
@@ -599,13 +617,12 @@ private[operators] object ClusterRemoval {
     // completed" (review-caught r15: the takedown streams retry the
     // former and die on the latter) ----
     timedWindow(normDir, "rm_stage")(IndexMaintenance.withLease(conf, normDir, "write") {
-      persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
+      val planLists =
+        persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
       stateFs.create(planMarker, true).close() // plan commit point
       FaultInjection.maybeCrash("cluster.plan")
-      parts = s.read.parquet(s"$stateDir/parts")
-        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
-      vTb = s.read.parquet(s"$stateDir/vtb")
-        .collect().map(_.getLong(0)).toSeq
+      parts = planLists._1
+      vTb = planLists._2
       IndexMaintenance.runLegs(Seq(
         "stage.assign" -> (() => rleg("stage-assign")(if (parts.nonEmpty) {
           val (mark, keep, prePrune) =

@@ -240,12 +240,12 @@ object Rtbf {
     // derivations, so a failed serve-surface scrub keeps the lake rows
     // (the manifest snapshot, not the lake, feeds the replay anyway).
     val (idxStores, lakeStores) = planned.partition(_.startsWith("idx."))
-    val idxResults =
-      if (idxStores.size <= 1) idxStores.map(execStore)
+    def execConcurrently(stores: Seq[String]): Seq[RtbfStoreResult] =
+      if (stores.size <= 1) stores.map(execStore)
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(idxStores.size)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(stores.size)
         try {
-          val futures = idxStores.map(st =>
+          val futures = stores.map(st =>
             st -> pool.submit(new java.util.concurrent.Callable[RtbfStoreResult] {
               def call(): RtbfStoreResult = execStore(st)
             }))
@@ -265,7 +265,9 @@ object Rtbf {
           settled.collect { case (_, Right(r)) => r }
         } finally pool.shutdown()
       }
-    val results = idxResults ++ lakeStores.map(execStore)
+    // the two lakes are independent dirs too — the ordering constraint
+    // is only "lakes strictly after all index verbs" (r18 opt)
+    val results = execConcurrently(idxStores) ++ execConcurrently(lakeStores)
 
     // ---- cross-store agreement: every surface, read from disk, ONE
     // job (the six counts union into a store-labeled aggregate — six

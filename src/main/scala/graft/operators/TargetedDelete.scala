@@ -230,13 +230,17 @@ object TargetedDelete {
     }
     val touched = t.localDf(spark)
     val slice = table.join(broadcast(touched), partMatch(table, touched), "left_semi")
-    val remaining = keep(slice)
+    // write STRAIGHT to the staging dir — it is a different tree than
+    // the one being read, so unlike deleteImpl there is no
+    // read-overwrites-itself hazard and the former eager checkpoint
+    // (a full extra pass over the slice) plus the isEmpty probe job
+    // bought nothing (r18 opt). A rewrite that empties every partition
+    // writes only _SUCCESS; the dir walk below then finds no partition
+    // dirs, exactly the former hasRows=false manifest.
+    keep(slice)
       .select(table.columns.map(col): _*)
-      .localCheckpoint() // fully compute before anything lists stageDir
-    val hasRows = !remaining.isEmpty
-    if (hasRows)
-      remaining.write.partitionBy(partitionCols: _*)
-        .mode("overwrite").parquet(stageDir)
+      .write.partitionBy(partitionCols: _*)
+      .mode("overwrite").parquet(stageDir)
     // live→staged dir mapping by RELATIVE path from FS metadata alone
     // (r18 opt: replaces a full re-scan of the staged output — a real
     // cost at scale, a whole extra job here). Sound because live and
@@ -252,8 +256,7 @@ object TargetedDelete {
       def relOfLive(uri: String) =
         decodedDirPath(pathOfUri(uri)).stripPrefix(liveBase).stripPrefix("/")
       val stagedByRel: Option[Map[String, String]] =
-        if (!hasRows) Some(Map.empty)
-        else {
+        {
           val base = fs.makeQualified(new org.apache.hadoop.fs.Path(stageDir))
           val baseDec = decodedDirPath(base)
           def walk(p: org.apache.hadoop.fs.Path, depth: Int): Seq[org.apache.hadoop.fs.Path] =

@@ -245,45 +245,54 @@ object TextIndex {
         .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
         .select(col(idCol), col("_toks"))
         .localCheckpoint()
-      if (!replay) {
-        // CONTENT-MULTISET known-check (r14, see
-        // [[TargetedDelete.contentSet]]): per victim id, the stored
-        // rows' token-set hashes must EQUAL the victim rows' — the
-        // delete is id-keyed (every stored version goes), so the caller
-        // must pass ALL of an id's ingested versions, or a wrong/partial
-        // victim set would subtract a fingerprint that diverges from the
-        // rows actually removed, silently poisoning isFresh forever
-        val vAgg = TargetedDelete.contentSet(victims, idCol,
-          xxhash64(Dedup.hashedTokenSet(col(textCol))))
-          .withColumnRenamed("_chs", "_vchs")
-        val known = TargetedDelete.contentSet(vToks, idCol,
-            xxhash64(col("_toks")))
-          .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(idCol))
-          .filter(col("_chs") === col("_vchs"))
-          .count()
-        if (known != nV) Fingerprint.refuse(
-          s"TextIndex.remove: only $known of $nV victim ids are indexed " +
-            "with matching content (ALL stored versions of each id — the " +
-            "delete is id-keyed); the fingerprint subtraction needs " +
-            "exactly the ingested (id, text) rows")
-      }
-      val vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
-        .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
-      // victims whose append crashed MID-append (rows landed, fingerprint
-      // merge never recorded) must not subtract — their delta was never
-      // added. One pruned read of the victims' band rows' provenance,
-      // bounded by |tags|; only meaningful on fingerprinted indexes with
-      // provenance columns. Same sanitized namespace as tagfp/ names.
-      if (!replay && oldFp.isDefined &&
-          s.read.parquet(s"$root/bands").schema.fieldNames.contains("_src")) {
-        val vSrcs = s.read.parquet(s"$root/bands")
-          .filter(col("hb").isin(vHb: _*))
-          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
-          .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
-          .distinct().collect().map(_.getString(0)).toSet
-        Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
-          "TextIndex.remove")
-      }
+      // the content known-check and the band-bucket collect + provenance
+      // guard share only already-checkpointed inputs (vToks, vids) — run
+      // them concurrently (r18 opt, guide §2.6; the known-check's
+      // refusal is rethrown first on a double failure)
+      var vHb: Seq[Long] = Seq.empty
+      val bands = s.read.parquet(s"$root/bands") // ONE relation resolution
+      IndexMaintenance.runLegs(Seq(
+        "text.validate.known" -> (() => if (!replay) {
+          // CONTENT-MULTISET known-check (r14, see
+          // [[TargetedDelete.contentSet]]): per victim id, the stored
+          // rows' token-set hashes must EQUAL the victim rows' — the
+          // delete is id-keyed (every stored version goes), so the caller
+          // must pass ALL of an id's ingested versions, or a wrong/partial
+          // victim set would subtract a fingerprint that diverges from the
+          // rows actually removed, silently poisoning isFresh forever
+          val vAgg = TargetedDelete.contentSet(victims, idCol,
+            xxhash64(Dedup.hashedTokenSet(col(textCol))))
+            .withColumnRenamed("_chs", "_vchs")
+          val known = TargetedDelete.contentSet(vToks, idCol,
+              xxhash64(col("_toks")))
+            .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(idCol))
+            .filter(col("_chs") === col("_vchs"))
+            .count()
+          if (known != nV) Fingerprint.refuse(
+            s"TextIndex.remove: only $known of $nV victim ids are indexed " +
+              "with matching content (ALL stored versions of each id — the " +
+              "delete is id-keyed); the fingerprint subtraction needs " +
+              "exactly the ingested (id, text) rows")
+        }),
+        "text.validate.bands" -> (() => {
+          vHb = bandRows(vToks, idCol, numHashes, bandCount, nBuckets, seed)
+            .select(col("hb")).distinct().collect().map(_.getLong(0)).toSeq
+          // victims whose append crashed MID-append (rows landed, fingerprint
+          // merge never recorded) must not subtract — their delta was never
+          // added. One pruned read of the victims' band rows' provenance,
+          // bounded by |tags|; only meaningful on fingerprinted indexes with
+          // provenance columns. Same sanitized namespace as tagfp/ names.
+          if (!replay && oldFp.isDefined &&
+              bands.schema.fieldNames.contains("_src")) {
+            val vSrcs = bands
+              .filter(col("hb").isin(vHb: _*))
+              .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(idCol), "leftsemi")
+              .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
+              .distinct().collect().map(_.getString(0)).toSet
+            Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+              "TextIndex.remove")
+          }
+        })))
       // idempotent fingerprint commit (ADVICE r11; r15: metabase-first +
       // resolveRemovalMeta, so appends interleaved across a crash
       // window replay exactly instead of having their merges wiped by
@@ -337,9 +346,14 @@ object TextIndex {
       FaultInjection.maybeCrash("text.record")
       // both rewrites plan-driven and idempotent: run concurrently,
       // surface the first failure only after both settle (a mid-leg
-      // crash must never leave a sibling job racing the replay)
-      val vHbPlan = s.read.parquet(s"$stateDir/vhb")
-        .collect().map(_.getLong(0)).toSeq
+      // crash must never leave a sibling job racing the replay).
+      // When THIS call just wrote the plan, the in-memory list IS its
+      // content — re-reading the file buys nothing (r18 opt); a replay
+      // that found an existing plan still reads the file of record.
+      val vHbPlan =
+        if (!vhbPresent) vHb
+        else s.read.parquet(s"$stateDir/vhb")
+          .collect().map(_.getLong(0)).toSeq
       IndexMaintenance.runLegs(Seq(
         "text.bands" -> (() => {
           TargetedDelete.delete(s, s"$root/bands", Seq("hb"), idCol, vids,

@@ -445,37 +445,44 @@ object VectorIndex {
         .collect().map(_.getInt(0)).toSeq // bounded by nlist
       val vids = pinned.select(col(corpusId)).distinct()
       if (!replay) {
-        // content-set known-check (r14) — see TextIndex.remove;
-        // this family stores the ingested embedding itself, so the
-        // hashed equality is over EXACT float arrays, not token sets
-        val vAgg = TargetedDelete.contentSet(victims, corpusId,
-          xxhash64(col(corpusVec))).withColumnRenamed("_chs", "_vchs")
-        val known = TargetedDelete.contentSet(
-            s.read.parquet(s"$root/cells")
-              .filter(col("cell").isInCollection(vCells))
-              .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId),
-                "leftsemi"),
-            corpusId, xxhash64(col(corpusVec)))
-          .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(corpusId))
-          .filter(col("_chs") === col("_vchs"))
-          .count()
-        if (known != nV) Fingerprint.refuse(
-          s"VectorIndex.remove: only $known of $nV victim ids are " +
-            "indexed with matching content (ALL stored versions of each " +
-            "id); the fingerprint subtraction needs exactly the ingested " +
-            "(id, embedding) rows")
-        // mid-append crash guard (see TextIndex.remove): a victim row
-        // from an append whose merge never recorded must not subtract
-        if (oldFp.isDefined &&
-            s.read.parquet(s"$root/cells").schema.fieldNames.contains("_src")) {
-          val vSrcs = s.read.parquet(s"$root/cells")
-            .filter(col("cell").isInCollection(vCells))
-            .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId), "leftsemi")
-            .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
-            .distinct().collect().map(_.getString(0)).toSet
-          Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
-            "VectorIndex.remove")
-        }
+        // ONE cells relation for both checks (r18 opt: repeated
+        // spark.read.parquet re-resolves the file index), and the
+        // known-check runs concurrently with the provenance guard
+        // (guide §2.6; known-check's refusal wins a double failure)
+        val cellsPruned = s.read.parquet(s"$root/cells")
+          .filter(col("cell").isInCollection(vCells))
+          .join(TargetedDelete.maybeBroadcast(vids, nV), Seq(corpusId),
+            "leftsemi")
+          .localCheckpoint(eager = false) // shared by both legs
+        IndexMaintenance.runLegs(Seq(
+          "vector.validate.known" -> (() => {
+            // content-set known-check (r14) — see TextIndex.remove;
+            // this family stores the ingested embedding itself, so the
+            // hashed equality is over EXACT float arrays, not token sets
+            val vAgg = TargetedDelete.contentSet(victims, corpusId,
+              xxhash64(col(corpusVec))).withColumnRenamed("_chs", "_vchs")
+            val known = TargetedDelete.contentSet(cellsPruned,
+                corpusId, xxhash64(col(corpusVec)))
+              .join(TargetedDelete.maybeBroadcast(vAgg, nV), Seq(corpusId))
+              .filter(col("_chs") === col("_vchs"))
+              .count()
+            if (known != nV) Fingerprint.refuse(
+              s"VectorIndex.remove: only $known of $nV victim ids are " +
+                "indexed with matching content (ALL stored versions of each " +
+                "id); the fingerprint subtraction needs exactly the ingested " +
+                "(id, embedding) rows")
+          }),
+          // mid-append crash guard (see TextIndex.remove): a victim row
+          // from an append whose merge never recorded must not subtract
+          "vector.validate.guard" -> (() =>
+            if (oldFp.isDefined &&
+                cellsPruned.schema.fieldNames.contains("_src")) {
+              val vSrcs = cellsPruned
+                .select(col("_src")).filter(col("_src").isNotNull) // pre-provenance rows = build-era
+                .distinct().collect().map(_.getString(0)).toSet
+              Fingerprint.requireRecordedProvenance(conf, indexDir, vSrcs,
+                "VectorIndex.remove")
+            })))
       }
       // idempotent fingerprint commit (ADVICE r11; r15: metabase-first +
       // interleaving-exact replay resolution — see Fingerprint
