@@ -169,9 +169,14 @@ object TextPipeline {
     * separated so degenerate-input specs can gate it directly. */
   def sourceOverlapFrom(docs: DataFrame): DataFrame = {
     val toks = TextOps.tokens(col("text"))
+    // grams ride as xxhash64 longs through the distinct and the
+    // gram-keyed self-join (r18 opt, guide §2.3 — the gram identity is
+    // only compared, never displayed; same accepted collision class as
+    // doc_span_dedup, oracle replays on strings and stays hash-green)
     val srcGrams = docs
       .filter(size(toks) >= 3)
-      .select(col("source"), explode(TextOps.shingles(toks, 3)).as("gram"))
+      .select(col("source"), explode(TextOps.shingles(toks, 3)).as("_g"))
+      .select(col("source"), xxhash64(col("_g")).as("gram"))
       .distinct()
       .localCheckpoint(eager = false) // fan-out: feeds sizes AND the self-join
     val sizes = srcGrams.groupBy(col("source")).agg(count(lit(1)).as("n"))
@@ -1603,12 +1608,19 @@ object TextPipeline {
     * size. */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     val tk = TextOps.tokens(col("text"))
+    // spans ride as xxhash64 longs, not ~100-byte strings (r18 opt,
+    // guide §2.3 narrower shuffle keys): the span identity is only ever
+    // COMPARED (distinct, doc-count, join back), never displayed, so
+    // hashing inside the explode cuts both exchanges and the broadcast
+    // ~10x. Same 2^-64 collision class the Jaccard family's
+    // hashedTokenSet already accepts; the oracle replays on the string
+    // spans and stays hash-green (no collision on any fixture).
     val spans = Tables.documents(s, dir)
       .filter(size(tk) >= 16)
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(0), size(tk) - 16),
-          i => concat_ws(" ", slice(tk, i + 1, lit(16))))).as("span"))
+          i => xxhash64(concat_ws(" ", slice(tk, i + 1, lit(16)))))).as("span"))
       .localCheckpoint(eager = false) // fan-out: span doc-counts + join back
     val docCounts = spans.distinct()
       .groupBy(col("span")).agg(count(lit(1)).as("n_docs"))
@@ -1638,9 +1650,15 @@ object TextPipeline {
     val tk = TextOps.tokens(col("text"))
     val grams = transform(sequence(lit(0), size(tk) - 3),
       i => concat_ws(" ", slice(tk, i + 1, lit(3))))
+    // terms ride as xxhash64 longs from the FIRST aggregate on (r18
+    // opt, guide §2.3 — the r17 code hashed only the final self-join
+    // key; the tf/df shuffles still carried ~20-byte gram strings).
+    // The term identity is only ever compared, never displayed — same
+    // accepted collision class as the final join key already had.
     val tf = docs
       .filter(size(tk) >= 3)
-      .select(col("doc_id"), explode(grams).as("term"))
+      .select(col("doc_id"), explode(grams).as("_g"))
+      .select(col("doc_id"), xxhash64(col("_g")).as("term"))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
       .localCheckpoint(eager = false) // fans out: df, norms, pair scoring
     val n = docs.count()
@@ -1650,11 +1668,8 @@ object TextPipeline {
         (col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0))).as("w"))
     val norms = w.groupBy(col("doc_id"))
       .agg(sqrt(sum(col("w") * col("w"))).as("nrm"))
-    // join key = xxhash64 of the gram: long keys shuffle and compare
-    // several times cheaper than ~20-byte strings, same collision risk
-    // the Jaccard family already accepts (Dedup.hashedTokenSet scaladoc)
     val u = w.join(norms, "doc_id")
-      .select(col("doc_id"), xxhash64(col("term")).as("th"),
+      .select(col("doc_id"), col("term").as("th"),
         (col("w") / col("nrm")).as("u"))
       .localCheckpoint(eager = false) // self-joined below
     u.select(col("th"), col("doc_id").as("id1"), col("u").as("u1"))
