@@ -104,6 +104,15 @@ object Rtbf {
   private def stateDir(lakeDir: String, tag: String): String =
     s"${IndexMaintenance.normalize(lakeDir)}/_rtbf/${Fingerprint.sanitizeTag(tag)}"
 
+  /** One-shot async helper for independent Spark actions (r18 opt). */
+  private def concurrently[T](name: String)(f: => T)
+      : java.util.concurrent.Future[T] = {
+    val pool = java.util.concurrent.Executors.newSingleThreadExecutor()
+    try pool.submit(new java.util.concurrent.Callable[T] {
+      def call(): T = f
+    }) finally pool.shutdown()
+  }
+
   /** Purge `victims` — the EXACT `(id, text)` rows as ingested, the
     * same contract every index family's remove() validates — from all
     * targeted stores under one `tag`. `vecVictims` carries the exact
@@ -205,14 +214,23 @@ object Rtbf {
     val planned = rec.stores
     val logical = rec.mode == "logical"
 
-    // the one authoritative victim capture — every verb reads THIS
-    val vic = s.read.parquet(s"$state/victims").localCheckpoint()
-    val nV = vic.count()
-    val vecVic =
-      if (fs.exists(new Path(s"$state/vec_victims")))
-        Some(s.read.parquet(s"$state/vec_victims").localCheckpoint())
-      else None
-    val nVec = vecVic.fold(0L)(_.count())
+    // the one authoritative victim capture — every verb reads THIS.
+    // Doc and vec snapshots materialize concurrently (r18 opt, guide
+    // §2.6 — two independent tiny reads, two fewer serial job walls).
+    val vicF = concurrently(s"rtbf.victims") {
+      val v = s.read.parquet(s"$state/victims").localCheckpoint()
+      (v, v.count())
+    }
+    val vecF = concurrently(s"rtbf.vec_victims") {
+      if (fs.exists(new Path(s"$state/vec_victims"))) {
+        val v = s.read.parquet(s"$state/vec_victims").localCheckpoint()
+        Some((v, v.count()))
+      } else None
+    }
+    val (vic, nV) = vicF.get()
+    val vecPair = vecF.get()
+    val vecVic = vecPair.map(_._1)
+    val nVec = vecPair.fold(0L)(_._2)
 
     def done(store: String) = new Path(s"$state/done_$store")
     def execStore(store: String): RtbfStoreResult =
