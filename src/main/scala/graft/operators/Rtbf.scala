@@ -258,12 +258,12 @@ object Rtbf {
     // derivations, so a failed serve-surface scrub keeps the lake rows
     // (the manifest snapshot, not the lake, feeds the replay anyway).
     val (idxStores, lakeStores) = planned.partition(_.startsWith("idx."))
-    def execConcurrently(stores: Seq[String]): Seq[RtbfStoreResult] =
-      if (stores.size <= 1) stores.map(execStore)
+    val idxResults =
+      if (idxStores.size <= 1) idxStores.map(execStore)
       else {
-        val pool = java.util.concurrent.Executors.newFixedThreadPool(stores.size)
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(idxStores.size)
         try {
-          val futures = stores.map(st =>
+          val futures = idxStores.map(st =>
             st -> pool.submit(new java.util.concurrent.Callable[RtbfStoreResult] {
               def call(): RtbfStoreResult = execStore(st)
             }))
@@ -283,9 +283,12 @@ object Rtbf {
           settled.collect { case (_, Right(r)) => r }
         } finally pool.shutdown()
       }
-    // the two lakes are independent dirs too — the ordering constraint
-    // is only "lakes strictly after all index verbs" (r18 opt)
-    val results = execConcurrently(idxStores) ++ execConcurrently(lakeStores)
+    // the LAKES stay sequential and doc-last ON PURPOSE (an r18
+    // concurrency attempt was reverted): the doc lake is the system of
+    // record and must outlive every derivation — including the
+    // embedding lake — and RtbfStreamSpec pins the crash semantics
+    // (a cut at the vec lake leaves the doc lake untouched).
+    val results = idxResults ++ lakeStores.map(execStore)
 
     // ---- cross-store agreement: every surface, read from disk, ONE
     // job (the six counts union into a store-labeled aggregate — six
