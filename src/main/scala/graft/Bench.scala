@@ -174,6 +174,14 @@ object Bench {
       // distributed listing still kicks in, so the 100 TB posture
       // (thousands of partitions on an object store) is unchanged.
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // r19 (VERDICT r18 item 1): in-process NIO permissions for the
+      // local scheme — stock RawLocalFileSystem forks a chmod per
+      // created dir/file, a fixed cost on every one of the maintenance
+      // band's many small writes and an outright fork-failure under
+      // late-run memory/PID pressure. file:// only; HDFS/object-store
+      // deployments never route through it.
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.NoForkLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -473,6 +481,19 @@ object Bench {
         s""""suspect_noise":$suspect,"retried":$retriedJson,""" +
         s""""repeats":$repJson}"""
     Files.writeString(Paths.get(outPath), detail)
+    // totals-first compact line BEFORE the full line (VERDICT r18
+    // item 2): the driver archives only a stdout TAIL, and at 174 rows
+    // the full line alone outgrew the r17 window — the artifact parsed
+    // as null and the per-query round-over-round channel went dark. A
+    // window too small for the full line still ends with ...compact
+    // line + full line's tail; the compact line carries the headline
+    // totals either way. The FULL line stays last — that is the line
+    // the driver's parser consumes today (contract unchanged).
+    println(
+      s"""{"metric":"total_compact","value":${f"$okTotal%.3f"},"unit":"sec",""" +
+        s""""total_queries":${f"${okTotal - okMaint}%.3f"},""" +
+        s""""total_maintenance":${f"$okMaint%.3f"},""" +
+        s""""n":${resultsF.size},"failed":$failed,"sf":"$sfDir"}""")
     println(line)
     spark.stop()
   }

@@ -41,6 +41,9 @@ object RunQuery {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // driver-side listing for ≤1024-dir tables (see Bench — r18 opt)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // no-fork local-FS permissions (see Bench — r19, VERDICT r18 item 1)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.NoForkLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
       // NOTE: driver memory cannot be set here — the JVM is already
       // running by the time the builder executes. Pass it at launch

@@ -26,6 +26,9 @@ object Verify {
       .config("graft.term.checkStats", "true")
       // driver-side listing for ≤1024-dir tables (see Bench — r18 opt)
       .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1024")
+      // no-fork local-FS permissions (see Bench — r19, VERDICT r18 item 1)
+      .config("spark.hadoop.fs.file.impl",
+        classOf[graft.NoForkLocalFileSystem].getName)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -227,8 +227,23 @@ object Rtbf {
         Some((v, v.count()))
       } else None
     }
-    val (vic, nV) = vicF.get()
-    val vecPair = vecF.get()
+    // settle BOTH before rethrowing (ADVICE r18): a raw f.get() on the
+    // first future would surface a java.util.concurrent
+    // .ExecutionException (changing the error type callers/specs see)
+    // and leave the sibling's Spark job running unobserved
+    def settle[T](f: java.util.concurrent.Future[T]): scala.util.Try[T] =
+      scala.util.Try(f.get()).recoverWith {
+        case e: java.util.concurrent.ExecutionException =>
+          scala.util.Failure(e.getCause)
+      }
+    val (vicT, vecT) = (settle(vicF), settle(vecF))
+    vicT.failed.toOption.orElse(vecT.failed.toOption).foreach { t =>
+      Seq(vicT, vecT).foreach(_.failed.foreach(o =>
+        if (o ne t) t.addSuppressed(o)))
+      throw t
+    }
+    val (vic, nV) = vicT.get
+    val vecPair = vecT.get
     val vecVic = vecPair.map(_._1)
     val nVec = vecPair.fold(0L)(_._2)
 

@@ -248,8 +248,14 @@ object TargetedDelete {
     // same partition values; if partition type inference changed a
     // value's string form between the original write and this one
     // (`day=01` read back as long 1 → staged dir `day=1`), the rel
-    // paths fail to map and we fall back to the former scan+value-join,
-    // which matches by VALUE — never a wrong manifest.
+    // paths fail to map and we fall back to a scan+value match. The
+    // fallback pins the LIVE read's schema on the staged read (ADVICE
+    // r18): re-inferring partition types from the staged subset alone
+    // can disagree with the live read (staged {1} infers int where the
+    // live table inferred long), and the boxed driver-side comparison —
+    // unlike the old <=> join, which coerced — would then never match:
+    // the partition would get _staged_dir=null and applyStaged would
+    // DELETE the live dir without renaming the replacement in.
     val manifest0: Seq[(String, String)] = {
       val liveBase = decodedDirPath(fs.makeQualified(
         new org.apache.hadoop.fs.Path(tableDir)))
@@ -273,9 +279,9 @@ object TargetedDelete {
         case Some(m) =>
           t.dirs.distinct.map(d => d -> m.get(relOfLive(d)).orNull)
         case None =>
-          // fallback: read the staged files back and match by VALUE
-          // (null-safe), exactly the pre-r18 shape
-          val stagedDirs = spark.read.parquet(stageDir)
+          // fallback: read the staged files back — under the live
+          // table's schema, see above — and match by VALUE (null-safe)
+          val stagedDirs = spark.read.schema(table.schema).parquet(stageDir)
             .withColumn("_sdir",
               expr("regexp_replace(input_file_name(), '/[^/]*$', '')"))
             .select(partitionCols.map(col) :+ col("_sdir"): _*)

@@ -73,6 +73,23 @@ object RtbfE2e {
   private val probeIds = Seq(5L, 10L, 45L, 95L) // survivors at every sf
   private val vecSeed = 7L
 
+  /** Settle every future, then rethrow the FIRST failure's unwrapped
+    * cause with the rest suppressed (ADVICE r18 — mirrors
+    * IndexMaintenance.runLegs: callers see the leg's own exception, not
+    * ExecutionException, and no sibling job is left running
+    * unobserved). */
+  private def awaitAll(fs: Seq[java.util.concurrent.Future[_]]): Unit = {
+    val settled = fs.map(f => scala.util.Try(f.get()).recoverWith {
+      case e: java.util.concurrent.ExecutionException =>
+        scala.util.Failure(e.getCause)
+    })
+    settled.collectFirst { case scala.util.Failure(t) =>
+      settled.foreach(_.failed.foreach(o => if (o ne t) t.addSuppressed(o)))
+      throw t
+    }
+    ()
+  }
+
   def purgeE2e(s: SparkSession, dir: String): DataFrame =
     purgeImpl(s, dir, logical = false)
 
@@ -139,14 +156,17 @@ object RtbfE2e {
       // walls; this is bench-harness plumbing, see snapshotIndex's
       // production caveat)
       val pool = java.util.concurrent.Executors.newFixedThreadPool(4)
-      try Seq("textidx", "clusteridx", "termidx", "vecidx").map { ix =>
+      // settle ALL copies before rethrowing the first unwrapped cause
+      // (ADVICE r18: a raw get() on the first future surfaces
+      // ExecutionException and leaves the siblings running unobserved)
+      try awaitAll(Seq("textidx", "clusteridx", "termidx", "vecidx").map { ix =>
           // bind OUTSIDE the anonymous class: inside it, $run in an
           // interpolation would resolve to its own run() method
           val (from, to) = (s"$base/$ix", s"$run/$ix")
-          pool.submit(new java.lang.Runnable {
-            def run(): Unit = TextPipeline.snapshotIndex(s, from, to)
+          pool.submit(new java.util.concurrent.Callable[Unit] {
+            def call(): Unit = TextPipeline.snapshotIndex(s, from, to)
           })
-        }.foreach(_.get())
+        })
       finally pool.shutdown()
       // prior runs' purge state would read THIS run as a completed
       // replay and no-op the verbs against the fresh copies
@@ -232,6 +252,7 @@ object RtbfE2e {
              else bandsRaw)
               .select(col("doc_id")).distinct())
         }
+        awaitAll(Seq(lakeF, termF, clusterF, vectorF, textF)) // ADVICE r18
         (lakeF.get(), termF.get(), clusterF.get(), vectorF.get(),
           textF.get())
       } finally pool.shutdown()

@@ -1602,10 +1602,11 @@ object TextPipeline {
     *
     * Scale shape = exact dedup's: explode -> distinct (doc, span) ->
     * one groupBy(span) doc-count (map-side combined) -> join back ->
-    * per-doc agg. Span text could be hashed to a long at 100 TB to
-    * shrink the shuffle (kept stringly to stay byte-comparable with the
-    * oracle); output rows stay one per document regardless of corpus
-    * size. */
+    * per-doc agg. Spans ride the exchanges as xxhash64 LONGS (r18,
+    * guide §2.3 — the identity is only compared, never displayed), an
+    * accepted 2^-64 collision class; the oracle replays on the raw
+    * string spans and stays hash-green. Output rows stay one per
+    * document regardless of corpus size. */
   def spanDedup(s: SparkSession, dir: String): DataFrame = {
     val tk = TextOps.tokens(col("text"))
     // spans ride as xxhash64 longs, not ~100-byte strings (r18 opt,
@@ -1672,7 +1673,28 @@ object TextPipeline {
       .select(col("doc_id"), col("term").as("th"),
         (col("w") / col("nrm")).as("u"))
       .localCheckpoint(eager = false) // self-joined below
-    u.select(col("th"), col("doc_id").as("id1"), col("u").as("u1"))
+    // hash-partition the STREAMED side by doc_id before the self-join
+    // (r19, VERDICT r18 item 6 + guide §2.4 "establish the partitioning
+    // once"): the pair scoring broadcast-joins u to itself and then
+    // aggregates by (id1, id2) — with id1 = the streamed side's doc_id,
+    // HashPartitioning(doc_id) already CLUSTERS every (id1, id2) group
+    // (alias-propagated through the projection), so EnsureRequirements
+    // drops the aggregate's exchange — the suite's largest single
+    // shuffle, ~25 MB of expanded pair partials at sf0.1 and Σ_t df(t)²
+    // rows at scale. What shuffles instead is u itself: one postings-
+    // sized pass, Σ_t df(t) rows. Explicit partition count (the
+    // session's shuffle parallelism, scale-adaptive via conf) makes
+    // this a REPARTITION_BY_NUM, which AQE never coalesces — the
+    // partitioning the aggregate relies on can't be changed at runtime.
+    // The repartition sits AFTER the checkpoint on purpose: a
+    // partitioning established before it is discarded (with AQE the
+    // checkpointed LogicalRDD always captures UnknownPartitioning), and
+    // it must be inside the aggregate's own plan to be seen. If the
+    // planner ever degrades the self-join to sort-merge at scale (u
+    // outgrowing the auto-broadcast threshold), the th exchanges simply
+    // override this one — same plan as before this change, never worse.
+    u.repartition(s.sessionState.conf.numShufflePartitions, col("doc_id"))
+      .select(col("th"), col("doc_id").as("id1"), col("u").as("u1"))
       .join(u.select(col("th"), col("doc_id").as("id2"), col("u").as("u2")),
         "th")
       .filter(col("id1") < col("id2"))

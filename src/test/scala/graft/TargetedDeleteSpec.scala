@@ -227,6 +227,46 @@ class TargetedDeleteSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() === 37L)
   }
 
+  test("stageRewrite value-match fallback survives partition type-inference drift (ADVICE r18)") {
+    // live table with a NON-CANONICAL partition dir name (k=01 — the
+    // day=01 class) plus a Long-forcing sibling (k=3000000000): the live
+    // read infers k as LongType and value 1, but the staged REWRITE of
+    // that partition writes the canonical dir k=1 — the rel-path map
+    // misses, forcing the scan+value fallback. Read back on its own, the
+    // staged subset {1} would infer IntegerType, and boxed Integer(1) !=
+    // Long(1) would map the partition to _staged_dir=null — applyStaged
+    // would then DELETE the live dir without renaming the replacement
+    // in, silently losing every survivor row. The fallback must read the
+    // staged tree under the LIVE schema.
+    val dir = Files.createTempDirectory("stgdrift").toString + "/t"
+    val stage = Files.createTempDirectory("stgdrifts").toString + "/s"
+    (0 until 10).map(i => (i.toLong, 1L, s"row$i"))
+      .toDF("id", "k", "payload")
+      .unionByName(Seq((100L, 3000000000L, "big")).toDF("id", "k", "payload"))
+      .write.partitionBy("k").parquet(dir)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(conf)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/k=1"),
+      new org.apache.hadoop.fs.Path(s"$dir/k=01")),
+      "fixture: non-canonical partition dir")
+    val victims = Seq(1L, 5L).toDF("id")
+    TargetedDelete.stageRewrite(spark, dir, stage, Seq("k"),
+      mark = df => df.join(broadcast(victims), Seq("id"), "left_semi"),
+      keep = df => df.join(broadcast(victims), Seq("id"), "left_anti"))
+    // the staged manifest must map the touched live dir to its staged
+    // replacement — a null _staged_dir here is the data-loss bug
+    val manifest = spark.read.parquet(stage + ".manifest").collect()
+    assert(manifest.length == 1 && manifest.head.getString(1) != null,
+      s"the value-match fallback must map k=01 to its staged dir: " +
+        manifest.mkString(","))
+    assert(TargetedDelete.applyStaged(spark, dir, stage))
+    val after = spark.read.parquet(dir)
+    assert(after.filter(col("id").isin(1L, 5L)).count() === 0L)
+    assert(after.count() === 9L,
+      "survivor rows of the drifted partition must be preserved")
+    assert(after.filter(col("k") === 3000000000L).count() === 1L)
+  }
+
   test("deleteAnyKey: either-endpoint match, one rewrite per touched partition") {
     val dir = Files.createTempDirectory("tdel7").resolve("edges")
     Seq((1L, 2L, "p0"), (2L, 3L, "p0"), (5L, 6L, "p1"), (7L, 1L, "p1"),
