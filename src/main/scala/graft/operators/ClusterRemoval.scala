@@ -386,7 +386,8 @@ private[operators] object ClusterRemoval {
   private def persistPlan(s: SparkSession, root: String, normDir: String,
                           stateDir: String,
                           idCol: String, vids: DataFrame, nV: Long,
-                          vIdb: Seq[Long], nBuckets: Int)
+                          vIdb: Seq[Long], nBuckets: Int,
+                          preVtb: Option[Seq[Long]] = None)
       : (Seq[(String, Long)], Seq[Long]) = {
     import s.implicits._
     val conf = s.sparkContext.hadoopConfiguration
@@ -397,8 +398,12 @@ private[operators] object ClusterRemoval {
     // the victims' INDEXED token sets drive the postings bucket prune.
     // Read from the CURRENT toks table on purpose: until del-toks runs
     // it is pristine, and a replay after del-toks finds it empty exactly
-    // when del-postings already completed — the prune no-ops.
-    val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
+    // when del-postings already completed — the prune no-ops. The
+    // staged first run precomputes the buckets (preVtb) BEFORE its
+    // fan-out so stage.postings needn't wait for this plan call's
+    // CC-bearing critical path (r19); same expression, same pristine
+    // read, the file written below is identical either way.
+    lazy val vToks = rleg("vtoks")(s.read.parquet(s"$root/toks")
       .filter(col("idb").isin(vIdb: _*))
       .join(bVids(vids), Seq(idCol), "leftsemi")
       .select(col(idCol), col("_toks"))
@@ -430,9 +435,10 @@ private[operators] object ClusterRemoval {
       // plan-resident postings buckets make all four rewrites order-free
       // — and therefore parallel (r12)
       "plan.vtb" -> (() => {
-        vTb = vToks.select(explode(col("_toks")).as("_tok"))
-          .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
-          .collect().map(_.getLong(0)).toSeq
+        vTb = preVtb.getOrElse(
+          vToks.select(explode(col("_toks")).as("_tok"))
+            .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+            .collect().map(_.getLong(0)).toSeq)
         vTb.toDF("tb")
           .coalesce(1).write.mode("overwrite").parquet(s"$stateDir/vtb")
       }),
@@ -469,6 +475,10 @@ private[operators] object ClusterRemoval {
       (DataFrame => DataFrame, DataFrame => DataFrame, Column) = {
     import s.implicits._
     def bVids(df: DataFrame) = TargetedDelete.maybeBroadcast(df, nV)
+    // A/B-rejected r19: consuming the in-memory newAssign here (saving
+    // the tiny parquet re-read) re-runs the CC-tail joins inside the
+    // staged write and FRAGMENTS it into more AQE stage-jobs (14 vs 9
+    // for stage.assign) — the file read is the cheaper plan.
     val newAssign = s.read.parquet(s"$stateDir/newassign")
     val partsDf = parts.toDF("_psrc", "_pidb")
     (df => df.join(broadcast(partsDf),
@@ -617,21 +627,44 @@ private[operators] object ClusterRemoval {
     // completed" (review-caught r15: the takedown streams retry the
     // former and die on the latter) ----
     timedWindow(normDir, "rm_stage")(IndexMaintenance.withLease(conf, normDir, "write") {
-      val planLists =
-        persistPlan(s, root, normDir, stateDir, idCol, vids, nV, vIdb, nBuckets)
-      stateFs.create(planMarker, true).close() // plan commit point
-      FaultInjection.maybeCrash("cluster.plan")
-      parts = planLists._1
-      vTb = planLists._2
+      import s.implicits._
+      // the postings bucket prune, derived UP FRONT (pristine toks read
+      // — same expression persistPlan would run) so the plan call's
+      // CC-bearing critical path no longer gates stage.postings
+      val vToksPre = rleg("vtoks")(s.read.parquet(s"$root/toks")
+        .filter(col("idb").isin(vIdb: _*))
+        .join(bVids(vids), Seq(idCol), "leftsemi")
+        .select(col(idCol), col("_toks")))
+      vTb = rleg("vtb")(vToksPre.select(explode(col("_toks")).as("_tok"))
+        .select(tb(col("_tok"), nBuckets).as("tb")).distinct()
+        .collect().map(_.getLong(0)).toSeq)
+      // OVERLAP the CC-bearing plan (and the assign staging that needs
+      // its newassign/parts output) with the three victim-only staged
+      // rewrites (r19, guide §2.6): staging never mutates the live
+      // tree, so a crash anywhere in this fan-out replays exactly as
+      // before — PLAN_READY present => in-place commitFromPlan (stale
+      // staged dirs are overwritten or cleared), absent => rediscovery
+      // over the still-pristine tables re-stages from scratch. The
+      // IndexRemoveSpec crash matrix gates both boundaries.
       IndexMaintenance.runLegs(Seq(
-        "stage.assign" -> (() => rleg("stage-assign")(if (parts.nonEmpty) {
-          val (mark, keep, prePrune) =
-            assignSurgery(s, stateDir, idCol, vids, nV, parts)
-          TargetedDelete.stageRewrite(
-            s, s"$root/assign", s"$staged/assign", Seq("_src", "idb"),
-            mark, keep, prePrune,
-            captureStatus = true) // assign is the one append-amendable table
-        })),
+        "stage.plan" -> (() => {
+          val planLists = persistPlan(s, root, normDir, stateDir, idCol,
+            vids, nV, vIdb, nBuckets, preVtb = Some(vTb))
+          stateFs.create(planMarker, true).close() // plan commit point
+          FaultInjection.maybeCrash("cluster.plan")
+          parts = planLists._1
+          // nested single leg keeps the stage.assign crash point and
+          // leg name exactly where the matrix arms them
+          IndexMaintenance.runLegs(Seq(
+            "stage.assign" -> (() => rleg("stage-assign")(if (parts.nonEmpty) {
+              val (mark, keep, prePrune) =
+                assignSurgery(s, stateDir, idCol, vids, nV, parts)
+              TargetedDelete.stageRewrite(
+                s, s"$root/assign", s"$staged/assign", Seq("_src", "idb"),
+                mark, keep, prePrune,
+                captureStatus = true) // assign is the one append-amendable table
+            }))))
+        }),
         "stage.postings" -> (() => rleg("stage-postings")(if (vTb.nonEmpty) {
           TargetedDelete.stageRewrite(
             s, s"$root/postings", s"$staged/postings", Seq("_src", "tb"),

@@ -389,7 +389,12 @@ private[graft] object IndexMaintenance {
     val outcomes =
       try legs.map { case (step, run) =>
         pool.submit(new java.util.concurrent.Callable[Unit] {
-          def call(): Unit = { run(); FaultInjection.maybeCrash(step) }
+          def call(): Unit = {
+            // label the leg's jobs (guide §1.5; thread-local, so each
+            // concurrent leg names its own jobs in the UI / profilers)
+            SparkSession.active.sparkContext.setJobDescription(step)
+            run(); FaultInjection.maybeCrash(step)
+          }
         })
       }.map(f => scala.util.Try(f.get()))
       finally pool.shutdown()

@@ -191,7 +191,8 @@ object TargetedDelete {
     * the live table (r15, VERDICT r14 item 6 — the stage-then-flip
     * remove): the replacement rows for every touched partition land
     * under `stageDir` (same partition layout), and a driver-small
-    * MANIFEST parquet (`<stageDir>.manifest`) records each touched
+    * MANIFEST file (`<stageDir>.manifest`, flat text since r19 — see
+    * [[writeManifest]]) records each touched
     * LIVE partition dir, its staged replacement dir (null when the
     * rewrite emptied it), and — when `captureStatus` — a file-listing
     * digest of the live dir so [[applyStaged]] can detect an
@@ -216,16 +217,7 @@ object TargetedDelete {
     val t = discoverTouched(table, partitionCols, mark)
     if (t.rows.isEmpty) {
       // nothing touched: an EMPTY manifest still signals "staged, no-op"
-      spark.createDataFrame(
-        new java.util.ArrayList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("_live_dir",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_staged_dir",
-            org.apache.spark.sql.types.StringType),
-          org.apache.spark.sql.types.StructField("_digest",
-            org.apache.spark.sql.types.StringType))))
-        .coalesce(1).write.mode("overwrite").parquet(stageDir + ".manifest")
+      writeManifest(fs, stageDir, Seq.empty)
       return
     }
     val touched = t.localDf(spark)
@@ -297,9 +289,54 @@ object TargetedDelete {
         if (captureStatus) dirDigest(fs, pathOfUri(live)) else ""
       (live, staged, digest)
     }
-    import spark.implicits._
-    rows.toDF("_live_dir", "_staged_dir", "_digest")
-      .coalesce(1).write.mode("overwrite").parquet(stageDir + ".manifest")
+    writeManifest(fs, stageDir, rows)
+  }
+
+  /** The staged-rewrite manifest is DRIVER-SMALL by construction (one
+    * row per touched partition), so since r19 it is a flat text file
+    * written through the FS API, not a parquet table: the former
+    * coalesce(1) parquet write was a whole Spark job per staged table
+    * (and each consumer a read job + file-index resolution) purely to
+    * round-trip a handful of strings — at sf0.1 the removal rows' wall
+    * is job COUNT, and at 100 TB the flip window (under the exclusive
+    * remove lease) should be pure metadata work. Fields are
+    * URL-encoded, tab-separated (`live \t staged \t digest`; empty
+    * staged = partition emptied), one row per line; the write lands on
+    * a `.tmp` path and RENAMES in, so a crash mid-write leaves no
+    * manifest — exactly the pre-r19 crash-before-manifest boundary. */
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, java.nio.charset.StandardCharsets.UTF_8)
+  private def dec(s: String): String =
+    java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+
+  private def writeManifest(fs: org.apache.hadoop.fs.FileSystem,
+                            stageDir: String,
+                            rows: Seq[(String, String, String)]): Unit = {
+    val tmp = new org.apache.hadoop.fs.Path(stageDir + ".manifest.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(rows.map { case (live, staged, digest) =>
+      s"${enc(live)}\t${Option(staged).map(enc).getOrElse("")}\t${enc(digest)}\n"
+    }.mkString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val dest = new org.apache.hadoop.fs.Path(stageDir + ".manifest")
+    fs.delete(dest, true) // a prior parquet-dir or file manifest
+    if (!fs.rename(tmp, dest))
+      throw new java.io.IOException(
+        s"staged-rewrite manifest could not rename $tmp -> $dest")
+  }
+
+  /** (live, stagedOrNull, digest) rows of a staged rewrite's manifest. */
+  private[graft] def readManifest(spark: SparkSession, stageDir: String)
+      : Seq[(String, String, String)] = {
+    val p = new org.apache.hadoop.fs.Path(stageDir + ".manifest")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    val txt = try new String(in.readAllBytes(),
+      java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+    txt.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val f = line.split("\t", -1)
+      (dec(f(0)), if (f(1).isEmpty) null else dec(f(1)), dec(f(2)))
+    }
   }
 
   /** Decoded filesystem path of a dir (URI %XX unescaped — the on-disk
@@ -325,16 +362,15 @@ object TargetedDelete {
                                  stageDir: String): Boolean = {
     val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(conf)
-    val manifest = spark.read.parquet(stageDir + ".manifest").collect()
-    val stale = manifest.exists { r =>
-      val dig = r.getString(2)
-      dig.nonEmpty && dig != dirDigest(fs, pathOfUri(r.getString(0)))
+    val manifest = readManifest(spark, stageDir)
+    val stale = manifest.exists { case (liveDir, _, dig) =>
+      dig.nonEmpty && dig != dirDigest(fs, pathOfUri(liveDir))
     }
     if (stale) return false
-    manifest.foreach { r =>
-      val live = pathOfUri(r.getString(0))
+    manifest.foreach { case (liveDir, stagedDir, _) =>
+      val live = pathOfUri(liveDir)
       fs.delete(live, true)
-      Option(r.getString(1)).foreach { sd =>
+      Option(stagedDir).foreach { sd =>
         val staged = pathOfUri(sd)
         if (!fs.rename(staged, live))
           throw new java.io.IOException(
@@ -360,9 +396,9 @@ object TargetedDelete {
     val fs = new org.apache.hadoop.fs.Path(tableDir).getFileSystem(conf)
     val mPath = new org.apache.hadoop.fs.Path(stageDir + ".manifest")
     if (!fs.exists(mPath)) return
-    spark.read.parquet(stageDir + ".manifest").collect().foreach { r =>
-      val live = pathOfUri(r.getString(0))
-      Option(r.getString(1)).foreach { sd =>
+    readManifest(spark, stageDir).foreach { case (liveDir, stagedDir, _) =>
+      val live = pathOfUri(liveDir)
+      Option(stagedDir).foreach { sd =>
         val staged = pathOfUri(sd)
         if (!fs.exists(live) && fs.exists(staged)) {
           if (!fs.rename(staged, live))

@@ -255,8 +255,8 @@ class TargetedDeleteSpec extends SparkSpec {
       keep = df => df.join(broadcast(victims), Seq("id"), "left_anti"))
     // the staged manifest must map the touched live dir to its staged
     // replacement — a null _staged_dir here is the data-loss bug
-    val manifest = spark.read.parquet(stage + ".manifest").collect()
-    assert(manifest.length == 1 && manifest.head.getString(1) != null,
+    val manifest = TargetedDelete.readManifest(spark, stage)
+    assert(manifest.length == 1 && manifest.head._2 != null,
       s"the value-match fallback must map k=01 to its staged dir: " +
         manifest.mkString(","))
     assert(TargetedDelete.applyStaged(spark, dir, stage))
