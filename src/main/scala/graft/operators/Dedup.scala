@@ -311,15 +311,46 @@ object Dedup {
                               maxBucket: Int = 100000): DataFrame = {
     require(numHashes % bands == 0, "numHashes must divide into bands")
     val rows = numHashes / bands
-    val toks = docs.select(col(idCol), portableHashedTokenSet(col(textCol)).as("_toks"))
+    // Dedup-first (r19 — the SetSimJoin.jaccardSelfJoin r3 prescription,
+    // never applied here): identical token sets have identical
+    // signatures, identical bands, and score 1.0 against each other, so
+    // the band join runs over ONE representative per distinct set and
+    // member pairs are re-emitted afterwards — bit-identical output
+    // (scores depend only on the sets; a cross-set pair's first
+    // matching band is the same for every member combination), but an
+    // exact-duplicate clique of size c costs the LSH buckets one row
+    // instead of c, removing the c² bucket blowup degenerate corpora
+    // hit at scale. Measured at sf0.1: band candidates 5.53M -> 2.43M
+    // pairs (5000 docs -> 3935 reps) for the same 2.88M verified
+    // output. Empty sets are dropped
+    // exactly as the direct join dropped them (0/0 = NaN vs an empty,
+    // 0.0 vs anything else — never >= a positive threshold).
+    val groups = docs
+      .select(col(idCol), portableHashedTokenSet(col(textCol)).as("_toks"))
+      .filter(size(col("_toks")) > 0)
+      .groupBy(col("_toks"))
+      .agg(min(col(idCol)).as("_rep"), collect_list(col(idCol)).as("_ids"))
       .localCheckpoint()
-    val withBh = toks.select(col(idCol),
+    val reps = groups.select(col("_rep").as(idCol), col("_toks"))
+    val withBh = reps.select(col(idCol),
       bandHashes(graft.functions.MinHashSig.lcg(col("_toks"), numHashes),
         bands, rows).as("_bh"))
     auditPortableCap(withBh, maxBucket, "Dedup.minhashNearDupsPortable")
     val cands = candidatePairsFirstBand(withBh, idCol, maxBucket)
-    jaccardVerifySorted(cands, toks, idCol, "_toks")
+    val repPairs = jaccardVerifySorted(cands, reps, idCol, "_toks")
       .filter(col("jaccard") >= threshold)
+    val members = groups.select(col("_rep"), explode(col("_ids")).as("_mid"))
+    val cliquePairs = members.alias("x")
+      .join(members.alias("y"), col("x._rep") === col("y._rep"))
+      .filter(col("x._mid") < col("y._mid"))
+      .select(col("x._mid").as("id1"), col("y._mid").as("id2"),
+        lit(1.0).as("jaccard"))
+    val crossPairs = repPairs
+      .join(members.select(col("_rep").as("id1"), col("_mid").as("_m1")), "id1")
+      .join(members.select(col("_rep").as("id2"), col("_mid").as("_m2")), "id2")
+      .select(least(col("_m1"), col("_m2")).as("id1"),
+        greatest(col("_m1"), col("_m2")).as("id2"), col("jaccard"))
+    crossPairs.unionByName(cliquePairs)
       .select(col("id1"), col("id2"), round(col("jaccard"), 3).as("jaccard"))
   }
 

@@ -69,6 +69,72 @@ object ProfileMain {
         t(s"rep$rep cc full query")(
           graft.queries.TextPipeline.dedupClusters(spark, dir))
       }
+    } else if (args.contains("jaccard")) {
+      // doc_jaccard_pairs decomposition (VERDICT r18 item 4): tokenize /
+      // dedup-first grouping / prefix candidates / verify / pair
+      // expansion — which of them owns the one dominant job?
+      for (rep <- 1 to 3) {
+        val toks = docs.select(col("doc_id"),
+          Dedup.hashedTokenSet(col("text")).as("toks"))
+        t(s"rep$rep jac tokenize")(toks)
+        val cached = toks.localCheckpoint()
+        val groups = cached.filter(size(col("toks")) > 0)
+          .groupBy(col("toks"))
+          .agg(min(col("doc_id")).as("_rep"),
+            collect_list(col("doc_id")).as("_ids"))
+          .localCheckpoint()
+        t(s"rep$rep jac groups")(groups)
+        val reps = groups.select(col("_rep").as("doc_id"), col("toks"))
+        t(s"rep$rep jac candidates")(
+          SetSimJoin.prefixCandidates(reps, "doc_id", "toks", 0.8))
+        val cands = SetSimJoin.prefixCandidates(reps, "doc_id", "toks", 0.8)
+          .localCheckpoint()
+        t(s"rep$rep jac verify-only")(
+          Dedup.jaccardVerifySorted(cands, reps, "doc_id", "toks")
+            .filter(col("jaccard") >= 0.8))
+        val repPairs = Dedup.jaccardVerifySorted(cands, reps, "doc_id", "toks")
+          .filter(col("jaccard") >= 0.8).localCheckpoint()
+        val members = groups.select(col("_rep"), explode(col("_ids")).as("_mid"))
+          .localCheckpoint()
+        t(s"rep$rep jac expansion-only")(
+          repPairs
+            .join(members.select(col("_rep").as("id1"), col("_mid").as("_m1")), "id1")
+            .join(members.select(col("_rep").as("id2"), col("_mid").as("_m2")), "id2")
+            .select(least(col("_m1"), col("_m2")).as("id1"),
+              greatest(col("_m1"), col("_m2")).as("id2"), col("jaccard"))
+            .unionByName(members.alias("x")
+              .join(members.alias("y"), col("x._rep") === col("y._rep"))
+              .filter(col("x._mid") < col("y._mid"))
+              .select(col("x._mid").as("id1"), col("y._mid").as("id2"),
+                lit(1.0).as("jaccard"))))
+        t(s"rep$rep jac full query")(
+          graft.queries.TextPipeline.jaccardPairs(spark, dir))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
+    } else if (args.contains("minhash")) {
+      // doc_minhash_pairs decomposition: portable tokenize / signatures /
+      // band candidates / verify
+      for (rep <- 1 to 3) {
+        val ptoks = docs.select(col("doc_id"),
+          Dedup.portableHashedTokenSet(col("text")).as("_toks"))
+        t(s"rep$rep mh tokenize")(ptoks)
+        val cached = ptoks.localCheckpoint()
+        val withBh = cached.select(col("doc_id"),
+          Dedup.bandHashes(
+            graft.functions.MinHashSig.lcg(col("_toks"), 128), 16, 8).as("_bh"))
+        t(s"rep$rep mh signatures")(withBh)
+        val bhCached = withBh.localCheckpoint()
+        t(s"rep$rep mh candidates")(
+          Dedup.candidatePairsFirstBand(bhCached, "doc_id", 100000))
+        val cands = Dedup.candidatePairsFirstBand(bhCached, "doc_id", 100000)
+          .localCheckpoint()
+        t(s"rep$rep mh verify-only")(
+          Dedup.jaccardVerifySorted(cands, cached, "doc_id", "_toks")
+            .filter(col("jaccard") >= 0.8))
+        t(s"rep$rep mh full query")(
+          graft.queries.TextPipeline.minhashPairs(spark, dir))
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
+      }
     } else if (args.contains("probe")) {
       // doc_cluster_index_probe decomposition: which leg of the probe
       // path (delta-internal PPJoin, candidate generation against the
