@@ -332,9 +332,25 @@ object Dedup {
       .agg(min(col(idCol)).as("_rep"), collect_list(col(idCol)).as("_ids"))
       .localCheckpoint()
     val reps = groups.select(col("_rep").as(idCol), col("_toks"))
+    // checkpoint the SIGNATURES (r19): _bh is referenced by both sides
+    // of the band self-join and both sides of the cap-masking join, and
+    // collapsed projections additionally inline the expression into the
+    // explode's size()>0 guard — without a materialization the 128-hash
+    // MinHash signature is recomputed per reference (measured at sf1:
+    // two ~10 s signature jobs for a ~1 s band join). Lazy: the first
+    // consumer materializes the blocks.
+    //
+    // Join strategy at sf1 is the planner's broadcast of the rep-level
+    // band/token tables (their post-aggregate estimates sit under the
+    // threshold): A/B-measured AGAINST forced SHUFFLE_MERGE hints and
+    // the broadcasts win (8.2 s vs 15.9 s — sorting array-bearing rows
+    // costs more than the ~4.5 s driver builds). At sizes where the
+    // broadcast would truly be unsafe the estimates are proportionally
+    // larger and the planner reverts to sort-merge on its own.
     val withBh = reps.select(col(idCol),
       bandHashes(graft.functions.MinHashSig.lcg(col("_toks"), numHashes),
         bands, rows).as("_bh"))
+      .localCheckpoint(eager = false)
     auditPortableCap(withBh, maxBucket, "Dedup.minhashNearDupsPortable")
     val cands = candidatePairsFirstBand(withBh, idCol, maxBucket)
     val repPairs = jaccardVerifySorted(cands, reps, idCol, "_toks")
